@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's whole aggregation surface (survey §2.5 A1-A7): tumbling
+  * event-time window + one grouping dimension + sum, projected onto the
+  * unified output schema `(timestamp, id, value, type)`
+  * (`StreamingJobImpl.scala:43-77`, `BatchJobImpl.scala:46-88`).
+  *
+  * Parameterized over group column, window duration and type tag — the
+  * reference hardwires seven copies of this one shape; we keep one
+  * implementation.
+  *
+  * Scale notes:
+  *  - `groupBy(dim, window(ts, d))` compiles to partial HashAggregate →
+  *    shuffle on (dim, window) → final HashAggregate. Map-side combine
+  *    collapses each partition to ~|dims × windows-per-partition| rows
+  *    before the shuffle, so shuffled bytes are bounded by group
+  *    cardinality, not input rows — the right shape at 100 TB.
+  *  - Skewed dims (one hot antenna) are handled by AQE skew handling; the
+  *    partial aggregate already absorbs most of the skew.
+  */
+object Agg {
+
+  /** Tumbling-window sum: groupBy(`dim`, window(`ts`, `dur`)) → sum(`value`)
+    * → `(timestamp = window.start, id = dim, value, type = typeTag)`.
+    *
+    * The sum is exact-decimal (see [[Num.dsum]]) so results are
+    * order-independent and reproducible.
+    */
+  def windowedSum(df: DataFrame, dim: Column, ts: Column, dur: String,
+                  value: Column, typeTag: String): DataFrame =
+    df.groupBy(dim.as("id"), window(ts, dur).as("w"))
+      .agg(Num.dsum(value).as("value"))
+      .select(
+        col("w.start").as("timestamp"),
+        col("id"),
+        col("value"),
+        lit(typeTag).as("type"))
+
+  /** Same shape for an integral value column (the reference sums LongType
+    * bytes — no decimal dance needed for exact integer sums). */
+  def windowedSumLong(df: DataFrame, dim: Column, ts: Column, dur: String,
+                      value: Column, typeTag: String): DataFrame =
+    df.groupBy(dim.as("id"), window(ts, dur).as("w"))
+      .agg(sum(value).as("value"))
+      .select(
+        col("w.start").as("timestamp"),
+        col("id"),
+        col("value"),
+        lit(typeTag).as("type"))
+}

@@ -1,0 +1,58 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parameterized batch sources over the driver-generated parquet test data
+  * (see /root/repo/TESTDATA.md). Equivalent of the reference's batch sources
+  * (survey §2.1 S2/S3: `BatchJobImpl.scala:17-38`), re-expressed as plain
+  * parquet scans parameterized by scale-factor directory.
+  *
+  * Scale note: `spark.read.parquet` yields a file-source relation that
+  * Catalyst can prune (partition pruning, predicate pushdown, column
+  * pruning). At 100 TB these tables would be directory-partitioned and/or
+  * bucketed; the loaders stay the same — pruning comes from the filters the
+  * query applies, not from the loader.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is nanosecond-precision in parquet, which Spark 4 cannot
+    * represent as TimestampType (µs). Read it as a long (legacy flag) and
+    * truncate to µs with INTEGER division — double division would lose
+    * precision above 2^53 ns (~1970+104 days). DuckDB applies the same
+    * floor-to-µs truncation when reading, so both engines agree.
+    *
+    * The column is surfaced as TIMESTAMP_NTZ (wall-clock, no zone): the
+    * source data is zone-less, all sessions pin UTC, and NTZ round-trips
+    * through parquet as `isAdjustedToUTC=false`, i.e. the same logical type
+    * the oracle reads — schema parity by construction. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz"))
+  }
+  def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")
+  def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
+  def part(spark: SparkSession, sfDir: String): DataFrame       = table(spark, sfDir, "part")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "supplier")
+  def nation(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** JDBC dimension scan, the shape of the reference's `readUserMetadata`
+    * (`BatchJobImpl.scala:29-38`). Not exercised offline (no DB in the test
+    * environment); kept as the production path for a serving-DB dimension.
+    */
+  def jdbcTable(spark: SparkSession, url: String, dbtable: String,
+                user: String, password: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", dbtable)
+      .option("user", user)
+      .option("password", password)
+      .load()
+}
