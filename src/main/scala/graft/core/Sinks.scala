@@ -1,0 +1,70 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Sink surface (survey §2.2 K1-K3), parameterized.
+  *
+  * Scale notes:
+  *  - The partitioned parquet archive (K3) derives y/m/d/h from event time
+  *    and writes `year=…/month=…/day=…/hour=…` directories — the layout the
+  *    batch layer prunes on. At 100 TB this is the canonical
+  *    write-once/read-many archive shape; partition count stays bounded
+  *    (24·365 dirs/year) while files within a partition scale out.
+  *  - JDBC append (K1/K2) is per-partition parallel inserts; the streaming
+  *    variant goes through foreachBatch so one micro-batch = one transaction
+  *    set, the reference's at-least-once semantics
+  *    (`StreamingJobImpl.scala:79-94`).
+  */
+object Sinks {
+
+  /** Add the reference's derived partition columns
+    * (`StreamingJobImpl.scala:98-101`). */
+  def withDateParts(df: DataFrame, tsCol: String): DataFrame =
+    df.withColumn("year", year(col(tsCol)))
+      .withColumn("month", month(col(tsCol)))
+      .withColumn("day", dayofmonth(col(tsCol)))
+      .withColumn("hour", hour(col(tsCol)))
+
+  /** K1: batch JDBC append (`BatchJobImpl.scala:90-100`). */
+  def writeToJdbc(df: DataFrame, url: String, table: String,
+                  user: String, password: String): Unit =
+    df.write.mode(SaveMode.Append).format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("user", user).option("password", password)
+      .save()
+
+  /** Batch partitioned-parquet writer (same layout as the streaming K3). */
+  def writePartitionedParquet(df: DataFrame, tsCol: String, path: String): Unit =
+    withDateParts(df, tsCol)
+      .write.mode(SaveMode.Append)
+      .partitionBy("year", "month", "day", "hour")
+      .parquet(path)
+
+  /** K3: streaming partitioned-parquet archive with checkpoint
+    * (`StreamingJobImpl.scala:96-109`). Caller starts the query. */
+  def archiveStream(df: DataFrame, tsCol: String, path: String,
+                    checkpoint: String): DataStreamWriter[Row] =
+    withDateParts(df, tsCol)
+      .writeStream
+      .partitionBy("year", "month", "day", "hour")
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+
+  /** K2: micro-batch sink through an arbitrary batch writer (the reference
+    * reuses its JDBC appender here). Unlike the reference we always take a
+    * checkpoint dir — without one, restart re-writes whole batches. */
+  def foreachBatchSink(df: DataFrame, checkpoint: String)
+                      (write: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) => write(batch, id) }
+
+  /** K2 with the JDBC appender plugged in — the reference's exact shape. */
+  def jdbcStream(df: DataFrame, checkpoint: String, url: String, table: String,
+                 user: String, password: String): DataStreamWriter[Row] =
+    foreachBatchSink(df, checkpoint)((b, _) => writeToJdbc(b, url, table, user, password))
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+import graft.core.{Num, Parse}
+
+/** Speed layer (survey §2.6 T1-T6): Structured Streaming equivalents of the
+  * reference's streaming job (`StreamingJobImpl.scala`), parameterized.
+  *
+  * Semantics kept from the reference:
+  *  - event-time tumbling windows (`window(ts, dur)`, one duration arg)
+  *  - watermark before every streaming aggregate (bounds state; drops data
+  *    later than the bound) — reference uses 15 s
+  *  - unified output schema `(timestamp, id, value, type)`
+  *  - several independent queries fanned out from one parsed stream
+  *
+  * Deliberate upgrades over the reference (documented, not silent):
+  *  - every sink takes a checkpoint dir (the reference's JDBC sink had none
+  *    → unbounded re-writes on restart)
+  *  - explicit output modes / triggers instead of defaults
+  *
+  * Scale: windowed streaming aggregation state is per (dim, window) in the
+  * state store; the watermark expires old windows so state is bounded by
+  * (active windows × dims), independent of stream length. For very hot dims
+  * the partial aggregation before the shuffle absorbs skew. RocksDB state
+  * store is the 100 TB-scale choice (config, not code).
+  */
+object Speed {
+
+  /** S1: Kafka streaming source — the production path (identical API to the
+    * reference, `StreamingJobImpl.scala:18-25`). Offline tests substitute a
+    * MemoryStream; this function is the deployment wiring. */
+  def readFromKafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .load()
+
+  /** P2-P4 on the stream: cast the raw payload to string, parse JSON with an
+    * explicit schema, expand to top-level columns. */
+  def parseJson(raw: DataFrame, payloadCol: String = "value",
+                schema: StructType = Parse.deviceMessageSchema): DataFrame =
+    Parse.parseJson(raw, col(payloadCol), schema)
+
+  /** A1-A3 shape: watermark + tumbling-window + exact sum, projected onto
+    * `(timestamp, id, value, type)`. Works on both streaming and batch
+    * frames (watermark is a no-op in batch). */
+  def windowedSum(df: DataFrame, dim: Column, tsCol: String, windowDur: String,
+                  watermark: String, value: Column, typeTag: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(dim.as("id"), window(col(tsCol), windowDur).as("w"))
+      .agg(Num.dsum(value).as("value"))
+      .select(col("w.start").as("timestamp"), col("id"), col("value"),
+        lit(typeTag).as("type"))
+
+  /** Long-typed variant (the reference sums LongType bytes). */
+  def windowedSumLong(df: DataFrame, dim: Column, tsCol: String, windowDur: String,
+                      watermark: String, value: Column, typeTag: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(dim.as("id"), window(col(tsCol), windowDur).as("w"))
+      .agg(sum(value).as("value"))
+      .select(col("w.start").as("timestamp"), col("id"), col("value"),
+        lit(typeTag).as("type"))
+
+  /** T5: run several streaming queries to completion of any — the
+    * reference's Future/sequence orchestration collapses to Spark's own
+    * stream manager (`StreamingJob.scala:30-43`). */
+  def awaitAny(spark: SparkSession): Unit =
+    spark.streams.awaitAnyTermination()
+
+  def stopAll(spark: SparkSession): Unit =
+    spark.streams.active.foreach(_.stop())
+}

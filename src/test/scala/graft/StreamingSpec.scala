@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.core.{Parse, Sinks}
+import graft.streaming.Speed
+
+/** Speed-layer specs (survey §2.6): watermark + tumbling window semantics,
+  * JSON parse on the stream, partitioned archive sink, foreachBatch sink —
+  * all driven synchronously through MemoryStream + processAllAvailable. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def msg(t: String, id: String, ant: String, bytes: Long, app: String) =
+    s"""{"timestamp":"$t","id":"$id","antenna_id":"$ant","bytes":$bytes,"app":"$app"}"""
+
+  test("T1/T2: windowed sum over a stream; late data beyond watermark dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val parsed = Speed.parseJson(in.toDF(), "value")
+    val agg = Speed.windowedSumLong(parsed, col("antenna_id"), "timestamp",
+      "90 seconds", "15 seconds", col("bytes"), "antenna_bytes_total")
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t1_out").start()
+    try {
+      // batch 1: two events in window [0,90), one at 120 s pushing max event
+      // time to 120 → watermark 105 s > 90 s closes the first window.
+      in.addData(
+        msg("2022-02-26T00:00:10Z", "u1", "ant1", 100, "FB"),
+        msg("2022-02-26T00:00:50Z", "u2", "ant1", 50, "FB"),
+        msg("2022-02-26T00:02:00Z", "u1", "ant2", 7, "IG"))
+      q.processAllAvailable()
+      // batch 2: a late event for the already-closed window (00:00:20 is far
+      // behind watermark 105 s) must be DROPPED; a fresh event advances the
+      // watermark past window [90,180) so ant2 emits too.
+      in.addData(
+        msg("2022-02-26T00:00:20Z", "u3", "ant1", 999, "FB"), // late → dropped
+        msg("2022-02-26T00:05:00Z", "u1", "ant3", 1, "IG"))
+      q.processAllAvailable()
+      val got = spark.table("t1_out")
+        .as[(Timestamp, String, Long, String)].collect().toSet
+      assert(got.contains((Timestamp.valueOf("2022-02-26 00:00:00"), "ant1",
+        150L, "antenna_bytes_total")), s"window [0,90) must sum to 150 (late 999 dropped): $got")
+      assert(got.contains((Timestamp.valueOf("2022-02-26 00:01:30"), "ant2",
+        7L, "antenna_bytes_total")))
+      assert(!got.exists(_._3 == 1149L), "late event must not be merged")
+    } finally q.stop()
+  }
+
+  test("K3: streaming archive writes year/month/day/hour partition layout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val parsed = Speed.parseJson(in.toDF(), "value")
+    val path = tmpDir("archive")
+    val q = Sinks.archiveStream(parsed, "timestamp", s"$path/data",
+      s"$path/chk").start()
+    try {
+      in.addData(
+        msg("2022-02-26T00:10:00Z", "u1", "ant1", 100, "FB"),
+        msg("2022-02-26T13:10:00Z", "u2", "ant2", 50, "IG"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val part = new java.io.File(s"$path/data/year=2022/month=2/day=26/hour=13")
+    assert(part.isDirectory, s"expected hive partition dirs under $path/data")
+    // partition-pruned read-back: only hour 13 files are touched
+    val back = spark.read.parquet(s"$path/data")
+      .where(col("year") === 2022 && col("hour") === 13)
+    assert(back.select("bytes").as[Long].collect().toSeq == Seq(50L))
+  }
+
+  test("K2: foreachBatch sink delivers every micro-batch to the batch writer") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val parsed = Speed.parseJson(in.toDF(), "value")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = Sinks.foreachBatchSink(parsed, tmpDir("chk")) { (batch, id) =>
+      seen.add(id -> batch.count())
+    }.start()
+    try {
+      in.addData(msg("2022-02-26T00:10:00Z", "u1", "a", 1, "FB"))
+      q.processAllAvailable()
+      in.addData(msg("2022-02-26T00:11:00Z", "u2", "a", 2, "FB"),
+        msg("2022-02-26T00:12:00Z", "u3", "a", 3, "FB"))
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val rows = seen.asScala.toSeq.sortBy(_._1)
+    assert(rows.map(_._2).sum == 3, s"all rows must reach the sink: $rows")
+    assert(rows.map(_._1).distinct.size == rows.size, "batch ids distinct")
+  }
+
+  test("T5: several concurrent streaming queries from one parsed stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val parsed = Speed.parseJson(in.toDF(), "value")
+    val q1 = Speed.windowedSumLong(parsed, col("antenna_id"), "timestamp",
+      "90 seconds", "15 seconds", col("bytes"), "antenna_bytes_total")
+      .writeStream.outputMode(OutputMode.Complete()).format("memory")
+      .queryName("t5_antenna").start()
+    val q2 = Speed.windowedSumLong(parsed, col("app"), "timestamp",
+      "90 seconds", "15 seconds", col("bytes"), "app_bytes_total")
+      .writeStream.outputMode(OutputMode.Complete()).format("memory")
+      .queryName("t5_app").start()
+    try {
+      in.addData(
+        msg("2022-02-26T00:00:10Z", "u1", "ant1", 100, "FB"),
+        msg("2022-02-26T00:00:20Z", "u2", "ant1", 11, "IG"))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      assert(spark.table("t5_antenna").where(col("id") === "ant1")
+        .select("value").as[Long].head() == 111L)
+      assert(spark.table("t5_app").select("id", "value").as[(String, Long)]
+        .collect().toSet == Set("FB" -> 100L, "IG" -> 11L))
+    } finally { q1.stop(); q2.stop() }
+  }
+}
