@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
+import graft.queries.Analytics
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -110,6 +111,17 @@ object SparkEntry {
     "p3_json_parse" -> ((s, d) =>
       withK(s, d).select(col("event_id"), col("k"))
         .orderBy("event_id")),
+
+    // ---- analytics breadth (graft.queries.Analytics) --------------------
+    "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(s, d)),
+    "q3_top_orders" -> ((s, d) => Analytics.topUnshippedOrders(s, d)),
+    "q4_priority_semijoin" -> ((s, d) => Analytics.orderPriorityCount(s, d)),
+    "q5_local_supplier" -> ((s, d) => Analytics.localSupplierVolume(s, d)),
+    "q10_returned_items" -> ((s, d) => Analytics.returnedItemReport(s, d)),
+    "w1_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
+    "r1_revenue_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
+    "set1_open_not_finished" -> ((s, d) => Analytics.openNotFinishedCustomers(s, d)),
+    "aj1_customers_without_orders" -> ((s, d) => Analytics.customersWithoutOrders(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -152,6 +164,75 @@ object SparkEntry {
            |ORDER BY event_id""".stripMargin.replace("\n", " ")),
       "p3_json_parse" ->
         "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events ORDER BY event_id",
+
+      // ---- analytics breadth ---------------------------------------------
+      "q1_pricing_summary" ->
+        (s"""SELECT l_returnflag, l_linestatus,
+           | ${dsum("l_quantity")} AS sum_qty,
+           | ${dsum("l_extendedprice")} AS sum_base_price,
+           | ${dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+           | ${dsum("l_quantity")} / COUNT(*) AS avg_qty,
+           | ${dsum("l_discount")} / COUNT(*) AS avg_disc,
+           | COUNT(*) AS count_order
+           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
+      "q3_top_orders" ->
+        (s"""SELECT o_orderkey, o_orderdate,
+           | ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           | JOIN customer ON o_custkey = c_custkey
+           |WHERE c_mktsegment = 'BUILDING'
+           | AND o_orderdate < TIMESTAMP '1998-06-01'
+           | AND l_shipdate > TIMESTAMP '1998-06-01'
+           |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin.replace("\n", " ")),
+      "q4_priority_semijoin" ->
+        ("""SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o
+           |WHERE EXISTS (SELECT 1 FROM lineitem l
+           |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+           |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      "q5_local_supplier" ->
+        (s"""SELECT n_name,
+           | ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           | JOIN customer ON o_custkey = c_custkey
+           | JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+           | JOIN nation ON c_nationkey = n_nationkey
+           | JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA' GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      "q10_returned_items" ->
+        (s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+           | ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           | JOIN customer ON o_custkey = c_custkey
+           | JOIN nation ON c_nationkey = n_nationkey
+           |WHERE l_returnflag = 'R'
+           |GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin.replace("\n", " ")),
+      "w1_top_order_per_customer" ->
+        ("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           |  SELECT o_custkey, o_orderkey, o_totalprice,
+           |    row_number() OVER (PARTITION BY o_custkey
+           |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           |  FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin.replace("\n", " ")),
+      "r1_revenue_rollup" ->
+        (s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           | COALESCE(l_linestatus, 'ALL') AS linestatus,
+           | ${dsum("l_extendedprice")} AS revenue, COUNT(*) AS n
+           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+           |ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
+      "set1_open_not_finished" ->
+        ("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+           |EXCEPT
+           |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           |ORDER BY o_custkey""".stripMargin.replace("\n", " ")),
+      "aj1_customers_without_orders" ->
+        ("""SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer c
+           |WHERE NOT EXISTS (SELECT 1 FROM orders o
+           |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+           |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
     )
   }
+
+  /** Oracle-side exact-decimal sum of a double expression (see Num.dsum). */
+  private def dsum(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
 }

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Num, Tables}
+
+/** Analytics breadth over the TPC-H-ish tables: the same operator classes
+  * the reference exercises (scan → filter → join → aggregate) plus the
+  * standard warehouse operators a complete engine needs (top-k, semi/anti
+  * joins, window functions, rollup, set ops). Everything is declarative
+  * DataFrame API — Catalyst handles pushdown, pruning, join selection.
+  *
+  * Scale notes (100 TB):
+  *  - `lineitem`/`orders`/`events` are the big fact tables; every query
+  *    aggregates or filters them BEFORE any join that can't be broadcast.
+  *  - `nation`/`region`/`supplier`/`part`/`customer` are dimension-sized:
+  *    broadcast-joined, so the fact side never shuffles for enrichment.
+  *  - Top-k goes through `orderBy().limit(k)` which Spark executes as
+  *    TakeOrderedAndProject — per-partition heaps + driver merge of k rows,
+  *    never a global sort of the fact table.
+  */
+object Analytics {
+  import Tables._
+
+  /** Timestamp columns of the TPC-H-ish tables surface as TIMESTAMP_NTZ
+    * (zone-less data, UTC sessions); a no-op if the reader already inferred
+    * NTZ. Keeps output schemas identical to the zone-less oracle. */
+  private def ntz(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp_ntz")))
+
+  /** TPC-H Q1-style pricing summary: one pass over lineitem, partial-agg
+    * collapses to ≤|flag×status| groups before the shuffle. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .where(col("l_shipdate") <= lit("2000-12-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Num.dsum(col("l_quantity")).as("sum_qty"),
+        Num.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        Num.davg(col("l_quantity")).as("avg_qty"),
+        Num.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style top-k: filter both fact sides early, broadcast the
+    * filtered customer keys, aggregate, then TakeOrderedAndProject. */
+  def topUnshippedOrders(spark: SparkSession, sfDir: String, segment: String = "BUILDING",
+                         cutoff: String = "1998-06-01", k: Int = 10): DataFrame = {
+    val cust = customer(spark, sfDir).where(col("c_mktsegment") === segment)
+      .select("c_custkey")
+    val ord = ntz(orders(spark, sfDir), "o_orderdate")
+      .where(col("o_orderdate") < lit(cutoff))
+    val li = lineitem(spark, sfDir).where(col("l_shipdate") > lit(cutoff))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q4-style order-priority count via LEFT SEMI join (EXISTS):
+    * orders with at least one lineitem shipped after the order date. */
+  def orderPriorityCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = orders(spark, sfDir)
+    val li = lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") && li("l_shipdate") > ord("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q5-style local-supplier volume: full snowflake join — lineitem
+    * shuffles once (to orders), every dimension is broadcast. */
+  def localSupplierVolume(spark: SparkSession, sfDir: String,
+                          regionName: String = "ASIA"): DataFrame = {
+    val reg = region(spark, sfDir).where(col("r_name") === regionName)
+    val nat = nation(spark, sfDir)
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = customer(spark, sfDir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_nationkey").as("cn_key"), col("n_name"))
+    val supp = supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val ord = orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("cn_key"))
+      .groupBy(col("n_name"))
+      .agg(Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** TPC-H Q10-style returned-item report: top 20 customers by lost revenue. */
+  def returnedItemReport(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val li = lineitem(spark, sfDir).where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val cust = customer(spark, sfDir)
+    val nat = nation(spark, sfDir).select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(k)
+  }
+
+  /** Analytic window function: each customer's single largest order
+    * (row_number over a per-customer ordering). */
+  def topOrderPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey")
+  }
+
+  /** ROLLUP aggregate with null keys folded to a sentinel so ordering and
+    * hashing are engine-agnostic. */
+  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(Num.dsum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("revenue"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Set operation: customers with open ('O') orders that never had a
+    * finished ('F') order — EXCEPT has distinct-set semantics. */
+  def openNotFinishedCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = orders(spark, sfDir)
+    ord.where(col("o_orderstatus") === "O").select("o_custkey")
+      .except(ord.where(col("o_orderstatus") === "F").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** Anti join (NOT EXISTS): customers with no pending ('P') order, counted
+    * by segment. */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame =
+    customer(spark, sfDir)
+      .join(orders(spark, sfDir).where(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+}
