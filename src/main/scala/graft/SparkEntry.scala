@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
 import graft.queries.Analytics
+import graft.ext.{Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -122,6 +123,60 @@ object SparkEntry {
     "r1_revenue_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
     "set1_open_not_finished" -> ((s, d) => Analytics.openNotFinishedCustomers(s, d)),
     "aj1_customers_without_orders" -> ((s, d) => Analytics.customersWithoutOrders(s, d)),
+
+    // ---- extension tier: text analysis over documents --------------------
+    "t1_token_count" -> ((s, d) =>
+      TextAnalysis.withTextStats(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens")).orderBy("doc_id")),
+    "t2_text_stats" -> ((s, d) =>
+      TextAnalysis.withTextStats(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+          col("type_token_ratio"), col("avg_token_len"), col("stopword_ratio"))
+        .orderBy("doc_id")),
+    "t3_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    "t4_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // ---- extension tier: dedup over documents ----------------------------
+    "d1_exact_dedup" -> ((s, d) =>
+      Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("content_fp")),
+    "d2_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+    "d3_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+    "d4_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+    "d5_emb_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.5)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy("id_a", "id_b")),
+
+    // ---- extension tier: similarity search over embeddings ---------------
+    "sim1_ann_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+    "sim2_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -229,8 +284,101 @@ object SparkEntry {
            |WHERE NOT EXISTS (SELECT 1 FROM orders o
            |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
            |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+
+      // ---- extension tier ------------------------------------------------
+      "t1_token_count" ->
+        (s"""SELECT doc_id, len($toksSql) AS n_tokens FROM documents
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "t2_text_stats" ->
+        (s"""SELECT doc_id, len(toks) AS n_tokens,
+           | len(list_distinct(toks)) AS n_distinct_tokens,
+           | len(list_distinct(toks))::DOUBLE / len(toks) AS type_token_ratio,
+           | list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) AS avg_token_len,
+           | len(list_filter(toks, x -> list_contains($enStopSql, x)))::DOUBLE / len(toks) AS stopword_ratio
+           |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "t3_fingerprint" ->
+        (s"""SELECT doc_id, substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "t4_lang_id" ->
+        (s"""SELECT doc_id,
+           | CASE
+           |  WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) * 3 > length(text) THEN 'zh'
+           |  WHEN greatest(en, de, fr, es) = 0 THEN 'unk'
+           |  WHEN en = greatest(en, de, fr, es) THEN 'en'
+           |  WHEN de = greatest(en, de, fr, es) THEN 'de'
+           |  WHEN es = greatest(en, de, fr, es) THEN 'es'
+           |  ELSE 'fr' END AS lang_pred
+           |FROM (
+           |  SELECT doc_id, text,
+           |   len(list_intersect(dt, $enStopSql)) AS en,
+           |   len(list_intersect(dt, ${sqlArr(TextAnalysis.DeStop)})) AS de,
+           |   len(list_intersect(dt, ${sqlArr(TextAnalysis.FrStop)})) AS fr,
+           |   len(list_intersect(dt, ${sqlArr(TextAnalysis.EsStop)})) AS es
+           |  FROM (SELECT doc_id, text, list_distinct($toksSql) AS dt FROM documents))
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "d1_exact_dedup" ->
+        (s"""SELECT substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS content_fp,
+           | min(doc_id) AS keep_id, count(*) AS n_copies
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      "d2_ngram_jaccard" -> ngramPairsSql,
+      // LSH banding at (128 hashes, 32 bands of 4): P(miss | J≥0.9) < 1e-30,
+      // and all planted near-dups sit at J≥0.9 with the rest <0.3 — so the
+      // exact blocked-all-pairs result IS the LSH result here.
+      "d3_minhash_lsh" -> ngramPairsSql,
+      "d5_emb_neardup" ->
+        ("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+           |SELECT x.id AS id_a, y.id AS id_b,
+           | round(list_dot_product(x.v, y.v) /
+           |   (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS cos
+           |FROM v x JOIN v y ON x.id < y.id
+           |WHERE list_dot_product(x.v, y.v) /
+           |   (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
+      "sim1_ann_topk" ->
+        ("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+           |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+           |scored AS (
+           | SELECT query_id, neighbor_id,
+           |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+           | FROM q JOIN c ON query_id <> neighbor_id),
+           |ranked AS (
+           | SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           | FROM scored)
+           |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+      // d4_simhash / sim2_ann_lsh: hash-function-dependent candidate sets,
+      // not expressible in portable SQL → rows-only check + ScalaTest specs.
     )
   }
+
+  /** Oracle-side whitespace tokenization matching TextAnalysis.tokens. */
+  private val toksSql = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  private def sqlArr(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  private val enStopSql = sqlArr(TextAnalysis.EnStop)
+
+  /** Oracle for the blocked n-gram-Jaccard near-dup pairs (and for the
+    * minhash-LSH variant — see the recall note at the registration site). */
+  private val ngramPairsSql =
+    (s"""WITH sh AS (
+       | SELECT doc_id AS id,
+       |  CASE WHEN len(toks) >= 3
+       |   THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+       |   ELSE [] END AS sh
+       | FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |inv AS (SELECT id, unnest(sh) AS s FROM sh),
+       |cand AS (
+       | SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       | FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id)
+       |SELECT id_a, id_b,
+       | len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+       |FROM cand JOIN sh a ON cand.id_a = a.id JOIN sh b ON cand.id_b = b.id
+       |WHERE j >= 0.7 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))
 
   /** Oracle-side exact-decimal sum of a double expression (see Num.dsum). */
   private def dsum(expr: String): String =

@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design:
+  *  - Brute-force top-k is the exact baseline: broadcast the (small) query
+  *    set against the corpus, one pass, per-partition partial top-k.
+  *    The `row_number ≤ k` filter is recognized by Catalyst's
+  *    WindowGroupLimit rule, which installs a partial group-limit BEFORE
+  *    the shuffle — so only ≤k rows per query per partition shuffle, not
+  *    the full corpus × queries cross product.
+  *  - The scale path buckets vectors with deterministic random-hyperplane
+  *    LSH: only same-bucket (plus optional neighbor-bucket) candidates are
+  *    scored. Recall is tunable via signature bits / probes.
+  *  - Dot products use the codegen'd higher-order functions (zip_with +
+  *    aggregate) in double space — no UDF, no per-row JVM boxing beyond
+  *    the array itself.
+  */
+object Similarity {
+
+  private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product of two numeric array columns, computed left-to-right in
+    * double space (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double space. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded). Returns
+    * (query_id, rank, neighbor_id, cos). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (bit, dim):
+    * xxhash64 folded to a double in [-1, 1). No RNG state — reproducible
+    * on any cluster. */
+  private def planeComponent(bit: Column, dim: Column): Column =
+    (pmod(xxhash64(bit, dim), lit(1000003L)).cast("double") / 500001.5) - 1.0
+
+  /** `bits`-bit random-hyperplane signature of a vector: bit i is the sign
+    * of ⟨v, p_i⟩ where p_i is the deterministic pseudo-plane above. Vectors
+    * with small angle agree on most bits (LSH for cosine). */
+  def hyperplaneBucket(v: Column, bits: Int = 12): Column = {
+    val dv = toDouble(v)
+    val proj = transform(sequence(lit(0), lit(bits - 1)), b =>
+      aggregate(
+        zip_with(dv, sequence(lit(0), size(dv) - 1),
+          (x, i) => x * planeComponent(b, i)),
+        lit(0.0), (acc, x) => acc + x))
+    aggregate(
+      zip_with(proj, sequence(lit(0), lit(bits - 1)),
+        (p, b) => when(p > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Approximate top-k: score only candidates in the query's hyperplane
+    * bucket or any bucket at hamming distance 1 (multi-probe). Recall
+    * depends on data geometry; rank/cos semantics match bruteForceTopK. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, bits: Int = 12): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      hyperplaneBucket(col(vecCol), bits).as("cb"))
+    // query probes: own bucket + all hamming-1 buckets
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        hyperplaneBucket(col(vecCol), bits).as("qb"))
+      .select(col("query_id"), col("qv"), explode(concat(
+        array(col("qb")),
+        transform(sequence(lit(0), lit(bits - 1)),
+          b => col("qb").bitwiseXOR(call_function("shiftleft", lit(1L), b))))).as("probe")))
+    val scored = q.join(c, col("probe") === col("cb") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (extension tier beyond the reference — see SURVEY.md §2.7/§7.3-5):
+  * token counting, quality stats, document fingerprinting, language ID.
+  *
+  * Everything is built from codegen'd `functions._`/higher-order functions —
+  * no UDFs — so the whole pass stays inside WholeStageCodegen and scales
+  * linearly with executors: one projection over the corpus, no shuffle at
+  * all unless the caller aggregates.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of normalized text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** BPE-ish subword count approximation: alphanumeric runs and individual
+    * punctuation both count as tokens (a common pre-tokenizer shape). */
+  def regexTokens(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), x => length(x) > 0)
+
+  /** Per-document quality/statistics columns. Ratios are exact integer
+    * counts divided in double space — deterministic across engines. */
+  def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    // counts surface as long: the other engines' length()/len() are 64-bit,
+    // and schema parity matters as much as value parity for the oracle gate
+    val t = tokens(col(textCol))
+    df.withColumn("n_chars_m", length(col(textCol)).cast("long"))
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(t)).cast("long"))
+      .withColumn("type_token_ratio",
+        col("n_distinct_tokens").cast("double") / col("n_tokens"))
+      .withColumn("avg_token_len",
+        aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
+          / col("n_tokens"))
+      .withColumn("stopword_ratio",
+        size(filter(t, x => x.isin(EnStop: _*))).cast("double") / col("n_tokens"))
+  }
+
+  /** Deterministic 64-bit-hex document fingerprint over normalized tokens —
+    * the exact-dedup / provenance key. sha2 is identical everywhere, so the
+    * fingerprint is portable across engines and runs. */
+  def fingerprint(text: Column): Column =
+    substring(sha2(array_join(tokens(text), " "), 256), 1, 16)
+
+  val EnStop: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "that", "it")
+  val DeStop: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+  val FrStop: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour")
+  val EsStop: Seq[String] = Seq("el", "los", "de", "que", "y", "en", "es", "por", "con", "para")
+
+  /** Marker-word language ID: score each language by how many of its marker
+    * words occur in the document (distinct hits), pick the argmax with a
+    * deterministic preference order, fall back to CJK script detection.
+    * One projection, no shuffle; vocabulary-profile langid at corpus scale.
+    */
+  def langId(text: Column): Column = {
+    val t = array_distinct(tokens(text))
+    def hits(stop: Seq[String]) = size(array_intersect(t, array(stop.map(lit): _*)))
+    val en = hits(EnStop); val de = hits(DeStop); val fr = hits(FrStop); val es = hits(EsStop)
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    val best = greatest(en, de, fr, es)
+    when(cjk * 3 > length(text), lit("zh"))
+      .when(best === 0, lit("unk"))
+      .when(en === best, lit("en"))   // deterministic preference order
+      .when(de === best, lit("de"))
+      .when(es === best, lit("es"))
+      .otherwise(lit("fr"))
+  }
+}

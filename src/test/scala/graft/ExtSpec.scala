@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** Specs for the extension tier (dedup / similarity / text analysis) on
+  * hand-built fixtures where expected behavior is computable by eye. */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+  private val nearDup = base.replace("lazy", "sleepy") // one token differs
+  private val other = "completely different words about database engines and query planning systems"
+
+  private lazy val docs = Seq(
+    (0L, base), (1L, nearDup), (2L, other), (3L, base), // 3 = exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("shingles: word n-grams, distinct, short-doc safe") {
+    val sh = docs.select(Dedup.shingles(col("text"), 3).as("sh"))
+      .where(col("sh").isNotNull).collect()
+    val first = sh.head.getSeq[String](0)
+    assert(first.contains("the quick brown") && first.contains("quick brown fox"))
+    val tiny = Seq((0L, "only two")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("sh")).head.getSeq[String](0)
+    assert(tiny.isEmpty, "docs shorter than n produce an empty shingle set")
+  }
+
+  test("exactDedup: duplicate content collapses to min id with count") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out.size == 3, "three distinct contents")
+    assert(out.exists(r => r._2 == 0L && r._3 == 2L), "doc 0/3 merge, keep 0")
+  }
+
+  test("ngramJaccardPairs: finds near-dup and exact-dup pairs only") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)), "exact dup pair")
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 3L)), "near-dup pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc excluded")
+  }
+
+  test("ngramJaccardPairs: stop-shingle frequency cap prunes the index") {
+    // with maxDf=1 every shared shingle is dropped → no candidates at all
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      minJaccard = 0.1, maxShingleDocFreq = Some(1L))
+    assert(pairs.count() == 0)
+  }
+
+  test("minhashLshPairs: near-dups collide in a band and verify exactly") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("simhash: identical → hamming 0; near-dup close; unrelated far") {
+    val fps = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(0L) == fps(3L), "identical text, identical fingerprint")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(0L), fps(1L)) < ham(fps(0L), fps(2L)),
+      s"near-dup must be closer than unrelated: ${ham(fps(0L), fps(1L))} vs ${ham(fps(0L), fps(2L))}")
+  }
+
+  test("simhashPairs: blocked candidates verified by hamming bound") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)), "identical pair at distance 0")
+    assert(pairs.contains((0L, 1L)), "near-dup within bound")
+  }
+
+  test("cosine: exact values on unit vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(3.0f, 4.0f), Array(3.0f, 4.0f)),
+    ).toDF("a", "b")
+    val cs = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(cs(0) == 0.0 && cs(1) == 1.0 && math.abs(cs(2) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK: hand-computed ranking, self excluded") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),   // closest to 0
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.0f, 1.0f)),   // orthogonal to 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0),
+        "vec_id", "embedding", 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
+  test("lshTopK: identical vectors share a bucket; results agree with exact") {
+    val vecs = (0L to 19L).map { i =>
+      val base = Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val withCopy = vecs.union(Seq((100L, Array.tabulate(8)(j => math.sin(8 + j).toFloat)))
+      .toDF("vec_id", "embedding")) // copy of vec 1
+    val out = Similarity.lshTopK(withCopy, withCopy.where(col("vec_id") === 100),
+        "vec_id", "embedding", 5)
+    val top = out.orderBy("rank").select("neighbor_id", "cos")
+      .as[(Long, Double)].collect()
+    assert(top.nonEmpty && top.head._1 == 1L && top.head._2 == 1.0,
+      s"identical vector must be found at rank 1 with cos 1.0: ${top.toSeq}")
+  }
+
+  test("langId: real multilingual samples classify correctly") {
+    val df = Seq(
+      "the cat is in the house and it is lazy",
+      "der hund ist nicht mit der katze und das ist gut",
+      "le chat est dans la maison et il est content",
+      "el perro es bueno y que esta en la casa con el gato",
+      "这是一个中文句子没有空格",
+      "zzz qqq xxx", // no markers at all
+    ).toDF("text")
+    val got = df.select(TextAnalysis.langId(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "fr", "es", "zh", "unk"), got.toString)
+  }
+
+  test("withTextStats: exact counts on a known string") {
+    val df = Seq((1L, "the the fox")).toDF("doc_id", "text")
+    val r = TextAnalysis.withTextStats(df)
+      .select("n_tokens", "n_distinct_tokens", "stopword_ratio", "avg_token_len")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r == ((3L, 2L, 2.0 / 3.0, 9.0 / 3.0)))
+  }
+
+  test("fingerprint: stable across whitespace/case normalization") {
+    val df = Seq(("a", "The  Quick   Fox"), ("b", "the quick fox")).toDF("id", "text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1) && fps(0).length == 16)
+  }
+}
