@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
 import graft.queries.Analytics
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -169,6 +169,25 @@ object SparkEntry {
           col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rank")
     }),
+    // ---- extension tier: multimodal binary-column plumbing ---------------
+    "m1_blob_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(
+        Multimodal.withBlob(Tables.documents(s, d), "text"), "doc_id", "payload")
+        .toDF().orderBy("id")),
+    "m2_blob_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.withBlob(Tables.documents(s, d), "text"), "doc_id", "payload")
+        .toDF().orderBy("id")),
+    // frames leave as a digest: binary result columns don't round-trip
+    // portably through every comparer, the chunking itself is what's tested
+    "m3_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.withBlob(Tables.documents(s, d), "text"), "doc_id", "payload",
+        frameBytes = 64, stride = 2)
+        .select(col("id"), col("frame_no").cast("long").as("frame_no"),
+          sha2(col("frame"), 256).as("frame_sha"))
+        .orderBy("id", "frame_no")),
+
     "sim2_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 5),
@@ -348,8 +367,23 @@ object SparkEntry {
            | FROM scored)
            |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
            |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+      "m1_blob_meta" ->
+        ("""SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
+           | CASE WHEN length(text) = 0 THEN 'empty'
+           |  WHEN ascii(substring(text, 1, 1)) % 2 = 0 THEN 'png'
+           |  ELSE 'jpeg' END AS format,
+           | (octet_length(encode(text)) % 640 + 1)::INTEGER AS width,
+           | (octet_length(encode(text)) % 480 + 1)::INTEGER AS height
+           |FROM documents ORDER BY id""".stripMargin.replace("\n", " ")),
+      "m3_frame_sample" ->
+        ("""SELECT id, frame_no, sha256(substring(t, frame_no * 64 + 1, 64)) AS frame_sha
+           |FROM (SELECT doc_id AS id, text AS t,
+           |  unnest(range(0, ceil(length(text) / 64.0)::BIGINT)) AS frame_no
+           |  FROM documents) f
+           |WHERE frame_no % 2 = 0 ORDER BY id, frame_no""".stripMargin.replace("\n", " ")),
       // d4_simhash / sim2_ann_lsh: hash-function-dependent candidate sets,
       // not expressible in portable SQL → rows-only check + ScalaTest specs.
+      // m2_blob_features: float32 arithmetic vs SQL double — rows-only.
     )
   }
 

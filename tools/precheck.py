@@ -26,6 +26,11 @@ def main(outdir, sfdir):
             want = con.sql(sql).df()
             got = got[sorted(got.columns)]
             want = want[sorted(want.columns)]
+            for df in (got, want):  # bytearray isn't sortable/hashable
+                for c in df.columns:
+                    if df[c].dtype == object:
+                        df[c] = df[c].map(
+                            lambda v: bytes(v) if isinstance(v, (bytes, bytearray)) else v)
             if list(got.columns) != list(want.columns):
                 print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
                 n_fail += 1; continue
