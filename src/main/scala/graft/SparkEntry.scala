@@ -98,12 +98,11 @@ object SparkEntry {
         col("value"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
         .orderBy("event_id")),
 
-    // S2/P7/P9: conjunctive equality filter on derived date parts
-    // (the reference's partition-pruned y/m/d/h scan, BatchJobImpl.scala:22-26)
+    // S2/P7/P9: one y/m/d/h slice (the reference's partition-pruned scan,
+    // BatchJobImpl.scala:22-26) as a PUSHABLE timestamp range — same
+    // semantics, but the predicate reaches parquet row-group pruning
     "s2_hour_slice" -> ((s, d) =>
-      events(s, d)
-        .where(year(col("ts")) === lit(2024) && month(col("ts")) === lit(1) &&
-          dayofmonth(col("ts")) === lit(1) && hour(col("ts")) === lit(10))
+      Prune.hourSliceNanos(events(s, d), "ts_ns", 2024, 1, 1, 10)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))
         .orderBy("event_id")),
@@ -172,11 +171,15 @@ object SparkEntry {
     // ---- extension tier: multimodal binary-column plumbing ---------------
     "m1_blob_meta" -> ((s, d) =>
       Multimodal.decodeMeta(
-        Multimodal.withBlob(Tables.documents(s, d), "text"), "doc_id", "payload")
+        Multimodal.repartitionBySize(
+          Multimodal.withBlob(Tables.documents(s, d), "text"), "payload",
+          s.sparkContext.defaultParallelism), "doc_id", "payload")
         .toDF().orderBy("id")),
     "m2_blob_features" -> ((s, d) =>
       Multimodal.extractFeatures(
-        Multimodal.withBlob(Tables.documents(s, d), "text"), "doc_id", "payload")
+        Multimodal.repartitionBySize(
+          Multimodal.withBlob(Tables.documents(s, d), "text"), "payload",
+          s.sparkContext.defaultParallelism), "doc_id", "payload")
         .toDF().orderBy("id")),
     // frames leave as a digest: binary result columns don't round-trip
     // portably through every comparer, the chunking itself is what's tested

@@ -31,7 +31,12 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, sfDir, "events")
+      .withColumn("ts_ns", col("ts"))
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz"))
+    // ts_ns (the raw epoch-nanos long) stays available: predicates on the
+    // DERIVED ts can't push into the scan, but a range on ts_ns is a plain
+    // long comparison the parquet reader prunes row groups with
+    // (Prune.hourSliceNanos). Column pruning drops ts_ns when unused.
   }
   def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")

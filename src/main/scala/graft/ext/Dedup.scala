@@ -51,25 +51,44 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.7,
                         maxShingleDocFreq: Option[Long] = None): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val sh = graft.core.Par.fanOut(
+      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
+    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
     val inv0 = sh.select(col("id"), explode(col("sh")).as("s"))
-    val inv = maxShingleDocFreq match {
+    maxShingleDocFreq match {
+      case None =>
+        // Count-based Jaccard straight off the inverted index: the postings
+        // self-join yields |A∩B| as a plain count per pair — no shingle
+        // arrays ever travel through the join, the shuffle carries only
+        // (id_a, id_b) pairs, and |A|/|B| attach as two scalar lookups.
+        val shared = inv0.as("x").join(inv0.as("y"),
+            col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+          .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+          .agg(count(lit(1)).as("c"))
+        shared
+          .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+          .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            (col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c"))).as("j"))
+          .where(col("j") >= minJaccard)
       case Some(maxDf) =>
+        // Stop-shingle path: candidates come from the PRUNED index (bounded
+        // fan-out), but Jaccard must still be exact over the full shingle
+        // sets — verify just the candidate pairs against the arrays.
         val ok = inv0.groupBy("s").agg(count(lit(1)).as("df"))
           .where(col("df") <= maxDf).select("s")
-        inv0.join(ok, "s")
-      case None => inv0
+        val inv = inv0.join(ok, "s")
+        val cand = inv.as("x").join(inv.as("y"),
+            col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+          .distinct()
+        cand
+          .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            jaccard(col("sh_a"), col("sh_b")).as("j"))
+          .where(col("j") >= minJaccard)
     }
-    val cand = inv.as("x").join(inv.as("y"),
-        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("j"))
-      .where(col("j") >= minJaccard)
   }
 
   /** MinHash signature: `numHashes` independent permutations approximated by
@@ -91,8 +110,9 @@ object Dedup {
                       minJaccard: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .where(size(col("sh")) > 0)
+    val sh = graft.core.Par.fanOut(
+      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+        .where(size(col("sh")) > 0))
     val sig = sh.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
     val banded = sig.select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
@@ -137,7 +157,8 @@ object Dedup {
     * Returns (id_a, id_b, dist). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val fp = graft.core.Par.fanOut(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp")))
     val chunked = fp.select(col("id"), col("fp"), posexplode(
         transform(sequence(lit(0), lit(3)),
           c => call_function("shiftright", col("fp"), c * 16).bitwiseAND(lit(0xffffL))))
@@ -156,10 +177,13 @@ object Dedup {
     * LSH-bucketed candidates (Similarity.hyperplaneBucket) instead. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             minCos: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // norms once per vector, not per pair; fan the pair loop out to all cores
+    val v = graft.core.Par.fanOut(df.select(col(idCol).as("id"),
+      Similarity.toDoubleArr(col(vecCol)).as("v"),
+      Similarity.l2norm(col(vecCol)).as("nrm")))
     v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        Similarity.cosine(col("x.v"), col("y.v")).as("cos"))
+        (Similarity.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
       .where(col("cos") >= minCos)
   }
 }

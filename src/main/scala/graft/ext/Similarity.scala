@@ -24,6 +24,9 @@ object Similarity {
 
   private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Public alias for callers that pre-project vectors to double space. */
+  def toDoubleArr(v: Column): Column = toDouble(v)
+
   /** Dot product of two numeric array columns, computed left-to-right in
     * double space (deterministic). */
   def dot(a: Column, b: Column): Column =
@@ -37,15 +40,19 @@ object Similarity {
     dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
-    * corpus vectors (self excluded). Returns
+    * corpus vectors (self excluded). Norms are computed ONCE per vector in
+    * the projection (not per pair — that would triple the FLOPs), and the
+    * corpus side fans out to full parallelism before scoring. Returns
     * (query_id, rank, neighbor_id, cos). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"), l2norm(col(vecCol)).as("qn")))
+    val c = graft.core.Par.fanOut(corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"), l2norm(col(vecCol)).as("cn")))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -81,20 +88,22 @@ object Similarity {
     * depends on data geometry; rank/cos semantics match bruteForceTopK. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, bits: Int = 12): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      hyperplaneBucket(col(vecCol), bits).as("cb"))
+    val c = graft.core.Par.fanOut(corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"), l2norm(col(vecCol)).as("cn"),
+      hyperplaneBucket(col(vecCol), bits).as("cb")))
     // query probes: own bucket + all hamming-1 buckets
     val q = broadcast(queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"),
+        l2norm(col(vecCol)).as("qn"),
         hyperplaneBucket(col(vecCol), bits).as("qb"))
-      .select(col("query_id"), col("qv"), explode(concat(
+      .select(col("query_id"), col("qv"), col("qn"), explode(concat(
         array(col("qb")),
         transform(sequence(lit(0), lit(bits - 1)),
           b => col("qb").bitwiseXOR(call_function("shiftleft", lit(1L), b))))).as("probe")))
     val scored = q.join(c, col("probe") === col("cb") &&
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -1,0 +1,57 @@
+package graft
+
+import graft.SparkEntry
+
+/** Physical-plan assertions: the scale-critical plan shapes must not
+  * regress — pushdown reaching the scan, dimensions broadcast, top-k
+  * executed as partial group-limits, no full-sort for limit queries. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("s2_hour_slice: range predicate pushes into the parquet scan") {
+    val p = plan("s2_hour_slice")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      s"expected pushed ts range:\n$p")
+  }
+
+  test("q1_pricing_summary: shipdate filter pushed, schema pruned") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected pushed shipdate filter:\n$p")
+    assert(!p.contains("l_partkey"), s"unused columns must be pruned:\n$p")
+  }
+
+  test("joins against dimensions are broadcast, fact side never shuffles for them") {
+    for (q <- Seq("a5_email_1h", "q5_local_supplier", "q10_returned_items")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q expected broadcast join:\n$p")
+    }
+  }
+
+  test("q4 semi-join and aj1 anti-join plan as such") {
+    assert(plan("q4_priority_semijoin").contains("LeftSemi"))
+    assert(plan("aj1_customers_without_orders").contains("LeftAnti"))
+  }
+
+  test("top-k queries use TakeOrderedAndProject, not a global sort") {
+    for (q <- Seq("q3_top_orders", "q10_returned_items")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q expected top-k operator:\n$p")
+    }
+  }
+
+  test("rank<=k window runs as a group-limit before the final window") {
+    val p = plan("w1_top_order_per_customer")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("windowed aggregates do partial aggregation before the shuffle") {
+    val p = plan("a4_antenna_1h")
+    // partial_ appears in HashAggregate(keys=..., functions=[partial_sum...])
+    assert(p.contains("partial_sum"), s"expected map-side combine:\n$p")
+  }
+}
