@@ -22,15 +22,37 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingle set (distinct) of a text column; empty array when
-    * the document has fewer than n tokens. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = TextAnalysis.tokens(text)
+  /** Word n-gram shingle set (distinct) from a PRE-MATERIALIZED tokens
+    * column; empty array when the document has fewer than n tokens.
+    *
+    * The tokens argument must be a materialized column (attribute), not an
+    * inline `split(...)`: the lambda below references it once per shingle,
+    * and Catalyst re-evaluates non-attribute argument expressions on every
+    * lambda call — an inline tokenizer would re-run its regex ~|tokens|
+    * times per row. */
+  def shinglesFromTokens(t: Column, n: Int = 3): Column =
     when(size(t) >= n,
       array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
         i => array_join(slice(t, i, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience for small inputs / tests: shingles straight from text.
+    * Heavy operators materialize tokens first (see shinglesFromTokens). */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(TextAnalysis.tokens(text), n)
+
+  /** Shingle set as 64-bit hashes — the form the sketching operators
+    * consume. Hashing each distinct shingle ONCE here means every
+    * downstream comparison, join and signature works on fixed-width longs
+    * instead of re-hashing/shuffling ~30-byte strings. Collision odds for a
+    * corpus-level merge are ~|shingles|²/2⁶⁵ — negligible and
+    * deterministic. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+
+  /** Hashed shingles from a pre-materialized tokens column. */
+  def shingleHashesFromTokens(toks: Column, n: Int = 3): Column =
+    transform(shinglesFromTokens(toks, n), s => xxhash64(s))
 
   /** Exact dedup by content hash: one row per distinct normalized text with
     * the kept (minimum) id and the duplicate count. */
@@ -51,10 +73,16 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.7,
                         maxShingleDocFreq: Option[Long] = None): DataFrame = {
-    val sh = graft.core.Par.fanOut(
-      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")))
-    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
-    val inv0 = sh.select(col("id"), explode(col("sh")).as("s"))
+    // tokenize BEFORE the fan-out exchange: the shuffle materializes the
+    // token arrays, so the shingle lambdas read a column instead of
+    // re-running the tokenizer per element — and the shingling itself runs
+    // at full parallelism after the exchange
+    val base = graft.core.Par.fanOut(df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks")))
+    val sh = base.select(col("id"), shingleHashesFromTokens(col("toks"), n).as("shh"))
+    val sizes = sh.select(col("id"), size(col("shh")).as("sz"))
+    // postings carry the 64-bit shingle hash: long join keys, long shuffle
+    val inv0 = sh.select(col("id"), explode(col("shh")).as("s"))
     maxShingleDocFreq match {
       case None =>
         // Count-based Jaccard straight off the inverted index: the postings
@@ -83,8 +111,8 @@ object Dedup {
           .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
           .distinct()
         cand
-          .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-          .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .join(sh.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
+          .join(sh.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
           .select(col("id_a"), col("id_b"),
             jaccard(col("sh_a"), col("sh_b")).as("j"))
           .where(col("j") >= minJaccard)
@@ -92,10 +120,10 @@ object Dedup {
   }
 
   /** MinHash signature: `numHashes` independent permutations approximated by
-    * seeded xxhash64; sig[i] = min over shingles of xxhash64(i, shingle). */
-  def minhashSignature(sh: Column, numHashes: Int = 128): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
+    * a seeded avalanche-mix family over pre-hashed shingles; sig[i] = min
+    * over shingles of mix(h, i). Codegen'd (graft.functions.MinHashSigExpr). */
+  def minhashSignature(shingleHashArr: Column, numHashes: Int = 128): Column =
+    graft.functions.VectorExpressions.minhashSigNative(shingleHashArr, numHashes)
 
   /** MinHash + LSH banding near-dup pairs, exact-verified.
     *
@@ -110,10 +138,14 @@ object Dedup {
                       minJaccard: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = graft.core.Par.fanOut(
-      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-        .where(size(col("sh")) > 0))
-    val sig = sh.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    // everything downstream works on the 64-bit shingle hashes: signatures,
+    // banding, and the exact-Jaccard verify (intersecting longs, not
+    // ~30-byte strings — same j values modulo ~2⁻⁶⁵ collisions)
+    val base = graft.core.Par.fanOut(df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks")))
+    val sh = base.select(col("id"), shingleHashesFromTokens(col("toks"), n).as("shh"))
+      .where(size(col("shh")) > 0)
+    val sig = sh.select(col("id"), minhashSignature(col("shh"), numHashes).as("sig"))
     val banded = sig.select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bh")))
@@ -123,30 +155,19 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sh.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("j"))
       .where(col("j") >= minJaccard)
   }
 
   /** 64-bit SimHash over whitespace tokens: bit b of the fingerprint is the
-    * sign of Σ_tokens (±1 depending on bit b of xxhash64(token)). */
-  def simhash(text: Column): Column = {
-    val t = TextAnalysis.tokens(text)
-    val votes = aggregate(
-      t,
-      array_repeat(lit(0L), 64),
-      (acc, tok) => {
-        val h = xxhash64(tok)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, b) => a + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * sign of Σ_tokens (±1 depending on bit b of xxhash64(token)).
+    * Codegen'd vote loop (graft.functions.SimHash64Expr). */
+  def simhash(text: Column): Column =
+    graft.functions.VectorExpressions.simhash64Native(
+      transform(TextAnalysis.tokens(text), tok => xxhash64(tok)))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
@@ -157,8 +178,10 @@ object Dedup {
     * Returns (id_a, id_b, dist). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
-    val fp = graft.core.Par.fanOut(
-      df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp")))
+    val fp = graft.core.Par.fanOut(df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks")))
+      .select(col("id"), graft.functions.VectorExpressions.simhash64Native(
+        transform(col("toks"), tok => xxhash64(tok))).as("fp"))
     val chunked = fp.select(col("id"), col("fp"), posexplode(
         transform(sequence(lit(0), lit(3)),
           c => call_function("shiftright", col("fp"), c * 16).bitwiseAND(lit(0xffffL))))
@@ -178,9 +201,9 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             minCos: Double): DataFrame = {
     // norms once per vector, not per pair; fan the pair loop out to all cores
-    val v = graft.core.Par.fanOut(df.select(col(idCol).as("id"),
-      Similarity.toDoubleArr(col(vecCol)).as("v"),
-      Similarity.l2norm(col(vecCol)).as("nrm")))
+    val v = graft.core.Par.fanOut(df.select(col(idCol).as("id"), col(vecCol).as("v0")))
+      .select(col("id"), Similarity.toDoubleArr(col("v0")).as("v"),
+        Similarity.l2norm(col("v0")).as("nrm"))
     v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         (Similarity.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))

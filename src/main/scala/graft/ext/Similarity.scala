@@ -28,10 +28,12 @@ object Similarity {
   def toDoubleArr(v: Column): Column = toDouble(v)
 
   /** Dot product of two numeric array columns, computed left-to-right in
-    * double space (deterministic). */
+    * double space (deterministic). Uses the codegen'd native expression —
+    * the HOF formulation (`aggregate(zip_with(...))`) costs a lambda
+    * dispatch per element, which dominates all-pairs scoring. Float arrays
+    * are implicitly cast to double by the analyzer. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dotNative(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -49,7 +51,9 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("qv"), l2norm(col(vecCol)).as("qn")))
     val c = graft.core.Par.fanOut(corpus.select(col(idCol).as("neighbor_id"),
-      toDouble(col(vecCol)).as("cv"), l2norm(col(vecCol)).as("cn")))
+        col(vecCol).as("cv0")))
+      .select(col("neighbor_id"), toDouble(col("cv0")).as("cv"),
+        l2norm(col("cv0")).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
@@ -89,8 +93,9 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, bits: Int = 12): DataFrame = {
     val c = graft.core.Par.fanOut(corpus.select(col(idCol).as("neighbor_id"),
-      toDouble(col(vecCol)).as("cv"), l2norm(col(vecCol)).as("cn"),
-      hyperplaneBucket(col(vecCol), bits).as("cb")))
+        col(vecCol).as("cv0")))
+      .select(col("neighbor_id"), toDouble(col("cv0")).as("cv"),
+        l2norm(col("cv0")).as("cn"), hyperplaneBucket(col("cv0"), bits).as("cb"))
     // query probes: own bucket + all hamming-1 buckets
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"),

@@ -1,0 +1,195 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for the vector dot product.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(...))`) is
+  * evaluated interpretively — one lambda dispatch per element — which
+  * dominates the runtime of all-pairs similarity (millions of pairs × 64
+  * dims). This expression generates a tight Java loop over the two
+  * `ArrayData` buffers inside whole-stage codegen: no lambda dispatch, no
+  * boxing, no intermediate zipped array. Preference order from the build
+  * charter: compose built-ins where possible, drop to a custom Expression
+  * when the built-ins' SHAPE is right but their cost model isn't — this is
+  * that case.
+  *
+  * Null semantics: null input array → null result (standard binary-
+  * expression null propagation); null ELEMENTS contribute 0.0.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature over pre-hashed shingles: out[i] = min over elements of
+  * mix(h, i) for `numHashes` seeded avalanche mixes (murmur3 finalizer — a
+  * well-distributed hash family; the family only needs independence, not
+  * compatibility with any engine). One codegen'd double loop replaces
+  * numHashes × |shingles| interpreted lambda dispatches. */
+case class MinHashSigExpr(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = xs.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        var x = h ^ (i * -7046029254386353131L) // golden-ratio seed spread
+        x ^= (x >>> 33); x *= -49064778989728563L
+        x ^= (x >>> 33); x *= -4265267296055464877L
+        x ^= (x >>> 33)
+        if (x < out(i)) out(i) = x
+        i += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$numHashes];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $a.getLong($j);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $x = $h ^ ($i * -7046029254386353131L);
+         |    $x ^= ($x >>> 33); $x *= -49064778989728563L;
+         |    $x ^= ($x >>> 33); $x *= -4265267296055464877L;
+         |    $x ^= ($x >>> 33);
+         |    if ($x < $out[$i]) $out[$i] = $x;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over pre-hashed tokens: bit b of the result is set iff
+  * Σ_tokens (bit b of token-hash ? +1 : -1) > 0. Codegen'd vote loop. */
+case class SimHash64Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = xs.getLong(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val votes = ctx.freshName("votes")
+      val j = ctx.freshName("j"); val b = ctx.freshName("b")
+      val h = ctx.freshName("h"); val fp = ctx.freshName("fp")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $votes = new int[64];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $a.getLong($j);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $b = 0; $b < 64; $b++) { if ($votes[$b] > 0) $fp |= (1L << $b); }
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object VectorExpressions {
+  private val DblArr = ArrayType(DoubleType)
+
+  /** Normalize any numeric array input to array<double>. Unconditional:
+    * inputs are typically unresolved here (dataType not yet known), and
+    * Catalyst's SimplifyCasts removes the cast when it's a no-op. */
+  private def asDoubleArray(e: Expression): Expression = Cast(e, DblArr)
+
+  /** Column-level dot product over two numeric array columns. */
+  def dotNative(a: Column, b: Column): Column =
+    Bridge.column(DotProductExpr(
+      asDoubleArray(Bridge.expression(a)), asDoubleArray(Bridge.expression(b))))
+
+  /** MinHash signature (array<long>) over an array<long> of shingle hashes. */
+  def minhashSigNative(shingleHashes: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSigExpr(Bridge.expression(shingleHashes), numHashes))
+
+  /** 64-bit SimHash over an array<long> of token hashes. */
+  def simhash64Native(tokenHashes: Column): Column =
+    Bridge.column(SimHash64Expr(Bridge.expression(tokenHashes)))
+}
