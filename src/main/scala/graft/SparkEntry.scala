@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
-import graft.queries.Analytics
+import graft.queries.{Analytics, AsOf, Sessionize}
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -122,6 +122,29 @@ object SparkEntry {
     "r1_revenue_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
     "set1_open_not_finished" -> ((s, d) => Analytics.openNotFinishedCustomers(s, d)),
     "aj1_customers_without_orders" -> ((s, d) => Analytics.customersWithoutOrders(s, d)),
+
+    // sessionization: 30-minute-gap sessions per user over events
+    "sess1_sessions" -> ((s, d) =>
+      Sessionize.sessionStats(events(s, d), col("user_id"), col("ts"),
+        col("value"), gapSeconds = 1800)
+        .select(col("key").as("user_id"), col("session_no"),
+          col("session_start"), col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_no")),
+
+    // as-of join: for each error event, the user's most recent click at or
+    // before it (union-and-scan formulation; oracle uses native ASOF JOIN)
+    "asof1_prev_click" -> ((s, d) => {
+      val ev = events(s, d)
+      AsOf.asofBackward(
+        ev.where(col("event_type") === "error")
+          .select("event_id", "user_id", "ts"),
+        ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+            col("ts").as("click_ts")),
+        key = "user_id", ts = "ts",
+        rightCols = Seq("click_id", "click_ts"), prefix = "")
+        .orderBy("event_id")
+    }),
 
     // ---- extension tier: text analysis over documents --------------------
     "t1_token_count" -> ((s, d) =>
@@ -306,6 +329,29 @@ object SparkEntry {
            |WHERE NOT EXISTS (SELECT 1 FROM orders o
            |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
            |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+
+      "sess1_sessions" ->
+        ("""WITH flagged AS (
+           | SELECT user_id, ts, value,
+           |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           |   OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+           |   THEN 1 ELSE 0 END AS nf
+           | FROM events),
+           |sess AS (
+           | SELECT user_id, ts, value,
+           |  CAST(SUM(nf) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+           | FROM flagged)
+           |SELECT user_id, session_no, min(ts) AS session_start,
+           | count(*) AS n_events,
+           | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
+      "asof1_prev_click" ->
+        ("""SELECT e.event_id, e.user_id, e.ts,
+           | c.event_id AS click_id, c.ts AS click_ts
+           |FROM (SELECT * FROM events WHERE event_type = 'error') e
+           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           | ON e.user_id = c.user_id AND e.ts >= c.ts
+           |ORDER BY e.event_id""".stripMargin.replace("\n", " ")),
 
       // ---- extension tier ------------------------------------------------
       "t1_token_count" ->

@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for every left row, the single most recent right
+  * row of the same key with `right.ts <= left.ts` (or nulls, LEFT OUTER
+  * style).
+  *
+  * Spark has no as-of join operator; the scalable formulation is the
+  * union-and-scan: tag both inputs, union them, and run ONE window pass per
+  * key ordered by (ts, side) carrying the last-seen right payload forward.
+  * Cost = one shuffle + one sort over |L|+|R| — the same complexity class
+  * as a sort-merge join, with no per-row subquery and no range explosion.
+  * (Preference order: this composes built-ins, so no custom SparkPlan is
+  * needed — the plan is already the one a native AsOfJoinExec would run.)
+  */
+object AsOf {
+
+  /** @param rightCols right-side payload columns to carry; they appear in
+    *                   the output as `prefix+name` (null when no match). */
+  def asofBackward(left: DataFrame, right: DataFrame,
+                   key: String, ts: String,
+                   rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val rPayload = struct(rightCols.map(col): _*)
+    val rPayloadType = right.select(rPayload).schema.head.dataType
+
+    // side 0 sorts right rows BEFORE left rows at equal ts → ties count as
+    // "already happened" (right.ts <= left.ts, inclusive)
+    val leftCols = left.columns
+    val lFull = left.select(
+      (leftCols.map(col) :+ col(key).as("__k") :+ col(ts).as("__t") :+
+        lit(1).as("__side") :+ lit(null).cast(rPayloadType).as("__r")): _*)
+    val rFull = right.select(
+      (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        col(key).as("__k") :+ col(ts).as("__t") :+
+        lit(0).as("__side") :+ rPayload.as("__r")): _*)
+
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scanned = lFull.unionByName(rFull)
+      .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))
+
+    val out = scanned.where(col("__side") === 1)
+    val projected = leftCols.map(col) ++
+      rightCols.map(c => col(s"__last_r.$c").as(s"$prefix$c"))
+    out.select(projected: _*)
+  }
+}

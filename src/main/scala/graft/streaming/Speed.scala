@@ -64,6 +64,17 @@ object Speed {
       .select(col("w.start").as("timestamp"), col("id"), col("value"),
         lit(typeTag).as("type"))
 
+  /** Session-window sum (Spark-native gap sessions; works on streams with
+    * a watermark and on batch frames). The batch linear-scan equivalent is
+    * graft.queries.Sessionize. */
+  def sessionWindowSum(df: DataFrame, dim: Column, tsCol: String, gap: String,
+                       watermark: String, value: Column, typeTag: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(dim.as("id"), session_window(col(tsCol), gap).as("w"))
+      .agg(Num.dsum(value).as("value"))
+      .select(col("w.start").as("timestamp"), col("id"), col("value"),
+        lit(typeTag).as("type"))
+
   /** T5: run several streaming queries to completion of any — the
     * reference's Future/sequence orchestration collapses to Spark's own
     * stream manager (`StreamingJob.scala:30-43`). */
