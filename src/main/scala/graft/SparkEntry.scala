@@ -122,6 +122,8 @@ object SparkEntry {
     "r1_revenue_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
     "set1_open_not_finished" -> ((s, d) => Analytics.openNotFinishedCustomers(s, d)),
     "aj1_customers_without_orders" -> ((s, d) => Analytics.customersWithoutOrders(s, d)),
+    "cd1_distinct_parts" -> ((s, d) => Analytics.distinctPartsPerFlag(s, d)),
+    "pv1_nation_segment_pivot" -> ((s, d) => Analytics.customersByNationSegment(s, d)),
 
     // sessionization: 30-minute-gap sessions per user over events
     "sess1_sessions" -> ((s, d) =>
@@ -330,6 +332,18 @@ object SparkEntry {
            |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
            |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
 
+      "cd1_distinct_parts" ->
+        ("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+           | count(*) AS n_rows
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      "pv1_nation_segment_pivot" ->
+        ("""SELECT c_nationkey,
+           | count(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS "AUTOMOBILE",
+           | count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS "BUILDING",
+           | count(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END) AS "FURNITURE",
+           | count(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS "HOUSEHOLD",
+           | count(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS "MACHINERY"
+           |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       "sess1_sessions" ->
         ("""WITH flagged AS (
            | SELECT user_id, ts, value,

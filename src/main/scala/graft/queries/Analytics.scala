@@ -148,6 +148,28 @@ object Analytics {
       .orderBy("o_custkey")
   }
 
+  /** Distinct aggregation: per-flag distinct part count (two-phase distinct
+    * aggregate — Catalyst plans partial distinct before the shuffle). */
+  def distinctPartsPerFlag(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Pivot: customers per (nation × market segment) as a wide table. Pivot
+    * values are enumerated explicitly so the plan is a single pass of
+    * conditional aggregates (no extra job to discover values). */
+  val Segments: Seq[String] =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+  def customersByNationSegment(spark: SparkSession, sfDir: String): DataFrame =
+    customer(spark, sfDir)
+      .groupBy("c_nationkey")
+      .pivot("c_mktsegment", Segments)
+      .agg(count(lit(1)))
+      .na.fill(0L, Segments)
+      .orderBy("c_nationkey")
+
   /** Anti join (NOT EXISTS): customers with no pending ('P') order, counted
     * by segment. */
   def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame =

@@ -64,6 +64,14 @@ object Speed {
       .select(col("w.start").as("timestamp"), col("id"), col("value"),
         lit(typeTag).as("type"))
 
+  /** Streaming exact dedup on ingest (an LLM-pipeline staple): drops rows
+    * whose key was already seen within the watermark horizon — state is
+    * bounded by (keys per watermark window), not stream length. */
+  def dedupStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                  watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Session-window sum (Spark-native gap sessions; works on streams with
     * a watermark and on batch frames). The batch linear-scan equivalent is
     * graft.queries.Sessionize. */

@@ -91,6 +91,26 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.size == rows.size, "batch ids distinct")
   }
 
+  test("dedupStream: duplicate keys within the watermark horizon are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val parsed = Speed.parseJson(in.toDF(), "value")
+    val dd = Speed.dedupStream(parsed, Seq("id"), "timestamp", "10 minutes")
+    val q = dd.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dd_out").start()
+    try {
+      in.addData(msg("2022-02-26T00:00:10Z", "u1", "a", 1, "FB"))
+      q.processAllAvailable()
+      in.addData(
+        msg("2022-02-26T00:01:00Z", "u1", "a", 2, "FB"),  // dup key u1 → drop
+        msg("2022-02-26T00:01:00Z", "u2", "a", 3, "FB"))  // new key → keep
+      q.processAllAvailable()
+      val got = spark.table("dd_out").select("id", "bytes")
+        .as[(String, Long)].collect().toSet
+      assert(got == Set("u1" -> 1L, "u2" -> 3L), got.toString)
+    } finally q.stop()
+  }
+
   test("T5: several concurrent streaming queries from one parsed stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
