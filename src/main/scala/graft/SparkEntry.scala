@@ -85,6 +85,13 @@ object SparkEntry {
         "1 hour", col("value"), "app_bytes_total")
         .orderBy("timestamp", "id")),
 
+    // A-ext: sliding window (2 h windows every 1 h) — beyond the
+    // reference's tumbling-only surface
+    "a8_sliding_2h" -> ((s, d) =>
+      Agg.windowedSumSliding(events(s, d), col("event_type"), col("ts"),
+        "2 hours", "1 hour", col("value"), "antenna_bytes_sliding")
+        .orderBy("timestamp", "id")),
+
     // A7/P8: hourly quota violators — groupBy + HAVING over the enrichment
     "a7_quota_violations" -> ((s, d) =>
       QuotaCheck.quotaViolations(enriched(s, d), col("c_name"),
@@ -245,6 +252,14 @@ object SparkEntry {
       "a5_email_1h" -> windowed("1 hour", "c_name", enrichedFrom, "email_bytes_total"),
       "a6_app_1h" -> windowed("1 hour",
         "CAST(CAST(json_extract(props, '$.k') AS INT) AS VARCHAR)", "events", "app_bytes_total"),
+      "a8_sliding_2h" ->
+        ("""SELECT w AS "timestamp", event_type AS id,
+           | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value,
+           | 'antenna_bytes_sliding' AS type
+           |FROM (SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+           |   time_bucket(INTERVAL '1 hour', ts) - INTERVAL 1 HOUR]) AS w,
+           |  event_type, value FROM events) t
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
       "a7_quota_violations" ->
         ("""SELECT c_name AS email,
            | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS usage,

@@ -39,6 +39,19 @@ object Agg {
         col("value"),
         lit(typeTag).as("type"))
 
+  /** Sliding-window variant (duration > slide ⇒ each row lands in
+    * duration/slide windows). The reference only uses tumbling windows;
+    * this rounds out the window surface. */
+  def windowedSumSliding(df: DataFrame, dim: Column, ts: Column, dur: String,
+                         slide: String, value: Column, typeTag: String): DataFrame =
+    df.groupBy(dim.as("id"), window(ts, dur, slide).as("w"))
+      .agg(Num.dsum(value).as("value"))
+      .select(
+        col("w.start").as("timestamp"),
+        col("id"),
+        col("value"),
+        lit(typeTag).as("type"))
+
   /** Same shape for an integral value column (the reference sums LongType
     * bytes — no decimal dance needed for exact integer sums). */
   def windowedSumLong(df: DataFrame, dim: Column, ts: Column, dur: String,
