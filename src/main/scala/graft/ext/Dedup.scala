@@ -85,13 +85,21 @@ object Dedup {
     val inv0 = sh.select(col("id"), explode(col("shh")).as("s"))
     maxShingleDocFreq match {
       case None =>
-        // Count-based Jaccard straight off the inverted index: the postings
-        // self-join yields |A∩B| as a plain count per pair — no shingle
-        // arrays ever travel through the join, the shuffle carries only
-        // (id_a, id_b) pairs, and |A|/|B| attach as two scalar lookups.
-        val shared = inv0.as("x").join(inv0.as("y"),
-            col("x.s") === col("y.s") && col("x.id") < col("y.id"))
-          .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        // Count-based Jaccard straight off the inverted index: group the
+        // postings by shingle and expand each posting list into its id
+        // pairs MAP-SIDE (sorted, so a<b by construction) — one shuffle to
+        // group, one to count pairs, versus three for a self-join. |A∩B|
+        // falls out as the pair count; |A|/|B| attach as scalar lookups.
+        val ids = inv0.groupBy("s").agg(sort_array(collect_list(col("id"))).as("ids"))
+          .where(size(col("ids")) > 1)
+        val k = size(col("ids"))
+        val pairs = ids.select(explode(flatten(
+          transform(sequence(lit(1), k - 1), i =>
+            transform(slice(col("ids"), i + 1, k - i),
+              b => struct(element_at(col("ids"), i).as("id_a"), b.as("id_b"))))))
+          .as("p"))
+        val shared = pairs
+          .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
           .agg(count(lit(1)).as("c"))
         shared
           .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")

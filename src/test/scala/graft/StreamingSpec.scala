@@ -111,6 +111,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("QuotaAlert: one alert per user, emitted at the crossing batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.QuotaAlert
+    val in = MemoryStream[(String, Long, Long)]
+    val usage = in.toDF().toDF("id", "bytes", "quota")
+    val q = QuotaAlert.alerts(usage).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("alerts").start()
+    try {
+      in.addData(("u1", 60L, 100L), ("u2", 10L, 100L))
+      q.processAllAvailable()
+      assert(spark.table("alerts").count() == 0, "nobody over quota yet")
+      in.addData(("u1", 50L, 100L))   // u1 total 110 > 100 → alert
+      q.processAllAvailable()
+      val got = spark.table("alerts").as[(String, Long, Long)].collect().toSeq
+      assert(got == Seq(("u1", 110L, 100L)), got.toString)
+      in.addData(("u1", 999L, 100L))  // already alerted → no duplicate
+      q.processAllAvailable()
+      assert(spark.table("alerts").count() == 1, "exactly one alert per user")
+    } finally q.stop()
+  }
+
   test("T5: several concurrent streaming queries from one parsed stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
