@@ -130,6 +130,8 @@ object SparkEntry {
     "set1_open_not_finished" -> ((s, d) => Analytics.openNotFinishedCustomers(s, d)),
     "aj1_customers_without_orders" -> ((s, d) => Analytics.customersWithoutOrders(s, d)),
     "cd1_distinct_parts" -> ((s, d) => Analytics.distinctPartsPerFlag(s, d)),
+    "str1_brand_parse" -> ((s, d) => Analytics.partBrandParse(s, d)),
+    "pct1_percentiles" -> ((s, d) => Analytics.quantityPercentiles(s, d)),
     "pv1_nation_segment_pivot" -> ((s, d) => Analytics.customersByNationSegment(s, d)),
 
     // sessionization: 30-minute-gap sessions per user over events
@@ -347,6 +349,17 @@ object SparkEntry {
            |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
            |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
 
+      "str1_brand_parse" ->
+        ("""SELECT p_partkey,
+           | CAST(regexp_extract(p_brand, '(\d+)', 1) AS INTEGER) AS brand_num,
+           | upper(p_type) AS type_upper, length(p_name) AS name_len,
+           | concat_ws('|', p_brand, p_type) AS brand_type
+           |FROM part ORDER BY p_partkey""".stripMargin.replace("\n", " ")),
+      "pct1_percentiles" ->
+        ("""SELECT l_returnflag,
+           | round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+           | round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       "cd1_distinct_parts" ->
         ("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
            | count(*) AS n_rows

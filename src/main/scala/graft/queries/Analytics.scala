@@ -170,6 +170,27 @@ object Analytics {
       .na.fill(0L, Segments)
       .orderBy("c_nationkey")
 
+  /** Scalar string-function surface: regexp extraction, case mapping,
+    * length, concat — one projection, fully codegen'd. */
+  def partBrandParse(spark: SparkSession, sfDir: String): DataFrame =
+    part(spark, sfDir).select(
+      col("p_partkey"),
+      regexp_extract(col("p_brand"), "(\\d+)", 1).cast("int").as("brand_num"),
+      upper(col("p_type")).as("type_upper"),
+      length(col("p_name")).cast("long").as("name_len"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  /** Exact percentiles (sort-based, per group) — values rounded so the
+    * interpolation's last-ulp differences across engines can't flake. */
+  def quantityPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
+      .orderBy("l_returnflag")
+
   /** Anti join (NOT EXISTS): customers with no pending ('P') order, counted
     * by segment. */
   def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame =
