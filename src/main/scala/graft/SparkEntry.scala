@@ -49,22 +49,26 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1: bytes per antenna, 90 s tumbling window (streaming agg, batch-run)
+    // A1-A3 run through the SPEED-LAYER code path (Speed.windowedSum with
+    // the reference's 15 s watermark — a no-op on batch frames), so the
+    // oracle checks the very code the streaming queries execute.
+    // A1: bytes per antenna, 90 s tumbling window
     "a1_antenna_90s" -> ((s, d) =>
-      Agg.windowedSum(events(s, d), col("event_type"), col("ts"),
-        "90 seconds", col("value"), "antenna_bytes_total")
+      graft.streaming.Speed.windowedSum(events(s, d), col("event_type"), "ts",
+        "90 seconds", "15 seconds", col("value"), "antenna_bytes_total")
         .orderBy("timestamp", "id")),
 
     // A2: bytes per user, 90 s tumbling window
     "a2_user_90s" -> ((s, d) =>
-      Agg.windowedSum(events(s, d), col("user_id").cast("string"), col("ts"),
-        "90 seconds", col("value"), "user_bytes_total")
+      graft.streaming.Speed.windowedSum(events(s, d),
+        col("user_id").cast("string"), "ts",
+        "90 seconds", "15 seconds", col("value"), "user_bytes_total")
         .orderBy("timestamp", "id")),
 
     // A3: bytes per app (JSON-parsed props.k), 90 s tumbling window (+P3)
     "a3_app_90s" -> ((s, d) =>
-      Agg.windowedSum(withK(s, d), col("k").cast("string"), col("ts"),
-        "90 seconds", col("value"), "app_bytes_total")
+      graft.streaming.Speed.windowedSum(withK(s, d), col("k").cast("string"),
+        "ts", "90 seconds", "15 seconds", col("value"), "app_bytes_total")
         .orderBy("timestamp", "id")),
 
     // A4: bytes per antenna, 1 h tumbling window (batch layer)

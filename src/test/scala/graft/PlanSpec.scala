@@ -49,6 +49,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
   }
 
+  test("archive layout: y/m/d/h filter becomes partition pruning, not a scan") {
+    import spark.implicits._
+    val msgs = Seq(
+      (java.sql.Timestamp.valueOf("2022-02-26 00:10:00"), "u1", 1L),
+      (java.sql.Timestamp.valueOf("2022-03-01 13:10:00"), "u2", 2L),
+    ).toDF("timestamp", "id", "bytes")
+    val path = tmpDir("plan_archive")
+    graft.core.Sinks.writePartitionedParquet(msgs, "timestamp", path)
+    val read = spark.read.parquet(path)
+      .where(org.apache.spark.sql.functions.col("month") === 3)
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(month"),
+      s"expected partition pruning on the archive layout:\n$p")
+    assert(read.select("bytes").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("windowed aggregates do partial aggregation before the shuffle") {
     val p = plan("a4_antenna_1h")
     // partial_ appears in HashAggregate(keys=..., functions=[partial_sum...])
