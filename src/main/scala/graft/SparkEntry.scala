@@ -244,7 +244,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     def windowed(dur: String, idExpr: String, from: String, tag: String) =
       s"""SELECT time_bucket(INTERVAL '$dur', ts) AS "timestamp", $idExpr AS id,
-         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value,
+         | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value,
          | '$tag' AS type
          |FROM $from GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
     val enrichedFrom =
@@ -260,7 +260,7 @@ object SparkEntry {
         "CAST(CAST(json_extract(props, '$.k') AS INT) AS VARCHAR)", "events", "app_bytes_total"),
       "a8_sliding_2h" ->
         ("""SELECT w AS "timestamp", event_type AS id,
-           | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value,
+           | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value,
            | 'antenna_bytes_sliding' AS type
            |FROM (SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
            |   time_bucket(INTERVAL '1 hour', ts) - INTERVAL 1 HOUR]) AS w,
@@ -268,12 +268,12 @@ object SparkEntry {
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
       "a7_quota_violations" ->
         ("""SELECT c_name AS email,
-           | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS usage,
+           | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS usage,
            | c_acctbal AS quota,
            | time_bucket(INTERVAL '1 hour', ts) AS "timestamp"
            |FROM events e JOIN customer c ON e.user_id = c.c_custkey
            |GROUP BY c_name, c_acctbal, 4
-           |HAVING CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) > c_acctbal
+           |HAVING CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) > c_acctbal
            |ORDER BY email, "timestamp"""".stripMargin.replace("\n", " ")),
       "j1_enrich" ->
         ("""SELECT event_id, ts, user_id, event_type, value, c_name, c_acctbal,
@@ -389,7 +389,7 @@ object SparkEntry {
            | FROM flagged)
            |SELECT user_id, session_no, min(ts) AS session_start,
            | count(*) AS n_events,
-           | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
            |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
       "asof1_prev_click" ->
         ("""SELECT e.event_id, e.user_id, e.ts,
@@ -464,8 +464,8 @@ object SparkEntry {
            |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
       "m1_blob_meta" ->
         ("""SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
-           | CASE WHEN length(text) = 0 THEN 'empty'
-           |  WHEN ascii(substring(text, 1, 1)) % 2 = 0 THEN 'png'
+           | CASE WHEN octet_length(encode(text)) = 0 THEN 'empty'
+           |  WHEN octet_length(encode(text)) % 2 = 0 THEN 'png'
            |  ELSE 'jpeg' END AS format,
            | (octet_length(encode(text)) % 640 + 1)::INTEGER AS width,
            | (octet_length(encode(text)) % 480 + 1)::INTEGER AS height
@@ -511,5 +511,5 @@ object SparkEntry {
 
   /** Oracle-side exact-decimal sum of a double expression (see Num.dsum). */
   private def dsum(expr: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
+    s"CAST(SUM(CAST($expr AS DECIMAL(30,6))) AS DOUBLE)"
 }

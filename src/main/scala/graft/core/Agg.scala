@@ -23,44 +23,42 @@ import org.apache.spark.sql.functions._
   */
 object Agg {
 
-  /** Tumbling-window sum: groupBy(`dim`, window(`ts`, `dur`)) → sum(`value`)
-    * → `(timestamp = window.start, id = dim, value, type = typeTag)`.
-    *
-    * The sum is exact-decimal (see [[Num.dsum]]) so results are
-    * order-independent and reproducible.
-    */
-  def windowedSum(df: DataFrame, dim: Column, ts: Column, dur: String,
-                  value: Column, typeTag: String): DataFrame =
-    df.groupBy(dim.as("id"), window(ts, dur).as("w"))
-      .agg(Num.dsum(value).as("value"))
+  /** The one aggregation shape everything shares: groupBy(dim, windowExpr)
+    * → agg → unified `(timestamp = window.start, id, value, type)`. Every
+    * public variant differs only in the window and the aggregate — a single
+    * body keeps the contract in one place (the reference hardwires seven
+    * copies of it). */
+  private def unified(df: DataFrame, dim: Column, windowExpr: Column,
+                      aggValue: Column, typeTag: String): DataFrame =
+    df.groupBy(dim.as("id"), windowExpr.as("w"))
+      .agg(aggValue.as("value"))
       .select(
         col("w.start").as("timestamp"),
         col("id"),
         col("value"),
         lit(typeTag).as("type"))
+
+  /** Tumbling-window sum. The sum is exact-decimal (see [[Num.dsum]]) so
+    * results are order-independent and reproducible. */
+  def windowedSum(df: DataFrame, dim: Column, ts: Column, dur: String,
+                  value: Column, typeTag: String): DataFrame =
+    unified(df, dim, window(ts, dur), Num.dsum(value), typeTag)
 
   /** Sliding-window variant (duration > slide ⇒ each row lands in
     * duration/slide windows). The reference only uses tumbling windows;
     * this rounds out the window surface. */
   def windowedSumSliding(df: DataFrame, dim: Column, ts: Column, dur: String,
                          slide: String, value: Column, typeTag: String): DataFrame =
-    df.groupBy(dim.as("id"), window(ts, dur, slide).as("w"))
-      .agg(Num.dsum(value).as("value"))
-      .select(
-        col("w.start").as("timestamp"),
-        col("id"),
-        col("value"),
-        lit(typeTag).as("type"))
+    unified(df, dim, window(ts, dur, slide), Num.dsum(value), typeTag)
 
   /** Same shape for an integral value column (the reference sums LongType
     * bytes — no decimal dance needed for exact integer sums). */
   def windowedSumLong(df: DataFrame, dim: Column, ts: Column, dur: String,
                       value: Column, typeTag: String): DataFrame =
-    df.groupBy(dim.as("id"), window(ts, dur).as("w"))
-      .agg(sum(value).as("value"))
-      .select(
-        col("w.start").as("timestamp"),
-        col("id"),
-        col("value"),
-        lit(typeTag).as("type"))
+    unified(df, dim, window(ts, dur), sum(value), typeTag)
+
+  /** Session-window (gap-based) sum — used by the speed layer. */
+  def windowedSumSession(df: DataFrame, dim: Column, ts: Column, gap: String,
+                         value: Column, typeTag: String): DataFrame =
+    unified(df, dim, session_window(ts, gap), Num.dsum(value), typeTag)
 }

@@ -12,14 +12,14 @@ import org.apache.spark.sql.types.DecimalType
   * associative (exact), so any summation order yields the same result; the
   * final cast back to double is then a single well-defined rounding. The same
   * trick is applied on the DuckDB oracle side
-  * (`SUM(CAST(x AS DECIMAL(18,4)))`), so both engines agree bit-for-bit.
+  * (`SUM(CAST(x AS DECIMAL(30,6)))`), so both engines agree bit-for-bit.
   *
   * This costs a little throughput vs native double sums, but it is the only
   * way to get reproducible aggregates on a 1000-executor cluster too — exact
   * decimal aggregation is the standard fix for non-reproducible double sums.
   */
 object Num {
-  private val Dec = DecimalType(18, 4)
+  private val Dec = DecimalType(30, 6)
 
   /** Exact sum of a double column, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")

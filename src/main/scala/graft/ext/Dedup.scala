@@ -90,8 +90,15 @@ object Dedup {
         // pairs MAP-SIDE (sorted, so a<b by construction) — one shuffle to
         // group, one to count pairs, versus three for a self-join. |A∩B|
         // falls out as the pair count; |A|/|B| attach as scalar lookups.
+        // stop-shingle safety valve even on the uncapped path: a shingle
+        // shared by k docs expands to k(k-1)/2 pairs map-side, so an
+        // ultra-common shingle ("one of the" in a web corpus) would
+        // materialize billions of structs in one task. Shingles above the
+        // cap carry no near-dup signal; dropping them from candidacy is the
+        // standard blocking practice (test-data max doc-freq is 25).
+        val maxPostingLen = 10000
         val ids = inv0.groupBy("s").agg(sort_array(collect_list(col("id"))).as("ids"))
-          .where(size(col("ids")) > 1)
+          .where(size(col("ids")) > 1 && size(col("ids")) <= maxPostingLen)
         val k = size(col("ids"))
         val pairs = ids.select(explode(flatten(
           transform(sequence(lit(1), k - 1), i =>
@@ -181,18 +188,27 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on 4×16-bit chunks (pigeonhole: any pair
-    * with hamming ≤ 3 shares at least one chunk), verify hamming ≤ maxDist.
-    * Returns (id_a, id_b, dist). */
+  /** SimHash near-dup pairs: block on (maxDist+1) bit-chunks — by
+    * pigeonhole, any pair with hamming ≤ maxDist agrees on at least one
+    * chunk, so recall is exact for the requested bound — then verify
+    * hamming ≤ maxDist. Returns (id_a, id_b, dist). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 31, "maxDist must be in [0, 31]")
+    val chunks = maxDist + 1
+    val width = (64 + chunks - 1) / chunks
     val fp = graft.core.Par.fanOut(df.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("toks")))
       .select(col("id"), graft.functions.VectorExpressions.simhash64Native(
         transform(col("toks"), tok => xxhash64(tok))).as("fp"))
     val chunked = fp.select(col("id"), col("fp"), posexplode(
-        transform(sequence(lit(0), lit(3)),
-          c => call_function("shiftright", col("fp"), c * 16).bitwiseAND(lit(0xffffL))))
+        transform(sequence(lit(0), lit(chunks - 1)), c => {
+          val shifted = call_function("shiftright", col("fp"), c * width)
+          val bitsLeft = lit(64) - c * width
+          val mask = when(bitsLeft >= width, lit((1L << width) - 1))
+            .otherwise(call_function("shiftleft", lit(1L), bitsLeft) - 1)
+          shifted.bitwiseAND(mask)
+        }))
         .as(Seq("chunk", "ck")))
     chunked.as("x").join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&

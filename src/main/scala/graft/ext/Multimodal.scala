@@ -39,10 +39,12 @@ object Multimodal {
     * Every function is a pure function of the bytes, so pipelines built on
     * it are reproducible and oracle-checkable. */
   object StubCodec {
-    /** Fake image probe: "format" from the first byte, dimensions from the
-      * payload length — a real probe parses the header the same way. */
+    /** Fake image probe: "format" and dimensions derived from the payload
+      * length — a real probe parses the header instead. (Length parity, not
+      * first-byte parity: byte-level semantics hold on any charset, so the
+      * SQL oracle can mirror it with octet_length alone.) */
     def probe(b: Array[Byte]): (String, Int, Int) = {
-      val fmt = if (b.isEmpty) "empty" else if (b(0) % 2 == 0) "png" else "jpeg"
+      val fmt = if (b.isEmpty) "empty" else if (b.length % 2 == 0) "png" else "jpeg"
       (fmt, (b.length % 640) + 1, (b.length % 480) + 1)
     }
     /** Fake feature extractor: 16-bin byte histogram, L1-normalized — a

@@ -109,7 +109,10 @@ object Similarity {
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-      .distinct()
+    // no dedup needed: the 13 probe values are pairwise distinct and each
+    // corpus vector lives in exactly one bucket, so a (query, neighbor)
+    // pair can match at most one probe — a distinct() here would only add
+    // a full shuffle of the scored candidates
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -46,23 +46,18 @@ object Speed {
 
   /** A1-A3 shape: watermark + tumbling-window + exact sum, projected onto
     * `(timestamp, id, value, type)`. Works on both streaming and batch
-    * frames (watermark is a no-op in batch). */
+    * frames (watermark is a no-op in batch); the aggregation body is the
+    * shared [[graft.core.Agg]] shape. */
   def windowedSum(df: DataFrame, dim: Column, tsCol: String, windowDur: String,
                   watermark: String, value: Column, typeTag: String): DataFrame =
-    df.withWatermark(tsCol, watermark)
-      .groupBy(dim.as("id"), window(col(tsCol), windowDur).as("w"))
-      .agg(Num.dsum(value).as("value"))
-      .select(col("w.start").as("timestamp"), col("id"), col("value"),
-        lit(typeTag).as("type"))
+    graft.core.Agg.windowedSum(df.withWatermark(tsCol, watermark),
+      dim, col(tsCol), windowDur, value, typeTag)
 
   /** Long-typed variant (the reference sums LongType bytes). */
   def windowedSumLong(df: DataFrame, dim: Column, tsCol: String, windowDur: String,
                       watermark: String, value: Column, typeTag: String): DataFrame =
-    df.withWatermark(tsCol, watermark)
-      .groupBy(dim.as("id"), window(col(tsCol), windowDur).as("w"))
-      .agg(sum(value).as("value"))
-      .select(col("w.start").as("timestamp"), col("id"), col("value"),
-        lit(typeTag).as("type"))
+    graft.core.Agg.windowedSumLong(df.withWatermark(tsCol, watermark),
+      dim, col(tsCol), windowDur, value, typeTag)
 
   /** Streaming exact dedup on ingest (an LLM-pipeline staple): drops rows
     * whose key was already seen within the watermark horizon — state is
@@ -77,11 +72,8 @@ object Speed {
     * graft.queries.Sessionize. */
   def sessionWindowSum(df: DataFrame, dim: Column, tsCol: String, gap: String,
                        watermark: String, value: Column, typeTag: String): DataFrame =
-    df.withWatermark(tsCol, watermark)
-      .groupBy(dim.as("id"), session_window(col(tsCol), gap).as("w"))
-      .agg(Num.dsum(value).as("value"))
-      .select(col("w.start").as("timestamp"), col("id"), col("value"),
-        lit(typeTag).as("type"))
+    graft.core.Agg.windowedSumSession(df.withWatermark(tsCol, watermark),
+      dim, col(tsCol), gap, value, typeTag)
 
   /** T5: run several streaming queries to completion of any — the
     * reference's Future/sequence orchestration collapses to Spark's own

@@ -18,8 +18,8 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(m => m.id -> m).toMap
     assert(meta(1L).n_bytes == 100 && meta(1L).width == 101 && meta(1L).height == 101)
     assert(meta(3L).format == "empty" && meta(3L).n_bytes == 0)
-    // 'h' is 104 (even) → png; 'x' is 120 (even) → png
-    assert(meta(2L).format == "png" && meta(1L).format == "png")
+    // length parity: 100 bytes → png, 5 bytes → jpeg
+    assert(meta(1L).format == "png" && meta(2L).format == "jpeg")
   }
 
   test("extractFeatures: L1-normalized 16-bin byte histogram") {
