@@ -135,6 +135,8 @@ object SparkEntry {
     "aj1_customers_without_orders" -> ((s, d) => Analytics.customersWithoutOrders(s, d)),
     "cd1_distinct_parts" -> ((s, d) => Analytics.distinctPartsPerFlag(s, d)),
     "str1_brand_parse" -> ((s, d) => Analytics.partBrandParse(s, d)),
+    "r2_revenue_cube" -> ((s, d) => Analytics.revenueCube(s, d)),
+    "dt1_ship_delay_hist" -> ((s, d) => Analytics.shipDelayHistogram(s, d)),
     "pct1_percentiles" -> ((s, d) => Analytics.quantityPercentiles(s, d)),
     "pv1_nation_segment_pivot" -> ((s, d) => Analytics.customersByNationSegment(s, d)),
 
@@ -353,6 +355,17 @@ object SparkEntry {
            |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
            |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
 
+      "r2_revenue_cube" ->
+        (s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           | COALESCE(l_linestatus, 'ALL') AS linestatus,
+           | ${dsum("l_extendedprice")} AS revenue, COUNT(*) AS n
+           |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+           |ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
+      "dt1_ship_delay_hist" ->
+        ("""SELECT CAST((epoch(l_shipdate) - epoch(o_orderdate)) / 86400 AS BIGINT) AS delay_days,
+           | COUNT(*) AS n
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       "str1_brand_parse" ->
         ("""SELECT p_partkey,
            | CAST(regexp_extract(p_brand, '(\d+)', 1) AS INTEGER) AS brand_num,

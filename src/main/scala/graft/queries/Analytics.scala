@@ -170,6 +170,33 @@ object Analytics {
       .na.fill(0L, Segments)
       .orderBy("c_nationkey")
 
+  /** CUBE aggregate (all grouping-set combinations), null keys folded to a
+    * sentinel for engine-agnostic ordering/hashing. */
+  def revenueCube(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(Num.dsum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("revenue"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Date arithmetic: ship-delay histogram in whole days, computed on epoch
+    * seconds so both engines bucket identically. */
+  def shipDelayHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .join(orders(spark, sfDir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((
+        (unix_timestamp(col("l_shipdate").cast("timestamp")) -
+          unix_timestamp(col("o_orderdate").cast("timestamp"))) / 86400L)
+        .cast("long").as("delay_days"))
+      .groupBy("delay_days")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("delay_days")
+
   /** Scalar string-function surface: regexp extraction, case mapping,
     * length, concat — one projection, fully codegen'd. */
   def partBrandParse(spark: SparkSession, sfDir: String): DataFrame =

@@ -1,0 +1,38 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Regenerates PLANS.md: formatted physical plans for the scale-critical
+  * queries, as reviewable evidence of pushdown/broadcast/top-k plan shapes.
+  * Run: sbt "Test/runMain graft.DumpPlans"  */
+object DumpPlans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    val picks = Seq(
+      "s2_hour_slice", "q1_pricing_summary", "a5_email_1h", "q3_top_orders",
+      "w1_top_order_per_customer", "q4_priority_semijoin", "d3_minhash_lsh",
+      "sim1_ann_topk")
+    val sb = new StringBuilder
+    sb.append("# PLANS — formatted physical plans (auto-generated)\n\n")
+    sb.append("Regenerate with `sbt \"Test/runMain graft.DumpPlans\"` (sf0.001 inputs).\n")
+    sb.append("What to look for: `PushedFilters` on scans, `BroadcastHashJoin` for\n")
+    sb.append("dimensions, `TakeOrderedAndProject` for top-k, `WindowGroupLimit`\n")
+    sb.append("for rank<=k, `partial_sum` map-side combines.\n")
+    picks.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      sb.append(s"\n## $name\n\n```\n")
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).take(8000))
+      sb.append("\n```\n")
+    }
+    Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
+    println("WROTE /root/repo/PLANS.md")
+    spark.stop()
+  }
+}
