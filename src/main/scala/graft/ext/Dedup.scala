@@ -50,9 +50,10 @@ object Dedup {
   def shingleHashes(text: Column, n: Int = 3): Column =
     transform(shingles(text, n), s => xxhash64(s))
 
-  /** Hashed shingles from a pre-materialized tokens column. */
+  /** Hashed shingles from a pre-materialized tokens column — native loop
+    * (graft.functions.ShingleHashExpr), sorted distinct output. */
   def shingleHashesFromTokens(toks: Column, n: Int = 3): Column =
-    transform(shinglesFromTokens(toks, n), s => xxhash64(s))
+    graft.functions.VectorExpressions.shingleHashesNative(toks, n)
 
   /** Exact dedup by content hash: one row per distinct normalized text with
     * the kept (minimum) id and the duplicate count. */
@@ -99,18 +100,22 @@ object Dedup {
         val maxPostingLen = 10000
         val ids = inv0.groupBy("s").agg(sort_array(collect_list(col("id"))).as("ids"))
           .where(size(col("ids")) > 1 && size(col("ids")) <= maxPostingLen)
-        val k = size(col("ids"))
-        val pairs = ids.select(explode(flatten(
-          transform(sequence(lit(1), k - 1), i =>
-            transform(slice(col("ids"), i + 1, k - i),
-              b => struct(element_at(col("ids"), i).as("id_a"), b.as("id_b"))))))
-          .as("p"))
+        // pairs travel as single packed longs (a<<32 | b, codegen'd
+        // expansion): primitive explode + one-column hash agg, no structs
+        val pairs = ids.select(explode(
+          graft.functions.VectorExpressions.pairExpandNative(col("ids"))).as("p"))
         val shared = pairs
-          .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+          .groupBy(col("p"))
           .agg(count(lit(1)).as("c"))
+          .select(call_function("shiftright", col("p"), lit(32)).as("id_a"),
+            col("p").bitwiseAND(lit(0xffffffffL)).as("id_b"), col("c"))
+        // sizes is |docs| rows of two longs — broadcast explicitly: its
+        // post-shuffle stats are unknown to the planner, and letting these
+        // lookups fall back to sort-merge would shuffle the whole pair
+        // stream twice
         shared
-          .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-          .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+          .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))), "id_a")
+          .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))), "id_b")
           .select(col("id_a"), col("id_b"),
             (col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c"))).as("j"))
           .where(col("j") >= minJaccard)
