@@ -181,6 +181,24 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // x1: explode/lateral — corpus token frequency, top 20
+    "x1_top_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)),
+
+    // u1: UNION ALL across heterogeneous sources into one stats relation
+    "u1_table_stats" -> ((s, d) => {
+      def cnt(name: String) =
+        Tables.table(s, d, name).agg(count(lit(1)).as("n_rows"))
+          .select(lit(name).as("tbl"), col("n_rows"))
+      cnt("customer").unionByName(cnt("orders")).unionByName(cnt("lineitem"))
+        .unionByName(cnt("documents")).unionByName(cnt("embeddings"))
+        .orderBy("tbl")
+    }),
+
     // ---- extension tier: dedup over documents ----------------------------
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -413,6 +431,17 @@ object SparkEntry {
            |ORDER BY e.event_id""".stripMargin.replace("\n", " ")),
 
       // ---- extension tier ------------------------------------------------
+      "x1_top_tokens" ->
+        (s"""SELECT token, COUNT(*) AS n
+           |FROM (SELECT unnest($toksSql) AS token FROM documents) t
+           |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin.replace("\n", " ")),
+      "u1_table_stats" ->
+        ("""SELECT 'customer' AS tbl, COUNT(*) AS n_rows FROM customer
+           |UNION ALL SELECT 'orders', COUNT(*) FROM orders
+           |UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+           |UNION ALL SELECT 'documents', COUNT(*) FROM documents
+           |UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+           |ORDER BY tbl""".stripMargin.replace("\n", " ")),
       "t1_token_count" ->
         (s"""SELECT doc_id, len($toksSql) AS n_tokens FROM documents
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
