@@ -172,6 +172,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
           col("type_token_ratio"), col("avg_token_len"), col("stopword_ratio"))
         .orderBy("doc_id")),
+    // BPE-ish regex tokenizer (letter/digit runs), subword count per doc
+    "t5_regex_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextAnalysis.regexTokens(col("text"))).cast("long").as("n_subwords"))
+        .orderBy("doc_id")),
+
     "t3_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -453,6 +460,11 @@ object SparkEntry {
            | len(list_filter(toks, x -> list_contains($enStopSql, x)))::DOUBLE / len(toks) AS stopword_ratio
            |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "t5_regex_tokens" ->
+        ("""SELECT doc_id,
+           | len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+           |   x -> length(x) > 0)) AS n_subwords
+           |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       "t3_fingerprint" ->
         (s"""SELECT doc_id, substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")),
