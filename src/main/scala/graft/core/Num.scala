@@ -24,6 +24,11 @@ object Num {
   /** Exact sum of a double column, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
 
+  /** Exact sum kept in decimal — for two-level aggregation (partial per
+    * fine group, re-summed across grouping sets) where the cast to double
+    * must happen only once, at the very end. */
+  def dsumDec(c: Column): Column = sum(c.cast(Dec))
+
   /** Exact average of a double column, returned as double.
     * Division happens once, in double space, so both engines agree. */
   def davg(c: Column): Column =

@@ -65,27 +65,13 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (bit, dim):
-    * xxhash64 folded to a double in [-1, 1). No RNG state — reproducible
-    * on any cluster. */
-  private def planeComponent(bit: Column, dim: Column): Column =
-    (pmod(xxhash64(bit, dim), lit(1000003L)).cast("double") / 500001.5) - 1.0
-
   /** `bits`-bit random-hyperplane signature of a vector: bit i is the sign
-    * of ⟨v, p_i⟩ where p_i is the deterministic pseudo-plane above. Vectors
-    * with small angle agree on most bits (LSH for cosine). */
-  def hyperplaneBucket(v: Column, bits: Int = 12): Column = {
-    val dv = toDouble(v)
-    val proj = transform(sequence(lit(0), lit(bits - 1)), b =>
-      aggregate(
-        zip_with(dv, sequence(lit(0), size(dv) - 1),
-          (x, i) => x * planeComponent(b, i)),
-        lit(0.0), (acc, x) => acc + x))
-    aggregate(
-      zip_with(proj, sequence(lit(0), lit(bits - 1)),
-        (p, b) => when(p > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * of ⟨v, p_i⟩ for a deterministic pseudo-random plane p_i (no RNG state —
+    * reproducible on any cluster). Vectors with small angle agree on most
+    * bits (LSH for cosine). Native loop
+    * (graft.functions.HyperplaneSigExpr). */
+  def hyperplaneBucket(v: Column, bits: Int = 12): Column =
+    graft.functions.VectorExpressions.hyperplaneSigNative(v, bits)
 
   /** Approximate top-k: score only candidates in the query's hyperplane
     * bucket or any bucket at hamming distance 1 (multi-probe). Recall

@@ -287,6 +287,50 @@ case class PairExpandExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Random-hyperplane LSH signature of a double vector: bit b of the result
+  * is the sign of ⟨v, p_b⟩, where plane component p_b[i] is a deterministic
+  * pseudo-random value in [-1, 1) derived from (b, i) by a murmur-style
+  * mix — no RNG state, reproducible on any cluster. Interpreted eval
+  * (CodegenFallback): one virtual call per row for a bits×dims flop loop. */
+case class HyperplaneSigExpr(child: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(bits >= 1 && bits <= 63)
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  private def plane(b: Int, i: Int): Double = {
+    var x = b.toLong * -7046029254386353131L ^ i.toLong * -4265267296055464877L
+    x ^= (x >>> 33); x *= -49064778989728563L
+    x ^= (x >>> 33)
+    ((x & Long.MaxValue) % 2000003L) / 1000001.5 - 1.0
+  }
+  // plane components precomputed per expression instance (dims discovered
+  // lazily on first row; stable for a column of fixed-dim vectors)
+  @transient private var planes: Array[Array[Double]] = _
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val dims = xs.numElements()
+    if (planes == null || planes(0).length < dims)
+      planes = Array.tabulate(bits, dims)(plane)
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      val p = planes(b)
+      var acc = 0.0
+      var i = 0
+      while (i < dims) { acc += xs.getDouble(i) * p(i); i += 1 }
+      if (acc > 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   private val DblArr = ArrayType(DoubleType)
 
@@ -315,4 +359,9 @@ object VectorExpressions {
   /** Sorted distinct n-gram shingle hashes from a tokens array<string>. */
   def shingleHashesNative(tokens: Column, n: Int): Column =
     Bridge.column(ShingleHashExpr(Bridge.expression(tokens), n))
+
+  /** Random-hyperplane LSH signature (long) of a numeric array column. */
+  def hyperplaneSigNative(vec: Column, bits: Int): Column =
+    Bridge.column(HyperplaneSigExpr(
+      Cast(Bridge.expression(vec), ArrayType(DoubleType)), bits))
 }

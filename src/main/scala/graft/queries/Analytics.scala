@@ -126,18 +126,32 @@ object Analytics {
       .orderBy("o_custkey")
   }
 
+  /** Exact per-(flag, status) partials for the grouping-set queries: the
+    * rollup/cube Expand operator multiplies its INPUT by the number of
+    * grouping sets, so expand a 6-row pre-aggregate, not the fact table.
+    * Decimal partials re-aggregate exactly (associative), so results are
+    * identical to a direct rollup/cube over lineitem. */
+  private def flagStatusPartials(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(Num.dsumDec(col("l_extendedprice")).as("rev_dec"),
+        count(lit(1)).as("n_part"))
+
+  private def sentinelProject(df: DataFrame): DataFrame =
+    df.select(
+      coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+      coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+      col("revenue"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
   /** ROLLUP aggregate with null keys folded to a sentinel so ordering and
     * hashing are engine-agnostic. */
   def revenueRollup(spark: SparkSession, sfDir: String): DataFrame =
-    lineitem(spark, sfDir)
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(Num.dsum(col("l_extendedprice")).as("revenue"),
-        count(lit(1)).as("n"))
-      .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
-        col("revenue"), col("n"))
-      .orderBy("returnflag", "linestatus")
+    sentinelProject(
+      flagStatusPartials(spark, sfDir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("rev_dec")).cast("double").as("revenue"),
+          sum(col("n_part")).as("n")))
 
   /** Set operation: customers with open ('O') orders that never had a
     * finished ('F') order — EXCEPT has distinct-set semantics. */
@@ -170,18 +184,14 @@ object Analytics {
       .na.fill(0L, Segments)
       .orderBy("c_nationkey")
 
-  /** CUBE aggregate (all grouping-set combinations), null keys folded to a
-    * sentinel for engine-agnostic ordering/hashing. */
+  /** CUBE aggregate (all grouping-set combinations) over the pre-aggregated
+    * partials, null keys folded to a sentinel. */
   def revenueCube(spark: SparkSession, sfDir: String): DataFrame =
-    lineitem(spark, sfDir)
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(Num.dsum(col("l_extendedprice")).as("revenue"),
-        count(lit(1)).as("n"))
-      .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
-        col("revenue"), col("n"))
-      .orderBy("returnflag", "linestatus")
+    sentinelProject(
+      flagStatusPartials(spark, sfDir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("rev_dec")).cast("double").as("revenue"),
+          sum(col("n_part")).as("n")))
 
   /** Date arithmetic: ship-delay histogram in whole days, computed on epoch
     * seconds so both engines bucket identically. */
