@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.functions.VectorExpressions
+
+/** The native Catalyst expressions must agree with the compositional
+  * (built-in HOF) formulations they replaced — these specs pin that
+  * equivalence so performance refactors can't drift semantics. */
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b c",
+    "one two",          // shorter than n=3 → empty shingle set
+    "x x x x x x",      // heavy duplication
+  ).toDF("text")
+
+  test("ShingleHashExpr == sorted distinct xxhash64(array_join(slice(...)))") {
+    val toks = texts.select(TextAnalysis.tokens(col("text")).as("toks"))
+    val native = toks.select(
+      VectorExpressions.shingleHashesNative(col("toks"), 3).as("h"))
+      .as[Seq[Long]].collect()
+    val compositional = texts.select(
+      transform(Dedup.shingles(col("text"), 3), s => xxhash64(s)).as("h"))
+      .as[Seq[Long]].collect()
+    native.zip(compositional).foreach { case (n, c) =>
+      assert(n == c.distinct.sorted, s"native $n vs compositional ${c.distinct.sorted}")
+    }
+  }
+
+  test("PairExpandExpr: packed ordered pairs of a sorted id list") {
+    val out = Seq(Seq(1L, 2L, 3L)).toDF("ids")
+      .select(VectorExpressions.pairExpandNative(col("ids")).as("p"))
+      .as[Seq[Long]].head()
+    def pack(a: Long, b: Long) = (a << 32) | b
+    assert(out == Seq(pack(1, 2), pack(1, 3), pack(2, 3)))
+    val empty = Seq(Seq(7L)).toDF("ids")
+      .select(VectorExpressions.pairExpandNative(col("ids")).as("p"))
+      .as[Seq[Long]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("DotProductExpr == HOF aggregate(zip_with) formulation") {
+    val vecs = Seq(
+      (Array(1.5, -2.0, 3.25), Array(0.5, 4.0, -1.0)),
+      (Array(0.0, 0.0, 0.0), Array(1.0, 2.0, 3.0)),
+    ).toDF("a", "b")
+    val native = vecs.select(Similarity.dot(col("a"), col("b"))).as[Double].collect()
+    val hof = vecs.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)).as[Double].collect()
+    assert(native.toSeq == hof.toSeq)
+  }
+
+  test("MinHashSigExpr: fixed length, deterministic, element-order invariant") {
+    val a = Seq(Seq(10L, 20L, 30L)).toDF("h")
+      .select(VectorExpressions.minhashSigNative(col("h"), 128)).as[Seq[Long]].head()
+    val b = Seq(Seq(30L, 10L, 20L)).toDF("h")
+      .select(VectorExpressions.minhashSigNative(col("h"), 128)).as[Seq[Long]].head()
+    assert(a.length == 128 && a == b, "min over a set is order-free")
+  }
+
+  test("HyperplaneSigExpr: equal vectors share a sig; negation complements it") {
+    val v = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val df = Seq(("v", v), ("same", v), ("neg", v.map(-_))).toDF("name", "vec")
+    val sigs = df.select(col("name"),
+      VectorExpressions.hyperplaneSigNative(col("vec"), 12)).as[(String, Long)]
+      .collect().toMap
+    assert(sigs("v") == sigs("same"))
+    assert((sigs("v") ^ sigs("neg")) == ((1L << 12) - 1),
+      "negated vector flips every plane sign")
+  }
+}
