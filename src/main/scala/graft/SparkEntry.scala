@@ -256,6 +256,16 @@ object SparkEntry {
           sha2(col("frame"), 256).as("frame_sha"))
         .orderBy("id", "frame_no")),
 
+    // IVF ANN: the embeddings table's label column is the coarse quantizer
+    "sim3_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", "label", k = 10, nprobe = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
     "sim2_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 5),

@@ -73,6 +73,55 @@ object Similarity {
   def hyperplaneBucket(v: Column, bits: Int = 12): Column =
     graft.functions.VectorExpressions.hyperplaneSigNative(v, bits)
 
+  /** Per-list centroids for IVF: element-wise mean vector per inverted
+    * list. One shuffle keyed by (list, dim) — scales with |lists|·dims,
+    * not corpus size, thanks to partial aggregation. */
+  def listCentroids(corpus: DataFrame, listCol: String, vecCol: String): DataFrame =
+    corpus.select(col(listCol).as("list"),
+        posexplode(toDouble(col(vecCol))).as(Seq("i", "x")))
+      .groupBy("list", "i").agg(avg("x").as("x"))
+      .groupBy("list")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("x")))),
+        s => s.getField("x")).as("centroid"))
+
+  /** IVF (inverted-file) approximate top-k: vectors are sharded into
+    * inverted lists by a coarse quantizer (here a precomputed cluster/label
+    * column); each query scores only the `nprobe` lists whose centroids are
+    * nearest. The classic ANN scale path: work per query drops from
+    * O(corpus) to O(corpus · nprobe / |lists|); recall is tuned by nprobe.
+    * Rank/cos output semantics match bruteForceTopK. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, listCol: String,
+              k: Int, nprobe: Int = 3): DataFrame = {
+    val cent = broadcast(listCentroids(corpus, listCol, vecCol))
+    // probe assignment: nprobe nearest centroids per query
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"),
+      l2norm(col(vecCol)).as("qn"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("list").asc)
+    val probes = broadcast(q.crossJoin(cent)
+      .withColumn("csim", dot(col("qv"), col("centroid")) /
+        (col("qn") * l2norm(col("centroid"))))
+      .withColumn("pr", row_number().over(probeW))
+      .where(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("list")))
+    // scan only the probed lists
+    val c = graft.core.Par.fanOut(corpus.select(col(idCol).as("neighbor_id"),
+        col(listCol).as("clist"), col(vecCol).as("cv0")))
+      .select(col("neighbor_id"), col("clist"), toDouble(col("cv0")).as("cv"),
+        l2norm(col("cv0")).as("cn"))
+    val scored = probes.join(c, col("list") === col("clist") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Approximate top-k: score only candidates in the query's hyperplane
     * bucket or any bucket at hamming distance 1 (multi-probe). Recall
     * depends on data geometry; rank/cos semantics match bruteForceTopK. */

@@ -108,6 +108,24 @@ class ExtSpec extends SparkSpec {
       s"identical vector must be found at rank 1 with cos 1.0: ${top.toSeq}")
   }
 
+  test("ivfTopK: probing the right lists finds exact neighbors on clustered data") {
+    // two tight clusters; IVF with nprobe=1 must stay inside the query's own
+    // cluster and rank its true nearest neighbors exactly like brute force
+    def v(base: Double, j: Int) = Array.tabulate(8)(d => (base + 0.01 * j * (d + 1)).toFloat)
+    val rows = (0L to 4L).map(j => (j, v(1.0, j.toInt), 0)) ++
+      (5L to 9L).map(j => (j, v(-1.0, j.toInt), 1))
+    val corpus = rows.toDF("vec_id", "embedding", "label")
+    val q = corpus.where(col("vec_id") === 0)
+    val ivf = Similarity.ivfTopK(corpus, q, "vec_id", "embedding", "label",
+        k = 3, nprobe = 1)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    val exact = Similarity.bruteForceTopK(
+        corpus.where(col("label") === 0), q, "vec_id", "embedding", 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(ivf == exact, s"ivf $ivf vs in-cluster exact $exact")
+    assert(ivf.forall(_ <= 4L), "nprobe=1 must not cross clusters")
+  }
+
   test("langId: real multilingual samples classify correctly") {
     val df = Seq(
       "the cat is in the house and it is lazy",
