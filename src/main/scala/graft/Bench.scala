@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Timing harness: one JSON line with per-query seconds at the given SF.
+  *
+  * Noise-robustness (the recorded r01 number was 2.6× inflated vs a same-
+  * config re-run): every table is warm-touched first so parquet footer/
+  * metadata reads aren't charged to whichever query runs first, each query
+  * runs TWICE and reports the min, and queries run in sorted-name order so
+  * run-to-run comparisons line up. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,18 +19,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // JVM/codegen warmup
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    // warm-touch every table (footers + OS page cache); events via its
+    // loader (TIMESTAMP(NANOS) needs the legacy read flag)
+    graft.core.Tables.events(spark, sfDir).count()
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"))
+      graft.core.Tables.table(spark, sfDir, t).count()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
       // a failed query reports -1, never a bogus "fast" time
-      val sec = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      val sec = try math.min(once(), once())
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failures = results.values.count(_ < 0)
-    val total = results.values.filter(_ >= 0).sum
+    val failures = results.map(_._2).count(_ < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }

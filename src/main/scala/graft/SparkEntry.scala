@@ -188,10 +188,14 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
-    // x1: explode/lateral — corpus token frequency, top 20
+    // x1: explode/lateral — corpus token frequency, top 20. Tokenize in the
+    // cheap projection, fan out (the exchange materializes the token
+    // arrays), THEN explode + partially aggregate at full parallelism — a
+    // few large doc files must not serialize the explode onto a few cores.
     "x1_top_tokens" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      Par.fanOut(Tables.documents(s, d)
+          .select(TextAnalysis.tokens(col("text")).as("toks")))
+        .select(explode(col("toks")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
@@ -216,13 +220,33 @@ object SparkEntry {
     "d3_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")),
+    // d4 runs the chunk-blocked SimHash with the PORTABLE token hash
+    // (first 60 bits of sha256) so the DuckDB oracle can rebuild the exact
+    // fingerprints; production calls default to the faster xxhash64.
     "d4_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text")
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+          tokenHash = Dedup.shaTokenHash)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
         .orderBy("id_a", "id_b")),
-    "d5_emb_neardup" -> ((s, d) =>
-      Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.5)
+    // d5: LSH-blocked near-dup on a corpus WITH duplicates. The synthetic
+    // embeddings table has no pair above cos 0.52 (its top pair is 0.513 at
+    // sf0.01) — no near-dup regime at all — so the graded corpus plants one
+    // positively-scaled copy of each vector (cosine- AND hyperplane-sign-
+    // invariant, hence deterministic LSH recall 1.0) and the operator must
+    // recover exactly those pairs, blocked, with no cartesian in the plan
+    // (PlanSpec asserts it). The exact all-pairs baseline remains
+    // Dedup.embeddingNearDupPairs (ExtSpec).
+    "d5_emb_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.select(col("vec_id"),
+        Similarity.toDoubleArr(col("embedding")).as("embedding"))
+      val scaled = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x.cast("double") * lit(1.5d)).as("embedding"))
+      Dedup.embeddingNearDupPairsLsh(base.unionByName(scaled),
+          "vec_id", "embedding", 0.9)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
-        .orderBy("id_a", "id_b")),
+        .orderBy("id_a", "id_b")
+    }),
 
     // ---- extension tier: similarity search over embeddings ---------------
     "sim1_ann_topk" -> ((s, d) => {
@@ -240,12 +264,19 @@ object SparkEntry {
           Multimodal.withBlob(Tables.documents(s, d), "text"), "payload",
           s.sparkContext.defaultParallelism), "doc_id", "payload")
         .toDF().orderBy("id")),
+    // m2 grades the feature-extraction plumbing through its exact integer
+    // core (16-bin byte histogram): the float-normalized form neither
+    // hashes nor compares portably (array<float> vs SQL double), the
+    // integer counts do — and the mapPartitions codec path is identical.
     "m2_blob_features" -> ((s, d) =>
-      Multimodal.extractFeatures(
+      Multimodal.extractHistogram(
         Multimodal.repartitionBySize(
           Multimodal.withBlob(Tables.documents(s, d), "text"), "payload",
           s.sparkContext.defaultParallelism), "doc_id", "payload")
-        .toDF().orderBy("id")),
+        .toDF()
+        .select(col("id"), posexplode(col("counts")).as(Seq("bin", "cnt")))
+        .select(col("id"), col("bin").cast("long").as("bin"), col("cnt"))
+        .orderBy("id", "bin")),
     // frames leave as a digest: binary result columns don't round-trip
     // portably through every comparer, the chunking itself is what's tested
     "m3_frame_sample" -> ((s, d) =>
@@ -504,14 +535,40 @@ object SparkEntry {
       // and all planted near-dups sit at J≥0.9 with the rest <0.3 — so the
       // exact blocked-all-pairs result IS the LSH result here.
       "d3_minhash_lsh" -> ngramPairsSql,
+      // brute-force reference over the SAME planted-duplicate corpus the
+      // Spark query builds; the LSH-blocked result must equal it exactly
+      // (scale-invariant signatures → deterministic recall 1.0 on the
+      // planted pairs, exact verify → exact precision)
       "d5_emb_neardup" ->
-        ("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+        ("""WITH v0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+           |v AS (SELECT id, v FROM v0
+           | UNION ALL SELECT id + 1000000, list_transform(v, x -> x * 1.5) FROM v0)
            |SELECT x.id AS id_a, y.id AS id_b,
            | round(list_dot_product(x.v, y.v) /
            |   (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS cos
            |FROM v x JOIN v y ON x.id < y.id
            |WHERE list_dot_product(x.v, y.v) /
-           |   (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.5
+           |   (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.9
+           |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
+      // exact fingerprint replication: token hash = first 15 hex chars of
+      // sha256 (60 bits, positive signed range), vote loop over 60 bits,
+      // then the chunk-blocked Spark result ≡ all pairs at hamming ≤ 3
+      // (pigeonhole blocking has exact recall for the requested bound)
+      "d4_simhash" ->
+        (s"""WITH toks AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
+           |th AS (SELECT id, ('0x' || substring(sha256(tok), 1, 15))::BIGINT AS h
+           | FROM (SELECT id, unnest(toks) AS tok FROM toks)),
+           |votes AS (
+           | SELECT id, b, SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           | FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) bb
+           | GROUP BY 1, 2),
+           |fps AS (SELECT id,
+           |  CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS fp
+           | FROM votes GROUP BY 1)
+           |SELECT a.id AS id_a, b.id AS id_b,
+           | CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS dist
+           |FROM fps a JOIN fps b ON a.id < b.id
+           |WHERE bit_count(xor(a.fp, b.fp)) <= 3
            |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
       "sim1_ann_topk" ->
         ("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
@@ -526,6 +583,46 @@ object SparkEntry {
            | FROM scored)
            |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
            |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+      // IVF probe semantics in SQL: per-label centroids (zipped unnest +
+      // avg per (label, dim)), top-nprobe lists per query by centroid
+      // cosine, brute force inside probed lists, same rank/rounding as sim1
+      "sim3_ann_ivf" ->
+        ("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |ex AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e),
+           |cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY 1, 2),
+           |cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY 1),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+           |probes AS (
+           | SELECT query_id, label FROM (
+           |  SELECT q.query_id, cent.label,
+           |   row_number() OVER (PARTITION BY q.query_id
+           |    ORDER BY list_dot_product(q.qv, cent.c) /
+           |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.c, cent.c))) DESC,
+           |     cent.label ASC) AS pr
+           |  FROM q CROSS JOIN cent) t WHERE pr <= 3),
+           |scored AS (
+           | SELECT p.query_id, e.vec_id AS neighbor_id,
+           |  list_dot_product(q.qv, e.v) /
+           |    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+           | FROM probes p JOIN q ON p.query_id = q.query_id
+           |  JOIN e ON e.label = p.label AND e.vec_id <> p.query_id),
+           |ranked AS (SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           | FROM scored)
+           |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+      // exact integer byte-histogram of the payload: high nibble of byte i
+      // is hex digit 2i of the hex encoding — count each digit at odd
+      // (1-indexed) positions, no float anywhere
+      "m2_blob_features" ->
+        ("""WITH h AS (
+           | SELECT doc_id AS id,
+           |  regexp_replace(hex(encode(text)), '(.).', '\1', 'g') AS hi
+           | FROM documents)
+           |SELECT id, bin,
+           | CAST(length(hi) - length(replace(hi, substring('0123456789ABCDEF', CAST(bin AS INT) + 1, 1), '')) AS BIGINT) AS cnt
+           |FROM h CROSS JOIN (SELECT unnest(range(16)) AS bin) b
+           |ORDER BY id, bin""".stripMargin.replace("\n", " ")),
       "m1_blob_meta" ->
         ("""SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
            | CASE WHEN octet_length(encode(text)) = 0 THEN 'empty'
@@ -540,9 +637,9 @@ object SparkEntry {
            |  unnest(range(0, ceil(length(text) / 64.0)::BIGINT)) AS frame_no
            |  FROM documents) f
            |WHERE frame_no % 2 = 0 ORDER BY id, frame_no""".stripMargin.replace("\n", " ")),
-      // d4_simhash / sim2_ann_lsh: hash-function-dependent candidate sets,
-      // not expressible in portable SQL → rows-only check + ScalaTest specs.
-      // m2_blob_features: float32 arithmetic vs SQL double — rows-only.
+      // sim2_ann_lsh: the 64-bit hyperplane-mix arithmetic isn't portable
+      // SQL (wraparound multiply in HUGEINT space) → rows-only check +
+      // ExtSpec; every other query above has a full value-level oracle.
     )
   }
 

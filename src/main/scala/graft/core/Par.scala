@@ -15,9 +15,14 @@ import org.apache.spark.sql.DataFrame
   * input splits.
   */
 object Par {
-  /** Repartition up to the session's default parallelism (never down). */
-  def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  /** Round-robin repartition to the session's default parallelism.
+    *
+    * Intended for NARROW, SMALL inputs (a scan of a handful of splits)
+    * feeding a compute-bound projection — every call site in this repo is a
+    * two-column scan projection. Unconditional on purpose: reading the
+    * current partition count would force a physical-plan compile per call
+    * (`df.rdd`), and for an already-wide frame the caller shouldn't be
+    * using fanOut at all (the exchange would shuffle the full input). */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

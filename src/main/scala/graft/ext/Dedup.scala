@@ -56,9 +56,14 @@ object Dedup {
     graft.functions.VectorExpressions.shingleHashesNative(toks, n)
 
   /** Exact dedup by content hash: one row per distinct normalized text with
-    * the kept (minimum) id and the duplicate count. */
+    * the kept (minimum) id and the duplicate count. The (id, text)
+    * projection fans out first: fingerprinting (tokenize + sha256) is the
+    * compute-bound stage, and a few large input files must not serialize it
+    * onto a few cores — the partial hash-aggregate then runs at full
+    * parallelism before the one group-by shuffle. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("content_fp"))
+    graft.core.Par.fanOut(df.select(col(idCol), col(textCol)))
+      .groupBy(TextAnalysis.fingerprint(col(textCol)).as("content_fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Exact Jaccard between two shingle-array columns, in double space. */
@@ -189,6 +194,17 @@ object Dedup {
     graft.functions.VectorExpressions.simhash64Native(
       transform(TextAnalysis.tokens(text), tok => xxhash64(tok)))
 
+  /** Portable per-token hash: the first 15 hex chars (60 bits) of sha256,
+    * parsed as a long. Bit-identical in any engine with sha256 (the DuckDB
+    * oracle replicates it with a hex-string cast), at the cost of a slower
+    * hash than xxhash64 — use for cross-engine-checked runs; the xxhash64
+    * default remains the production path. 60 bits (not 64) so the value
+    * stays in the positive signed-long range on every engine — the top 4
+    * fingerprint bits are constantly zero on both sides, which cancels in
+    * any hamming distance. */
+  def shaTokenHash(tok: Column): Column =
+    conv(substring(sha2(tok.cast("binary"), 256), 1, 15), 16, 10).cast("long")
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
@@ -198,14 +214,15 @@ object Dedup {
     * chunk, so recall is exact for the requested bound — then verify
     * hamming ≤ maxDist. Returns (id_a, id_b, dist). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3,
+                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(maxDist >= 0 && maxDist <= 31, "maxDist must be in [0, 31]")
     val chunks = maxDist + 1
     val width = (64 + chunks - 1) / chunks
     val fp = graft.core.Par.fanOut(df.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("toks")))
       .select(col("id"), graft.functions.VectorExpressions.simhash64Native(
-        transform(col("toks"), tok => xxhash64(tok))).as("fp"))
+        transform(col("toks"), tok => tokenHash(tok))).as("fp"))
     val chunked = fp.select(col("id"), col("fp"), posexplode(
         transform(sequence(lit(0), lit(chunks - 1)), c => {
           val shifted = call_function("shiftright", col("fp"), c * width)
@@ -224,9 +241,12 @@ object Dedup {
       .where(col("dist") <= maxDist)
   }
 
-  /** Embedding-cosine near-dup pairs above a similarity threshold.
-    * Brute-force all-pairs — correct at test scale; at corpus scale feed
-    * LSH-bucketed candidates (Similarity.hyperplaneBucket) instead. */
+  /** Embedding-cosine near-dup pairs above a similarity threshold — EXACT
+    * baseline, brute-force all-pairs. O(n²): only for verification and
+    * small corpora; the scale path is [[embeddingNearDupPairsLsh]].
+    * (An exact sub-quadratic cosine-threshold join does not exist for dense
+    * vectors at mid thresholds; at corpus scale near-dup means cos ≈ 1,
+    * which is exactly the regime the LSH blocking covers.) */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             minCos: Double): DataFrame = {
     // norms once per vector, not per pair; fan the pair loop out to all cores
@@ -236,6 +256,51 @@ object Dedup {
     v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         (Similarity.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
+  /** Embedding-cosine near-dup pairs with multi-table hyperplane-LSH
+    * blocking — the corpus-scale path. Candidates are id pairs whose
+    * vectors collide in at least one of `tables` independent `bits`-bit
+    * signatures (equi-join per table, NO cartesian anywhere); the exact
+    * cosine then verifies candidates only, so precision is exact and only
+    * recall is probabilistic.
+    *
+    * Recall model: a pair at angle θ collides in one table with probability
+    * (1 − θ/π)^bits, so P(found) = 1 − (1 − (1−θ/π)^bits)^tables. Exact and
+    * positively-scaled duplicates (θ = 0) have recall 1.0 DETERMINISTICALLY:
+    * hyperplane signs are scale-invariant, so both copies land in every
+    * table's same bucket. At the defaults (16 bits × 4 tables) a cos 0.99
+    * pair (θ/π ≈ 0.045) collides per table w.p. 0.955¹⁶ ≈ 0.48 → found w.p.
+    * ≈ 0.93; raise `tables` for more recall (12 tables → 0.9996). A random
+    * near-orthogonal pair collides anywhere w.p. ≈ tables·2⁻ᵇⁱᵗˢ ≈ 6e-5 —
+    * the candidate set stays ~linear in n. Mid-threshold pairs (cos ≈ 0.5)
+    * are NOT this operator's regime — use the exact baseline for that. */
+  def embeddingNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                               minCos: Double, bits: Int = 16,
+                               tables: Int = 4): DataFrame = {
+    // one pass computes the double vector, its norm, and all table
+    // signatures; the exchange before it materializes (id, vec) so the
+    // signature loops run at full parallelism on attribute inputs
+    val v = graft.core.Par.fanOut(df.select(col(idCol).as("id"), col(vecCol).as("v0")))
+      .select(col("id"), Similarity.toDoubleArr(col("v0")).as("v"),
+        Similarity.l2norm(col("v0")).as("nrm"))
+    val sigs = v.select(col("id"), posexplode(array((0 until tables).map(t =>
+        graft.functions.VectorExpressions.hyperplaneSigNative(col("v"), bits, t.toLong)): _*))
+      .as(Seq("t", "sig")))
+    // same-table same-bucket equi-join; distinct because a pair may collide
+    // in several tables (candidate count is small by construction, so this
+    // dedup shuffle is cheap relative to verification)
+    val cand = sigs.as("x").join(sigs.as("y"),
+        col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= minCos)
   }
 }

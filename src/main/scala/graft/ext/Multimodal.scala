@@ -35,6 +35,10 @@ object Multimodal {
   /** Fixed-dim feature vector per blob. */
   case class BlobFeatures(id: Long, features: Array[Float])
 
+  /** Integer histogram per blob — the exact (float-free) form of
+    * [[BlobFeatures]], used by the oracle-checked surface. */
+  case class BlobHistogram(id: Long, counts: Array[Long])
+
   /** THE STUB: deterministic fake codec standing in for libjpeg/ffmpeg.
     * Every function is a pure function of the bytes, so pipelines built on
     * it are reproducible and oracle-checkable. */
@@ -47,14 +51,20 @@ object Multimodal {
       val fmt = if (b.isEmpty) "empty" else if (b.length % 2 == 0) "png" else "jpeg"
       (fmt, (b.length % 640) + 1, (b.length % 480) + 1)
     }
+    /** Fake feature extractor's integer core: 16-bin histogram of byte high
+      * nibbles. Exact integers — the oracle-checkable form (a SQL engine can
+      * mirror it from the hex encoding of the payload, no float involved). */
+    def histogram(b: Array[Byte]): Array[Long] = {
+      val h = new Array[Long](16)
+      var i = 0
+      while (i < b.length) { h((b(i) & 0xff) >> 4) += 1L; i += 1 }
+      h
+    }
     /** Fake feature extractor: 16-bin byte histogram, L1-normalized — a
       * stand-in with real signal (and the exact shape of an embedding). */
     def features(b: Array[Byte]): Array[Float] = {
-      val h = new Array[Float](16)
-      var i = 0
-      while (i < b.length) { h((b(i) & 0xff) >> 4) += 1f; i += 1 }
       val n = math.max(1, b.length).toFloat
-      h.map(_ / n)
+      histogram(b).map(_ / n)
     }
   }
 
@@ -92,6 +102,17 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).as("id"), col(blobCol).as("payload")).as[Blob]
       .mapPartitions(_.map(b => BlobFeatures(b.id, StubCodec.features(b.payload))))
+  }
+
+  /** Integer-histogram extraction per blob — same mapPartitions plumbing as
+    * [[extractFeatures]] but an exact (hashable, float-free) output, so the
+    * oracle gate can compare it value-for-value against a SQL recomputation
+    * of the byte histogram. */
+  def extractHistogram(df: DataFrame, idCol: String, blobCol: String): Dataset[BlobHistogram] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).as("id"), col(blobCol).as("payload")).as[Blob]
+      .mapPartitions(_.map(b => BlobHistogram(b.id, StubCodec.histogram(b.payload))))
   }
 
   /** "Video" frame sampling: chunk the payload into fixed-size frames and

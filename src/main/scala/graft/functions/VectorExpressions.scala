@@ -241,11 +241,17 @@ case class ShingleHashExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Expand a SORTED array of ids (each < 2³¹) into all k(k-1)/2 ordered
-  * pairs, each packed into one long (a<<32 | b). Downstream the pair stream
-  * is a primitive-long explode + hash aggregate — no struct allocation, no
-  * two-column group keys. The blocking caller caps posting-list length, so
-  * k is bounded. */
+/** Expand a SORTED array of ids (each in [0, 2³¹)) into all k(k-1)/2
+  * ordered pairs, each packed into one long (a<<32 | b). Downstream the pair
+  * stream is a primitive-long explode + hash aggregate — no struct
+  * allocation, no two-column group keys. The blocking caller caps
+  * posting-list length, so k is bounded.
+  *
+  * Ids outside [0, 2³¹) cannot pack into 32 bits and FAIL LOUDLY (they
+  * would otherwise silently corrupt pairs — a 100 TB corpus can exceed 2³¹
+  * docs). Callers with wider ids must densely re-key first or pair as
+  * structs; the check is one branch per outer-loop element, noise next to
+  * the k²/2 inner work. */
 case class PairExpandExpr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -259,7 +265,9 @@ case class PairExpandExpr(child: Expression)
     var p = 0
     var i = 0
     while (i < k) {
-      val a = xs.getLong(i) << 32
+      val id = xs.getLong(i)
+      if (id < 0L || id > 0x7fffffffL) PairExpandExpr.idOutOfRange(id)
+      val a = id << 32
       var j = i + 1
       while (j < k) { out(p) = a | xs.getLong(j); p += 1; j += 1 }
       i += 1
@@ -272,12 +280,17 @@ case class PairExpandExpr(child: Expression)
       val k = ctx.freshName("k"); val out = ctx.freshName("out")
       val p = ctx.freshName("p"); val i = ctx.freshName("i")
       val j = ctx.freshName("j"); val a = ctx.freshName("a")
+      val id = ctx.freshName("id")
       s"""
          |int $k = $xs.numElements();
          |long[] $out = new long[$k * ($k - 1) / 2];
          |int $p = 0;
          |for (int $i = 0; $i < $k; $i++) {
-         |  long $a = $xs.getLong($i) << 32;
+         |  long $id = $xs.getLong($i);
+         |  if ($id < 0L || $id > 0x7fffffffL) {
+         |    graft.functions.PairExpandExpr.idOutOfRange($id);
+         |  }
+         |  long $a = $id << 32;
          |  for (int $j = $i + 1; $j < $k; $j++) { $out[$p++] = $a | $xs.getLong($j); }
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
@@ -287,12 +300,22 @@ case class PairExpandExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+object PairExpandExpr {
+  /** Shared by interpreted eval and generated code. */
+  def idOutOfRange(id: Long): Nothing =
+    throw new IllegalArgumentException(
+      s"graft_pair_expand: id $id is outside [0, 2^31) and cannot pack into " +
+        "a 32-bit pair half — densely re-key the ids or pair as structs")
+}
+
 /** Random-hyperplane LSH signature of a double vector: bit b of the result
   * is the sign of ⟨v, p_b⟩, where plane component p_b[i] is a deterministic
-  * pseudo-random value in [-1, 1) derived from (b, i) by a murmur-style
-  * mix — no RNG state, reproducible on any cluster. Interpreted eval
-  * (CodegenFallback): one virtual call per row for a bits×dims flop loop. */
-case class HyperplaneSigExpr(child: Expression, bits: Int)
+  * pseudo-random value in [-1, 1) derived from (b, i, seed) by a murmur-
+  * style mix — no RNG state, reproducible on any cluster. Distinct seeds
+  * give independent signature tables (multi-table LSH); seed 0 reproduces
+  * the single-table signature exactly. Interpreted eval (CodegenFallback):
+  * one virtual call per row for a bits×dims flop loop. */
+case class HyperplaneSigExpr(child: Expression, bits: Int, seed: Long = 0L)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   require(bits >= 1 && bits <= 63)
@@ -301,7 +324,8 @@ case class HyperplaneSigExpr(child: Expression, bits: Int)
   override def prettyName: String = "graft_hyperplane_sig"
 
   private def plane(b: Int, i: Int): Double = {
-    var x = b.toLong * -7046029254386353131L ^ i.toLong * -4265267296055464877L
+    var x = b.toLong * -7046029254386353131L ^ i.toLong * -4265267296055464877L ^
+      seed * 6364136223846793005L
     x ^= (x >>> 33); x *= -49064778989728563L
     x ^= (x >>> 33)
     ((x & Long.MaxValue) % 2000003L) / 1000001.5 - 1.0
@@ -360,8 +384,9 @@ object VectorExpressions {
   def shingleHashesNative(tokens: Column, n: Int): Column =
     Bridge.column(ShingleHashExpr(Bridge.expression(tokens), n))
 
-  /** Random-hyperplane LSH signature (long) of a numeric array column. */
-  def hyperplaneSigNative(vec: Column, bits: Int): Column =
+  /** Random-hyperplane LSH signature (long) of a numeric array column.
+    * Distinct seeds yield independent tables; seed 0 is the default table. */
+  def hyperplaneSigNative(vec: Column, bits: Int, seed: Long = 0L): Column =
     Bridge.column(HyperplaneSigExpr(
-      Cast(Bridge.expression(vec), ArrayType(DoubleType)), bits))
+      Cast(Bridge.expression(vec), ArrayType(DoubleType)), bits, seed))
 }

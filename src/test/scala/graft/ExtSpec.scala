@@ -70,6 +70,22 @@ class ExtSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)), "near-dup within bound")
   }
 
+  test("embeddingNearDupPairsLsh: planted scaled dups found exactly, equals exact baseline") {
+    // 8 one-hot base vectors (pairwise cos 0) + positively-scaled copies of
+    // the first three (cos 1 with their originals, signature-identical in
+    // every LSH table — deterministic recall)
+    val base = (0 until 8).map(i =>
+      (i.toLong, Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f)))
+    val dups = base.take(3).map { case (i, v) => (i + 100L, v.map(_ * 2.5f)) }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val lsh = Dedup.embeddingNearDupPairsLsh(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((0L, 100L), (1L, 101L), (2L, 102L)))
+    assert(lsh == exact, s"LSH-blocked must equal the exact baseline: $lsh vs $exact")
+  }
+
   test("cosine: exact values on unit vectors") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),

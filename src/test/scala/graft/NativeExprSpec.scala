@@ -72,4 +72,31 @@ class NativeExprSpec extends SparkSpec {
     assert((sigs("v") ^ sigs("neg")) == ((1L << 12) - 1),
       "negated vector flips every plane sign")
   }
+
+  test("HyperplaneSigExpr: seeds give independent tables, seed 0 is the default") {
+    val v = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val df = Seq(Tuple1(v)).toDF("vec")
+    def sig(seed: Long) = df.select(
+      VectorExpressions.hyperplaneSigNative(col("vec"), 16, seed)).as[Long].head()
+    assert(sig(0L) == df.select(
+      VectorExpressions.hyperplaneSigNative(col("vec"), 16)).as[Long].head(),
+      "explicit seed 0 ≡ default single-table signature")
+    assert(Seq(0L, 1L, 2L, 3L).map(sig).distinct.size == 4,
+      "distinct seeds must draw distinct plane sets")
+  }
+
+  test("PairExpandExpr: ids outside [0, 2^31) fail loudly, never corrupt") {
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    for (bad <- Seq(1L << 31, -1L)) {
+      val e = intercept[Throwable] {
+        Seq(Seq(1L, bad).sorted).toDF("ids")
+          .select(VectorExpressions.pairExpandNative(col("ids")).as("p"))
+          .collect()
+      }
+      assert(chain(e).exists(t =>
+        Option(t.getMessage).exists(_.contains("graft_pair_expand"))),
+        s"expected a loud pair_expand range failure for id $bad, got: $e")
+    }
+  }
 }

@@ -70,4 +70,25 @@ class PlanSpec extends SparkSpec {
     // partial_ appears in HashAggregate(keys=..., functions=[partial_sum...])
     assert(p.contains("partial_sum"), s"expected map-side combine:\n$p")
   }
+
+  test("d5_emb_neardup: LSH-blocked — no cartesian / nested-loop join anywhere") {
+    val p = plan("d5_emb_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup candidates must come from LSH buckets, not all-pairs:\n$p")
+  }
+
+  test("x1_top_tokens: explode runs above a fan-out exchange (not on one split)") {
+    val p = plan("x1_top_tokens")
+    val gen = p.indexOf("Generate")
+    val ex = p.indexOf("Exchange RoundRobinPartitioning")
+    assert(gen >= 0 && ex > gen,
+      s"expected the explode ABOVE a round-robin fan-out exchange:\n$p")
+  }
+
+  test("d1_exact_dedup: fingerprint partial-agg runs above the fan-out exchange") {
+    val p = plan("d1_exact_dedup")
+    val ex = p.indexOf("Exchange RoundRobinPartitioning")
+    assert(ex >= 0 && p.lastIndexOf("HashAggregate") < ex,
+      s"expected partial hash-aggregate ABOVE the round-robin exchange:\n$p")
+  }
 }
