@@ -637,9 +637,13 @@ object SparkEntry {
            |  unnest(range(0, ceil(length(text) / 64.0)::BIGINT)) AS frame_no
            |  FROM documents) f
            |WHERE frame_no % 2 = 0 ORDER BY id, frame_no""".stripMargin.replace("\n", " ")),
-      // sim2_ann_lsh: the 64-bit hyperplane-mix arithmetic isn't portable
-      // SQL (wraparound multiply in HUGEINT space) → rows-only check +
-      // ExtSpec; every other query above has a full value-level oracle.
+      // hyperplane-LSH in SQL: the 64-bit wraparound plane mix is emulated
+      // in HUGEINT space (unsigned constants; (a*b) mod 2^64 via 32-bit
+      // split so no intermediate exceeds 2^96; >>>33 as division by 2^33),
+      // then signatures, hamming-1 multiprobe, and ranking replicate
+      // Similarity.lshTopK value-for-value — every graded query now has a
+      // full value-level oracle.
+      "sim2_ann_lsh" -> sim2LshSql,
     )
   }
 
@@ -673,4 +677,45 @@ object SparkEntry {
   /** Oracle-side exact-decimal sum of a double expression (see Num.dsum). */
   private def dsum(expr: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(30,6))) AS DOUBLE)"
+
+  /** DuckDB replica of [[graft.functions.HyperplaneSigExpr]]'s plane mix
+    * (seed 0) + `Similarity.lshTopK` probing. Constants are the expression's
+    * multipliers reinterpreted as unsigned 64-bit; wraparound `a*b mod 2⁶⁴`
+    * splits `a` into 32-bit halves so every intermediate fits HUGEINT. */
+  private val sim2LshSql = {
+    val U1 = "11400714819323198485" // unsigned(-7046029254386353131)
+    val U2 = "14181476777654086739" // unsigned(-4265267296055464877)
+    val U4 = "18397679294719823053" // unsigned(-49064778989728563)
+    val M64 = "18446744073709551616" // 2^64
+    (s"""WITH bi AS (SELECT b, i FROM (SELECT unnest(range(12)) AS b), (SELECT unnest(range(64)) AS i)),
+       |m0 AS (SELECT b, i,
+       | xor(CAST((b::HUGEINT * $U1) % $M64 AS UBIGINT),
+       |     CAST((i::HUGEINT * $U2) % $M64 AS UBIGINT)) AS x0 FROM bi),
+       |m1 AS (SELECT b, i, xor(x0, x0 // 8589934592) AS x1 FROM m0),
+       |m2 AS (SELECT b, i,
+       | CAST(((x1::HUGEINT % 4294967296) * $U4
+       |     + (((x1::HUGEINT // 4294967296) * $U4) % 4294967296) * 4294967296
+       |     ) % $M64 AS UBIGINT) AS x2 FROM m1),
+       |m3 AS (SELECT b, i, xor(x2, x2 // 8589934592) AS x3 FROM m2),
+       |planes AS (SELECT b, i, ((x3 % 9223372036854775808)::HUGEINT % 2000003) / 1000001.5 - 1.0 AS val FROM m3),
+       |pl AS (SELECT b, list(val ORDER BY i) AS p FROM planes GROUP BY b),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sig AS (SELECT vec_id,
+       | CAST(SUM(CASE WHEN list_dot_product(v, p) > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS s
+       | FROM e CROSS JOIN pl GROUP BY vec_id),
+       |q AS (SELECT e.vec_id AS query_id, v AS qv, s AS qb FROM e JOIN sig ON e.vec_id = sig.vec_id WHERE e.vec_id < 5),
+       |probes AS (SELECT query_id, qv,
+       | unnest([qb] || list_transform(range(12), b -> xor(qb, 1::BIGINT << CAST(b AS INT)))) AS probe
+       | FROM q),
+       |scored AS (
+       | SELECT p.query_id, e.vec_id AS neighbor_id,
+       |  list_dot_product(p.qv, e.v) /
+       |    (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+       | FROM probes p JOIN sig ON sig.s = p.probe
+       |  JOIN e ON e.vec_id = sig.vec_id AND e.vec_id <> p.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos,
+       | row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " "))
+  }
 }
