@@ -200,6 +200,31 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
+    // x2: corpus TF-IDF term weighting (tf, df, tf·ln(N/df) per doc-term)
+    "x2_tfidf" -> ((s, d) =>
+      TextAnalysis.termStats(Tables.documents(s, d), "doc_id", "text", minTf = 3)
+        .orderBy("doc_id", "term")),
+
+    // sp1: deterministic hash-based train/val/test split — reproducible
+    // across runs/engines/partitionings, pure projection (no shuffle)
+    "sp1_hash_split" -> ((s, d) =>
+      ext.Sampling.withSplit(Tables.documents(s, d), col("doc_id"), "graft")
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")),
+
+    // rj1: 1-D range join (price → quadratic-width band) via bucketed
+    // blocking — equi-join plan, no nested loop (PlanSpec asserts it)
+    "rj1_price_band" -> ((s, d) => {
+      import s.implicits._
+      val bands = (0 until 10).map(b =>
+        (b.toLong, 900.0 + b * b, 900.0 + (b + 1) * (b + 1))).toDF("band_id", "lo", "hi")
+      graft.queries.RangeJoin.pointInInterval(
+          Tables.part(s, d).select(col("p_partkey"), col("p_retailprice")),
+          "p_retailprice", bands, "lo", "hi", bucketWidth = 8.0)
+        .select(col("p_partkey"), col("band_id"), col("lo"), col("hi"))
+        .orderBy("p_partkey", "band_id")
+    }),
+
     // u1: UNION ALL across heterogeneous sources into one stats relation
     "u1_table_stats" -> ((s, d) => {
       def cnt(name: String) =
@@ -483,6 +508,32 @@ object SparkEntry {
         (s"""SELECT token, COUNT(*) AS n
            |FROM (SELECT unnest($toksSql) AS token FROM documents) t
            |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin.replace("\n", " ")),
+      "x2_tfidf" ->
+        (s"""WITH tf AS (
+           | SELECT doc_id, term, COUNT(*) AS tf
+           | FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+           | GROUP BY 1, 2),
+           |dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+           |SELECT t.doc_id, t.term, t.tf, d.df,
+           | round(t.tf * ln(n_docs::DOUBLE / d.df), 4) AS tfidf
+           |FROM tf t JOIN dfc d USING (term) CROSS JOIN n
+           |WHERE t.tf >= 3 ORDER BY doc_id, term""".stripMargin.replace("\n", " ")),
+      "sp1_hash_split" ->
+        ("""SELECT doc_id, bucket,
+           | CASE WHEN bucket < 80 THEN 'train'
+           |  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM (SELECT doc_id,
+           |  ('0x' || substring(sha256(doc_id::VARCHAR || ':graft'), 1, 15))::BIGINT % 100 AS bucket
+           | FROM documents)
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "rj1_price_band" ->
+        ("""WITH bands(band_id, lo, hi) AS (
+           | SELECT b, 900.0 + b * b, 900.0 + (b + 1) * (b + 1)
+           | FROM (SELECT unnest(range(10)) AS b))
+           |SELECT p_partkey, band_id, lo::DOUBLE AS lo, hi::DOUBLE AS hi
+           |FROM part JOIN bands ON lo <= p_retailprice AND p_retailprice < hi
+           |ORDER BY p_partkey, band_id""".stripMargin.replace("\n", " ")),
       "u1_table_stats" ->
         ("""SELECT 'customer' AS tbl, COUNT(*) AS n_rows FROM customer
            |UNION ALL SELECT 'orders', COUNT(*) FROM orders

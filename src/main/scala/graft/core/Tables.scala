@@ -48,6 +48,27 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
+  /** CSV source with an EXPLICIT schema — never schema inference, which
+    * costs an extra full pass over 100 TB and guesses types per-run.
+    * `multiLine` handles quoted embedded newlines (real text columns have
+    * them); note multiLine CSV files are not splittable — at scale prefer
+    * many files over one giant one, or escape newlines at produce time. */
+  def csvTable(spark: SparkSession, path: String,
+               schema: org.apache.spark.sql.types.StructType,
+               header: Boolean = true, multiLine: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("multiLine", multiLine.toString)
+      .option("escape", "\"")
+      .csv(path)
+
+  /** JSON-lines source with an explicit schema (same no-inference rule);
+    * one JSON object per line — splittable, the standard interchange shape
+    * for document corpora. */
+  def jsonlTable(spark: SparkSession, path: String,
+                 schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** JDBC dimension scan, the shape of the reference's `readUserMetadata`
     * (`BatchJobImpl.scala:29-38`). Not exercised offline (no DB in the test
     * environment); kept as the production path for a serving-DB dimension.

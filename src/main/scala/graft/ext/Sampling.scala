@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for dataset curation.
+  *
+  * Training-data pipelines need train/val/test splits and down-samples that
+  * are (a) reproducible across runs and engines, (b) stable under
+  * re-partitioning and incremental reprocessing — a document keeps its split
+  * forever, no matter when or where it is processed — and (c) pure
+  * projections: no shuffle, no RNG state, no sort. `rand()`-based sampling
+  * violates all three at 100 TB (non-deterministic per task retry,
+  * partitioning-dependent, unrepeatable). The standard fix is hashing a
+  * stable key with a salt: bucket = H(key, salt) mod buckets.
+  *
+  * The hash is the same portable sha256-prefix used by the graded SimHash
+  * path ([[Dedup.shaTokenHash]] note): first 60 bits of sha256, positive in
+  * a signed 64-bit space everywhere, so any engine (the DuckDB oracle
+  * included) reproduces buckets bit-for-bit. Salting gives independent
+  * splits for independent purposes (change the salt → a fresh, uncorrelated
+  * assignment).
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from a key column and salt: first 60
+    * bits of sha256(key ":" salt) mod buckets. Pure projection, engine-
+    * portable, uniform to ~2⁻⁶⁰. */
+  def hashBucket(key: Column, salt: String, buckets: Int = 100): Column = {
+    require(buckets > 0)
+    conv(substring(sha2(concat(key.cast("string"), lit(":" + salt)).cast("binary"),
+      256), 1, 15), 16, 10).cast("long") % buckets
+  }
+
+  /** Deterministic percentage down-sample: keep rows whose bucket falls
+    * below `pct` (of 100). */
+  def sampleByHash(df: DataFrame, key: Column, salt: String, pct: Int): DataFrame =
+    df.where(hashBucket(key, salt) < pct)
+
+  /** Train/val/test assignment: adds `bucket` (0-99) and `split` columns.
+    * Buckets < trainPct → "train", < trainPct+valPct → "val", rest "test".
+    * One codegen'd projection over the corpus — zero shuffles. */
+  def withSplit(df: DataFrame, key: Column, salt: String,
+                trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100)
+    df.withColumn("bucket", hashBucket(key, salt))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+}

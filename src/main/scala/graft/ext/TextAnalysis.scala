@@ -46,6 +46,31 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     substring(sha2(array_join(tokens(text), " "), 256), 1, 16)
 
+  /** Per-(document, term) TF-IDF statistics: tf (term count in doc), df
+    * (documents containing the term), and tfidf = tf · ln(N/df), for terms
+    * with tf ≥ `minTf`. The classic corpus term-weighting pass.
+    *
+    * Scale shape: tokenize in the cheap projection, fan out, explode; tf is
+    * one (doc, term) hash-aggregate with map-side combine; df is a second
+    * partial-aggregated rollup OF THE TF RELATION (|doc·term| rows, never
+    * the raw token stream); N broadcasts as a single-row literal. Shuffled
+    * bytes are bounded by distinct (doc, term) pairs — the same bound as
+    * any inverted-index build. */
+  def termStats(df: DataFrame, idCol: String, textCol: String,
+                minTf: Int = 2): DataFrame = {
+    val toks = graft.core.Par.fanOut(df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks")))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfc, "term").crossJoin(broadcast(nDocs))
+      .where(col("tf") >= minTf)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
+          .as("tfidf"))
+  }
+
   val EnStop: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "that", "it")
   val DeStop: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
   val FrStop: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour")

@@ -142,6 +142,39 @@ class ExtSpec extends SparkSpec {
     assert(ivf.forall(_ <= 4L), "nprobe=1 must not cross clusters")
   }
 
+  test("termStats: hand-computed tf/df/tfidf on a tiny corpus") {
+    val corpus = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry"),
+      (3L, "cherry cherry cherry"),
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.termStats(corpus, "doc_id", "text", minTf = 1)
+      .select("doc_id", "term", "tf", "df", "tfidf")
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    // N=3; apple df=2, banana df=1, cherry df=2
+    def w(tf: Long, df: Long) =
+      BigDecimal(tf * math.log(3.0 / df)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows == Set(
+      (1L, "apple", 2L, 2L, w(2, 2)), (1L, "banana", 1L, 1L, w(1, 1)),
+      (2L, "apple", 1L, 2L, w(1, 2)), (2L, "cherry", 1L, 2L, w(1, 2)),
+      (3L, "cherry", 3L, 2L, w(3, 2))), rows.toString)
+  }
+
+  test("hash split: deterministic, partitioning-invariant, roughly proportional") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val a = ext.Sampling.withSplit(ids, col("id"), "s1")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val b = ext.Sampling.withSplit(ids.repartition(7), col("id"), "s1")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == b, "split must not depend on partitioning")
+    val n = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 1500 && n("train") < 1700, s"~80% train: $n")
+    assert(n("val") > 130 && n("val") < 270, s"~10% val: $n")
+    val c = ext.Sampling.withSplit(ids, col("id"), "s2")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a != c, "a different salt must draw a different assignment")
+  }
+
   test("langId: real multilingual samples classify correctly") {
     val df = Seq(
       "the cat is in the house and it is lazy",

@@ -77,6 +77,13 @@ class PlanSpec extends SparkSpec {
       s"near-dup candidates must come from LSH buckets, not all-pairs:\n$p")
   }
 
+  test("rj1_price_band: bucketed range join plans as a HASH join, no nested loop") {
+    val p = plan("rj1_price_band")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must block on buckets, not compare all pairs:\n$p")
+    assert(p.contains("HashJoin"), s"expected an equi hash join on the bucket:\n$p")
+  }
+
   test("x1_top_tokens: explode runs above a fan-out exchange (not on one split)") {
     val p = plan("x1_top_tokens")
     val gen = p.indexOf("Generate")
