@@ -250,7 +250,7 @@ object SparkEntry {
     // fingerprints; production calls default to the faster xxhash64.
     "d4_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
-          tokenHash = Dedup.shaTokenHash)
+          tokensHash = Dedup.shaTokensHash)
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
         .orderBy("id_a", "id_b")),
     // d5: LSH-blocked near-dup on a corpus WITH duplicates. The synthetic

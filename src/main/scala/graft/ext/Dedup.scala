@@ -189,21 +189,22 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens: bit b of the fingerprint is the
     * sign of Σ_tokens (±1 depending on bit b of xxhash64(token)).
-    * Codegen'd vote loop (graft.functions.SimHash64Expr). */
+    * Codegen'd vote loop (graft.functions.SimHash64Expr) over a native
+    * token-hash loop (no per-element lambda dispatch). */
   def simhash(text: Column): Column =
     graft.functions.VectorExpressions.simhash64Native(
-      transform(TextAnalysis.tokens(text), tok => xxhash64(tok)))
+      graft.functions.VectorExpressions.xxTokenHashesNative(TextAnalysis.tokens(text)))
 
-  /** Portable per-token hash: the first 15 hex chars (60 bits) of sha256,
-    * parsed as a long. Bit-identical in any engine with sha256 (the DuckDB
-    * oracle replicates it with a hex-string cast), at the cost of a slower
-    * hash than xxhash64 — use for cross-engine-checked runs; the xxhash64
-    * default remains the production path. 60 bits (not 64) so the value
-    * stays in the positive signed-long range on every engine — the top 4
-    * fingerprint bits are constantly zero on both sides, which cancels in
-    * any hamming distance. */
-  def shaTokenHash(tok: Column): Column =
-    conv(substring(sha2(tok.cast("binary"), 256), 1, 15), 16, 10).cast("long")
+  /** Portable per-token-array hash: first 60 bits of sha256 per element
+    * (native loop — graft.functions.Sha60TokenHashExpr). Bit-identical in
+    * any engine with sha256 (the DuckDB oracle replicates it with a
+    * hex-string cast), slower than xxhash64 — use for cross-engine-checked
+    * runs; the xxhash64 default remains the production path. 60 bits (not
+    * 64) so the value stays in the positive signed-long range on every
+    * engine — the top 4 fingerprint bits are constantly zero on both
+    * sides, which cancels in any hamming distance. */
+  def shaTokensHash(toks: Column): Column =
+    graft.functions.VectorExpressions.sha60TokenHashesNative(toks)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
@@ -215,14 +216,15 @@ object Dedup {
     * hamming ≤ maxDist. Returns (id_a, id_b, dist). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3,
-                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+                   tokensHash: Column => Column =
+                     graft.functions.VectorExpressions.xxTokenHashesNative): DataFrame = {
     require(maxDist >= 0 && maxDist <= 31, "maxDist must be in [0, 31]")
     val chunks = maxDist + 1
     val width = (64 + chunks - 1) / chunks
     val fp = graft.core.Par.fanOut(df.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("toks")))
       .select(col("id"), graft.functions.VectorExpressions.simhash64Native(
-        transform(col("toks"), tok => tokenHash(tok))).as("fp"))
+        tokensHash(col("toks"))).as("fp"))
     val chunked = fp.select(col("id"), col("fp"), posexplode(
         transform(sequence(lit(0), lit(chunks - 1)), c => {
           val shifted = call_function("shiftright", col("fp"), c * width)

@@ -308,6 +308,70 @@ object PairExpandExpr {
         "a 32-bit pair half — densely re-key the ids or pair as structs")
 }
 
+/** Per-element xxhash64 (seed 42) of an array<string> — value-identical to
+  * `transform(arr, x => xxhash64(x))` but one tight loop instead of an
+  * interpreted lambda dispatch per element (the HOF costs ~10× on token
+  * arrays; see the repo invariant on hot per-element kernels). Interpreted
+  * eval only (CodegenFallback): per-ROW cost is one virtual call. */
+case class XxTokenHashExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_xx_token_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = xs.getUTF8String(i)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-element portable 60-bit sha256-prefix hash of an array<string> —
+  * value-identical to `conv(substring(sha2(x, 256), 1, 15), 16, 10)` per
+  * element (first 15 hex chars = top 60 bits of the big-endian first 8
+  * digest bytes) but hashing digest bytes directly: no hex string, no
+  * decimal-string base conversion, no lambda dispatch. The cross-engine-
+  * checkable hash family (any engine with sha256 reproduces it). */
+case class Sha60TokenHashExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_sha60_token_hashes"
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance("SHA-256")
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(xs.getUTF8String(i).getBytes)
+      var x = 0L
+      var j = 0
+      while (j < 8) { x = (x << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = x >>> 4 // 64 big-endian bits → top 60 (15 hex chars)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Random-hyperplane LSH signature of a double vector: bit b of the result
   * is the sign of ⟨v, p_b⟩, where plane component p_b[i] is a deterministic
   * pseudo-random value in [-1, 1) derived from (b, i, seed) by a murmur-
@@ -383,6 +447,14 @@ object VectorExpressions {
   /** Sorted distinct n-gram shingle hashes from a tokens array<string>. */
   def shingleHashesNative(tokens: Column, n: Int): Column =
     Bridge.column(ShingleHashExpr(Bridge.expression(tokens), n))
+
+  /** Per-element xxhash64 (seed 42) of an array<string>. */
+  def xxTokenHashesNative(tokens: Column): Column =
+    Bridge.column(XxTokenHashExpr(Bridge.expression(tokens)))
+
+  /** Per-element portable 60-bit sha256-prefix hash of an array<string>. */
+  def sha60TokenHashesNative(tokens: Column): Column =
+    Bridge.column(Sha60TokenHashExpr(Bridge.expression(tokens)))
 
   /** Random-hyperplane LSH signature (long) of a numeric array column.
     * Distinct seeds yield independent tables; seed 0 is the default table. */

@@ -42,6 +42,26 @@ class NativeExprSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("XxTokenHashExpr == transform(arr, x => xxhash64(x))") {
+    val toks = texts.select(TextAnalysis.tokens(col("text")).as("toks"))
+    val native = toks.select(
+      VectorExpressions.xxTokenHashesNative(col("toks"))).as[Seq[Long]].collect()
+    val hof = toks.select(
+      transform(col("toks"), t => xxhash64(t))).as[Seq[Long]].collect()
+    assert(native.toSeq == hof.toSeq)
+  }
+
+  test("Sha60TokenHashExpr == conv(substring(sha2(x), 1, 15), 16, 10) per element") {
+    val toks = (texts.collect().map(_.getString(0)).toSeq :+ "中文 désolé ")
+      .toDF("text").select(TextAnalysis.tokens(col("text")).as("toks"))
+    val native = toks.select(
+      VectorExpressions.sha60TokenHashesNative(col("toks"))).as[Seq[Long]].collect()
+    val hof = toks.select(transform(col("toks"), t =>
+      conv(substring(sha2(t.cast("binary"), 256), 1, 15), 16, 10).cast("long")))
+      .as[Seq[Long]].collect()
+    assert(native.toSeq == hof.toSeq)
+  }
+
   test("DotProductExpr == HOF aggregate(zip_with) formulation") {
     val vecs = Seq(
       (Array(1.5, -2.0, 3.25), Array(0.5, 4.0, -1.0)),
