@@ -96,6 +96,14 @@ object SparkEntry {
         "2 hours", "1 hour", col("value"), "antenna_bytes_sliding")
         .orderBy("timestamp", "id")),
 
+    // A-ext: salted two-stage aggregation — the skewed-hot-key escape
+    // hatch; exact-decimal partials make it ≡ the plain GROUP BY, which is
+    // exactly what the oracle checks
+    "a9_salted_total" -> ((s, d) =>
+      Agg.saltedSum(events(s, d), col("event_type"), col("event_id"), 16,
+        col("value"), "value")
+        .orderBy("id")),
+
     // A7/P8: hourly quota violators — groupBy + HAVING over the enrichment
     "a7_quota_violations" -> ((s, d) =>
       QuotaCheck.quotaViolations(enriched(s, d), col("c_name"),
@@ -359,6 +367,10 @@ object SparkEntry {
            |   time_bucket(INTERVAL '1 hour', ts) - INTERVAL 1 HOUR]) AS w,
            |  event_type, value FROM events) t
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
+      "a9_salted_total" ->
+        ("""SELECT event_type AS id,
+           | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       "a7_quota_violations" ->
         ("""SELECT c_name AS email,
            | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS usage,

@@ -61,4 +61,23 @@ object Agg {
   def windowedSumSession(df: DataFrame, dim: Column, ts: Column, gap: String,
                          value: Column, typeTag: String): DataFrame =
     unified(df, dim, session_window(ts, gap), Num.dsum(value), typeTag)
+
+  /** Two-stage SALTED sum for pathologically skewed keys: stage 1 groups by
+    * (key, salt) — salt derived deterministically from a high-cardinality
+    * column — spreading one hot key across `nSalts` reducers; stage 2
+    * re-sums the per-salt partials by key alone. AQE's skew handling splits
+    * skewed JOIN partitions, but a skewed aggregation key still funnels its
+    * entire post-combine partial stream into ONE reducer; salting is the
+    * standard fix when a hot key (one antenna carrying 30% of a 100 TB
+    * feed) overwhelms a single task. Exact-decimal partials ([[Num]]) make
+    * the two-stage result bit-identical to the direct sum (associativity) —
+    * a pure physical rewrite, oracle-checkable against the plain GROUP BY.
+    */
+  def saltedSum(df: DataFrame, key: Column, saltSrc: Column, nSalts: Int,
+                value: Column, as: String): DataFrame = {
+    require(nSalts > 0)
+    df.groupBy(key.as("id"), pmod(xxhash64(saltSrc), lit(nSalts)).as("__salt"))
+      .agg(Num.dsumDec(value).as("__part"))
+      .groupBy("id").agg(sum(col("__part")).cast("double").as(as))
+  }
 }

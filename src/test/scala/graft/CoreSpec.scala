@@ -93,6 +93,18 @@ class CoreSpec extends SparkSpec {
     assert(out.where(col("id") === "u1").select("bytes").as[Long].head() == 47L)
   }
 
+  test("saltedSum ≡ direct exact-decimal sum on a skewed key") {
+    // one hot key (90% of rows) — the case salting exists for
+    val skewed = (1 to 900).map(i => ("hot", i, i * 0.01)) ++
+      (1 to 100).map(i => (s"cold${i % 7}", 1000 + i, 1.0))
+    val df = skewed.toDF("k", "uid", "v")
+    val salted = Agg.saltedSum(df, col("k"), col("uid"), 16, col("v"), "value")
+      .as[(String, Double)].collect().toMap
+    val direct = df.groupBy(col("k").as("id")).agg(Num.dsum(col("v")).as("value"))
+      .as[(String, Double)].collect().toMap
+    assert(salted == direct, s"two-stage salted must be exact: $salted vs $direct")
+  }
+
   test("S2-style filter on date parts prunes to the expected hour") {
     val df = Sinks.withDateParts(msgs, "timestamp")
     val out = df.where(col("year") === 2022 && col("month") === 2 &&
