@@ -51,21 +51,25 @@ object TextAnalysis {
     * with tf ≥ `minTf`. The classic corpus term-weighting pass.
     *
     * Scale shape: tokenize in the cheap projection, fan out, explode; tf is
-    * one (doc, term) hash-aggregate with map-side combine; df is a second
-    * partial-aggregated rollup OF THE TF RELATION (|doc·term| rows, never
-    * the raw token stream); N broadcasts as a single-row literal. Shuffled
-    * bytes are bounded by distinct (doc, term) pairs — the same bound as
-    * any inverted-index build. */
+    * one (doc, term) hash-aggregate with map-side combine; df rides as a
+    * WINDOW count over the tf relation partitioned by term — deriving it
+    * with a self-join would execute the tokenize/explode/aggregate subtree
+    * twice (Spark does not reuse round-robin exchanges; verified on the
+    * final adaptive plan), while the window adds only the term-keyed
+    * shuffle the join needed anyway. N broadcasts as a single-row literal.
+    * Shuffled bytes are bounded by distinct (doc, term) pairs — the same
+    * bound as any inverted-index build. */
   def termStats(df: DataFrame, idCol: String, textCol: String,
                 minTf: Int = 2): DataFrame = {
     val toks = graft.core.Par.fanOut(df.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("toks")))
     val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
-    tf.join(dfc, "term").crossJoin(broadcast(nDocs))
+    tf.withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
       .where(col("tf") >= minTf)
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
           .as("tfidf"))
