@@ -117,7 +117,10 @@ object Dedup {
         // sizes is |docs| rows of two longs — broadcast explicitly: its
         // post-shuffle stats are unknown to the planner, and letting these
         // lookups fall back to sort-merge would shuffle the whole pair
-        // stream twice
+        // stream twice. Ceiling: ~16 B/doc means the broadcast stops
+        // fitting around 10^8–10^9 docs; past that, drop the hint (two
+        // shuffle joins of the candidate stream) — the blocking itself is
+        // unaffected
         shared
           .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))), "id_a")
           .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))), "id_b")

@@ -32,6 +32,22 @@ class MultimodalSpec extends SparkSpec {
     assert(f(3L).sum == 0.0f, "empty payload → zero vector, no NaN")
   }
 
+  test("extractHistogram: integer core consistent with the float features") {
+    val h = Multimodal.extractHistogram(
+      Multimodal.withBlob(docs, "text"), "doc_id", "payload")
+      .collect().map(b => b.id -> b.counts).toMap
+    val f = Multimodal.extractFeatures(
+      Multimodal.withBlob(docs, "text"), "doc_id", "payload")
+      .collect().map(b => b.id -> b.features).toMap
+    assert(h(1L).toSeq == Seq.tabulate(16)(i => if (i == 7) 100L else 0L))
+    assert(h(3L).forall(_ == 0L))
+    for (id <- Seq(1L, 2L, 3L); bin <- 0 until 16) {
+      val n = math.max(1, h(id).sum)
+      assert(f(id)(bin) == h(id)(bin).toFloat / n,
+        s"features must be the normalized histogram (id=$id bin=$bin)")
+    }
+  }
+
   test("sampleFrames: chunking math and stride filter") {
     val frames = Multimodal.sampleFrames(
       Multimodal.withBlob(docs, "text"), "doc_id", "payload", 64, 2)

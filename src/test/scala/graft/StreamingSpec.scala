@@ -133,6 +133,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation composes with streams: hash split is stateless and stable") {
+    // the split projection is stateless (no shuffle, no state store), so it
+    // runs unchanged on a stream — and a doc's split matches the batch
+    // assignment exactly (reprocessing a record never moves it)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Long]
+    val q = graft.ext.Sampling.withSplit(in.toDF(), col("value"), "s1")
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("split_out").start()
+    try {
+      in.addData(1L to 50L: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("split_out")
+        .select("value", "split").as[(Long, String)].collect().toMap
+      val batch = graft.ext.Sampling.withSplit(
+          spark.range(1, 51).toDF("value"), col("value"), "s1")
+        .select("value", "split").as[(Long, String)].collect().toMap
+      assert(streamed == batch, "stream and batch must assign identical splits")
+    } finally q.stop()
+  }
+
   test("T5: several concurrent streaming queries from one parsed stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
