@@ -52,11 +52,12 @@ object TextAnalysis {
     *
     * Scale shape: tokenize in the cheap projection, fan out, explode; tf is
     * one (doc, term) hash-aggregate with map-side combine; df rides as a
-    * WINDOW count over the tf relation partitioned by term — deriving it
-    * with a self-join would execute the tokenize/explode/aggregate subtree
-    * twice (Spark does not reuse round-robin exchanges; verified on the
-    * final adaptive plan), while the window adds only the term-keyed
-    * shuffle the join needed anyway. N broadcasts as a single-row literal.
+    * WINDOW count over the tf relation partitioned by term — one pipeline,
+    * one corpus pass by construction. (A tf⋈dfc self-join relies on AQE
+    * exchange reuse to avoid re-running the explode/aggregate branch, and
+    * anything between the reused exchange and the two consumers still runs
+    * twice; the window formulation needs only the term-keyed shuffle the
+    * join would have taken anyway.) N broadcasts as a single-row literal.
     * Shuffled bytes are bounded by distinct (doc, term) pairs — the same
     * bound as any inverted-index build. */
   def termStats(df: DataFrame, idCol: String, textCol: String,
