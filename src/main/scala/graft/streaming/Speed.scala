@@ -59,6 +59,17 @@ object Speed {
     graft.core.Agg.windowedSumLong(df.withWatermark(tsCol, watermark),
       dim, col(tsCol), windowDur, value, typeTag)
 
+  /** J1 on the stream: stream-static equi-join against a (small) dimension,
+    * broadcast explicitly — each micro-batch hash-joins against the same
+    * broadcast relation, the stream side never shuffles, and no streaming
+    * state is held (static side is re-resolvable per batch, so dimension
+    * updates between batches are picked up for file sources). The streaming
+    * counterpart of [[graft.core.Enrich.enrich]]; same duplicate-key drop. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "inner")
+      .drop(dim(dimKey))
+
   /** Streaming exact dedup on ingest (an LLM-pipeline staple): drops rows
     * whose key was already seen within the watermark horizon — state is
     * bounded by (keys per watermark window), not stream length. */

@@ -133,6 +133,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("J1 streaming: stream-static broadcast enrichment, then windowed agg") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val parsed = Speed.parseJson(in.toDF(), "value")
+    val dim = Seq(("u1", "alice@x.io"), ("u2", "bob@x.io")).toDF("uid", "email")
+    val enriched = Speed.enrichStream(parsed, dim, "id", "uid")
+    val agg = Speed.windowedSumLong(enriched, col("email"), "timestamp",
+      "90 seconds", "15 seconds", col("bytes"), "email_bytes_total")
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("j1_stream").start()
+    try {
+      in.addData(
+        msg("2022-02-26T00:00:10Z", "u1", "ant1", 100, "FB"),
+        msg("2022-02-26T00:00:40Z", "u1", "ant2", 20, "IG"),
+        msg("2022-02-26T00:00:50Z", "u2", "ant1", 5, "FB"),
+        msg("2022-02-26T00:00:55Z", "u3", "ant1", 999, "FB")) // no dim row → dropped
+      q.processAllAvailable()
+      val got = spark.table("j1_stream").select("id", "value")
+        .as[(String, Long)].collect().toSet
+      assert(got == Set("alice@x.io" -> 120L, "bob@x.io" -> 5L), got.toString)
+    } finally q.stop()
+  }
+
   test("curation composes with streams: hash split is stateless and stable") {
     // the split projection is stateless (no shuffle, no state store), so it
     // runs unchanged on a stream — and a doc's split matches the batch
