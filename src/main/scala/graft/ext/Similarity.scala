@@ -124,7 +124,17 @@ object Similarity {
 
   /** Approximate top-k: score only candidates in the query's hyperplane
     * bucket or any bucket at hamming distance 1 (multi-probe). Recall
-    * depends on data geometry; rank/cos semantics match bruteForceTopK. */
+    * depends on data geometry; rank/cos semantics match bruteForceTopK.
+    *
+    * HONEST RECALL NUMBERS: on clustered corpora (neighbors at cos ≥ 0.95)
+    * recall is ≈1 at the 12-bit default (ExtSpec measures it on a
+    * 10-cluster fixture). On near-UNIFORM vectors whose "nearest" neighbors
+    * sit at cos 0.3–0.5 — e.g. the synthetic test embeddings — same-bucket
+    * ∪ hamming-1 probing recalls ≈0 of the exact top-10 (measured): at
+    * θ ≈ 60–70° a true neighbor agrees on a 12-bit signature with
+    * probability (1−θ/π)¹² ≈ 0.01. That regime needs O(100) hash tables or
+    * brute force; prefer [[ivfTopK]] (recall = nprobe/lists floor even on
+    * unstructured data) or [[bruteForceTopK]] there. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, bits: Int = 12): DataFrame = {
     val c = graft.core.Par.fanOut(corpus.select(col(idCol).as("neighbor_id"),

@@ -124,6 +124,41 @@ class ExtSpec extends SparkSpec {
       s"identical vector must be found at rank 1 with cos 1.0: ${top.toSeq}")
   }
 
+  test("lshTopK/ivfTopK recall ≥ 0.8 vs exact on clustered data (their design regime)") {
+    // 10 tight clusters of 11 vectors: each member = unit direction ⊕ small
+    // deterministic jitter (within-cluster cos ≈ 0.995, cross-cluster ≈ 0).
+    // A query's exact top-10 = its 10 cluster-mates; the approximate paths
+    // must recover most of them. (On near-uniform data — the synthetic
+    // embeddings table — hyperplane LSH recalls ~0 of a cos-0.3..0.5
+    // top-10; see the Similarity scaladoc. This fixture is the workload
+    // the indexes exist for.)
+    val dims = 16
+    def member(c: Int, m: Int): Array[Float] = {
+      val v = Array.tabulate(dims)(d => math.sin(c * 37 + d).toFloat)
+      v(m % dims) += 0.05f * ((m % 3) + 1)
+      v
+    }
+    val rows = for (c <- 0 until 10; m <- 0 until 11)
+      yield (c * 100L + m, member(c, m), c)
+    val corpus = rows.toDF("vec_id", "embedding", "label")
+    val queries = corpus.where(col("vec_id") % 100 === 0)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 10))
+    for ((name, approx) <- Seq(
+        "lsh" -> topSets(Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 10)),
+        "ivf" -> topSets(Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", "label", 10, nprobe = 1)))) {
+      // keys.toSeq, NOT keys.map: mapping the key Set would dedupe equal
+      // per-query recalls before summing
+      val recall = exact.keys.toSeq.map(q =>
+        (approx.getOrElse(q, Set.empty) & exact(q)).size.toDouble / exact(q).size).sum / exact.size
+      val diag = exact.keys.toSeq.sorted.map(q =>
+        s"q=$q exact=${exact(q).toSeq.sorted} got=${approx.getOrElse(q, Set.empty).toSeq.sorted}").mkString("\n")
+      assert(recall >= 0.8, f"$name recall $recall%.2f below 0.8 on clustered data\n$diag")
+    }
+  }
+
   test("ivfTopK: probing the right lists finds exact neighbors on clustered data") {
     // two tight clusters; IVF with nprobe=1 must stay inside the query's own
     // cluster and rank its true nearest neighbors exactly like brute force
