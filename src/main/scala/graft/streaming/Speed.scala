@@ -86,6 +86,28 @@ object Speed {
     graft.core.Agg.windowedSumSession(df.withWatermark(tsCol, watermark),
       dim, col(tsCol), gap, value, typeTag)
 
+  /** Stream-stream inner join: left events pick up right events with the
+    * same key whose event time falls in [leftTs − within, leftTs] — the
+    * "error within N minutes of a click" correlation shape. Both sides are
+    * watermarked and the join carries an explicit event-time range, so
+    * Spark can expire join state: buffered rows per side are bounded by
+    * (rate × (watermark + within)), independent of stream length — the
+    * REQUIRED shape for an unbounded stream-stream join at scale (an
+    * unconstrained join buffers both streams forever). Right columns are
+    * prefixed to keep the output schema collision-free. */
+  def joinWithin(left: DataFrame, right: DataFrame, keyCol: String,
+                 leftTs: String, rightTs: String,
+                 watermark: String, within: String,
+                 rightPrefix: String = "r_"): DataFrame = {
+    val r0 = right.withWatermark(rightTs, watermark)
+    val r = r0.columns.foldLeft(r0)((df, c) => df.withColumnRenamed(c, rightPrefix + c))
+    left.withWatermark(leftTs, watermark)
+      .join(r, expr(
+        s"$keyCol = $rightPrefix$keyCol AND " +
+          s"$rightPrefix$rightTs BETWEEN $leftTs - INTERVAL $within AND $leftTs"))
+      .drop(rightPrefix + keyCol)
+  }
+
   /** T5: run several streaming queries to completion of any — the
     * reference's Future/sequence orchestration collapses to Spark's own
     * stream manager (`StreamingJob.scala:30-43`). */

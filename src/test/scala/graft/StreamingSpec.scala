@@ -133,6 +133,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join: errors correlate to clicks within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, String)]
+    val errors = MemoryStream[(Timestamp, String)]
+    val joined = Speed.joinWithin(
+      errors.toDF().toDF("ts", "uid"), clicks.toDF().toDF("ts", "uid"),
+      keyCol = "uid", leftTs = "ts", rightTs = "ts",
+      watermark = "10 seconds", within = "60 seconds")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_join").start()
+    try {
+      clicks.addData(
+        (Timestamp.valueOf("2022-02-26 00:00:00"), "u1"),
+        (Timestamp.valueOf("2022-02-26 00:05:00"), "u2"))
+      errors.addData(
+        (Timestamp.valueOf("2022-02-26 00:00:30"), "u1"),  // 30 s after u1 click → joins
+        (Timestamp.valueOf("2022-02-26 00:09:00"), "u2"),  // 4 min after u2 click → out of range
+        (Timestamp.valueOf("2022-02-26 00:00:40"), "u3"))  // no click at all
+      q.processAllAvailable()
+      val got = spark.table("ss_join").select("uid", "r_ts")
+        .as[(String, Timestamp)].collect().toSet
+      assert(got == Set(("u1", Timestamp.valueOf("2022-02-26 00:00:00"))), got.toString)
+    } finally q.stop()
+  }
+
   test("J1 streaming: stream-static broadcast enrichment, then windowed agg") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
