@@ -71,6 +71,47 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"expected map-side combine:\n$p")
   }
 
+  test("text queries prune the documents scan to the referenced columns") {
+    // documents carries (doc_id, text, lang, source, n_chars); the text
+    // operators touch only (doc_id, text) — at 100 TB reading the other
+    // three columns is pure waste
+    for (q <- Seq("t1_token_count", "d1_exact_dedup", "x1_top_tokens")) {
+      val p = plan(q)
+      assert(!p.contains("n_chars") && !p.contains("source"),
+        s"$q must not read unused document columns:\n$p")
+    }
+  }
+
+  test("archive joins partition-prune dynamically from the dimension filter") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val facts = (1 to 12).map(m =>
+      (java.sql.Timestamp.valueOf(f"2022-$m%02d-15 10:00:00"), s"u$m", m.toLong))
+      .toDF("timestamp", "id", "bytes")
+    val path = tmpDir("plan_dpp")
+    graft.core.Sinks.writePartitionedParquet(facts, "timestamp", path)
+    val dimPath = tmpDir("plan_dpp_dim")
+    Seq((2, "keep"), (3, "keep"), (7, "drop")).toDF("m", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    // a real scan with a residual filter — a filtered LocalRelation folds
+    // to literals and leaves no "selective predicate" for DPP to latch onto
+    val dim = spark.read.parquet(dimPath).where(col("tag") === "keep")
+    // the tiny fixture fails DPP's cost heuristic (pruning a KB-scale scan
+    // isn't worth a subquery) — disable the stats gate to assert the
+    // MECHANISM the 100 TB archive relies on
+    val prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val joined = spark.read.parquet(path)
+        .join(dim, col("month") === col("m"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"expected dynamic partition pruning on the archive join:\n$p")
+      assert(joined.select("bytes").as[Long].collect().toSet == Set(2L, 3L))
+    } finally
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", prev)
+  }
+
   test("d5_emb_neardup: LSH-blocked — no cartesian / nested-loop join anywhere") {
     val p = plan("d5_emb_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
