@@ -43,6 +43,46 @@ object Sinks {
       .partitionBy("year", "month", "day", "hour")
       .parquet(path)
 
+  /** Idempotent batch-layer recompute: overwrite ONLY the partitions
+    * present in `df`, leaving every other partition untouched (dynamic
+    * partition overwrite). This is the lambda-architecture repair semantic
+    * — recompute one bad hour from the archive and drop it in place; a
+    * plain overwrite would truncate the whole table, append would
+    * duplicate. Safe to re-run: the job is idempotent per partition. */
+  def overwritePartitions(df: DataFrame, tsCol: String, path: String): Unit =
+    withDateParts(df, tsCol)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("year", "month", "day", "hour")
+      .parquet(path)
+
+  /** Small-file compaction for a partition directory: streaming archives
+    * accumulate one file per micro-batch per partition; thousands of KB
+    * files make every later scan pay per-file open/footer costs. Rewrites
+    * the directory into ~`targetFileBytes` files (count from actual input
+    * size), sorted by `sortCol` within files so min/max row-group stats
+    * stay selective for range predicates. Run per closed partition (e.g.
+    * the previous hour) — never on the partition being written. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              sortCol: String, targetFileBytes: Long = 128L << 20): Unit = {
+    val df = spark.read.parquet(dir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1, (bytes / BigInt(targetFileBytes)).toInt +
+      (if (bytes % BigInt(targetFileBytes) > 0) 1 else 0))
+    val tmp = dir.stripSuffix("/") + "__compact_tmp"
+    df.repartitionByRange(files, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    // atomic-ish swap: rename old out, tmp in, drop old (same filesystem)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val oldP = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "__compact_old")
+    fs.rename(dirP, oldP)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dirP)
+    fs.delete(oldP, true)
+  }
+
   /** K3: streaming partitioned-parquet archive with checkpoint
     * (`StreamingJobImpl.scala:96-109`). Caller starts the query. */
   def archiveStream(df: DataFrame, tsCol: String, path: String,

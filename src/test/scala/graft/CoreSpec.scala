@@ -105,6 +105,39 @@ class CoreSpec extends SparkSpec {
     assert(salted == direct, s"two-stage salted must be exact: $salted vs $direct")
   }
 
+  test("overwritePartitions: recompute replaces one hour, leaves the rest, idempotent") {
+    val path = tmpDir("sink_dyn_overwrite")
+    val twoHours = Seq(
+      (ts("2022-02-26 00:00:10"), "u1", "ant1", 100L),
+      (ts("2022-02-26 00:00:50"), "u2", "ant1", 50L),
+      (ts("2022-02-26 01:30:00"), "u3", "ant2", 7L),
+    ).toDF("timestamp", "id", "antenna_id", "bytes")
+    Sinks.writePartitionedParquet(twoHours, "timestamp", path)
+    // recompute window [00:00, 01:00) with corrected bytes — only that hour
+    val fixed = Seq((ts("2022-02-26 00:00:10"), "u1", "ant1", 777L))
+      .toDF("timestamp", "id", "antenna_id", "bytes")
+    Sinks.overwritePartitions(fixed, "timestamp", path)
+    Sinks.overwritePartitions(fixed, "timestamp", path) // re-run: idempotent
+    val back = spark.read.parquet(path)
+    assert(back.count() == 2, "hour 0 replaced by 1 row; hour-1 row intact")
+    assert(back.where(col("hour") === 0).select("bytes").as[Long].collect().toSeq
+      == Seq(777L))
+    assert(back.where(col("hour") === 1).select("bytes").as[Long].collect().toSeq
+      == Seq(7L), "untouched partition survives the dynamic overwrite")
+  }
+
+  test("compact: many small files become few, data and order-range preserved") {
+    val path = tmpDir("sink_compact")
+    spark.range(0, 1000).toDF("v").repartition(8)
+      .write.mode("overwrite").parquet(path)
+    assert(new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet")) == 8)
+    Sinks.compact(spark, path, "v")
+    val files = new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1, s"tiny input must compact to one file, got ${files.length}")
+    assert(spark.read.parquet(path).select("v").as[Long].collect().sorted.toSeq
+      == (0L until 1000L))
+  }
+
   test("S2-style filter on date parts prunes to the expected hour") {
     val df = Sinks.withDateParts(msgs, "timestamp")
     val out = df.where(col("year") === 2022 && col("month") === 2 &&
