@@ -281,6 +281,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // d6: string-level fuzzy dedup — Levenshtein ≤ 1 via the deletion-
+    // neighborhood index (exact recall, so the oracle is the plain
+    // all-pairs semantic truth with no blocking in sight)
+    "d6_editdist" -> ((s, d) =>
+      Dedup.editDistancePairs(Tables.part(s, d), "p_partkey", "p_name")
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b")),
+
     // ---- extension tier: similarity search over embeddings ---------------
     "sim1_ann_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -593,6 +601,12 @@ object SparkEntry {
         (s"""SELECT substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS content_fp,
            | min(doc_id) AS keep_id, count(*) AS n_copies
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      "d6_editdist" ->
+        ("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+           |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+           |WHERE levenshtein(a.p_name, b.p_name) <= 1
+           |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
       "d2_ngram_jaccard" -> ngramPairsSql,
       // LSH banding at (128 hashes, 32 bands of 4): P(miss | J≥0.9) < 1e-30,
       // and all planted near-dups sit at J≥0.9 with the rest <0.3 — so the

@@ -70,6 +70,22 @@ class ExtSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)), "near-dup within bound")
   }
 
+  test("editDistancePairs: deletion index finds every dist-1 pair, exact recall") {
+    val names = Seq(
+      (1L, "small ring"),
+      (2L, "small king"),   // substitution, dist 1
+      (3L, "small stove"),  // dist > 1 from everything
+      (4L, "smoll ring"),   // substitution in the FIRST word — key blocking would miss it
+      (5L, "small rings"),  // insertion at the end, dist 1
+      (6L, "small ring"),   // exact duplicate of 1
+    ).toDF("id", "name")
+    val pairs = Dedup.editDistancePairs(names, "id", "name")
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 1), (1L, 4L, 1), (1L, 5L, 1), (1L, 6L, 0),
+      (2L, 6L, 1), (4L, 6L, 1), (5L, 6L, 1)),
+      s"every pair within one edit must surface exactly once: $pairs")
+  }
+
   test("embeddingNearDupPairsLsh: planted scaled dups found exactly, equals exact baseline") {
     // 8 one-hot base vectors (pairwise cos 0) + positively-scaled copies of
     // the first three (cos 1 with their originals, signature-identical in
