@@ -268,13 +268,16 @@ object Dedup {
         concat(t.substr(lit(1), i - 1), t.substr(i + 1, length(t) - i))))))
     val v = graft.core.Par.fanOut(df.select(col(idCol).as("id"), col(textCol).as("t")))
       .select(col("id"), t, explode(variants).as("vh"))
+    // distance computed BEFORE the pair-dedup: a multi-variant pair re-runs
+    // the (cheap, short-string) levenshtein, but the distinct then shuffles
+    // three numeric columns instead of both strings, and the ≤1 filter
+    // prunes the shuffle input to the true pairs
     v.as("x").join(v.as("y"),
         col("x.vh") === col("y.vh") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.t").as("ta"), col("y.t").as("tb"))
-      .distinct() // a pair can share several variants (e.g. equal strings)
-      .select(col("id_a"), col("id_b"), levenshtein(col("ta"), col("tb")).as("dist"))
+        levenshtein(col("x.t"), col("y.t")).as("dist"))
       .where(col("dist") <= 1)
+      .distinct() // a pair can share several variants (e.g. equal strings)
   }
 
   /** Embedding-cosine near-dup pairs above a similarity threshold — EXACT
