@@ -137,6 +137,9 @@ object SparkEntry {
     "q4_priority_semijoin" -> ((s, d) => Analytics.orderPriorityCount(s, d)),
     "q5_local_supplier" -> ((s, d) => Analytics.localSupplierVolume(s, d)),
     "q10_returned_items" -> ((s, d) => Analytics.returnedItemReport(s, d)),
+    "q6_forecast_revenue" -> ((s, d) => Analytics.forecastRevenue(s, d)),
+    "q12_priority_shipping" -> ((s, d) => Analytics.priorityShippingCounts(s, d)),
+    "q14_promo_share" -> ((s, d) => Analytics.promoRevenueShare(s, d)),
     "w1_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     "r1_revenue_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
     "set1_open_not_finished" -> ((s, d) => Analytics.openNotFinishedCustomers(s, d)),
@@ -443,6 +446,27 @@ object SparkEntry {
            | JOIN nation ON c_nationkey = n_nationkey
            |WHERE l_returnflag = 'R'
            |GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin.replace("\n", " ")),
+      "q6_forecast_revenue" ->
+        (s"""SELECT ${dsum("l_extendedprice * l_discount")} AS revenue
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+           | AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+           |ORDER BY revenue""".stripMargin.replace("\n", " ")),
+      "q12_priority_shipping" ->
+        ("""SELECT l_linestatus,
+           | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE l_shipdate > o_orderdate
+           |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      "q14_promo_share" ->
+        ("""SELECT 100.0 *
+           | CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+           |   THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE) /
+           | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS promo_share
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+           |ORDER BY promo_share""".stripMargin.replace("\n", " ")),
       "w1_top_order_per_customer" ->
         ("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
            |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -218,6 +218,49 @@ object Analytics {
       concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
       .orderBy("p_partkey")
 
+  /** TPC-H Q6-style forecast revenue: the purest pushdown shape — every
+    * predicate (timestamp range, numeric range, threshold) reaches the
+    * parquet row-group stats, no join, single global aggregate whose
+    * partials collapse to one row per partition before the 1-row shuffle. */
+  def forecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(Num.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+      .orderBy("revenue")
+
+  /** TPC-H Q12-style conditional aggregation: one join, then CASE-driven
+    * pivoting of order priorities into two counters per line status —
+    * the conditional-sum shape every report query leans on. */
+  def priorityShippingCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem(spark, sfDir)
+      .join(orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q14-style promo share: ratio of two exact-decimal conditional
+    * sums over one broadcast-enriched scan; the division happens ONCE in
+    * double space at the very end so both engines agree bit-for-bit. */
+  def promoRevenueShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-07-01"))
+      .join(broadcast(part(spark, sfDir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * Num.dsumDec(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0)))
+          .cast("double") / Num.dsumDec(disc).cast("double")).as("promo_share"))
+      .orderBy("promo_share")
+  }
+
   /** Exact percentiles (sort-based, per group) — values rounded so the
     * interpolation's last-ulp differences across engines can't flake.
     * Scale note: exact `percentile` buffers each group's values; it is fine

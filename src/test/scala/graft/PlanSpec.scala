@@ -25,6 +25,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_partkey"), s"unused columns must be pruned:\n$p")
   }
 
+  test("q6: every predicate reaches the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(p.contains(s"IsNotNull($c)") || p.contains(s"($c,"),
+        s"expected $c pushed to the scan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull("), s"expected pushed filters:\n$p")
+  }
+
   test("joins against dimensions are broadcast, fact side never shuffles for them") {
     for (q <- Seq("a5_email_1h", "q5_local_supplier", "q10_returned_items")) {
       val p = plan(q)
