@@ -140,6 +140,7 @@ object SparkEntry {
     "q6_forecast_revenue" -> ((s, d) => Analytics.forecastRevenue(s, d)),
     "q12_priority_shipping" -> ((s, d) => Analytics.priorityShippingCounts(s, d)),
     "q14_promo_share" -> ((s, d) => Analytics.promoRevenueShare(s, d)),
+    "q17_small_qty_revenue" -> ((s, d) => Analytics.smallQuantityRevenue(s, d)),
     "w1_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     "r1_revenue_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
     "set1_open_not_finished" -> ((s, d) => Analytics.openNotFinishedCustomers(s, d)),
@@ -467,6 +468,15 @@ object SparkEntry {
            |FROM lineitem JOIN part ON l_partkey = p_partkey
            |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
            |ORDER BY promo_share""".stripMargin.replace("\n", " ")),
+      "q17_small_qty_revenue" ->
+        ("""WITH t AS (
+           | SELECT l_partkey AS t_partkey,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+           | FROM lineitem GROUP BY 1)
+           |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0 AS avg_yearly
+           |FROM lineitem JOIN t ON l_partkey = t_partkey
+           |WHERE l_quantity < 0.2 * avg_qty
+           |ORDER BY avg_yearly""".stripMargin.replace("\n", " ")),
       "w1_top_order_per_customer" ->
         ("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
            |  SELECT o_custkey, o_orderkey, o_totalprice,

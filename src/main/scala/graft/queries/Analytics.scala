@@ -261,6 +261,25 @@ object Analytics {
       .orderBy("promo_share")
   }
 
+  /** TPC-H Q17-style correlated threshold: lineitems below 20% of their
+    * part's average quantity. The correlated scalar subquery re-expressed
+    * the scale-correct way — ONE pre-aggregation builds every per-part
+    * threshold (map-side combine, |parts| rows out), broadcast back against
+    * the fact scan; a correlated rescan per outer row would read lineitem
+    * |parts| times. The threshold average is exact-decimal divided once in
+    * double space, so the qualifying row set is engine-identical. */
+  def smallQuantityRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val thresholds = lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("t_partkey"))
+      .agg(Num.davg(col("l_quantity")).as("avg_qty"))
+    lineitem(spark, sfDir)
+      .join(broadcast(thresholds), col("l_partkey") === col("t_partkey"))
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((Num.dsumDec(col("l_extendedprice")).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+      .orderBy("avg_yearly")
+  }
+
   /** Exact percentiles (sort-based, per group) — values rounded so the
     * interpolation's last-ulp differences across engines can't flake.
     * Scale note: exact `percentile` buffers each group's values; it is fine
