@@ -32,6 +32,26 @@ object DumpPlans {
         org.apache.spark.sql.execution.FormattedMode).take(8000))
       sb.append("\n```\n")
     }
+    // Whole-suite efficiency inventory from FINALIZED adaptive plans (the
+    // initial plan hides ReusedExchange — each query is executed first).
+    // Columns are node counts in the printed tree: reused exchanges print
+    // once as a reference, so scans/shuffles count actual executions.
+    sb.append("\n## Plan inventory — all graded queries (finalized plans, sf0.001)\n\n")
+    sb.append("| query | scans | shuffles | broadcasts | reused exchanges |\n")
+    sb.append("|---|---|---|---|---|\n")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      df.collect()
+      // the finalized AdaptiveSparkPlan prints final + "Initial Plan"
+      // sections — keep only the final one or every count doubles
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      def c(pat: String) = pat.r.findAllIn(p).length
+      val shuffles = c("Exchange hashpartitioning") + c("Exchange rangepartitioning") +
+        c("Exchange RoundRobinPartitioning") + c("Exchange SinglePartition")
+      sb.append(s"| $name | ${c("FileScan parquet")} | $shuffles | " +
+        s"${c("BroadcastExchange")} | ${c("ReusedExchange")} |\n")
+    }
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("WROTE /root/repo/PLANS.md")
     spark.stop()
