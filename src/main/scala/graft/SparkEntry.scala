@@ -142,6 +142,8 @@ object SparkEntry {
     "q14_promo_share" -> ((s, d) => Analytics.promoRevenueShare(s, d)),
     "q17_small_qty_revenue" -> ((s, d) => Analytics.smallQuantityRevenue(s, d)),
     "w1_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
+    "w2_order_gaps" -> ((s, d) => Analytics.orderGaps(s, d)),
+    "ag1_order_part_lists" -> ((s, d) => Analytics.orderPartLists(s, d)),
     "r1_revenue_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
     "set1_open_not_finished" -> ((s, d) => Analytics.openNotFinishedCustomers(s, d)),
     "aj1_customers_without_orders" -> ((s, d) => Analytics.customersWithoutOrders(s, d)),
@@ -483,6 +485,18 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY o_custkey
            |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
            |  FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin.replace("\n", " ")),
+      "w2_order_gaps" ->
+        ("""SELECT o_custkey, o_orderkey,
+           | CAST(date_diff('day',
+           |   lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           |   o_orderdate) AS BIGINT) AS gap_days
+           |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin.replace("\n", " ")),
+      "ag1_order_part_lists" ->
+        ("""SELECT l_orderkey,
+           | array_to_string(list_sort(list(l_partkey)), ',') AS part_keys,
+           | COUNT(*) AS n_items
+           |FROM lineitem WHERE l_orderkey <= 1000
+           |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       "r1_revenue_rollup" ->
         (s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            | COALESCE(l_linestatus, 'ALL') AS linestatus,

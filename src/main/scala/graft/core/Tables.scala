@@ -69,6 +69,13 @@ object Tables {
                  schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC source (in-box in Spark, no extra dependency) — the other
+    * columnar format with predicate pushdown and column pruning; explicit
+    * schema for the same reasons as [[csvTable]]. */
+  def orcTable(spark: SparkSession, path: String,
+               schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** JDBC dimension scan, the shape of the reference's `readUserMetadata`
     * (`BatchJobImpl.scala:29-38`). Not exercised offline (no DB in the test
     * environment); kept as the production path for a serving-DB dimension.

@@ -280,6 +280,32 @@ object Analytics {
       .orderBy("avg_yearly")
   }
 
+  /** Lag window: days since the customer's previous order — the
+    * lead/lag analytic class. One shuffle on the partition key, one sort
+    * within partitions; first order per customer yields null. */
+  def orderGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    ntz(orders(spark, sfDir), "o_orderdate")
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), col("prev_date")).cast("long").as("gap_days"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Ordered set aggregation: the part keys of each order as one sorted
+    * comma-joined string. collect_list is UNORDERED in a distributed
+    * engine — any aggregation that exposes a list MUST impose an explicit
+    * order (sort_array here) or the result is partitioning-dependent; the
+    * string join makes it hash-comparable across engines. */
+  def orderPartLists(spark: SparkSession, sfDir: String, maxOrderKey: Long = 1000): DataFrame =
+    lineitem(spark, sfDir)
+      .where(col("l_orderkey") <= maxOrderKey)
+      .groupBy("l_orderkey")
+      .agg(array_join(sort_array(collect_list(col("l_partkey"))), ",").as("part_keys"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_orderkey")
+
   /** Exact percentiles (sort-based, per group) — values rounded so the
     * interpolation's last-ulp differences across engines can't flake.
     * Scale note: exact `percentile` buffers each group's values; it is fine

@@ -43,6 +43,19 @@ class SourcesSpec extends SparkSpec {
       fixture.as[(Long, String, Double)].collect().toSet)
   }
 
+  test("orcTable: write → read is lossless and pushdown-capable") {
+    val dir = tmpDir("orc_src")
+    fixture.write.mode("overwrite").orc(dir)
+    val back = Tables.orcTable(spark, dir, schema)
+    assert(back.schema == schema, back.schema.treeString)
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      fixture.as[(Long, String, Double)].collect().toSet)
+    val filtered = back.where(org.apache.spark.sql.functions.col("doc_id") > 3L)
+    assert(filtered.queryExecution.executedPlan.toString.contains("PushedFilters: [IsNotNull(doc_id)"),
+      "ORC scan must accept pushed filters")
+    assert(filtered.count() == 2)
+  }
+
   test("explicit schema tolerates missing columns as nulls (jsonl)") {
     val dir = tmpDir("jsonl_missing")
     Seq("""{"doc_id": 9}""").toDF("value").as[String]
