@@ -23,11 +23,20 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object SparkEntry {
 
+  /** Session settings the engine requires. Our own mains/specs pass these
+    * at builder time; [[entry]] is the one contract point handed an
+    * ALREADY-BUILT session by the driver, so it applies them here (runtime
+    * SQLConf, before any read) rather than inside a table loader. */
+  def configureSession(spark: SparkSession): SparkSession = {
+    spark.conf.set(Tables.NanosAsLongKey, "true")
+    spark
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A4: hourly tumbling-window sum of value per event_type over events. */
   def entry(spark: SparkSession): DataFrame =
     Agg.windowedSum(
-      Tables.events(spark, "/root/testdata/sf0.001"),
+      Tables.events(configureSession(spark), "/root/testdata/sf0.001"),
       col("event_type"), col("ts"), "1 hour", col("value"),
       "antenna_bytes_total")
 

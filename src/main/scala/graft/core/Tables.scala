@@ -28,8 +28,16 @@ object Tables {
     * source data is zone-less, all sessions pin UTC, and NTZ round-trips
     * through parquet as `isAdjustedToUTC=false`, i.e. the same logical type
     * the oracle reads — schema parity by construction. */
+  /** The legacy flag the events reader needs; set at SESSION BUILD (every
+    * main/spec builder passes it to `.config`) — never inside the loader,
+    * where a runtime `conf.set` would be a global side effect racing any
+    * concurrent query on a shared session. [[events]] only asserts it. */
+  val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption(NanosAsLongKey).contains("true"),
+      s"set $NanosAsLongKey=true at session build (events.ts is TIMESTAMP(NANOS); " +
+        "see SparkEntry.configureSession)")
     table(spark, sfDir, "events")
       .withColumn("ts_ns", col("ts"))
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz"))

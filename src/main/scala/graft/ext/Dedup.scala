@@ -261,23 +261,55 @@ object Dedup {
     * The string-level fuzzy-match complement to the token-level
     * [[ngramJaccardPairs]]. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col("t")
-    // variant i=0 is the string itself; i=1..|s| drops character i
-    val variants = array_distinct(transform(sequence(lit(0), length(t)),
-      i => xxhash64(when(i === lit(0), t).otherwise(
-        concat(t.substr(lit(1), i - 1), t.substr(i + 1, length(t) - i))))))
-    val v = graft.core.Par.fanOut(df.select(col(idCol).as("id"), col(textCol).as("t")))
-      .select(col("id"), t, explode(variants).as("vh"))
-    // distance computed BEFORE the pair-dedup: a multi-variant pair re-runs
-    // the (cheap, short-string) levenshtein, but the distinct then shuffles
-    // three numeric columns instead of both strings, and the ≤1 filter
-    // prunes the shuffle input to the true pairs
-    v.as("x").join(v.as("y"),
-        col("x.vh") === col("y.vh") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        levenshtein(col("x.t"), col("y.t")).as("dist"))
-      .where(col("dist") <= 1)
-      .distinct() // a pair can share several variants (e.g. equal strings)
+    // GROUP-LEVEL SymSpell: real corpora mass-duplicate strings, and a
+    // row-level deletion index regenerates every equal pair once per shared
+    // variant (~|s|×) — measured 8× pair-stream inflation and a 10 s
+    // distinct at sf0.1. So collapse to DISTINCT strings first (one
+    // groupBy; the strings had to shuffle once anyway):
+    //  - dist-0 pairs are each group's internal pairs, expanded map-side
+    //    (packed longs, graft.functions.PairExpandExpr) — no blocking, no
+    //    dedup, no levenshtein needed (equal ⇒ dist 0);
+    //  - dist-1 pairs come from the deletion-neighborhood index (native
+    //    DeletionVariantHashExpr — the transform/substr/concat lambda form
+    //    it replaced re-dispatched an interpreted lambda per character)
+    //    built over ONE representative per distinct string, so posting
+    //    lists, candidate dedup, and the levenshtein verify all run at
+    //    |distinct strings| scale; surviving string pairs then cross-expand
+    //    their member-id lists map-side (PairCrossExpandExpr).
+    // The only output-sized stage is the final union — and the all-pairs
+    // output of a k-duplicated string is inherently k²/2 rows. Recall stays
+    // EXACT: equal pairs via their group, dist-1 pairs because any two
+    // strings within one edit share a deletion variant (SymSpell
+    // pigeonhole), which representative pairs inherit verbatim.
+    val base = graft.core.Par.fanOut(df.select(col(idCol).as("id"), col(textCol).as("t")))
+    val grp = base.groupBy("t")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .withColumn("rep", col("ids")(0))
+    val eq = grp.select(explode(
+        graft.functions.VectorExpressions.pairExpandNative(col("ids"))).as("p"),
+      lit(0).as("dist"))
+    val postings = grp.select(
+      explode(graft.functions.VectorExpressions.deletionVariantHashesNative(col("t")))
+        .as("vh"), col("rep"))
+    val reps = postings.groupBy("vh")
+      .agg(sort_array(collect_list(col("rep"))).as("reps"))
+      .where(size(col("reps")) > 1)
+    val candReps = reps.select(explode(
+        graft.functions.VectorExpressions.pairExpandNative(col("reps"))).as("rp"))
+      .distinct() // a string pair can share several variants
+      .select(call_function("shiftright", col("rp"), lit(32)).as("rep_a"),
+        col("rp").bitwiseAND(lit(0xffffffffL)).as("rep_b"))
+    val cross = candReps
+      .join(grp.select(col("rep").cast("long").as("rep_a"), col("t").as("t_a"),
+        col("ids").as("ids_a")), "rep_a")
+      .join(grp.select(col("rep").cast("long").as("rep_b"), col("t").as("t_b"),
+        col("ids").as("ids_b")), "rep_b")
+      .where(levenshtein(col("t_a"), col("t_b")) === 1)
+      .select(explode(graft.functions.VectorExpressions.pairCrossExpandNative(
+        col("ids_a"), col("ids_b"))).as("p"), lit(1).as("dist"))
+    eq.union(cross)
+      .select(call_function("shiftright", col("p"), lit(32)).as("id_a"),
+        col("p").bitwiseAND(lit(0xffffffffL)).as("id_b"), col("dist"))
   }
 
   /** Embedding-cosine near-dup pairs above a similarity threshold — EXACT

@@ -14,8 +14,14 @@ import graft.core.{Num, Tables}
   * Scale notes (100 TB):
   *  - `lineitem`/`orders`/`events` are the big fact tables; every query
   *    aggregates or filters them BEFORE any join that can't be broadcast.
-  *  - `nation`/`region`/`supplier`/`part`/`customer` are dimension-sized:
-  *    broadcast-joined, so the fact side never shuffles for enrichment.
+  *  - `nation` (25 rows) and `region` (5 rows) are FIXED-size dimensions —
+  *    always broadcast, explicitly hinted.
+  *  - `customer`/`supplier`/`part` are SF-SCALED (they grow linearly with
+  *    the data, ~1/10 to ~1/40 of orders' rows): a forced `broadcast()`
+  *    hint would bypass the auto-broadcast threshold AND AQE and build a
+  *    multi-GB driver-side relation at 100× — so they carry NO hint. AQE
+  *    still chooses broadcast-hash-join at small SF (runtime size stats)
+  *    and degrades gracefully to shuffle join at scale.
   *  - Top-k goes through `orderBy().limit(k)` which Spark executes as
   *    TakeOrderedAndProject — per-partition heaps + driver merge of k rows,
   *    never a global sort of the fact table.
@@ -44,8 +50,10 @@ object Analytics {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** TPC-H Q3-style top-k: filter both fact sides early, broadcast the
-    * filtered customer keys, aggregate, then TakeOrderedAndProject. */
+  /** TPC-H Q3-style top-k: filter both fact sides early, join the filtered
+    * customer keys (no hint — customer is SF-scaled, AQE picks broadcast
+    * when the filtered side is small), aggregate, then
+    * TakeOrderedAndProject. */
   def topUnshippedOrders(spark: SparkSession, sfDir: String, segment: String = "BUILDING",
                          cutoff: String = "1998-06-01", k: Int = 10): DataFrame = {
     val cust = customer(spark, sfDir).where(col("c_mktsegment") === segment)
@@ -54,7 +62,7 @@ object Analytics {
       .where(col("o_orderdate") < lit(cutoff))
     val li = lineitem(spark, sfDir).where(col("l_shipdate") > lit(cutoff))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
@@ -75,7 +83,9 @@ object Analytics {
   }
 
   /** TPC-H Q5-style local-supplier volume: full snowflake join — lineitem
-    * shuffles once (to orders), every dimension is broadcast. */
+    * shuffles once (to orders); the fixed dims (region, nation) are
+    * broadcast-hinted, the SF-scaled sides (customer, supplier) are left
+    * to AQE so the plan survives a 100× scale-up. */
   def localSupplierVolume(spark: SparkSession, sfDir: String,
                           regionName: String = "ASIA"): DataFrame = {
     val reg = region(spark, sfDir).where(col("r_name") === regionName)
@@ -90,8 +100,8 @@ object Analytics {
     lineitem(spark, sfDir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("cn_key"))
       .groupBy(col("n_name"))
       .agg(Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
@@ -106,7 +116,7 @@ object Analytics {
     val cust = customer(spark, sfDir)
     val nat = nation(spark, sfDir).select("n_nationkey", "n_name")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
       .agg(Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
@@ -253,7 +263,7 @@ object Analytics {
     lineitem(spark, sfDir)
       .where(col("l_shipdate") >= lit("1997-01-01") &&
         col("l_shipdate") < lit("1997-07-01"))
-      .join(broadcast(part(spark, sfDir).select("p_partkey", "p_type")),
+      .join(part(spark, sfDir).select("p_partkey", "p_type"),
         col("l_partkey") === col("p_partkey"))
       .agg(
         (lit(100.0) * Num.dsumDec(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0)))
@@ -264,16 +274,19 @@ object Analytics {
   /** TPC-H Q17-style correlated threshold: lineitems below 20% of their
     * part's average quantity. The correlated scalar subquery re-expressed
     * the scale-correct way — ONE pre-aggregation builds every per-part
-    * threshold (map-side combine, |parts| rows out), broadcast back against
+    * threshold (map-side combine, |parts| rows out) joined back against
     * the fact scan; a correlated rescan per outer row would read lineitem
-    * |parts| times. The threshold average is exact-decimal divided once in
+    * |parts| times. The threshold side is SF-scaled (|parts| rows) so it
+    * carries no broadcast hint — AQE broadcasts it while it fits and falls
+    * back to a shuffle join at scale, where both sides already hash on
+    * l_partkey. The threshold average is exact-decimal divided once in
     * double space, so the qualifying row set is engine-identical. */
   def smallQuantityRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val thresholds = lineitem(spark, sfDir)
       .groupBy(col("l_partkey").as("t_partkey"))
       .agg(Num.davg(col("l_quantity")).as("avg_qty"))
     lineitem(spark, sfDir)
-      .join(broadcast(thresholds), col("l_partkey") === col("t_partkey"))
+      .join(thresholds, col("l_partkey") === col("t_partkey"))
       .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg((Num.dsumDec(col("l_extendedprice")).cast("double") / lit(7.0))
         .as("avg_yearly"))

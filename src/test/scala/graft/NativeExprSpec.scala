@@ -105,6 +105,58 @@ class NativeExprSpec extends SparkSpec {
       "distinct seeds must draw distinct plane sets")
   }
 
+  test("DeletionVariantHashExpr == sorted array_distinct(transform(substr-concat)) lambda form") {
+    val strs = Seq("promo burnished steel", "", "a", "aa", "中文désolé mixé",
+      "same same same").toDF("t")
+    val native = strs.select(
+      VectorExpressions.deletionVariantHashesNative(col("t")).as("h"))
+      .as[Seq[Long]].collect()
+    val t = col("t")
+    val lambda = strs.select(array_distinct(transform(sequence(lit(0), length(t)),
+      i => xxhash64(when(i === lit(0), t).otherwise(
+        concat(t.substr(lit(1), i - 1), t.substr(i + 1, length(t) - i)))))).as("h"))
+      .as[Seq[Long]].collect()
+    native.zip(lambda).foreach { case (n, c) =>
+      assert(n == c.sorted, s"native $n vs lambda ${c.sorted}")
+    }
+  }
+
+  test("stateful CodegenFallback exprs: shared-instance concurrent eval is safe") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    // ONE instance each, evaluated from many threads — the regime a shared
+    // evaluator would create; ThreadLocal state must keep results identical
+    val sha = graft.functions.Sha60TokenHashExpr(
+      BoundReference(0, ArrayType(StringType), nullable = false))
+    val hyp = graft.functions.HyperplaneSigExpr(
+      BoundReference(0, ArrayType(DoubleType), nullable = false), 16, 3L)
+    def tokRow(ts: Seq[String]): InternalRow =
+      InternalRow(new GenericArrayData(ts.map(UTF8String.fromString)))
+    def vecRow(vs: Seq[Double]): InternalRow = InternalRow(new GenericArrayData(vs))
+    val tokIn = (0 until 32).map(i => Seq(s"tok$i", s"word$i", "shared"))
+    val vecIn = (0 until 32).map(i => Seq.tabulate(16)(d => math.sin(i + d + 1)))
+    val wantSha = tokIn.map(x =>
+      sha.eval(tokRow(x)).asInstanceOf[ArrayData].toLongArray.toSeq)
+    val wantHyp = vecIn.map(x => hyp.eval(vecRow(x)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val fs = (0 until 8).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = (0 until 500).forall { k =>
+            val i = k % tokIn.size
+            sha.eval(tokRow(tokIn(i))).asInstanceOf[ArrayData].toLongArray.toSeq ==
+              wantSha(i) && hyp.eval(vecRow(vecIn(i))) == wantHyp(i)
+          }
+        }))
+      assert(fs.forall(_.get()),
+        "concurrent shared-instance eval must match single-threaded results")
+    } finally pool.shutdown()
+  }
+
   test("PairExpandExpr: ids outside [0, 2^31) fail loudly, never corrupt") {
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: chain(t.getCause)

@@ -12,6 +12,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config(graft.core.Tables.NanosAsLongKey, "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   locally { spark.sparkContext.setLogLevel("WARN") }
