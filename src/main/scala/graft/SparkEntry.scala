@@ -150,6 +150,9 @@ object SparkEntry {
     "q12_priority_shipping" -> ((s, d) => Analytics.priorityShippingCounts(s, d)),
     "q14_promo_share" -> ((s, d) => Analytics.promoRevenueShare(s, d)),
     "q17_small_qty_revenue" -> ((s, d) => Analytics.smallQuantityRevenue(s, d)),
+    "q13_order_distribution" -> ((s, d) => Analytics.orderCountDistribution(s, d)),
+    "q11_important_parts" -> ((s, d) => Analytics.importantParts(s, d)),
+    "fo1_snapshot_diff" -> ((s, d) => Analytics.customerActivityDiff(s, d)),
     "w1_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     "w2_order_gaps" -> ((s, d) => Analytics.orderGaps(s, d)),
     "ag1_order_part_lists" -> ((s, d) => Analytics.orderPartLists(s, d)),
@@ -488,6 +491,35 @@ object SparkEntry {
            |FROM lineitem JOIN t ON l_partkey = t_partkey
            |WHERE l_quantity < 0.2 * avg_qty
            |ORDER BY avg_yearly""".stripMargin.replace("\n", " ")),
+      "q13_order_distribution" ->
+        ("""SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+           |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+           |  FROM customer LEFT OUTER JOIN orders
+           |    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+           |  GROUP BY 1) t
+           |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      "q11_important_parts" ->
+        ("""WITH pp AS (
+           |  SELECT l_partkey,
+           |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS rev_dec
+           |  FROM lineitem GROUP BY 1),
+           | g AS (SELECT SUM(rev_dec) AS total_dec, COUNT(*) AS n_parts FROM pp)
+           |SELECT l_partkey, CAST(rev_dec AS DOUBLE) AS revenue
+           |FROM pp, g
+           |WHERE CAST(rev_dec AS DOUBLE) > 1.3 * CAST(total_dec AS DOUBLE) / n_parts
+           |ORDER BY l_partkey""".stripMargin.replace("\n", " ")),
+      "fo1_snapshot_diff" ->
+        ("""WITH a AS (SELECT o_custkey AS k_old, CAST(COUNT(*) AS BIGINT) AS n_old
+           |  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996 GROUP BY 1),
+           | b AS (SELECT o_custkey AS k_new, CAST(COUNT(*) AS BIGINT) AS n_new
+           |  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997 GROUP BY 1)
+           |SELECT COALESCE(k_old, k_new) AS custkey,
+           |  CASE WHEN k_old IS NULL THEN 'added' WHEN k_new IS NULL THEN 'removed'
+           |       WHEN n_old <> n_new THEN 'changed' ELSE 'same' END AS status,
+           |  CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+           |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
+           |FROM a FULL OUTER JOIN b ON k_old = k_new
+           |ORDER BY custkey""".stripMargin.replace("\n", " ")),
       "w1_top_order_per_customer" ->
         ("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
            |  SELECT o_custkey, o_orderkey, o_totalprice,

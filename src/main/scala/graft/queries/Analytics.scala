@@ -335,6 +335,77 @@ object Analytics {
         round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
       .orderBy("l_returnflag")
 
+  /** TPC-H Q13-style left-outer distribution: orders per customer INCLUDING
+    * the zero-order customers, then the histogram of those counts. The
+    * status predicate lives in the JOIN CONDITION — as a post-filter it
+    * would silently delete every zero-order customer (the null-extended
+    * rows), which is the classic outer-join bug this query pins down.
+    * Scale: one shuffle join (customer ⋈ orders on custkey), two cheap
+    * aggregations whose partials collapse to |customers| then |distinct
+    * counts| rows. */
+  def orderCountDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = customer(spark, sfDir).select("c_custkey")
+    val ord = orders(spark, sfDir).select("o_custkey", "o_orderkey", "o_orderstatus")
+    cust.join(ord,
+        cust("c_custkey") === ord("o_custkey") && ord("o_orderstatus") =!= "P",
+        "left_outer")
+      .groupBy(cust("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips nulls → 0
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("c_count"))
+  }
+
+  /** TPC-H Q11-style global-scalar HAVING: parts whose revenue exceeds
+    * `factor` × the MEAN per-part revenue. The global scalar comes from a
+    * second aggregation over the same per-part pre-aggregate — Catalyst
+    * reuses the exchange, so lineitem is scanned and shuffled ONCE — and
+    * attaches as a 1-row broadcast nested-loop join (the x2_tfidf pattern),
+    * never a per-row rescan. A mean-relative threshold stays meaningful at
+    * every scale factor (a fixed fraction-of-total goes empty as |parts|
+    * grows). Exact-decimal partials; the double cast and the threshold
+    * compare happen once, identically in both engines. */
+  def importantParts(spark: SparkSession, sfDir: String,
+                     factor: Double = 1.3): DataFrame = {
+    val perPart = lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(Num.dsumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("rev_dec"))
+    val global = perPart.agg(sum(col("rev_dec")).as("total_dec"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(global))
+      .where(col("rev_dec").cast("double") >
+        lit(factor) * col("total_dec").cast("double") / col("n_parts"))
+      .select(col("l_partkey"), col("rev_dec").cast("double").as("revenue"))
+      .orderBy("l_partkey")
+  }
+
+  /** Full-outer set reconciliation: per-customer order counts of two year
+    * snapshots FULL OUTER joined on the customer key, each row classified
+    * by its null pattern — `added` (only in the new snapshot), `removed`
+    * (only in the old), `changed` (both, different counts), `same`. The
+    * diff/CDC-report shape; both sides aggregate BEFORE the join, so the
+    * full-outer join runs at |customers| scale, not |orders|. */
+  def customerActivityDiff(spark: SparkSession, sfDir: String,
+                           yearOld: Int = 1996, yearNew: Int = 1997): DataFrame = {
+    val ord = orders(spark, sfDir)
+    def snapshot(y: Int, key: String, n: String): DataFrame =
+      ord.where(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey").as(key)).agg(count(lit(1)).as(n))
+    snapshot(yearOld, "k_old", "n_old")
+      .join(snapshot(yearNew, "k_new", "n_new"),
+        col("k_old") === col("k_new"), "full_outer")
+      .select(
+        coalesce(col("k_old"), col("k_new")).as("custkey"),
+        when(col("k_old").isNull, "added")
+          .when(col("k_new").isNull, "removed")
+          .when(col("n_old") =!= col("n_new"), "changed")
+          .otherwise("same").as("status"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .orderBy("custkey")
+  }
+
   /** Anti join (NOT EXISTS): customers with no pending ('P') order, counted
     * by segment. */
   def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame =

@@ -19,7 +19,8 @@ object DumpPlans {
       "s2_hour_slice", "q1_pricing_summary", "a5_email_1h", "q3_top_orders",
       "w1_top_order_per_customer", "q4_priority_semijoin", "d3_minhash_lsh",
       "sim1_ann_topk", "d5_emb_neardup", "rj1_price_band", "x2_tfidf",
-      "a9_salted_total", "x1_top_tokens")
+      "a9_salted_total", "x1_top_tokens", "q11_important_parts",
+      "q13_order_distribution", "d6_editdist")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (auto-generated)\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.DumpPlans\"` (sf0.001 inputs).\n")
