@@ -153,6 +153,12 @@ object SparkEntry {
     "q13_order_distribution" -> ((s, d) => Analytics.orderCountDistribution(s, d)),
     "q11_important_parts" -> ((s, d) => Analytics.importantParts(s, d)),
     "fo1_snapshot_diff" -> ((s, d) => Analytics.customerActivityDiff(s, d)),
+    // NO oracleSql on purpose: sketch results (HLL++, GK quantiles) are
+    // implementation-defined and cannot value-match another engine — the
+    // driver records its weaker rows-only check here, and the REAL grading
+    // is ExtSpec's bound assertions vs the exact aggregates (same rationale
+    // as pct1's comment for why only exact percentiles carry an oracle).
+    "apx1_sketch_stats" -> ((s, d) => Analytics.approxStats(s, d)),
     "w1_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     "w2_order_gaps" -> ((s, d) => Analytics.orderGaps(s, d)),
     "ag1_order_part_lists" -> ((s, d) => Analytics.orderPartLists(s, d)),
