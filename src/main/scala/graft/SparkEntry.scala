@@ -239,6 +239,17 @@ object SparkEntry {
 
     // sp1: deterministic hash-based train/val/test split — reproducible
     // across runs/engines/partitionings, pure projection (no shuffle)
+    // cur1: the composed curation pipeline (quality filter → exact dedup →
+    // split assignment) over a corpus with PLANTED exact duplicates (every
+    // document re-keyed +100000), so the dedup stage provably fires: the
+    // oracle confirms each text survives once, under its original id.
+    "cur1_corpus_curation" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs.union(
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      ext.Curation.curate(planted, "doc_id", "text").orderBy("doc_id")
+    }),
+
     "sp1_hash_split" -> ((s, d) =>
       ext.Sampling.withSplit(Tables.documents(s, d), col("doc_id"), "graft")
         .select(col("doc_id"), col("bucket"), col("split"))
@@ -634,6 +645,24 @@ object SparkEntry {
            | round(t.tf * ln(n_docs::DOUBLE / d.df), 4) AS tfidf
            |FROM tf t JOIN dfc d USING (term) CROSS JOIN n
            |WHERE t.tf >= 3 ORDER BY doc_id, term""".stripMargin.replace("\n", " ")),
+      "cur1_corpus_curation" ->
+        (s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+           | q AS (
+           |  SELECT doc_id, len(toks) AS n_tokens,
+           |   len(list_filter(toks, x -> list_contains($enStopSql, x)))::DOUBLE / len(toks) AS swr,
+           |   substring(sha256(array_to_string(toks, ' ')), 1, 16) AS fp
+           |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)),
+           | f AS (SELECT * FROM q WHERE n_tokens >= 20 AND swr >= 0.04),
+           | d AS (SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens FROM f GROUP BY fp)
+           |SELECT doc_id, n_tokens, bucket,
+           | CASE WHEN bucket < 80 THEN 'train'
+           |  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM (SELECT doc_id, n_tokens,
+           |  ('0x' || substring(sha256(doc_id::VARCHAR || ':graft'), 1, 15))::BIGINT % 100 AS bucket
+           | FROM d)
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       "sp1_hash_split" ->
         ("""SELECT doc_id, bucket,
            | CASE WHEN bucket < 80 THEN 'train'

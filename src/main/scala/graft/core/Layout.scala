@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Physical data layout for repeated-join/aggregation workloads: bucketing.
+  *
+  * The reference engine is single-node and has no layout tier; on a
+  * cluster, layout is THE lever that removes per-query shuffles of a
+  * 100 TB fact table. Writing a table bucketed (and bucket-sorted) by its
+  * join/group key hash-pre-partitions it ON DISK into a fixed number of
+  * buckets: every later equi-join against a table bucketed the same way,
+  * and every aggregation keyed on the bucket column, reads co-located
+  * buckets and satisfies Catalyst's distribution requirement WITHOUT an
+  * Exchange — the shuffle is paid once at write time, amortized over every
+  * subsequent query (LayoutSpec asserts the zero-Exchange plans).
+  *
+  * Scale notes:
+  *  - Pick numBuckets ≈ cluster cores × small factor; both join sides must
+  *    use the SAME bucket count (Spark joins bucketed tables shuffle-free
+  *    only on matching counts; a mismatched side falls back to a shuffle).
+  *  - `sortBy` on the bucket key additionally elides the per-task sort of
+  *    sort-merge joins and gives row-group min/max locality for key
+  *    predicates.
+  *  - Bucketed tables must be managed/catalog tables (`saveAsTable`) — the
+  *    bucket spec lives in the catalog, not the parquet footers.
+  */
+object Layout {
+
+  /** Write `df` as a bucketed (optionally bucket-sorted) managed parquet
+    * table. One shuffle now; zero shuffles for every later equi-join or
+    * keyed aggregation on `bucketCol` against same-count tables. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int, sorted: Boolean = true,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).format("parquet").bucketBy(numBuckets, bucketCol)
+    (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)
+  }
+
+  /** Repartition-and-sort layout for an intermediate frame consumed
+    * several times on the same key in ONE job (no catalog needed): the
+    * exchange is planned once and downstream consumers hit Spark's
+    * exchange-reuse instead of re-shuffling.
+    *
+    * Caveat (pinned by LayoutSpec): reuse requires the consumers' subplans
+    * to be IDENTICAL — Catalyst dedups by subtree equality, and column
+    * pruning pushes each consumer's projection below the exchange, so two
+    * consumers needing different column sets get two different exchanges.
+    * Project the union of the columns every consumer needs BEFORE calling
+    * this; for divergent consumers use a bucketed table ([[writeBucketed]])
+    * or df.persist() instead. */
+  def clusterBy(df: DataFrame, key: String, partitions: Int): DataFrame =
+    df.repartition(partitions, df(key)).sortWithinPartitions(key)
+}

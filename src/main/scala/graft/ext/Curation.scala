@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composition every training-data pipeline
+  * runs before tokenization — quality filter → exact dedup → deterministic
+  * split assignment — expressed as ONE declarative plan so Catalyst fuses
+  * the projections and the corpus is read once.
+  *
+  * Stage shapes (100 TB):
+  *  - quality stats + fingerprint: pure codegen'd projection, no shuffle;
+  *  - the quality filter runs BEFORE the dedup shuffle, so rejected docs
+  *    never shuffle at all;
+  *  - exact dedup: one hash-aggregate on the 16-hex-char fingerprint
+  *    (map-side combine collapses each partition's duplicates first);
+  *  - split assignment: salted-hash projection, stable across runs,
+  *    engines and repartitioning (see [[Sampling]]).
+  */
+object Curation {
+
+  /** Curate `docs`: drop low-quality documents (token count below
+    * `minTokens` or stopword ratio below `minStopwordRatio` — the classic
+    * gibberish/boilerplate screens), keep ONE copy of each distinct
+    * normalized text (minimum id wins, for reproducibility), and assign
+    * the surviving docs to train/val/test splits. Returns
+    * (doc_id, n_tokens, bucket, split), one row per kept document.
+    *
+    * Duplicate copies share the text, hence every per-text stat — so plain
+    * `min` aggregates pick the keeper's values without a join-back. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             minTokens: Long = 20, minStopwordRatio: Double = 0.04,
+             salt: String = "graft"): DataFrame = {
+    val stats = TextAnalysis.withTextStats(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .where(col("n_tokens") >= minTokens &&
+        col("stopword_ratio") >= minStopwordRatio)
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val kept = stats.groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"))
+    Sampling.withSplit(kept, col("doc_id"), salt)
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("split"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Layout, Tables}
+
+/** Bucketed-layout plans: the write-once-shuffle-never-again contract.
+  * Plan assertions follow the repo invariant — run collect() and read the
+  * FINALIZED plan, never the initial one. */
+class LayoutSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Finalized executed-plan text (post-AQE, final section only). */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  /** Count REAL key exchanges: a ReusedExchange line textually references
+    * the original ("ReusedExchange [...], Exchange hashpartitioning(...)"),
+    * so a raw substring count double-counts it. */
+  private def keyExchanges(plan: String): Int =
+    plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed equi-join and keyed aggregation run with ZERO exchanges") {
+    Layout.writeBucketed(Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderpriority"),
+      "orders_bkt", "o_orderkey", numBuckets = 4)
+    Layout.writeBucketed(Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice"),
+      "lineitem_bkt", "l_orderkey", numBuckets = 4)
+    // disable broadcast so the join must prove co-location, not hide
+    // behind a small-table broadcast
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = spark.table("lineitem_bkt")
+        .join(spark.table("orders_bkt"), col("l_orderkey") === col("o_orderkey"))
+        .select("o_orderkey", "o_orderpriority", "l_quantity")
+      val jp = finalPlan(joined)
+      assert(jp.contains("SortMergeJoin"), jp)
+      assert(!jp.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$jp")
+
+      val agg = spark.table("lineitem_bkt")
+        .groupBy("l_orderkey").agg(sum(col("l_quantity")).as("q"))
+      val ap = finalPlan(agg)
+      assert(!ap.contains("Exchange"),
+        s"aggregation on the bucket key must not shuffle:\n$ap")
+    }
+    // same data, same results as the unbucketed plan
+    val viaBuckets = spark.table("lineitem_bkt")
+      .groupBy("l_orderkey").agg(sum(col("l_quantity")).as("q"))
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").agg(sum(col("l_quantity")).as("q"))
+    assert(viaBuckets.exceptAll(direct).isEmpty && direct.exceptAll(viaBuckets).isEmpty)
+  }
+
+  test("clusterBy: identical consumers share ONE exchange (and pruning divergence breaks it)") {
+    val li = Layout.clusterBy(Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity"), "l_orderkey", 4)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // identical subplans on both sides → one exchange + ReusedExchange,
+      // and the join itself adds no exchange (both sides pre-clustered)
+      val self = li.as("x").join(li.as("y"), "l_orderkey")
+      val p = finalPlan(self)
+      assert(p.contains("ReusedExchange"), s"expected exchange reuse:\n$p")
+      assert(keyExchanges(p) == 1, s"exactly one key exchange for both sides:\n$p")
+
+      // the documented caveat: consumers pruning DIFFERENT columns get
+      // different subplans — two exchanges, no reuse (use writeBucketed
+      // or persist for divergent consumers)
+      val wide = Layout.clusterBy(Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_quantity", "l_extendedprice"), "l_orderkey", 4)
+      val a = wide.groupBy("l_orderkey").agg(sum(col("l_quantity")).as("sq"))
+      val b = wide.groupBy("l_orderkey").agg(sum(col("l_extendedprice")).as("sp"))
+      val dp = finalPlan(a.join(b, "l_orderkey"))
+      assert(keyExchanges(dp) == 2 && !dp.contains("ReusedExchange"),
+        s"pruning divergence must yield two exchanges (caveat pin):\n$dp")
+    }
+  }
+}
