@@ -159,6 +159,10 @@ object SparkEntry {
     // is ExtSpec's bound assertions vs the exact aggregates (same rationale
     // as pct1's comment for why only exact percentiles carry an oracle).
     "apx1_sketch_stats" -> ((s, d) => Analytics.approxStats(s, d)),
+    "w3_running_totals" -> ((s, d) => Analytics.runningOrderTotals(s, d)),
+    "int1_open_and_finished" -> ((s, d) => Analytics.openAndFinishedCustomers(s, d)),
+    "q18_large_orders" -> ((s, d) => Analytics.largeVolumeOrders(s, d)),
+    "q21_fully_late" -> ((s, d) => Analytics.fullyLateOrders(s, d)),
     "w1_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     "w2_order_gaps" -> ((s, d) => Analytics.orderGaps(s, d)),
     "ag1_order_part_lists" -> ((s, d) => Analytics.orderPartLists(s, d)),
@@ -537,6 +541,36 @@ object SparkEntry {
            |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
            |FROM a FULL OUTER JOIN b ON k_old = k_new
            |ORDER BY custkey""".stripMargin.replace("\n", " ")),
+      "w3_running_totals" ->
+        ("""SELECT o_custkey, o_orderkey,
+           | CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+           |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           |   AS running_total,
+           | CAST(ntile(4) OVER (PARTITION BY o_custkey
+           |   ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile
+           |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin.replace("\n", " ")),
+      "int1_open_and_finished" ->
+        ("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+           |INTERSECT
+           |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           |ORDER BY o_custkey""".stripMargin.replace("\n", " ")),
+      "q18_large_orders" ->
+        (s"""WITH big AS (
+           | SELECT l_orderkey, ${dsum("l_quantity")} AS total_qty
+           | FROM lineitem GROUP BY 1
+           | HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) > 250.0)
+           |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+           |FROM big JOIN orders ON l_orderkey = o_orderkey
+           | JOIN customer ON o_custkey = c_custkey
+           |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin.replace("\n", " ")),
+      "q21_fully_late" ->
+        ("""SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders o
+           |WHERE EXISTS (SELECT 1 FROM lineitem l
+           |   WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+           | AND NOT EXISTS (SELECT 1 FROM lineitem l
+           |   WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate <= o.o_orderdate)
+           |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       "w1_top_order_per_customer" ->
         ("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
            |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -406,6 +406,74 @@ object Analytics {
       .orderBy("custkey")
   }
 
+  /** Frame-based window aggregation: per-customer RUNNING total of order
+    * value (rows unbounded-preceding..current — the cumulative-frame class,
+    * distinct from w1/w2's row_number/lag which carry no frame) plus the
+    * customer's within-history quartile via ntile. The running sum
+    * accumulates in exact decimal: a double frame sum is associated in
+    * whatever order the engine's window algorithm chooses (running
+    * accumulator vs segment tree), so only exact arithmetic is
+    * engine-portable. One shuffle on the partition key, one sort. */
+  def runningOrderTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .over(frame).cast("double").as("running_total"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Set operation: customers holding BOTH open and finished orders —
+    * INTERSECT (distinct-set semantics), completing the set-op family
+    * next to [[openNotFinishedCustomers]]' EXCEPT. */
+  def openAndFinishedCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = orders(spark, sfDir)
+    ord.where(col("o_orderstatus") === "O").select("o_custkey")
+      .intersect(ord.where(col("o_orderstatus") === "F").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** TPC-H Q18-style large-volume orders: aggregate the fact table, keep
+    * keys over the HAVING threshold, then join BACK to the dimensions for
+    * the report — the aggregate-then-enrich shape. The per-order quantity
+    * aggregate collapses map-side to |orders| rows before its shuffle; the
+    * join back to orders/customer is keyed on the already-aggregated
+    * (small) side. */
+  def largeVolumeOrders(spark: SparkSession, sfDir: String,
+                        minQty: Double = 250.0): DataFrame = {
+    val big = lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(Num.dsum(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    big
+      .join(ntz(orders(spark, sfDir), "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  /** TPC-H Q21-flavored chained quantifiers: orders where EVERY lineitem
+    * shipped after the order date — EXISTS(late) AND NOT EXISTS(on-time),
+    * i.e. a left-semi and a left-anti join chained on the same fact with
+    * opposite residual conditions, counted by priority. */
+  def fullyLateOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = orders(spark, sfDir)
+    val li = lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+    ord
+      .join(li, ord("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > ord("o_orderdate"), "left_semi")
+      .join(li, ord("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") <= ord("o_orderdate"), "left_anti")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Sketch-based approximate aggregates — the bounded-memory answer to
     * pct1/cd1-style questions at 100 TB: HyperLogLog++ (approx_count_
     * distinct) and the GK quantile sketch (approx_percentile) are
