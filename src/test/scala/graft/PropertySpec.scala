@@ -76,6 +76,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = d(0); d(0) = i
+      for (j <- 1 to b.length) {
+        val t = d(j)
+        d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = t
+      }
+    }
+    d(b.length)
+  }
+
+  test("editDistancePairs == brute-force Levenshtein ≤ 1 (exact recall AND precision)") {
+    // short strings over a 3-letter alphabet force dense dist-0/1/2
+    // neighborhoods — the regime where SymSpell blocking could over- or
+    // under-generate if the deletion-variant pigeonhole were wrong
+    val strGen = Gen.listOfN(20,
+      Gen.choose(0, 5).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c'))))
+    forAll(strGen, n = 5) { strs =>
+      whenever(strs.nonEmpty) {
+        val docs = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        val got = Dedup.editDistancePairs(docs.toDF("id", "s"), "id", "s")
+          .as[(Long, Long, Int)].collect().toSet
+        val want = (for {
+          (i, a) <- docs; (j, b) <- docs if i < j
+          d = lev(a, b) if d <= 1
+        } yield (i, j, d)).toSet
+        assert(got == want,
+          s"strs=$strs\nmissing=${want -- got}\nspurious=${got -- want}")
+      }
+    }
+  }
+
+  test("PairCrossExpandExpr == naive packed cross product") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val expr = graft.functions.PairCrossExpandExpr(
+      BoundReference(0, ArrayType(LongType), nullable = false),
+      BoundReference(1, ArrayType(LongType), nullable = false))
+    val idsGen = Gen.listOf(Gen.choose(0L, 1000L)).map(_.distinct)
+    forAll(Gen.zip(idsGen, idsGen)) { case (as, bs) =>
+      val out = expr.eval(InternalRow(
+          new GenericArrayData(as), new GenericArrayData(bs)))
+        .asInstanceOf[ArrayData].toLongArray.toSeq
+      val want = for (a <- as; b <- bs)
+        yield if (a < b) (a << 32) | b else (b << 32) | a
+      assert(out == want)
+    }
+  }
+
   test("jaccard pairs: j within (0,1], symmetric by construction (a<b)") {
     forAll(Gen.listOfN(8, Gen.chooseNum(0, 3))) { picks =>
       val base = Seq(
