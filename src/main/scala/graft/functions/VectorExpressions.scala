@@ -20,22 +20,34 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * that case.
   *
   * Null semantics: null input array → null result (standard binary-
-  * expression null propagation); null ELEMENTS contribute 0.0.
+  * expression null propagation). Null ELEMENTS: the default (lenient)
+  * mode contributes 0.0 and truncates to the shorter length — the right
+  * semantics for embedding math. `strict = true` reproduces the
+  * observable behavior of the `aggregate(zip_with(a, b, *), 0d, +)` HOF
+  * form EXACTLY: null when the lengths differ (the zip null-pads the
+  * shorter array, nulling the fold) or when any element is null — used by
+  * the optimizer rewrite (graft.plans.RewriteHofDotProduct) so rewriting
+  * never changes results, even on parquet-read arrays whose elements are
+  * always marked nullable.
   */
-case class DotProductExpr(left: Expression, right: Expression)
+case class DotProductExpr(left: Expression, right: Expression,
+                          strict: Boolean = false)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  override def nullable: Boolean = strict || super.nullable
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (strict && x.numElements() != y.numElements()) return null
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
       if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+      else if (strict) return null
       i += 1
     }
     s
@@ -46,15 +58,22 @@ case class DotProductExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val nullElement = if (strict) s"${ev.isNull} = true; break;"
+      else "" // lenient: skip the element
+      val strictGuard = if (strict)
+        s"if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; } else"
+      else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |$strictGuard {
+         |  int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |      $s += $a.getDouble($i) * $b.getDouble($i);
+         |    } else { $nullElement }
          |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -23,8 +23,10 @@ import graft.functions._
   * time otherwise.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+  }
 }
 
 object GraftFunctions {

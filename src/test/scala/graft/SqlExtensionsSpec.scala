@@ -68,4 +68,50 @@ class SqlExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("RewriteHofDotProduct: HOF pattern becomes the native kernel, results bit-equal") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .withExtensions(new GraftExtensions).getOrCreate()
+      def hof(df: org.apache.spark.sql.DataFrame) =
+        df.select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("d"))
+
+      // dense double arrays from PARQUET (a literal local relation would be
+      // constant-folded before the plan can be inspected): the rule fires
+      // and values match the un-rewritten session bit-for-bit
+      val p = tmpDir("dot-rewrite")
+      ext.createDataFrame(Seq(
+          (Array(1.5, -2.0, 3.25), Array(0.5, 4.0, -1.0)),
+          (Array(0.1, 0.2), Array(0.3, 0.7)),
+          (Array(1.0, 2.0, 3.0), Array(1.0, 2.0)))) // length mismatch → null
+        .toDF("a", "b").write.mode("overwrite").parquet(p)
+      val extDf = hof(ext.read.parquet(p))
+      assert(extDf.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+        extDf.queryExecution.optimizedPlan.toString)
+      val plainDf = hof(spark.read.parquet(p))
+      val got = extDf.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      val want = plainDf.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      assert(got.toSeq == want.toSeq && got.count(_.isEmpty) == 1,
+        s"got=${got.toSeq} want=${want.toSeq} (exactly the mismatched row is null)")
+
+      // null ELEMENT: the HOF nulls the whole fold; strict mode must do
+      // the same (parquet-read arrays are always nullable-element, so the
+      // rule still fires — equivalence comes from strictness, not typing)
+      import ext.implicits._
+      val np = tmpDir("dot-rewrite-null")
+      Seq((Seq[Option[Double]](Some(1.0), None),
+        Seq[Option[Double]](Some(2.0), Some(3.0))))
+        .toDF("a", "b").write.mode("overwrite").parquet(np)
+      val ndf = hof(ext.read.parquet(np))
+      assert(ndf.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+      assert(ndf.collect().head.isNullAt(0),
+        "null element must null the strict dot exactly like the HOF")
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
