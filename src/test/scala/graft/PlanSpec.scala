@@ -147,4 +147,30 @@ class PlanSpec extends SparkSpec {
     assert(ex >= 0 && p.lastIndexOf("HashAggregate") < ex,
       s"expected partial hash-aggregate ABOVE the round-robin exchange:\n$p")
   }
+
+  test("broadcast hints exist ONLY for fixed-size dims, never SF-scaled relations") {
+    // the 100×-scale contract (round-2 verdict #1): an explicit broadcast()
+    // on customer/part/threshold frames would OOM the driver at scale —
+    // those joins must carry NO hint (AQE decides); nation/region keep
+    // theirs. Counted on the ANALYZED plan, where every hint is visible.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hints(name: String): Int =
+      SparkEntry.queries(name)(spark, sf).queryExecution.analyzed
+        .collect { case h: ResolvedHint => h }.size
+    for (q <- Seq("q3_top_orders", "q13_order_distribution", "q14_promo_share",
+        "q17_small_qty_revenue", "q18_large_orders"))
+      assert(hints(q) == 0, s"$q must leave join strategy to AQE")
+    assert(hints("q5_local_supplier") == 2, "q5: exactly region + nation hinted")
+    assert(hints("q10_returned_items") == 1, "q10: exactly nation hinted")
+  }
+
+  test("q11: the global scalar reuses the per-part exchange — one lineitem scan") {
+    // finalized adaptive plan (collect, not count — repo invariant)
+    val df = SparkEntry.queries("q11_important_parts")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"two-pass global-scalar must scan lineitem once:\n$p")
+    assert(p.contains("ReusedExchange"), s"expected reused exchange:\n$p")
+  }
 }
