@@ -202,6 +202,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T4 recovery: stateful totals survive stop → offline data → restart") {
+    // the exactly-once operational contract a 100 TB stream depends on:
+    // kill the query, let data keep arriving, restart from the SAME
+    // checkpoint — state resumes (no loss) and committed batches are not
+    // re-applied (no double count). Update-mode groupBy state is unbounded
+    // here (test-only); production paths bound state by watermark (Speed).
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val ckpt = tmpDir("ckpt-recovery")
+    val totals = scala.collection.concurrent.TrieMap[String, Long]()
+    def start() = in.toDF().toDF("k", "v")
+      .groupBy("k").agg(sum(col("v")).as("total"))
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => totals(r.getString(0)) = r.getLong(1)))
+      .start()
+    val q1 = start()
+    try {
+      in.addData(("a", 1L), ("b", 2L)); q1.processAllAvailable()
+      in.addData(("a", 10L)); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(totals("a") == 11L && totals("b") == 2L, totals.toString)
+    in.addData(("a", 100L), ("b", 20L)) // arrives while the query is down
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(totals("a") == 111L && totals("b") == 22L,
+      s"recovered state must continue exact totals: $totals")
+  }
+
   test("T5: several concurrent streaming queries from one parsed stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
