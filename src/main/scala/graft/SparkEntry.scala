@@ -163,6 +163,7 @@ object SparkEntry {
     "int1_open_and_finished" -> ((s, d) => Analytics.openAndFinishedCustomers(s, d)),
     "q18_large_orders" -> ((s, d) => Analytics.largeVolumeOrders(s, d)),
     "q21_fully_late" -> ((s, d) => Analytics.fullyLateOrders(s, d)),
+    "q19_band_revenue" -> ((s, d) => Analytics.disjunctiveBandRevenue(s, d)),
     "w1_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     "w2_order_gaps" -> ((s, d) => Analytics.orderGaps(s, d)),
     "ag1_order_part_lists" -> ((s, d) => Analytics.orderPartLists(s, d)),
@@ -571,6 +572,13 @@ object SparkEntry {
            | AND NOT EXISTS (SELECT 1 FROM lineitem l
            |   WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate <= o.o_orderdate)
            |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      "q19_band_revenue" ->
+        (s"""SELECT ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+           |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10 AND 30)
+           |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20 AND 40)
+           |ORDER BY revenue""".stripMargin.replace("\n", " ")),
       "w1_top_order_per_customer" ->
         ("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
            |  SELECT o_custkey, o_orderkey, o_totalprice,

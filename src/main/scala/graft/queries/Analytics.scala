@@ -474,6 +474,28 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H Q19-style disjunctive-predicate join: an OR of conjunctive
+    * (brand, size-band, quantity-band) clauses as the join residual. The
+    * optimizer test here is join-strategy survival: every disjunct shares
+    * the l_partkey = p_partkey equi-key, so Catalyst plans a HASH join
+    * with the OR as a post-join residual (PlanSpec asserts no cartesian) —
+    * a planner that can't factor the common key degenerates to a
+    * nested-loop over the fact table. */
+  def disjunctiveBandRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    def band(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(part(spark, sfDir).select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey") &&
+          (band("Brand#4", 1, 10, 1, 15) || band("Brand#2", 11, 25, 10, 30) ||
+            band("Brand#19", 26, 50, 20, 40)))
+      .agg(Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy("revenue")
+  }
+
   /** Sketch-based approximate aggregates — the bounded-memory answer to
     * pct1/cd1-style questions at 100 TB: HyperLogLog++ (approx_count_
     * distinct) and the GK quantile sketch (approx_percentile) are

@@ -148,6 +148,13 @@ class PlanSpec extends SparkSpec {
       s"expected partial hash-aggregate ABOVE the round-robin exchange:\n$p")
   }
 
+  test("q19: disjunctive residual keeps the equi hash join — no nested loop") {
+    val p = plan("q19_band_revenue")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"OR-of-conjuncts must factor the common equi-key:\n$p")
+    assert(p.contains("HashJoin"), s"expected hash join on l_partkey:\n$p")
+  }
+
   test("broadcast hints exist ONLY for fixed-size dims, never SF-scaled relations") {
     // the 100×-scale contract (round-2 verdict #1): an explicit broadcast()
     // on customer/part/threshold frames would OOM the driver at scale —
