@@ -31,8 +31,11 @@ object Curation {
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minTokens: Long = 20, minStopwordRatio: Double = 0.04,
              salt: String = "graft"): DataFrame = {
-    val stats = TextAnalysis.withTextStats(
-        docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+    // fan out BEFORE the compute-bound stage (tokenize + stats + sha256):
+    // a few large input files must not serialize the scoring onto a few
+    // cores (repo invariant; same shape as exactDedup)
+    val stats = TextAnalysis.withTextStats(graft.core.Par.fanOut(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))))
       .where(col("n_tokens") >= minTokens &&
         col("stopword_ratio") >= minStopwordRatio)
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))

@@ -83,7 +83,9 @@ object Dedup {
     // token arrays, so the shingle lambdas read a column instead of
     // re-running the tokenizer per element — and the shingling itself runs
     // at full parallelism after the exchange
-    val base = graft.core.Par.fanOut(df.select(col(idCol).as("id"),
+    // id cast to long up front: the packed-pair path reads raw 8-byte
+    // slots (ArrayData.getLong) — an int id column would read garbage
+    val base = graft.core.Par.fanOut(df.select(col(idCol).cast("long").as("id"),
       TextAnalysis.tokens(col(textCol)).as("toks")))
     val sh = base.select(col("id"), shingleHashesFromTokens(col("toks"), n).as("shh"))
     val sizes = sh.select(col("id"), size(col("shh")).as("sz"))
@@ -103,7 +105,10 @@ object Dedup {
         // cap carry no near-dup signal; dropping them from candidacy is the
         // standard blocking practice (test-data max doc-freq is 25).
         val maxPostingLen = 10000
-        val ids = inv0.groupBy("s").agg(sort_array(collect_list(col("id"))).as("ids"))
+        // distinct defends against duplicate (id, shingle) postings from
+        // re-delivered input rows — a duplicate would emit a self-pair
+        val ids = inv0.groupBy("s")
+          .agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
           .where(size(col("ids")) > 1 && size(col("ids")) <= maxPostingLen)
         // pairs travel as single packed longs (a<<32 | b, codegen'd
         // expansion): primitive explode + one-column hash agg, no structs
@@ -281,9 +286,24 @@ object Dedup {
     // EXACT: equal pairs via their group, dist-1 pairs because any two
     // strings within one edit share a deletion variant (SymSpell
     // pigeonhole), which representative pairs inherit verbatim.
-    val base = graft.core.Par.fanOut(df.select(col(idCol).as("id"), col(textCol).as("t")))
+    //
+    // Cost accounting: `grp` has several consumers pruning different
+    // columns, so its subplans diverge and the input is scanned/grouped
+    // ~2× (no exchange reuse across divergent projections — the caveat
+    // LayoutSpec pins). All re-runs operate at |distinct strings| scale;
+    // a pipeline that needs one-pass input reading should materialize the
+    // grouped frame first (persist / Layout.writeBucketed on t).
+    // id cast to long up front: the packed-pair expressions read raw 8-byte
+    // slots (ArrayData.getLong), so an int id column would read garbage.
+    // Null texts are excluded (null is not within any edit distance of
+    // anything — and grouping nulls together would claim them as exact
+    // duplicates of each other); duplicate (id, text) rows collapse via
+    // array_distinct so a re-delivered row can never produce a self-pair.
+    val base = graft.core.Par.fanOut(df
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
     val grp = base.groupBy("t")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
       .withColumn("rep", col("ids")(0))
     val eq = grp.select(explode(
         graft.functions.VectorExpressions.pairExpandNative(col("ids"))).as("p"),
@@ -292,7 +312,7 @@ object Dedup {
       explode(graft.functions.VectorExpressions.deletionVariantHashesNative(col("t")))
         .as("vh"), col("rep"))
     val reps = postings.groupBy("vh")
-      .agg(sort_array(collect_list(col("rep"))).as("reps"))
+      .agg(array_distinct(sort_array(collect_list(col("rep")))).as("reps"))
       .where(size(col("reps")) > 1)
     val candReps = reps.select(explode(
         graft.functions.VectorExpressions.pairExpandNative(col("reps"))).as("rp"))

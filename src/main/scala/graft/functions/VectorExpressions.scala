@@ -426,7 +426,10 @@ case class DeletionVariantHashExpr(child: Expression)
     val vbuf = new Array[Byte](math.max(nb, 1))
     var i = 0
     while (i < nb) {
-      val cl = UTF8String.numBytesForFirstByte(bytes(i)) // this char's byte length
+      // this char's byte length, clamped: parquet does not validate UTF-8,
+      // and a truncated multibyte sequence at the end of the buffer must
+      // delete as "the rest of the string", not overrun the array
+      val cl = math.min(UTF8String.numBytesForFirstByte(bytes(i)), nb - i)
       System.arraycopy(bytes, 0, vbuf, 0, i)
       System.arraycopy(bytes, i + cl, vbuf, i, nb - i - cl)
       out(p) = org.apache.spark.sql.catalyst.expressions.XXH64

@@ -253,6 +253,20 @@ class ExtSpec extends SparkSpec {
     assert(fps(0) == fps(1) && fps(0).length == 16)
   }
 
+  test("editDistancePairs: null texts, duplicate rows and int ids are handled") {
+    // null text is not a duplicate of anything; a re-delivered identical
+    // row must not self-pair; an IntegerType id column must not feed raw
+    // getLong reads (cast happens inside the operator)
+    val df = Seq(
+      (1, Option("abc")), (2, Option("abd")),  // dist 1
+      (3, None: Option[String]), (4, None),    // nulls: no pairs at all
+      (5, Option("xyz")), (5, Option("xyz")),  // duplicated row: no self-pair
+    ).toDF("id", "t")
+    val got = Dedup.editDistancePairs(df, "id", "t")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1)), got.toString)
+  }
+
   test("approxStats: sketches land inside their error bounds vs exact aggregates") {
     // sketch outputs are implementation-defined → no cross-engine value
     // oracle; THIS bound check is the grading (see Analytics.approxStats)

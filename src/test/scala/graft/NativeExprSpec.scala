@@ -121,6 +121,24 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("DeletionVariantHashExpr: truncated multibyte UTF-8 must not crash") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    // parquet does not validate UTF-8: a dangling lead byte claims more
+    // bytes than the buffer holds — must clamp, not overrun
+    val expr = graft.functions.DeletionVariantHashExpr(
+      BoundReference(0, StringType, nullable = false))
+    for (bad <- Seq(Array(0xC3.toByte), Array('a'.toByte, 0xE2.toByte),
+        Array(0xF0.toByte, 0x9F.toByte))) {
+      val out = expr.eval(InternalRow(UTF8String.fromBytes(bad)))
+        .asInstanceOf[ArrayData].toLongArray
+      assert(out.nonEmpty, "identity hash plus clamped deletions expected")
+    }
+  }
+
   test("stateful CodegenFallback exprs: shared-instance concurrent eval is safe") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
