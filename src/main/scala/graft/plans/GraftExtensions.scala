@@ -87,6 +87,10 @@ object GraftFunctions {
       arity("graft_deletion_variant_hashes", args, 1)
       DeletionVariantHashExpr(args(0))
     },
+    fn("graft_cjk_count", classOf[CjkCountExpr]) { args =>
+      arity("graft_cjk_count", args, 1)
+      CjkCountExpr(args(0))
+    },
     fn("graft_xx_token_hashes", classOf[XxTokenHashExpr]) { args =>
       arity("graft_xx_token_hashes", args, 1)
       XxTokenHashExpr(args(0))

@@ -37,7 +37,12 @@ object AsOf {
         col(key).as("__k") :+ col(ts).as("__t") :+
         lit(0).as("__side") :+ rPayload.as("__r")): _*)
 
-    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+    // the trailing __r orders ties among right rows sharing (key, ts):
+    // without it, last() carries whichever duplicate the shuffle ordered
+    // last — nondeterministic across runs. With it, ties deterministically
+    // resolve to the greatest payload struct (field-wise comparison).
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val scanned = lFull.unionByName(rFull)
       .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))

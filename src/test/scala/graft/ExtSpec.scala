@@ -253,6 +253,18 @@ class ExtSpec extends SparkSpec {
     assert(fps(0) == fps(1) && fps(0).length == 16)
   }
 
+  test("simhashPairs: chunk widths stay non-empty for maxDist 0/8/16 (pigeonhole intact)") {
+    // chunks ∈ {1, 9, 17} previously produced zero-width tail chunks whose
+    // all-zero keys silently degraded the blocking to an all-pairs join
+    for (d <- Seq(0, 8, 16)) {
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = d)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((0L, 3L)), s"maxDist=$d: exact dup pair (hamming 0)")
+      if (d == 0)
+        assert(pairs == Set((0L, 3L)), s"maxDist=0 keeps only identical fingerprints: $pairs")
+    }
+  }
+
   test("editDistancePairs: null texts, duplicate rows and int ids are handled") {
     // null text is not a duplicate of anything; a re-delivered identical
     // row must not self-pair; an IntegerType id column must not feed raw

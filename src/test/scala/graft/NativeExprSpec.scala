@@ -121,6 +121,16 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("CjkCountExpr == length(regexp_replace keep-CJK)") {
+    val strs = Seq("no cjk at all", "", "这是一个中文句子没有空格",
+      "mixed 中文 and English 漢字 done", "édgé çäse ünïcode", "中").toDF("t")
+    val native = strs.select(
+      VectorExpressions.cjkCountNative(col("t"))).as[Int].collect()
+    val regex = strs.select(
+      length(regexp_replace(col("t"), "[^\\x{4e00}-\\x{9fff}]", ""))).as[Int].collect()
+    assert(native.toSeq == regex.toSeq, s"${native.toSeq} vs ${regex.toSeq}")
+  }
+
   test("DeletionVariantHashExpr: truncated multibyte UTF-8 must not crash") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference

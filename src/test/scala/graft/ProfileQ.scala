@@ -24,7 +24,7 @@ object ProfileQ {
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"PROFQ $name%-28s ${math.min(once(), once())}%7.2f s (min of 2)")
