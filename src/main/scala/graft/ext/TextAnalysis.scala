@@ -34,7 +34,10 @@ object TextAnalysis {
       .withColumn("type_token_ratio",
         col("n_distinct_tokens").cast("double") / col("n_tokens"))
       .withColumn("avg_token_len",
-        aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
+        // native char-count sum (== aggregate(t, 0L, (acc, x) => acc +
+        // length(x)) — the HOF form dispatched an interpreted lambda per
+        // token; see the hot-kernel invariant)
+        graft.functions.VectorExpressions.tokenLenSumNative(t).cast("double")
           / col("n_tokens"))
       .withColumn("stopword_ratio",
         size(filter(t, x => x.isin(EnStop: _*))).cast("double") / col("n_tokens"))

@@ -498,6 +498,34 @@ case class DeletionVariantHashExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Sum of element CHARACTER lengths of an array<string> — value-identical
+  * to `aggregate(arr, 0L, (acc, x) => acc + length(x))` (the text-stats
+  * avg-token-length numerator) without one interpreted lambda dispatch
+  * per element. Null elements fail loudly like every graft array kernel.
+  * Interpreted eval (CodegenFallback): one virtual call per row. */
+case class TokenLenSumExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_token_len_sum"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) PairExpandExpr.nullElement(prettyName, i)
+      s += xs.getUTF8String(i).numChars()
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Count of CJK-unified-ideograph characters (U+4E00..U+9FFF) in a string —
   * value-identical to `length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]",
   * ""))` (each kept character has length 1), but a zero-allocation byte
@@ -703,6 +731,10 @@ object VectorExpressions {
   /** Count of CJK ideographs (U+4E00..U+9FFF) in a string. */
   def cjkCountNative(text: Column): Column =
     Bridge.column(CjkCountExpr(Bridge.expression(text)))
+
+  /** Sum of element character lengths of an array<string>. */
+  def tokenLenSumNative(tokens: Column): Column =
+    Bridge.column(TokenLenSumExpr(Bridge.expression(tokens)))
 
   /** Per-element xxhash64 (seed 42) of an array<string>. */
   def xxTokenHashesNative(tokens: Column): Column =

@@ -91,6 +91,10 @@ object GraftFunctions {
       arity("graft_cjk_count", args, 1)
       CjkCountExpr(args(0))
     },
+    fn("graft_token_len_sum", classOf[TokenLenSumExpr]) { args =>
+      arity("graft_token_len_sum", args, 1)
+      TokenLenSumExpr(args(0))
+    },
     fn("graft_xx_token_hashes", classOf[XxTokenHashExpr]) { args =>
       arity("graft_xx_token_hashes", args, 1)
       XxTokenHashExpr(args(0))

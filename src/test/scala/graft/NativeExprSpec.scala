@@ -121,6 +121,16 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("TokenLenSumExpr == aggregate(arr, 0L, acc + length(x))") {
+    val toks = (texts.collect().map(_.getString(0)).toSeq :+ "中文 désolé x")
+      .toDF("text").select(TextAnalysis.tokens(col("text")).as("toks"))
+    val native = toks.select(
+      VectorExpressions.tokenLenSumNative(col("toks"))).as[Long].collect()
+    val hof = toks.select(
+      aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))).as[Long].collect()
+    assert(native.toSeq == hof.toSeq)
+  }
+
   test("CjkCountExpr == length(regexp_replace keep-CJK)") {
     val strs = Seq("no cjk at all", "", "这是一个中文句子没有空格",
       "mixed 中文 and English 漢字 done", "édgé çäse ünïcode", "中").toDF("t")
