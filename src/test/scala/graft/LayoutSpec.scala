@@ -64,6 +64,23 @@ class LayoutSpec extends SparkSpec {
     assert(viaBuckets.exceptAll(direct).isEmpty && direct.exceptAll(viaBuckets).isEmpty)
   }
 
+  test("bucket pruning: an equality filter on the bucket key reads ONE bucket") {
+    // the scan-side complement of the zero-Exchange join: a point lookup
+    // on the bucket column hashes to its bucket and skips the other files
+    Layout.writeBucketed(Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice"), "orders_prune_bkt", "o_orderkey", 4)
+    // auto-bucketed-scan turns the bucketed read off when no join/agg
+    // needs the distribution — pin it on so the PRUNING mechanism (the
+    // thing a point-lookup on a 100 TB bucketed table relies on) is
+    // observable in the plan
+    withConf("spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+      val q = spark.table("orders_prune_bkt").where(col("o_orderkey") === 42L)
+      val p = finalPlan(q)
+      assert(p.contains("SelectedBucketsCount: 1 out of 4"),
+        s"expected a single selected bucket:\n$p")
+    }
+  }
+
   test("clusterBy: identical consumers share ONE exchange (and pruning divergence breaks it)") {
     val li = Layout.clusterBy(Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_quantity"), "l_orderkey", 4)
