@@ -253,6 +253,24 @@ class ExtSpec extends SparkSpec {
     assert(fps(0) == fps(1) && fps(0).length == 16)
   }
 
+  test("Curation.curate: quality screens, min-id dedup, stable splits") {
+    val many = (1 to 30).map(i => s"tok$i").mkString("the and of it is that ", " ", "")
+    val corpus = Seq(
+      (10L, many),                     // passes both screens
+      (11L, many),                     // exact dup → dropped, 10 kept
+      (12L, "too short to keep"),      // < minTokens → dropped
+      (13L, (1 to 40).map(i => s"x$i").mkString(" ")), // no stopwords → dropped
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Curation.curate(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.map(_._1).toSeq == Seq(10L), out.mkString(","))
+    assert(out.head._2 == 36L, "kept doc carries its token count")
+    assert(Set("train", "val", "test").contains(out.head._4))
+    val again = graft.ext.Curation.curate(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.toSeq == again.toSeq, "salted-hash splits are run-stable")
+  }
+
   test("simhashPairs: chunk widths stay non-empty for maxDist 0/8/16 (pigeonhole intact)") {
     // chunks ∈ {1, 9, 17} previously produced zero-width tail chunks whose
     // all-zero keys silently degraded the blocking to an all-pairs join
