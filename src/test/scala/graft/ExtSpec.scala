@@ -253,6 +253,26 @@ class ExtSpec extends SparkSpec {
     assert(fps(0) == fps(1) && fps(0).length == 16)
   }
 
+  test("MinHashUnion aggregator: merged signature == signature of the unioned shingle set") {
+    // mergeability is EXACT for minhash (min over a union is the min of
+    // mins) — the property that lets cluster-level sketches reduce with a
+    // fixed-size buffer at any group size
+    import graft.functions.VectorExpressions
+    val grouped = docs.withColumn("g", col("doc_id") % 2)
+      .select(col("g"), col("doc_id"),
+        Dedup.shingleHashesFromTokens(TextAnalysis.tokens(col("text"))).as("shh"))
+    val viaAgg = grouped
+      .select(col("g"), VectorExpressions.minhashSigNative(col("shh"), 64).as("sig"))
+      .groupBy("g").agg(graft.ext.SketchAggs.minhashUnion(64)(col("sig")).as("u"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val direct = grouped
+      .groupBy("g").agg(flatten(collect_list(col("shh"))).as("all_shh"))
+      .select(col("g"), VectorExpressions.minhashSigNative(col("all_shh"), 64).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaAgg.keySet == direct.keySet && viaAgg.keySet.nonEmpty)
+    viaAgg.foreach { case (g, u) => assert(u == direct(g), s"group $g") }
+  }
+
   test("Curation.curate: quality screens, min-id dedup, stable splits") {
     val many = (1 to 30).map(i => s"tok$i").mkString("the and of it is that ", " ", "")
     val corpus = Seq(
