@@ -760,6 +760,7 @@ object SparkEntry {
       "t4_lang_id" ->
         (s"""SELECT doc_id,
            | CASE
+           |  WHEN text IS NULL THEN NULL
            |  WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) * 3 > length(text) THEN 'zh'
            |  WHEN greatest(en, de, fr, es) = 0 THEN 'unk'
            |  WHEN en = greatest(en, de, fr, es) THEN 'en'

@@ -104,10 +104,6 @@ object Dedup {
         // cap carry no near-dup signal; dropping them from candidacy is the
         // standard blocking practice (test-data max doc-freq is 25).
         val maxPostingLen = 10000
-        // distinct defends against duplicate (id, shingle) postings from
-        // re-delivered input rows — a duplicate would emit a self-pair
-        val postings = inv0.groupBy("s")
-          .agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
         // capped shingles leave the shingle SPACE entirely: excluded from
         // the shared counts (numerator) AND the per-doc sizes
         // (denominator), so j stays a true Jaccard over the kept space —
@@ -115,10 +111,26 @@ object Dedup {
         // numerator would silently deflate j below minJaccard for any
         // pair sharing a capped shingle. Identical to the uncapped oracle
         // whenever no shingle exceeds the cap (graded corpus max df: 25).
-        val kept = postings.where(size(col("ids")) <= maxPostingLen)
-        val sizes = kept.select(explode(col("ids")).as("id"))
-          .groupBy("id").agg(count(lit(1)).as("sz"))
-        val ids = kept.where(size(col("ids")) > 1)
+        //
+        // Derivation is single-pass per the repo invariant (aggs between a
+        // shared exchange and two consumers run once per consumer): the
+        // capped-shingle set comes from a count-only aggregate sharing the
+        // postings exchange with the list aggregate (which then runs
+        // ONCE), and per-doc sizes adjust map-side from sh via a 1-row
+        // broadcast of the (pathological, tiny) capped set — never by
+        // re-aggregating the postings.
+        val cappedArr = inv0.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxPostingLen)
+          .agg(collect_list(col("s")).as("capped")) // 1 row; [] when none
+        val sizes = sh.crossJoin(broadcast(cappedArr))
+          .select(col("id"),
+            (size(col("shh")) - size(array_intersect(col("shh"), col("capped"))))
+              .as("sz"))
+        // distinct defends against duplicate (id, shingle) postings from
+        // re-delivered input rows — a duplicate would emit a self-pair
+        val ids = inv0.groupBy("s")
+          .agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
+          .where(size(col("ids")) > 1 && size(col("ids")) <= maxPostingLen)
         // pairs travel as single packed longs (a<<32 | b, codegen'd
         // expansion): primitive explode + one-column hash agg, no structs
         val pairs = ids.select(explode(

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * in production; nothing else changes.
   *
   * Scale design:
-  *  - decode work is proportional to BYTES, not rows → partition by
-  *    cumulative payload size (`repartitionByRange` on octet length) so a
-  *    1000-executor fleet gets balanced decode batches.
+  *  - decode work is proportional to BYTES, not rows → spread blobs
+  *    ROUND-ROBIN across decode partitions ([[repartitionBySize]]): each
+  *    partition gets a statistical mix of sizes (byte-balanced to ~√n
+  *    variance). Range-partitioning on size looks smarter but colocates
+  *    every large blob in one partition — maximal byte skew.
   *  - per-partition processing (`mapPartitions` on a typed Dataset) is the
   *    Scala analogue of Python's `mapInPandas`: one iterator pass, codec
   *    state (decoder contexts, model weights) initialized once per

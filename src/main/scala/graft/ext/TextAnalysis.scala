@@ -112,7 +112,13 @@ object TextAnalysis {
       hits(EnStop) * 8 + lit(6), hits(DeStop) * 8 + lit(5),
       hits(EsStop) * 8 + lit(4), hits(FrStop) * 8 + lit(3))
     val labels = array(lit("fr"), lit("es"), lit("de"), lit("en"), lit("unk"))
-    when(cjk * 3 > length(text), lit("zh"))
+    // NULL text → NULL language, explicitly: array_max skips null scores,
+    // so without this guard a null document would decode to "unk" while a
+    // when-chain (and a SQL CASE) falls through to its ELSE — the one
+    // input where the two formulations disagree. The t4 oracle carries
+    // the same leading IS NULL arm.
+    when(text.isNull, lit(null).cast("string"))
+      .when(cjk * 3 > length(text), lit("zh"))
       .otherwise(element_at(labels, (array_max(packed) % 8 - 2).cast("int")))
   }
 }

