@@ -258,6 +258,21 @@ object SparkEntry {
       ext.Curation.curate(planted, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // sp2: length-weighted deterministic sampling — longer documents kept
+    // with proportionally higher probability (the source-mixing shape);
+    // fate is a pure function of (doc_id, salt), so the oracle recomputes
+    // the identical keep-set
+    "sp2_weighted_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ext.Sampling.sampleByProb(
+          docs.withColumn("n_tokens",
+            size(TextAnalysis.tokens(col("text"))).cast("long")),
+          col("doc_id"), "mix",
+          least(lit(1.0), col("n_tokens").cast("double") / 60.0))
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "sp1_hash_split" -> ((s, d) =>
       Par.stage(ext.Sampling.withSplit(Tables.documents(s, d), col("doc_id"), "graft")
         .select(col("doc_id"), col("bucket"), col("split")))
@@ -715,6 +730,13 @@ object SparkEntry {
            |FROM (SELECT doc_id, n_tokens,
            |  ('0x' || substring(sha256(doc_id::VARCHAR || ':graft'), 1, 15))::BIGINT % 100 AS bucket
            | FROM d)
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "sp2_weighted_sample" ->
+        (s"""SELECT doc_id, n_tokens FROM (
+           |  SELECT doc_id, len($toksSql) AS n_tokens,
+           |   ('0x' || substring(sha256(doc_id::VARCHAR || ':mix'), 1, 15))::BIGINT % 1000000 AS b
+           |  FROM documents)
+           |WHERE b / 1000000.0 < least(1.0, n_tokens / 60.0)
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       "sp1_hash_split" ->
         ("""SELECT doc_id, bucket,

@@ -37,6 +37,17 @@ object Sampling {
   def sampleByHash(df: DataFrame, key: Column, salt: String, pct: Int): DataFrame =
     df.where(hashBucket(key, salt) < pct)
 
+  /** Deterministic WEIGHTED (per-row-probability) sample: keep each row
+    * with its own probability `prob` ∈ [0, 1] — the source-mixing /
+    * importance-sampling primitive (upweight rare sources, downweight
+    * boilerplate) with the same guarantees as [[sampleByHash]]: a row's
+    * fate is a pure function of (key, salt), so the sample is reproducible
+    * across runs, engines and repartitioning, and independent samples come
+    * from distinct salts. The hash is compared at 10⁶ resolution, so
+    * probabilities are honored to ±10⁻⁶. */
+  def sampleByProb(df: DataFrame, key: Column, salt: String, prob: Column): DataFrame =
+    df.where(hashBucket(key, salt, 1000000).cast("double") / 1e6 < prob)
+
   /** Train/val/test assignment: adds `bucket` (0-99) and `split` columns.
     * Buckets < trainPct → "train", < trainPct+valPct → "val", rest "test".
     * One codegen'd projection over the corpus — zero shuffles. */
