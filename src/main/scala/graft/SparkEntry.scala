@@ -258,6 +258,25 @@ object SparkEntry {
       ext.Curation.curate(planted, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // cur2: the FUZZY curation pipeline (quality filter → exact dedup →
+    // MinHash-LSH near-dup pair detection → cluster-root collapse → split)
+    // over a corpus with planted EXACT duplicates (+100000, identical text)
+    // AND planted NEAR-duplicates (+200000, text with one appended token —
+    // shingle-Jaccard ≈ n/(n+1) ≥ 0.9, far above the 0.7 threshold), so
+    // both dedup stages provably fire. The oracle recomputes the pair set
+    // with exact SQL Jaccard (recall equivalence on this corpus is the
+    // same property d3's oracle already proves) and the cluster roots with
+    // a recursive min-reachability CTE — the keeper set must match
+    // hash-exactly.
+    "cur2_fuzzy_curation" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs
+        .union(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .union(docs.select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text")))
+      ext.Curation.curateFuzzy(planted, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // sp2: length-weighted deterministic sampling — longer documents kept
     // with proportionally higher probability (the source-mixing shape);
     // fate is a pure function of (doc_id, salt), so the oracle recomputes
@@ -731,6 +750,52 @@ object SparkEntry {
            |  ('0x' || substring(sha256(doc_id::VARCHAR || ':graft'), 1, 15))::BIGINT % 100 AS bucket
            | FROM d)
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // cur2: quality filter → exact dedup → exact-Jaccard near-dup pairs
+      // (≡ the Spark side's MinHash-LSH pairs on this corpus — d3's proven
+      // recall property) → connected-component min-root collapse via a
+      // recursive reachability CTE → split assignment.
+      "cur2_fuzzy_curation" ->
+        (s"""WITH RECURSIVE corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' graftdup' AS text FROM documents),
+           | q AS (
+           |  SELECT doc_id, text, len(toks) AS n_tokens,
+           |   len(list_filter(toks, x -> list_contains($enStopSql, x)))::DOUBLE / len(toks) AS swr,
+           |   substring(sha256(array_to_string(toks, ' ')), 1, 16) AS fp
+           |  FROM (SELECT doc_id, text, $toksSql AS toks FROM corpus)),
+           | f AS (SELECT * FROM q WHERE n_tokens >= 20 AND swr >= 0.04),
+           | d AS (SELECT min(doc_id) AS id, min(n_tokens) AS n_tokens, min(text) AS text
+           |       FROM f GROUP BY fp),
+           | sh AS (SELECT id,
+           |  CASE WHEN len(toks) >= 3
+           |   THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+           |   ELSE [] END AS sh
+           |  FROM (SELECT id, $toksSql AS toks FROM d)),
+           | inv AS (SELECT id, unnest(sh) AS s FROM sh),
+           | cand AS (
+           |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM inv x JOIN inv y ON x.s = y.s AND x.id < y.id),
+           | pr AS (SELECT id_a, id_b FROM (
+           |  SELECT id_a, id_b,
+           |   len(list_intersect(a.sh, b.sh))::DOUBLE /
+           |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+           |  FROM cand JOIN sh a ON cand.id_a = a.id JOIN sh b ON cand.id_b = b.id)
+           |  WHERE j >= 0.7),
+           | e AS (SELECT id_a AS x, id_b AS y FROM pr UNION SELECT id_b, id_a FROM pr),
+           | reach(x, y) AS (SELECT x, y FROM e
+           |  UNION SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x),
+           | root AS (SELECT x, least(x, min(y)) AS root FROM reach GROUP BY x),
+           | surv AS (SELECT id AS doc_id, n_tokens FROM d
+           |  WHERE id NOT IN (SELECT x FROM root WHERE root <> x))
+           |SELECT doc_id, n_tokens, bucket,
+           | CASE WHEN bucket < 80 THEN 'train'
+           |  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM (SELECT doc_id, n_tokens,
+           |  ('0x' || substring(sha256(doc_id::VARCHAR || ':graft'), 1, 15))::BIGINT % 100 AS bucket
+           | FROM surv)
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
       "sp2_weighted_sample" ->
         (s"""SELECT doc_id, n_tokens FROM (
            |  SELECT doc_id, len($toksSql) AS n_tokens,

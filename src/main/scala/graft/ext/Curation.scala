@@ -44,4 +44,43 @@ object Curation {
     Sampling.withSplit(kept, col("doc_id"), salt)
       .select(col("doc_id"), col("n_tokens"), col("bucket"), col("split"))
   }
+
+  /** FUZZY curation: [[curate]]'s quality filter → exact dedup, then a
+    * NEAR-duplicate collapse — pair detection via `pairFinder` (default:
+    * MinHash-LSH, [[Dedup.minhashLshPairs]]) followed by
+    * [[Dedup.clusterRoots]] — keeps one doc (the minimum id of each
+    * near-dup cluster) and drops the rest, then assigns splits. The full
+    * pipeline a web-scale corpus actually runs: exact dedup alone leaves
+    * every boilerplate-perturbed copy in the training set.
+    *
+    * Stage shapes (100 TB): quality+fingerprint are one fan-out projection;
+    * exact dedup one hash-aggregate; the LSH pair stage reads the deduped
+    * corpus once (single-pass shingle pipeline); cluster collapse iterates
+    * over the pair list, which is output-sized (≪ corpus); the final drop
+    * is a left-anti join against that small drop set — AQE broadcasts it
+    * while it fits, per the repo broadcast policy. */
+  def curateFuzzy(docs: DataFrame, idCol: String, textCol: String,
+                  minTokens: Long = 20, minStopwordRatio: Double = 0.04,
+                  salt: String = "graft",
+                  pairFinder: (DataFrame, String, String) => DataFrame =
+                    Dedup.minhashLshPairs(_, _, _)): DataFrame = {
+    val stats = TextAnalysis.withTextStats(graft.core.Par.fanOut(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))))
+      .where(col("n_tokens") >= minTokens &&
+        col("stopword_ratio") >= minStopwordRatio)
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    // min(text) not first(text): texts in an fp-group share the NORMALIZED
+    // token stream but may differ raw (case/whitespace); min is the
+    // deterministic representative for the shingling stage
+    val kept = stats.groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"),
+        min(col("text")).as("text"))
+    val pairs = pairFinder(kept, "doc_id", "text")
+    val drops = Dedup.clusterRoots(pairs)
+      .where(col("root") =!= col("id"))
+      .select(col("id").as("doc_id"))
+    val survivors = kept.join(drops, Seq("doc_id"), "left_anti")
+    Sampling.withSplit(survivors, col("doc_id"), salt)
+      .select(col("doc_id"), col("n_tokens"), col("bucket"), col("split"))
+  }
 }

@@ -386,6 +386,60 @@ object Dedup {
         col("p").bitwiseAND(lit(0xffffffffL)).as("id_b"), col("dist"))
   }
 
+  /** Connected-component collapse of a near-dup PAIR list into per-doc
+    * cluster roots: returns (id, root) for every id appearing in `pairs`,
+    * where root is the minimum id reachable through the pair graph — the
+    * deterministic "keeper" of each near-dup cluster. The missing last step
+    * between pair listing (d2-d6) and an actual curation decision: keep a
+    * doc iff it is its own root (or appears in no pair at all).
+    *
+    * Implementation: min-label propagation iterated to a FIXPOINT —
+    * l(x) ← min(l(x), min over neighbors y of l(y)) — entirely in
+    * DataFrame joins/aggregates, so it distributes. Each round is one
+    * shuffle of the edge list; labels only decrease, so convergence is
+    * exact (checked with a per-round count) in O(graph diameter) rounds.
+    * Near-dup graphs are clique-shaped (every member of a cluster pairs
+    * with most others), so the fixpoint lands in 2-3 rounds in practice.
+    * Scale note: the edge list is output-sized (near-dup pairs), orders of
+    * magnitude smaller than the corpus; each round persists its label
+    * frame and drops the previous one, so lineage stays flat. For
+    * adversarial long-chain graphs at extreme scale the alternating
+    * large-star/small-star formulation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) converges in
+    * O(log² n) rounds — the clique-regime loop here is the right default
+    * for near-dup collapse.
+    */
+  def clusterRoots(pairs: DataFrame, aCol: String = "id_a",
+                   bCol: String = "id_b", maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // symmetric, deduped edge list — persisted once, read every round
+    val edges = pairs.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .union(pairs.select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lbl = edges.groupBy("x").agg(min(col("y")).as("ny"))
+      .select(col("x"), least(col("x"), col("ny")).as("l"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIters) {
+      // nl(x) = min label among x's neighbors; labels only decrease
+      val next = edges
+        .join(lbl.select(col("x").as("y"), col("l").as("ly")), "y")
+        .groupBy("x").agg(min(col("ly")).as("nl"))
+        .join(lbl, "x")
+        .select(col("x"), least(col("l"), col("nl")).as("l"),
+          (col("nl") < col("l")).as("chg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.where(col("chg")).count()
+      lbl.unpersist()
+      lbl = next.select(col("x"), col("l"))
+      it += 1
+    }
+    edges.unpersist()
+    lbl.select(col("x").as("id"), col("l").as("root"))
+  }
+
   /** Embedding-cosine near-dup pairs above a similarity threshold — EXACT
     * baseline, brute-force all-pairs. O(n²): only for verification and
     * small corpora; the scale path is [[embeddingNearDupPairsLsh]].

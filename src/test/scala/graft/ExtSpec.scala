@@ -291,6 +291,37 @@ class ExtSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq, "salted-hash splits are run-stable")
   }
 
+  test("clusterRoots: min-label propagation reaches the fixpoint on chains") {
+    // chain 5-4, 4-3, 3-2, 2-1: a single min-over-neighbors pass would
+    // label 5 with 4; the fixpoint must label every vertex 1. Plus a
+    // separate clique {10,11,12} and an isolated pair (20,21).
+    val pairs = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val roots = Dedup.clusterRoots(pairs).as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(roots(_) == 1L), roots.toString)
+    assert((10L to 12L).forall(roots(_) == 10L), roots.toString)
+    assert(roots(20L) == 20L && roots(21L) == 20L, roots.toString)
+    assert(Dedup.clusterRoots(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .isEmpty, "empty pair list → empty roots")
+  }
+
+  test("curateFuzzy: near-dup cluster collapses to its min id") {
+    val many = (1 to 30).map(i => s"tok$i").mkString("the and of it is that ", " ", "")
+    val corpus = Seq(
+      (10L, many),                     // cluster root — kept
+      (11L, many),                     // exact dup → dropped by stage 2
+      (12L, many + " extradup"),       // near-dup (J≈0.97) → dropped by stage 3
+      (13L, "too short to keep"),      // quality-screened
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Curation.curateFuzzy(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.map(_._1).toSeq == Seq(10L), out.mkString(","))
+    // exact curate would have kept the near-dup copy
+    val exactOnly = graft.ext.Curation.curate(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(exactOnly.map(_._1).toSet == Set(10L, 12L), exactOnly.mkString(","))
+  }
+
   test("simhashPairs: chunk widths stay non-empty for maxDist 0/8/16 (pigeonhole intact)") {
     // chunks ∈ {1, 9, 17} previously produced zero-width tail chunks whose
     // all-zero keys silently degraded the blocking to an all-pairs join
