@@ -233,6 +233,26 @@ class StreamingSpec extends SparkSpec {
       s"recovered state must continue exact totals: $totals")
   }
 
+  test("Replay: streaming engine reproduces the batch windowed sum exactly") {
+    import java.time.LocalDateTime
+    val rows = Seq[(LocalDateTime, String, Double)](
+      (LocalDateTime.parse("2022-02-26T00:00:10"), "ant1", 100.5),
+      (LocalDateTime.parse("2022-02-26T00:00:50"), "ant1", 49.5),
+      (LocalDateTime.parse("2022-02-26T00:02:00"), "ant2", 7.0),
+      (LocalDateTime.parse("2022-02-26T00:05:00"), "ant3", 1.0))
+    val streamed = graft.streaming.Replay.windowedSumReplay(spark, rows,
+        "90 seconds", "15 seconds", "antenna_bytes_total")
+      .orderBy("timestamp", "id")
+      .as[(LocalDateTime, String, Double, String)].collect().toSeq
+    val batch = graft.core.Agg.windowedSum(
+        rows.toDF("ts", "id", "value"), col("id"), col("ts"), "90 seconds",
+        col("value"), "antenna_bytes_total")
+      .orderBy("timestamp", "id")
+      .as[(LocalDateTime, String, Double, String)].collect().toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.size == 3 && !streamed.exists(_._2 == graft.streaming.Replay.SentinelId))
+  }
+
   test("T5: several concurrent streaming queries from one parsed stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
