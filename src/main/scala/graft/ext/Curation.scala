@@ -58,7 +58,17 @@ object Curation {
     * corpus once (single-pass shingle pipeline); cluster collapse iterates
     * over the pair list, which is output-sized (≪ corpus); the final drop
     * is a left-anti join against that small drop set — AQE broadcasts it
-    * while it fits, per the repo broadcast policy. */
+    * while it fits, per the repo broadcast policy.
+    *
+    * Cost accounting: `kept` has two consumers with DIVERGENT prunings
+    * (the pair finder reads (doc_id, text); the survivor join reads
+    * (doc_id, n_tokens)), so its subplans diverge and the quality+dedup
+    * stage runs twice (no exchange reuse across divergent projections —
+    * the caveat LayoutSpec pins). A run where input re-reads dominate
+    * should materialize the deduped corpus between the stages
+    * (Layout.writeBucketed / persist) — kept deliberately stays lazy here
+    * because caching a corpus-sized frame is a deployment decision, not an
+    * operator default. */
   def curateFuzzy(docs: DataFrame, idCol: String, textCol: String,
                   minTokens: Long = 20, minStopwordRatio: Double = 0.04,
                   salt: String = "graft",
