@@ -175,6 +175,12 @@ object SparkEntry {
     // is ExtSpec's bound assertions vs the exact aggregates (same rationale
     // as pct1's comment for why only exact percentiles carry an oracle).
     "apx1_sketch_stats" -> ((s, d) => Analytics.approxStats(s, d)),
+    // apx2: MinHashUnion typed Aggregator end-to-end — group-level Jaccard
+    // estimates from merged sketches. Implementation-defined values → no
+    // cross-engine oracle (driver records rows-only); ExtSpec grades the
+    // estimates against exact group Jaccard with MinHash error bounds.
+    "apx2_group_sketch_sim" -> ((s, d) =>
+      ext.SketchAggs.groupSimilarity(Tables.documents(s, d), "doc_id", "text")),
     "w3_running_totals" -> ((s, d) => Analytics.runningOrderTotals(s, d)),
     "int1_open_and_finished" -> ((s, d) => Analytics.openAndFinishedCustomers(s, d)),
     "q18_large_orders" -> ((s, d) => Analytics.largeVolumeOrders(s, d)),

@@ -55,4 +55,39 @@ object SketchAggs {
   /** DataFrame-facing UDAF: `df.groupBy(g).agg(minhashUnion(128)(col("sig")))`. */
   def minhashUnion(numHashes: Int = 128): UserDefinedFunction =
     functions.udaf(new MinHashUnion(numHashes), ExpressionEncoder[Seq[Long]]())
+
+  /** Pairwise GROUP-level Jaccard estimates from merged MinHash sketches —
+    * the [[MinHashUnion]] aggregator driven end-to-end: per-doc signatures
+    * reduce to one fixed-size signature per group (shard / source domain /
+    * dedup cluster), and group-vs-group similarity is the fraction of
+    * agreeing signature slots. Estimating |A∩B|/|A∪B| between 100 TB-scale
+    * document sets costs numHashes longs per group after ONE corpus pass —
+    * the whole point of the mergeable-sketch shape. Returns
+    * (grp_a, grp_b, est_j); estimates carry the standard MinHash error
+    * √(J(1−J)/numHashes), so outputs are value-graded by bound assertions
+    * (ExtSpec), not a cross-engine oracle — same grading contract as apx1.
+    *
+    * The groups here are `id mod groups` — deterministic, content-blind
+    * shards, which doubles as the bound test's worst case (near-independent
+    * sets, small true J). The slot-agreement fold is a HOF lambda over
+    * numHashes elements ONCE PER GROUP PAIR (≪ corpus rows), not a per-row
+    * hot kernel — the native-expression invariant doesn't apply. */
+  def groupSimilarity(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, groups: Int = 4,
+                      numHashes: Int = 128): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sig = graft.core.Par.fanOut(
+        docs.where(size(graft.ext.TextAnalysis.tokens(col(textCol))) >= 3)
+          .select(pmod(col(idCol), lit(groups)).cast("long").as("grp"),
+            Dedup.shingleHashesFromTokens(
+              graft.ext.TextAnalysis.tokens(col(textCol)), 3).as("shh")))
+      .select(col("grp"), Dedup.minhashSignature(col("shh"), numHashes).as("sig"))
+    val gs = sig.groupBy("grp").agg(minhashUnion(numHashes)(col("sig")).as("gsig"))
+    gs.as("x").join(gs.as("y"), col("x.grp") < col("y.grp"))
+      .select(col("x.grp").as("grp_a"), col("y.grp").as("grp_b"),
+        (aggregate(zip_with(col("x.gsig"), col("y.gsig"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, m) => acc + m).cast("double") / numHashes).as("est_j"))
+      .orderBy("grp_a", "grp_b")
+  }
 }

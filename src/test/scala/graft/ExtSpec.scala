@@ -291,6 +291,30 @@ class ExtSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq, "salted-hash splits are run-stable")
   }
 
+  test("groupSimilarity: sketch estimates land inside MinHash error bounds of exact group Jaccard") {
+    // sketch outputs are implementation-defined → no cross-engine value
+    // oracle; THIS bound check is the grading (see apx2 registration)
+    val d = "/root/testdata/sf0.001"
+    val docsTbl = graft.core.Tables.documents(spark, d)
+    val est = graft.ext.SketchAggs.groupSimilarity(docsTbl, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(est.size == 6, s"4 groups → 6 pairs: ${est.keySet}")
+    // exact group-level shingle sets, small enough to fold on the driver
+    val sets = docsTbl
+      .where(size(TextAnalysis.tokens(col("text"))) >= 3)
+      .select(pmod(col("doc_id"), lit(4)).cast("long").as("grp"),
+        Dedup.shingleHashesFromTokens(TextAnalysis.tokens(col("text")), 3).as("shh"))
+      .as[(Long, Seq[Long])].collect()
+      .groupBy(_._1).view.mapValues(_.flatMap(_._2).toSet).toMap
+    // 128 hashes → σ = √(J(1−J)/128) ≤ 0.0442; allow 3.5σ ≈ 0.155
+    est.foreach { case ((a, b), e) =>
+      val inter = (sets(a) & sets(b)).size.toDouble
+      val exact = inter / (sets(a) | sets(b)).size
+      assert(math.abs(e - exact) <= 0.155, s"pair ($a,$b): est=$e exact=$exact")
+    }
+  }
+
   test("clusterRoots: min-label propagation reaches the fixpoint on chains") {
     // chain 5-4, 4-3, 3-2, 2-1: a single min-over-neighbors pass would
     // label 5 with 4; the fixpoint must label every vertex 1. Plus a
