@@ -234,6 +234,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
           col("type_token_ratio"), col("avg_token_len"), col("stopword_ratio")))
         .orderBy("doc_id")),
+    // t6: repetition/boilerplate screens (Gopher-style): duplicate-trigram
+    // fraction + most-frequent-token share, native per-row counting
+    "t6_repetition_stats" -> ((s, d) =>
+      Par.stage(TextAnalysis.withRepetitionStats(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_3grams"), col("dup_3gram_frac"),
+          col("top_token_frac")))
+        .orderBy("doc_id")),
     // BPE-ish regex tokenizer (letter/digit runs), subword count per doc
     "t5_regex_tokens" -> ((s, d) =>
       Par.stage(Tables.documents(s, d)
@@ -297,6 +304,22 @@ object SparkEntry {
         .union(docs.select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" graftdup")).as("text")))
       ext.Curation.curateFuzzy(planted, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // cc1: train/eval decontamination — corpus docs whose shingle overlap
+    // with a (bounded) eval set reaches the threshold. The eval fixture
+    // plants both contamination kinds: a 5% slice re-keyed +500000 with one
+    // appended token (near matches, J ≈ n/(n+1)) and a 2% slice re-keyed
+    // +600000 verbatim (exact matches, J = 1).
+    "cc1_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val ev = docs.where(col("doc_id") % 20 === 3)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" evaltok")).as("text"))
+        .union(docs.where(col("doc_id") % 50 === 7)
+          .select((col("doc_id") + 600000).as("doc_id"), col("text")))
+      Dedup.contaminationPairs(docs, ev, "doc_id", "text")
+        .orderBy("doc_id", "eval_id")
     }),
 
     // sp2: length-weighted deterministic sampling — longer documents kept
@@ -820,6 +843,33 @@ object SparkEntry {
            | FROM surv)
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
+      "cc1_contamination" ->
+        (s"""WITH ev AS (
+           |  SELECT doc_id + 500000 AS eval_id, text || ' evaltok' AS text
+           |  FROM documents WHERE doc_id % 20 = 3
+           |  UNION ALL SELECT doc_id + 600000 AS eval_id, text
+           |  FROM documents WHERE doc_id % 50 = 7),
+           | csh AS (SELECT doc_id,
+           |  CASE WHEN len(toks) >= 3
+           |   THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+           |   ELSE [] END AS sh
+           |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+           | esh AS (SELECT eval_id,
+           |  CASE WHEN len(toks) >= 3
+           |   THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+           |   ELSE [] END AS sh
+           |  FROM (SELECT eval_id, $toksSql AS toks FROM ev)),
+           | cinv AS (SELECT doc_id, unnest(sh) AS s FROM csh),
+           | einv AS (SELECT eval_id, unnest(sh) AS s FROM esh),
+           | cand AS (SELECT DISTINCT doc_id, eval_id FROM cinv JOIN einv USING (s)),
+           | jj AS (SELECT doc_id, eval_id,
+           |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+           |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+           |  FROM cand JOIN csh a USING (doc_id) JOIN esh b USING (eval_id))
+           |SELECT doc_id, eval_id, j,
+           | CASE WHEN j = 1.0 THEN 'exact' ELSE 'near' END AS kind
+           |FROM jj WHERE j >= 0.7 ORDER BY doc_id, eval_id""".stripMargin.replace("\n", " ")),
+
       "sp2_weighted_sample" ->
         (s"""SELECT doc_id, n_tokens FROM (
            |  SELECT doc_id, len($toksSql) AS n_tokens,
@@ -859,6 +909,25 @@ object SparkEntry {
            | list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) AS avg_token_len,
            | len(list_filter(toks, x -> list_contains($enStopSql, x)))::DOUBLE / len(toks) AS stopword_ratio
            |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "t6_repetition_stats" ->
+        (s"""SELECT doc_id, n_3grams,
+           | CASE WHEN n_3grams > 0
+           |  THEN CAST(1 AS DOUBLE) - n_distinct_3grams::DOUBLE / n_3grams
+           |  ELSE 0.0 END AS dup_3gram_frac,
+           | CASE WHEN n_tokens > 0
+           |  THEN top_cnt::DOUBLE / n_tokens ELSE 0.0 END AS top_token_frac
+           |FROM (
+           | SELECT doc_id, len(toks) AS n_tokens,
+           |  greatest(len(toks) - 2, 0) AS n_3grams,
+           |  CASE WHEN len(toks) >= 3
+           |   THEN len(list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]))
+           |   ELSE 0 END AS n_distinct_3grams,
+           |  CASE WHEN len(toks) > 0
+           |   THEN list_aggregate(list_transform(list_distinct(toks),
+           |     t -> len(list_filter(toks, x -> x = t))), 'max')
+           |   ELSE 0 END AS top_cnt
+           | FROM (SELECT doc_id, $toksSql AS toks FROM documents))
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       "t5_regex_tokens" ->
         ("""SELECT doc_id,

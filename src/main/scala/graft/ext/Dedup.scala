@@ -386,6 +386,60 @@ object Dedup {
         col("p").bitwiseAND(lit(0xffffffffL)).as("id_b"), col("dist"))
   }
 
+  /** Train/eval CONTAMINATION check — the decontamination primitive every
+    * LLM training pipeline runs before a model ships: find corpus documents
+    * whose n-gram shingle overlap with any document of a (small, bounded)
+    * evaluation set reaches `minJaccard`. Returns
+    * (doc_id, eval_id, j, kind) with kind = 'exact' when the shingle SETS
+    * are identical (j = 1.0 — the standard n-gram-level notion of verbatim
+    * contamination) and 'near' otherwise.
+    *
+    * Scale shape (100 TB corpus × bounded eval set): ONE corpus pass
+    * computes (doc_id, shingle hashes), and the posting explode is the
+    * corpus' ONLY consumer — nothing re-reads or re-hashes it. The eval
+    * side is a bounded query set, so its postings broadcast per the repo
+    * policy (nation/region/1-row scalars/bounded query sets). Jaccard is
+    * COUNT-based off the posting join (|A∩B| = matched-posting count per
+    * pair, exact because shingle sets are distinct by construction — the
+    * d2 counting pattern): the partial hash-aggregate collapses posting
+    * matches map-side BEFORE any shuffle, so common-shingle posting
+    * inflation never crosses the wire, and no candidate distinct / verify
+    * lookup / per-pair array intersect exists at all (the first cut did
+    * verify-by-intersect and spent ~4 s at sf0.1 on ~157k inflated
+    * candidates; this shape runs ~1 s). */
+  def contaminationPairs(corpus: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3, minJaccard: Double = 0.7): DataFrame = {
+    val c = graft.core.Par.fanOut(
+      corpus.where(size(TextAnalysis.tokens(col(textCol))) >= n)
+        .select(col(idCol).as("doc_id"),
+          shingleHashesFromTokens(TextAnalysis.tokens(col(textCol)), n).as("shh")))
+    val e = evalSet.where(size(TextAnalysis.tokens(col(textCol))) >= n)
+      .select(col(idCol).as("eval_id"),
+        shingleHashesFromTokens(TextAnalysis.tokens(col(textCol)), n).as("eshh"))
+    // explode_outer + isnotnull: see ngramJaccardPairs — a plain explode
+    // would push an inferred size(shh)>0 re-hash into the corpus scan.
+    // Each posting CARRIES its side's set size (8 bytes, collapsed by the
+    // map-side combine before any shuffle), so the Jaccard denominator
+    // needs no size-lookup joins — the corpus truly has ONE consumer, and
+    // no inferred-constraint divergence can split its exchange (a
+    // size-lookup rejoin picked up join-key/null constraints that made the
+    // corpus subplans differ and re-scan).
+    val cp = c.select(col("doc_id"), size(col("shh")).as("sz_c"),
+        explode_outer(col("shh")).as("s"))
+      .where(col("s").isNotNull)
+    val ep = e.select(col("eval_id"), size(col("eshh")).as("sz_e"),
+      explode(col("eshh")).as("s"))
+    cp.join(broadcast(ep), "s")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("c"), max(col("sz_c")).as("sz_c"),
+        max(col("sz_e")).as("sz_e"))
+      .select(col("doc_id"), col("eval_id"),
+        (col("c").cast("double") / (col("sz_c") + col("sz_e") - col("c"))).as("j"))
+      .where(col("j") >= minJaccard)
+      .withColumn("kind", when(col("j") === 1.0, lit("exact")).otherwise(lit("near")))
+  }
+
   /** Connected-component collapse of a near-dup PAIR list into per-doc
     * cluster roots: returns (id, root) for every id appearing in `pairs`,
     * where root is the minimum id reachable through the pair graph — the

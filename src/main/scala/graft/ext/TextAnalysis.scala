@@ -43,6 +43,34 @@ object TextAnalysis {
         size(filter(t, x => x.isin(EnStop: _*))).cast("double") / col("n_tokens"))
   }
 
+  /** Per-document REPETITION signals — the Gopher-style boilerplate/spam
+    * screens that complement [[withTextStats]]' length/stopword screens:
+    *  - `n_3grams`: total (non-distinct) trigram count, max(n_tokens−2, 0);
+    *  - `dup_3gram_frac`: 1 − distinct/total trigrams — near 1 for
+    *    "lorem lorem lorem" spam, near 0 for natural prose;
+    *  - `top_token_frac`: share of the single most frequent token
+    *    (native per-row hash count, graft.functions.TopTokenCountExpr —
+    *    no explode, no shuffle; an explode+groupBy would shuffle the
+    *    corpus token stream just to compute a per-row statistic).
+    * Distinct trigrams are counted via the 64-bit shingle hashes (same
+    * ~2⁻⁶⁴-collision caveat as every sketch operator). Pure projection:
+    * one corpus pass, zero shuffles. */
+  def withRepetitionStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    df.withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_3grams", greatest(col("n_tokens") - 2, lit(0L)))
+      .withColumn("dup_3gram_frac",
+        when(col("n_3grams") > 0, lit(1.0) -
+          size(graft.functions.VectorExpressions.shingleHashesNative(t, 3))
+            .cast("double") / col("n_3grams"))
+          .otherwise(lit(0.0)))
+      .withColumn("top_token_frac",
+        when(col("n_tokens") > 0,
+          graft.functions.VectorExpressions.topTokenCountNative(t).cast("double")
+            / col("n_tokens"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Deterministic 64-bit-hex document fingerprint over normalized tokens —
     * the exact-dedup / provenance key. sha2 is identical everywhere, so the
     * fingerprint is portable across engines and runs. */

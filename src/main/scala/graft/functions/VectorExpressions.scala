@@ -526,6 +526,40 @@ case class TokenLenSumExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Maximum multiplicity of any element in an array<string>: the count of
+  * the most frequent token. Feeds the top-token-fraction repetition
+  * signal (Gopher-style quality screens: a document whose single most
+  * frequent token dominates is boilerplate/spam). One per-row hash map
+  * over UTF8String keys — no explode, no shuffle, no per-element lambda
+  * dispatch (the repetition screens run over every document of the
+  * corpus, so this is a hot kernel per the repo invariant). Empty arrays
+  * yield 0. */
+case class TopTokenCountExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_top_token_count"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0) return java.lang.Long.valueOf(0L)
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Int](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) PairExpandExpr.nullElement(prettyName, i)
+      val c = counts.merge(xs.getUTF8String(i), 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    java.lang.Long.valueOf(best.toLong)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Count of CJK-unified-ideograph characters (U+4E00..U+9FFF) in a string —
   * value-identical to `length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]",
   * ""))` (each kept character has length 1), but a zero-allocation byte
@@ -735,6 +769,10 @@ object VectorExpressions {
   /** Sum of element character lengths of an array<string>. */
   def tokenLenSumNative(tokens: Column): Column =
     Bridge.column(TokenLenSumExpr(Bridge.expression(tokens)))
+
+  /** Count of the most frequent element of an array<string>. */
+  def topTokenCountNative(tokens: Column): Column =
+    Bridge.column(TopTokenCountExpr(Bridge.expression(tokens)))
 
   /** Per-element xxhash64 (seed 42) of an array<string>. */
   def xxTokenHashesNative(tokens: Column): Column =

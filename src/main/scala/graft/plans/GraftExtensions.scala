@@ -95,6 +95,10 @@ object GraftFunctions {
       arity("graft_token_len_sum", args, 1)
       TokenLenSumExpr(args(0))
     },
+    fn("graft_top_token_count", classOf[TopTokenCountExpr]) { args =>
+      arity("graft_top_token_count", args, 1)
+      TopTokenCountExpr(args(0))
+    },
     fn("graft_xx_token_hashes", classOf[XxTokenHashExpr]) { args =>
       arity("graft_xx_token_hashes", args, 1)
       XxTokenHashExpr(args(0))

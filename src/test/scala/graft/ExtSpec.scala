@@ -315,6 +315,44 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("withRepetitionStats: duplicate-trigram and top-token fractions") {
+    val df = Seq(
+      (0L, "spam spam spam spam spam spam"),   // 6 tokens, 4 trigrams all equal
+      (1L, "one two three four five six"),     // no repetition at all
+      (2L, "ab"),                              // < 3 tokens: zero trigrams
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.withRepetitionStats(df)
+      .select("doc_id", "n_3grams", "dup_3gram_frac", "top_token_frac")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((0L, 4L, 0.75, 1.0)), got(0).toString)   // 1 distinct of 4; 6/6 spam
+    assert(got(1) == ((1L, 4L, 0.0, 1.0 / 6)), got(1).toString)
+    assert(got(2)._2 == 0L && got(2)._3 == 0.0, got(2).toString)
+    // the native counter agrees with an explode+groupBy oracle
+    val viaAgg = df.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").count().groupBy("doc_id").agg(max("count").as("m"))
+      .as[(Long, Long)].collect().toMap
+    val viaExpr = df.select(col("doc_id"),
+        graft.functions.VectorExpressions.topTokenCountNative(
+          TextAnalysis.tokens(col("text"))).as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaAgg, s"$viaExpr vs $viaAgg")
+  }
+
+  test("contaminationPairs: exact and near eval overlaps flagged, clean docs not") {
+    val ev = Seq(
+      (100L, base),                          // verbatim copy of doc 0/3 → exact
+      (101L, base.replace("dog", "cat")),    // near copy → near
+      (102L, "entirely unrelated benchmark prompt about cooking pasta dishes tonight"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationPairs(docs, ev, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_id", "eval_id", "kind").as[(Long, Long, String)].collect().toSet
+    assert(got.contains((0L, 100L, "exact")) && got.contains((3L, 100L, "exact")),
+      s"verbatim eval doc must flag both exact copies: $got")
+    assert(got.contains((0L, 101L, "near")), s"perturbed eval doc must flag near: $got")
+    assert(!got.exists(_._2 == 102L), s"clean eval doc must flag nothing: $got")
+    assert(!got.exists(_._1 == 2L), s"unrelated corpus doc must not be flagged: $got")
+  }
+
   test("clusterRoots: min-label propagation reaches the fixpoint on chains") {
     // chain 5-4, 4-3, 3-2, 2-1: a single min-over-neighbors pass would
     // label 5 with 4; the fixpoint must label every vertex 1. Plus a
