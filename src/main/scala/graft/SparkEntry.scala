@@ -369,6 +369,26 @@ object SparkEntry {
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
         .orderBy("content_fp")),
+    // inc1: cross-run incremental dedup — the batch replants every archive
+    // doc (even ids) plus an internal duplicate of each doc (+100000), so
+    // both drop reasons fire: internal dedup keeps the min id, the archive
+    // anti-join removes texts ingested by the previous run.
+    "inc1_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val archive = docs.where(col("doc_id") % 2 === 0)
+      val batch = docs.union(
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.dedupIncremental(batch, archive, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // pack1: sharded greedy sequence packing (concat-and-cut layout):
+    // chunk assignment from a per-shard running token count
+    "pack1_sequence_packing" -> ((s, d) =>
+      ext.Sampling.packSequences(
+          Tables.documents(s, d).select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
+          col("doc_id"), col("n_tokens"), ctxLen = 512, shards = 8)
+        .orderBy("doc_id")),
     "d2_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")),
@@ -843,6 +863,24 @@ object SparkEntry {
            | FROM surv)
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
+      "inc1_incremental_dedup" ->
+        (s"""WITH b AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+           | bf AS (SELECT min(doc_id) AS doc_id, fp AS content_fp FROM (
+           |  SELECT doc_id, substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
+           |  FROM b) GROUP BY fp),
+           | af AS (SELECT substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
+           |  FROM documents WHERE doc_id % 2 = 0)
+           |SELECT doc_id, content_fp FROM bf
+           |WHERE NOT EXISTS (SELECT 1 FROM af WHERE af.fp = bf.content_fp)
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "pack1_sequence_packing" ->
+        (s"""SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+           | CAST((SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+           |   - n_tokens) // 512 AS BIGINT) AS chunk_id
+           |FROM (SELECT doc_id, len($toksSql) AS n_tokens FROM documents)
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       "cc1_contamination" ->
         (s"""WITH ev AS (
            |  SELECT doc_id + 500000 AS eval_id, text || ' evaltok' AS text

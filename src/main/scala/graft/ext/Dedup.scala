@@ -66,6 +66,32 @@ object Dedup {
       .groupBy(TextAnalysis.fingerprint(col(textCol)).as("content_fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** INCREMENTAL exact dedup — the cross-run ingest shape: dedup a new
+    * batch internally (min id per distinct normalized text), then drop
+    * every batch document whose content fingerprint already exists in the
+    * archive of previously-ingested docs. Returns the kept batch rows
+    * (doc_id, content_fp) — exactly what gets appended to the archive
+    * index, making the operator its own state-maintenance step.
+    *
+    * Scale shape: one fan-out pass fingerprints the batch; internal dedup
+    * is one hash-aggregate on the 16-hex fingerprint; the archive check is
+    * a LEFT ANTI join on the fingerprint. No broadcast hint — the archive
+    * is SF-scaled (it grows with every run); AQE broadcasts the smaller
+    * side while it fits. In production the archive argument is the stored
+    * fingerprint column itself, not re-fingerprinted text — store it
+    * bucketed by fingerprint ([[graft.core.Layout.writeBucketed]]) and the
+    * anti join needs no shuffle at all. */
+  def dedupIncremental(batch: DataFrame, archive: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val b = graft.core.Par.fanOut(
+        batch.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("content_fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val a = archive.select(TextAnalysis.fingerprint(col(textCol)).as("content_fp"))
+    b.join(a, Seq("content_fp"), "left_anti")
+      .select(col("doc_id"), col("content_fp"))
+  }
+
   /** Exact Jaccard between two shingle-array columns, in double space. */
   private def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

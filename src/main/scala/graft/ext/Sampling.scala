@@ -48,6 +48,35 @@ object Sampling {
   def sampleByProb(df: DataFrame, key: Column, salt: String, prob: Column): DataFrame =
     df.where(hashBucket(key, salt, 1000000).cast("double") / 1e6 < prob)
 
+  /** SHARDED sequence packing — assign documents to fixed-capacity training
+    * chunks, the "concatenate the corpus, cut every ctxLen tokens" layout
+    * every autoregressive training run performs before batching. Within a
+    * shard (`id mod shards`), documents concatenate in deterministic id
+    * order; a document's `chunk_id` is the chunk containing its FIRST
+    * token, floor(tokens-before-it / ctxLen) (long documents simply span
+    * into following chunks). Returns (doc_id, shard, n_tokens, chunk_id).
+    *
+    * Scale: a single global running sum would serialize the corpus through
+    * one partition — the classic global-window trap — so packing is per
+    * shard, which is how real pipelines pack anyway (each output shard is
+    * an independent file of training sequences). The window's sort rides
+    * the shard shuffle; parallelism = shards. Deterministic: shard and
+    * order are pure functions of the id, so the layout is reproducible
+    * across runs and engines. */
+  def packSequences(df: DataFrame, id: Column, nTokens: Column,
+                    ctxLen: Long = 2048, shards: Int = 32): DataFrame = {
+    require(ctxLen > 0 && shards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    df.select(id.cast("long").as("doc_id"), nTokens.cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      // integer floor-division (`div`), not double `/`: exact at any
+      // cumulative token count, and engine-portable (DuckDB `//`)
+      .withColumn("chunk_id", call_function("div",
+        sum(col("n_tokens")).over(w) - col("n_tokens"), lit(ctxLen)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("chunk_id"))
+  }
+
   /** Train/val/test assignment: adds `bucket` (0-99) and `split` columns.
     * Buckets < trainPct → "train", < trainPct+valPct → "val", rest "test".
     * One codegen'd projection over the corpus — zero shuffles. */

@@ -315,6 +315,33 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("dedupIncremental: batch-internal dup and archived text both dropped") {
+    val archive = Seq((0L, base)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),   // already archived → dropped
+      (11L, other), (12L, other), // internal dup → keep 11
+      (13L, nearDup), // genuinely new
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupIncremental(batch, archive, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L), kept.toString)
+  }
+
+  test("packSequences: per-shard running chunk assignment, long docs span") {
+    val df = Seq((0L, 300L), (8L, 300L), (16L, 1200L), (24L, 100L), (1L, 600L))
+      .toDF("doc_id", "n_tokens")
+    val got = graft.ext.Sampling.packSequences(df, col("doc_id"), col("n_tokens"),
+        ctxLen = 512, shards = 8)
+      .select("doc_id", "shard", "chunk_id").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // shard 0 stream: doc0 starts at 0 → chunk 0; doc8 at 300 → chunk 0;
+    // doc16 at 600 → chunk 1 (spans into 2-3); doc24 at 1800 → chunk 3
+    assert(got(0L) == ((0L, 0L)) && got(8L) == ((0L, 0L)), got.toString)
+    assert(got(16L) == ((0L, 1L)) && got(24L) == ((0L, 3L)), got.toString)
+    // shard 1 is independent: doc1 starts its own stream at offset 0
+    assert(got(1L) == ((1L, 0L)), got.toString)
+  }
+
   test("withRepetitionStats: duplicate-trigram and top-token fractions") {
     val df = Seq(
       (0L, "spam spam spam spam spam spam"),   // 6 tokens, 4 trigrams all equal
