@@ -53,11 +53,41 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failures = results.map(_._2).count(_ < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    // Full-precision per-query record, committed to the repo so the numbers
+    // survive regardless of how much driver stdout is retained.
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failures":$failures,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
+    // Stdout line: the driver retains only a ~2000-char tail of this
+    // process's output (every recorded BENCH_r1..r4 has "parsed": null
+    // because the full-precision line outgrew that window). Print a
+    // 2-decimal line and, only if it still would not fit next to sbt's
+    // trailing "[success] ..." line, elide the FASTEST queries (their
+    // times stay inside "value" and in BENCH_LOCAL.json; "elided_fast"
+    // says how many were dropped).
+    def line(kept: Seq[(String, Double)], elided: Int): String = {
+      val qs = kept.sortBy(_._1)
+        .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+      val e = if (elided > 0) s""","elided_fast":$elided""" else ""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failures":$failures$e,"sf":"$sfDir"}"""
+    }
+    val budget = 1850 // 2000-char tail minus sbt's success line + slack
+    var kept = results
+    var out = line(kept, results.size - kept.size)
+    while (out.length > budget && kept.nonEmpty) {
+      // drop the current fastest; failed queries (-1) are never elided
+      kept = kept.sortBy { case (_, v) => if (v < 0) Double.MaxValue else -v }
+        .dropRight(1)
+      out = line(kept, results.size - kept.size)
+    }
+    println(out)
     spark.stop()
   }
 }
