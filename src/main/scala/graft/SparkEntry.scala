@@ -342,6 +342,40 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket"), col("split")))
         .orderBy("doc_id")),
 
+    // sp3: deterministic stratified sampling — the k=40 docs per language
+    // whose salted hash is smallest (rebalance skewed strata: en has 3×
+    // fr's docs in this corpus). WindowGroupLimit caps the per-partition
+    // shuffle at k rows per stratum (PlanSpec asserts the node).
+    "sp3_stratified_sample" -> ((s, d) =>
+      ext.Sampling.stratifiedSample(
+          Tables.documents(s, d).select("doc_id", "lang"),
+          Seq("lang"), col("doc_id"), "strat", k = 40)
+        .orderBy("doc_id")),
+
+    // ch1: overlapping token-window chunking (max-sequence-length
+    // splitting, the converse of pack1's short-doc packing): chunk i
+    // covers tokens [i·24+1, i·24+32], exact integer chunk count
+    "ch1_doc_chunking" -> ((s, d) =>
+      Par.stage(TextAnalysis.chunkTokens(Tables.documents(s, d),
+          "doc_id", "text", chunkLen = 32, stride = 24))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // x3: corpus bigram frequency, top 20 — n-gram LM / collocation stats;
+    // same fan-out-then-explode shape as x1
+    "x3_top_bigrams" -> ((s, d) =>
+      Par.fanOut(Tables.documents(s, d)
+          .select(TextAnalysis.tokens(col("text")).as("toks")))
+        .select(explode(TextAnalysis.bigramsFromTokens(col("toks"))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)),
+
+    // emb1: per-dimension embedding QC stats — 64 groups at any corpus
+    // scale, exact-decimal sums so mean/variance hash-match the oracle
+    "emb1_dim_stats" -> ((s, d) =>
+      Similarity.dimStats(Tables.embeddings(s, d), "embedding")
+        .orderBy("dim")),
+
     // rj1: 1-D range join (price → quadratic-width band) via bucketed
     // blocking — equi-join plan, no nested loop (PlanSpec asserts it)
     "rj1_price_band" -> ((s, d) => {
@@ -923,6 +957,38 @@ object SparkEntry {
            |  ('0x' || substring(sha256(doc_id::VARCHAR || ':graft'), 1, 15))::BIGINT % 100 AS bucket
            | FROM documents)
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "sp3_stratified_sample" ->
+        ("""SELECT doc_id, lang FROM (
+           | SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+           |  ORDER BY ('0x' || substring(sha256(doc_id::VARCHAR || ':strat'), 1, 15))::BIGINT % 1000000,
+           |   doc_id) AS rn
+           | FROM documents)
+           |WHERE rn <= 40 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "ch1_doc_chunking" ->
+        (s"""WITH c AS (
+           | SELECT doc_id, toks,
+           |  unnest(range(0, 1 + (greatest(len(toks) - 32, 0) + 23) // 24)) AS chunk_idx
+           | FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+           |SELECT doc_id, chunk_idx,
+           | len(toks[(chunk_idx*24+1):(chunk_idx*24+32)]) AS n_chunk_tokens,
+           | array_to_string(toks[(chunk_idx*24+1):(chunk_idx*24+32)], ' ') AS chunk_text
+           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " ")),
+      "x3_top_bigrams" ->
+        (s"""SELECT bigram, COUNT(*) AS n FROM (
+           | SELECT unnest(CASE WHEN len(toks) >= 2
+           |   THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+           |   ELSE [] END) AS bigram
+           | FROM (SELECT $toksSql AS toks FROM documents))
+           |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin.replace("\n", " ")),
+      "emb1_dim_stats" ->
+        ("""SELECT dim, n, s / n AS mean_x, (s2 - s * s / n) / (n - 1) AS var_x
+           |FROM (SELECT dim, COUNT(*) AS n,
+           |  CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS s,
+           |  CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS s2
+           | FROM (SELECT unnest(range(len(embedding))) AS dim,
+           |   unnest(embedding)::DOUBLE AS x FROM embeddings)
+           | GROUP BY dim)
+           |ORDER BY dim""".stripMargin.replace("\n", " ")),
       "rj1_price_band" ->
         ("""WITH bands(band_id, lo, hi) AS (
            | SELECT b, 900.0 + b * b, 900.0 + (b + 1) * (b + 1)

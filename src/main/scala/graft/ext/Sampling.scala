@@ -77,6 +77,31 @@ object Sampling {
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("chunk_id"))
   }
 
+  /** Deterministic STRATIFIED sample: the k rows per stratum whose salted
+    * hash is smallest — the language/source-rebalancing primitive (cap the
+    * dominant stratum, keep rare strata whole) with the same guarantees as
+    * [[sampleByHash]]: membership is a pure function of (key, salt, the
+    * stratum's population), so the sample reproduces across runs, engines
+    * and partitionings. Hash-order selection (not "first k by id") keeps
+    * the within-stratum pick uniform; the key tiebreaks equal hashes.
+    *
+    * Scale: one shuffle on the stratum columns; the `row_number ≤ k`
+    * filter is recognized by Catalyst's WindowGroupLimit rule, which
+    * installs a partial per-partition group limit BEFORE the exchange —
+    * at most k rows per stratum per input partition shuffle, not the full
+    * corpus (PlanSpec asserts the node). A giant stratum therefore costs
+    * k·partitions shuffled rows, not its population. */
+  def stratifiedSample(df: DataFrame, strata: Seq[String], key: Column,
+                       salt: String, k: Int): DataFrame = {
+    require(k > 0 && strata.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata.map(col): _*).orderBy(col("graft_rk"), key)
+    df.withColumn("graft_rk", hashBucket(key, salt, 1000000))
+      .withColumn("graft_rn", row_number().over(w))
+      .where(col("graft_rn") <= k)
+      .drop("graft_rk", "graft_rn")
+  }
+
   /** Train/val/test assignment: adds `bucket` (0-99) and `split` columns.
     * Buckets < trainPct → "train", < trainPct+valPct → "val", rest "test".
     * One codegen'd projection over the corpus — zero shuffles. */

@@ -165,4 +165,32 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 4).as("cos"))
   }
+
+  /** Per-dimension corpus statistics (count / mean / sample variance) over
+    * an embedding column — the embedding-QC pass every vector pipeline
+    * runs before indexing (dead dimensions, un-normalized batches, scale
+    * drift between embedding-model versions all show up here).
+    *
+    * Scale: posexplode + one hash aggregate whose group count is the
+    * vector DIMENSION (64, 768, …), never the corpus size — map-side
+    * partial aggregation reduces each partition to `dim` rows before the
+    * shuffle, so the exchange is O(dim · partitions) at any corpus scale.
+    * Sums run through exact DECIMAL ([[graft.core.Num.dsum]]) so mean and
+    * variance are bit-identical under any partitioning / summation order
+    * (the oracle mirrors the same mean/variance arithmetic from the same
+    * two exact sums — variance formulas differing in operation ORDER would
+    * diverge in the last ulp and flake a hash compare). */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame = {
+    val exploded = df
+      .select(posexplode(toDouble(col(vecCol))).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("x"))
+    exploded.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        graft.core.Num.dsum(col("x")).as("s"),
+        graft.core.Num.dsum(col("x") * col("x")).as("s2"))
+      .select(col("dim"), col("n"),
+        (col("s") / col("n")).as("mean_x"),
+        ((col("s2") - col("s") * col("s") / col("n")) / (col("n") - 1))
+          .as("var_x"))
+  }
 }

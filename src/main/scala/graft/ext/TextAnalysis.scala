@@ -71,6 +71,50 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Adjacent-token bigrams ("a b") from a token array — the n-gram LM /
+    * collocation-statistics unit. Pure projection; empty for 0/1-token
+    * docs. `sequence` is NOT used unguarded: Spark's sequence(1, 0) yields
+    * a DESCENDING [1, 0], not an empty array, so short docs must short-
+    * circuit before the index range is built. */
+  def bigramsFromTokens(t: Column): Column =
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  def bigrams(text: Column): Column = bigramsFromTokens(tokens(text))
+
+  /** Overlapping token-window chunking — the max-sequence-length splitter
+    * every training pipeline runs on documents longer than the model
+    * context (the converse of [[Sampling.packSequences]], which packs
+    * SHORT documents): chunk i covers tokens [i·stride+1, i·stride+chunkLen]
+    * (1-based), so consecutive chunks overlap by chunkLen − stride tokens
+    * and the last chunk is never empty (start ≤ n whenever stride ≤
+    * chunkLen). Returns one row per (doc, chunk): (doc_id, chunk_idx,
+    * n_chunk_tokens, chunk_text).
+    *
+    * Scale: chunk count is exact integer arithmetic
+    * (1 + ⌈max(0, n−chunkLen)/stride⌉ via (x+stride−1) div stride — float
+    * ceil would be engine-divergent at representation boundaries), and the
+    * whole operator is one codegen'd projection + explode: no shuffle, no
+    * state, output rows ≈ input tokens / stride regardless of corpus size. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkLen: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkLen > 0 && stride > 0 && stride <= chunkLen)
+    val start = (col("chunk_idx") * stride + 1).cast("int")
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .withColumn("n_chunks", lit(1L) + call_function("div",
+        greatest(size(col("toks")).cast("long") - chunkLen, lit(0L))
+          + (stride - 1), lit(stride.toLong)))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(slice(col("toks"), start, lit(chunkLen))).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("toks"), start, lit(chunkLen)), " ")
+          .as("chunk_text"))
+  }
+
   /** Deterministic 64-bit-hex document fingerprint over normalized tokens —
     * the exact-dedup / provenance key. sha2 is identical everywhere, so the
     * fingerprint is portable across engines and runs. */

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Specs for the extension tier (dedup / similarity / text analysis) on
   * hand-built fixtures where expected behavior is computable by eye. */
@@ -464,5 +464,62 @@ class ExtSpec extends SparkSpec {
       assert(aP90 >= p90Band.head && aP90 <= p90Band.last,
         s"$flag: approx p90 $aP90 outside exact [p85, p95] $p90Band")
     }
+  }
+
+  test("chunkTokens: stride-aligned overlapping windows that cover the doc") {
+    val doc = (1 to 99).map(i => s"w$i").mkString(" ")
+    val out = TextAnalysis.chunkTokens(Seq((7L, doc)).toDF("doc_id", "text"),
+        "doc_id", "text", chunkLen = 32, stride = 24)
+      .orderBy("chunk_idx").collect()
+    assert(out.length == 4, "1 + ceil((99-32)/24) = 4 chunks")
+    val chunks = out.map(_.getString(3))
+    for ((c, i) <- chunks.zipWithIndex)
+      assert(c.split(" ").head == s"w${i * 24 + 1}", s"chunk $i starts at i*stride+1")
+    assert(chunks.last.split(" ").last == "w99", "last chunk reaches the final token")
+    assert(chunks.init.forall(_.split(" ").length == 32) &&
+      chunks.last.split(" ").length == 99 - 3 * 24,
+      "full chunks are chunkLen tokens; the tail keeps the remainder")
+    assert(chunks.flatMap(_.split(" ")).toSet.size == 99, "windows cover every token")
+    // docs at or under chunkLen → exactly one intact chunk
+    val one = TextAnalysis.chunkTokens(Seq((1L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(one.length == 1 && one.head.getString(3) == "a b c")
+  }
+
+  test("bigrams: adjacent token pairs, short-doc safe") {
+    val b = docs.where(col("doc_id") === 0)
+      .select(TextAnalysis.bigrams(col("text")).as("b")).head.getSeq[String](0)
+    assert(b.head == "the quick" && b.contains("quick brown"))
+    assert(b.length == base.split(" ").length - 1)
+    val tiny = Seq((0L, "one")).toDF("doc_id", "text")
+      .select(TextAnalysis.bigrams(col("text")).as("b")).head.getSeq[String](0)
+    assert(tiny.isEmpty, "single-token docs have no bigrams")
+  }
+
+  test("stratifiedSample: k per populous stratum, whole rare strata, partition-invariant") {
+    val df = (0L until 300L).map(i => (i, if (i % 10 == 9) "rare" else "big"))
+      .toDF("id", "g")
+    val out = Sampling.stratifiedSample(df, Seq("g"), col("id"), "s", 25)
+      .as[(Long, String)].collect().toSet
+    val byG = out.groupBy(_._2)
+    assert(byG("big").size == 25, "populous stratum capped at k")
+    assert(byG("rare").size == 25, "270 big → 25; 30 rare → 25")
+    val small = Sampling.stratifiedSample(df.where(col("g") === "rare"),
+      Seq("g"), col("id"), "s", 100).count()
+    assert(small == 30, "k above the stratum population keeps it whole")
+    // deterministic under any physical layout
+    val re = Sampling.stratifiedSample(df.repartition(13), Seq("g"), col("id"), "s", 25)
+      .as[(Long, String)].collect().toSet
+    assert(re == out, "sample membership is partitioning-independent")
+  }
+
+  test("dimStats: per-dimension count/mean/sample variance, exact on integers") {
+    val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)),
+      (3L, Array(5.0f, 9.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.dimStats(df, "embedding").orderBy("dim")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out(0) == ((0L, 3L, 3.0, 4.0)), "dim 0: mean(1,3,5)=3, var=4")
+    assert(out(1)._3 == 5.0 && math.abs(out(1)._4 - 13.0) < 1e-9,
+      "dim 1: mean(2,4,9)=5, var=13")
   }
 }

@@ -57,6 +57,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
   }
 
+  test("sp3 stratified sample: per-partition group limit bounds the shuffle at k") {
+    val p = plan("sp3_stratified_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected partial WindowGroupLimit below the stratum exchange:\n$p")
+  }
+
   test("archive layout: y/m/d/h filter becomes partition pruning, not a scan") {
     import spark.implicits._
     val msgs = Seq(
