@@ -376,6 +376,32 @@ object SparkEntry {
       Similarity.dimStats(Tables.embeddings(s, d), "embedding")
         .orderBy("dim")),
 
+    // vb1: vocabulary coverage / OOV rate against the top-20 corpus vocab
+    // (the tokenizer-fit / domain-shift screen); one corpus pass, bounded
+    // vocab broadcast
+    "vb1_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d), "doc_id", "text",
+          vocabSize = 20)
+        .orderBy("doc_id")),
+
+    // ss1: the stream-stream watermark-bounded INNER join executed by the
+    // STREAMING engine — error/click events replayed through
+    // Speed.joinWithin (state-store symmetric hash join) to completion,
+    // graded by the same interval-join oracle a batch formulation would
+    // use. Extends the a1s pattern (graded streaming execution) from
+    // windowed aggregates to stream-stream joins.
+    "ss1_join_replay" -> ((s, d) => {
+      import s.implicits._
+      def side(tp: String) = events(s, d).where(col("event_type") === tp)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .as[(Long, java.time.LocalDateTime, Long)].collect().toSeq
+      graft.streaming.Replay.joinWithinReplay(s, side("error"), side("click"),
+          "30 seconds", "60 minutes", "click_")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("click_event_id"), col("click_ts"))
+        .orderBy("event_id", "click_event_id")
+    }),
+
     // rj1: 1-D range join (price → quadratic-width band) via bucketed
     // blocking — equi-join plan, no nested loop (PlanSpec asserts it)
     "rj1_price_band" -> ((s, d) => {
@@ -980,6 +1006,27 @@ object SparkEntry {
            |   ELSE [] END) AS bigram
            | FROM (SELECT $toksSql AS toks FROM documents))
            |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin.replace("\n", " ")),
+      "vb1_vocab_coverage" ->
+        (s"""WITH tf AS (
+           | SELECT doc_id, token, COUNT(*) AS cnt
+           | FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+           | GROUP BY 1, 2),
+           | v AS (SELECT token FROM (
+           |  SELECT token, SUM(cnt) AS n FROM tf GROUP BY 1
+           |  ORDER BY n DESC, token LIMIT 20))
+           |SELECT doc_id, SUM(cnt)::BIGINT AS n_tokens,
+           | SUM(CASE WHEN v.token IS NULL THEN cnt ELSE 0 END)::BIGINT AS n_oov,
+           | SUM(CASE WHEN v.token IS NULL THEN cnt ELSE 0 END)::DOUBLE / SUM(cnt) AS oov_rate
+           |FROM tf LEFT JOIN v ON tf.token = v.token
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "ss1_join_replay" ->
+        ("""SELECT e.event_id, e.ts, e.user_id,
+           | c.event_id AS click_event_id, c.ts AS click_ts
+           |FROM (SELECT * FROM events WHERE event_type = 'error') e
+           |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           | ON e.user_id = c.user_id
+           | AND c.ts BETWEEN e.ts - INTERVAL 60 MINUTE AND e.ts
+           |ORDER BY e.event_id, click_event_id""".stripMargin.replace("\n", " ")),
       "emb1_dim_stats" ->
         ("""SELECT dim, n, s / n AS mean_x, (s2 - s * s / n) / (n - 1) AS var_x
            |FROM (SELECT dim, COUNT(*) AS n,

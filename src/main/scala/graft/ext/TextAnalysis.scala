@@ -151,6 +151,39 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** Vocabulary coverage / OOV rate: build the top-`vocabSize` corpus
+    * vocabulary by total token frequency (ties broken lexicographically,
+    * so the vocab is deterministic), then score every document's
+    * out-of-vocabulary token fraction — the tokenizer-fit / domain-shift
+    * screen (a corpus slice whose OOV rate spikes is in the wrong language,
+    * the wrong domain, or binary junk).
+    *
+    * Scale shape: ONE corpus pass. Both the vocab build and the scoring
+    * aggregate consume the same (doc, term, cnt) relation, whose exchange
+    * both consumers reuse (identical subplans — same columns, no pruning
+    * divergence), so the scan/tokenize/explode pipeline runs once and
+    * everything above it runs at distinct-(doc, term) cardinality, not
+    * token-stream cardinality. The vocabulary itself is BOUNDED by
+    * construction (`limit vocabSize`), so its broadcast hint is safe at
+    * any corpus scale (the bounded-relation broadcast policy). */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int = 20): DataFrame = {
+    require(vocabSize > 0)
+    val toks = graft.core.Par.fanOut(df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks")))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    val vocab = tf.groupBy("token").agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    tf.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).cast("long").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("cnt")).otherwise(lit(0L)))
+          .cast("long").as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   val EnStop: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "that", "it")
   val DeStop: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
   val FrStop: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour")

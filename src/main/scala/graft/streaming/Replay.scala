@@ -65,4 +65,42 @@ object Replay {
     spark.read.parquet(s"$dir/out").where(col("id") =!= SentinelId)
       .withColumn("timestamp", col("timestamp").cast("timestamp_ntz"))
   }
+
+  /** Replay two keyed `(event_id, ts, user_id)` streams through
+    * [[Speed.joinWithin]] (the watermark-bounded stream-stream INNER join)
+    * into a parquet sink and read it back — the stream-stream-join
+    * counterpart of [[windowedSumReplay]], so the join code path gets a
+    * DuckDB-graded correctness row too. No sentinel needed: inner-join
+    * matches emit as rows are processed (the watermark only bounds state
+    * eviction, not emission), so a finite `Trigger.AvailableNow` replay
+    * emits every matched pair. Output: (event_id, ts, user_id,
+    * <prefix>event_id, <prefix>ts), timestamps back on the NTZ contract. */
+  def joinWithinReplay(spark: SparkSession,
+                       left: Seq[(Long, LocalDateTime, Long)],
+                       right: Seq[(Long, LocalDateTime, Long)],
+                       watermark: String, within: String,
+                       rightPrefix: String = "r_"): DataFrame = {
+    require(left.nonEmpty && right.nonEmpty, "replay needs rows on both sides")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val l = MemoryStream[(Long, LocalDateTime, Long)]
+    val r = MemoryStream[(Long, LocalDateTime, Long)]
+    l.addData(left)
+    r.addData(right)
+    def src(ms: MemoryStream[(Long, LocalDateTime, Long)]) =
+      ms.toDF().toDF("event_id", "ts", "user_id")
+        .withColumn("ts", col("ts").cast("timestamp"))
+    val joined = Speed.joinWithin(src(l), src(r), "user_id", "ts", "ts",
+      watermark, within, rightPrefix)
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay-").toString
+    val q = joined.writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$dir/out")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .withColumn(rightPrefix + "ts", col(rightPrefix + "ts").cast("timestamp_ntz"))
+  }
 }

@@ -513,6 +513,16 @@ class ExtSpec extends SparkSpec {
     assert(re == out, "sample membership is partitioning-independent")
   }
 
+  test("vocabCoverage: deterministic top-V vocab, OOV counts multiplicity") {
+    val df = Seq((1L, "a a a b"), (2L, "a b c c")).toDF("doc_id", "text")
+    // counts: a=4, b=2, c=2 → V=2 vocab is {a, b} (c loses the tie to b
+    // lexicographically? no — b and c tie at 2; b < c wins the tie-break)
+    val out = TextAnalysis.vocabCoverage(df, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(out(0) == ((1L, 4L, 0L, 0.0)), "doc 1 fully in-vocab")
+    assert(out(1) == ((2L, 4L, 2L, 0.5)), "doc 2: both c occurrences are OOV")
+  }
+
   test("dimStats: per-dimension count/mean/sample variance, exact on integers") {
     val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)),
       (3L, Array(5.0f, 9.0f))).toDF("vec_id", "embedding")

@@ -253,6 +253,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 3 && !streamed.exists(_._2 == graft.streaming.Replay.SentinelId))
   }
 
+  test("Replay: stream-stream join emits exactly the in-window pairs") {
+    import java.time.LocalDateTime
+    def t(s: String) = LocalDateTime.parse(s)
+    val errors = Seq(
+      (10L, t("2022-02-26T00:00:30"), 1L), // 30 s after u1's click → joins
+      (11L, t("2022-02-26T00:09:00"), 2L), // 4 min after u2's click → out of range
+      (12L, t("2022-02-26T00:00:40"), 3L)) // no click at all
+    val clicks = Seq(
+      (20L, t("2022-02-26T00:00:00"), 1L),
+      (21L, t("2022-02-26T00:05:00"), 2L))
+    val out = graft.streaming.Replay.joinWithinReplay(spark, errors, clicks,
+        "10 seconds", "60 seconds")
+      .select("event_id", "r_event_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((10L, 20L)), s"got $out")
+  }
+
   test("T5: several concurrent streaming queries from one parsed stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
