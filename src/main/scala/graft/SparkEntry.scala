@@ -376,6 +376,25 @@ object SparkEntry {
       Similarity.dimStats(Tables.embeddings(s, d), "embedding")
         .orderBy("dim")),
 
+    // qd1: per-source quality dashboard — count / avg length / avg
+    // stopword ratio / quality-filter yield per ingest feed (predicts
+    // cur1's per-source survival); 20 groups at any corpus scale
+    "qd1_source_quality" -> ((s, d) =>
+      ext.Curation.sourceQuality(Tables.documents(s, d), "source", "text")
+        .orderBy("source")),
+
+    // emb2: symmetric int8 vector quantization (scale = 127/max|x|) — the
+    // ANN index compression step; pure projection, engine-exact rounding.
+    // The graded projection renders q as CSV (the compare layer cannot
+    // hash array cells — same convention as ag1); the operator itself
+    // returns the real array<int>.
+    "emb2_int8_quant" -> ((s, d) =>
+      Par.stage(Similarity.quantizeInt8(Tables.embeddings(s, d),
+            "vec_id", "embedding")
+          .select(col("vec_id"), col("scale"),
+            array_join(col("q"), ",").as("q_csv")))
+        .orderBy("vec_id")),
+
     // vb1: vocabulary coverage / OOV rate against the top-20 corpus vocab
     // (the tokenizer-fit / domain-shift screen); one corpus pass, bounded
     // vocab broadcast
@@ -1006,6 +1025,27 @@ object SparkEntry {
            |   ELSE [] END) AS bigram
            | FROM (SELECT $toksSql AS toks FROM documents))
            |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin.replace("\n", " ")),
+      "qd1_source_quality" ->
+        (s"""WITH q AS (
+           | SELECT source, len(toks) AS n_tokens,
+           |  len(list_filter(toks, x -> list_contains($enStopSql, x)))::DOUBLE / len(toks) AS swr
+           | FROM (SELECT source, $toksSql AS toks FROM documents))
+           |SELECT source, COUNT(*)::BIGINT AS n_docs,
+           | SUM(n_tokens)::DOUBLE / COUNT(*) AS avg_tokens,
+           | CAST(SUM(CAST(swr AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_stopword_ratio,
+           | SUM(CASE WHEN n_tokens >= 20 AND swr >= 0.04 THEN 1 ELSE 0 END)::BIGINT AS n_quality_pass,
+           | SUM(CASE WHEN n_tokens >= 20 AND swr >= 0.04 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*) AS pass_rate
+           |FROM q GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
+      "emb2_int8_quant" ->
+        ("""SELECT vec_id,
+           | CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS scale,
+           | array_to_string(list_transform(v, x -> CAST(round(x *
+           |  CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END) AS INTEGER)), ',') AS q_csv
+           |FROM (SELECT vec_id,
+           |  list_transform(embedding, x -> x::DOUBLE) AS v,
+           |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+           | FROM embeddings)
+           |ORDER BY vec_id""".stripMargin.replace("\n", " ")),
       "vb1_vocab_coverage" ->
         (s"""WITH tf AS (
            | SELECT doc_id, token, COUNT(*) AS cnt

@@ -45,6 +45,34 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"), col("bucket"), col("split"))
   }
 
+  /** Per-SOURCE quality dashboard — the monitoring aggregate a curation
+    * pipeline keeps per ingest feed: document count, average length,
+    * average stopword ratio, and the share of documents that would survive
+    * [[curate]]'s quality filter (same thresholds, so the dashboard
+    * predicts the filter's yield per source). A feed whose pass rate
+    * collapses is broken upstream — this is how that is caught before a
+    * full curation run.
+    *
+    * Scale: one projection pass + one hash-aggregate with group count =
+    * number of sources; token-count averages sum exact longs, ratio
+    * averages go through exact decimal ([[graft.core.Num.davg]]) so both
+    * are reproducible under any partitioning. */
+  def sourceQuality(docs: DataFrame, sourceCol: String, textCol: String,
+                    minTokens: Long = 20,
+                    minStopwordRatio: Double = 0.04): DataFrame = {
+    val stats = TextAnalysis.withTextStats(graft.core.Par.fanOut(
+      docs.select(col(sourceCol).as("source"), col(textCol).as("text"))))
+    stats.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+        graft.core.Num.davg(col("stopword_ratio")).as("avg_stopword_ratio"),
+        sum(when(col("n_tokens") >= minTokens &&
+            col("stopword_ratio") >= minStopwordRatio, 1L).otherwise(0L))
+          .cast("long").as("n_quality_pass"))
+      .withColumn("pass_rate",
+        col("n_quality_pass").cast("double") / col("n_docs"))
+  }
+
   /** FUZZY curation: [[curate]]'s quality filter → exact dedup, then a
     * NEAR-duplicate collapse — pair detection via `pairFinder` (default:
     * MinHash-LSH, [[Dedup.minhashLshPairs]]) followed by

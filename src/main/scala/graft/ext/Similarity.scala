@@ -166,6 +166,25 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Per-vector symmetric int8 quantization — the compression step before
+    * a memory-bound ANN index ships (4× smaller than float32, SIMD-friendly
+    * dot products): scale = 127 / max|xᵢ|, qᵢ = round(xᵢ · scale). Returns
+    * (vec_id, scale, q). Dequantize as qᵢ / scale. All-zero vectors get
+    * scale 0 and an all-zero q (the conventional degenerate encoding).
+    *
+    * Deterministic across engines: the max, the division and the products
+    * are double IEEE ops, and round() is round-half-AWAY-FROM-ZERO in both
+    * Spark (BigDecimal HALF_UP on the magnitude) and DuckDB (std::round),
+    * so the oracle reproduces q exactly. Pure projection — no shuffle, one
+    * pass at any corpus scale. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale",
+        when(col("amax") > 0, lit(127.0) / col("amax")).otherwise(lit(0.0)))
+      .select(col("vec_id"), col("scale"),
+        transform(col("v"), x => round(x * col("scale")).cast("int")).as("q"))
+
   /** Per-dimension corpus statistics (count / mean / sample variance) over
     * an embedding column — the embedding-QC pass every vector pipeline
     * runs before indexing (dead dimensions, un-normalized batches, scale

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Specs for the extension tier (dedup / similarity / text analysis) on
   * hand-built fixtures where expected behavior is computable by eye. */
@@ -521,6 +521,33 @@ class ExtSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
     assert(out(0) == ((1L, 4L, 0L, 0.0)), "doc 1 fully in-vocab")
     assert(out(1) == ((2L, 4L, 2L, 0.5)), "doc 2: both c occurrences are OOV")
+  }
+
+  test("quantizeInt8: away-from-zero rounding, all-zero degenerate encoding") {
+    val df = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding").orderBy("vec_id")
+      .as[(Long, Double, Seq[Int])].collect()
+    assert(out(0)._2 == 127.0 && out(0)._3 == Seq(64, -127, 32),
+      "0.5·127 = 63.5 rounds away from zero to 64; 0.25·127 = 31.75 to 32")
+    assert(out(1)._2 == 0.0 && out(1)._3 == Seq(0, 0, 0),
+      "all-zero vector: scale 0, all-zero q")
+  }
+
+  test("sourceQuality: per-source counts, averages and filter yield") {
+    val df = Seq(
+      ("sA", "the cat sat on the mat"), // 6 tokens, swr 2/6 → passes both
+      ("sA", "x y"),                    // 2 tokens → fails minTokens
+      ("sB", "foo bar baz qux"))        // 4 tokens, swr 0 → fails ratio
+      .toDF("source", "text")
+    val out = Curation.sourceQuality(df, "source", "text",
+        minTokens = 3, minStopwordRatio = 0.2)
+      .orderBy("source")
+      .as[(String, Long, Double, Double, Long, Double)].collect()
+    assert(out(0)._1 == "sA" && out(0)._2 == 2L && out(0)._3 == 4.0)
+    assert(math.abs(out(0)._4 - (2.0 / 6) / 2) < 1e-5, "avg stopword ratio")
+    assert(out(0)._5 == 1L && out(0)._6 == 0.5, "1 of 2 sA docs passes")
+    assert(out(1) == (("sB", 1L, 4.0, 0.0, 0L, 0.0)))
   }
 
   test("dimStats: per-dimension count/mean/sample variance, exact on integers") {
