@@ -146,4 +146,49 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("chunkTokens: stride-strided chunks reconstruct every doc exactly") {
+    val docGen = Gen.listOfN(6, Gen.choose(1, 120).map(n =>
+      (1 to n).map(i => s"t$i").mkString(" ")))
+    forAll(docGen) { texts =>
+      val (chunkLen, stride) = (16, 11)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.ext.TextAnalysis
+        .chunkTokens(docs, "doc_id", "text", chunkLen, stride)
+        .as[(Long, Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split(" ")
+        val chunks = out(i.toLong)
+        // chunk count formula, start alignment, token-exact reconstruction
+        // from the stride-strided prefix of each chunk + the full tail
+        assert(chunks.length == 1 + math.max(0, (toks.length - chunkLen + stride - 1) / stride))
+        chunks.foreach { case (_, idx, n, text) =>
+          val body = text.split(" ")
+          assert(body.length == n && (body.isEmpty || body.head == toks(idx.toInt * stride)))
+        }
+        val rebuilt = chunks.init.flatMap(_._4.split(" ").take(stride)) ++
+          chunks.last._4.split(" ")
+        assert(rebuilt.toSeq == toks.toSeq, s"doc $i reconstruction")
+      }
+    }
+  }
+
+  test("quantizeInt8: |x − q/scale| ≤ 0.5/scale and |q| ≤ 127, any vector") {
+    val vecGen = Gen.listOfN(12, Gen.choose(-10000, 10000).map(_ / 1000.0f))
+    forAll(vecGen) { xs =>
+      whenever(xs.exists(_ != 0.0f)) {
+        val df = Seq((1L, xs.toArray)).toDF("vec_id", "embedding")
+        val (scale, q) = graft.ext.Similarity
+          .quantizeInt8(df, "vec_id", "embedding")
+          .as[(Long, Double, Seq[Int])].head() match { case (_, s, qq) => (s, qq) }
+        assert(q.forall(v => v >= -127 && v <= 127), "int8 range")
+        xs.zip(q).foreach { case (x, v) =>
+          assert(math.abs(x.toDouble - v / scale) <= 0.5 / scale + 1e-12,
+            s"dequant error bound: x=$x q=$v scale=$scale")
+        }
+      }
+    }
+  }
 }
