@@ -93,13 +93,17 @@ object Curation {
     * (doc_id, n_tokens)), so its subplans diverge and the quality+dedup
     * stage runs twice (no exchange reuse across divergent projections —
     * the caveat LayoutSpec pins). A run where input re-reads dominate
-    * should materialize the deduped corpus between the stages
-    * (Layout.writeBucketed / persist) — kept deliberately stays lazy here
-    * because caching a corpus-sized frame is a deployment decision, not an
-    * operator default. */
+    * should materialize the deduped corpus between the stages — pass
+    * `materializeKept = true` (MEMORY_AND_DISK persist of the deduped
+    * corpus; spill-safe, and ExtSpec pins that it collapses the two
+    * divergent pipelines onto one scan). It stays OFF by default because
+    * pinning a corpus-sized frame is a deployment decision (cluster cache
+    * capacity), not an operator default; the caller owns the eventual
+    * `unpersist`. */
   def curateFuzzy(docs: DataFrame, idCol: String, textCol: String,
                   minTokens: Long = 20, minStopwordRatio: Double = 0.04,
                   salt: String = "graft",
+                  materializeKept: Boolean = false,
                   pairFinder: (DataFrame, String, String) => DataFrame =
                     Dedup.minhashLshPairs(_, _, _)): DataFrame = {
     val stats = TextAnalysis.withTextStats(graft.core.Par.fanOut(
@@ -110,9 +114,13 @@ object Curation {
     // min(text) not first(text): texts in an fp-group share the NORMALIZED
     // token stream but may differ raw (case/whitespace); min is the
     // deterministic representative for the shingling stage
-    val kept = stats.groupBy("fp")
+    val kept0 = stats.groupBy("fp")
       .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"),
         min(col("text")).as("text"))
+    val kept =
+      if (materializeKept)
+        kept0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else kept0
     val pairs = pairFinder(kept, "doc_id", "text")
     val drops = Dedup.clusterRoots(pairs)
       .where(col("root") =!= col("id"))

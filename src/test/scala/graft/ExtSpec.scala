@@ -466,6 +466,24 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("curateFuzzy materializeKept: same result, one scan via the cache") {
+    val docs = (0L until 60L).map(i =>
+      (i, s"the quick brown fox ${"w" + i % 7} jumps over the lazy dog and then " +
+        s"it runs ${"x" + i % 5} far away to the old stone house by the river"))
+      .toDF("doc_id", "text")
+    val lazyRes = Curation.curateFuzzy(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val mat = Curation.curateFuzzy(docs, "doc_id", "text", materializeKept = true)
+    val matRes = mat.collect().map(_.toSeq).toSet
+    try {
+      assert(matRes == lazyRes, "materialization must not change the result")
+      val p = mat.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+        s"expected the survivor branch to read the cached kept corpus:\n$p")
+    } finally spark.catalog.clearCache()
+  }
+
   test("chunkTokens: stride-aligned overlapping windows that cover the doc") {
     val doc = (1 to 99).map(i => s"w$i").mkString(" ")
     val out = TextAnalysis.chunkTokens(Seq((7L, doc)).toDF("doc_id", "text"),
