@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked run output through UNWRAPPED: the default LoggedOutput
+// prefixes every stdout line with "[info] ", which breaks any consumer
+// that json-parses the Bench line (the driver's BENCH_r*.json recorded
+// the prefixed form for four rounds).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
