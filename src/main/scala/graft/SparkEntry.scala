@@ -261,10 +261,15 @@ object SparkEntry {
     // cheap projection, fan out (the exchange materializes the token
     // arrays), THEN explode + partially aggregate at full parallelism — a
     // few large doc files must not serialize the explode onto a few cores.
+    // explode_outer + isNotNull, not explode: a plain explode infers a
+    // size(toks) > 0 constraint that gets pushed below the fan-out
+    // exchange and re-runs the tokenizer inside the scan-stage Filter
+    // (the same inferred-filter re-hash the d3 single-pass fix removed)
     "x1_top_tokens" -> ((s, d) =>
       Par.fanOut(Tables.documents(s, d)
           .select(TextAnalysis.tokens(col("text")).as("toks")))
-        .select(explode(col("toks")).as("token"))
+        .select(explode_outer(col("toks")).as("token"))
+        .where(col("token").isNotNull)
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
@@ -361,11 +366,13 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")),
 
     // x3: corpus bigram frequency, top 20 — n-gram LM / collocation stats;
-    // same fan-out-then-explode shape as x1
+    // same fan-out-then-explode_outer shape as x1 (a plain explode would
+    // re-run tokenize+bigram construction inside the scan-stage Filter)
     "x3_top_bigrams" -> ((s, d) =>
       Par.fanOut(Tables.documents(s, d)
           .select(TextAnalysis.tokens(col("text")).as("toks")))
-        .select(explode(TextAnalysis.bigramsFromTokens(col("toks"))).as("bigram"))
+        .select(explode_outer(TextAnalysis.bigramsFromTokens(col("toks"))).as("bigram"))
+        .where(col("bigram").isNotNull)
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(20)),
@@ -468,6 +475,24 @@ object SparkEntry {
             size(TextAnalysis.tokens(col("text"))).as("n_tokens")),
           col("doc_id"), col("n_tokens"), ctxLen = 512, shards = 8)
         .orderBy("doc_id")),
+    // ds1: substring-duplication screen (long-n-gram approximation of
+    // suffix-array substring dedup) over a corpus with planted FULL-overlap
+    // copies (+100000, one appended token: every original 20-gram shared)
+    // and planted CROSS-doc boilerplate (+300000 on a 5% slice: a common
+    // 25-token prefix, so those docs share spans with each other too) —
+    // partial duplication that d1's whole-doc hash cannot see.
+    "ds1_substring_dups" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs
+        .union(docs.select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text")))
+        .union(docs.where(col("doc_id") % 20 === 5)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(lit(BoilerPrefix + " "), col("text")).as("text")))
+      Dedup.substringDupStats(planted, "doc_id", "text", n = 20)
+        .orderBy("doc_id")
+    }),
+
     "d2_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")),
@@ -942,6 +967,23 @@ object SparkEntry {
            | FROM surv)
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
+      "ds1_substring_dups" ->
+        (s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text FROM documents
+           |  UNION ALL SELECT doc_id + 300000 AS doc_id, '$BoilerPrefix ' || text AS text
+           |   FROM documents WHERE doc_id % 20 = 5),
+           | sh AS (SELECT doc_id, CASE WHEN len(toks) >= 20
+           |   THEN list_distinct([array_to_string(toks[i:i+19], ' ') for i in range(1, len(toks) - 18)])
+           |   ELSE [] END AS sh
+           |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)),
+           | inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+           | freq AS (SELECT s, COUNT(*) AS nd FROM inv GROUP BY 1)
+           |SELECT doc_id, COUNT(*)::BIGINT AS n_20grams,
+           | SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+           | SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*) AS shared_frac
+           |FROM inv JOIN freq USING (s)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       "inc1_incremental_dedup" ->
         (s"""WITH b AS (
            |  SELECT doc_id, text FROM documents
@@ -1276,6 +1318,10 @@ object SparkEntry {
   }
 
   /** Oracle-side whitespace tokenization matching TextAnalysis.tokens. */
+  /** Shared 25-token boilerplate prefix for the ds1 fixture (Spark side
+    * and oracle SQL must plant the identical string). */
+  private val BoilerPrefix = (1 to 25).map(i => "bp" + i).mkString(" ")
+
   private val toksSql = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
   private def sqlArr(xs: Seq[String]): String =

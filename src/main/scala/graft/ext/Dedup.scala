@@ -433,6 +433,48 @@ object Dedup {
     * lookup / per-pair array intersect exists at all (the first cut did
     * verify-by-intersect and spent ~4 s at sf0.1 on ~157k inflated
     * candidates; this shape runs ~1 s). */
+  /** Per-document SUBSTRING-duplication statistics — the fixed-length
+    * long-n-gram approximation of suffix-array substring dedup: for every
+    * document with ≥ n tokens, how many of its distinct n-token spans also
+    * occur in at least one OTHER document (`n_shared` of `n_20grams`,
+    * plus the fraction). Whole-document dedup (d1) and near-dup pairs
+    * (d2-d6) both miss PARTIAL duplication — shared boilerplate headers,
+    * quoted passages, partially-copied docs; a long-span screen (n ≈ 20,
+    * the dedup-literature convention for "memorizable substring") is the
+    * standard third leg. Spans compare as 64-bit shingle hashes (the d2
+    * caveat: ~2⁻⁶⁴ collision odds per pair).
+    *
+    * Scale shape: tokenize → fan out → native distinct-shingle hashing →
+    * explode to an (doc, span-hash) inverted index; the span's document
+    * frequency rides as a WINDOW count over that one relation (the x2
+    * formulation — no self-join, no second corpus pass), then one
+    * doc-keyed aggregate. Two keyed shuffles of the span stream — the
+    * same cost class as the d2 index build, and the honest price of
+    * substring-level comparison (a distributed suffix array pays a global
+    * sort of comparable volume). `explode_outer` + isNotNull, not explode:
+    * a plain explode infers a `size(shh) > 0` constraint that re-runs
+    * tokenize+hash inside the scan-stage Filter (see contaminationPairs). */
+  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 20): DataFrame = {
+    val shh = graft.core.Par.fanOut(
+        df.select(col(idCol).as("doc_id"),
+          TextAnalysis.tokens(col(textCol)).as("toks")))
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.shingleHashesNative(col("toks"), n)
+          .as("shh"))
+    val inv = shh
+      .select(col("doc_id"), explode_outer(col("shh")).as("s"))
+      .where(col("s").isNotNull)
+    inv
+      .withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as(s"n_${n}grams"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).cast("long").as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col(s"n_${n}grams"))
+  }
+
   def contaminationPairs(corpus: DataFrame, evalSet: DataFrame,
                          idCol: String, textCol: String,
                          n: Int = 3, minJaccard: Double = 0.7): DataFrame = {

@@ -139,7 +139,11 @@ object TextAnalysis {
                 minTf: Int = 2): DataFrame = {
     val toks = graft.core.Par.fanOut(df.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("toks")))
-    val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+    // explode_outer + isNotNull: a plain explode infers size(toks) > 0,
+    // which re-runs the tokenizer inside the scan-stage Filter (see the
+    // d3 single-pass note / Dedup.contaminationPairs)
+    val tf = toks.select(col("doc_id"), explode_outer(col("toks")).as("term"))
+      .where(col("term").isNotNull)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     tf.withColumn("df", count(lit(1))
@@ -171,7 +175,8 @@ object TextAnalysis {
     require(vocabSize > 0)
     val toks = graft.core.Par.fanOut(df.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("toks")))
-    val tf = toks.select(col("doc_id"), explode(col("toks")).as("token"))
+    val tf = toks.select(col("doc_id"), explode_outer(col("toks")).as("token"))
+      .where(col("token").isNotNull) // see termStats' explode_outer note
       .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
     val vocab = tf.groupBy("token").agg(sum(col("cnt")).as("n"))
       .orderBy(col("n").desc, col("token").asc).limit(vocabSize)

@@ -466,6 +466,18 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("substringDupStats: shared long spans counted, unique docs clean") {
+    val a = (1 to 25).map("w" + _).mkString(" ")   // 25 tokens → 6 20-grams
+    val c = (1 to 25).map("v" + _).mkString(" ")
+    val df = Seq((1L, a), (2L, a), (3L, c), (4L, "too short")).toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(df, "doc_id", "text", n = 20)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L), "sub-n docs have no spans")
+    assert(out(0) == ((1L, 6L, 6L, 1.0)) && out(1) == ((2L, 6L, 6L, 1.0)),
+      "exact copies share every span")
+    assert(out(2) == ((3L, 6L, 0L, 0.0)), "distinct doc shares none")
+  }
+
   test("curateFuzzy materializeKept: same result, one scan via the cache") {
     val docs = (0L until 60L).map(i =>
       (i, s"the quick brown fox ${"w" + i % 7} jumps over the lazy dog and then " +
