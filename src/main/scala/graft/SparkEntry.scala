@@ -68,20 +68,18 @@ object SparkEntry {
         .orderBy("timestamp", "id")),
 
     // A1s: the SAME aggregate as a1 executed by the STREAMING engine — the
-    // sf events replayed through MemoryStream into Speed.windowedSum
+    // sf events replayed through a FILE-SOURCE stream into Speed.windowedSum
     // (watermark, windowed state store, append-mode emission), run to
     // completion with Trigger.AvailableNow into a parquet sink, read back
     // and graded by the IDENTICAL oracle as a1. Closes the "streaming is
-    // spec-only" gap: this correctness row executed the streaming engine.
-    "a1s_stream_replay" -> ((s, d) => {
-      import s.implicits._
-      val rows = events(s, d)
-        .select(col("ts"), col("event_type"), col("value"))
-        .as[(java.time.LocalDateTime, String, Double)].collect().toSeq
-      graft.streaming.Replay.windowedSumReplay(s, rows, "90 seconds",
-          "15 seconds", "antenna_bytes_total")
-        .orderBy("timestamp", "id")
-    }),
+    // spec-only" gap: this correctness row executed the streaming engine —
+    // and nothing touches the driver (the staging write, the stream read
+    // and the sink are all distributed; see Replay's scaladoc).
+    "a1s_stream_replay" -> ((s, d) =>
+      graft.streaming.Replay.windowedSumReplay(s,
+          events(s, d).select(col("ts"), col("event_type"), col("value")),
+          "90 seconds", "15 seconds", "antenna_bytes_total")
+        .orderBy("timestamp", "id")),
 
     // A2: bytes per user, 90 s tumbling window
     "a2_user_90s" -> ((s, d) =>
@@ -417,10 +415,8 @@ object SparkEntry {
     // use. Extends the a1s pattern (graded streaming execution) from
     // windowed aggregates to stream-stream joins.
     "ss1_join_replay" -> ((s, d) => {
-      import s.implicits._
       def side(tp: String) = events(s, d).where(col("event_type") === tp)
         .select(col("event_id"), col("ts"), col("user_id"))
-        .as[(Long, java.time.LocalDateTime, Long)].collect().toSeq
       graft.streaming.Replay.joinWithinReplay(s, side("error"), side("click"),
           "30 seconds", "60 minutes", "click_")
         .select(col("event_id"), col("ts"), col("user_id"),
@@ -490,6 +486,24 @@ object SparkEntry {
           .select((col("doc_id") + 300000).as("doc_id"),
             concat(lit(BoilerPrefix + " "), col("text")).as("text")))
       Dedup.substringDupStats(planted, "doc_id", "text", n = 20)
+        .orderBy("doc_id")
+    }),
+    // ds2: span REMOVAL over the identical ds1 fixture — ds1 measures the
+    // shared-span fraction, ds2 clips the shared spans and rebuilds the
+    // text (the CCNet/RefinedWeb boilerplate-clip step). Every original
+    // doc's spans are all shared with its +100000 copy, so originals strip
+    // to the tokens outside any 20-gram (short docs pass through whole),
+    // and the planted boilerplate prefix vanishes from the +300000 rows —
+    // the oracle recomputes all of it span-for-span.
+    "ds2_strip_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs
+        .union(docs.select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text")))
+        .union(docs.where(col("doc_id") % 20 === 5)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(lit(BoilerPrefix + " "), col("text")).as("text")))
+      Dedup.stripSharedSpans(planted, "doc_id", "text", n = 20)
         .orderBy("doc_id")
     }),
 
@@ -984,6 +998,34 @@ object SparkEntry {
            | SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*) AS shared_frac
            |FROM inv JOIN freq USING (s)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // ds2: same corpus + span space as ds1, POSITIONAL — a token is kept
+      // iff no covering 20-token span occurs in ≥2 distinct docs. The kept
+      // list is rebuilt per doc with an interval check over the shared
+      // starts (Spark strips with a native merged-interval sweep; values
+      // must match token-for-token).
+      "ds2_strip_spans" ->
+        (s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text FROM documents
+           |  UNION ALL SELECT doc_id + 300000 AS doc_id, '$BoilerPrefix ' || text AS text
+           |   FROM documents WHERE doc_id % 20 = 5),
+           | tok AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+           | inv0 AS (SELECT doc_id, toks,
+           |   unnest(range(1, greatest(len(toks) - 18, 1))) AS pos FROM tok),
+           | inv AS (SELECT doc_id, pos,
+           |   array_to_string(toks[pos:pos+19], ' ') AS s FROM inv0),
+           | freq AS (SELECT s, COUNT(DISTINCT doc_id) AS nd FROM inv GROUP BY 1),
+           | ss AS (SELECT doc_id, list(pos ORDER BY pos) AS ss
+           |  FROM inv JOIN freq USING (s) WHERE nd >= 2 GROUP BY doc_id),
+           | j AS (SELECT t.doc_id, t.toks, coalesce(ss.ss, CAST([] AS BIGINT[])) AS ss
+           |  FROM tok t LEFT JOIN ss ON t.doc_id = ss.doc_id)
+           |SELECT doc_id, len(toks)::BIGINT AS n_tokens, len(k)::BIGINT AS n_kept,
+           | coalesce(array_to_string(k, ' '), '') AS kept_text
+           |FROM (SELECT doc_id, toks,
+           |  [toks[p] for p in range(1, len(toks) + 1)
+           |   if len(list_filter(ss, q -> q <= p AND p <= q + 19)) = 0] AS k
+           | FROM j)
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       "inc1_incremental_dedup" ->
         (s"""WITH b AS (
            |  SELECT doc_id, text FROM documents

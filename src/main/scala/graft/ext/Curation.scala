@@ -104,10 +104,22 @@ object Curation {
                   minTokens: Long = 20, minStopwordRatio: Double = 0.04,
                   salt: String = "graft",
                   materializeKept: Boolean = false,
+                  stripSpans: Boolean = false, stripSpanLen: Int = 20,
                   pairFinder: (DataFrame, String, String) => DataFrame =
                     Dedup.minhashLshPairs(_, _, _)): DataFrame = {
-    val stats = TextAnalysis.withTextStats(graft.core.Par.fanOut(
-        docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))))
+    // optional span-removal pre-stage (ds2, [[Dedup.stripSharedSpans]]):
+    // clip cross-doc boilerplate spans BEFORE quality scoring, so length /
+    // stopword stats and the dedup fingerprint see the clipped text — a
+    // doc that is boilerplate + thin content is then judged (and deduped)
+    // on the content alone. The strip output arrives from a doc-keyed
+    // join, already distributed, so the fan-out exchange is skipped.
+    val src0 = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val src =
+      if (stripSpans)
+        Dedup.stripSharedSpans(src0, "doc_id", "text", n = stripSpanLen)
+          .select(col("doc_id"), col("kept_text").as("text"))
+      else graft.core.Par.fanOut(src0)
+    val stats = TextAnalysis.withTextStats(src)
       .where(col("n_tokens") >= minTokens &&
         col("stopword_ratio") >= minStopwordRatio)
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))

@@ -104,7 +104,24 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.7,
-                        maxShingleDocFreq: Option[Long] = None): DataFrame = {
+                        maxShingleDocFreq: Option[Long] = None,
+                        broadcastSizesLimit: Long = 100000000L): DataFrame = {
+    // Auto-fallback for the `sizes` broadcast (round-5 verdict #4): the
+    // per-doc size relation is ~16 B/doc, so the broadcast stops fitting
+    // around 10^8 docs. Rather than documenting "drop the hint at scale" as
+    // a manual step, decide it here from ONE cheap count of the input ids —
+    // column-pruned, so parquet-backed corpora answer from footer metadata,
+    // and nothing of the shingle pipeline executes. At or below the limit
+    // the sizes lookups broadcast (the candidate stream never shuffles for
+    // them); above it the hint is dropped and AQE/sort-merge takes over —
+    // the blocking itself is unaffected. Callers that already know the
+    // cardinality regime can force either path via the limit (0 = never
+    // hint, Long.MaxValue = always).
+    // lazy: only the count-based branch below consults it (the stop-shingle
+    // branch never builds the sizes relation)
+    lazy val hintSizes = df.select(col(idCol)).count() <= broadcastSizesLimit
+    def maybeBroadcast(rel: DataFrame): DataFrame =
+      if (hintSizes) broadcast(rel) else rel
     // (id, shh) is computed BELOW the single fan-out exchange, so the
     // exchange MATERIALIZES the hashes and every consumer — posting
     // explode, size lookup, verify sides — shares one tokenize+hash pass.
@@ -176,16 +193,15 @@ object Dedup {
           .agg(count(lit(1)).as("c"))
           .select(call_function("shiftright", col("p"), lit(32)).as("id_a"),
             col("p").bitwiseAND(lit(0xffffffffL)).as("id_b"), col("c"))
-        // sizes is |docs| rows of two longs — broadcast explicitly: its
-        // post-shuffle stats are unknown to the planner, and letting these
-        // lookups fall back to sort-merge would shuffle the whole pair
-        // stream twice. Ceiling: ~16 B/doc means the broadcast stops
-        // fitting around 10^8–10^9 docs; past that, drop the hint (two
-        // shuffle joins of the candidate stream) — the blocking itself is
-        // unaffected
+        // sizes is |docs| rows of two longs — broadcast explicitly while the
+        // doc count stays under `broadcastSizesLimit` (its post-shuffle
+        // stats are unknown to the planner, and letting these lookups fall
+        // back to sort-merge would shuffle the whole pair stream twice);
+        // past the limit the hint drops automatically (see maybeBroadcast
+        // above) instead of OOMing the driver
         shared
-          .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))), "id_a")
-          .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))), "id_b")
+          .join(maybeBroadcast(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))), "id_a")
+          .join(maybeBroadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))), "id_b")
           .select(col("id_a"), col("id_b"),
             (col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c"))).as("j"))
           .where(col("j") >= minJaccard)
@@ -473,6 +489,64 @@ object Dedup {
         sum(when(col("nd") > 1, 1L).otherwise(0L)).cast("long").as("n_shared"))
       .withColumn("shared_frac",
         col("n_shared").cast("double") / col(s"n_${n}grams"))
+  }
+
+  /** SPAN-REMOVAL counterpart of [[substringDupStats]] — the CCNet /
+    * RefinedWeb-style boilerplate clip: ds1 *measures* shared-span
+    * fractions; this operator *removes* the shared spans and keeps the
+    * rest of the document (a real pipeline clips boilerplate rather than
+    * dropping whole docs). A token survives iff every n-token span
+    * covering it is unique in the corpus (occurs in < `minDf` distinct
+    * documents); the output rebuilds the clipped text from the surviving
+    * tokens. Returns (doc_id, n_tokens, n_kept, kept_text). Docs with
+    * fewer than n tokens have no spans and pass through whole.
+    *
+    * Scale shape: tokenize → fan out (the exchange materializes
+    * (doc_id, toks); BOTH consumers — the span index and the final strip
+    * join — read the same ReusedExchange) → POSITIONAL span hashes
+    * (graft.functions.PositionalShingleHashExpr) → posexplode to
+    * (doc_id, start, hash). Document frequency needs DISTINCT docs per
+    * hash, so intra-doc repeats first collapse in a (doc_id, hash)
+    * aggregate that packs the repeat starts as a list (map-side combine;
+    * one keyed shuffle), then a window count over the hash partitions the
+    * ds1 way marks shared spans (second shuffle), and the surviving
+    * starts return to their documents as one sorted list (third shuffle,
+    * doc-keyed). The strip itself is a native merged-interval sweep
+    * (graft.functions.StripSpansExpr, O(tokens + starts) per doc) in the
+    * post-join projection — never a per-token scan of the starts list.
+    * All three shuffles move the span stream (~|tokens| rows of longs),
+    * the same cost class as ds1 plus the doc-keyed return — the honest
+    * price of span-level removal; nothing is corpus-cross-joined and
+    * nothing touches the driver. */
+  def stripSharedSpans(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 20, minDf: Int = 2): DataFrame = {
+    val t = graft.core.Par.fanOut(
+      df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks")))
+    // positional hashes: posexplode_outer keeps span-less docs out of the
+    // index without the inferred size()>0 re-tokenize filter a plain
+    // explode would push into the scan (see substringDupStats)
+    val spans = t
+      .select(col("doc_id"),
+        posexplode_outer(graft.functions.VectorExpressions
+          .shingleHashesPosNative(col("toks"), n)).as(Seq("pos", "s")))
+      .where(col("s").isNotNull)
+    val perDoc = spans.groupBy("doc_id", "s")
+      .agg(collect_list(col("pos")).as("poss"))
+    val shared = perDoc
+      .withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .where(col("nd") >= minDf)
+    val ss = shared.select(col("doc_id"), explode(col("poss")).as("pos"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ss"))
+    t.join(ss, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        graft.functions.VectorExpressions.stripSpansNative(col("toks"),
+          coalesce(col("ss"), array().cast("array<int>")), n).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("kept_text"))
   }
 
   def contaminationPairs(corpus: DataFrame, evalSet: DataFrame,

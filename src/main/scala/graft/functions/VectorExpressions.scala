@@ -267,6 +267,109 @@ case class ShingleHashExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** POSITIONAL n-gram shingle hashes: out(i) = xxhash64 of the space-joined
+  * tokens [i, i+n) — one hash per span start, in token order, duplicates
+  * kept (unlike [[ShingleHashExpr]], which sorts + dedups for set-Jaccard
+  * consumers). The positional form is what span-LEVEL operations need:
+  * `posexplode` over it yields (start, hash) so a shared span can be mapped
+  * back to the exact tokens it covers (Dedup.stripSharedSpans). Same
+  * hashing loop and 64-bit collision caveat as ShingleHashExpr. */
+case class PositionalShingleHashExpr(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes_pos"
+
+  private val Empty =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.Platform
+    val xs = input.asInstanceOf[ArrayData]
+    val k = xs.numElements()
+    if (k < n) return Empty
+    val out = new Array[Long](k - n + 1)
+    var buf = new Array[Byte](64)
+    var i = 0
+    while (i <= k - n) {
+      var len = n - 1 // separators
+      var j = 0
+      while (j < n) {
+        if (xs.isNullAt(i + j)) PairExpandExpr.nullElement(prettyName, i + j)
+        len += xs.getUTF8String(i + j).numBytes; j += 1
+      }
+      if (buf.length < len) buf = new Array[Byte](math.max(len, buf.length * 2))
+      var pos = 0
+      j = 0
+      while (j < n) {
+        val s = xs.getUTF8String(i + j)
+        s.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + pos)
+        pos += s.numBytes
+        if (j < n - 1) { buf(pos) = ' '; pos += 1 }
+        j += 1
+      }
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Span-strip kernel: given the tokens of a document and the SORTED
+  * (ascending, 0-based) start positions of its shared n-token spans, return
+  * the tokens NOT covered by any shared span, in order — token p survives
+  * iff no start q satisfies q ≤ p ≤ q+n−1. A merged-interval sweep with a
+  * single pointer into the starts array: O(m + |starts|) per document, no
+  * per-token scan of the starts list (the HOF `filter(exists(...))`
+  * formulation is O(m·|starts|) interpreted — quadratic on boilerplate-
+  * heavy docs where |starts| ~ m). */
+case class StripSpansExpr(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_strip_spans"
+
+  override def nullSafeEval(toksAny: Any, startsAny: Any): Any = {
+    val toks = toksAny.asInstanceOf[ArrayData]
+    val starts = startsAny.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val k = starts.numElements()
+    val kept = new Array[Any](m)
+    var nKept = 0
+    var si = 0
+    var coverUntil = -1 // highest token index covered by spans seen so far
+    var p = 0
+    while (p < m) {
+      while (si < k && { if (starts.isNullAt(si)) PairExpandExpr.nullElement(prettyName, si)
+        starts.getInt(si) <= p }) {
+        val q = starts.getInt(si)
+        val hi = q + n - 1
+        if (hi > coverUntil) coverUntil = hi
+        si += 1
+      }
+      if (p > coverUntil) {
+        if (toks.isNullAt(p)) PairExpandExpr.nullElement(prettyName, p)
+        kept(nKept) = toks.getUTF8String(p)
+        nKept += 1
+      }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(kept.asInstanceOf[Array[AnyRef]], nKept))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Expand a SORTED array of ids (each in [0, 2³¹)) into all k(k-1)/2
   * ordered pairs, each packed into one long (a<<32 | b). Downstream the pair
   * stream is a primitive-long explode + hash aggregate — no struct
@@ -753,6 +856,15 @@ object VectorExpressions {
   /** Sorted distinct n-gram shingle hashes from a tokens array<string>. */
   def shingleHashesNative(tokens: Column, n: Int): Column =
     Bridge.column(ShingleHashExpr(Bridge.expression(tokens), n))
+
+  /** Positional (per-start, duplicates kept) n-gram shingle hashes. */
+  def shingleHashesPosNative(tokens: Column, n: Int): Column =
+    Bridge.column(PositionalShingleHashExpr(Bridge.expression(tokens), n))
+
+  /** Tokens not covered by any shared span start (sorted 0-based starts). */
+  def stripSpansNative(tokens: Column, starts: Column, n: Int): Column =
+    Bridge.column(StripSpansExpr(
+      Bridge.expression(tokens), Bridge.expression(starts), n))
 
   /** All |a|·|b| cross pairs of two disjoint id arrays, packed (min<<32|max). */
   def pairCrossExpandNative(a: Column, b: Column): Column =

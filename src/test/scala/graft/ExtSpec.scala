@@ -48,6 +48,63 @@ class ExtSpec extends SparkSpec {
     assert(pairs.count() == 0)
   }
 
+  test("stripSharedSpans: clips cross-doc spans, keeps unique content") {
+    // n=3 spans; docs A and B share the 5-token prefix (spans at starts
+    // 0,1,2 of each are shared), then diverge; doc C is unrelated; doc D
+    // is shorter than n and must pass through whole.
+    val fix = Seq(
+      (1L, "alpha beta gamma delta epsilon unique1 tail1 end1"),
+      (2L, "alpha beta gamma delta epsilon unique2 tail2 end2"),
+      (3L, "totally different words with no overlap at all"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = Dedup.stripSharedSpans(fix, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // shared spans cover tokens 0..4 (starts 0,1,2 each cover 3 tokens);
+    // tokens 5..7 are covered only by unique spans (starts 3,4,5 differ
+    // between A and B) → keep exactly the last three tokens
+    assert(out(1L) == ((1L, 8L, 3L, "unique1 tail1 end1")), out(1L).toString)
+    assert(out(2L) == ((2L, 8L, 3L, "unique2 tail2 end2")), out(2L).toString)
+    assert(out(3L) == ((3L, 8L, 8L, "totally different words with no overlap at all")))
+    assert(out(4L) == ((4L, 2L, 2L, "too short")), "short docs pass through whole")
+  }
+
+  test("curateFuzzy: stripSpans stage clips boilerplate before scoring") {
+    // 30 docs sharing a 25-token boilerplate prefix with distinct tails:
+    // without strip the LSH near-dup collapse sees them as one cluster
+    // (shingle sets dominated by the prefix) and keeps a single keeper —
+    // boilerplate masquerading as content. With stripSpans the prefix is
+    // clipped FIRST, every doc drops below the 20-token quality floor, and
+    // nothing survives: the strip changes what the pipeline judges.
+    val boiler = (1 to 25).map(i => "the of and to in is was for on with as by at from or"
+      .split(' ')(i % 15)).mkString(" ")
+    val rows = (0 until 30).map(i => (i.toLong, s"$boiler tailword$i"))
+      .toDF("doc_id", "text")
+    val plain = Curation.curateFuzzy(rows, "doc_id", "text").count()
+    val clipped = Curation.curateFuzzy(rows, "doc_id", "text",
+      stripSpans = true).count()
+    assert(plain == 1L, s"without strip the near-dup collapse keeps one keeper: $plain")
+    assert(clipped == 0L, s"with strip the boilerplate is clipped and the " +
+      s"tails fail the length floor: $clipped")
+  }
+
+  test("ngramJaccardPairs: sizes-broadcast auto-fallback — both regimes identical") {
+    // default limit (docs ≪ 1e8): the sizes lookups carry a broadcast hint;
+    // limit 0 models the past-1e8-docs regime: the hint drops automatically
+    // (AQE may still broadcast at runtime while stats fit — the point is
+    // that the DRIVER is never forced to) and results are identical
+    val hinted = Dedup.ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.5)
+    val unhinted = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      minJaccard = 0.5, broadcastSizesLimit = 0L)
+    assert(hinted.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("broadcast"), "below the limit the hint must be present")
+    assert(!unhinted.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("broadcast"), "above the limit no forced broadcast survives")
+    val a = hinted.as[(Long, Long, Double)].collect().toSet
+    val b = unhinted.as[(Long, Long, Double)].collect().toSet
+    assert(a == b && a.nonEmpty, s"hinted=$a unhinted=$b")
+  }
+
   test("minhashLshPairs: near-dups collide in a band and verify exactly") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", minJaccard = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

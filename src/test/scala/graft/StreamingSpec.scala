@@ -240,7 +240,8 @@ class StreamingSpec extends SparkSpec {
       (LocalDateTime.parse("2022-02-26T00:00:50"), "ant1", 49.5),
       (LocalDateTime.parse("2022-02-26T00:02:00"), "ant2", 7.0),
       (LocalDateTime.parse("2022-02-26T00:05:00"), "ant3", 1.0))
-    val streamed = graft.streaming.Replay.windowedSumReplay(spark, rows,
+    val streamed = graft.streaming.Replay.windowedSumReplay(spark,
+        rows.toDF("ts", "id", "value"),
         "90 seconds", "15 seconds", "antenna_bytes_total")
       .orderBy("timestamp", "id")
       .as[(LocalDateTime, String, Double, String)].collect().toSeq
@@ -263,7 +264,9 @@ class StreamingSpec extends SparkSpec {
     val clicks = Seq(
       (20L, t("2022-02-26T00:00:00"), 1L),
       (21L, t("2022-02-26T00:05:00"), 2L))
-    val out = graft.streaming.Replay.joinWithinReplay(spark, errors, clicks,
+    val out = graft.streaming.Replay.joinWithinReplay(spark,
+        errors.toDF("event_id", "ts", "user_id"),
+        clicks.toDF("event_id", "ts", "user_id"),
         "10 seconds", "60 seconds")
       .select("event_id", "r_event_id").as[(Long, Long)].collect().toSet
     assert(out == Set((10L, 20L)), s"got $out")
