@@ -81,6 +81,23 @@ object SparkEntry {
           "90 seconds", "15 seconds", "antenna_bytes_total")
         .orderBy("timestamp", "id")),
 
+    // sess1s: SESSION windows executed by the STREAMING engine — the last
+    // stateful-operator class without an engine-executed oracle row
+    // (windowed agg = a1s, stream-stream join = ss1). Gap-merged session
+    // state per user, replayed through the file-source harness; the
+    // sentinel sits 40 min out (> 30 min gap + 15 s delay) so every real
+    // session closes. Oracle = gap sessionization in SQL with the
+    // session_window merge rule (a new session starts when the gap is ≥
+    // the threshold — session_window merges only strictly-overlapping
+    // [ts, ts+gap) intervals, unlike sess1's strictly-greater batch rule).
+    "sess1s_session_replay" -> ((s, d) =>
+      graft.streaming.Replay.sessionWindowSumReplay(s,
+          events(s, d).select(col("ts"), col("user_id").cast("string"),
+            col("value")),
+          "30 minutes", "15 seconds", "user_session_total",
+          java.time.Duration.ofMinutes(40))
+        .orderBy("timestamp", "id")),
+
     // A2: bytes per user, 90 s tumbling window
     "a2_user_90s" -> ((s, d) =>
       graft.streaming.Speed.windowedSum(events(s, d),
@@ -596,6 +613,30 @@ object SparkEntry {
           sha2(hex(col("frame")), 256).as("frame_sha")))
         .orderBy("id", "frame_no")),
 
+    // xm1: CROSS-MODAL composition — the multimodal feature extractor
+    // feeds the similarity tier end-to-end: blob column → size-balanced
+    // decode partitions → per-partition (stub-)codec histogram (exact
+    // integers, the m2 plumbing) → cosine ANN top-k over the extracted
+    // features (bruteForceTopK; integer counts make every cosine
+    // bit-reproducible, so the oracle recomputes the identical ranking).
+    // The near-dup-PAIRS form (embeddingNearDupPairsLsh) is ungradable on
+    // this corpus — measured at sf0.01/sf0.1, text byte-nibble histograms
+    // are non-separating (tens of thousands of distinct-doc pairs above
+    // any cosine threshold, some at exactly 1.0) — so the graded
+    // composition is the bounded-query ANN form; ExtSpec pins the
+    // histogram→LSH-near-dup path on a separable blob fixture.
+    "xm1_blob_ann" -> ((s, d) => {
+      val hist = Multimodal.extractHistogram(
+        Multimodal.repartitionBySize(
+          Multimodal.withBlob(Tables.documents(s, d), "text"), "payload",
+          s.sparkContext.defaultParallelism), "doc_id", "payload")
+        .toDF()
+      Similarity.bruteForceTopK(hist, hist.where(col("id") < 5), "id", "counts", 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF ANN: the embeddings table's label column is the coarse quantizer
     "sim3_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -610,6 +651,19 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 5),
           "vec_id", "embedding", 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // sim4: the memory-reduced ANN path emb2's quantization exists for —
+    // IVF probing + candidate scoring over the int8-quantized index
+    // (integer dot products, bit-reproducible), exact re-rank of the
+    // 30-candidate shortlist against full-precision vectors.
+    "sim4_ann_ivf_quant" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfQuantizedTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", "label", k = 10, nprobe = 3, shortlist = 30)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rank")
@@ -878,6 +932,26 @@ object SparkEntry {
            | count(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS "HOUSEHOLD",
            | count(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS "MACHINERY"
            |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      // sess1s: gap sessionization with session_window's merge rule — a
+      // new session starts when the inter-event gap REACHES the threshold
+      // ([ts, ts+gap) intervals merge only on strict overlap), hence >=
+      // where sess1's batch formulation uses > .
+      "sess1s_session_replay" ->
+        ("""WITH flagged AS (
+           | SELECT CAST(user_id AS VARCHAR) AS id, ts, value,
+           |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           |   OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+           |   THEN 1 ELSE 0 END AS nf
+           | FROM events),
+           |sess AS (
+           | SELECT id, ts, value,
+           |  SUM(nf) OVER (PARTITION BY id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_no
+           | FROM flagged)
+           |SELECT min(ts) AS "timestamp", id,
+           | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value,
+           | 'user_session_total' AS type
+           |FROM sess GROUP BY id, session_no
+           |ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
       "sess1_sessions" ->
         ("""WITH flagged AS (
            | SELECT user_id, ts, value,
@@ -1349,6 +1423,30 @@ object SparkEntry {
            |  unnest(range(0, ceil(octet_length(encode(text)) / 64.0)::BIGINT)) AS frame_no
            |  FROM documents) f
            |WHERE frame_no % 2 = 0 ORDER BY id, frame_no""".stripMargin.replace("\n", " ")),
+      // xm1: m2's histogram reconstruction (hex high-nibble counting)
+      // composed with sim1's ranking — blob features scored as vectors
+      "xm1_blob_ann" ->
+        ("""WITH h AS (
+           | SELECT doc_id AS id,
+           |  regexp_replace(hex(encode(text)), '(.).', '\1', 'g') AS hi
+           | FROM documents),
+           |hist AS (
+           | SELECT id, list(cnt ORDER BY bin) AS v FROM (
+           |  SELECT id, bin,
+           |   CAST(length(hi) - length(replace(hi, substring('0123456789ABCDEF', CAST(bin AS INT) + 1, 1), '')) AS DOUBLE) AS cnt
+           |  FROM h CROSS JOIN (SELECT unnest(range(16)) AS bin) b)
+           | GROUP BY id),
+           |q AS (SELECT id AS query_id, v AS qv FROM hist WHERE id < 5),
+           |scored AS (
+           | SELECT query_id, h2.id AS neighbor_id,
+           |  list_dot_product(qv, h2.v) /
+           |   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(h2.v, h2.v))) AS cos
+           | FROM q JOIN hist h2 ON query_id <> h2.id),
+           |ranked AS (SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           | FROM scored)
+           |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
       // hyperplane-LSH in SQL: the 64-bit wraparound plane mix is emulated
       // in HUGEINT space (unsigned constants; (a*b) mod 2^64 via 32-bit
       // split so no intermediate exceeds 2^96; >>>33 as division by 2^33),
@@ -1356,14 +1454,66 @@ object SparkEntry {
       // Similarity.lshTopK value-for-value — every graded query now has a
       // full value-level oracle.
       "sim2_ann_lsh" -> sim2LshSql,
+      // sim4: sim3's IVF probing, candidate scoring in QUANTIZED space
+      // (emb2's round(x·127/max|x|) arithmetic — integer dots, so the
+      // shortlist boundary is bit-deterministic), exact re-rank of the
+      // 30-candidate shortlist in full precision
+      "sim4_ann_ivf_quant" ->
+        ("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |ex AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e),
+           |cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY 1, 2),
+           |cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY 1),
+           |qz AS (SELECT vec_id,
+           |  list_transform(v, x -> round(x * CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END)) AS qv
+           | FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e)),
+           |q AS (SELECT vec_id AS query_id, v AS fqv FROM e WHERE vec_id < 5),
+           |probes AS (
+           | SELECT query_id, label FROM (
+           |  SELECT q.query_id, cent.label,
+           |   row_number() OVER (PARTITION BY q.query_id
+           |    ORDER BY list_dot_product(q.fqv, cent.c) /
+           |      (sqrt(list_dot_product(q.fqv, q.fqv)) * sqrt(list_dot_product(cent.c, cent.c))) DESC,
+           |     cent.label ASC) AS pr
+           |  FROM q CROSS JOIN cent) t WHERE pr <= 3),
+           |shortq AS (
+           | SELECT query_id, neighbor_id FROM (
+           |  SELECT p.query_id, e2.vec_id AS neighbor_id,
+           |   row_number() OVER (PARTITION BY p.query_id
+           |    ORDER BY list_dot_product(zq.qv, z2.qv) /
+           |      (sqrt(list_dot_product(zq.qv, zq.qv)) * sqrt(list_dot_product(z2.qv, z2.qv))) DESC,
+           |     e2.vec_id ASC) AS sr
+           |  FROM probes p
+           |   JOIN qz zq ON zq.vec_id = p.query_id
+           |   JOIN e e2 ON e2.label = p.label AND e2.vec_id <> p.query_id
+           |   JOIN qz z2 ON z2.vec_id = e2.vec_id) t WHERE sr <= 30),
+           |scored AS (
+           | SELECT s.query_id, s.neighbor_id,
+           |  list_dot_product(q.fqv, e3.v) /
+           |    (sqrt(list_dot_product(q.fqv, q.fqv)) * sqrt(list_dot_product(e3.v, e3.v))) AS cos
+           | FROM shortq s JOIN q ON s.query_id = q.query_id
+           |  JOIN e e3 ON e3.vec_id = s.neighbor_id),
+           |ranked AS (SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           | FROM scored)
+           |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
     )
   }
 
-  /** Oracle-side whitespace tokenization matching TextAnalysis.tokens. */
-  /** Shared 25-token boilerplate prefix for the ds1 fixture (Spark side
-    * and oracle SQL must plant the identical string). */
+  /** Shared 25-token boilerplate prefix for the ds1/ds2 fixtures (Spark
+    * side and oracle SQL must plant the identical string).
+    *
+    * PLANTED-ID CONSTRAINT (all planted fixtures — cur1/cur2/cc1/inc1/
+    * ds1/ds2 use +100000..+600000, d5 +1000000): the offsets assume the
+    * graded corpus keys stay below the smallest offset, or the planted
+    * ids would collide with real ones and the unique-key ORDER BY / hash
+    * compare could flake. Holds with ≥20× headroom at every graded SF
+    * (documents: 500 @ sf0.01, 5 000 @ sf0.1; embeddings 500/5 000 vs
+    * +1000000). A larger fixture must scale the offsets — or negate
+    * planted ids — in the query AND its oracle together. */
   private val BoilerPrefix = (1 to 25).map(i => "bp" + i).mkString(" ")
 
+  /** Oracle-side whitespace tokenization matching TextAnalysis.tokens. */
   private val toksSql = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
   private def sqlArr(xs: Seq[String]): String =

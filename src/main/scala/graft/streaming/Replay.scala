@@ -106,6 +106,37 @@ object Replay {
       .withColumn("timestamp", col("timestamp").cast("timestamp_ntz"))
   }
 
+  /** Replay `(ts, id, value)` rows through [[Speed.sessionWindowSum]] (the
+    * watermarked streaming SESSION-window aggregate — gap-merged session
+    * state, the last stateful-operator class without an engine-executed
+    * oracle row) into a parquet sink and read it back. Same staging,
+    * sentinel and readback contract as [[windowedSumReplay]]; the caller
+    * must size `sentinelGap` ≫ session gap + watermark delay, or the
+    * final sessions never close (a session is emitted only once the
+    * watermark passes its end + gap). Output: (timestamp = session start,
+    * id, value, type). */
+  def sessionWindowSumReplay(spark: SparkSession, input: DataFrame,
+                             gap: String, watermark: String, typeTag: String,
+                             sentinelGap: Duration): DataFrame = {
+    val rows = input.toDF("ts", "id", "value")
+      .select(col("ts").cast("timestamp").as("ts"),
+        col("id").cast("string").as("id"),
+        col("value").cast("double").as("value"))
+    val sentinel = rows
+      .agg((max(col("ts")) + expr(s"INTERVAL ${sentinelGap.getSeconds} SECONDS")).as("ts"))
+      .select(col("ts"), lit(SentinelId).as("id"), lit(0.0).as("value"))
+    val dir = scratch("sess-")
+    rows.unionByName(sentinel).write.parquet(s"$dir/in")
+    val src = spark.readStream
+      .schema("ts TIMESTAMP, id STRING, value DOUBLE")
+      .parquet(s"$dir/in")
+    val agg = Speed.sessionWindowSum(src, col("id"), "ts", gap, watermark,
+      col("value"), typeTag)
+    runToSink(spark, agg, dir)
+      .where(col("id") =!= SentinelId)
+      .withColumn("timestamp", col("timestamp").cast("timestamp_ntz"))
+  }
+
   /** Replay two keyed `(event_id, ts, user_id)` frames through
     * [[Speed.joinWithin]] (the watermark-bounded stream-stream INNER join)
     * into a parquet sink and read it back — the stream-stream-join

@@ -88,6 +88,43 @@ class ExtSpec extends SparkSpec {
       s"tails fail the length floor: $clipped")
   }
 
+  test("ivfQuantizedTopK: exhaustive probing + full shortlist ≡ brute force") {
+    // 3 lists × 24 vectors; with nprobe = #lists and shortlist ≥ corpus
+    // size the quantized stage can only reorder WITHIN the shortlist,
+    // which the exact re-rank then fixes — the result must equal brute
+    // force exactly (the quantize-then-rerank invariant)
+    val vecs = (0 until 24).map { i =>
+      (i.toLong, s"L${i % 3}", Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val qs = vecs.where(col("vec_id") < 3)
+    val quant = Similarity.ivfQuantizedTopK(vecs, qs, "vec_id", "embedding",
+        "label", k = 5, nprobe = 3, shortlist = 24)
+      .select("query_id", "rank", "neighbor_id", "cos").collect().toSet
+    val brute = Similarity.bruteForceTopK(vecs, qs, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id", "cos").collect().toSet
+    assert(quant == brute && quant.size == 15, s"quant=$quant brute=$brute")
+  }
+
+  test("cross-modal: blob histograms feed the LSH near-dup path end-to-end") {
+    // payloads with orthogonal byte-nibble profiles ('a'→bin 6, '0'→bin 3,
+    // 'P'→bin 5) plus one DOUBLED copy of each: doubling a payload scales
+    // its histogram exactly 2× — cosine 1, hyperplane-sign invariant, so
+    // LSH recall on the planted pairs is deterministic, and cross-profile
+    // cosines are 0. The extractor's mapPartitions output goes STRAIGHT
+    // into the similarity-tier operator (the composition xm1 grades via
+    // ANN; pinned here in the near-dup-pairs form on a separable fixture).
+    val blobs = Seq((0L, "aaaaaaaaaaaaaaaa"), (1L, "0000000000000000"),
+      (2L, "PPPPPPPPPPPPPPPP"))
+    val all = (blobs ++ blobs.map { case (i, t) => (i + 100L, t + t) })
+      .toDF("doc_id", "text")
+    val hist = ext.Multimodal.extractHistogram(
+        ext.Multimodal.withBlob(all, "text"), "doc_id", "payload").toDF()
+      .select(col("id"), expr("transform(counts, x -> cast(x as double))").as("v"))
+    val pairs = Dedup.embeddingNearDupPairsLsh(hist, "id", "v", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 100L), (1L, 101L), (2L, 102L)), pairs.toString)
+  }
+
   test("ngramJaccardPairs: sizes-broadcast auto-fallback — both regimes identical") {
     // default limit (docs ≪ 1e8): the sizes lookups carry a broadcast hint;
     // limit 0 models the past-1e8-docs regime: the hint drops automatically

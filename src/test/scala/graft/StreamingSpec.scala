@@ -254,6 +254,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 3 && !streamed.exists(_._2 == graft.streaming.Replay.SentinelId))
   }
 
+  test("Replay: streaming session windows reproduce the batch session sum") {
+    import java.time.LocalDateTime
+    def t(s: String) = LocalDateTime.parse(s)
+    val rows = Seq[(LocalDateTime, String, Double)](
+      (t("2022-02-26T00:00:10"), "u1", 1.0),
+      (t("2022-02-26T00:00:40"), "u1", 2.0), // 30 s gap < 60 s → same session
+      (t("2022-02-26T00:03:00"), "u1", 4.0), // 140 s gap → new session
+      (t("2022-02-26T00:00:05"), "u2", 8.0))
+    val streamed = graft.streaming.Replay.sessionWindowSumReplay(spark,
+        rows.toDF("ts", "id", "value"), "60 seconds", "15 seconds", "sess",
+        java.time.Duration.ofMinutes(10))
+      .orderBy("timestamp", "id")
+      .as[(LocalDateTime, String, Double, String)].collect().toSeq
+    val batch = graft.core.Agg.windowedSumSession(
+        rows.toDF("ts", "id", "value"), col("id"), col("ts"), "60 seconds",
+        col("value"), "sess")
+      .orderBy("timestamp", "id")
+      .as[(LocalDateTime, String, Double, String)].collect().toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.size == 3 && streamed.map(_._3).sum == 15.0)
+  }
+
   test("Replay: stream-stream join emits exactly the in-window pairs") {
     import java.time.LocalDateTime
     def t(s: String) = LocalDateTime.parse(s)
