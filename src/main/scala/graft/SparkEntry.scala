@@ -480,6 +480,25 @@ object SparkEntry {
       Dedup.dedupIncremental(batch, archive, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // inc2: cross-run INCREMENTAL NEAR-dup dedup — inc1's fuzzy
+    // counterpart. Archive = even-id docs; batch = odd-id docs plus a
+    // planted near-dup of every archive doc (+700000, one appended token:
+    // shingle-Jaccard n/(n+1) ≥ 0.9 vs its archive original, far above
+    // the 0.7 threshold) — so every planted row provably drops and odd
+    // docs survive unless they naturally near-dup an archive doc (the
+    // oracle recomputes exactly that with exact SQL Jaccard; recall
+    // equivalence of the band blocking on this corpus is the property
+    // d3's oracle already proves).
+    "inc2_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val archive = docs.where(col("doc_id") % 2 === 0)
+      val batch = docs.where(col("doc_id") % 2 === 1)
+        .union(archive.select((col("doc_id") + 700000).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text")))
+      Dedup.nearDupIncremental(batch, archive, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // pack1: sharded greedy sequence packing (concat-and-cut layout):
     // chunk assignment from a per-shard running token count
     "pack1_sequence_packing" -> ((s, d) =>
@@ -1111,6 +1130,31 @@ object SparkEntry {
            |  FROM documents WHERE doc_id % 2 = 0)
            |SELECT doc_id, content_fp FROM bf
            |WHERE NOT EXISTS (SELECT 1 FROM af WHERE af.fp = bf.content_fp)
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "inc2_incremental_neardup" ->
+        (s"""WITH arch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+           | bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+           |  UNION ALL SELECT doc_id + 700000 AS doc_id, text || ' graftdup' AS text
+           |  FROM documents WHERE doc_id % 2 = 0),
+           | bsh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+           |   THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+           |   ELSE [] END AS sh
+           |  FROM (SELECT doc_id, $toksSql AS toks FROM bat)),
+           | ash AS (SELECT doc_id AS arch_id, CASE WHEN len(toks) >= 3
+           |   THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+           |   ELSE [] END AS sh
+           |  FROM (SELECT doc_id, $toksSql AS toks FROM arch)),
+           | binv AS (SELECT doc_id, unnest(sh) AS s FROM bsh),
+           | ainv AS (SELECT arch_id, unnest(sh) AS s FROM ash),
+           | cand AS (SELECT DISTINCT doc_id, arch_id FROM binv JOIN ainv USING (s)),
+           | dropped AS (SELECT DISTINCT doc_id FROM (
+           |  SELECT c.doc_id,
+           |   len(list_intersect(b.sh, a.sh))::DOUBLE /
+           |    (len(b.sh) + len(a.sh) - len(list_intersect(b.sh, a.sh))) AS j
+           |  FROM cand c JOIN bsh b USING (doc_id) JOIN ash a USING (arch_id))
+           |  WHERE j >= 0.7)
+           |SELECT doc_id FROM bat
+           |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       "pack1_sequence_packing" ->
         (s"""SELECT doc_id, doc_id % 8 AS shard, n_tokens,

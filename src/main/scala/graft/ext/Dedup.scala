@@ -92,6 +92,60 @@ object Dedup {
       .select(col("doc_id"), col("content_fp"))
   }
 
+  /** INCREMENTAL near-dup dedup — the FUZZY counterpart of
+    * [[dedupIncremental]] (which catches only exact content matches):
+    * drop every BATCH document whose shingle-Jaccard with ANY archive
+    * document reaches `minJaccard`, via MinHash-LSH band blocking
+    * between the two sides. Returns the kept batch ids (doc_id). Batch
+    * docs shorter than n tokens have no shingles, cannot near-dup, and
+    * pass through.
+    *
+    * Scale shape: each side is read ONCE (its fan-out exchange
+    * materializes (id, shh); banding and the verify lookup reuse it);
+    * candidates come from the (band, bh) equi-join of the two band
+    * indexes — never a cross join, never an intra-archive pair; exact
+    * Jaccard verifies candidates only; the final drop is a left-anti
+    * join of the batch on the dropped-id set. Recall follows the
+    * (numHashes, bands) banding curve exactly as [[minhashLshPairs]].
+    * In production the archive side is a STORED artifact — persist the
+    * (id, band, bh) index and (id, shh) signatures at ingest time,
+    * bucketed by (band, bh) ([[graft.core.Layout.writeBucketed]]) so the
+    * candidate join needs no archive-side shuffle and history is never
+    * re-shingled (the same state-maintenance contract as inc1's
+    * fingerprint archive). */
+  def nearDupIncremental(batch: DataFrame, archive: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                         minJaccard: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    // same guard/fan-out/banding shapes as minhashLshPairs (see the
+    // scaladoc there for why the <n-token guard and the below-exchange
+    // shingle hashing matter)
+    def shSide(df: DataFrame) = graft.core.Par.fanOut(
+      df.where(size(TextAnalysis.tokens(col(textCol))) >= n)
+        .select(col(idCol).cast("long").as("id"),
+          shingleHashesFromTokens(TextAnalysis.tokens(col(textCol)), n).as("shh")))
+    def banded(sh: DataFrame) = sh
+      .select(col("id"), minhashSignature(col("shh"), numHashes).as("sig"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bh")))
+    val bsh = shSide(batch)
+    val ash = shSide(archive)
+    val cand = banded(bsh).as("x").join(banded(ash).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.id").as("doc_id"), col("y.id").as("arch_id"))
+      .distinct()
+    val dropped = cand
+      .join(bsh.select(col("id").as("doc_id"), col("shh").as("sh_b")), "doc_id")
+      .join(ash.select(col("id").as("arch_id"), col("shh").as("sh_a")), "arch_id")
+      .where(jaccard(col("sh_b"), col("sh_a")) >= minJaccard)
+      .select(col("doc_id")).distinct()
+    batch.select(col(idCol).cast("long").as("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact Jaccard between two shingle-array columns, in double space. */
   private def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

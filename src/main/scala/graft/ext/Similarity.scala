@@ -201,7 +201,14 @@ object Similarity {
     * only affect which candidates enter the shortlist, never the final
     * ordering among them. Probing = [[ivfTopK]]'s (nprobe nearest
     * full-precision list centroids). Output matches ivfTopK:
-    * (query_id, rank, neighbor_id, cos). */
+    * (query_id, rank, neighbor_id, cos).
+    *
+    * Plan-cost note: built inline (as here) the corpus is scanned three
+    * times — centroids, quantized index, re-rank fetch. In production the
+    * first two are PRECOMPUTED index artifacts (write `quantizeInt8`'s
+    * output + `listCentroids`' once at index-build time), so steady-state
+    * queries scan only the int8 index plus a bounded-row exact fetch —
+    * that is the memory math that makes the quantized path pay. */
   def ivfQuantizedTopK(corpus: DataFrame, queries: DataFrame,
                        idCol: String, vecCol: String, listCol: String,
                        k: Int, nprobe: Int = 3, shortlist: Int = 30): DataFrame = {

@@ -29,7 +29,8 @@ object DumpPlans {
       "d3_minhash_lsh",
       "sim1_ann_topk", "d5_emb_neardup", "rj1_price_band", "x2_tfidf",
       "a9_salted_total", "x1_top_tokens", "q11_important_parts",
-      "q13_order_distribution", "d6_editdist")
+      "q13_order_distribution", "d6_editdist", "ds2_strip_spans",
+      "xm1_blob_ann")
     val sections = new StringBuilder
     val inventory = new StringBuilder
     inventory.append("\n## Plan inventory — all graded queries (finalized plans, sf0.001)\n\n")

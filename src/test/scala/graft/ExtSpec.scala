@@ -88,6 +88,18 @@ class ExtSpec extends SparkSpec {
       s"tails fail the length floor: $clipped")
   }
 
+  test("nearDupIncremental: batch docs near-dupping the archive drop, rest keep") {
+    // archive holds `base`; the batch's near-dup of it must drop, the
+    // unrelated doc and the shingle-less short doc must survive
+    val archive = Seq((100L, base)).toDF("doc_id", "text")
+    val batch = Seq((1L, nearDup), (2L, other), (3L, "too short"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.nearDupIncremental(batch, archive, "doc_id", "text",
+        minJaccard = 0.5)
+      .as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), kept.toString)
+  }
+
   test("ivfQuantizedTopK: exhaustive probing + full shortlist ≡ brute force") {
     // 3 lists × 24 vectors; with nprobe = #lists and shortlist ≥ corpus
     // size the quantized stage can only reorder WITHIN the shortlist,
