@@ -256,6 +256,22 @@ object SparkEntry {
         .select(col("doc_id"), col("n_3grams"), col("dup_3gram_frac"),
           col("top_token_frac")))
         .orderBy("doc_id")),
+    // t7: PII/URL redaction — the scrub pass before a corpus release.
+    // Emails/URLs are planted on a 10% slice IN PLACE (no re-keying), so
+    // the redaction provably fires and the remaining 90% proves the
+    // patterns don't false-positive on natural text; the oracle
+    // recomputes counts and the redacted text with the same RE2-safe
+    // patterns.
+    "t7_pii_redaction" -> ((s, d) =>
+      Par.stage(TextAnalysis.withPiiRedaction(
+          Tables.documents(s, d).select(col("doc_id"),
+            when(col("doc_id") % 10 === 4,
+              concat(col("text"), lit(PiiSuffix))).otherwise(col("text"))
+              .as("text")))
+        .select(col("doc_id"), col("n_emails"), col("n_urls"),
+          col("redacted_text")))
+        .orderBy("doc_id")),
+
     // BPE-ish regex tokenizer (letter/digit runs), subword count per doc
     "t5_regex_tokens" -> ((s, d) =>
       Par.stage(Tables.documents(s, d)
@@ -1322,6 +1338,19 @@ object SparkEntry {
            |   ELSE 0 END AS top_cnt
            | FROM (SELECT doc_id, $toksSql AS toks FROM documents))
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "t7_pii_redaction" ->
+        (s"""WITH c AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 10 = 4 THEN text || '$PiiSuffix' ELSE text END AS text
+           | FROM documents),
+           |u AS (SELECT doc_id,
+           |  len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_urls,
+           |  regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS nourl
+           | FROM c)
+           |SELECT doc_id,
+           | CAST(len(regexp_extract_all(nourl, '$EmailReSql')) AS BIGINT) AS n_emails,
+           | CAST(n_urls AS BIGINT) AS n_urls,
+           | regexp_replace(nourl, '$EmailReSql', '<EMAIL>', 'g') AS redacted_text
+           |FROM u ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       "t5_regex_tokens" ->
         ("""SELECT doc_id,
            | len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
@@ -1559,6 +1588,15 @@ object SparkEntry {
 
   /** Oracle-side whitespace tokenization matching TextAnalysis.tokens. */
   private val toksSql = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** Planted PII suffix for the t7 fixture (one email + one URL; no single
+    * quotes, so it embeds verbatim in the oracle SQL literal). */
+  private val PiiSuffix =
+    " contact a.bob+1@ex-ample.org or see https://ex.org/p?q=1 now"
+
+  /** TextAnalysis.EmailRe with the Scala-level escaping undone for a SQL
+    * string literal (the pattern itself contains no quotes). */
+  private val EmailReSql = ext.TextAnalysis.EmailRe
 
   private def sqlArr(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")

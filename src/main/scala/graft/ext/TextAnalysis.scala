@@ -43,6 +43,30 @@ object TextAnalysis {
         size(filter(t, x => x.isin(EnStop: _*))).cast("double") / col("n_tokens"))
   }
 
+  /** Conservative email pattern — identical semantics under Java regex
+    * (Spark) and RE2 (DuckDB/the oracle): plain character classes, no
+    * backreferences, no lookaround. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** URL pattern: scheme + maximal non-whitespace run. */
+  val UrlRe = "https?://[^\\s]+"
+
+  /** PII/URL scrubbing — the redaction pass a training corpus runs before
+    * release: URLs replaced with `<URL>`, then email addresses with
+    * `<EMAIL>` (URL-first, so an address inside a URL's userinfo/query is
+    * consumed by the URL redaction and never double-counted; the email
+    * count is taken on the URL-redacted text for the same reason). Adds
+    * (n_emails, n_urls, redacted_text). Codegen'd regexp built-ins — no
+    * UDF — so the scrub is one projection in WholeStageCodegen, zero
+    * shuffles at any corpus scale. Patterns are deliberately engine-
+    * portable (see [[EmailRe]]); swap in stricter ones per deployment. */
+  def withPiiRedaction(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_urls", regexp_count(col(textCol), lit(UrlRe)).cast("long"))
+      .withColumn("__nourl", regexp_replace(col(textCol), UrlRe, "<URL>"))
+      .withColumn("n_emails", regexp_count(col("__nourl"), lit(EmailRe)).cast("long"))
+      .withColumn("redacted_text", regexp_replace(col("__nourl"), EmailRe, "<EMAIL>"))
+      .drop("__nourl")
+
   /** Per-document REPETITION signals — the Gopher-style boilerplate/spam
     * screens that complement [[withTextStats]]' length/stopword screens:
     *  - `n_3grams`: total (non-distinct) trigram count, max(n_tokens−2, 0);

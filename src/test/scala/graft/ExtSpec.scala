@@ -88,6 +88,22 @@ class ExtSpec extends SparkSpec {
       s"tails fail the length floor: $clipped")
   }
 
+  test("withPiiRedaction: counts and redacts emails/urls, URL-first") {
+    val rows = Seq(
+      (1L, "mail me at jo.doe+x@foo-bar.com or jo@baz.io today"),
+      (2L, "see https://a.b/c?d=e and http://plain.org now"),
+      (3L, "url with userinfo https://user@host.com/path stays one URL"),
+      (4L, "nothing to scrub here")).toDF("doc_id", "text")
+    val out = TextAnalysis.withPiiRedaction(rows)
+      .select("doc_id", "n_emails", "n_urls", "redacted_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 0L, "mail me at <EMAIL> or <EMAIL> today")), out(1L).toString)
+    assert(out(2L) == ((2L, 0L, 2L, "see <URL> and <URL> now")), out(2L).toString)
+    assert(out(3L) == ((3L, 0L, 1L, "url with userinfo <URL> stays one URL")),
+      "an address inside a URL is consumed by the URL redaction: " + out(3L))
+    assert(out(4L) == ((4L, 0L, 0L, "nothing to scrub here")))
+  }
+
   test("nearDupIncremental: batch docs near-dupping the archive drop, rest keep") {
     // archive holds `base`; the batch's near-dup of it must drop, the
     // unrelated doc and the shingle-less short doc must survive
