@@ -98,6 +98,98 @@ object SparkEntry {
           java.time.Duration.ofMinutes(40))
         .orderBy("timestamp", "id")),
 
+    // fb1s: CUSTOM ARBITRARY STATE executed by the STREAMING engine —
+    // flatMapGroupsWithState (QuotaAlert.firstBreach): per-user running
+    // usage in the state store, one row emitted at the first event-time-
+    // ordered crossing of the quota. The last custom-state class without
+    // an engine-executed oracle row (windowed agg = a1s, session = sess1s,
+    // stream-stream join = ss1). Values integerize via floor(value·10⁶)
+    // (identical floor in both engines) so the running sum is exact and
+    // order-free; threshold 3000·10⁶ lands mid-stream for ~60% of users
+    // at every graded SF (per-user totals ≈ 1 500–5 700).
+    "fb1s_quota_breach" -> ((s, d) => {
+      val in = events(s, d).select(
+        col("user_id").as("id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id").as("seq"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("v"))
+      graft.streaming.Replay.transformReplay(s, in,
+          "id BIGINT, ts TIMESTAMP, seq BIGINT, v BIGINT", "breach-") { src =>
+        graft.streaming.QuotaAlert.firstBreach(src, 3000000000L).toDF()
+      }.withColumn("breach_ts", col("breach_ts").cast("timestamp_ntz"))
+        .orderBy("user_id")
+    }),
+
+    // dd1s: STREAMING EXACT DEDUP on ingest executed by the engine —
+    // dropDuplicatesWithinWatermark (Speed.dedupStream, the d1 operator's
+    // speed-layer twin) over a corpus with planted exact-duplicate rows
+    // (every event_id ≡ 3 mod 7 re-ingested verbatim). Duplicates are
+    // identical full rows, so the kept-first-arrival semantics are
+    // value-deterministic and the oracle is simply the original table.
+    "dd1s_dedup_replay" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"),
+        col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      val planted = ev.unionByName(ev.where(col("event_id") % 7 === 3))
+      graft.streaming.Replay.transformReplay(s, planted,
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE",
+          "dedup-") { src =>
+        graft.streaming.Speed.dedupStream(src, Seq("event_id"), "ts", "30 seconds")
+      }.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .orderBy("event_id")
+    }),
+
+    // es1s: stream-static enrichment (J1 ON THE STREAM) executed by the
+    // engine — Speed.enrichStream against the customer dimension, graded
+    // by the identical oracle as batch j1_enrich. hintBroadcast = false:
+    // customer is SF-scaled, so the per-micro-batch planner sizes the
+    // static side (broadcast invariant; forced hints are for provably
+    // bounded dims only).
+    "es1s_enrich_replay" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"),
+        col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      val dim = Tables.table(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+      graft.streaming.Replay.transformReplay(s, ev,
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE",
+          "enrich-") { src =>
+        graft.streaming.Speed.enrichStream(src, dim, "user_id", "c_custkey",
+          hintBroadcast = false)
+      }.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+        .orderBy("event_id")
+    }),
+
+    // ts1: fixed-interval resample + GAP FILL + LOCF (telemetry
+    // densification). 6 h buckets over the 30-day corpus → ~120 grid rows
+    // per user, roughly half of them materialized gaps at the graded SFs
+    // (~67 events/user), so both the filled and carried-forward paths are
+    // exercised. Grid rows are sequence()-exploded on the executors.
+    "ts1_resample_locf" -> ((s, d) =>
+      graft.queries.TimeSeries.resampleLocf(events(s, d),
+          col("user_id"), col("ts"), col("value"), bucketSeconds = 21600L)
+        .orderBy("key", "bucket_ts")),
+
+    // scd1: SCD2 attribute history (the CDC dimension-history build) —
+    // collapse each user's event log into the intervals over which
+    // event_type held each value; event_id breaks event-time ties.
+    "scd1_type_history" -> ((s, d) =>
+      graft.queries.TimeSeries.scd2History(events(s, d),
+          col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .orderBy("key", "valid_from")),
+
+    // prof1: one-pass column profiler over orders (non-null / null /
+    // exact-distinct counts, typed min/max per column in ONE aggregate;
+    // the exact multi-distinct plans as a single Expand pass — swap in
+    // approx_count_distinct at the 100 TB end, see Profile's scaladoc).
+    "prof1_column_profile" -> ((s, d) =>
+      ext.Profile.profile(Tables.table(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+        .orderBy("col_name")),
+
     // A2: bytes per user, 90 s tumbling window
     "a2_user_90s" -> ((s, d) =>
       graft.streaming.Speed.windowedSum(events(s, d),
@@ -719,6 +811,84 @@ object SparkEntry {
       "a1_antenna_90s" -> windowed("90 seconds", "event_type", "events", "antenna_bytes_total"),
       // identical oracle to a1: the replay must reproduce the batch result
       "a1s_stream_replay" -> windowed("90 seconds", "event_type", "events", "antenna_bytes_total"),
+      // fb1s: first event-time-ordered running-sum crossing per user, in
+      // exact integer micro-units (floor(value·10⁶) is engine-identical;
+      // event_id is the unique tie-break)
+      "fb1s_quota_breach" ->
+        ("""WITH v AS (SELECT user_id, ts, event_id,
+           |  CAST(floor(value * 1000000) AS BIGINT) AS v FROM events),
+           |c AS (SELECT user_id, ts, event_id,
+           |  SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum
+           | FROM v),
+           |b AS (SELECT user_id, ts, cum,
+           |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           | FROM c WHERE cum >= 3000000000)
+           |SELECT user_id, ts AS breach_ts, cum::BIGINT AS cum_micro FROM b
+           |WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " ")),
+      // dd1s: planted duplicates are verbatim copies, so streaming dedup
+      // must return exactly the original table
+      "dd1s_dedup_replay" ->
+        ("""SELECT event_id, ts, user_id, event_type, value FROM events
+           |ORDER BY event_id""".stripMargin.replace("\n", " ")),
+      // es1s: identical oracle to batch j1_enrich
+      "es1s_enrich_replay" ->
+        ("""SELECT event_id, ts, user_id, event_type, value, c_name, c_acctbal,
+           | c_mktsegment
+           |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+           |ORDER BY event_id""".stripMargin.replace("\n", " ")),
+      // ts1: 6 h resample with gap fill (generate_series over each key's
+      // span) + last-observation-carried-forward
+      "ts1_resample_locf" ->
+        ("""WITH pb AS (SELECT user_id AS key,
+           |  time_bucket(INTERVAL '21600 seconds', ts) AS bucket_ts,
+           |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS bucket_sum
+           | FROM events GROUP BY 1, 2),
+           |sp AS (SELECT key, MIN(bucket_ts) AS b0, MAX(bucket_ts) AS b1
+           | FROM pb GROUP BY 1),
+           |grid AS (SELECT key, unnest(generate_series(b0, b1,
+           |  INTERVAL 21600 SECONDS)) AS bucket_ts FROM sp),
+           |j AS (SELECT g.key, g.bucket_ts, pb.bucket_sum FROM grid g
+           | LEFT JOIN pb ON g.key = pb.key AND g.bucket_ts = pb.bucket_ts)
+           |SELECT key, bucket_ts, bucket_sum,
+           | last_value(bucket_sum IGNORE NULLS) OVER (PARTITION BY key
+           |  ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |  CURRENT ROW) AS filled_sum,
+           | CAST(bucket_sum IS NULL AS INT) AS is_gap
+           |FROM j ORDER BY key, bucket_ts""".stripMargin.replace("\n", " ")),
+      // scd1: change-point runs of event_type per user → validity intervals
+      "scd1_type_history" ->
+        ("""WITH o AS (SELECT user_id, ts, event_id, event_type,
+           |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id) IS DISTINCT FROM event_type
+           |   THEN 1 ELSE 0 END AS chg
+           | FROM events),
+           |r AS (SELECT user_id, ts, event_type,
+           |  SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_no
+           | FROM o),
+           |g AS (SELECT user_id AS key, run_no, event_type AS attr,
+           |  MIN(ts) AS valid_from FROM r GROUP BY 1, 2, 3)
+           |SELECT key, attr, valid_from,
+           | lead(valid_from) OVER (PARTITION BY key ORDER BY run_no)
+           |  AS valid_to
+           |FROM g ORDER BY key, valid_from""".stripMargin.replace("\n", " ")),
+      "prof1_column_profile" -> {
+        val total = "(SELECT COUNT(*) FROM orders)"
+        def one(c: String, num: Boolean) =
+          s"""SELECT '$c' AS col_name, COUNT($c)::BIGINT AS n_nonnull,
+             | ($total - COUNT($c))::BIGINT AS n_null,
+             | COUNT(DISTINCT $c)::BIGINT AS n_distinct,
+             | ${if (num) s"MIN($c)::DOUBLE" else "CAST(NULL AS DOUBLE)"} AS min_num,
+             | ${if (num) s"MAX($c)::DOUBLE" else "CAST(NULL AS DOUBLE)"} AS max_num,
+             | ${if (num) "CAST(NULL AS VARCHAR)" else s"MIN($c::VARCHAR)"} AS min_str,
+             | ${if (num) "CAST(NULL AS VARCHAR)" else s"MAX($c::VARCHAR)"} AS max_str
+             |FROM orders""".stripMargin.replace("\n", " ")
+        Seq("o_orderkey" -> true, "o_custkey" -> true, "o_orderstatus" -> false,
+          "o_totalprice" -> true, "o_orderdate" -> false,
+          "o_orderpriority" -> false)
+          .map { case (c, n) => one(c, n) }
+          .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+      },
       "a2_user_90s" -> windowed("90 seconds", "CAST(user_id AS VARCHAR)", "events", "user_bytes_total"),
       "a3_app_90s" -> windowed("90 seconds",
         "CAST(CAST(json_extract(props, '$.k') AS INT) AS VARCHAR)", "events", "app_bytes_total"),

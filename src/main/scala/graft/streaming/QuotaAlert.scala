@@ -43,4 +43,57 @@ object QuotaAlert {
       .groupByKey(_.id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateState)
   }
+
+  case class BreachEvent(id: Long, ts: java.sql.Timestamp, seq: Long, v: Long)
+  case class BreachState(cum: Long, breached: Boolean)
+  case class Breach(user_id: Long, breach_ts: java.sql.Timestamp, cum_micro: Long)
+
+  /** [[alerts]] emits the running total AT THE CROSSING BATCH, so the
+    * emitted value depends on micro-batch arrival order — fine for an
+    * alerting side-channel, not gradeable against a batch oracle. This
+    * variant is the DETERMINISTIC custom-state operator: the first
+    * EVENT-TIME-ordered prefix sum ≥ threshold, emitted once per key with
+    * its exact crossing timestamp and cumulative value.
+    *
+    *  - Within a batch the group iterator arrives in SHUFFLE order, not
+    *    time order: the batch is sorted by (ts, seq) before folding (cost
+    *    bounded by per-key-per-batch volume, not stream length).
+    *  - Values are integer micro-units (caller integerizes, e.g.
+    *    `floor(value * 1e6)`), so the running sum is exact and
+    *    order-stable — a double fold would make the crossing test depend
+    *    on FP summation order.
+    *  - State per key = (cum, breached): O(keys), stream-length-free.
+    *    Exact across batches when batches arrive in event-time order
+    *    (true for `Trigger.AvailableNow` single-batch replays and for any
+    *    time-ordered feed); an out-of-order LATE batch can only move a
+    *    crossing earlier than reported — the documented approximation of
+    *    every watermark-free running-state operator. */
+  def breachUpdate(threshold: Long)(id: Long, rows: Iterator[BreachEvent],
+                                    state: GroupState[BreachState]): Iterator[Breach] = {
+    val prev = state.getOption.getOrElse(BreachState(0L, breached = false))
+    val batch = rows.toArray.sortBy(r => (r.ts.getTime, r.seq))
+    var cum = prev.cum
+    var hit: Option[Breach] = None
+    for (r <- batch) {
+      cum += r.v
+      if (hit.isEmpty && !prev.breached && cum >= threshold)
+        hit = Some(Breach(id, r.ts, cum))
+    }
+    state.update(BreachState(cum, prev.breached || hit.isDefined))
+    hit.iterator
+  }
+
+  /** Input must have columns id:long, ts:timestamp, seq:long (unique
+    * within key — the deterministic tie-break), v:long (integer
+    * micro-units). Output: one (user_id, breach_ts, cum_micro) row per
+    * key whose running event-time-ordered sum reaches `threshold`. */
+  def firstBreach(events: DataFrame, threshold: Long): Dataset[Breach] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("id").cast("long"), col("ts").cast("timestamp"),
+        col("seq").cast("long"), col("v").cast("long"))
+      .as[BreachEvent]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(breachUpdate(threshold))
+  }
 }

@@ -74,6 +74,23 @@ object Replay {
     spark.read.parquet(s"$dir/out")
   }
 
+  /** Generic replay: stage `input` to parquet with a normal distributed
+    * write, stream it back through `f` (any transform legal in Append
+    * mode), run to completion into the checkpointed parquet sink, read the
+    * sink back as a batch frame. Emission-on-arrival operators — streaming
+    * dedup, stream-static joins, `flatMapGroupsWithState` with NoTimeout —
+    * need no sentinel (they don't wait on the watermark to emit);
+    * watermark-GATED aggregates must use the dedicated helpers below,
+    * which append one. Same zero-driver-residency property as the rest of
+    * the harness. */
+  def transformReplay(spark: SparkSession, input: DataFrame, schemaDDL: String,
+                      tag: String)(f: DataFrame => DataFrame): DataFrame = {
+    val dir = scratch(tag)
+    input.write.parquet(s"$dir/in")
+    val src = spark.readStream.schema(schemaDDL).parquet(s"$dir/in")
+    runToSink(spark, f(src), dir)
+  }
+
   /** Replay `(ts, id, value)` rows (any DataFrame with those three columns
     * first, in order) through [[Speed.windowedSum]] (the watermarked
     * streaming aggregate) into a parquet sink and read it back.

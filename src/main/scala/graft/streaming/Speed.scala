@@ -66,9 +66,17 @@ object Speed {
     * updates between batches are picked up for file sources). The streaming
     * counterpart of [[graft.core.Enrich.enrich]]; same duplicate-key drop. */
   def enrichStream(stream: DataFrame, dim: DataFrame,
-                   streamKey: String, dimKey: String): DataFrame =
-    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "inner")
+                   streamKey: String, dimKey: String,
+                   hintBroadcast: Boolean = true): DataFrame = {
+    // hintBroadcast only for PROVABLY BOUNDED dims (the repo-wide broadcast
+    // invariant): an SF-scaled dimension (customer/part/…) must pass false
+    // and let the per-micro-batch planner size the static side itself —
+    // it still broadcasts while the stats fit and falls back to a
+    // shuffled join at scale instead of OOMing the driver.
+    val d = if (hintBroadcast) broadcast(dim) else dim
+    stream.join(d, stream(streamKey) === dim(dimKey), "inner")
       .drop(dim(dimKey))
+  }
 
   /** Streaming exact dedup on ingest (an LLM-pipeline staple): drops rows
     * whose key was already seen within the watermark horizon — state is

@@ -276,6 +276,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 3 && streamed.map(_._3).sum == 15.0)
   }
 
+  test("firstBreach: event-time-ordered crossing once per key, state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.QuotaAlert
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val in = MemoryStream[(Long, Timestamp, Long, Long)]
+    val df = in.toDF().toDF("id", "ts", "seq", "v")
+    val q = QuotaAlert.firstBreach(df, 100L).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("fb_out").start()
+    try {
+      // batch 1 arrives OUT of event-time order: u1's 60-unit event at
+      // 00:00:30 precedes the 50-unit event at 00:00:10 in ARRIVAL order.
+      // The operator must sort by event time, so the crossing is at
+      // 00:00:30 with cum = 110 (arrival-order folding would report the
+      // same cum here but the wrong timestamp ordering semantics).
+      in.addData((1L, ts("00:00:30"), 2L, 60L), (1L, ts("00:00:10"), 1L, 50L),
+        (2L, ts("00:00:10"), 3L, 40L))
+      q.processAllAvailable()
+      val b1 = spark.table("fb_out").as[(Long, Timestamp, Long)].collect().toSet
+      assert(b1 == Set((1L, ts("00:00:30"), 110L)), b1.toString)
+      // batch 2: u2 crosses with carried state (40 + 70 = 110); u1 already
+      // breached → no second emission despite more data.
+      in.addData((2L, ts("00:01:00"), 4L, 70L), (1L, ts("00:01:30"), 5L, 999L))
+      q.processAllAvailable()
+      val b2 = spark.table("fb_out").as[(Long, Timestamp, Long)].collect().toSet
+      assert(b2 == Set((1L, ts("00:00:30"), 110L), (2L, ts("00:01:00"), 110L)),
+        b2.toString)
+    } finally q.stop()
+  }
+
   test("Replay: stream-stream join emits exactly the in-window pairs") {
     import java.time.LocalDateTime
     def t(s: String) = LocalDateTime.parse(s)
