@@ -180,6 +180,49 @@ object SparkEntry {
           col("user_id"), col("ts"), col("event_id"), col("event_type"))
         .orderBy("key", "valid_from")),
 
+    // ts2: trailing-24h z-score anomaly screen over hourly per-antenna
+    // totals — integer micro-unit hourly sums (exact, order-free), exact
+    // decimal window sums, one double formula at the end (see
+    // TimeSeries.hourlyAnomaly's determinism note).
+    "ts2_hourly_anomaly" -> ((s, d) =>
+      graft.queries.TimeSeries.hourlyAnomaly(events(s, d),
+          col("event_type"), col("ts"), col("value"))
+        .orderBy("id", "hour")),
+
+    // src1/src2: non-parquet batch sources behind the parquet oracle — a
+    // distributed JSON-lines (resp. headered CSV) stage + explicit-schema
+    // read-back of orders (resp. customer), then an aggregate that can
+    // only match the parquet-side oracle if the writer and reader
+    // preserved every long/double/string exactly (core.Formats scaladoc).
+    // The date column rides as a formatted string: the round-trip under
+    // test is the text format's value fidelity, not timestamp-zone
+    // plumbing (events' ns-timestamp handling is graded elsewhere).
+    "src1_json_roundtrip" -> ((s, d) => {
+      val staged = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      Formats.jsonRoundTrip(s, staged,
+          "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+            "o_totalprice DOUBLE, o_date STRING", "json-")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("o_totalprice")).as("total"),
+          min("o_date").as("first_date"), max("o_date").as("last_date"))
+        .orderBy("o_orderstatus")
+    }),
+    "src2_csv_roundtrip" -> ((s, d) => {
+      val staged = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      Formats.csvRoundTrip(s, staged,
+          "c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+            "c_acctbal DOUBLE, c_mktsegment STRING", "csv-")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          Num.dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // prof1: one-pass column profiler over orders (non-null / null /
     // exact-distinct counts, typed min/max per column in ONE aggregate;
     // the exact multi-distinct plans as a single Expand pass — swap in
@@ -275,6 +318,21 @@ object SparkEntry {
     "q17_small_qty_revenue" -> ((s, d) => Analytics.smallQuantityRevenue(s, d)),
     "q13_order_distribution" -> ((s, d) => Analytics.orderCountDistribution(s, d)),
     "q11_important_parts" -> ((s, d) => Analytics.importantParts(s, d)),
+    // Round 6: the remaining classic TPC-H shapes, adapted to the testdata
+    // schema (lineitem's DISTINCT (partkey, suppkey) relation stands in for
+    // the absent partsupp; acctbal predicates for the absent comment/phone
+    // string filters) — correlated-min exact-match (q2), bidirectional
+    // nation-pair volume (q7), market-share ratio (q8), profit rollup (q9),
+    // scalar-max supplier (q15), count-distinct variety (q16), correlated-
+    // threshold semijoin chain (q20), scalar-avg anti-join report (q22).
+    "q2_min_cost_offer" -> ((s, d) => Analytics.minCostOffer(s, d)),
+    "q7_volume_shipping" -> ((s, d) => Analytics.volumeShipping(s, d)),
+    "q8_market_share" -> ((s, d) => Analytics.marketShare(s, d)),
+    "q9_product_profit" -> ((s, d) => Analytics.productProfit(s, d)),
+    "q15_top_supplier" -> ((s, d) => Analytics.topSupplier(s, d)),
+    "q16_supplier_variety" -> ((s, d) => Analytics.supplierVariety(s, d)),
+    "q20_excess_shippers" -> ((s, d) => Analytics.excessShippers(s, d)),
+    "q22_idle_balances" -> ((s, d) => Analytics.idleBalances(s, d)),
     "fo1_snapshot_diff" -> ((s, d) => Analytics.customerActivityDiff(s, d)),
     // NO oracleSql on purpose: sketch results (HLL++, GK quantiles) are
     // implementation-defined and cannot value-match another engine — the
@@ -500,6 +558,21 @@ object SparkEntry {
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(20)),
 
+    // bpe1: corpus character-pair frequencies, top 30 — the statistic that
+    // seeds BPE tokenizer induction (the first merge is this table's
+    // argmax); native per-token pair kernel, one hash-aggregate
+    "bpe1_pair_counts" -> ((s, d) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, d), "text")),
+
+    // mix1: temperature-flattened language mixture (α = 0.5) — expected
+    // kept counts ∝ sqrt(N_lang); fate is the portable (doc_id, salt)
+    // hash, so the oracle recomputes the identical keep-set
+    "mix1_temperature_mix" -> ((s, d) =>
+      ext.Sampling.temperatureMix(Tables.documents(s, d), col("lang"),
+          col("doc_id"), "temp")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
     // emb1: per-dimension embedding QC stats — 64 groups at any corpus
     // scale, exact-decimal sums so mean/variance hash-match the oracle
     "emb1_dim_stats" -> ((s, d) =>
@@ -621,6 +694,13 @@ object SparkEntry {
     // and planted CROSS-doc boilerplate (+300000 on a 5% slice: a common
     // 25-token prefix, so those docs share spans with each other too) —
     // partial duplication that d1's whole-doc hash cannot see.
+    // PLANT-OFFSET CONVENTION (ds1/ds2/inc1/inc2/cur1/cur2/d5): planted
+    // re-keys are real_id + k·100000, valid while the corpus has < 100000
+    // docs — true at every graded SF (sf1 ≈ 50k docs) and BOUND-CHECKED by
+    // the fixture builds in PlantedFixtureSpec, which fails the suite if a
+    // graded SF ever outgrows the offset (then: derive offsets from a
+    // collected max(doc_id) scalar). Test fixtures only — no production
+    // operator re-keys ids.
     "ds1_substring_dups" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val planted = docs
@@ -855,6 +935,36 @@ object SparkEntry {
            |  CURRENT ROW) AS filled_sum,
            | CAST(bucket_sum IS NULL AS INT) AS is_gap
            |FROM j ORDER BY key, bucket_ts""".stripMargin.replace("\n", " ")),
+      // ts2: trailing-24-row z-score over hourly integer micro-unit
+      // totals — exact window sums (HUGEINT here, DECIMAL(38,0) on the
+      // Spark side; both exact integers), one shared double formula
+      "ts2_hourly_anomaly" ->
+        ("""WITH h AS (SELECT event_type AS id, date_trunc('hour', ts) AS hour,
+           |  SUM(CAST(floor(value * 1000000) AS BIGINT)) AS vm
+           | FROM events GROUP BY 1, 2),
+           |w AS (SELECT id, hour, vm,
+           |  COUNT(vm) OVER win AS n,
+           |  SUM(CAST(vm AS HUGEINT)) OVER win AS s,
+           |  SUM(CAST(vm AS HUGEINT) * vm) OVER win AS ss
+           | FROM h WINDOW win AS (PARTITION BY id ORDER BY hour
+           |  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+           |SELECT id, hour, CAST(vm AS BIGINT) AS vm,
+           | round((CAST(vm AS DOUBLE) - CAST(s AS DOUBLE) / 24) /
+           |  sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 24)
+           |   / 23 + 1.0), 6) AS zscore
+           |FROM w WHERE n = 24 ORDER BY id, hour""".stripMargin.replace("\n", " ")),
+      // src1/src2: the aggregate over the round-tripped JSON/CSV staging
+      // must equal the same aggregate over the parquet original
+      "src1_json_roundtrip" ->
+        ("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           | CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total,
+           | MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_date,
+           | MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_date
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      "src2_csv_roundtrip" ->
+        ("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           | CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+           |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       // scd1: change-point runs of event_type per user → validity intervals
       "scd1_type_history" ->
         ("""WITH o AS (SELECT user_id, ts, event_id, event_type,
@@ -1019,6 +1129,128 @@ object SparkEntry {
            |FROM pp, g
            |WHERE CAST(rev_dec AS DOUBLE) > 1.3 * CAST(total_dec AS DOUBLE) / n_parts
            |ORDER BY l_partkey""".stripMargin.replace("\n", " ")),
+      // q2: min is exact over doubles (no summation), so the equality match
+      // against the per-part minimum is engine-identical
+      "q2_min_cost_offer" ->
+        ("""WITH offers AS (
+           |  SELECT l_partkey, l_suppkey, l_extendedprice AS cost
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  WHERE p_type = 'STANDARD' AND l_suppkey IN (
+           |    SELECT s_suppkey FROM supplier
+           |    JOIN nation ON s_nationkey = n_nationkey
+           |    JOIN region ON n_regionkey = r_regionkey
+           |    WHERE r_name = 'EUROPE')),
+           | m AS (SELECT l_partkey AS m_partkey, MIN(cost) AS min_cost
+           |   FROM offers GROUP BY 1)
+           |SELECT DISTINCT s_acctbal, s_name, n_name,
+           |  o.l_partkey AS p_partkey, cost
+           |FROM offers o
+           |JOIN m ON o.l_partkey = m_partkey AND o.cost = min_cost
+           |JOIN supplier ON o.l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |ORDER BY s_acctbal DESC, p_partkey, s_name
+           |LIMIT 100""".stripMargin.replace("\n", " ")),
+      "q7_volume_shipping" ->
+        ("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           |  AND l_shipdate < TIMESTAMP '1998-01-01'
+           |  AND sn.n_name IN ('NATION_1', 'NATION_2')
+           |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+           |  AND sn.n_name <> cn.n_name
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " ")),
+      "q8_market_share" ->
+        ("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           |  CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_2'
+           |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE) /
+           |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS mkt_share
+           |FROM lineitem
+           |JOIN part ON l_partkey = p_partkey
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |JOIN region ON cn.n_regionkey = r_regionkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01'
+           |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      "q9_product_profit" ->
+        ("""SELECT n_name,
+           |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           |    - 0.1 * p_retailprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit
+           |FROM lineitem
+           |JOIN part ON l_partkey = p_partkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN orders ON l_orderkey = o_orderkey
+           |WHERE p_name LIKE '%red%'
+           |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin.replace("\n", " ")),
+      // q15: the max-revenue match compares the exact DECIMAL sums, never
+      // the rounded doubles — ties and the match are engine-identical
+      "q15_top_supplier" ->
+        ("""WITH rev AS (
+           |  SELECT l_suppkey,
+           |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS rev_dec
+           |  FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           |    AND l_shipdate < TIMESTAMP '1997-04-01'
+           |  GROUP BY 1)
+           |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+           |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+           |WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+           |ORDER BY s_suppkey""".stripMargin.replace("\n", " ")),
+      "q16_supplier_variety" ->
+        ("""WITH rel AS (
+           |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+           |  WHERE l_suppkey NOT IN
+           |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+           |SELECT p_brand, p_type, p_size,
+           |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+           |FROM rel JOIN part ON l_partkey = p_partkey
+           |WHERE p_brand <> 'Brand#5'
+           |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+           |GROUP BY 1, 2, 3
+           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin.replace("\n", " ")),
+      "q20_excess_shippers" ->
+        ("""WITH shipped AS (
+           |  SELECT l_partkey, l_suppkey, l_quantity
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  WHERE p_name LIKE 'red%'
+           |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+           |    AND l_shipdate < TIMESTAMP '1998-01-01'),
+           | pair AS (SELECT l_partkey, l_suppkey,
+           |    SUM(CAST(l_quantity AS DECIMAL(30,6))) AS pair_qty
+           |  FROM shipped GROUP BY 1, 2),
+           | tot AS (SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(30,6))) AS part_qty
+           |  FROM shipped GROUP BY 1)
+           |SELECT s_suppkey, s_name
+           |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           |WHERE n_name = 'NATION_7' AND s_suppkey IN (
+           |  SELECT p.l_suppkey FROM pair p JOIN tot t ON p.l_partkey = t.l_partkey
+           |  WHERE CAST(pair_qty AS DOUBLE) > 0.2 * CAST(part_qty AS DOUBLE))
+           |ORDER BY s_suppkey""".stripMargin.replace("\n", " ")),
+      "q22_idle_balances" ->
+        ("""WITH a AS (
+           |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+           |    / COUNT(c_acctbal) AS avg_bal
+           |  FROM customer WHERE c_acctbal > 0)
+           |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS totacctbal
+           |FROM customer, a
+           |WHERE c_acctbal > avg_bal
+           |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+           |    WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+           |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       "fo1_snapshot_diff" ->
         ("""WITH a AS (SELECT o_custkey AS k_old, CAST(COUNT(*) AS BIGINT) AS n_old
            |  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996 GROUP BY 1),
@@ -1413,6 +1645,23 @@ object SparkEntry {
            |   ELSE [] END) AS bigram
            | FROM (SELECT $toksSql AS toks FROM documents))
            |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin.replace("\n", " ")),
+      // bpe1: per-word adjacent code-point pairs (1-based inclusive slice
+      // w[i:i+1] = substr(w, i, 2)), counted corpus-wide
+      "bpe1_pair_counts" ->
+        (s"""SELECT pair, COUNT(*) AS n FROM (
+           | SELECT unnest([word[i:i+1] for i in range(1, len(word))]) AS pair
+           | FROM (SELECT unnest($toksSql) AS word FROM documents))
+           |GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""".stripMargin.replace("\n", " ")),
+      // mix1: α = 0.5 temperature mixture — keep-rate sqrt(n_min/n_lang),
+      // fate = the sp1/sp2 portable sha-prefix hash at 10⁻⁶ resolution
+      "mix1_temperature_mix" ->
+        ("""WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1),
+           | m AS (SELECT MIN(n_l) AS n_min FROM c),
+           | r AS (SELECT lang, sqrt(CAST(n_min AS DOUBLE) / n_l) AS rate FROM c, m)
+           |SELECT doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+           |WHERE ('0x' || substring(sha256(doc_id::VARCHAR || ':temp'), 1, 15))::BIGINT
+           |  % 1000000 / 1000000.0 < rate
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       "qd1_source_quality" ->
         (s"""WITH q AS (
            | SELECT source, len(toks) AS n_tokens,

@@ -102,6 +102,40 @@ object Sampling {
       .drop("graft_rk", "graft_rn")
   }
 
+  /** TEMPERATURE-flattened domain mixture: per-domain deterministic
+    * down-sample with keep-rate (N_min/N_domain)^(1−α), so expected kept
+    * counts are ∝ N_domain^α — the multilingual / multi-source rebalancing
+    * rule (α = 1 keeps the natural distribution, α = 0 equalizes domains;
+    * α ≈ 0.5−0.7 is the usual LM-pretraining compromise, cf. XLM's
+    * temperature sampling). The smallest domain keeps everything; larger
+    * domains thin toward it. Per-row fate is [[sampleByProb]]'s pure
+    * (key, salt) hash, so the mixture reproduces across runs, engines and
+    * partitionings — no RNG, no sort.
+    *
+    * α is restricted to 0.5 here so the rate is `sqrt` (IEEE-correctly-
+    * rounded, bit-identical in every engine); a general `pow(x, 1-α)` is
+    * only faithfully rounded and can differ in the last ulp across libm
+    * implementations, flipping rows whose hash lands exactly at the rate
+    * boundary.
+    *
+    * Scale: the per-domain count aggregate collapses map-side to |domains|
+    * rows; the rate table (|domains| rows, keyed by the domain vocabulary)
+    * is joined back — it carries NO broadcast hint (domain vocabularies
+    * are usually bounded, but nothing enforces it; AQE broadcasts while it
+    * fits). Everything else is a pure projection. */
+  def temperatureMix(df: DataFrame, domain: Column, key: Column,
+                     salt: String): DataFrame = {
+    val counts = df.groupBy(domain.as("graft_dom"))
+      .agg(count(lit(1)).as("graft_n"))
+    val minN = counts.agg(min(col("graft_n")).as("graft_nmin"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("graft_dom"),
+        sqrt(col("graft_nmin").cast("double") / col("graft_n")).as("graft_rate"))
+    sampleByProb(df.join(rates, domain === col("graft_dom")),
+        key, salt, col("graft_rate"))
+      .drop("graft_dom", "graft_rate")
+  }
+
   /** Train/val/test assignment: adds `bucket` (0-99) and `split` columns.
     * Buckets < trainPct → "train", < trainPct+valPct → "val", rest "test".
     * One codegen'd projection over the corpus — zero shuffles. */

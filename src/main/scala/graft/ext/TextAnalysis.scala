@@ -139,6 +139,31 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Corpus-wide adjacent CHARACTER-pair frequencies — the statistic that
+    * seeds byte-pair-encoding tokenizer induction (the first BPE merge is
+    * the argmax of exactly this table; Sennrich et al. 2016). Tokenize,
+    * emit every token's overlapping 2-character substrings (native kernel,
+    * [[graft.functions.CharPairsExpr]] — tokenizer induction touches every
+    * character of the corpus, so the per-character work must not be an
+    * interpreted lambda), count corpus-wide, keep the top `k`.
+    *
+    * Scale shape: tokenize + pair expansion in the cheap projection, fan
+    * out, explode; the count is one hash-aggregate whose map-side combine
+    * collapses each partition to its distinct-pair table (bounded by the
+    * character-bigram vocabulary, tiny) before a |pairs|-row shuffle;
+    * TakeOrdered keeps k. Iterating BPE merges re-runs this with the
+    * previous merge applied — each iteration stays one corpus pass. */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int = 30): DataFrame = {
+    val pairs = graft.core.Par.fanOut(df.select(
+      graft.functions.VectorExpressions.charPairsNative(tokens(col(textCol)))
+        .as("pairs")))
+    pairs.select(explode_outer(col("pairs")).as("pair"))
+      .where(col("pair").isNotNull) // see termStats' explode_outer note
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** Deterministic 64-bit-hex document fingerprint over normalized tokens —
     * the exact-dedup / provenance key. sha2 is identical everywhere, so the
     * fingerprint is portable across engines and runs. */

@@ -828,6 +828,48 @@ case class HyperplaneSigExpr(child: Expression, bits: Int, seed: Long = 0L)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** All adjacent CHARACTER pairs of every element of an array<string> — the
+  * corpus-wide pair-frequency count that seeds byte-pair-encoding tokenizer
+  * induction (the first BPE merge step counts exactly these). For each
+  * token, emits its length−1 overlapping 2-character substrings, in token
+  * order; tokens shorter than 2 characters emit nothing. Value-identical to
+  * the compositional `flatten(transform(toks, w => transform(sequence(...),
+  * i => substring(w, i, 2))))` without two interpreted lambda dispatches
+  * per character (tokenizer induction scans every character of the corpus —
+  * a hot kernel per the repo invariant). Pairs are CODE-POINT pairs
+  * (UTF8String.substringSQL), matching SQL substr semantics in any engine.
+  * Interpreted eval (CodegenFallback): one virtual call per row. */
+case class CharPairsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_char_pairs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.unsafe.types.UTF8String]
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) PairExpandExpr.nullElement(prettyName, i)
+      val w = xs.getUTF8String(i)
+      val len = w.numChars()
+      var j = 1
+      while (j < len) {
+        out += w.substringSQL(j, 2)
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   private val DblArr = ArrayType(DoubleType)
 
@@ -899,4 +941,8 @@ object VectorExpressions {
   def hyperplaneSigNative(vec: Column, bits: Int, seed: Long = 0L): Column =
     Bridge.column(HyperplaneSigExpr(
       Cast(Bridge.expression(vec), ArrayType(DoubleType)), bits, seed))
+
+  /** All adjacent character pairs of every element of an array<string>. */
+  def charPairsNative(tokens: Column): Column =
+    Bridge.column(CharPairsExpr(Bridge.expression(tokens)))
 }

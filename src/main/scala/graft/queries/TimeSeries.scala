@@ -73,4 +73,41 @@ object TimeSeries {
         lead(col("valid_from"), 1).over(Window.partitionBy("key").orderBy("run_no")))
       .select(col("key"), col("attr"), col("valid_from"), col("valid_to"))
   }
+
+  /** Trailing-window anomaly score: hourly per-key totals, each scored
+    * against the mean/stddev of the PRECEDING `window` hours (rows frame
+    * [-window, -1] — the current hour never sees itself), emitted only
+    * where the trailing window is full. The telemetry anomaly-detection
+    * shape: one key shuffle, one sort, per-key state = `window` rows.
+    *
+    * Cross-engine determinism: hourly totals are exact integer micro-units
+    * (SUM of floor(value·10⁶), the fb1s convention — floors agree
+    * bit-for-bit and integer sums are order-free); the trailing sum and
+    * sum-of-squares accumulate in DECIMAL(38,0) (exact — values are
+    * ~10²⁰ ≪ 10³⁸; the DuckDB oracle uses HUGEINT, also exact), and the
+    * mean/variance/z arithmetic happens once per row in double with an
+    * identical formula on both sides (sqrt is IEEE-correctly-rounded;
+    * `+1` regularizes a zero-variance window). Rounded to 6 decimals.
+    */
+  def hourlyAnomaly(df: DataFrame, key: Column, ts: Column, value: Column,
+                    window: Int = 24): DataFrame = {
+    val hourly = df
+      .groupBy(key.as("id"), date_trunc("hour", ts).as("hour"))
+      .agg(sum(floor(value * lit(1000000d)).cast("long")).as("vm"))
+    val w = Window.partitionBy("id").orderBy("hour").rowsBetween(-window, -1)
+    val dec = col("vm").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val s = col("s_dec").cast("double")
+    val ss = col("ss_dec").cast("double")
+    val mean = s / window
+    val variance = (ss - s * s / window) / (window - 1)
+    hourly
+      .select(col("id"), col("hour"), col("vm"),
+        count(col("vm")).over(w).as("n"),
+        sum(dec).over(w).as("s_dec"),
+        sum(dec * dec).over(w).as("ss_dec"))
+      .where(col("n") === window)
+      .select(col("id"), col("hour").cast("timestamp_ntz").as("hour"), col("vm"),
+        round((col("vm").cast("double") - mean) / sqrt(variance + lit(1.0)), 6)
+          .as("zscore"))
+  }
 }

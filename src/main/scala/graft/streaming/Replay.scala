@@ -45,25 +45,15 @@ object Replay {
 
   val SentinelId = "zz__replay_sentinel"
 
-  /** One scratch root per JVM, removed on exit. */
-  private lazy val scratchRoot: java.nio.file.Path = {
-    val root = java.nio.file.Files.createTempDirectory("graft-replay-")
-    sys.addShutdownHook {
-      import java.nio.file.{Files, Path}
-      import scala.jdk.CollectionConverters._
-      if (Files.exists(root)) {
-        val all = Files.walk(root).iterator().asScala.toSeq.reverse
-        all.foreach { p: Path => try Files.deleteIfExists(p) catch { case _: Throwable => () } }
-      }
-    }
-    root
-  }
-
-  private def scratch(tag: String): String =
-    java.nio.file.Files.createTempDirectory(scratchRoot, tag).toString
+  private def scratch(tag: String): String = graft.core.Scratch.dir(tag)
 
   /** Run a finite streaming frame to completion through a checkpointed
-    * parquet sink and read the sink back as a batch frame. */
+    * parquet sink and read the sink back as a batch frame. The replay's
+    * state-store providers are unloaded once the query terminates: its
+    * checkpoint is one-shot scratch, so the state versions Spark would
+    * keep resident for a possible resume are permanently dead heap — a
+    * harness running many replays per JVM (bench: 6 replays × 3 runs)
+    * would otherwise drag every prior run's state maps through GC. */
   private def runToSink(spark: SparkSession, streamed: DataFrame, dir: String): DataFrame = {
     val q = streamed.writeStream.format("parquet")
       .option("path", s"$dir/out")
@@ -71,6 +61,7 @@ object Replay {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    org.apache.spark.sql.graft.Bridge.unloadAllStateStores()
     spark.read.parquet(s"$dir/out")
   }
 

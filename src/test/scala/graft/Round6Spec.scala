@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Sampling, TextAnalysis}
+
+/** Round-6 additions: BPE pair counting, temperature mixture sampling,
+  * trailing-window anomaly scores, JSON/CSV source round-trips. */
+class Round6Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("charPairsNative: adjacent code-point pairs per token, short-token safe") {
+    val out = Seq(Tuple1(Seq("abc", "x", "de")), Tuple1(Seq.empty[String]))
+      .toDF("toks")
+      .select(graft.functions.VectorExpressions.charPairsNative(col("toks")).as("p"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("ab", "bc", "de"), "1-char tokens emit nothing")
+    assert(out(1).isEmpty)
+  }
+
+  test("charPairsNative matches the compositional HOF form") {
+    val df = Seq("the quick brown fox", "a bb ccc dddd", "")
+      .toDF("text")
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+    val native = df
+      .select(explode_outer(
+        graft.functions.VectorExpressions.charPairsNative(col("toks"))).as("p"))
+      .where(col("p").isNotNull)
+      .groupBy("p").count()
+    val hof = df
+      .select(explode_outer(flatten(transform(col("toks"), w =>
+        when(length(w) >= 2,
+          transform(sequence(lit(1), length(w) - 1), i => substring(w, i, lit(2))))
+          .otherwise(array().cast("array<string>"))))).as("p"))
+      .where(col("p").isNotNull)
+      .groupBy("p").count()
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
+  test("bpePairCounts: corpus argmax is the most frequent character pair") {
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab xy")).toDF("doc_id", "text")
+    val top = TextAnalysis.bpePairCounts(docs, "text", k = 3)
+      .as[(String, Long)].collect()
+    assert(top.head == ("aa", 6L), s"got ${top.toSeq}") // 2 per 'aaab' × 3
+    assert(top.toMap.get("ab").contains(3L))
+  }
+
+  test("temperatureMix: minority domain kept whole, majority thinned by sqrt rate") {
+    val df = (0L until 400L).map(i => (i, if (i < 320) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.temperatureMix(df, col("lang"), col("doc_id"), "t6")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val fr = kept.count(_._2 == "fr")
+    val en = kept.count(_._2 == "en")
+    assert(fr == 80, "smallest domain keeps everything (rate 1.0)")
+    // rate_en = sqrt(80/320) = 0.5; the deterministic hash keep-set is a
+    // fixed subset — just bound it (binomial(320, .5) within ±5σ ≈ ±45)
+    assert(en > 115 && en < 205, s"en kept $en of 320 at rate 0.5")
+    // determinism: a second run yields the identical keep-set
+    val again = Sampling.temperatureMix(df, col("lang"), col("doc_id"), "t6")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(kept.toSet == again.toSet)
+  }
+
+  test("hourlyAnomaly: constant series scores 0, spike scores high, window must fill") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 30).map { h =>
+      val v = if (h == 29) 10.0 else 1.0
+      ("k", new java.sql.Timestamp(t0.getTime + h * 3600_000L), v)
+    }
+    val out = graft.queries.TimeSeries
+      .hourlyAnomaly(rows.toDF("k", "ts", "v"), col("k"), col("ts"), col("v"))
+      .orderBy("hour")
+      .select("vm", "zscore").as[(Long, Double)].collect()
+    assert(out.length == 6, "first 24 hours have no full trailing window")
+    assert(out.dropRight(1).forall { case (vm, z) => vm == 1000000L && z == 0.0 },
+      "zero variance + same value → z = 0 under the +1 regularizer")
+    assert(out.last == ((10000000L, 9000000.0)),
+      "spike: (10e6 − 1e6) / sqrt(0 + 1)")
+  }
+
+  test("json/csv round-trips preserve longs, doubles and quoted strings exactly") {
+    val tricky = Seq(
+      (1L, "plain", 0.1 + 0.2),                  // 0.30000000000000004
+      (2L, "comma, \"quote\" and |", -1.0 / 3.0),
+      (3L, "", Double.MinPositiveValue))
+      .toDF("id", "s", "x")
+    val ddl = "id BIGINT, s STRING, x DOUBLE"
+    val j = graft.core.Formats.jsonRoundTrip(spark, tricky, ddl, "t6json-")
+      .as[(Long, String, Double)].collect().toSet
+    val c = graft.core.Formats.csvRoundTrip(spark, tricky, ddl, "t6csv-")
+      .as[(Long, String, Double)].collect().toSet
+    val want = tricky.as[(Long, String, Double)].collect().toSet
+    assert(j == want, s"json: $j")
+    // CSV writes an empty string as an empty field, which reads back null
+    // (the format cannot tell them apart without emptyValue quoting) —
+    // normalize for the value-fidelity comparison; src2 aggregates never
+    // hit this (customer names are non-empty).
+    def norm(s: Set[(Long, String, Double)]) =
+      s.map { case (i, v, x) => (i, Option(v).getOrElse(""), x) }
+    assert(norm(c) == norm(want), s"csv: $c")
+  }
+}
