@@ -564,6 +564,56 @@ object SparkEntry {
     "bpe1_pair_counts" -> ((s, d) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, d), "text")),
 
+    // lm1: unigram-LM quality scoring (per-doc mean surprisal against the
+    // corpus's own unigram distribution — the CCNet/KenLM perplexity-
+    // filter stand-in); one corpus pass, per-term contributions quantized
+    // to exact decimal so the sum is order-free
+    "lm1_surprisal" -> ((s, d) =>
+      TextAnalysis.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // inc3: INCREMENTAL corpus-statistics maintenance — yesterday's
+    // archived per-term (df, tf) summary (even docs, standing in for the
+    // stored table) merged additively with today's batch (odd docs); the
+    // oracle builds the same stats from scratch over the whole corpus, so
+    // a green row proves the merge ≡ full rebuild with zero re-tokenizing
+    // of the archive
+    "inc3_incremental_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.mergeTermStats(
+          TextAnalysis.termCounts(docs.where(col("doc_id") % 2 === 0),
+            "doc_id", "text"),
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .orderBy("term")
+    }),
+
+    // cur3: URL-domain blocklist screen — every third doc gains a planted
+    // URL whose host rotates through 5 sites, two of which are
+    // blocklisted; URL-free docs must pass untouched. Bounded-by-
+    // definition blocklist → broadcast anti join, corpus never shuffles
+    "cur3_domain_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" see https://site"),
+            (col("doc_id") % 5).cast("string"), lit(".example/p?x=1 ok")))
+          .otherwise(col("text")).as("text"))
+      ext.Curation.domainFilter(planted, "doc_id", "text",
+          Seq("site1.example", "site3.example"))
+        .orderBy("doc_id")
+    }),
+
+    // batch1: power-of-two length-bucketed batching stats with per-bucket
+    // padding waste — pure projection + tiny aggregate (⌊log₂⌋ via binary
+    // string length, integer-exact in both engines; a global ntile would
+    // be a single-partition sort)
+    "batch1_length_buckets" -> ((s, d) =>
+      ext.Sampling.lengthBuckets(
+          Tables.documents(s, d).select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+          col("doc_id"), col("n_tokens"))
+        .orderBy("bucket")),
+
     // mix1: temperature-flattened language mixture (α = 0.5) — expected
     // kept counts ∝ sqrt(N_lang); fate is the portable (doc_id, salt)
     // hash, so the oracle recomputes the identical keep-set
@@ -1204,10 +1254,11 @@ object SparkEntry {
            |  FROM lineitem
            |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
            |    AND l_shipdate < TIMESTAMP '1997-04-01'
+           |    AND l_suppkey IS NOT NULL
            |  GROUP BY 1)
            |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
            |FROM rev JOIN supplier ON l_suppkey = s_suppkey
-           |WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+           |WHERE rev_dec >= (SELECT MAX(rev_dec) FROM rev)
            |ORDER BY s_suppkey""".stripMargin.replace("\n", " ")),
       "q16_supplier_variety" ->
         ("""WITH rel AS (
@@ -1652,6 +1703,53 @@ object SparkEntry {
            | SELECT unnest([word[i:i+1] for i in range(1, len(word))]) AS pair
            | FROM (SELECT unnest($toksSql) AS word FROM documents))
            |GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""".stripMargin.replace("\n", " ")),
+      // lm1: identical per-term double formula, per-term decimal
+      // quantization, one rounded division at the end
+      "lm1_surprisal" ->
+        (s"""WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+           |  GROUP BY 1, 2),
+           | n AS (SELECT SUM(tf) AS n_corpus FROM tf),
+           | ct AS (SELECT doc_id, term, tf,
+           |   SUM(tf) OVER (PARTITION BY term) AS ct FROM tf)
+           |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           | round(CAST(SUM(CAST(CAST(tf AS DOUBLE) *
+           |   (ln(CAST(n_corpus AS DOUBLE)) - ln(CAST(ct AS DOUBLE)))
+           |   AS DECIMAL(30,6))) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
+           |  AS surprisal
+           |FROM ct, n GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // inc3: the oracle rebuilds the merged stats from scratch
+      "inc3_incremental_stats" ->
+        (s"""SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           |  CAST(SUM(tf) AS BIGINT) AS tf
+           |FROM (SELECT doc_id, term, COUNT(*) AS tf
+           |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+           |  GROUP BY 1, 2)
+           |GROUP BY term ORDER BY term""".stripMargin.replace("\n", " ")),
+      // cur3: same plant, same RE2-safe host pattern, NOT IN blocklist
+      "cur3_domain_filter" ->
+        ("""WITH planted AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 3 = 0 THEN text || ' see https://site' ||
+           |    CAST(doc_id % 5 AS VARCHAR) || '.example/p?x=1 ok'
+           |   ELSE text END AS text FROM documents),
+           | h AS (SELECT doc_id,
+           |   regexp_extract(text, 'https?://([^/\s]+)', 1) AS host
+           |  FROM planted)
+           |SELECT doc_id, host FROM h
+           |WHERE host NOT IN ('site1.example', 'site3.example')
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // batch1: ⌊log₂⌋ via binary-string length on both sides
+      "batch1_length_buckets" ->
+        (s"""WITH t AS (SELECT doc_id, len($toksSql) AS n FROM documents),
+           | b AS (SELECT doc_id, n,
+           |   CAST(CASE WHEN n <= 0 THEN -1 ELSE length(bin(n)) - 1 END AS BIGINT)
+           |    AS bucket FROM t)
+           |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           | CAST(MIN(n) AS BIGINT) AS min_tokens,
+           | CAST(MAX(n) AS BIGINT) AS max_tokens,
+           | CAST(SUM(n) AS BIGINT) AS sum_tokens,
+           | CAST(MAX(n) * COUNT(*) - SUM(n) AS BIGINT) AS padding_waste
+           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       // mix1: α = 0.5 temperature mixture — keep-rate sqrt(n_min/n_lang),
       // fate = the sp1/sp2 portable sha-prefix hash at 10⁻⁶ resolution
       "mix1_temperature_mix" ->

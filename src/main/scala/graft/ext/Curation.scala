@@ -141,4 +141,27 @@ object Curation {
     Sampling.withSplit(survivors, col("doc_id"), salt)
       .select(col("doc_id"), col("n_tokens"), col("bucket"), col("split"))
   }
+
+  /** Engine-portable host pattern: scheme, then everything up to the first
+    * slash or whitespace — capture group 1 is the host. Same RE2-safe
+    * character-class style as the t7 redaction patterns. */
+  val UrlHostRe = "https?://([^/\\s]+)"
+
+  /** URL-domain screen — the web-corpus provenance filter (block spam /
+    * SEO / adult domains before any content-level scoring): extract each
+    * document's FIRST URL's host, drop documents whose host is on the
+    * blocklist; URL-free documents pass. The blocklist is bounded BY
+    * DEFINITION (a curated list, not data-derived) — the one relation the
+    * broadcast policy always allows — and membership is a broadcast LEFT
+    * ANTI join, so the corpus never shuffles. Returns (doc_id, host) for
+    * surviving docs ('' for URL-free). */
+  def domainFilter(docs: DataFrame, idCol: String, textCol: String,
+                   blocklist: Seq[String]): DataFrame = {
+    val hosts = docs.select(col(idCol).as("doc_id"),
+      regexp_extract(col(textCol), UrlHostRe, 1).as("host"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val block = blocklist.toDF("blocked_host")
+    hosts.join(broadcast(block), col("host") === col("blocked_host"), "left_anti")
+  }
 }

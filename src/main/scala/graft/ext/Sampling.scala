@@ -136,6 +136,29 @@ object Sampling {
       .drop("graft_dom", "graft_rate")
   }
 
+  /** LENGTH-bucketed batching stats — the padding-efficiency planner for
+    * batched training/inference: group documents into power-of-two token-
+    * length buckets (bucket = ⌊log₂ n⌋) and report, per bucket, the count,
+    * length range and the PADDING WASTE a batch padded to the bucket max
+    * would spend (max·count − Σ tokens). Length-bucketed batching is the
+    * standard fix for padding blowup on skewed length distributions; the
+    * power-of-two rule (vs ntile) keeps it a PURE PROJECTION — a global
+    * ntile is a single-partition sort, the classic scale trap — and
+    * integer-exact in any engine (⌊log₂⌋ via binary-string length, never
+    * float log). Zero-token docs land in bucket −1. */
+  def lengthBuckets(df: DataFrame, id: Column, nTokens: Column): DataFrame =
+    df.select(id.cast("long").as("doc_id"), nTokens.cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        when(col("n_tokens") <= 0, lit(-1L))
+          .otherwise(length(bin(col("n_tokens"))).cast("long") - 1))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"),
+        (max(col("n_tokens")) * count(lit(1)) - sum(col("n_tokens")))
+          .cast("long").as("padding_waste"))
+
   /** Train/val/test assignment: adds `bucket` (0-99) and `split` columns.
     * Buckets < trainPct → "train", < trainPct+valPct → "val", rest "test".
     * One codegen'd projection over the corpus — zero shuffles. */

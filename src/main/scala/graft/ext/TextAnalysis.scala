@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Num
 
 /** Text-analysis operators for a large-scale training-data pipeline
   * (extension tier beyond the reference — see SURVEY.md §2.7/§7.3-5):
@@ -164,6 +165,41 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-document mean unigram SURPRISAL against the corpus's own unigram
+    * distribution — the language-model quality filter's cheap stand-in
+    * (CCNet/KenLM-style perplexity filtering ranks docs by LM score; the
+    * unigram corpus model needs no external artifact and already separates
+    * repetitive/boilerplate docs (low surprisal) from vocabulary-rich ones).
+    * surprisal(doc) = (1/n) · Σ_tokens −ln p(t), p(t) = corpus_count(t)/N.
+    *
+    * Scale shape: ONE corpus pass — the (doc, term, tf) relation feeds both
+    * the per-term corpus count (window over term, the x2_tfidf df pattern:
+    * the term-keyed shuffle it needed anyway, no self-join re-scan) and the
+    * per-doc weighted sum; N rides as a 1-row broadcast. Determinism: a
+    * raw double Σ is summation-order-dependent, so each term's
+    * contribution is quantized to DECIMAL(30,6) and summed EXACTLY (the
+    * Num.dsum policy applied per term); `ln` itself is libm noise of ±1
+    * ulp (~10⁻¹⁶ relative), flipping a 10⁻⁶ quantization boundary with
+    * probability ~10⁻¹⁰ per term — the same accepted exposure as
+    * x2_tfidf's rounded log weight. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.core.Par.fanOut(df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks")))
+    val tf = toks.select(col("doc_id"), explode_outer(col("toks")).as("term"))
+      .where(col("term").isNotNull) // see termStats' explode_outer note
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val n = tf.agg(sum(col("tf")).as("n_corpus"))
+    val termBits = col("tf").cast("double") *
+      (log(col("n_corpus").cast("double")) - log(col("ct").cast("double")))
+    tf.withColumn("ct", sum(col("tf"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
+      .crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        round(Num.dsum(termBits) / sum(col("tf")).cast("double"), 6)
+          .as("surprisal"))
+  }
+
   /** Deterministic 64-bit-hex document fingerprint over normalized tokens —
     * the exact-dedup / provenance key. sha2 is identical everywhere, so the
     * fingerprint is portable across engines and runs. */
@@ -237,6 +273,35 @@ object TextAnalysis {
           .cast("long").as("n_oov"))
       .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
   }
+
+  /** Per-term corpus statistics: document frequency (distinct docs
+    * containing the term) and total term frequency. The unit the
+    * incremental-maintenance path stores per corpus snapshot. */
+  def termCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.core.Par.fanOut(df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks")))
+    toks.select(col("doc_id"), explode_outer(col("toks")).as("term"))
+      .where(col("term").isNotNull) // see termStats' explode_outer note
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).cast("long").as("tf"))
+  }
+
+  /** INCREMENTAL corpus term-statistics maintenance: fold a new batch's
+    * [[termCounts]] into an ARCHIVED per-term (df, tf) table additively.
+    * df and tf are distributive aggregates (corpora are disjoint by
+    * construction — a doc lives in exactly one ingest batch), so the
+    * archive is NEVER re-tokenized: upkeep costs one |terms|-keyed merge
+    * of yesterday's summary with today's batch, the inc1/inc2 pattern
+    * applied to corpus statistics instead of membership. The graded row
+    * proves merged(archive, batch) ≡ a from-scratch build over the union.
+    */
+  def mergeTermStats(archive: DataFrame, batch: DataFrame,
+                     idCol: String, textCol: String): DataFrame =
+    archive.unionByName(termCounts(batch, idCol, textCol))
+      .groupBy("term")
+      .agg(sum(col("df")).cast("long").as("df"),
+        sum(col("tf")).cast("long").as("tf"))
 
   val EnStop: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "that", "it")
   val DeStop: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")

@@ -673,21 +673,31 @@ object Analytics {
 
   /** TPC-H Q15-style top supplier: per-supplier revenue over one quarter,
     * keeping the supplier(s) whose revenue equals the global maximum. The
-    * scalar max attaches as a 1-row broadcast join over the SAME per-
-    * supplier pre-aggregate (exchange reuse — lineitem is scanned and
-    * shuffled once); the equality compares the exact DECIMAL sums, never
-    * rounded doubles, so ties and the match are engine-identical. */
+    * scalar max attaches as a 1-row broadcast nested-loop over the SAME
+    * per-supplier pre-aggregate, compared with `>=` rather than `=` —
+    * semantically identical against a maximum (rev ≤ max always, ties
+    * kept), but an equality predicate is extracted into an equi-join whose
+    * rewritten branch no longer canonical-matches the other consumer, and
+    * the exchange-reuse that makes this a ONE-lineitem-scan plan (the q11
+    * pattern; PlanSpec pins ReusedExchange) is lost. The comparison is on
+    * the exact DECIMAL sums, never rounded doubles, so ties and the match
+    * are engine-identical. */
   def topSupplier(spark: SparkSession, sfDir: String,
                   from: String = "1997-01-01", until: String = "1997-04-01")
       : DataFrame = {
+    // explicit isNotNull on the group key: the supplier equi-join infers
+    // it into the JOIN branch's scan only, which would de-canonicalize the
+    // two consumers of the rev exchange and double the lineitem scan (the
+    // d3 inferred-filter problem in join form; a no-op on TPC-H data)
     val rev = lineitem(spark, sfDir)
-      .where(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .where(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until) &&
+        col("l_suppkey").isNotNull)
       .groupBy(col("l_suppkey"))
       .agg(Num.dsumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("rev_dec"))
     val top = rev.agg(max(col("rev_dec")).as("max_dec"))
     rev.crossJoin(broadcast(top))
-      .where(col("rev_dec") === col("max_dec"))
+      .where(col("rev_dec") >= col("max_dec"))
       .join(supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("rev_dec").cast("double").as("total_revenue"))
@@ -722,26 +732,29 @@ object Analytics {
 
   /** TPC-H Q20-style excess shippers: suppliers in one nation who shipped
     * more than `share` of some red-named part's total 1997 volume — the
-    * correlated-threshold + semijoin-chain shape. Both the per-pair and
-    * per-part quantity aggregates derive from ONE filtered scan (exchange
-    * on l_partkey reused); the threshold compares exact decimal sums cast
-    * to double once, identically in both engines; the supplier table is
-    * reduced by LEFT SEMI join (no row multiplication). */
+    * correlated-threshold + semijoin-chain shape. The per-part total rides
+    * as a WINDOW sum over the per-(part, supplier) pre-aggregate (the
+    * x2_tfidf df pattern) instead of a second aggregate + self-join — so
+    * the filtered fact relation has exactly ONE consumer, lineitem is
+    * scanned once BY CONSTRUCTION (no exchange-reuse needed; PlanSpec pins
+    * the scan count), and the only extra cost is a partkey shuffle of the
+    * already-collapsed pair relation. The threshold compares exact decimal
+    * sums cast to double once, identically in both engines; the supplier
+    * table is reduced by LEFT SEMI join (no row multiplication). */
   def excessShippers(spark: SparkSession, sfDir: String,
                      namePrefix: String = "red", nationName: String = "NATION_7",
                      share: Double = 0.2): DataFrame = {
     val prt = part(spark, sfDir).where(col("p_name").startsWith(namePrefix))
       .select("p_partkey")
-    val shipped = lineitem(spark, sfDir)
+    val perPair = lineitem(spark, sfDir)
       .where(col("l_shipdate") >= lit("1997-01-01") &&
         col("l_shipdate") < lit("1998-01-01"))
       .join(prt, col("l_partkey") === col("p_partkey"))
-      .select("l_partkey", "l_suppkey", "l_quantity")
-    val perPair = shipped.groupBy("l_partkey", "l_suppkey")
+      .groupBy("l_partkey", "l_suppkey")
       .agg(Num.dsumDec(col("l_quantity")).as("pair_qty"))
-    val perPart = shipped.groupBy(col("l_partkey").as("t_partkey"))
-      .agg(Num.dsumDec(col("l_quantity")).as("part_qty"))
-    val heavy = perPair.join(perPart, col("l_partkey") === col("t_partkey"))
+    val heavy = perPair
+      .withColumn("part_qty", sum(col("pair_qty"))
+        .over(Window.partitionBy("l_partkey")))
       .where(col("pair_qty").cast("double") >
         lit(share) * col("part_qty").cast("double"))
       .select("l_suppkey")

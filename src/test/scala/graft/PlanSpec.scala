@@ -186,4 +186,56 @@ class PlanSpec extends SparkSpec {
       s"two-pass global-scalar must scan lineitem once:\n$p")
     assert(p.contains("ReusedExchange"), s"expected reused exchange:\n$p")
   }
+
+  test("round-6 TPC-H: correlated shapes stay hash joins — no cartesian anywhere") {
+    for (q <- Seq("q2_min_cost_offer", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "q16_supplier_variety", "q20_excess_shippers")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian:\n$p")
+    }
+    // q15/q22 carry exactly one benign 1-row-scalar nested-loop each (the
+    // q11 pattern); the data joins around them stay keyed
+    for (q <- Seq("q15_top_supplier", "q22_idle_balances")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian:\n$p")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+        s"$q: only the 1-row scalar may nested-loop:\n$p")
+    }
+    assert(plan("q16_supplier_variety").contains("LeftAnti"),
+      "q16: the complaint-filter stand-in is an anti join")
+    assert(plan("q20_excess_shippers").contains("LeftSemi"),
+      "q20: supplier reduction is a semi join")
+    assert(plan("q22_idle_balances").contains("LeftAnti"),
+      "q22: the no-recent-orders test is an anti join")
+  }
+
+  test("cur3: blocklist screen is a broadcast anti join — corpus never shuffles") {
+    val p = plan("cur3_domain_filter")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast LEFT ANTI against the bounded blocklist:\n$p")
+  }
+
+  test("q15/q20: the correlated threshold costs ONE lineitem scan") {
+    // finalized adaptive plans (collect, not count — repo invariant).
+    // q15: rev + its global max share the per-supplier exchange (the q11
+    // pattern — kept alive by comparing with >=, not =; an extracted
+    // equality equi-join breaks the canonical match and doubles the scan).
+    // maxScans = lineitem ONCE + each dimension once.
+    val q15 = SparkEntry.queries("q15_top_supplier")(spark, sf)
+    q15.collect()
+    val p15 = q15.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p15.contains("ReusedExchange"),
+      s"q15: rev + max must share the per-supplier exchange:\n$p15")
+    assert("FileScan parquet".r.findAllIn(p15).length <= 2,
+      s"q15: lineitem once + supplier once:\n$p15")
+    // q20: the per-part total is a WINDOW over the per-pair aggregate —
+    // single consumer chain, one fact scan by construction (lineitem,
+    // part, supplier, nation = 4 scans, nothing twice)
+    val q20 = SparkEntry.queries("q20_excess_shippers")(spark, sf)
+    q20.collect()
+    val p20 = q20.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(p20).length <= 4,
+      s"q20: each table scanned at most once:\n$p20")
+    assert(p20.contains("Window"), s"q20: per-part total must be a window:\n$p20")
+  }
 }

@@ -78,6 +78,50 @@ class Round6Spec extends SparkSpec {
       "spike: (10e6 − 1e6) / sqrt(0 + 1)")
   }
 
+  test("unigramSurprisal: rare-token docs score higher; counts exact") {
+    val docs = Seq((1L, "a a a a"), (2L, "a a a rare")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(out.map(_._2).toSeq == Seq(4L, 4L))
+    // corpus: a×7, rare×1, N=8; doc1 = ln(8/7); doc2 = (3·ln(8/7)+ln 8)/4
+    val d1 = math.log(8.0 / 7)
+    val d2 = (3 * math.log(8.0 / 7) + math.log(8.0)) / 4
+    assert(math.abs(out(0)._3 - d1) < 2e-6 && math.abs(out(1)._3 - d2) < 2e-6)
+    assert(out(1)._3 > out(0)._3, "the rare token raises surprisal")
+  }
+
+  test("mergeTermStats: archive + batch ≡ from-scratch over the union") {
+    val all = Seq((0L, "x y"), (1L, "y z z"), (2L, "x x"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val merged = TextAnalysis.mergeTermStats(
+        TextAnalysis.termCounts(all.where(col("doc_id") % 2 === 0), "doc_id", "text"),
+        all.where(col("doc_id") % 2 === 1), "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    val scratch = TextAnalysis.termCounts(all, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == scratch && merged == Set(("x", 2L, 3L), ("y", 2L, 2L), ("z", 2L, 3L)))
+  }
+
+  test("domainFilter: blocklisted hosts drop, URL-free docs pass with empty host") {
+    val docs = Seq(
+      (1L, "plain text no links"),
+      (2L, "go to https://bad.example/x now"),
+      (3L, "see https://ok.example/y")).toDF("doc_id", "text")
+    val out = graft.ext.Curation.domainFilter(docs, "doc_id", "text", Seq("bad.example"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, ""), (3L, "ok.example")))
+  }
+
+  test("lengthBuckets: power-of-two buckets, exact padding waste, zero-doc bucket") {
+    val rows = Seq((1L, 0L), (2L, 5L), (3L, 7L), (4L, 8L)).toDF("id", "n")
+    val out = Sampling.lengthBuckets(rows, col("id"), col("n"))
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // bucket -1: the zero-token doc; bucket 2: [5,7] waste 7·2−12=2; bucket 3: [8]
+    assert(out == Seq((-1L, 1L, 0L, 0L, 0L, 0L),
+      (2L, 2L, 5L, 7L, 12L, 2L), (3L, 1L, 8L, 8L, 8L, 0L)))
+  }
+
   test("json/csv round-trips preserve longs, doubles and quoted strings exactly") {
     val tricky = Seq(
       (1L, "plain", 0.1 + 0.2),                  // 0.30000000000000004
