@@ -548,13 +548,16 @@ object Analytics {
 
   /** TPC-H Q2-style minimum-cost offer: for every STANDARD-type part, the
     * EUROPE suppliers whose offer price equals the part's minimum offer
-    * price in that region. The correlated-min subquery is re-expressed as
-    * ONE per-part min pre-aggregate joined back on (partkey, exact price
-    * equality) — min over doubles is exact (no summation), so the equality
-    * match is engine-identical. Scale: offers are filtered by part type and
-    * supplier region BEFORE the min aggregate, both aggregate and join key
-    * on l_partkey (one shuffle, reused), and the final TakeOrdered keeps
-    * k rows. Reference shape: TPC-H Q2 with lineitem standing in for
+    * price in that region. The correlated-min subquery rides as a WINDOW
+    * min over the offers relation — min over doubles is exact (no
+    * summation), so the equality match is engine-identical, and the
+    * single-consumer formulation keeps ONE scan of every table (a min
+    * pre-aggregate joined back would give the offers join tree two
+    * consumers; broadcast joins have no exchange boundary to reuse, so the
+    * whole tree — lineitem included — would be read twice; PlanSpec pins
+    * the scan count). Offers are filtered by part type and supplier region
+    * BEFORE the window's partkey shuffle; the final TakeOrdered keeps k
+    * rows. Reference shape: TPC-H Q2 with lineitem standing in for
     * partsupp (no partsupp table in the testdata). */
   def minCostOffer(spark: SparkSession, sfDir: String,
                    regionName: String = "EUROPE", pType: String = "STANDARD",
@@ -566,10 +569,10 @@ object Analytics {
       .join(prt, col("l_partkey") === col("p_partkey"))
       .join(regionSuppliers(spark, sfDir, regionName),
         col("l_suppkey") === col("s_suppkey"))
-    val minCost = offers.groupBy(col("l_partkey").as("m_partkey"))
-      .agg(min(col("cost")).as("min_cost"))
-    offers.join(minCost,
-        col("l_partkey") === col("m_partkey") && col("cost") === col("min_cost"))
+    offers
+      .withColumn("min_cost", min(col("cost"))
+        .over(Window.partitionBy("l_partkey")))
+      .where(col("cost") === col("min_cost"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("l_partkey").as("p_partkey"), col("cost"))
       .distinct()

@@ -237,5 +237,14 @@ class PlanSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p20).length <= 4,
       s"q20: each table scanned at most once:\n$p20")
     assert(p20.contains("Window"), s"q20: per-part total must be a window:\n$p20")
+    // q2: correlated min as a window for the same reason — the offers
+    // join tree ends in broadcast joins (no exchange boundary), so a
+    // min-agg + join-back would read EVERY table twice (it did: 8 scans)
+    val q2 = SparkEntry.queries("q2_min_cost_offer")(spark, sf)
+    q2.collect()
+    val p2 = q2.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(p2).length <= 5,
+      s"q2: lineitem/part/supplier/nation/region each scanned once:\n$p2")
+    assert(p2.contains("Window"), s"q2: per-part min must be a window:\n$p2")
   }
 }
