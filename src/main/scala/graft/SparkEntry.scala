@@ -711,6 +711,22 @@ object SparkEntry {
       Dedup.dedupIncremental(batch, archive, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // bf1: inc1's fixture through the BLOOM-pruned archive check — the
+    // 100 TB shape: the archive folds into one fixed-size mergeable
+    // filter (the operator's only broadcast, 1 row), "definitely new"
+    // batch rows skip the anti-join, only maybe-present candidates reach
+    // it. Bloom parameters cannot change results (no false negatives;
+    // false positives re-checked exactly), so the oracle is the SAME
+    // plain anti-join as inc1 — a green row proves prune ≡ exact.
+    "bf1_bloom_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val archive = docs.where(col("doc_id") % 2 === 0)
+      val batch = docs.union(
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.dedupIncrementalBloom(batch, archive, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // inc2: cross-run INCREMENTAL NEAR-dup dedup — inc1's fuzzy
     // counterpart. Archive = even-id docs; batch = odd-id docs plus a
     // planted near-dup of every archive doc (+700000, one appended token:
@@ -1589,6 +1605,20 @@ object SparkEntry {
            | FROM j)
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       "inc1_incremental_dedup" ->
+        (s"""WITH b AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+           | bf AS (SELECT min(doc_id) AS doc_id, fp AS content_fp FROM (
+           |  SELECT doc_id, substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
+           |  FROM b) GROUP BY fp),
+           | af AS (SELECT substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
+           |  FROM documents WHERE doc_id % 2 = 0)
+           |SELECT doc_id, content_fp FROM bf
+           |WHERE NOT EXISTS (SELECT 1 FROM af WHERE af.fp = bf.content_fp)
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // bf1: bloom prune is result-invariant — the oracle is inc1's exact
+      // anti-join verbatim
+      "bf1_bloom_dedup" ->
         (s"""WITH b AS (
            |  SELECT doc_id, text FROM documents
            |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),

@@ -92,6 +92,77 @@ object Dedup {
       .select(col("doc_id"), col("content_fp"))
   }
 
+  /** [[dedupIncremental]] with a BLOOM-FILTER prune in front of the
+    * archive anti-join — the 100 TB shape of the fingerprint check. The
+    * plain anti-join ships EVERY batch fingerprint through the join
+    * (shuffled or hashed against a broadcast archive that itself grows
+    * without bound); here the archive folds once into a `numBits`-bit
+    * [[graft.functions.Bloom.BloomFilterAgg]] (fixed size, ~1 MiB at the
+    * defaults, regardless of archive row count), the 1-row filter
+    * broadcasts (provably bounded — the only relation in the operator
+    * with a broadcast hint), and each batch row pays one codegen'd bit
+    * test: "definitely new" rows bypass the join entirely, only
+    * maybe-present candidates (true hits + the ~(1−e^{−kn/m})^k false-
+    * positive sliver) reach the exact anti-join. Results are IDENTICAL to
+    * [[dedupIncremental]] for every (numBits, numHashes): the bloom has
+    * no false negatives, and false positives are re-checked exactly — the
+    * parameters tune candidate volume, never output.
+    *
+    * Single-pass shape (d2/d3 discipline): the fingerprint computes BELOW
+    * the fan-out exchange, so the exchange MATERIALIZES (doc_id,
+    * content_fp) and both route branches read a ReusedExchange — one
+    * tokenize+sha pass however many consumers (computing it above the
+    * exchange re-ran the whole pass per branch). Routing happens at raw-
+    * row level and the dedup aggregate sits ABOVE the union, so the
+    * operator has exactly ONE hash-aggregate; per-branch duplicated work
+    * is the codegen'd probe+filter only. The explicit `isNotNull` on the
+    * shared base keeps the branches canonical under the anti-join's
+    * inferred not-null predicate (the q15 de-canonicalization trap) —
+    * consequently null-text rows (null fingerprint: no content to
+    * identify) are dropped, where [[dedupIncremental]] would keep one.
+    * Remaining honest cost: the archive is read twice (bloom build +
+    * residual anti-join build side). In production both archive passes
+    * vanish: the bloom and the fingerprint index are STORED artifacts
+    * maintained per ingest batch — merge = bitwise OR, so yesterday's
+    * filter never rebuilds (same mergeable-sketch contract as apx2's
+    * MinHash union). */
+  def dedupIncrementalBloom(batch: DataFrame, archive: DataFrame,
+                            idCol: String, textCol: String,
+                            numBits: Int = 1 << 23, numHashes: Int = 5): DataFrame = {
+    import graft.functions.Bloom
+    val bfp = graft.core.Par.fanOut(
+      batch.select(col(idCol).as("doc_id"),
+          TextAnalysis.fingerprint(col(textCol)).as("content_fp"))
+        .where(col("content_fp").isNotNull))
+    val a = archive.select(TextAnalysis.fingerprint(col(textCol)).as("content_fp"))
+    val bloomDf = a.agg(Bloom.bloomAgg(numBits, numHashes)(
+      xxhash64(col("content_fp"))).as("bloom"))
+    val probed = bfp.crossJoin(broadcast(bloomDf))
+      .withColumn("maybe_dup",
+        Bloom.bloomMightContain(col("bloom"), xxhash64(col("content_fp")), numHashes))
+      .select(col("doc_id"), col("content_fp"), col("maybe_dup"))
+    val definitelyNew = probed.where(!col("maybe_dup"))
+      .select(col("doc_id"), col("content_fp"))
+    val candidates = probed.where(col("maybe_dup"))
+      .select(col("doc_id"), col("content_fp"))
+    // residual check as LEFT OUTER + null-filter, not left_anti: the
+    // semi/anti pushdown rule would sink a left_anti below the shared
+    // fan-out exchange and into the union, de-canonicalizing the two
+    // branches (batch subtree planned TWICE — observed 4 scans); outer
+    // joins are not reordered through repartitions, so the branches stay
+    // identical below the exchange and it is reused. Archive-side
+    // duplicate fingerprints can multiply matched rows, but matched rows
+    // are all filtered and survivors are unique per fp — and the final
+    // fp-group aggregate absorbs multiplicity by construction.
+    val resolved = candidates
+      .join(a.withColumn("in_archive", lit(true)), Seq("content_fp"), "left_outer")
+      .where(col("in_archive").isNull)
+      .select(col("doc_id"), col("content_fp"))
+    definitelyNew.unionByName(resolved)
+      .groupBy("content_fp").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("content_fp"))
+  }
+
   /** INCREMENTAL near-dup dedup — the FUZZY counterpart of
     * [[dedupIncremental]] (which catches only exact content matches):
     * drop every BATCH document whose shingle-Jaccard with ANY archive

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Bloom
+import graft.ext.Dedup
+
+/** Round-6 second batch: bloom-filter membership sketch + bloom-pruned
+  * incremental dedup. */
+class Round6bSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Bloom kernel: no false negatives, merge is exact union") {
+    val bits = 1 << 12
+    val k = 5
+    val inserted = (0L until 500L).map(i => i * 0x9e3779b97f4a7c15L + i)
+    val a = new Array[Byte](bits / 8)
+    inserted.foreach(x => Bloom.add(a, x, k))
+    assert(inserted.forall(x => Bloom.mightContain(a, x, k)),
+      "an inserted key must always probe true")
+    // merge(bloom(A), bloom(B)) == bloom(A ∪ B), byte for byte
+    val (ha, hb) = inserted.splitAt(250)
+    val ba = new Array[Byte](bits / 8)
+    val bb = new Array[Byte](bits / 8)
+    ha.foreach(x => Bloom.add(ba, x, k))
+    hb.foreach(x => Bloom.add(bb, x, k))
+    val merged = ba.zip(bb).map { case (x, y) => (x | y).toByte }
+    assert(java.util.Arrays.equals(merged, a))
+  }
+
+  test("Bloom kernel: false-positive rate near theory at sized load") {
+    val bits = 1 << 14 // m/n = 32.8 at n=500, k=5 → fp ≈ 0.04%
+    val k = 5
+    val b = new Array[Byte](bits / 8)
+    (0L until 500L).foreach(x => Bloom.add(b, Bloom.mix(x), k))
+    val probes = (10000L until 30000L).map(Bloom.mix)
+    val fp = probes.count(x => Bloom.mightContain(b, x, k))
+    assert(fp < 60, s"fp=$fp of 20000 probes — far above the ~8 expected")
+  }
+
+  test("BloomFilterAgg over a frame matches the local kernel; probe expression agrees") {
+    val keys = (0L until 300L).map(i => s"key_$i")
+    val df = keys.toDF("s").select(xxhash64(col("s")).as("h"))
+    val agg = df.agg(Bloom.bloomAgg(1 << 12, 5)(col("h"))).as[Array[Byte]].head()
+    val local = new Array[Byte](1 << 9)
+    df.as[Long].collect().foreach(h => Bloom.add(local, h, 5))
+    assert(java.util.Arrays.equals(agg, local),
+      "distributed fold (partial + merge) must equal the sequential fold")
+    // native probe over the aggregated filter: every member true
+    val bloomDf = df.agg(Bloom.bloomAgg(1 << 12, 5)(col("h")).as("bloom"))
+    val misses = df.crossJoin(broadcast(bloomDf))
+      .where(!Bloom.bloomMightContain(col("bloom"), col("h"), 5))
+      .count()
+    assert(misses == 0L)
+  }
+
+  test("dedupIncrementalBloom ≡ dedupIncremental, including at adversarial bloom sizes") {
+    val docs = Tuple2SeqDocs.docs.toDF("doc_id", "text")
+    val archive = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.union(
+      docs.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+    val exact = Dedup.dedupIncremental(batch, archive, "doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    // tiny filter (64 bits over ~20 archive keys): near-saturated, nearly
+    // every row becomes a candidate — results must still be identical
+    for (bits <- Seq(64, 1 << 20)) {
+      val pruned = Dedup.dedupIncrementalBloom(batch, archive, "doc_id", "text",
+          numBits = bits, numHashes = 3)
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(pruned.toSeq == exact.toSeq, s"diverged at numBits=$bits")
+    }
+  }
+}
+
+private object Tuple2SeqDocs {
+  // small corpus with internal dups (ids 3/13 share text) and archive hits
+  val docs: Seq[(Long, String)] =
+    (0L until 40L).map(i => (i, s"alpha beta gamma ${i % 17} delta")) :+
+      (99L, "alpha beta gamma 3 delta")
+}
