@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
 import graft.queries.{Analytics, AsOf, Sessionize}
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Graph, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -725,6 +725,26 @@ object SparkEntry {
         docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
       Dedup.dedupIncrementalBloom(batch, archive, "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // pr1: fixed-point PageRank over the customer↔supplier trade graph
+    // (distinct (custkey, suppkey) pairs via orders⋈lineitem, both
+    // directions = undirected walk; suppliers offset +10⁹ into the shared
+    // id space — custkey stays ≪ 10⁹ up to SF ~10⁴, far past any graded
+    // scale). Integer fixed-point arithmetic end-to-end, so the 3-round
+    // iteration is bit-identical in both engines — the oracle unrolls the
+    // same three rounds as CTEs.
+    "pr1_pagerank" -> ((s, d) => {
+      val e0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + 1000000000L).as("s"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), col("s").as("dst"))
+        .union(e0.select(col("s").as("src"), col("c").as("dst")))
+      Graph.pageRankFixedPoint(edges, iterations = 3)
+        .orderBy("node")
     }),
 
     // inc2: cross-run INCREMENTAL NEAR-dup dedup — inc1's fuzzy
@@ -1666,6 +1686,43 @@ object SparkEntry {
            |SELECT doc_id, content_fp FROM bf
            |WHERE NOT EXISTS (SELECT 1 FROM af WHERE af.fp = bf.content_fp)
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // pr1: identical integer fixed-point formula, three rounds unrolled;
+      // // is floor division ≡ Spark's div on the all-positive ranks;
+      // SUM(BIGINT)→HUGEINT so the final projection casts back (ts2
+      // gotcha)
+      "pr1_pagerank" ->
+        ("""WITH e0 AS (SELECT DISTINCT o.o_custkey AS c,
+           |   l.l_suppkey + 1000000000 AS s
+           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+           | e AS (SELECT c AS src, s AS dst FROM e0
+           |  UNION ALL SELECT s AS src, c AS dst FROM e0),
+           | deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+           | nodes AS (SELECT DISTINCT node FROM
+           |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+           | c0 AS (SELECT 1000000000000000 // COUNT(*) AS r0,
+           |   (15 * (1000000000000000 // COUNT(*))) // 100 AS base
+           |  FROM nodes),
+           | r0 AS (SELECT node, (SELECT r0 FROM c0) AS r FROM nodes),
+           | i1 AS (SELECT e.dst AS node, SUM(r.r // d.outdeg) AS inc
+           |  FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+           |  GROUP BY e.dst),
+           | r1 AS (SELECT n.node, (SELECT base FROM c0)
+           |   + (85 * COALESCE(i.inc, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN i1 i ON n.node = i.node),
+           | i2 AS (SELECT e.dst AS node, SUM(r.r // d.outdeg) AS inc
+           |  FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+           |  GROUP BY e.dst),
+           | r2 AS (SELECT n.node, (SELECT base FROM c0)
+           |   + (85 * COALESCE(i.inc, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN i2 i ON n.node = i.node),
+           | i3 AS (SELECT e.dst AS node, SUM(r.r // d.outdeg) AS inc
+           |  FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+           |  GROUP BY e.dst),
+           | r3 AS (SELECT n.node, (SELECT base FROM c0)
+           |   + (85 * COALESCE(i.inc, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
+           |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
+           |ORDER BY node""".stripMargin.replace("\n", " ")),
       "inc2_incremental_neardup" ->
         (s"""WITH arch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
            | bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1

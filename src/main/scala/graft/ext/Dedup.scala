@@ -98,10 +98,11 @@ object Dedup {
     * (shuffled or hashed against a broadcast archive that itself grows
     * without bound); here the archive folds once into a `numBits`-bit
     * [[graft.functions.Bloom.BloomFilterAgg]] (fixed size, ~1 MiB at the
-    * defaults, regardless of archive row count), the 1-row filter
-    * broadcasts (provably bounded — the only relation in the operator
-    * with a broadcast hint), and each batch row pays one codegen'd bit
-    * test: "definitely new" rows bypass the join entirely, only
+    * defaults, regardless of archive row count), the filter rides to the
+    * probe as a Literal (one bounded driver-side scalar — the same
+    * budget class as a broadcast dimension, and the same shape as
+    * Spark's own injected runtime bloom joins), and each batch row pays
+    * one codegen'd bit test: "definitely new" rows bypass the join entirely, only
     * maybe-present candidates (true hits + the ~(1−e^{−kn/m})^k false-
     * positive sliver) reach the exact anti-join. Results are IDENTICAL to
     * [[dedupIncremental]] for every (numBits, numHashes): the bloom has
@@ -135,15 +136,25 @@ object Dedup {
           TextAnalysis.fingerprint(col(textCol)).as("content_fp"))
         .where(col("content_fp").isNotNull))
     val a = archive.select(TextAnalysis.fingerprint(col(textCol)).as("content_fp"))
-    val bloomDf = a.agg(Bloom.bloomAgg(numBits, numHashes)(
-      xxhash64(col("content_fp"))).as("bloom"))
-    val probed = bfp.crossJoin(broadcast(bloomDf))
-      .withColumn("maybe_dup",
-        Bloom.bloomMightContain(col("bloom"), xxhash64(col("content_fp")), numHashes))
-      .select(col("doc_id"), col("content_fp"), col("maybe_dup"))
-    val definitelyNew = probed.where(!col("maybe_dup"))
+    // ONE bounded driver action: the filter is a fixed-size sketch
+    // (numBits/8 bytes regardless of archive size — the point of a
+    // bloom), and inlining it as a Literal makes the probe a plain
+    // codegen'd filter. The column-valued alternative
+    // (crossJoin(broadcast(bloomDf)) + probe on the bloom COLUMN) is a
+    // trap: every probe re-extracts the bytes from the joined row and
+    // UnsafeRow.getBinary copies — 1 MiB × batch rows of memcpy,
+    // measured 10× slower. Spark's own injected runtime bloom joins
+    // inline the sketch the same way (scalar subquery → literal).
+    val bloomBytes: Array[Byte] = {
+      import a.sparkSession.implicits._
+      a.agg(Bloom.bloomAgg(numBits, numHashes)(
+        xxhash64(col("content_fp")))).as[Array[Byte]].head()
+    }
+    def maybeDup =
+      Bloom.bloomMightContain(bloomBytes, xxhash64(col("content_fp")), numHashes)
+    val definitelyNew = bfp.where(!maybeDup)
       .select(col("doc_id"), col("content_fp"))
-    val candidates = probed.where(col("maybe_dup"))
+    val candidates = bfp.where(maybeDup)
       .select(col("doc_id"), col("content_fp"))
     // residual check as LEFT OUTER + null-filter, not left_anti: the
     // semi/anti pushdown rule would sink a left_anti below the shared

@@ -101,12 +101,27 @@ object Bloom {
       ExpressionEncoder[java.lang.Long]())
 
   /** Column-facing probe: `bloomMightContain(col("bloom"), xxhash64(c), 7)`.
-    * The filter column typically arrives via `crossJoin(broadcast(...))` of
-    * the 1-row build aggregate — a provably bounded broadcast (one row,
-    * numBits/8 bytes), so the probe side never shuffles. */
+    *
+    * PREFER the Array[Byte] overload for a query-constant filter. A
+    * column-valued bloom (e.g. via `crossJoin(broadcast(bloomDf))`)
+    * re-reads the filter bytes out of the joined UnsafeRow on EVERY probe,
+    * and `getBinary` COPIES — a 1 MiB filter probed by 100k rows is
+    * ~100 GB of memcpy (measured 10× on bf1 before the literal form). */
   def bloomMightContain(bloom: Column, key: Column, numHashes: Int): Column =
     org.apache.spark.sql.graft.Bridge.column(BloomMightContainExpr(
       org.apache.spark.sql.graft.Bridge.expression(bloom),
+      org.apache.spark.sql.graft.Bridge.expression(key), numHashes))
+
+  /** Probe against a QUERY-CONSTANT filter: the bytes ride as a Literal —
+    * codegen references the one constant array (no per-row copy, no join
+    * to carry the bytes), exactly how Spark's own injected runtime bloom
+    * filters reach their probe side. The build aggregate's 1-row result
+    * is driver-collected by the caller — a bounded, fixed-size sketch
+    * (numBits/8 bytes however large the build side), the same budget
+    * class as a broadcast dimension. */
+  def bloomMightContain(bloom: Array[Byte], key: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(BloomMightContainExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(bloom),
       org.apache.spark.sql.graft.Bridge.expression(key), numHashes))
 }
 

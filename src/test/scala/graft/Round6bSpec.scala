@@ -79,6 +79,36 @@ class Round6bSpec extends SparkSpec {
       s"'.' must split on dots, not every char: $out")
   }
 
+  test("pageRankFixedPoint: regular graph stays exactly uniform; matches a local simulation") {
+    // undirected 4-cycle: every node degree 2 — uniform rank is a fixed
+    // point of the integer recurrence (inc = r, r' = base + 85r/100 = r0)
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val cycEdges = (cyc ++ cyc.map(_.swap)).toDF("src", "dst")
+    val uni = graft.ext.Graph.pageRankFixedPoint(cycEdges, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(uni.values.toSet == Set(1000000000000000L / 4),
+      s"regular graph must stay uniform: $uni")
+
+    // irregular directed graph vs an exact local replay of the recurrence
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L))
+    val got = graft.ext.Graph
+      .pageRankFixedPoint(edges.toDF("src", "dst"), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val scale = 1000000000000000L
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val r0 = scale / nodes.size
+    val base = (15L * r0) / 100L
+    var r = nodes.map(_ -> r0).toMap
+    for (_ <- 1 to 3) {
+      val inc = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => r(e._1) / outdeg(e._1)).sum
+      }
+      r = nodes.map(v => v -> (base + (85L * inc.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    assert(got == r, s"got $got\nexpected $r")
+  }
+
   test("dedupIncrementalBloom ≡ dedupIncremental, including at adversarial bloom sizes") {
     val docs = Tuple2SeqDocs.docs.toDF("doc_id", "text")
     val archive = docs.where(col("doc_id") % 2 === 0)
