@@ -109,32 +109,34 @@ object Dedup {
     * no false negatives, and false positives are re-checked exactly — the
     * parameters tune candidate volume, never output.
     *
-    * Single-pass shape (d2/d3 discipline): the fingerprint computes BELOW
-    * the fan-out exchange, so the exchange MATERIALIZES (doc_id,
-    * content_fp) and both route branches read a ReusedExchange — one
-    * tokenize+sha pass however many consumers (computing it above the
-    * exchange re-ran the whole pass per branch). Routing happens at raw-
-    * row level and the dedup aggregate sits ABOVE the union, so the
-    * operator has exactly ONE hash-aggregate; per-branch duplicated work
-    * is the codegen'd probe+filter only. The explicit `isNotNull` on the
-    * shared base keeps the branches canonical under the anti-join's
-    * inferred not-null predicate (the q15 de-canonicalization trap) —
-    * consequently null-text rows (null fingerprint: no content to
-    * identify) are dropped, where [[dedupIncremental]] would keep one.
-    * Remaining honest cost: the archive is read twice (bloom build +
-    * residual anti-join build side). In production both archive passes
-    * vanish: the bloom and the fingerprint index are STORED artifacts
-    * maintained per ingest batch — merge = bitwise OR, so yesterday's
-    * filter never rebuilds (same mergeable-sketch contract as apx2's
-    * MinHash union). */
+    * Single-pass shape: (doc_id, content_fp) PERSISTS (MEMORY_AND_DISK,
+    * ~tens of bytes per batch doc) and both route branches read the
+    * cache. Exchange reuse cannot carry this one: the branch predicates
+    * are probe/¬probe, and filter pushdown drives each branch's
+    * predicate through any shared exchange or aggregate down to its own
+    * copy of the scan — observed as a double tokenize+sha pass over the
+    * batch with zero reuse; a cache is the one barrier predicates do not
+    * cross. Routing happens at raw-row level and the dedup aggregate
+    * sits ABOVE the union, so the operator has exactly ONE
+    * hash-aggregate; per-branch duplicated work is the codegen'd
+    * probe+filter over cached rows only. Null-text rows (null
+    * fingerprint: no content to identify) are dropped, where
+    * [[dedupIncremental]] would keep one. Remaining honest cost: the
+    * archive is read twice (bloom build + residual anti-join build
+    * side). In production both archive passes vanish: the bloom and the
+    * fingerprint index are STORED artifacts maintained per ingest
+    * batch — merge = bitwise OR, so yesterday's filter never rebuilds
+    * (same mergeable-sketch contract as apx2's MinHash union). */
   def dedupIncrementalBloom(batch: DataFrame, archive: DataFrame,
                             idCol: String, textCol: String,
                             numBits: Int = 1 << 23, numHashes: Int = 5): DataFrame = {
     import graft.functions.Bloom
     val bfp = graft.core.Par.fanOut(
-      batch.select(col(idCol).as("doc_id"),
-          TextAnalysis.fingerprint(col(textCol)).as("content_fp"))
-        .where(col("content_fp").isNotNull))
+        batch.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("content_fp"))
+      .where(col("content_fp").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = archive.select(TextAnalysis.fingerprint(col(textCol)).as("content_fp"))
     // ONE bounded driver action: the filter is a fixed-size sketch
     // (numBits/8 bytes regardless of archive size — the point of a

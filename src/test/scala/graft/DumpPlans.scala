@@ -30,12 +30,12 @@ object DumpPlans {
       "sim1_ann_topk", "d5_emb_neardup", "rj1_price_band", "x2_tfidf",
       "a9_salted_total", "x1_top_tokens", "q11_important_parts",
       "q13_order_distribution", "d6_editdist", "ds2_strip_spans",
-      "xm1_blob_ann")
+      "xm1_blob_ann", "bf1_bloom_dedup", "pr1_pagerank")
     val sections = new StringBuilder
     val inventory = new StringBuilder
     inventory.append("\n## Plan inventory — all graded queries (finalized plans, sf0.001)\n\n")
-    inventory.append("| query | scans | shuffles | broadcasts | reused exchanges |\n")
-    inventory.append("|---|---|---|---|---|\n")
+    inventory.append("| query | scans | cached reads | shuffles | broadcasts | reused exchanges |\n")
+    inventory.append("|---|---|---|---|---|---|\n")
     val formatted = scala.collection.mutable.Map[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sf)
@@ -47,11 +47,33 @@ object DumpPlans {
       // sections — keep only the final one or every count doubles
       val p = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
-      def c(pat: String) = pat.r.findAllIn(p).length
-      val shuffles = c("Exchange hashpartitioning") + c("Exchange rangepartitioning") +
-        c("Exchange RoundRobinPartitioning") + c("Exchange SinglePartition")
-      inventory.append(s"| $name | ${c("FileScan parquet")} | $shuffles | " +
-        s"${c("BroadcastExchange")} | ${c("ReusedExchange")} |\n")
+      // Count on the PHYSICAL TREE, not the string: the tree string
+      // reprints a cached relation's whole BUILD plan under every
+      // InMemoryRelation node (recursively — pr1's 1-shuffle final plan
+      // prints 164 FileScans), so string counts charge each cache
+      // CONSUMER with the build subtree. In the executed tree
+      // InMemoryTableScan is a leaf; AQE wrappers are unwrapped to their
+      // resolved plans.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def flatten(n: SparkPlan): Seq[SparkPlan] = n match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: QueryStageExec => Seq(q) ++ flatten(q.plan)
+        case o => Seq(o) ++ o.children.flatMap(flatten)
+      }
+      val nodes = flatten(df.queryExecution.executedPlan)
+      def cn(f: SparkPlan => Boolean) = nodes.count(f)
+      val scans = cn(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+      val cachedReads = cn(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+      val shufflesT = cn(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+      val broadcastsT = cn(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec])
+      val reusedT = cn(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec])
+      inventory.append(s"| $name | $scans | $cachedReads | $shufflesT | " +
+        s"$broadcastsT | $reusedT |\n")
       if (picks.contains(name)) formatted(name) = p
     }
     val sb = new StringBuilder
