@@ -102,10 +102,15 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failures":$failures,"sf":"$sfDir"}"""
+    // Subset runs (SPARK_GRAFT_BENCH_ONLY) must NOT overwrite the
+    // committed full-suite record — a partial record once replaced it and
+    // had to be restored from git. Route them to /tmp instead.
+    val recordPath = if (only.isEmpty) "BENCH_LOCAL.json"
+                     else "/tmp/BENCH_SUBSET.json"
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(recordPath),
         (fullLine + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
+    } catch { case e: Throwable => System.err.println(s"[bench] $recordPath write failed: ${e.getMessage}") }
     // Stdout line: the driver retains only a ~2000-char tail of this
     // process's output (every recorded BENCH_r1..r4 has "parsed": null
     // because the full-precision line outgrew that window). Print a

@@ -222,6 +222,21 @@ object SparkEntry {
           Num.dsum(col("c_acctbal")).as("total_bal"))
         .orderBy("c_mktsegment")
     }),
+    // src3: the in-core columnar alternative (ORC) behind the same oracle —
+    // proves a second binary codec preserves long/int/double/string exactly
+    // through the identical scan surface (Formats.orcRoundTrip scaladoc).
+    "src3_orc_roundtrip" -> ((s, d) => {
+      val staged = Tables.table(s, d, "part").select(
+        col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+      Formats.orcRoundTrip(s, staged,
+          "p_partkey BIGINT, p_brand STRING, p_size INT, p_retailprice DOUBLE",
+          "orc-")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+          Num.dsum(col("p_retailprice")).as("total_price"),
+          min("p_size").as("min_size"), max("p_size").as("max_size"))
+        .orderBy("p_brand")
+    }),
 
     // prof1: one-pass column profiler over orders (non-null / null /
     // exact-distinct counts, typed min/max per column in ONE aggregate;
@@ -869,6 +884,31 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // sd1: SemDeDup composition — d5's pair graph carried through to the
+    // curation DECISION: LSH-blocked cosine pairs → connected-component
+    // collapse → min-id keeper per semantic cluster. The graded corpus
+    // extends d5's fixture to MULTI-member clusters (×1.5 copy of every
+    // vector, ×0.5 copy of the even half: positive scaling is cosine- and
+    // hyperplane-sign-invariant, so LSH recall on the planted family is
+    // deterministically 1.0, and the synthetic corpus has no natural pair
+    // above cos 0.52 — the component structure is exactly the planted
+    // cliques). Oracle rebuilds the exact pair graph all-pairs and walks
+    // it with a recursive CTE (the cur2 collapse shape).
+    "sd1_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.select(col("vec_id"),
+        Similarity.toDoubleArr(col("embedding")).as("embedding"))
+      val dup1 = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x.cast("double") * lit(1.5d)).as("embedding"))
+      val dup2 = emb.where(col("vec_id") % 2 === 0)
+        .select((col("vec_id") + lit(2000000L)).as("vec_id"),
+          transform(col("embedding"), x => x.cast("double") * lit(0.5d)).as("embedding"))
+      Dedup.semanticDedup(base.unionByName(dup1).unionByName(dup2),
+          "vec_id", "embedding", 0.9)
+        .select(col("vec_id"), col("root"), col("kept").cast("int").as("kept"))
+        .orderBy("vec_id")
+    }),
+
     // d6: string-level fuzzy dedup — Levenshtein ≤ 1 via the deletion-
     // neighborhood index (exact recall, so the oracle is the plain
     // all-pairs semantic truth with no blocking in sight)
@@ -890,6 +930,16 @@ object SparkEntry {
           col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rank")
     }),
+    // knn1: EVERY vector's top-k — the kNN-graph build (the input of
+    // semantic clustering / sd1-style curation), where both join sides are
+    // the SF-scaled corpus: 2-D tiled equi-join, no cartesian, no
+    // broadcast, per-tile partial top-k (Similarity.knnGraphExact scaladoc).
+    "knn1_knn_graph" -> ((s, d) =>
+      Similarity.knnGraphExact(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")),
     // ---- extension tier: multimodal binary-column plumbing ---------------
     "m1_blob_meta" -> ((s, d) =>
       Multimodal.decodeMeta(
@@ -1069,6 +1119,11 @@ object SparkEntry {
         ("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
            | CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
            |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      "src3_orc_roundtrip" ->
+        ("""SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           | CAST(SUM(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price,
+           | MIN(p_size) AS min_size, MAX(p_size) AS max_size
+           |FROM part GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       // scd1: change-point runs of event_type per user → validity intervals
       "scd1_type_history" ->
         ("""WITH o AS (SELECT user_id, ts, event_id, event_type,
@@ -2047,6 +2102,25 @@ object SparkEntry {
            |WHERE list_dot_product(x.v, y.v) /
            |   (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.9
            |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
+      // exact pair graph all-pairs, then component roots via the cur2
+      // recursive-CTE collapse; kept = "is its own root"
+      "sd1_semantic_dedup" ->
+        ("""WITH RECURSIVE v0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+           |v AS (SELECT id, v FROM v0
+           | UNION ALL SELECT id + 1000000, list_transform(v, x -> x * 1.5) FROM v0
+           | UNION ALL SELECT id + 2000000, list_transform(v, x -> x * 0.5) FROM v0 WHERE id % 2 = 0),
+           |pr AS (SELECT x.id AS id_a, y.id AS id_b
+           | FROM v x JOIN v y ON x.id < y.id
+           | WHERE list_dot_product(x.v, y.v) /
+           |   (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.9),
+           |e AS (SELECT id_a AS x, id_b AS y FROM pr UNION SELECT id_b, id_a FROM pr),
+           |reach(x, y) AS (SELECT x, y FROM e
+           | UNION SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x),
+           |rt AS (SELECT x, least(x, min(y)) AS root FROM reach GROUP BY x)
+           |SELECT v.id AS vec_id, coalesce(rt.root, v.id) AS root,
+           | CASE WHEN coalesce(rt.root, v.id) = v.id THEN 1 ELSE 0 END AS kept
+           |FROM v LEFT JOIN rt ON v.id = rt.x
+           |ORDER BY vec_id""".stripMargin.replace("\n", " ")),
       // exact fingerprint replication: token hash = first 15 hex chars of
       // sha256 (60 bits, positive signed range), vote loop over 60 bits,
       // then the chunk-blocked Spark result ≡ all pairs at hamming ≤ 3
@@ -2080,6 +2154,21 @@ object SparkEntry {
            | FROM scored)
            |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
            |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+      // knn1: the same rank/rounding semantics, self all-pairs
+      "knn1_knn_graph" ->
+        ("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+           |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           | FROM embeddings),
+           |scored AS (
+           | SELECT a.id AS query_id, b.id AS neighbor_id,
+           |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+           | FROM v a JOIN v b ON a.id <> b.id),
+           |ranked AS (
+           | SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           | FROM scored)
+           |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+           |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
       // IVF probe semantics in SQL: per-label centroids (zipped unnest +
       // avg per (label, dim)), top-nprobe lists per query by centroid
       // cosine, brute force inside probed lists, same rank/rounding as sim1

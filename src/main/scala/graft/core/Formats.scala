@@ -34,4 +34,16 @@ object Formats {
     df.write.mode("overwrite").option("header", "true").csv(dir)
     spark.read.schema(schemaDDL).option("header", "true").csv(dir)
   }
+
+  /** Stage `df` to ORC, read back with `schemaDDL` — the in-core COLUMNAR
+    * alternative to parquet (same vectorized reader / predicate-pushdown /
+    * column-pruning surface, so a warehouse standardized on ORC gets the
+    * identical scan discipline). Binary format: the round-trip under test
+    * is type fidelity through a second columnar codec, not text parsing. */
+  def orcRoundTrip(spark: SparkSession, df: DataFrame, schemaDDL: String,
+                   tag: String): DataFrame = {
+    val dir = Scratch.dir(tag)
+    df.write.mode("overwrite").orc(dir)
+    spark.read.schema(schemaDDL).orc(dir)
+  }
 }

@@ -840,4 +840,33 @@ object Dedup {
         (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= minCos)
   }
+
+  /** SEMANTIC dedup — the SemDeDup-style composition (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): embedding-cosine near-dup PAIRS → connected-component
+    * collapse → one deterministic keeper (min id) per semantic cluster.
+    * This is the decision layer the pair operators (d5) stop short of: a
+    * curation run needs "which rows survive", not a pair list. Returns one
+    * row per input id: (vec_id, root, kept) with root = the cluster
+    * keeper's id (its own id for unclustered rows) and kept = root == id.
+    *
+    * Scale shape: candidate generation is the hyperplane-LSH blocked path
+    * (equi-joins only, exact verify on candidates) unless `exact` asks for
+    * the O(n²) baseline; the component fixpoint runs on the OUTPUT-sized
+    * pair list (orders of magnitude below the corpus); the final root
+    * attach is one equi-join of the corpus ids against that small label
+    * frame — no hint, AQE broadcasts it while it fits (repo policy: the
+    * label frame is output-sized, not provably bounded). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    minCos: Double, exact: Boolean = false): DataFrame = {
+    val pairs =
+      if (exact) embeddingNearDupPairs(df, idCol, vecCol, minCos)
+      else embeddingNearDupPairsLsh(df, idCol, vecCol, minCos)
+    val roots = clusterRoots(pairs).withColumnRenamed("id", "vec_id")
+    df.select(col(idCol).cast("long").as("vec_id"))
+      .join(roots, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("root"), col("vec_id")).as("root"),
+        (coalesce(col("root"), col("vec_id")) === col("vec_id")).as("kept"))
+  }
 }

@@ -65,6 +65,50 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Exact all-vectors kNN GRAPH — every vector's k nearest neighbors in
+    * one relation (query_id, rank, neighbor_id, cos). The self-join
+    * companion to [[bruteForceTopK]]: there the query set is bounded and
+    * broadcasts; here BOTH sides are the SF-scaled corpus, so neither may
+    * broadcast and a cartesian node would serialize. Instead the N×N score
+    * space is tiled with a 2-D BLOCK decomposition expressed as a plain
+    * equi-join: each side keys on hash(id) mod B and replicates across the
+    * B tiles of the other axis, so every pair meets in exactly one of the
+    * B² hash-partitioned tiles — shuffle volume B·N per side, parallelism
+    * B², no cartesian, no broadcast. Per-tile partial top-k (Catalyst's
+    * WindowGroupLimit fires on the row_number ≤ k filter) caps the final
+    * per-query shuffle at B·k rows. The O(N²) score work is the honest
+    * exact cost — at corpus scale swap the tile join for LSH/IVF candidate
+    * generation ([[ivfTopK]], [[hyperplaneBucket]]) and re-rank, accepting
+    * tunable recall; the kNN-graph output contract (and everything
+    * downstream: semantic dedup, clustering, graph analytics) is
+    * unchanged. */
+  def knnGraphExact(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, blocks: Int = 8): DataFrame = {
+    val b = blocks.toLong
+    // norms compute BELOW the fan-out exchange so it materializes
+    // (id, v, nrm) and BOTH tile sides read a ReusedExchange (the d2/d3
+    // single-pass discipline) — one norm pass regardless of consumers
+    val v = graft.core.Par.fanOut(corpus.select(col(idCol).as("id"),
+      toDouble(col(vecCol)).as("v"), l2norm(col(vecCol)).as("nrm")))
+    val tiles = sequence(lit(0L), lit(b - 1L))
+    val q = v.select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), pmod(xxhash64(col("id")), lit(b)).as("qb"),
+        explode(tiles).as("nb"))
+    val n = v.select(col("id").as("neighbor_id"), col("v").as("nv"),
+        col("nrm").as("nn"), pmod(xxhash64(col("id")), lit(b)).as("nb"),
+        explode(tiles).as("qb"))
+    val scored = q.join(n, Seq("qb", "nb"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** `bits`-bit random-hyperplane signature of a vector: bit i is the sign
     * of ⟨v, p_i⟩ for a deterministic pseudo-random plane p_i (no RNG state —
     * reproducible on any cluster). Vectors with small angle agree on most

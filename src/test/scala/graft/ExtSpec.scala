@@ -224,6 +224,42 @@ class ExtSpec extends SparkSpec {
     assert(lsh == exact, s"LSH-blocked must equal the exact baseline: $lsh vs $exact")
   }
 
+  test("semanticDedup: multi-member clusters collapse to the min-id keeper; singletons keep themselves") {
+    // one-hot directions: cluster {0, 100, 200} (scaled copies), cluster
+    // {1, 101}, and 2/3 unclustered — kept iff own root, roots = min id
+    val base = (0 until 4).map(i =>
+      (i.toLong, Array.tabulate(4)(j => if (j == i) 1.0f else 0.0f)))
+    val dups = base.take(2).map { case (i, v) => (i + 100L, v.map(_ * 2.0f)) } ++
+      base.take(1).map { case (i, v) => (i + 200L, v.map(_ * 0.5f)) }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    for (exact <- Seq(true, false)) {
+      val out = Dedup.semanticDedup(df, "vec_id", "embedding", 0.9, exact = exact)
+        .select("vec_id", "root", "kept").as[(Long, Long, Boolean)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(out == Map(
+        0L -> ((0L, true)), 100L -> ((0L, false)), 200L -> ((0L, false)),
+        1L -> ((1L, true)), 101L -> ((1L, false)),
+        2L -> ((2L, true)), 3L -> ((3L, true))),
+        s"exact=$exact: $out")
+    }
+  }
+
+  test("knnGraphExact: 2-D tiled self-join equals the broadcast brute force") {
+    // every (a,b) pair must meet in exactly ONE tile — a missed tile loses
+    // a neighbor, a doubled tile inflates ranks past k
+    val vs = (0 until 12).map(i =>
+      (i.toLong, Array.tabulate(6)(j => ((i * 7 + j * 3) % 11 - 5).toFloat)))
+    val df = vs.toDF("vec_id", "embedding")
+    val g = Similarity.knnGraphExact(df, "vec_id", "embedding", 3, blocks = 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val bf = Similarity.bruteForceTopK(df, df, "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(g.size == 36 && g == bf,
+      s"tiled kNN graph must equal brute force: ${g.diff(bf)} / ${bf.diff(g)}")
+  }
+
   test("cosine: exact values on unit vectors") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
