@@ -762,6 +762,28 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // tri1: per-node triangle counts over the part CO-OCCURRENCE graph
+    // (parts sharing an order are adjacent; triangles = part triples
+    // pairwise co-bought, possibly via three different orders — the
+    // community-density signal). Edge build: per-order sorted part set →
+    // native pair expansion → distinct; counting is the degree-ordered
+    // wedge enumeration (Graph.triangleCounts scaladoc). The oracle
+    // enumerates each triangle once in plain id order (a<b<c) — the
+    // triangle SET is orientation-invariant, so the simple SQL form and
+    // the skew-proof Spark form must agree exactly.
+    "tri1_triangle_counts" -> ((s, d) => {
+      val pl = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = pl.groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(
+          graft.functions.VectorExpressions.pairExpandNative(col("ps"))).as("p"))
+        .select(call_function("shiftright", col("p"), lit(32)).as("u"),
+          col("p").bitwiseAND(lit(0xffffffffL)).as("v"))
+      // no .distinct() here: triangleCounts canonicalizes + dedups anyway
+      Graph.triangleCounts(edges).orderBy("node")
+    }),
+
     // inc2: cross-run INCREMENTAL NEAR-dup dedup — inc1's fuzzy
     // counterpart. Archive = even-id docs; batch = odd-id docs plus a
     // planted near-dup of every archive doc (+700000, one appended token:
@@ -1778,6 +1800,20 @@ object SparkEntry {
            |  FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
            |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
            |ORDER BY node""".stripMargin.replace("\n", " ")),
+      // each triangle once in id order a<b<c; the per-node count is the
+      // number of triangles containing the node
+      "tri1_triangle_counts" ->
+        ("""WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           | FROM pl a JOIN pl b
+           | ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           | FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+           | JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+           |n AS (SELECT a AS node FROM tri
+           | UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+           |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+           |FROM n GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       "inc2_incremental_neardup" ->
         (s"""WITH arch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
            | bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1

@@ -30,7 +30,8 @@ object DumpPlans {
       "sim1_ann_topk", "d5_emb_neardup", "rj1_price_band", "x2_tfidf",
       "a9_salted_total", "x1_top_tokens", "q11_important_parts",
       "q13_order_distribution", "d6_editdist", "ds2_strip_spans",
-      "xm1_blob_ann", "bf1_bloom_dedup", "pr1_pagerank")
+      "xm1_blob_ann", "bf1_bloom_dedup", "pr1_pagerank",
+      "tri1_triangle_counts", "knn1_knn_graph", "sd1_semantic_dedup")
     val sections = new StringBuilder
     val inventory = new StringBuilder
     inventory.append("\n## Plan inventory — all graded queries (finalized plans, sf0.001)\n\n")

@@ -109,6 +109,32 @@ class Round6bSpec extends SparkSpec {
     assert(got == r, s"got $got\nexpected $r")
   }
 
+  test("triangleCounts: exact per-node counts under skew, duplicates and mixed edge order") {
+    // K4 on {0,1,2,3} (4 triangles, each node in 3), a pendant node 4 (no
+    // triangle), and a celebrity hub 9 joined to 0..4 — hub triangles are
+    // exactly the K4 edges + (0-4? no: 4 adjacent to 0 only via hub? 4-0
+    // not an edge) → hub forms a triangle per K4 edge: {9,a,b} for each of
+    // the 6 K4 edges. Edges fed in MIXED order with duplicates.
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val extra = Seq((4L, 0L)) // pendant-ish: 4-0 edge (makes {9,4,0} a triangle too)
+    val hub = (0L to 4L).map(x => (9L, x))
+    val dups = Seq((1L, 0L), (0L, 1L)) // duplicates in both orders
+    val edges = (k4 ++ extra ++ hub ++ dups).toDF("u", "v")
+    val got = graft.ext.Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    // triangles: K4's 4; hub over each K4 edge (6) + hub over edge 4-0 (1);
+    // plus {0,?}: edge 4-0 with K4? 4 adjacent only to 0 and 9 → no more.
+    // per-node: brute-force check instead of hand counting:
+    val und = (k4 ++ extra ++ hub).flatMap(e => Seq(e, e.swap)).toSet
+    val ns = und.map(_._1).toSeq.distinct.sorted
+    val expect = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      i <- ns; j <- ns if j > i; k <- ns if k > j
+      if und((i, j)) && und((j, k)) && und((i, k))
+    } { expect(i) += 1; expect(j) += 1; expect(k) += 1 }
+    assert(got == expect.toMap, s"got $got\nexpected $expect")
+  }
+
   test("dedupIncrementalBloom ≡ dedupIncremental, including at adversarial bloom sizes") {
     val docs = Tuple2SeqDocs.docs.toDF("doc_id", "text")
     val archive = docs.where(col("doc_id") % 2 === 0)
