@@ -238,6 +238,31 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    // src4: the JDBC source/sink (S3/K1) behind the same oracle — the
+    // customer dimension goes through a REAL JDBC database (embedded
+    // Derby, in Spark's own distribution jars) and comes back through the
+    // range-partitioned parallel scan: per-partition parallel INSERTs on
+    // the way in (core.Sinks.replaceJdbc — idempotent, so bench re-runs
+    // don't append-duplicate), one connection per disjoint key range on
+    // the way out (core.Tables.jdbcTablePartitioned — a single-connection
+    // JDBC pull is the classic ingest bottleneck at scale). The upper
+    // bound is one bounded scalar driver action (pr1's budget class).
+    "src4_jdbc_roundtrip" -> ((s, d) => {
+      val staged = Tables.customer(s, d).select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_nationkey"),    // keep INT: the oracle's int32 group key
+        col("c_acctbal").cast("double").as("c_acctbal"))
+      val url = "jdbc:derby:memory:graftsrc4;create=true"
+      core.Sinks.replaceJdbc(staged, url, "CUSTOMER_RT", "", "")
+      val hi = staged.agg(max(col("c_custkey"))).head().getLong(0)
+      Tables.jdbcTablePartitioned(s, url, "CUSTOMER_RT",
+          "c_custkey", 0L, hi, 8, "", "")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"),
+          Num.dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("c_nationkey")
+    }),
+
     // prof1: one-pass column profiler over orders (non-null / null /
     // exact-distinct counts, typed min/max per column in ONE aggregate;
     // the exact multi-distinct plans as a single Expand pass — swap in
@@ -1146,6 +1171,10 @@ object SparkEntry {
            | CAST(SUM(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price,
            | MIN(p_size) AS min_size, MAX(p_size) AS max_size
            |FROM part GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      "src4_jdbc_roundtrip" ->
+        ("""SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           | CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
+           |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       // scd1: change-point runs of event_type per user → validity intervals
       "scd1_type_history" ->
         ("""WITH o AS (SELECT user_id, ts, event_id, event_type,

@@ -36,6 +36,20 @@ object Sinks {
       .option("user", user).option("password", password)
       .save()
 
+  /** Idempotent JDBC REPLACE (drop-and-recreate): the re-runnable variant
+    * of [[writeToJdbc]] for recomputed batch-layer outputs — append
+    * duplicates on retry, replace is idempotent per run (the same repair
+    * semantic as [[overwritePartitions]], at whole-table granularity
+    * because JDBC has no partition directories). Parallelism note: the
+    * write is per-partition parallel INSERTs like append; `Overwrite`
+    * only adds the one-time DROP/CREATE. */
+  def replaceJdbc(df: DataFrame, url: String, table: String,
+                  user: String, password: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("user", user).option("password", password)
+      .save()
+
   /** Batch partitioned-parquet writer (same layout as the streaming K3). */
   def writePartitionedParquet(df: DataFrame, tsCol: String, path: String): Unit =
     withDateParts(df, tsCol)

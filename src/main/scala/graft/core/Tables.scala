@@ -96,4 +96,27 @@ object Tables {
       .option("user", user)
       .option("password", password)
       .load()
+
+  /** Range-partitioned parallel JDBC scan — the scale shape of
+    * [[jdbcTable]]: a plain JDBC read is ONE connection pulling the whole
+    * table through a single task (the classic ingest bottleneck); this
+    * variant splits `[lower, upper]` on a numeric key into `numPartitions`
+    * disjoint range predicates, one connection per partition, so the scan
+    * parallelizes like a file source. Filters and column pruning still
+    * push into each partition's generated SQL (JDBCRelation PushedFilters).
+    * Bounds don't filter — rows outside land in the edge partitions. */
+  def jdbcTablePartitioned(spark: SparkSession, url: String, dbtable: String,
+                           partitionColumn: String, lower: Long, upper: Long,
+                           numPartitions: Int,
+                           user: String, password: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", dbtable)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lower)
+      .option("upperBound", upper)
+      .option("numPartitions", numPartitions)
+      .option("user", user)
+      .option("password", password)
+      .load()
 }
