@@ -797,8 +797,11 @@ object SparkEntry {
     // triangle SET is orientation-invariant, so the simple SQL form and
     // the skew-proof Spark form must agree exactly.
     "tri1_triangle_counts" -> ((s, d) => {
+      // no pre-distinct: collect_set dedups parts within an order, and
+      // triangleCounts dedups the cross-order repeat pairs — a distinct
+      // here would be a full extra shuffle of the scan
       val pl = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .select(col("l_orderkey"), col("l_partkey"))
       val edges = pl.groupBy("l_orderkey")
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
         .select(explode(

@@ -149,12 +149,17 @@ object Graph {
         xxhash64(pk)).as("bf"))
       a.head().getAs[Array[Byte]](0)
     }
+    // adjacency entries packed (dd<<32 | dst) so the per-group sort is a
+    // primitive-long sort in (dd, dst) order (dd < 2^31 always — degree is
+    // bounded by the 31-bit node-id space; a struct sort comparator is
+    // several times slower); mask back to dst after sorting
     val wedges = oriented
       .groupBy("src")
-      .agg(array_sort(collect_list(struct(col("dd"), col("dst")))).as("adj"))
+      .agg(array_sort(collect_list(
+        shiftleft(col("dd"), 32) bitwiseOR col("dst"))).as("adj"))
       .select(col("src").as("n0"), explode(
         graft.functions.VectorExpressions.pairExpandNative(
-          transform(col("adj"), s => s.getField("dst")))).as("pk"))
+          transform(col("adj"), p => p.bitwiseAND(lit(0xffffffffL))))).as("pk"))
       .where(graft.functions.Bloom.bloomMightContain(
         bloomBytes, xxhash64(col("pk")), 5))
     val tri = wedges.join(oriented.select(pk.as("pk")), Seq("pk"))
