@@ -263,6 +263,24 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // src5: S4 for real — the supplier dimension through Avro container
+    // files on the stock classpath (sources.Avro scaladoc: avro-mapred
+    // Hadoop I/O, splittable, executor-side both ways; spark-avro is the
+    // drop-in at deploy time). min/max over s_name grade string fidelity
+    // through Avro's Utf8 alongside the long/int/double aggregates.
+    "src5_avro_roundtrip" -> ((s, d) => {
+      val staged = Tables.table(s, d, "supplier").select(
+        col("s_suppkey").cast("long").as("s_suppkey"),
+        col("s_nationkey"), col("s_name"),
+        col("s_acctbal").cast("double").as("s_acctbal"))
+      sources.Avro.avroRoundTrip(s, staged, "avro-src5-")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          Num.dsum(col("s_acctbal")).as("total_bal"),
+          min("s_name").as("first_name"), max("s_name").as("last_name"))
+        .orderBy("s_nationkey")
+    }),
+
     // prof1: one-pass column profiler over orders (non-null / null /
     // exact-distinct counts, typed min/max per column in ONE aggregate;
     // the exact multi-distinct plans as a single Expand pass — swap in
@@ -1178,6 +1196,11 @@ object SparkEntry {
         ("""SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
            | CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
            |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      "src5_avro_roundtrip" ->
+        ("""SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           | CAST(SUM(CAST(s_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal,
+           | MIN(s_name) AS first_name, MAX(s_name) AS last_name
+           |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       // scd1: change-point runs of event_type per user → validity intervals
       "scd1_type_history" ->
         ("""WITH o AS (SELECT user_id, ts, event_id, event_type,

@@ -11,11 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the writer and the reader both preserve values exactly (longs, shortest-
   * round-trip doubles, quoted strings).
   *
-  * The reference declares spark-avro (`KCDBProcessingMel/build.sbt:12`) but
-  * never invokes it, and the Avro connector jar isn't shipped offline
-  * (README §sources); JSON and CSV are the in-core text formats that stand
-  * on the same source API surface. Staging lives under [[Scratch]] (removed
-  * on JVM exit); executors write and read — nothing driver-resident.
+  * JSON and CSV are the in-core text formats standing on the same source
+  * API surface; the Avro path the reference declares
+  * (`KCDBProcessingMel/build.sbt:12`) lives in [[graft.sources.Avro]]
+  * (avro-mapred container files — the connector jar isn't shipped
+  * offline). Staging lives under [[Scratch]] (removed on JVM exit);
+  * executors write and read — nothing driver-resident.
   */
 object Formats {
 
