@@ -57,6 +57,25 @@ class JdbcSpec extends SparkSpec {
     assert(q.count() == 5)
   }
 
+  test("K4 provisioner: idempotent DDL + seed, then the full reference loop") {
+    import graft.core.Provisioner
+    val seed = (1 to 5).map(i =>
+      (f"00000000-0000-0000-0000-$i%012d", s"user$i", s"user$i@example.com",
+        i * 100000L))
+    Provisioner.provisionPipeline(url, "", "", seed)
+    Provisioner.provisionPipeline(url, "", "", seed)   // re-run: no-op
+    val dim = Tables.jdbcTable(spark, url, "user_metadata", "", "")
+    assert(dim.count() == 5, "seed not duplicated on re-provision")
+    // reference loop: read the provisioned dimension, derive, append into
+    // a provisioned sink table through the Spark JDBC sink
+    val out = dim.select(col("email"), col("quota").as("usage_b"),
+      col("quota"), current_timestamp().cast("timestamp").as("ts"))
+    Sinks.writeToJdbc(out, url, "user_quota_limit", "", "")
+    val back = Tables.jdbcTable(spark, url, "user_quota_limit", "", "")
+    assert(back.count() == 5)
+    assert(back.select("email").distinct().count() == 5)
+  }
+
   test("range-partitioned parallel JDBC read: disjoint covering partitions") {
     val nation = Tables.nation(spark, sf)
       .select(col("n_nationkey").cast("long").as("n_nationkey"),
