@@ -805,6 +805,30 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // lp1: label-propagation communities over the part co-occurrence
+    // graph (tri1's graph — unipartite; synchronous LPA oscillates on
+    // bipartite graphs, see Graph.labelPropagation scaladoc). Three
+    // deterministic rounds — most-frequent neighbor label, min tie-break,
+    // integer-only — so the oracle unrolls the identical rounds as CTEs.
+    "lp1_label_prop" -> ((s, d) => {
+      val pl = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val eu = pl.groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(
+          graft.functions.VectorExpressions.pairExpandNative(col("ps"))).as("p"))
+        // both directions from ONE subtree (explode, not union — a union
+        // of the swapped projection de-canonicalizes the shared derivation
+        // and re-scans lineitem per branch at cache build)
+        .select(explode(array(
+          struct(call_function("shiftright", col("p"), lit(32)).as("src"),
+            col("p").bitwiseAND(lit(0xffffffffL)).as("dst")),
+          struct(col("p").bitwiseAND(lit(0xffffffffL)).as("src"),
+            call_function("shiftright", col("p"), lit(32)).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      Graph.labelPropagation(eu, iterations = 3).orderBy("node")
+    }),
+
     // tri1: per-node triangle counts over the part CO-OCCURRENCE graph
     // (parts sharing an order are adjacent; triangles = part triples
     // pairwise co-bought, possibly via three different orders — the
@@ -870,6 +894,14 @@ object SparkEntry {
     // graded SF ever outgrows the offset (then: derive offsets from a
     // collected max(doc_id) scalar). Test fixtures only — no production
     // operator re-keys ids.
+    // Planted-fixture id convention (ds1/ds2/cur1/cur2/inc2 + oracles):
+    // synthetic copies are re-keyed doc_id + 100000/200000/300000. The
+    // offsets are valid while the corpus has < 100k docs — the graded SFs
+    // have ≤ 5k (sf0.1: 5 000 documents), so the ORDER BY doc_id key stays
+    // unique with 20× headroom. Fixtures at larger corpora must derive the
+    // offset from a collected max(doc_id) (one bounded scalar, pr1's
+    // budget class) or negate planted ids; both sides of the oracle would
+    // change together since the SQL plants the identical offsets.
     "ds1_substring_dups" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val planted = docs
@@ -1854,6 +1886,33 @@ object SparkEntry {
            |   + (85 * COALESCE(i.inc, 0)) // 100 AS r
            |  FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
            |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
+           |ORDER BY node""".stripMargin.replace("\n", " ")),
+      // three unrolled LPA rounds; each round = neighbor-label vote count
+      // + top-1 per node ordered (count DESC, label ASC)
+      "lp1_label_prop" ->
+        ("""WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |eu AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           | FROM pl a JOIN pl b
+           | ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |e AS (SELECT u AS src, v AS dst FROM eu
+           | UNION ALL SELECT v, u FROM eu),
+           |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+           |v1 AS (SELECT e.src AS node, l.lab, COUNT(*) AS c
+           | FROM e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2),
+           |l1 AS (SELECT node, lab FROM (SELECT node, lab,
+           |  ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+           |  FROM v1) t WHERE rn = 1),
+           |v2 AS (SELECT e.src AS node, l.lab, COUNT(*) AS c
+           | FROM e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2),
+           |l2 AS (SELECT node, lab FROM (SELECT node, lab,
+           |  ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+           |  FROM v2) t WHERE rn = 1),
+           |v3 AS (SELECT e.src AS node, l.lab, COUNT(*) AS c
+           | FROM e JOIN l2 l ON l.node = e.dst GROUP BY 1, 2),
+           |l3 AS (SELECT node, lab FROM (SELECT node, lab,
+           |  ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+           |  FROM v3) t WHERE rn = 1)
+           |SELECT node, lab AS community FROM l3
            |ORDER BY node""".stripMargin.replace("\n", " ")),
       // each triangle once in id order a<b<c; the per-node count is the
       // number of triangles containing the node

@@ -76,6 +76,54 @@ object Graph {
     r.select(col("node"), col("r").as("rank_fp"))
   }
 
+  /** Fixed-iteration synchronous LABEL PROPAGATION (Raghavan et al. 2007)
+    * — community detection, the graph tier's clustering primitive between
+    * [[Dedup.clusterRoots]] (connected components: min-label to fixpoint)
+    * and [[triangleCounts]] (community DENSITY): each round every node
+    * adopts the most frequent label among its neighbors, ties broken by
+    * MINIMUM label. Classic LPA breaks ties randomly; the min tie-break
+    * plus synchronous rounds makes the computation fully deterministic —
+    * integer-only, shuffle-order-free, so an oracle can unroll the
+    * identical rounds (the pr1 discipline: determinism through integer
+    * math, never float). Input: directed (src, dst) pairs — pass BOTH
+    * directions for an undirected graph. Labels start as node ids;
+    * returns (node, community) after `iterations` rounds.
+    *
+    * Scale shape: the edge list persists once (flat lineage); an
+    * iteration is ONE equi-join of the cached edges against the label
+    * frame (|nodes| rows — AQE broadcasts it while it fits), a (node,
+    * label)-keyed count (map-side combined), and a top-1-per-node
+    * argmax that plans as WindowGroupLimit — the partial limit caps the
+    * final shuffle at one row per (partition, node), never a full sort
+    * of the vote stream. No driver state; the label frame stays lazy,
+    * appearing exactly once in the next round's plan. Synchronous LPA on
+    * a BIPARTITE graph oscillates (2-cycles) — callers choose unipartite
+    * graphs or accept the round-parity semantics. */
+  def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1)
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst") && col("src").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()   // one action: materialize both caches
+    var labels = nodes.select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to iterations) {
+      val votes = e
+        .join(labels.select(col("node").as("dst"), col("lab")), "dst")
+        .groupBy(col("src"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("c").desc, col("lab").asc)
+      labels = votes
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("src").as("node"), col("lab"))
+    }
+    labels.select(col("node"), col("lab").as("community"))
+  }
+
   /** Per-node TRIANGLE counts over an undirected simple graph — the local
     * clustering / community-density primitive (and the third leg of the
     * graph tier next to [[pageRankFixedPoint]] and

@@ -31,7 +31,8 @@ object DumpPlans {
       "a9_salted_total", "x1_top_tokens", "q11_important_parts",
       "q13_order_distribution", "d6_editdist", "ds2_strip_spans",
       "xm1_blob_ann", "bf1_bloom_dedup", "pr1_pagerank",
-      "tri1_triangle_counts", "knn1_knn_graph", "sd1_semantic_dedup")
+      "tri1_triangle_counts", "knn1_knn_graph", "sd1_semantic_dedup",
+      "lp1_label_prop")
     val sections = new StringBuilder
     val inventory = new StringBuilder
     inventory.append("\n## Plan inventory — all graded queries (finalized plans, sf0.001)\n\n")

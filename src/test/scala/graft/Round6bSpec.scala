@@ -135,6 +135,33 @@ class Round6bSpec extends SparkSpec {
     assert(got == expect.toMap, s"got $got\nexpected $expect")
   }
 
+  test("labelPropagation: synchronous min-tie-break rounds match a brute-force simulator") {
+    // two K4 cliques bridged by one edge, plus a pendant chain — enough
+    // structure for non-trivial votes; expectation from a direct simulator
+    // of the documented rule (most frequent neighbor label, min tie-break)
+    val k4a = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val k4b = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val und = (k4a ++ k4b ++ Seq((3L, 10L), (13L, 20L), (20L, 21L))).toSet
+    def simulate(iters: Int): Map[Long, Long] = {
+      val dir = und ++ und.map(_.swap)
+      val adj = dir.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        lab = adj.map { case (n, nbrs) =>
+          val cnt = nbrs.map(lab).groupBy(identity).view.mapValues(_.size)
+          n -> cnt.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        }
+      }
+      lab
+    }
+    val edges = (und ++ und.map(_.swap)).toSeq.toDF("src", "dst")
+    for (iters <- Seq(1, 2, 3)) {
+      val got = graft.ext.Graph.labelPropagation(edges, iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got == simulate(iters), s"iteration count $iters")
+    }
+  }
+
   test("dedupIncrementalBloom ≡ dedupIncremental, including at adversarial bloom sizes") {
     val docs = Tuple2SeqDocs.docs.toDF("doc_id", "text")
     val archive = docs.where(col("doc_id") % 2 === 0)
