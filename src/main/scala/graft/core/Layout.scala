@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 /** Physical data layout for repeated-join/aggregation workloads: bucketing.
   *
@@ -50,4 +51,42 @@ object Layout {
     * or df.persist() instead. */
   def clusterBy(df: DataFrame, key: String, partitions: Int): DataFrame =
     df.repartition(partitions, df(key)).sortWithinPartitions(key)
+
+  /** Morton (Z-order) interleave of two non-negative 32-bit keys into one
+    * 64-bit curve key — multi-dimensional clustering, the data-skipping
+    * layout for tables filtered on MORE THAN ONE column (bucketing and
+    * single-column sort cluster one key; a scan filtered on the other
+    * reads everything). Pure codegen'd column arithmetic (the classic
+    * bit-spreading with five shift-mask rounds) — no UDF, no custom
+    * expression needed. Keys outside [0, 2³²) must be pre-coded
+    * (rank/bucket/offset) by the caller, the standard z-order contract. */
+  def zorderKey(a: Column, b: Column): Column = {
+    def spread(c: Column): Column = {
+      // 32 bits → the even bit positions of a long
+      var x = c.cast("long").bitwiseAND(lit(0xffffffffL))
+      x = (x bitwiseOR shiftleft(x, 16)) bitwiseAND lit(0x0000FFFF0000FFFFL)
+      x = (x bitwiseOR shiftleft(x, 8))  bitwiseAND lit(0x00FF00FF00FF00FFL)
+      x = (x bitwiseOR shiftleft(x, 4))  bitwiseAND lit(0x0F0F0F0F0F0F0F0FL)
+      x = (x bitwiseOR shiftleft(x, 2))  bitwiseAND lit(0x3333333333333333L)
+      (x bitwiseOR shiftleft(x, 1)) bitwiseAND lit(0x5555555555555555L)
+    }
+    spread(a) bitwiseOR shiftleft(spread(b), 1)
+  }
+
+  /** Write `df` Z-ORDERED on two columns: range-partition by the Morton
+    * key (contiguous curve segments → files), sort within each partition
+    * by it, write plain parquet. Every file then covers a small rectangle
+    * of the (a, b) space, so parquet footer min/max statistics prune
+    * files/row-groups for predicates on EITHER column (~√F of F files per
+    * point query, vs all F for the non-clustered column of a single-sort
+    * layout — LayoutSpec measures both). One range shuffle at write time,
+    * amortized over every later scan; no catalog requirement (footer
+    * stats travel with the files, unlike the bucket spec). */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+                    path: String, files: Int): Unit =
+    df.withColumn("__z", zorderKey(col(colA), col(colB)))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }

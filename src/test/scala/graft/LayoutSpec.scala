@@ -104,4 +104,49 @@ class LayoutSpec extends SparkSpec {
         s"pruning divergence must yield two exchanges (caveat pin):\n$dp")
     }
   }
+
+  test("zorderKey interleaves bits exactly") {
+    import spark.implicits._
+    def morton(a: Long, b: Long): Long =
+      (0 until 32).foldLeft(0L) { (z, i) =>
+        z | ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1)
+      }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (10L, 6L),
+      (0xffffffffL, 0L), (0L, 0xffffffffL), (0xffffffffL, 0xffffffffL),
+      (123456789L, 987654321L))
+    val got = cases.toDF("a", "b")
+      .select(Layout.zorderKey(col("a"), col("b")).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == cases.map((morton _).tupled),
+      s"got $got expected ${cases.map((morton _).tupled)}")
+  }
+
+  test("z-ordered layout prunes files on BOTH dimensions; single sort only on one") {
+    import spark.implicits._
+    // a full 256×256 grid: every file of a perfect z-layout covers a
+    // rectangle; a single-column sort covers thin x-slices spanning all y
+    val grid = spark.range(0, 65536L, 1, 8)
+      .select(($"id" % 256).as("x"), ($"id" / 256).cast("long").as("y"))
+    val zdir = tmpDir("z-layout") + "/z"
+    val sdir = tmpDir("z-layout") + "/s"
+    Layout.writeZOrdered(grid, "x", "y", zdir, files = 16)
+    grid.withColumn("__k", col("x"))
+      .repartitionByRange(16, col("__k")).sortWithinPartitions("__k")
+      .drop("__k").write.parquet(sdir)
+    // per-file (min, max) envelopes per dimension, via the files themselves
+    def envelopes(dir: String, c: String): Seq[(Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name()).agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+        .select("lo", "hi").as[(Long, Long)].collect().toSeq
+    def filesMatching(env: Seq[(Long, Long)], v: Long) =
+      env.count { case (lo, hi) => lo <= v && v <= hi }
+    // point predicates across the domain: the z-layout reads a strict
+    // subset of files on EITHER dimension; the x-sorted layout prunes x
+    // but reads EVERY file for a y predicate (footer min/max spans all y)
+    for (v <- Seq(3L, 100L, 200L, 255L)) {
+      assert(filesMatching(envelopes(zdir, "x"), v) <= 8, s"z x=$v")
+      assert(filesMatching(envelopes(zdir, "y"), v) <= 8, s"z y=$v")
+      assert(filesMatching(envelopes(sdir, "y"), v) == 16, s"sort y=$v reads all")
+    }
+  }
 }
