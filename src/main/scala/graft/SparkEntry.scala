@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
-import graft.queries.{Analytics, AsOf, Sessionize}
+import graft.queries.{Analytics, AsOf, Basket, Behavior, Sessionize}
 import graft.ext.{Dedup, Graph, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -444,6 +444,22 @@ object SparkEntry {
         rightCols = Seq("click_id", "click_ts"), prefix = "")
         .orderBy("event_id")
     }),
+
+    // funnel: view→click→purchase dependent-min chain, 24 h per-step
+    // deadline — one (user, ts) shuffle + sort for all three steps
+    "fun1_funnel" -> ((s, d) =>
+      Behavior.funnelCounts(events(s, d), col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"),
+        stepWindowSeconds = 24 * 3600)),
+
+    // cohort retention: first-active-day cohorts × day offset, distinct
+    // returning users per cell
+    "coh1_cohort_retention" -> ((s, d) =>
+      Behavior.cohortRetention(events(s, d), col("user_id"), col("ts"))),
+
+    // market-basket frequent pairs over lineitem baskets (support >= 2)
+    "fi1_frequent_pairs" -> ((s, d) =>
+      Basket.frequentPairs(Tables.lineitem(s, d), minSupport = 2L)),
 
     // ---- extension tier: text analysis over documents --------------------
     // text projections go through Par.stage before their output sort:
@@ -1680,6 +1696,54 @@ object SparkEntry {
            |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            | ON e.user_id = c.user_id AND e.ts >= c.ts
            |ORDER BY e.event_id""".stripMargin.replace("\n", " ")),
+      // fun1: the same dependent-min chain — DuckDB's default window frame
+      // (RANGE UNBOUNDED PRECEDING..CURRENT ROW) matches the Spark side's
+      // explicit rangeBetween, so equal-timestamp peers resolve identically
+      "fun1_funnel" ->
+        ("""WITH e AS (
+           | SELECT user_id AS u, epoch_us(ts) AS t, event_type AS s FROM events),
+           |w1 AS (
+           | SELECT u, t, s,
+           |  min(CASE WHEN s = 'view' THEN t END)
+           |   OVER (PARTITION BY u ORDER BY t) AS r0
+           | FROM e),
+           |w2 AS (
+           | SELECT u, t, s, r0,
+           |  min(CASE WHEN s = 'click' AND r0 IS NOT NULL
+           |       AND t <= r0 + 86400000000 THEN t END)
+           |   OVER (PARTITION BY u ORDER BY t) AS r1
+           | FROM w1),
+           |pu AS (
+           | SELECT u,
+           |  min(CASE WHEN s = 'view' THEN t END) AS t0,
+           |  min(CASE WHEN s = 'click' AND r0 IS NOT NULL
+           |       AND t <= r0 + 86400000000 THEN t END) AS t1,
+           |  min(CASE WHEN s = 'purchase' AND r1 IS NOT NULL
+           |       AND t <= r1 + 86400000000 THEN t END) AS t2
+           | FROM w2 GROUP BY 1),
+           |c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM pu)
+           |SELECT step_no, step, n_users FROM (
+           | SELECT CAST(1 AS BIGINT) AS step_no, 'view' AS step, n0 AS n_users FROM c
+           | UNION ALL SELECT CAST(2 AS BIGINT), 'click', n1 FROM c
+           | UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n2 FROM c)
+           |ORDER BY step_no""".stripMargin.replace("\n", " ")),
+      "coh1_cohort_retention" ->
+        ("""WITH d AS (
+           | SELECT user_id AS u, date_trunc('day', ts) AS day FROM events),
+           |c AS (
+           | SELECT u, day, min(day) OVER (PARTITION BY u) AS cohort_day FROM d)
+           |SELECT cohort_day,
+           | CAST(date_diff('day', cohort_day, day) AS BIGINT) AS offset_days,
+           | CAST(count(DISTINCT u) AS BIGINT) AS n_users
+           |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
+      "fi1_frequent_pairs" ->
+        ("""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+           |SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+           | count(*) AS n_orders
+           |FROM b a JOIN b c
+           | ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+           |GROUP BY 1, 2 HAVING count(*) >= 2
+           |ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
 
       // ---- extension tier ------------------------------------------------
       "x1_top_tokens" ->
