@@ -1,9 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
-import graft.queries.{Analytics, AsOf, Basket, Behavior, Sessionize}
+import graft.queries.{Analytics, AsOf, Basket, Behavior, Cdc, Sessionize}
 import graft.ext.{Dedup, Graph, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -460,6 +460,73 @@ object SparkEntry {
     // market-basket frequent pairs over lineitem baskets (support >= 2)
     "fi1_frequent_pairs" -> ((s, d) =>
       Basket.frequentPairs(Tables.lineitem(s, d), minSupport = 2L)),
+
+    // merge1: CDC apply (MERGE/upsert) — fold a full-row-image change
+    // batch into the customer snapshot; latest log offset per key wins.
+    // Planted batch (same +1000000 insert-key headroom convention as the
+    // other planted fixtures — customer is ≤15k keys at graded SFs):
+    // seq 1 updates (%10==3, +100), deletes (%10==7), inserts (+1000000
+    // re-key of %10==1); seq 2 OVERRIDES: a second update (%20==3, +500
+    // from base — full image, not cumulative) and a delete→re-insert
+    // resurrection (%20==7, zero balance). Exercises latest-wins, delete,
+    // resurrect, insert and untouched-key passthrough in one batch.
+    "merge1_cdc_apply" -> ((s, d) => {
+      val base = customer(s, d)
+      def img(rows: DataFrame, seq: Long, op: String,
+              bal: Column => Column = identity[Column],
+              name: Column => Column = identity[Column],
+              seg: Column => Column = identity[Column],
+              key: Column => Column = identity[Column]) =
+        rows.select(key(col("c_custkey")).as("c_custkey"),
+          name(col("c_name")).as("c_name"), col("c_nationkey"),
+          bal(col("c_acctbal")).as("c_acctbal"),
+          seg(col("c_mktsegment")).as("c_mktsegment"),
+          lit(seq).as("seq"), lit(op).as("op"))
+      val changes = img(base.where(col("c_custkey") % 10 === 3), 1L, "U",
+          bal = _ + 100.0)
+        .unionByName(img(base.where(col("c_custkey") % 10 === 7), 1L, "D"))
+        .unionByName(img(base.where(col("c_custkey") % 10 === 1), 1L, "I",
+          bal = _ => lit(0.0), name = n => concat(lit("new_"), n),
+          seg = _ => lit("NEW"), key = _ + 1000000L))
+        .unionByName(img(base.where(col("c_custkey") % 20 === 3), 2L, "U",
+          bal = _ + 500.0))
+        .unionByName(img(base.where(col("c_custkey") % 20 === 7), 2L, "I",
+          bal = _ => lit(0.0), seg = _ => lit("REBORN")))
+      Cdc.applyChanges(base, changes, "c_custkey", "seq", "op")
+        .orderBy("c_custkey")
+    }),
+
+    // dq1: declarative data-quality constraint report over orders with
+    // violations planted IN PLACE (t7 convention — no re-keying, so each
+    // constraint provably fires and clean rows prove no false positives):
+    // null keys (%1000==4), out-of-domain status (%1000==3), negative
+    // totals (%1000==1), plus appended verbatim duplicates (%500==2) for
+    // the uniqueness check; referential integrity checks lineitem against
+    // the PLANTED key set, so the nulled-out keys orphan their lineitems.
+    "dq1_constraint_checks" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val planted = o.select(
+          when(col("o_orderkey") % 1000 === 4, lit(null).cast("long"))
+            .otherwise(col("o_orderkey")).as("o_orderkey"),
+          when(col("o_orderkey") % 1000 === 3, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 1000 === 1, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .unionByName(o.where(col("o_orderkey") % 500 === 2))
+      val report = ext.Quality.constraintReport(planted, Seq(
+        "o_orderkey_not_null" -> ext.Quality.notNull(col("o_orderkey")),
+        "o_orderkey_unique" -> ext.Quality.unique(col("o_orderkey")),
+        "o_totalprice_non_negative" -> ext.Quality.nonNegative(col("o_totalprice")),
+        "o_orderstatus_in_domain" ->
+          ext.Quality.inSet(col("o_orderstatus"), Seq("O", "F", "P")),
+        // untouched column: proves the PASS path (0 violations, passed=1)
+        "o_totalprice_not_null" -> ext.Quality.notNull(col("o_totalprice"))))
+      report.unionByName(ext.Quality.riReport("lineitem_orderkey_ri",
+          Tables.lineitem(s, d).select("l_orderkey"), col("l_orderkey"),
+          planted.where(col("o_orderkey").isNotNull), col("o_orderkey")))
+        .orderBy("check_name")
+    }),
 
     // ---- extension tier: text analysis over documents --------------------
     // text projections go through Par.stage before their output sort:
@@ -1744,6 +1811,64 @@ object SparkEntry {
            | ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
            |GROUP BY 1, 2 HAVING count(*) >= 2
            |ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
+      "merge1_cdc_apply" ->
+        ("""WITH base AS (
+           | SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer),
+           |changes AS (
+           | SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+           |  c_mktsegment, 1 AS seq, 'U' AS op FROM base WHERE c_custkey % 10 = 3
+           | UNION ALL SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+           |  c_mktsegment, 1, 'D' FROM base WHERE c_custkey % 10 = 7
+           | UNION ALL SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey,
+           |  0.0, 'NEW', 1, 'I' FROM base WHERE c_custkey % 10 = 1
+           | UNION ALL SELECT c_custkey, c_name, c_nationkey, c_acctbal + 500.0,
+           |  c_mktsegment, 2, 'U' FROM base WHERE c_custkey % 20 = 3
+           | UNION ALL SELECT c_custkey, c_name, c_nationkey, 0.0,
+           |  'REBORN', 2, 'I' FROM base WHERE c_custkey % 20 = 7),
+           |latest AS (
+           | SELECT * FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+           |  FROM changes) WHERE rn = 1)
+           |SELECT COALESCE(b.c_custkey, l.c_custkey) AS c_custkey,
+           | CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE b.c_name END AS c_name,
+           | CASE WHEN l.op IS NOT NULL THEN l.c_nationkey ELSE b.c_nationkey END AS c_nationkey,
+           | CASE WHEN l.op IS NOT NULL THEN l.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+           | CASE WHEN l.op IS NOT NULL THEN l.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
+           |FROM base b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+           |WHERE l.op IS NULL OR l.op <> 'D'
+           |ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
+      "dq1_constraint_checks" ->
+        ("""WITH planted AS (
+           | SELECT CASE WHEN o_orderkey % 1000 = 4 THEN NULL ELSE o_orderkey END AS o_orderkey,
+           |  CASE WHEN o_orderkey % 1000 = 3 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+           |  CASE WHEN o_orderkey % 1000 = 1 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+           | FROM orders
+           | UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice
+           |  FROM orders WHERE o_orderkey % 500 = 2),
+           |agg AS (SELECT
+           |  count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS nn,
+           |  count(o_orderkey) - count(DISTINCT o_orderkey) AS uq,
+           |  count(CASE WHEN o_totalprice < 0 THEN 1 END) AS neg,
+           |  count(CASE WHEN o_orderstatus IS NULL
+           |    OR o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS st,
+           |  count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS pn
+           | FROM planted),
+           |ri AS (
+           | SELECT count(*) AS v FROM lineitem li
+           | LEFT JOIN (SELECT DISTINCT o_orderkey FROM planted
+           |   WHERE o_orderkey IS NOT NULL) p
+           |  ON li.l_orderkey = p.o_orderkey
+           | WHERE p.o_orderkey IS NULL),
+           |rep AS (
+           | SELECT 'o_orderkey_not_null' AS check_name, CAST(nn AS BIGINT) AS n_violations FROM agg
+           | UNION ALL SELECT 'o_orderkey_unique', CAST(uq AS BIGINT) FROM agg
+           | UNION ALL SELECT 'o_totalprice_non_negative', CAST(neg AS BIGINT) FROM agg
+           | UNION ALL SELECT 'o_orderstatus_in_domain', CAST(st AS BIGINT) FROM agg
+           | UNION ALL SELECT 'o_totalprice_not_null', CAST(pn AS BIGINT) FROM agg
+           | UNION ALL SELECT 'lineitem_orderkey_ri', CAST(v AS BIGINT) FROM ri)
+           |SELECT check_name, n_violations,
+           | CAST(n_violations = 0 AS INTEGER) AS passed
+           |FROM rep ORDER BY check_name""".stripMargin.replace("\n", " ")),
 
       // ---- extension tier ------------------------------------------------
       "x1_top_tokens" ->
