@@ -1212,6 +1212,40 @@ object SparkEntry {
           col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rank")
     }),
+
+    // km1: k-means over the embeddings — the coarse-quantizer TRAINING step
+    // sim3/sim4 assume as a given `label` column. Exact fixed-point integer
+    // Lloyd's (Clustering.kmeansAssign scaladoc): quantize once, persist,
+    // k centroid literals per assignment, O(k·dim) driver state per round.
+    "km1_kmeans" -> ((s, d) =>
+      graft.ext.Clustering.kmeansAssign(Tables.embeddings(s, d),
+          "vec_id", "embedding", k = 4, iters = 3)
+        .orderBy("vec_id")),
+
+    // rec1: ANN quality EVALUATION — recall@10 of the IVF index (sim3
+    // config) against the exact brute-force ranking (sim1), per query. The
+    // metric every index-tuning loop optimizes (nprobe/bits vs recall);
+    // both rankings are the already-graded deterministic operators, so the
+    // overlap count — and the recall boundary itself — is reproducible.
+    // n_hits/10.0 is a single IEEE division (correctly rounded on any
+    // engine, the cross-engine-math rule).
+    "rec1_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", "label",
+          k = 10, nprobe = 3)
+        .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+      exact.join(approx,
+          col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+          "left")
+        .groupBy("query_id")
+        .agg(count(col("an")).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits") / lit(10.0)).as("recall"))
+        .orderBy("query_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2536,6 +2570,80 @@ object SparkEntry {
            | FROM scored)
            |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
            |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+      // km1: the identical integer Lloyd's trajectory unrolled — quantize,
+      // seed from the 4 lowest ids, 3 assignment rounds with 2 centroid
+      // updates between them (truncating division as sign-split floor
+      // division; DuckDB's // floors, Scala's Long / truncates — they
+      // agree on magnitudes)
+      "km1_kmeans" ->
+        ("""WITH qv AS (
+           | SELECT vec_id, i AS dim, CAST(round(x * 1000000) AS BIGINT) AS q
+           | FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+           |   generate_subscripts(embedding, 1) AS i FROM embeddings)),
+           |init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+           | FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+           |c0 AS (SELECT init.c, qv.dim, qv.q AS m FROM init JOIN qv USING (vec_id)),
+           |d1 AS (SELECT qv.vec_id, c0.c, sum((qv.q - c0.m) * (qv.q - c0.m)) AS d
+           | FROM qv JOIN c0 ON qv.dim = c0.dim GROUP BY 1, 2),
+           |a1 AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d1) WHERE rn = 1),
+           |c1 AS (SELECT a1.c, qv.dim,
+           |  CASE WHEN sum(qv.q) < 0 THEN -((-sum(qv.q)) // count(*))
+           |   ELSE sum(qv.q) // count(*) END AS m
+           | FROM a1 JOIN qv USING (vec_id) GROUP BY 1, 2),
+           |d2 AS (SELECT qv.vec_id, c1.c, sum((qv.q - c1.m) * (qv.q - c1.m)) AS d
+           | FROM qv JOIN c1 ON qv.dim = c1.dim GROUP BY 1, 2),
+           |a2 AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d2) WHERE rn = 1),
+           |c2 AS (SELECT a2.c, qv.dim,
+           |  CASE WHEN sum(qv.q) < 0 THEN -((-sum(qv.q)) // count(*))
+           |   ELSE sum(qv.q) // count(*) END AS m
+           | FROM a2 JOIN qv USING (vec_id) GROUP BY 1, 2),
+           |d3 AS (SELECT qv.vec_id, c2.c, sum((qv.q - c2.m) * (qv.q - c2.m)) AS d
+           | FROM qv JOIN c2 ON qv.dim = c2.dim GROUP BY 1, 2),
+           |a3 AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d3) WHERE rn = 1)
+           |SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM a3
+           |ORDER BY vec_id""".stripMargin.replace("\n", " ")),
+      // rec1: overlap of the sim3 IVF top-10 with the sim1 exact top-10,
+      // both rankings restated verbatim from their own oracles
+      "rec1_ann_recall" ->
+        ("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+           |c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+           |scored AS (
+           | SELECT query_id, neighbor_id,
+           |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+           | FROM q JOIN c ON query_id <> neighbor_id),
+           |exact AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM scored) t WHERE rank <= 10),
+           |ex AS (SELECT label, unnest(embedding::DOUBLE[]) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings),
+           |cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY 1, 2),
+           |cent AS (SELECT label, list(m ORDER BY i) AS cc FROM cm GROUP BY 1),
+           |probes AS (
+           | SELECT query_id, label FROM (
+           |  SELECT q.query_id, cent.label,
+           |   row_number() OVER (PARTITION BY q.query_id
+           |    ORDER BY list_dot_product(q.qv, cent.cc) /
+           |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cc, cent.cc))) DESC,
+           |     cent.label ASC) AS pr
+           |  FROM q CROSS JOIN cent) t WHERE pr <= 3),
+           |ascored AS (
+           | SELECT p.query_id, c.neighbor_id,
+           |  list_dot_product(q.qv, c.cv) /
+           |    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+           | FROM probes p JOIN q ON p.query_id = q.query_id
+           |  JOIN c ON c.label = p.label AND c.neighbor_id <> p.query_id),
+           |approx AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM ascored) t WHERE rank <= 10)
+           |SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           | count(a.neighbor_id) / 10.0 AS recall
+           |FROM exact e LEFT JOIN approx a
+           | ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+           |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin.replace("\n", " ")),
       // exact integer byte-histogram of the payload: high nibble of byte i
       // is hex digit 2i of the hex encoding — count each digit at odd
       // (1-indexed) positions, no float anywhere
