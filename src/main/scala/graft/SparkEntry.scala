@@ -1246,6 +1246,20 @@ object SparkEntry {
           (col("n_hits") / lit(10.0)).as("recall"))
         .orderBy("query_id")
     }),
+
+    // sim5: the full train → index → query loop — km1's trained quantizer
+    // becomes the IVF inverted-list structure (sim3 assumes the lists as a
+    // given label column). Probe selection by exact INTEGER L2² to the
+    // trained centroids, so probe boundaries are bit-reproducible — no
+    // float-averaged-centroid ordering hazard (Similarity.trainedIvfTopK).
+    "sim5_trained_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.trainedIvfTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, clusters = 4, iters = 3, nprobe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2644,6 +2658,53 @@ object SparkEntry {
            |FROM exact e LEFT JOIN approx a
            | ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
            |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin.replace("\n", " ")),
+      // sim5: km1's unrolled integer Lloyd's (c0..c2 train, a3 labels the
+      // lists), probes by integer L2² to c2, exact-cosine scoring of the
+      // probed lists
+      "sim5_trained_ivf" ->
+        ("""WITH qv AS (
+           | SELECT vec_id, i AS dim, CAST(round(x * 1000000) AS BIGINT) AS q
+           | FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+           |   generate_subscripts(embedding, 1) AS i FROM embeddings)),
+           |init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+           | FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+           |c0 AS (SELECT init.c, qv.dim, qv.q AS m FROM init JOIN qv USING (vec_id)),
+           |d1 AS (SELECT qv.vec_id, c0.c, sum((qv.q - c0.m) * (qv.q - c0.m)) AS d
+           | FROM qv JOIN c0 ON qv.dim = c0.dim GROUP BY 1, 2),
+           |a1 AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d1) WHERE rn = 1),
+           |c1 AS (SELECT a1.c, qv.dim,
+           |  CASE WHEN sum(qv.q) < 0 THEN -((-sum(qv.q)) // count(*))
+           |   ELSE sum(qv.q) // count(*) END AS m
+           | FROM a1 JOIN qv USING (vec_id) GROUP BY 1, 2),
+           |d2 AS (SELECT qv.vec_id, c1.c, sum((qv.q - c1.m) * (qv.q - c1.m)) AS d
+           | FROM qv JOIN c1 ON qv.dim = c1.dim GROUP BY 1, 2),
+           |a2 AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d2) WHERE rn = 1),
+           |c2 AS (SELECT a2.c, qv.dim,
+           |  CASE WHEN sum(qv.q) < 0 THEN -((-sum(qv.q)) // count(*))
+           |   ELSE sum(qv.q) // count(*) END AS m
+           | FROM a2 JOIN qv USING (vec_id) GROUP BY 1, 2),
+           |d3 AS (SELECT qv.vec_id, c2.c, sum((qv.q - c2.m) * (qv.q - c2.m)) AS d
+           | FROM qv JOIN c2 ON qv.dim = c2.dim GROUP BY 1, 2),
+           |a3 AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d3) WHERE rn = 1),
+           |probes AS (SELECT query_id, c FROM (SELECT vec_id AS query_id, c,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS pr
+           | FROM d3 WHERE vec_id < 5) t WHERE pr <= 2),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |scored AS (
+           | SELECT p.query_id, e.vec_id AS neighbor_id,
+           |  list_dot_product(qe.v, e.v) /
+           |    (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+           | FROM probes p JOIN e qe ON qe.vec_id = p.query_id
+           |  JOIN a3 ON a3.c = p.c
+           |  JOIN e ON e.vec_id = a3.vec_id AND e.vec_id <> p.query_id),
+           |ranked AS (SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           | FROM scored)
+           |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
       // exact integer byte-histogram of the payload: high nibble of byte i
       // is hex digit 2i of the hex encoding — count each digit at odd
       // (1-indexed) positions, no float anywhere

@@ -23,79 +23,102 @@ import org.apache.spark.storage.StorageLevel
   * kernel computes in.
   *
   * Scale shape (Lloyd's): the corpus is touched once per iteration —
-  * quantized vectors persist behind one fan-out exchange
-  * (MEMORY_AND_DISK, the MLlib discipline; re-reading 100 TB of parquet
-  * per iteration is the naive alternative). Assignment is a pure
-  * projection: k native dot products against centroid LITERALS (k·dim
-  * longs inlined per the bf1 literal-probe rule — never a crossJoin with a
-  * k-row DataFrame, which would re-extract the centroid arrays per row).
-  * The update is one hash aggregate keyed (cluster, dim) — partial
-  * aggregation reduces each partition to k·dim rows before the shuffle, so
-  * per-iteration driver state and shuffle volume are O(k·dim), independent
-  * of corpus size. MLlib's KMeans has the same driver-resident-centroid
-  * loop; this one is deterministic and engine-portable.
+  * quantized vectors persist behind one fan-out exchange for the training
+  * loop (MEMORY_AND_DISK, the MLlib discipline; re-reading 100 TB of
+  * parquet per iteration is the naive alternative) and unpersist when the
+  * centroids are fit. Assignment is a pure projection: k native dot
+  * products against centroid LITERALS (k·dim longs inlined per the bf1
+  * literal-probe rule — never a crossJoin with a k-row DataFrame, which
+  * would re-extract the centroid arrays per row). The update is one hash
+  * aggregate keyed (cluster, dim) — partial aggregation reduces each
+  * partition to k·dim rows before the shuffle, so per-iteration driver
+  * state and shuffle volume are O(k·dim), independent of corpus size.
+  * MLlib's KMeans has the same driver-resident-centroid loop; this one is
+  * deterministic and engine-portable.
   */
 object Clustering {
 
-  /** Assign every vector to one of `k` clusters after `iters` Lloyd
-    * rounds. Initial centroids are the `k` lowest-id vectors
-    * (deterministic; callers wanting k-means|| seeding can pre-shuffle ids
-    * by hash). Iteration t assigns against centroids c_{t-1}; rounds
-    * 1..iters-1 then recompute centroids from their assignment, and the
-    * returned frame is the FINAL round's assignment (computed against
-    * c_{iters-1}). Ties in distance break toward the lower cluster index.
-    * A cluster that loses all members keeps its previous centroid (cannot
-    * occur with data-seeded init unless k exceeds the distinct-vector
-    * count). Returns (vec_id, cluster). */
-  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int, scale: Long = 1000000L): DataFrame = {
+  /** Quantize a float/double vector to the scaled-BIGINT grid. */
+  def quantize(vec: Column, scale: Long = 1000000L): Column =
+    transform(vec, x => round(x.cast("double") * scale).cast("long"))
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotNative(a, b)
+
+  /** Squared L2 distances from a QUANTIZED vector column to each
+    * driver-side centroid, expanded as q·q − 2·q·c + c·c so the per-row
+    * work is one shared q·q plus one native dot per centroid (never
+    * re-walking (q−c)² per element); all three terms are integer-valued
+    * and < 2^53, so the double-space kernel is exact and the cast back to
+    * long loses nothing. */
+  def centroidDists(qvec: Column, cents: Seq[Array[Long]]): Seq[Column] = {
+    val qq = dot(qvec, qvec)
+    cents.map { c =>
+      val cc = c.map(v => v * v).sum
+      (qq - lit(2.0) * dot(qvec, typedlit(c.toSeq)) + lit(cc.toDouble))
+        .cast("long")
+    }
+  }
+
+  /** Cluster id (0-based long) of the nearest centroid for a RAW vector
+    * column — a pure projection, usable on any frame carrying the vector
+    * (this is how a trained quantizer labels a corpus without a join).
+    * Ties break toward the lower cluster index (the oracle's row_number
+    * ORDER BY dist, cluster). */
+  def assignColumn(vec: Column, cents: Seq[Array[Long]],
+                   scale: Long = 1000000L): Column = {
+    val arr = array(centroidDists(quantize(vec, scale), cents): _*)
+    (array_position(arr, array_min(arr)) - 1L).as("cluster")
+  }
+
+  /** Fit `k` centroids with `iters` Lloyd rounds and return the centroids
+    * the FINAL assignment round uses (c_{iters−1}): initial centroids are
+    * the `k` lowest-id vectors (deterministic; callers wanting k-means||
+    * seeding can pre-shuffle ids by hash), and rounds 1..iters−1 each
+    * assign against the previous centroids then recompute them from the
+    * assignment. A cluster that loses all members keeps its previous
+    * centroid (cannot occur with data-seeded init unless k exceeds the
+    * distinct-vector count). */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int, scale: Long = 1000000L): Seq[Array[Long]] = {
     require(k >= 1 && iters >= 1, "k and iters must be positive")
     val q = graft.core.Par.fanOut(df.select(col(idCol).as("vec_id"),
-        transform(col(vecCol),
-          x => round(x.cast("double") * scale).cast("long")).as("qv")))
+        quantize(col(vecCol), scale).as("qv")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    def dot(a: Column, b: Column): Column =
-      graft.functions.VectorExpressions.dotNative(a, b)
-
-    // squared L2 distance to a DRIVER-SIDE centroid, expanded as
-    // q·q − 2·q·c + c·c so the per-row work is one shared q·q plus one
-    // native dot per centroid (never re-walking (q−c)² per element); all
-    // three terms are integer-valued and < 2^53, so the double-space
-    // kernel is exact and the cast back to long loses nothing
-    def assignCol(cents: Seq[Array[Long]]): Column = {
-      val qq = dot(col("qv"), col("qv"))
-      val dists = cents.map { c =>
-        val cc = c.map(v => v * v).sum
-        (qq - lit(2.0) * dot(col("qv"), typedlit(c.toSeq)) + lit(cc.toDouble))
-          .cast("long")
-      }
-      val arr = array(dists: _*)
-      // first index of the min = lowest cluster wins ties (the oracle's
-      // row_number ORDER BY dist, cluster)
-      (array_position(arr, array_min(arr)) - 1L).as("cluster")
-    }
-
-    var cents: Seq[Array[Long]] = q.orderBy("vec_id").limit(k).collect()
-      .map(_.getSeq[Long](1).toArray).toSeq
-    require(cents.length == k, s"need at least $k vectors to seed $k clusters")
-
-    for (_ <- 1 until iters) {
-      // O(k·dim) rows to the driver — bounded centroid state, not data
-      val sums = q.select(assignCol(cents), posexplode(col("qv")).as(Seq("dim", "x")))
-        .groupBy("cluster", "dim")
-        .agg(sum("x").as("s"), count(lit(1)).as("n"))
-        .collect()
-      val byCluster = sums.groupBy(_.getAs[Long]("cluster"))
-      cents = (0 until k).map { ci =>
-        byCluster.get(ci.toLong).fold(cents(ci)) { rows =>
-          // Long division truncates toward zero in Scala; the oracle
-          // mirrors it as sign-split floor division on the magnitude
-          rows.sortBy(_.getAs[Int]("dim"))
-            .map(r => r.getAs[Long]("s") / r.getAs[Long]("n")).toArray
+    try {
+      var cents: Seq[Array[Long]] = q.orderBy("vec_id").limit(k).collect()
+        .map(_.getSeq[Long](1).toArray).toSeq
+      require(cents.length == k, s"need at least $k vectors to seed $k clusters")
+      for (_ <- 1 until iters) {
+        val dists = array(centroidDists(col("qv"), cents): _*)
+        // O(k·dim) rows to the driver — bounded centroid state, not data
+        val sums = q.select(
+            (array_position(dists, array_min(dists)) - 1L).as("cluster"),
+            posexplode(col("qv")).as(Seq("dim", "x")))
+          .groupBy("cluster", "dim")
+          .agg(sum("x").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val byCluster = sums.groupBy(_.getAs[Long]("cluster"))
+        cents = (0 until k).map { ci =>
+          byCluster.get(ci.toLong).fold(cents(ci)) { rows =>
+            // Long division truncates toward zero in Scala; the oracle
+            // mirrors it as sign-split floor division on the magnitude
+            rows.sortBy(_.getAs[Int]("dim"))
+              .map(r => r.getAs[Long]("s") / r.getAs[Long]("n")).toArray
+          }
         }
       }
-    }
-    q.select(col("vec_id"), assignCol(cents))
+      cents
+    } finally q.unpersist(blocking = false)
+  }
+
+  /** Fit + label: every vector's cluster after `iters` Lloyd rounds.
+    * Returns (vec_id, cluster). The final labeling pass is a projection
+    * over the raw corpus (one extra scan vs. reusing the training cache —
+    * which is exactly what frees the cache for the caller). */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int, scale: Long = 1000000L): DataFrame = {
+    val cents = kmeansFit(df, idCol, vecCol, k, iters, scale)
+    df.select(col(idCol).as("vec_id"), assignColumn(col(vecCol), cents, scale))
   }
 }

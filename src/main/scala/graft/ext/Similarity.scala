@@ -210,6 +210,58 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF top-k over a TRAINED coarse quantizer — the full
+    * train → index → query loop ([[ivfTopK]] assumes the inverted lists
+    * pre-exist as a label column; here [[Clustering.kmeansFit]] learns
+    * them). Differences from ivfTopK, both in scale behavior's favor:
+    *
+    *  - The corpus is labeled by a PROJECTION against centroid literals
+    *    ([[Clustering.assignColumn]]) — no join between the corpus and its
+    *    own assignment, no second derivation of the list structure.
+    *  - Probe selection ranks lists by exact INTEGER squared L2 distance
+    *    to the quantized centroids (FAISS's coarse-quantizer metric), so
+    *    the probe set is bit-reproducible on any engine — ivfTopK's
+    *    float-averaged centroids put the probe boundary at the mercy of
+    *    summation order; trained integer centroids remove that hazard.
+    *
+    * Candidate scoring and rank semantics match ivfTopK (full-precision
+    * cosine, row_number tie-break on neighbor id). */
+  def trainedIvfTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     clusters: Int, iters: Int, nprobe: Int = 2,
+                     scale: Long = 1000000L): DataFrame = {
+    val cents = Clustering.kmeansFit(corpus, idCol, vecCol, clusters, iters, scale)
+    // probe selection: nprobe nearest trained centroids by integer L2²,
+    // ties toward the lower list id; the query set is bounded → broadcast
+    val dists = Clustering.centroidDists(
+      Clustering.quantize(col(vecCol), scale), cents)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("list").asc)
+    val probes = broadcast(queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"),
+        l2norm(col(vecCol)).as("qn"),
+        posexplode(array(dists: _*)).as(Seq("list", "dist")))
+      .withColumn("pr", row_number().over(probeW))
+      .where(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("list")))
+    // the labeled corpus: one projection, list id from the same literals
+    val c = graft.core.Par.fanOut(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv0")))
+      .select(col("neighbor_id"), toDouble(col("cv0")).as("cv"),
+        l2norm(col("cv0")).as("cn"),
+        Clustering.assignColumn(col("cv0"), cents, scale).as("clist"))
+    val scored = probes.join(c, col("list") === col("clist") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Per-vector symmetric int8 quantization — the compression step before
     * a memory-bound ANN index ships (4× smaller than float32, SIMD-friendly
     * dot products): scale = 127 / max|xᵢ|, qᵢ = round(xᵢ · scale). Returns

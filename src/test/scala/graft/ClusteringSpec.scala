@@ -58,4 +58,18 @@ class ClusteringSpec extends SparkSpec {
     assert(a == b, "identical trajectory on identical input")
     assert(a.values.toSet.size > 1, "more than one cluster is populated")
   }
+
+  test("trainedIvfTopK: exhaustive probing equals brute force") {
+    // with every trained list probed, IVF scores every candidate — the
+    // result must be the exact ranking, independent of how training split
+    // the corpus (the sim4 equivalence pin, for the trained quantizer)
+    val emb = core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = emb.where(col("vec_id") < 3)
+    val exact = ext.Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val ivf = ext.Similarity.trainedIvfTopK(emb, qs, "vec_id", "embedding",
+        k = 5, clusters = 4, iters = 2, nprobe = 4)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(ivf == exact)
+  }
 }
