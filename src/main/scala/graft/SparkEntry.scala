@@ -138,6 +138,40 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // inc1s: STREAMING INCREMENTAL INGEST DEDUP executed by the engine —
+    // inc1's cross-run archive anti-join as it actually runs in production:
+    // a document stream arrives in micro-batches (sliced-file replay pins
+    // batch i = doc_id ≡ i mod 3), each batch dedups internally and against
+    // the accumulated parquet archive via the K2 foreachBatch sink, and the
+    // archive is both state and output. EARLIEST BATCH WINS, then min id:
+    // originals in batches 0/1 beat their +100000 copies (next batch), but
+    // batch-2 originals LOSE to their copies (which wrapped to batch 0) —
+    // so the oracle provably grades cross-batch arrival order, not just
+    // the min-id collapse; the +300000 slice plants same-batch duplicates
+    // for the within-batch path.
+    "inc1s_stream_ingest_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs
+        .union(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .union(docs.where(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      val slices = (0 until 3).map(i =>
+        planted.where(pmod(col("doc_id"), lit(3)) === i))
+      val dir = graft.streaming.Replay.slicedSourceReplay(s, slices,
+          "doc_id BIGINT, text STRING", "ingest-") { (src, dir) =>
+        val arch = s"$dir/archive"
+        planted.limit(0)
+          .select(col("doc_id"),
+            TextAnalysis.fingerprint(col("text")).as("content_fp"))
+          .write.parquet(arch)
+        graft.streaming.Ingest.dedupIngest(src, "doc_id", "text", arch,
+          s"$dir/ckpt")
+      }
+      s.read.parquet(s"$dir/archive")
+        .select(col("doc_id"), col("content_fp"))
+        .orderBy("doc_id")
+    }),
+
     // es1s: stream-static enrichment (J1 ON THE STREAM) executed by the
     // engine — Speed.enrichStream against the customer dimension, graded
     // by the identical oracle as batch j1_enrich. hintBroadcast = false:
@@ -1295,6 +1329,23 @@ object SparkEntry {
       "dd1s_dedup_replay" ->
         ("""SELECT event_id, ts, user_id, event_type, value FROM events
            |ORDER BY event_id""".stripMargin.replace("\n", " ")),
+      // inc1s: survivor per content = first-arriving copy — earliest batch
+      // (doc_id mod 3, the replay's slice key), then min id within it
+      "inc1s_stream_ingest_dedup" ->
+        (s"""WITH planted AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 300000 AS doc_id, text FROM documents
+           |   WHERE doc_id % 10 = 1),
+           | f AS (SELECT doc_id,
+           |   substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS content_fp
+           |  FROM planted),
+           | r AS (SELECT doc_id, content_fp,
+           |   row_number() OVER (PARTITION BY content_fp
+           |    ORDER BY doc_id % 3, doc_id) AS rn
+           |  FROM f)
+           |SELECT doc_id, content_fp FROM r WHERE rn = 1
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       // es1s: identical oracle to batch j1_enrich
       "es1s_enrich_replay" ->
         ("""SELECT event_id, ts, user_id, event_type, value, c_name, c_acctbal,

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ingest dedup — the PRODUCTION shape of incremental exact dedup
+  * (`ext.Dedup.dedupIncremental` / inc1 is the per-run batch form): a
+  * document stream lands micro-batch by micro-batch, each batch dedups
+  * internally, drops content already in the accumulated archive index, and
+  * appends only the survivors — so the archive is simultaneously the
+  * operator's state and its output, and no document is ever fingerprinted
+  * twice across the run's lifetime.
+  *
+  * Built on the K2 foreachBatch sink ([[graft.core.Sinks.foreachBatchSink]],
+  * reference `StreamingJobImpl.scala:90-100`'s micro-batch-to-batch-writer
+  * pattern): inside each micro-batch everything is ordinary distributed
+  * batch work — a fingerprint hash-aggregate (min id per distinct content)
+  * and a LEFT ANTI join against the archive index read fresh from parquet,
+  * so between-batch state lives in storage, not on the driver or in a state
+  * store. At 100 TB-archive scale the anti-join probe is the bf1 upgrade
+  * path (fold the archive into a bloom filter and re-check only maybe-hits);
+  * the append stays identical.
+  *
+  * Exactly-once note: foreachBatch is at-least-once on retry — a batch that
+  * fails AFTER its append but before the checkpoint commit would re-append
+  * on restart. The anti-join makes the re-append a NO-OP for all rows that
+  * reached the archive (their fingerprints are now present), which is the
+  * idempotence this specific sink needs.
+  */
+object Ingest {
+
+  /** Start the ingest-dedup stream. `archiveDir` must exist (seed it with a
+    * zero-row (idCol, content_fp) parquet write for a cold start); the
+    * caller owns `awaitTermination`. */
+  def dedupIngest(stream: DataFrame, idCol: String, textCol: String,
+                  archiveDir: String, checkpoint: String): StreamingQuery =
+    graft.core.Sinks.foreachBatchSink(stream, checkpoint) { (batch, _) =>
+      val fresh = batch
+        .groupBy(graft.ext.TextAnalysis.fingerprint(col(textCol)).as("content_fp"))
+        .agg(min(col(idCol)).as(idCol))
+        .join(batch.sparkSession.read.parquet(archiveDir).select("content_fp"),
+          Seq("content_fp"), "left_anti")
+      fresh.select(col(idCol), col("content_fp"))
+        .write.mode("append").parquet(archiveDir)
+    }.trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -82,6 +82,44 @@ object Replay {
     runToSink(spark, f(src), dir)
   }
 
+  /** Replay with CONTROLLED MICRO-BATCH BOUNDARIES: stage each slice as one
+    * parquet file with strictly increasing modification times and stream
+    * them back with `maxFilesPerTrigger = 1`, so slice i is exactly
+    * micro-batch i (the file source orders by modification time) — the only
+    * way to oracle-grade operators whose OUTPUT depends on batch boundaries
+    * (ingest dedup: which copy of a duplicate survives depends on which
+    * batch arrived first). `run` receives the streaming source and the
+    * scratch root (for archive/checkpoint paths) and must return the
+    * started query; returns the scratch root after the run completes.
+    * The `coalesce(1)` is harness staging only — it pins the
+    * file-per-batch layout for a fixture-sized replay; the operator body
+    * under test stays fully distributed. */
+  def slicedSourceReplay(spark: SparkSession, slices: Seq[DataFrame],
+                         schemaDDL: String, tag: String)
+                        (run: (DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery): String = {
+    val dir = scratch(tag)
+    val in = new java.io.File(s"$dir/in")
+    in.mkdirs()
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$dir/stage$i"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file staged under $tmp"))
+      val dst = new java.io.File(in, f"batch$i%05d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // distinct mod-times a minute apart: file-source ordering is by
+      // timestamp, and all files sit far inside the 7-day maxFileAge window
+      dst.setLastModified(1600000000000L + i * 60000L)
+    }
+    val src = spark.readStream.schema(schemaDDL)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val q = run(src, dir)
+    q.awaitTermination()
+    org.apache.spark.sql.graft.Bridge.unloadAllStateStores()
+    dir
+  }
+
   /** Replay `(ts, id, value)` rows (any DataFrame with those three columns
     * first, in order) through [[Speed.windowedSum]] (the watermarked
     * streaming aggregate) into a parquet sink and read it back.

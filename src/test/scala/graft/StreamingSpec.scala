@@ -347,4 +347,23 @@ class StreamingSpec extends SparkSpec {
         .collect().toSet == Set("FB" -> 100L, "IG" -> 11L))
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("Ingest: archive dedup keeps first arrival across ordered micro-batches") {
+    val b0 = Seq((10L, "alpha beta"), (11L, "gamma delta"), (13L, "alpha beta"))
+      .toDF("doc_id", "text") // 13 dups 10 within the same batch
+    val b1 = Seq((1L, "alpha beta"), (12L, "epsilon zeta"))
+      .toDF("doc_id", "text") // 1 dups 10 ACROSS batches — arrival beats id
+    val dir = graft.streaming.Replay.slicedSourceReplay(spark, Seq(b0, b1),
+        "doc_id BIGINT, text STRING", "ingest-spec-") { (src, dir) =>
+      b0.limit(0).select(col("doc_id"),
+          graft.ext.TextAnalysis.fingerprint(col("text")).as("content_fp"))
+        .write.parquet(s"$dir/archive")
+      graft.streaming.Ingest.dedupIngest(src, "doc_id", "text",
+        s"$dir/archive", s"$dir/ckpt")
+    }
+    val kept = spark.read.parquet(s"$dir/archive")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 11L, 12L),
+      "within-batch min id (10 over 13), earliest batch over min id (10 over 1)")
+  }
 }
