@@ -315,6 +315,21 @@ object SparkEntry {
         .orderBy("s_nationkey")
     }),
 
+    // src6: SCHEMA EVOLUTION across ingest epochs — epoch 1 wrote
+    // (doc_id, text), epoch 2 added lang_hint; a mergeSchema read unions
+    // the schemas and fills the missing column with NULLs for epoch-1
+    // rows (Formats.schemaEvolutionRead scaladoc for the 100 TB footer
+    // cost note).
+    "src6_schema_evolution" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val epoch1 = docs.where(col("doc_id") % 2 === 0)
+      val epoch2 = docs.where(col("doc_id") % 2 === 1)
+        .withColumn("lang_hint", pmod(col("doc_id"), lit(7L)))
+      Formats.schemaEvolutionRead(s, Seq(epoch1, epoch2), "evo-src6-")
+        .select(col("doc_id"), col("text"), col("lang_hint"))
+        .orderBy("doc_id")
+    }),
+
     // prof1: one-pass column profiler over orders (non-null / null /
     // exact-distinct counts, typed min/max per column in ONE aggregate;
     // the exact multi-distinct plans as a single Expand pass — swap in
@@ -1415,6 +1430,14 @@ object SparkEntry {
            | CAST(SUM(CAST(s_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal,
            | MIN(s_name) AS first_name, MAX(s_name) AS last_name
            |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      // src6: merged schema = epoch-1 columns + epoch-2 additions; epoch-1
+      // rows read NULL in the added column
+      "src6_schema_evolution" ->
+        ("""SELECT doc_id, text, NULL::BIGINT AS lang_hint
+           |FROM documents WHERE doc_id % 2 = 0
+           |UNION ALL SELECT doc_id, text, doc_id % 7 AS lang_hint
+           |FROM documents WHERE doc_id % 2 = 1
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       // scd1: change-point runs of event_type per user → validity intervals
       "scd1_type_history" ->
         ("""WITH o AS (SELECT user_id, ts, event_id, event_type,

@@ -47,4 +47,22 @@ object Formats {
     df.write.mode("overwrite").orc(dir)
     spark.read.schema(schemaDDL).orc(dir)
   }
+
+  /** SCHEMA EVOLUTION read: stage several schema EPOCHS of one logical
+    * table (each write appends its own part files) and read the directory
+    * back with `mergeSchema` — the lakehouse schema-drift reality at
+    * 100 TB, where years of ingest jobs each wrote the columns that
+    * existed at the time. The merged schema is the union of all epochs'
+    * fields (matched by name, later-epoch additions appended); rows from
+    * epochs missing a column read as NULL in it. mergeSchema costs one
+    * footer read PER FILE at planning — Spark distributes the footer scan,
+    * but steady-state readers of a settled table should pin the unioned
+    * schema explicitly (`.schema(...)`) and skip the discovery pass; the
+    * parquet scan itself stays fully pruned/pushed either way. */
+  def schemaEvolutionRead(spark: SparkSession, epochs: Seq[DataFrame],
+                          tag: String): DataFrame = {
+    val dir = Scratch.dir(tag)
+    epochs.foreach(_.write.mode("append").parquet(dir))
+    spark.read.option("mergeSchema", "true").parquet(dir)
+  }
 }
