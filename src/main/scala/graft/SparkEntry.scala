@@ -510,6 +510,15 @@ object SparkEntry {
     "fi1_frequent_pairs" -> ((s, d) =>
       Basket.frequentPairs(Tables.lineitem(s, d), minSupport = 2L)),
 
+    // mk1: first-order Markov transition matrix over per-user event
+    // sequences — one lead() window on the shared (user, ts) sort, then a
+    // |types|²-group aggregate; per-from totals as a window sum over the
+    // aggregate (no join-back). p = BIGINT/BIGINT IEEE division.
+    "mk1_markov_transitions" -> ((s, d) =>
+      Behavior.transitionMatrix(events(s, d), col("user_id"), col("ts"),
+          col("event_type"), col("event_id"))
+        .orderBy("from_type", "to_type")),
+
     // merge1: CDC apply (MERGE/upsert) — fold a full-row-image change
     // batch into the customer snapshot; latest log offset per key wins.
     // Planted batch (same +1000000 insert-key headroom convention as the
@@ -1933,6 +1942,19 @@ object SparkEntry {
            | ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
            |GROUP BY 1, 2 HAVING count(*) >= 2
            |ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
+      // mk1: same lead-window pairing; p divides two exactly-representable
+      // integers in double (correctly rounded on both engines)
+      "mk1_markov_transitions" ->
+        ("""WITH seq AS (
+           | SELECT event_type AS from_type,
+           |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           | FROM events),
+           |ag AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+           | FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+           |SELECT from_type, to_type, n_transitions,
+           | n_transitions / CAST(sum(n_transitions)
+           |   OVER (PARTITION BY from_type) AS BIGINT) AS p
+           |FROM ag ORDER BY from_type, to_type""".stripMargin.replace("\n", " ")),
       "merge1_cdc_apply" ->
         ("""WITH base AS (
            | SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer),

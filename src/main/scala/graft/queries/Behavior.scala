@@ -89,4 +89,32 @@ object Behavior {
       .agg(countDistinct(col("u")).as("n_users"))
       .orderBy("cohort_day", "offset_days")
   }
+
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the behavioral sequence model (what follows what, and how often)
+    * funnels and sessionization summarize away. For every consecutive
+    * event pair in a user's (ts, tiebreak)-ordered stream, count the
+    * (from_type → to_type) transition and report its row-conditional
+    * probability p = n / Σ n over the same from_type.
+    *
+    * Scale shape: one `lead` window over the SAME (user, ts) sort every
+    * other behavioral operator uses (one exchange + one sort), then a
+    * hash aggregate whose group count is |types|² — map-side combine
+    * collapses each partition to at most |types|² rows, so the second
+    * shuffle is constant-size at any event count. The per-from total is a
+    * window SUM over the |types|²-row aggregate (no join-back, and at
+    * that cardinality the exchange is trivial). p is one BIGINT/BIGINT
+    * IEEE division — correctly rounded on any engine. */
+  def transitionMatrix(events: DataFrame, user: Column, ts: Column,
+                       kind: Column, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(user).orderBy(ts.asc, tiebreak.asc)
+    val pairs = events
+      .select(user.as("u"), kind.as("from_type"),
+        lead(kind, 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+    pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p", col("n_transitions") /
+        sum(col("n_transitions")).over(Window.partitionBy(col("from_type"))))
+  }
 }

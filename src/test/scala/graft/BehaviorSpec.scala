@@ -67,6 +67,34 @@ class BehaviorSpec extends SparkSpec {
       ("2024-01-02", 0L, 1L)))
   }
 
+  test("transition matrix: per-user ordered pairs, row-conditional p") {
+    val ev = Seq(
+      // u1: A→B→A (transitions A→B, B→A); u2: A→B (A→B)
+      (1L, ts("2024-01-01 00:00:00"), "u1", "A"),
+      (2L, ts("2024-01-01 00:01:00"), "u1", "B"),
+      (3L, ts("2024-01-01 00:02:00"), "u1", "A"),
+      (4L, ts("2024-01-01 00:00:00"), "u2", "A"),
+      (5L, ts("2024-01-01 00:01:00"), "u2", "B"),
+      // u3: one event — no transition; never crosses users
+      (6L, ts("2024-01-01 00:00:30"), "u3", "C"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Behavior.transitionMatrix(ev, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(out == Set(("A", "B", 2L, 1.0), ("B", "A", 1L, 1.0)),
+      "A→B twice (p=1 among A-departures), B→A once; no cross-user pair")
+  }
+
+  test("transition matrix: equal timestamps order by the tiebreak column") {
+    val t = ts("2024-01-01 00:00:00")
+    val ev = Seq((2L, t, "u", "B"), (1L, t, "u", "A"), (3L, t, "u", "C"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Behavior.transitionMatrix(ev, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"))
+      .select("from_type", "to_type").as[(String, String)].collect().toSet
+    assert(out == Set(("A", "B"), ("B", "C")), "event_id breaks the ts tie")
+  }
+
   test("frequent pairs: per-basket dedup, support threshold, a<b packing") {
     val li = Seq(
       (1L, 10L), (1L, 20L), (1L, 20L),    // duplicate line: one (10,20)
