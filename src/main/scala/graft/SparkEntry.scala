@@ -467,6 +467,7 @@ object SparkEntry {
     "cd1_distinct_parts" -> ((s, d) => Analytics.distinctPartsPerFlag(s, d)),
     "str1_brand_parse" -> ((s, d) => Analytics.partBrandParse(s, d)),
     "r2_revenue_cube" -> ((s, d) => Analytics.revenueCube(s, d)),
+    "gs1_grouping_sets" -> ((s, d) => Analytics.revenueGroupingSets(s, d)),
     "dt1_ship_delay_hist" -> ((s, d) => Analytics.shipDelayHistogram(s, d)),
     "pct1_percentiles" -> ((s, d) => Analytics.quantityPercentiles(s, d)),
     "pv1_nation_segment_pivot" -> ((s, d) => Analytics.customersByNationSegment(s, d)),
@@ -1823,6 +1824,14 @@ object SparkEntry {
            | COALESCE(l_linestatus, 'ALL') AS linestatus,
            | ${dsum("l_extendedprice")} AS revenue, COUNT(*) AS n
            |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+           |ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
+      // gs1: the explicit level mix neither ROLLUP nor CUBE expresses
+      "gs1_grouping_sets" ->
+        (s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           | COALESCE(l_linestatus, 'ALL') AS linestatus,
+           | ${dsum("l_extendedprice")} AS revenue, COUNT(*) AS n
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
            |ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
       "dt1_ship_delay_hist" ->
         ("""SELECT CAST((epoch(l_shipdate) - epoch(o_orderdate)) / 86400 AS BIGINT) AS delay_days,

@@ -163,6 +163,23 @@ object Analytics {
         .agg(sum(col("rev_dec")).cast("double").as("revenue"),
           sum(col("n_part")).as("n")))
 
+  /** GROUPING SETS aggregate — the general form rollup/cube specialize: an
+    * explicit mix of grouping levels, here {(flag, status), (status), ()} —
+    * the (flag) marginal is deliberately absent, so neither ROLLUP nor CUBE
+    * can express it. Same cost discipline as [[revenueRollup]]: the Expand
+    * (one row copy per grouping set) runs over the |flag×status|-sized
+    * PARTIAL aggregate, never the fact table — at any fact scale the
+    * multi-level pass costs one extra shuffle of a few dozen rows. */
+  def revenueGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    sentinelProject(
+      flagStatusPartials(spark, sfDir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("rev_dec")).cast("double").as("revenue"),
+          sum(col("n_part")).as("n")))
+
   /** Set operation: customers with open ('O') orders that never had a
     * finished ('F') order — EXCEPT has distinct-set semantics. */
   def openNotFinishedCustomers(spark: SparkSession, sfDir: String): DataFrame = {

@@ -191,4 +191,37 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val cdcGen = for {
+    nBase <- Gen.choose(0, 8)
+    nChanges <- Gen.choose(0, 12)
+    base <- Gen.listOfN(nBase, Gen.choose(0L, 5L)).map(_.distinct)
+    changes <- Gen.listOfN(nChanges, for {
+      key <- Gen.choose(0L, 7L)
+      op <- Gen.oneOf("I", "U", "D")
+      payload <- Gen.choose(0L, 99L)
+    } yield (key, op, payload))
+  } yield (base, changes)
+
+  test("CDC apply: one batch with latest-wins == replaying changes one at a time") {
+    // the MERGE contract: folding a whole change batch (highest seq per key
+    // wins) must equal applying each change in seq order as its own batch —
+    // the associativity that lets an ingest pipeline batch arbitrarily
+    forAll(cdcGen) { case (baseKeys, changes) =>
+      val base = baseKeys.map(k => (k, k * 10)).toDF("k", "payload")
+      def batch(cs: Seq[(Long, String, Long)], seqOffset: Long) =
+        cs.zipWithIndex.map { case ((k, op, p), i) =>
+          (k, p, seqOffset + i, op)
+        }.toDF("k", "payload", "seq", "op")
+      val allAtOnce = graft.queries.Cdc
+        .applyChanges(base, batch(changes, 1L), "k", "seq", "op")
+        .as[(Long, Long)].collect().toSet
+      val oneAtATime = changes.zipWithIndex.foldLeft(base) {
+        case (snap, (c, i)) =>
+          graft.queries.Cdc.applyChanges(snap, batch(Seq(c), i + 1L), "k", "seq", "op")
+      }.as[(Long, Long)].collect().toSet
+      assert(allAtOnce == oneAtATime,
+        s"base=$baseKeys changes=$changes: batch=$allAtOnce seq=$oneAtATime")
+    }
+  }
 }
