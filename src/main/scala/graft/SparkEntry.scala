@@ -480,6 +480,33 @@ object SparkEntry {
           col("session_start"), col("n_events"), col("total_value"))
         .orderBy("user_id", "session_no")),
 
+    // tj1: TEMPORAL DIMENSION ATTRIBUTION — the SCD2 CONSUMPTION pattern
+    // (scd1 builds attribute history; tj1 joins facts to the version valid
+    // at fact time). Planted 2-version dimension: every customer has a v1
+    // effective 1990-01-01 (original balance); customers ≡1 mod 3 get a v2
+    // at the 1998-01-01 cutover (+500 balance, segment MOVED), so orders
+    // split deterministically across version eras and every fact has a
+    // match. Same union-and-window as-of scan as asof1 — one shuffle +
+    // one sort over |facts|+|versions|, never a per-fact range probe.
+    "tj1_temporal_dim_join" -> ((s, d) => {
+      val cust = customer(s, d)
+      val v1 = cust.select(col("c_custkey").as("k"),
+        lit("1990-01-01 00:00:00").cast("timestamp_ntz").as("vt"),
+        col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+      val v2 = cust.where(col("c_custkey") % 3 === 1)
+        .select(col("c_custkey").as("k"),
+          lit("1998-01-01 00:00:00").cast("timestamp_ntz").as("vt"),
+          (col("c_acctbal") + 500.0).as("bal"), lit("MOVED").as("seg"))
+      val facts = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey").as("k"),
+        col("o_orderdate").cast("timestamp_ntz").as("vt"))
+      AsOf.asofBackward(facts, v1.unionByName(v2), "k", "vt",
+          Seq("bal", "seg"), prefix = "dim_")
+        .select(col("o_orderkey"), col("k").as("o_custkey"),
+          col("dim_bal"), col("dim_seg"))
+        .orderBy("o_orderkey")
+    }),
+
     // as-of join: for each error event, the user's most recent click at or
     // before it (union-and-scan formulation; oracle uses native ASOF JOIN)
     "asof1_prev_click" -> ((s, d) => {
@@ -1903,6 +1930,18 @@ object SparkEntry {
            |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            | ON e.user_id = c.user_id AND e.ts >= c.ts
            |ORDER BY e.event_id""".stripMargin.replace("\n", " ")),
+      // tj1: native ASOF against the planted version table — tie-free by
+      // construction (two distinct version dates per key)
+      "tj1_temporal_dim_join" ->
+        ("""WITH v AS (
+           | SELECT c_custkey AS k, TIMESTAMP '1990-01-01' AS vt,
+           |  c_acctbal AS bal, c_mktsegment AS seg FROM customer
+           | UNION ALL SELECT c_custkey, TIMESTAMP '1998-01-01',
+           |  c_acctbal + 500.0, 'MOVED' FROM customer WHERE c_custkey % 3 = 1)
+           |SELECT o.o_orderkey, o.o_custkey, v.bal AS dim_bal, v.seg AS dim_seg
+           |FROM orders o ASOF JOIN v
+           | ON o.o_custkey = v.k AND o.o_orderdate >= v.vt
+           |ORDER BY o.o_orderkey""".stripMargin.replace("\n", " ")),
       // fun1: the same dependent-min chain — DuckDB's default window frame
       // (RANGE UNBOUNDED PRECEDING..CURRENT ROW) matches the Spark side's
       // explicit rangeBetween, so equal-timestamp peers resolve identically
