@@ -468,6 +468,33 @@ object SparkEntry {
     "str1_brand_parse" -> ((s, d) => Analytics.partBrandParse(s, d)),
     "r2_revenue_cube" -> ((s, d) => Analytics.revenueCube(s, d)),
     "gs1_grouping_sets" -> ((s, d) => Analytics.revenueGroupingSets(s, d)),
+
+    // nd1: NESTED data model round trip — lineitems nest per order as an
+    // array<struct> (deterministic linenumber order), then the nested rows
+    // are consumed with codegen'd higher-order lambdas (size / filter /
+    // aggregate) instead of re-flattening. Graded against the flat
+    // relational equivalent, proving nest→HOF ≡ GROUP BY. Per-line money
+    // folds as integer cents inside the lambda (order-free exact sum);
+    // baskets are bounded (≤7 lines), so the per-row lambda cost is a
+    // constant — this is array-shaping, not a hot scalar kernel.
+    "nd1_nested_lines" -> ((s, d) => {
+      val nested = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_list(struct(
+          col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice")))).as("lines"))
+      nested.select(col("l_orderkey"),
+          size(col("lines")).cast("long").as("n_lines"),
+          size(filter(col("lines"), x => x.getField("l_quantity") > 25.0))
+            .cast("long").as("n_big"),
+          aggregate(
+            filter(col("lines"), x => x.getField("l_quantity") > 25.0),
+            lit(0L),
+            (acc, x) => acc +
+              round(x.getField("l_extendedprice") * 100).cast("long"))
+            .as("big_cents"))
+        .orderBy("l_orderkey")
+    }),
     "dt1_ship_delay_hist" -> ((s, d) => Analytics.shipDelayHistogram(s, d)),
     "pct1_percentiles" -> ((s, d) => Analytics.quantityPercentiles(s, d)),
     "pv1_nation_segment_pivot" -> ((s, d) => Analytics.customersByNationSegment(s, d)),
@@ -1860,6 +1887,13 @@ object SparkEntry {
            |FROM lineitem
            |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
            |ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
+      // nd1: the flat relational equivalent of the nested HOF pipeline
+      "nd1_nested_lines" ->
+        ("""SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+           | CAST(count(CASE WHEN l_quantity > 25.0 THEN 1 END) AS BIGINT) AS n_big,
+           | CAST(COALESCE(sum(CASE WHEN l_quantity > 25.0
+           |   THEN CAST(round(l_extendedprice * 100) AS BIGINT) END), 0) AS BIGINT) AS big_cents
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       "dt1_ship_delay_hist" ->
         ("""SELECT CAST((epoch(l_shipdate) - epoch(o_orderdate)) / 86400 AS BIGINT) AS delay_days,
            | COUNT(*) AS n
