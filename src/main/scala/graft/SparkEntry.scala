@@ -172,6 +172,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // mv1: UPDATE-mode streaming aggregation maintaining a MATERIALIZED
+    // VIEW by per-batch upsert (Ingest.upsertMatview) — the output-mode
+    // class the Append replays can't reach: a window's running total
+    // re-emits every batch that changes it and must REPLACE its snapshot
+    // row. Replay slices cut at 00:30 (mid-window), so hour windows
+    // straddling a cut are provably emitted in one batch and replaced in
+    // the next; the final snapshot must equal the batch aggregate.
+    "mv1_streaming_matview" -> ((s, d) => {
+      val ev = events(s, d).select(col("ts").cast("timestamp").as("ts"),
+        col("user_id").cast("string").as("id"),
+        col("value").cast("double").as("value"))
+      val cut1 = lit("2024-01-11 00:30:00").cast("timestamp")
+      val cut2 = lit("2024-01-21 00:30:00").cast("timestamp")
+      val slices = Seq(ev.where(col("ts") < cut1),
+        ev.where(col("ts") >= cut1 && col("ts") < cut2),
+        ev.where(col("ts") >= cut2))
+      val dir = graft.streaming.Replay.slicedSourceReplay(s, slices,
+          "ts TIMESTAMP, id STRING, value DOUBLE", "mv-") { (src, dir) =>
+        val agg = graft.streaming.Speed.windowedSum(src, col("id"), "ts",
+          "1 hour", "30 seconds", col("value"), "user_hourly_mv")
+        graft.streaming.Ingest.upsertMatview(agg, Seq("timestamp", "id"),
+          s"$dir/snap", s"$dir/ckpt")
+      }
+      graft.streaming.Ingest.latestSnapshot(s, s"$dir/snap")
+        .withColumn("timestamp", col("timestamp").cast("timestamp_ntz"))
+        .orderBy("timestamp", "id")
+    }),
+
     // es1s: stream-static enrichment (J1 ON THE STREAM) executed by the
     // engine — Speed.enrichStream against the customer dimension, graded
     // by the identical oracle as batch j1_enrich. hintBroadcast = false:
@@ -1537,6 +1565,8 @@ object SparkEntry {
           .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
       },
       "a2_user_90s" -> windowed("90 seconds", "CAST(user_id AS VARCHAR)", "events", "user_bytes_total"),
+      // mv1: the maintained view must equal the batch hourly aggregate
+      "mv1_streaming_matview" -> windowed("1 hour", "CAST(user_id AS VARCHAR)", "events", "user_hourly_mv"),
       "a3_app_90s" -> windowed("90 seconds",
         "CAST(CAST(json_extract(props, '$.k') AS INT) AS VARCHAR)", "events", "app_bytes_total"),
       "a4_antenna_1h" -> windowed("1 hour", "event_type", "events", "antenna_bytes_total"),

@@ -45,4 +45,44 @@ object Ingest {
         .write.mode("append").parquet(archiveDir)
     }.trigger(Trigger.AvailableNow())
       .start()
+
+  /** UPDATE-mode MATERIALIZED-VIEW maintenance: a streaming aggregate's
+    * per-batch changed rows UPSERT into a keyed snapshot — the incremental
+    * alternative to recomputing the aggregate from scratch, and the one
+    * output-mode class Append replays can't exercise (Append emits a window
+    * once, finalized; Update re-emits a window's running total every batch
+    * that changes it, so the sink must replace by key, not append).
+    *
+    * The snapshot is copy-on-write VERSIONED: batch b reads v_{b-1},
+    * anti-joins out the keys the batch re-emits, unions the new rows, and
+    * writes v_b (never overwriting what it reads; a lakehouse MERGE INTO
+    * with snapshot isolation is the production form — see merge1, whose
+    * latest-wins fold is this sink's batch-side contract). Keyed state
+    * between batches lives in storage; driver holds only the current
+    * version path. */
+  def upsertMatview(agg: DataFrame, keys: Seq[String], snapRoot: String,
+                    checkpoint: String): StreamingQuery = {
+    val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+    graft.core.Sinks.foreachBatchSink(agg, checkpoint) { (b, id) =>
+      val prev = Option(latest.get())
+        .map(b.sparkSession.read.parquet(_)).getOrElse(b.limit(0))
+      val next = prev.join(b.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(b)
+      val path = s"$snapRoot/v=$id"
+      next.write.mode("overwrite").parquet(path)
+      latest.set(path)
+    }.outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Read back the highest-version snapshot [[upsertMatview]] wrote. */
+  def latestSnapshot(spark: org.apache.spark.sql.SparkSession,
+                     snapRoot: String): DataFrame = {
+    val versions = new java.io.File(snapRoot).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+    require(versions.nonEmpty, s"no snapshot versions under $snapRoot")
+    spark.read.parquet(s"$snapRoot/v=${versions.max}")
+  }
 }

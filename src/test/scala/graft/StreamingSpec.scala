@@ -366,4 +366,27 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(10L, 11L, 12L),
       "within-batch min id (10 over 13), earliest batch over min id (10 over 1)")
   }
+
+  test("upsertMatview: a re-emitted window REPLACES its snapshot row") {
+    def t(m: Int) = new Timestamp(1704067200000L + m * 60000L) // 2024-01-01 UTC
+    // window [00:00, 01:00) gets value 1.0 in batch 0 and 2.0 more in
+    // batch 1 — update mode re-emits the running total, the upsert must
+    // replace (a blind append would leave both versions in the view)
+    val b0 = Seq((t(5), "u", 1.0)).toDF("ts", "id", "value")
+    val b1 = Seq((t(30), "u", 2.0), (t(70), "u", 5.0)).toDF("ts", "id", "value")
+    val dir = graft.streaming.Replay.slicedSourceReplay(spark, Seq(b0, b1),
+        "ts TIMESTAMP, id STRING, value DOUBLE", "mv-spec-") { (src, dir) =>
+      val agg = Speed.windowedSum(src, col("id"), "ts", "1 hour",
+        "30 seconds", col("value"), "t")
+      graft.streaming.Ingest.upsertMatview(agg, Seq("timestamp", "id"),
+        s"$dir/snap", s"$dir/ckpt")
+    }
+    val v0 = spark.read.parquet(s"$dir/snap/v=0")
+      .select("value").as[Double].collect().toSeq
+    assert(v0 == Seq(1.0), "batch 0 snapshot holds the partial total")
+    val fin = graft.streaming.Ingest.latestSnapshot(spark, s"$dir/snap")
+      .select("value").as[Double].collect().sorted.toSeq
+    assert(fin == Seq(3.0, 5.0),
+      "first window's row replaced with the full total, second window added")
+  }
 }
