@@ -200,6 +200,29 @@ object SparkEntry {
         .orderBy("timestamp", "id")
     }),
 
+    // cm1: COMPLETE output mode — the third and last mode (a1s grades
+    // Append, mv1 Update): unwindowed running totals per event type, the
+    // engine re-emitting the whole bounded aggregate each batch into an
+    // overwrite snapshot. With the three mid-window replay slices the
+    // totals provably accumulate across batches before the final emission
+    // matches the batch GROUP BY.
+    "cm1_complete_totals" -> ((s, d) => {
+      val ev = events(s, d).select(col("ts").cast("timestamp").as("ts"),
+        col("event_type").as("id"), col("value").cast("double").as("value"))
+      val cut1 = lit("2024-01-11 00:30:00").cast("timestamp")
+      val cut2 = lit("2024-01-21 00:30:00").cast("timestamp")
+      val slices = Seq(ev.where(col("ts") < cut1),
+        ev.where(col("ts") >= cut1 && col("ts") < cut2),
+        ev.where(col("ts") >= cut2))
+      val dir = graft.streaming.Replay.slicedSourceReplay(s, slices,
+          "ts TIMESTAMP, id STRING, value DOUBLE", "cm-") { (src, dir) =>
+        val agg = src.groupBy("id").agg(Num.dsum(col("value")).as("value"))
+        graft.streaming.Ingest.completeSnapshot(agg, s"$dir/snap",
+          s"$dir/ckpt")
+      }
+      graft.streaming.Ingest.latestSnapshot(s, s"$dir/snap").orderBy("id")
+    }),
+
     // es1s: stream-static enrichment (J1 ON THE STREAM) executed by the
     // engine — Speed.enrichStream against the customer dimension, graded
     // by the identical oracle as batch j1_enrich. hintBroadcast = false:
@@ -1567,6 +1590,11 @@ object SparkEntry {
       "a2_user_90s" -> windowed("90 seconds", "CAST(user_id AS VARCHAR)", "events", "user_bytes_total"),
       // mv1: the maintained view must equal the batch hourly aggregate
       "mv1_streaming_matview" -> windowed("1 hour", "CAST(user_id AS VARCHAR)", "events", "user_hourly_mv"),
+      // cm1: the complete-mode snapshot must equal the batch GROUP BY
+      "cm1_complete_totals" ->
+        ("""SELECT event_type AS id,
+           | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       "a3_app_90s" -> windowed("90 seconds",
         "CAST(CAST(json_extract(props, '$.k') AS INT) AS VARCHAR)", "events", "app_bytes_total"),
       "a4_antenna_1h" -> windowed("1 hour", "event_type", "events", "antenna_bytes_total"),

@@ -76,6 +76,22 @@ object Ingest {
       .start()
   }
 
+  /** COMPLETE-mode sink: every batch re-emits the ENTIRE aggregate result,
+    * so the sink overwrites the whole snapshot (no keyed upsert needed —
+    * the mode itself guarantees the emission is the full table). Complete
+    * mode is only viable when the result is BOUNDED (a global per-type
+    * total, a top-k): the engine keeps every group's state forever and
+    * re-emits all of it per batch, which is exactly why the windowed/keyed
+    * views use Update + upsert ([[upsertMatview]]) instead. Versioned like
+    * upsertMatview so readers never see a half-written overwrite. */
+  def completeSnapshot(agg: DataFrame, snapRoot: String,
+                       checkpoint: String): StreamingQuery =
+    graft.core.Sinks.foreachBatchSink(agg, checkpoint) { (b, id) =>
+      b.write.mode("overwrite").parquet(s"$snapRoot/v=$id")
+    }.outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Read back the highest-version snapshot [[upsertMatview]] wrote. */
   def latestSnapshot(spark: org.apache.spark.sql.SparkSession,
                      snapRoot: String): DataFrame = {
