@@ -437,6 +437,35 @@ object SparkEntry {
         col("value"), "value")
         .orderBy("id")),
 
+    // dpp1: DYNAMIC PARTITION PRUNING over a day-partitioned fact layout —
+    // the star-join scale feature: the campaign flag is dimension DATA
+    // (not an expression of the join key, so constraint inference cannot
+    // statically push it to the facts); the date constraint reaches the
+    // fact scan only THROUGH the join, and Spark injects a dynamicpruning
+    // subquery into the fact's PartitionFilters, reading 7 of 30
+    // day-directories (PlanSpec pins the mechanism). At 100 TB this is
+    // scanning a week instead of a month when the date constraint lives in
+    // a dimension. The partitioned stage is a distributed write of the K3
+    // layout class.
+    "dpp1_partition_pruned_join" -> ((s, d) => {
+      import s.implicits._
+      val root = graft.core.Scratch.dir("dpp-")
+      events(s, d).select(col("event_id"), col("event_type"),
+          col("value"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .write.partitionBy("day").parquet(s"$root/facts")
+      val facts = s.read.parquet(s"$root/facts")
+      // the dim stages to parquet too: a driver-local relation would
+      // constant-fold its filter away, and without a Filter node the DPP
+      // rule sees no selective predicate to prune with
+      (1 to 30).map(i => (f"2024-01-$i%02d", if (i >= 8 && i <= 14) 1 else 0))
+        .toDF("day", "is_campaign").write.parquet(s"$root/dim")
+      val dim = s.read.parquet(s"$root/dim")
+      facts.join(broadcast(dim.where(col("is_campaign") === 1)), "day")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("total"))
+        .orderBy("event_type")
+    }),
+
     // A7/P8: hourly quota violators — groupBy + HAVING over the enrichment
     "a7_quota_violations" -> ((s, d) =>
       QuotaCheck.quotaViolations(enriched(s, d), col("c_name"),
@@ -1613,6 +1642,13 @@ object SparkEntry {
         ("""SELECT event_type AS id,
            | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      // dpp1: the pruned join ≡ a direct day-range filter on the facts
+      "dpp1_partition_pruned_join" ->
+        ("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
+           |FROM events
+           |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14'
+           |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       "a7_quota_violations" ->
         ("""SELECT c_name AS email,
            | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS usage,

@@ -247,4 +247,14 @@ class PlanSpec extends SparkSpec {
       s"q2: lineitem/part/supplier/nation/region each scanned once:\n$p2")
     assert(p2.contains("Window"), s"q2: per-part min must be a window:\n$p2")
   }
+
+  test("dpp1: the fact scan carries a dynamic-pruning partition filter") {
+    // the campaign constraint lives in dimension DATA, so the only way it
+    // can prune the day-partitioned fact scan is the DPP subquery — a
+    // static PartitionFilter on day would mean constraint inference leaked
+    // the filter and the demonstration proves nothing
+    val p = plan("dpp1_partition_pruned_join")
+    assert(p.contains("dynamicpruningexpression"),
+      s"expected dynamicpruning in the fact's PartitionFilters:\n$p")
+  }
 }
