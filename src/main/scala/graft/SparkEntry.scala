@@ -200,6 +200,22 @@ object SparkEntry {
         .orderBy("timestamp", "id")
     }),
 
+    // rs1: CHECKPOINT RECOVERY graded by the oracle — the a4-class hourly
+    // aggregate split across a stop/restart at 2024-01-16: run 1 processes
+    // the first half and terminates; run 2 starts a NEW query from the
+    // SAME checkpoint, restores window state + watermark, reads only the
+    // unseen files, and the combined sink must equal the single-run batch
+    // aggregate (Replay.restartReplay).
+    "rs1_restart_replay" -> ((s, d) => {
+      val ev = events(s, d).select(col("ts").cast("timestamp").as("ts"),
+        col("event_type").as("id"), col("value").cast("double").as("value"))
+      val cut = lit("2024-01-16 00:30:00").cast("timestamp")
+      graft.streaming.Replay.restartReplay(s,
+          ev.where(col("ts") < cut), ev.where(col("ts") >= cut),
+          "1 hour", "30 seconds", "antenna_bytes_total")
+        .orderBy("timestamp", "id")
+    }),
+
     // cm1: COMPLETE output mode — the third and last mode (a1s grades
     // Append, mv1 Update): unwindowed running totals per event type, the
     // engine re-emitting the whole bounded aggregate each batch into an
@@ -1627,6 +1643,8 @@ object SparkEntry {
       "a3_app_90s" -> windowed("90 seconds",
         "CAST(CAST(json_extract(props, '$.k') AS INT) AS VARCHAR)", "events", "app_bytes_total"),
       "a4_antenna_1h" -> windowed("1 hour", "event_type", "events", "antenna_bytes_total"),
+      // rs1: the stop/restart replay must reproduce the batch result
+      "rs1_restart_replay" -> windowed("1 hour", "event_type", "events", "antenna_bytes_total"),
       "a5_email_1h" -> windowed("1 hour", "c_name", enrichedFrom, "email_bytes_total"),
       "a6_app_1h" -> windowed("1 hour",
         "CAST(CAST(json_extract(props, '$.k') AS INT) AS VARCHAR)", "events", "app_bytes_total"),
