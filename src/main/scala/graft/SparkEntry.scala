@@ -453,6 +453,31 @@ object SparkEntry {
         col("value"), "value")
         .orderBy("id")),
 
+    // bk1: CATALOG-BUCKETED tables in the graded path — both sides stage
+    // as bucketed managed-catalog tables (external data in scratch), then
+    // join on the bucket key and aggregate. At 100 TB the co-located
+    // layout makes every later equi-join/keyed agg on the key zero-shuffle
+    // (LayoutSpec pins the no-Exchange plan under a no-broadcast session);
+    // at graded SF, AQE rightly broadcasts the small side — the layout
+    // surface under grade is the bucketed WRITE + catalog READ round trip.
+    "bk1_bucketed_join" -> ((s, d) => {
+      val root = graft.core.Scratch.dir("bk-")
+      s.sql("DROP TABLE IF EXISTS graft_bk_orders")
+      s.sql("DROP TABLE IF EXISTS graft_bk_lineitem")
+      Layout.writeBucketed(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus"),
+        "graft_bk_orders", "o_orderkey", 8, path = Some(s"$root/o"))
+      Layout.writeBucketed(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_extendedprice"),
+        "graft_bk_lineitem", "l_orderkey", 8, path = Some(s"$root/l"))
+      s.table("graft_bk_orders")
+        .join(s.table("graft_bk_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("l_extendedprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // dpp1: DYNAMIC PARTITION PRUNING over a day-partitioned fact layout —
     // the star-join scale feature: the campaign flag is dimension DATA
     // (not an expression of the join key, so constraint inference cannot
@@ -1660,6 +1685,12 @@ object SparkEntry {
         ("""SELECT event_type AS id,
            | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      // bk1: the bucketed round trip must preserve the plain join/agg
+      "bk1_bucketed_join" ->
+        ("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           | CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       // dpp1: the pruned join ≡ a direct day-range filter on the facts
       "dpp1_partition_pruned_join" ->
         ("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -30,11 +30,17 @@ object Layout {
   /** Write `df` as a bucketed (optionally bucket-sorted) managed parquet
     * table. One shuffle now; zero shuffles for every later equi-join or
     * keyed aggregation on `bucketCol` against same-count tables. */
+  /** @param path when set, the table is EXTERNAL with its data at `path`
+    *             (the bucket spec still lives in the catalog) — lets
+    *             harness runs stage bucketed data in scratch space instead
+    *             of the session warehouse dir. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     numBuckets: Int, sorted: Boolean = true,
-                    mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val w = df.write.mode(mode).format("parquet").bucketBy(numBuckets, bucketCol)
-    (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)
+                    mode: SaveMode = SaveMode.Overwrite,
+                    path: Option[String] = None): Unit = {
+    val w0 = df.write.mode(mode).format("parquet").bucketBy(numBuckets, bucketCol)
+    val w1 = path.fold(w0)(p => w0.option("path", p))
+    (if (sorted) w1.sortBy(bucketCol) else w1).saveAsTable(table)
   }
 
   /** Repartition-and-sort layout for an intermediate frame consumed
