@@ -1447,6 +1447,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // sql1: the PURE-SQL user path end-to-end — the sim1 ranking restated
+    // as SQL TEXT over a temp view, with the cosine built from the
+    // registered native kernel (graft_dot, the SparkSessionExtensions
+    // surface SqlExtensionsSpec pins for cluster `--conf` deployment).
+    // Grades parser → function registry → codegen'd expression → window,
+    // against sim1's own oracle. The DataFrame operator (bruteForceTopK)
+    // stays the perf path — it computes norms once per vector and fans the
+    // corpus out; this grades the SURFACE, not a second implementation.
+    "sql1_pure_sql_ann" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("graft_emb")
+      s.sql("""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM graft_emb WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM graft_emb),
+        scored AS (
+          SELECT query_id, neighbor_id,
+            graft_dot(qv, cv) /
+              (sqrt(graft_dot(qv, qv)) * sqrt(graft_dot(cv, cv))) AS cos
+          FROM q JOIN c ON query_id <> neighbor_id),
+        ranked AS (SELECT query_id, neighbor_id, cos,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+          round(cos, 4) AS cos
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank""")
+    }),
+
     // km1: k-means over the embeddings — the coarse-quantizer TRAINING step
     // sim3/sim4 assume as a given `label` column. Exact fixed-point integer
     // Lloyd's (Clustering.kmeansAssign scaladoc): quantize once, persist,
@@ -2901,6 +2931,20 @@ object SparkEntry {
            | FROM probes p JOIN q ON p.query_id = q.query_id
            |  JOIN e ON e.label = p.label AND e.vec_id <> p.query_id),
            |ranked AS (SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           | FROM scored)
+           |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+      // sql1: identical oracle to sim1 — graft_dot ≡ list_dot_product
+      "sql1_pure_sql_ann" ->
+        ("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+           |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+           |scored AS (
+           | SELECT query_id, neighbor_id,
+           |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+           | FROM q JOIN c ON query_id <> neighbor_id),
+           |ranked AS (
+           | SELECT query_id, neighbor_id, cos,
            |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
            | FROM scored)
            |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
