@@ -59,6 +59,18 @@ class ClusteringSpec extends SparkSpec {
     assert(a.values.toSet.size > 1, "more than one cluster is populated")
   }
 
+  test("kmeansAssign: invariant under repartitioning (exact integer math)") {
+    // float-mean k-means drifts in the last ulp under different partial-sum
+    // orders and can flip boundary assignments; the fixed-point trajectory
+    // must be bit-identical whatever the partitioning
+    val emb = core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = Clustering.kmeansAssign(emb.repartition(17), "vec_id", "embedding",
+      k = 3, iters = 3).as[(Long, Long)].collect().toMap
+    val b = Clustering.kmeansAssign(emb.repartition(2), "vec_id", "embedding",
+      k = 3, iters = 3).as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("trainedIvfTopK: exhaustive probing equals brute force") {
     // with every trained list probed, IVF scores every candidate — the
     // result must be the exact ranking, independent of how training split
