@@ -1004,6 +1004,21 @@ object SparkEntry {
       Similarity.dimStats(Tables.embeddings(s, d), "embedding")
         .orderBy("dim")),
 
+    // drift1: embedding drift between two snapshots — snapshot A = even
+    // vec_ids as-is; snapshot B = odd vec_ids with a PLANTED +0.25 mean
+    // shift on dims 0–7 (the swapped-model-version signature), far above
+    // the ~0.01 natural even/odd mean noise, so exactly dims 0–7 flag and
+    // the clean dims prove no false positives.
+    "drift1_embedding_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val a = emb.where(col("vec_id") % 2 === 0)
+      val b = emb.where(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), transform(col("embedding"),
+          (x, i) => when(i < 8, x.cast("double") + 0.25)
+            .otherwise(x.cast("double"))).as("embedding"))
+      Similarity.dimDrift(a, b, "embedding").orderBy("dim")
+    }),
+
     // qd1: per-source quality dashboard — count / avg length / avg
     // stopword ratio / quality-filter yield per ingest feed (predicts
     // cur1's per-source survival); 20 groups at any corpus scale
@@ -2727,6 +2742,32 @@ object SparkEntry {
            |   unnest(embedding)::DOUBLE AS x FROM embeddings)
            | GROUP BY dim)
            |ORDER BY dim""".stripMargin.replace("\n", " ")),
+      // drift1: the same exact-decimal stat sums per snapshot, joined
+      "drift1_embedding_drift" ->
+        ("""WITH sa AS (
+           | SELECT dim, COUNT(*) AS n_a,
+           |  CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS s,
+           |  CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS s2
+           | FROM (SELECT unnest(range(len(embedding))) AS dim,
+           |   unnest(embedding)::DOUBLE AS x FROM embeddings WHERE vec_id % 2 = 0)
+           | GROUP BY dim),
+           |sb AS (
+           | SELECT dim, COUNT(*) AS n_b,
+           |  CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS s,
+           |  CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS s2
+           | FROM (SELECT dim, CASE WHEN dim < 8 THEN x + 0.25 ELSE x END AS x
+           |  FROM (SELECT unnest(range(len(embedding))) AS dim,
+           |    unnest(embedding)::DOUBLE AS x FROM embeddings WHERE vec_id % 2 = 1))
+           | GROUP BY dim),
+           |j AS (SELECT sa.dim, n_a, sa.s / n_a AS mean_a,
+           |  (sa.s2 - sa.s * sa.s / n_a) / (n_a - 1) AS var_a,
+           |  n_b, sb.s / n_b AS mean_b,
+           |  (sb.s2 - sb.s * sb.s / n_b) / (n_b - 1) AS var_b
+           | FROM sa JOIN sb ON sa.dim = sb.dim)
+           |SELECT dim, n_a, mean_a, var_a, n_b, mean_b, var_b,
+           | mean_b - mean_a AS mean_shift,
+           | CAST(abs(mean_b - mean_a) > 0.1 AS INTEGER) AS drifted
+           |FROM j ORDER BY dim""".stripMargin.replace("\n", " ")),
       "rj1_price_band" ->
         ("""WITH bands(band_id, lo, hi) AS (
            | SELECT b, 900.0 + b * b, 900.0 + (b + 1) * (b + 1)

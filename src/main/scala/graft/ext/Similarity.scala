@@ -371,6 +371,24 @@ object Similarity {
     * (the oracle mirrors the same mean/variance arithmetic from the same
     * two exact sums — variance formulas differing in operation ORDER would
     * diverge in the last ulp and flake a hash compare). */
+  /** Embedding DRIFT monitor between two corpus snapshots — the production
+    * check that catches a silently-swapped embedding-model version, an
+    * un-normalized ingest batch, or a pipeline bug shifting a dimension
+    * subspace: per-dimension mean/variance of both snapshots side by side,
+    * the mean shift, and a drift flag. Two [[dimStats]] passes joined on
+    * the `dim` key — group count = vector dimension, so the join and the
+    * report are O(dim) at any corpus scale; all stats derive from the same
+    * exact-decimal sums, so the shift and the flag are engine-exact. */
+  def dimDrift(a: DataFrame, b: DataFrame, vecCol: String,
+               meanShiftThreshold: Double = 0.1): DataFrame =
+    dimStats(a, vecCol).select(col("dim"), col("n").as("n_a"),
+        col("mean_x").as("mean_a"), col("var_x").as("var_a"))
+      .join(dimStats(b, vecCol).select(col("dim"), col("n").as("n_b"),
+        col("mean_x").as("mean_b"), col("var_x").as("var_b")), "dim")
+      .withColumn("mean_shift", col("mean_b") - col("mean_a"))
+      .withColumn("drifted",
+        (abs(col("mean_shift")) > meanShiftThreshold).cast("int"))
+
   def dimStats(df: DataFrame, vecCol: String): DataFrame = {
     val exploded = df
       .select(posexplode(toDouble(col(vecCol))).as(Seq("dim", "x")))
