@@ -1462,6 +1462,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // fit1: distributed MODEL TRAINING graded trajectory-exact — a linear
+    // probe over engineered doc features (bias, capped token / distinct /
+    // char-decile counts) fit by 4 full-batch GD steps in scaled-BIGINT
+    // fixed point (ext.Fit scaladoc). The target is a planted integer
+    // linear signal (2·x1 + 3·x2 − x3 + 7), so the spec can pin that the
+    // loss curve decreases and the oracle replays every weight of every
+    // iteration step for step.
+    "fit1_linear_probe" -> ((s, d) => {
+      val f = Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("toks"), col("text"))
+        .select(col("doc_id"), lit(1L).as("x0"),
+          least(size(col("toks")).cast("long"), lit(100L)).as("x1"),
+          least(size(array_distinct(col("toks"))).cast("long"), lit(100L)).as("x2"),
+          least((length(col("text")) / 10).cast("long"), lit(100L)).as("x3"))
+        .withColumn("y",
+          lit(2L) * col("x1") + lit(3L) * col("x2") - col("x3") + lit(7L))
+      ext.Fit.linearProbeGd(f,
+          Seq(col("x0"), col("x1"), col("x2"), col("x3")), col("y"),
+          iters = 4)
+        .orderBy("iter")
+    }),
+
     // sql1: the PURE-SQL user path end-to-end — the sim1 ranking restated
     // as SQL TEXT over a temp view, with the cosine built from the
     // registered native kernel (graft_dot, the SparkSessionExtensions
@@ -2976,6 +2998,65 @@ object SparkEntry {
            | FROM scored)
            |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
            |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+      // fit1: the identical integer GD trajectory unrolled — residuals at
+      // scale 2^16, truncating-division steps with n·2^15, loss = Σr²
+      // (exact HUGEINT cast to double, matching the exact-decimal sum)
+      "fit1_linear_probe" ->
+        (s"""WITH f AS (
+           | SELECT CAST(1 AS BIGINT) AS x0,
+           |  CAST(LEAST(len(toks), 100) AS BIGINT) AS x1,
+           |  CAST(LEAST(len(list_distinct(toks)), 100) AS BIGINT) AS x2,
+           |  CAST(LEAST(length(text) // 10, 100) AS BIGINT) AS x3
+           | FROM (SELECT text, $toksSql AS toks FROM documents)),
+           |f2 AS (SELECT *, 2 * x1 + 3 * x2 - x3 + 7 AS y FROM f),
+           |w0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,
+           |  CAST(0 AS BIGINT) AS b2, CAST(0 AS BIGINT) AS b3),
+           |r1 AS (SELECT f2.*, x0*b0 + x1*b1 + x2*b2 + x3*b3 - y*65536 AS r FROM f2, w0),
+           |g1 AS (SELECT sum(x0*r) AS s0, sum(x1*r) AS s1, sum(x2*r) AS s2,
+           |  sum(x3*r) AS s3, count(*) AS n, sum(r*r) AS l FROM r1),
+           |w1 AS (SELECT
+           |  b0 - CASE WHEN s0 < 0 THEN -((-s0) // (n*32768)) ELSE s0 // (n*32768) END AS b0,
+           |  b1 - CASE WHEN s1 < 0 THEN -((-s1) // (n*32768)) ELSE s1 // (n*32768) END AS b1,
+           |  b2 - CASE WHEN s2 < 0 THEN -((-s2) // (n*32768)) ELSE s2 // (n*32768) END AS b2,
+           |  b3 - CASE WHEN s3 < 0 THEN -((-s3) // (n*32768)) ELSE s3 // (n*32768) END AS b3
+           | FROM w0, g1),
+           |r2 AS (SELECT f2.*, x0*b0 + x1*b1 + x2*b2 + x3*b3 - y*65536 AS r FROM f2, w1),
+           |g2 AS (SELECT sum(x0*r) AS s0, sum(x1*r) AS s1, sum(x2*r) AS s2,
+           |  sum(x3*r) AS s3, count(*) AS n, sum(r*r) AS l FROM r2),
+           |w2 AS (SELECT
+           |  b0 - CASE WHEN s0 < 0 THEN -((-s0) // (n*32768)) ELSE s0 // (n*32768) END AS b0,
+           |  b1 - CASE WHEN s1 < 0 THEN -((-s1) // (n*32768)) ELSE s1 // (n*32768) END AS b1,
+           |  b2 - CASE WHEN s2 < 0 THEN -((-s2) // (n*32768)) ELSE s2 // (n*32768) END AS b2,
+           |  b3 - CASE WHEN s3 < 0 THEN -((-s3) // (n*32768)) ELSE s3 // (n*32768) END AS b3
+           | FROM w1, g2),
+           |r3 AS (SELECT f2.*, x0*b0 + x1*b1 + x2*b2 + x3*b3 - y*65536 AS r FROM f2, w2),
+           |g3 AS (SELECT sum(x0*r) AS s0, sum(x1*r) AS s1, sum(x2*r) AS s2,
+           |  sum(x3*r) AS s3, count(*) AS n, sum(r*r) AS l FROM r3),
+           |w3 AS (SELECT
+           |  b0 - CASE WHEN s0 < 0 THEN -((-s0) // (n*32768)) ELSE s0 // (n*32768) END AS b0,
+           |  b1 - CASE WHEN s1 < 0 THEN -((-s1) // (n*32768)) ELSE s1 // (n*32768) END AS b1,
+           |  b2 - CASE WHEN s2 < 0 THEN -((-s2) // (n*32768)) ELSE s2 // (n*32768) END AS b2,
+           |  b3 - CASE WHEN s3 < 0 THEN -((-s3) // (n*32768)) ELSE s3 // (n*32768) END AS b3
+           | FROM w2, g3),
+           |r4 AS (SELECT f2.*, x0*b0 + x1*b1 + x2*b2 + x3*b3 - y*65536 AS r FROM f2, w3),
+           |g4 AS (SELECT sum(x0*r) AS s0, sum(x1*r) AS s1, sum(x2*r) AS s2,
+           |  sum(x3*r) AS s3, count(*) AS n, sum(r*r) AS l FROM r4),
+           |w4 AS (SELECT
+           |  b0 - CASE WHEN s0 < 0 THEN -((-s0) // (n*32768)) ELSE s0 // (n*32768) END AS b0,
+           |  b1 - CASE WHEN s1 < 0 THEN -((-s1) // (n*32768)) ELSE s1 // (n*32768) END AS b1,
+           |  b2 - CASE WHEN s2 < 0 THEN -((-s2) // (n*32768)) ELSE s2 // (n*32768) END AS b2,
+           |  b3 - CASE WHEN s3 < 0 THEN -((-s3) // (n*32768)) ELSE s3 // (n*32768) END AS b3
+           | FROM w3, g4)
+           |SELECT CAST(1 AS BIGINT) AS iter, CAST(b0 AS BIGINT) AS w0,
+           |  CAST(b1 AS BIGINT) AS w1, CAST(b2 AS BIGINT) AS w2, CAST(b3 AS BIGINT) AS w3,
+           |  CAST((SELECT l FROM g1) AS DOUBLE) AS loss FROM w1
+           |UNION ALL SELECT 2, CAST(b0 AS BIGINT), CAST(b1 AS BIGINT), CAST(b2 AS BIGINT),
+           |  CAST(b3 AS BIGINT), CAST((SELECT l FROM g2) AS DOUBLE) FROM w2
+           |UNION ALL SELECT 3, CAST(b0 AS BIGINT), CAST(b1 AS BIGINT), CAST(b2 AS BIGINT),
+           |  CAST(b3 AS BIGINT), CAST((SELECT l FROM g3) AS DOUBLE) FROM w3
+           |UNION ALL SELECT 4, CAST(b0 AS BIGINT), CAST(b1 AS BIGINT), CAST(b2 AS BIGINT),
+           |  CAST(b3 AS BIGINT), CAST((SELECT l FROM g4) AS DOUBLE) FROM w4
+           |ORDER BY iter""".stripMargin.replace("\n", " ")),
       // sql1: identical oracle to sim1 — graft_dot ≡ list_dot_product
       "sql1_pure_sql_ann" ->
         ("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
