@@ -43,6 +43,19 @@ object SparkEntry {
   // ---- helpers -----------------------------------------------------------
 
   private def events(s: SparkSession, d: String)   = Tables.events(s, d)
+
+  /** Shared fixture for fit1/cur5: engineered integer doc features (bias,
+    * capped token / distinct-token / char-decile counts) with a planted
+    * integer linear target the probe must learn. */
+  private def probeFeatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+        ext.TextAnalysis.tokens(col("text")).as("toks"), col("text"))
+      .select(col("doc_id"), lit(1L).as("x0"),
+        least(size(col("toks")).cast("long"), lit(100L)).as("x1"),
+        least(size(array_distinct(col("toks"))).cast("long"), lit(100L)).as("x2"),
+        least((length(col("text")) / 10).cast("long"), lit(100L)).as("x3"))
+      .withColumn("y",
+        lit(2L) * col("x1") + lit(3L) * col("x2") - col("x3") + lit(7L))
   private def customer(s: SparkSession, d: String) = Tables.customer(s, d)
 
   /** events enriched with the customer dimension (J1), reference semantics:
@@ -1469,19 +1482,30 @@ object SparkEntry {
     // linear signal (2·x1 + 3·x2 − x3 + 7), so the spec can pin that the
     // loss curve decreases and the oracle replays every weight of every
     // iteration step for step.
-    "fit1_linear_probe" -> ((s, d) => {
-      val f = Tables.documents(s, d).select(col("doc_id"),
-          TextAnalysis.tokens(col("text")).as("toks"), col("text"))
-        .select(col("doc_id"), lit(1L).as("x0"),
-          least(size(col("toks")).cast("long"), lit(100L)).as("x1"),
-          least(size(array_distinct(col("toks"))).cast("long"), lit(100L)).as("x2"),
-          least((length(col("text")) / 10).cast("long"), lit(100L)).as("x3"))
-        .withColumn("y",
-          lit(2L) * col("x1") + lit(3L) * col("x2") - col("x3") + lit(7L))
-      ext.Fit.linearProbeGd(f,
+    "fit1_linear_probe" -> ((s, d) =>
+      ext.Fit.linearProbeGd(probeFeatures(s, d),
           Seq(col("x0"), col("x1"), col("x2"), col("x3")), col("y"),
           iters = 4)
-        .orderBy("iter")
+        .orderBy("iter")),
+
+    // cur5: MODEL-BASED CURATION — the train → apply loop (km1 → sim5's
+    // counterpart for fit1): train the probe, collect the final weights
+    // (k scaled longs — bounded by the model, not the data), score every
+    // document with a pure fixed-point projection against the weight
+    // LITERALS, and keep docs above the threshold. The quality-classifier
+    // filter pattern of modern corpus pipelines, with the whole
+    // train+score+filter fate engine-exact.
+    "cur5_model_curation" -> ((s, d) => {
+      val f = probeFeatures(s, d)
+      val wRow = ext.Fit.linearProbeGd(f,
+          Seq(col("x0"), col("x1"), col("x2"), col("x3")), col("y"),
+          iters = 4)
+        .orderBy(col("iter").desc).limit(1).collect()(0)
+      val w = (0 to 3).map(j => wRow.getAs[Long](s"w$j"))
+      val score = (0 to 3).map(j => col(s"x$j") * lit(w(j))).reduce(_ + _)
+      f.select(col("doc_id"), score.as("score"),
+          (score >= lit(80L * 65536L)).cast("int").as("kept"))
+        .orderBy("doc_id")
     }),
 
     // sql1: the PURE-SQL user path end-to-end — the sim1 ranking restated
@@ -3057,6 +3081,58 @@ object SparkEntry {
            |UNION ALL SELECT 4, CAST(b0 AS BIGINT), CAST(b1 AS BIGINT), CAST(b2 AS BIGINT),
            |  CAST(b3 AS BIGINT), CAST((SELECT l FROM g4) AS DOUBLE) FROM w4
            |ORDER BY iter""".stripMargin.replace("\n", " ")),
+      // cur5: fit1's trajectory through w4, then the score/filter
+      // projection against the learned weights
+      "cur5_model_curation" ->
+        (s"""WITH f AS (
+           | SELECT doc_id, CAST(1 AS BIGINT) AS x0,
+           |  CAST(LEAST(len(toks), 100) AS BIGINT) AS x1,
+           |  CAST(LEAST(len(list_distinct(toks)), 100) AS BIGINT) AS x2,
+           |  CAST(LEAST(length(text) // 10, 100) AS BIGINT) AS x3
+           | FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)),
+           |f2 AS (SELECT *, 2 * x1 + 3 * x2 - x3 + 7 AS y FROM f),
+           |w0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,
+           |  CAST(0 AS BIGINT) AS b2, CAST(0 AS BIGINT) AS b3),
+           |r1 AS (SELECT f2.*, x0*b0 + x1*b1 + x2*b2 + x3*b3 - y*65536 AS r FROM f2, w0),
+           |g1 AS (SELECT sum(x0*r) AS s0, sum(x1*r) AS s1, sum(x2*r) AS s2,
+           |  sum(x3*r) AS s3, count(*) AS n FROM r1),
+           |w1 AS (SELECT
+           |  b0 - CASE WHEN s0 < 0 THEN -((-s0) // (n*32768)) ELSE s0 // (n*32768) END AS b0,
+           |  b1 - CASE WHEN s1 < 0 THEN -((-s1) // (n*32768)) ELSE s1 // (n*32768) END AS b1,
+           |  b2 - CASE WHEN s2 < 0 THEN -((-s2) // (n*32768)) ELSE s2 // (n*32768) END AS b2,
+           |  b3 - CASE WHEN s3 < 0 THEN -((-s3) // (n*32768)) ELSE s3 // (n*32768) END AS b3
+           | FROM w0, g1),
+           |r2 AS (SELECT f2.*, x0*b0 + x1*b1 + x2*b2 + x3*b3 - y*65536 AS r FROM f2, w1),
+           |g2 AS (SELECT sum(x0*r) AS s0, sum(x1*r) AS s1, sum(x2*r) AS s2,
+           |  sum(x3*r) AS s3, count(*) AS n FROM r2),
+           |w2 AS (SELECT
+           |  b0 - CASE WHEN s0 < 0 THEN -((-s0) // (n*32768)) ELSE s0 // (n*32768) END AS b0,
+           |  b1 - CASE WHEN s1 < 0 THEN -((-s1) // (n*32768)) ELSE s1 // (n*32768) END AS b1,
+           |  b2 - CASE WHEN s2 < 0 THEN -((-s2) // (n*32768)) ELSE s2 // (n*32768) END AS b2,
+           |  b3 - CASE WHEN s3 < 0 THEN -((-s3) // (n*32768)) ELSE s3 // (n*32768) END AS b3
+           | FROM w1, g2),
+           |r3 AS (SELECT f2.*, x0*b0 + x1*b1 + x2*b2 + x3*b3 - y*65536 AS r FROM f2, w2),
+           |g3 AS (SELECT sum(x0*r) AS s0, sum(x1*r) AS s1, sum(x2*r) AS s2,
+           |  sum(x3*r) AS s3, count(*) AS n FROM r3),
+           |w3 AS (SELECT
+           |  b0 - CASE WHEN s0 < 0 THEN -((-s0) // (n*32768)) ELSE s0 // (n*32768) END AS b0,
+           |  b1 - CASE WHEN s1 < 0 THEN -((-s1) // (n*32768)) ELSE s1 // (n*32768) END AS b1,
+           |  b2 - CASE WHEN s2 < 0 THEN -((-s2) // (n*32768)) ELSE s2 // (n*32768) END AS b2,
+           |  b3 - CASE WHEN s3 < 0 THEN -((-s3) // (n*32768)) ELSE s3 // (n*32768) END AS b3
+           | FROM w2, g3),
+           |r4 AS (SELECT f2.*, x0*b0 + x1*b1 + x2*b2 + x3*b3 - y*65536 AS r FROM f2, w3),
+           |g4 AS (SELECT sum(x0*r) AS s0, sum(x1*r) AS s1, sum(x2*r) AS s2,
+           |  sum(x3*r) AS s3, count(*) AS n FROM r4),
+           |w4 AS (SELECT
+           |  b0 - CASE WHEN s0 < 0 THEN -((-s0) // (n*32768)) ELSE s0 // (n*32768) END AS b0,
+           |  b1 - CASE WHEN s1 < 0 THEN -((-s1) // (n*32768)) ELSE s1 // (n*32768) END AS b1,
+           |  b2 - CASE WHEN s2 < 0 THEN -((-s2) // (n*32768)) ELSE s2 // (n*32768) END AS b2,
+           |  b3 - CASE WHEN s3 < 0 THEN -((-s3) // (n*32768)) ELSE s3 // (n*32768) END AS b3
+           | FROM w3, g4)
+           |SELECT f2.doc_id,
+           | CAST(x0*b0 + x1*b1 + x2*b2 + x3*b3 AS BIGINT) AS score,
+           | CAST(x0*b0 + x1*b1 + x2*b2 + x3*b3 >= 80 * 65536 AS INTEGER) AS kept
+           |FROM f2, w4 ORDER BY f2.doc_id""".stripMargin.replace("\n", " ")),
       // sql1: identical oracle to sim1 — graft_dot ≡ list_dot_product
       "sql1_pure_sql_ann" ->
         ("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
