@@ -593,6 +593,28 @@ object SparkEntry {
     "q21_fully_late" -> ((s, d) => Analytics.fullyLateOrders(s, d)),
     "q19_band_revenue" -> ((s, d) => Analytics.disjunctiveBandRevenue(s, d)),
     "w1_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
+
+    // w4: the RANKING-FUNCTION family under genuine ties — every order
+    // planted twice (re-key +10000000, same customer/price), so rank gaps,
+    // dense_rank compaction, and the percent_rank/cume_dist rationals all
+    // exercise tie semantics for real. Both rationals divide exactly
+    // representable small integers (IEEE-exact both engines). Graded on
+    // the top-2 price ranks per customer to keep the output bounded.
+    "w4_rank_functions" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      val planted = o.unionByName(o.select(col("o_custkey"),
+        (col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_totalprice")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+      planted.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"))
+        .where(col("drnk") <= 2)
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     "w2_order_gaps" -> ((s, d) => Analytics.orderGaps(s, d)),
     "ag1_order_part_lists" -> ((s, d) => Analytics.orderPartLists(s, d)),
     "r1_revenue_rollup" -> ((s, d) => Analytics.revenueRollup(s, d)),
@@ -2072,6 +2094,20 @@ object SparkEntry {
            |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10 AND 30)
            |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20 AND 40)
            |ORDER BY revenue""".stripMargin.replace("\n", " ")),
+      // w4: identical tie fixture + the same four ranking functions
+      "w4_rank_functions" ->
+        ("""WITH planted AS (
+           | SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+           | UNION ALL SELECT o_custkey, o_orderkey + 10000000, o_totalprice FROM orders),
+           |r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+           |  CAST(rank() OVER w AS BIGINT) AS rnk,
+           |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           |  percent_rank() OVER w AS prnk,
+           |  cume_dist() OVER w AS cdist
+           | FROM planted
+           | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC))
+           |SELECT * FROM r WHERE drnk <= 2
+           |ORDER BY o_custkey, o_orderkey""".stripMargin.replace("\n", " ")),
       "w1_top_order_per_customer" ->
         ("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
            |  SELECT o_custkey, o_orderkey, o_totalprice,
