@@ -15,7 +15,6 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config(graft.core.Tables.NanosAsLongKey, "true")
       .config("spark.ui.enabled", "false")
       // ~300 executions run in this one JVM; the status store retains
       // plan graphs + metrics per execution (default 1000) and this

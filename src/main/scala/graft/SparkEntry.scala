@@ -28,7 +28,10 @@ object SparkEntry {
     * ALREADY-BUILT session by the driver, so it applies them here (runtime
     * SQLConf, before any read) rather than inside a table loader. */
   def configureSession(spark: SparkSession): SparkSession = {
-    spark.conf.set(Tables.NanosAsLongKey, "true")
+    // events.ts is TIMESTAMP_NTZ (zone-free wall clock); pin the session
+    // zone anyway so any zoned casts a caller adds behave identically to
+    // the UTC-pinned oracle session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
 
@@ -537,7 +540,7 @@ object SparkEntry {
     // BatchJobImpl.scala:22-26) as a PUSHABLE timestamp range — same
     // semantics, but the predicate reaches parquet row-group pruning
     "s2_hour_slice" -> ((s, d) =>
-      Prune.hourSliceNanos(events(s, d), "ts_ns", 2024, 1, 1, 10)
+      Prune.hourSlice(events(s, d), "ts", 2024, 1, 1, 10)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))
         .orderBy("event_id")),

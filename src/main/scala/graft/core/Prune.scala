@@ -1,6 +1,6 @@
 package graft.core
 
-import java.time.{LocalDateTime, ZoneOffset}
+import java.time.LocalDateTime
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -24,20 +24,10 @@ object Prune {
     * sessions this engine runs with. */
   def hourSlice(df: DataFrame, tsCol: String,
                 year: Int, month: Int, day: Int, hour: Int): DataFrame = {
+    // typed LocalDateTime literals resolve as TIMESTAMP_NTZ — the events
+    // table's physical type — so the comparison needs no cast on the column
+    // side and the range reaches the scan's PushedFilters
     val start = LocalDateTime.of(year, month, day, hour, 0, 0)
-    val end = start.plusHours(1)
-    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
-    df.where(col(tsCol) >= lit(start.format(fmt)) && col(tsCol) < lit(end.format(fmt)))
-  }
-
-  /** Same slice over a raw epoch-NANOS long column (the events table's
-    * physical ts). A long-range predicate pushes into the parquet scan even
-    * though the derived timestamp column can't. */
-  def hourSliceNanos(df: DataFrame, nanosCol: String,
-                     year: Int, month: Int, day: Int, hour: Int): DataFrame = {
-    val start = LocalDateTime.of(year, month, day, hour, 0, 0)
-      .toEpochSecond(ZoneOffset.UTC) * 1000000000L
-    val end = start + 3600L * 1000000000L
-    df.where(col(nanosCol) >= lit(start) && col(nanosCol) < lit(end))
+    df.where(col(tsCol) >= lit(start) && col(tsCol) < lit(start.plusHours(1)))
   }
 }

@@ -18,34 +18,16 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is nanosecond-precision in parquet, which Spark 4 cannot
-    * represent as TimestampType (µs). Read it as a long (legacy flag) and
-    * truncate to µs with INTEGER division — double division would lose
-    * precision above 2^53 ns (~1970+104 days). DuckDB applies the same
-    * floor-to-µs truncation when reading, so both engines agree.
-    *
-    * The column is surfaced as TIMESTAMP_NTZ (wall-clock, no zone): the
-    * source data is zone-less, all sessions pin UTC, and NTZ round-trips
-    * through parquet as `isAdjustedToUTC=false`, i.e. the same logical type
-    * the oracle reads — schema parity by construction. */
-  /** The legacy flag the events reader needs; set at SESSION BUILD (every
-    * main/spec builder passes it to `.config`) — never inside the loader,
-    * where a runtime `conf.set` would be a global side effect racing any
-    * concurrent query on a shared session. [[events]] only asserts it. */
-  val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
-
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    require(spark.conf.getOption(NanosAsLongKey).contains("true"),
-      s"set $NanosAsLongKey=true at session build (events.ts is TIMESTAMP(NANOS); " +
-        "see SparkEntry.configureSession)")
+  /** `events.ts` is µs-precision parquet with `isAdjustedToUTC=false`, which
+    * Spark reads natively as TIMESTAMP_NTZ (wall-clock, no zone) — the same
+    * logical type the DuckDB oracle reads, so schema parity holds by
+    * construction and range predicates on `ts` push straight into the
+    * parquet scan (row-group min/max pruning; see [[Prune.hourSlice]]).
+    * Earlier generations of the fixture were TIMESTAMP(NANOS), which needed
+    * a legacy long-read + ns→µs division; that path is retired with the
+    * data. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz"))
-    // ts_ns (the raw epoch-nanos long) stays available: predicates on the
-    // DERIVED ts can't push into the scan, but a range on ts_ns is a plain
-    // long comparison the parquet reader prunes row groups with
-    // (Prune.hourSliceNanos). Column pruning drops ts_ns when unused.
-  }
   def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")

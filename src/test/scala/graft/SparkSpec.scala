@@ -15,7 +15,6 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config(graft.core.Tables.NanosAsLongKey, "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   locally { spark.sparkContext.setLogLevel("WARN") }
