@@ -941,6 +941,31 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket"), col("split")))
         .orderBy("doc_id")),
 
+    // shard1: deterministic shard manifests — the export "last mile": every
+    // doc lands in one of 16 salted-hash shards; per shard the manifest
+    // carries counts, token/char totals and an order-free exact-decimal
+    // content fingerprint a consumer can re-verify a downloaded shard with
+    "shard1_manifest" -> ((s, d) =>
+      ext.Sampling.shardManifest(
+          Tables.documents(s, d).withColumn("n_tokens",
+            size(TextAnalysis.tokens(col("text"))).cast("long")),
+          col("doc_id"), col("text"), col("n_tokens"), "shard", 16)
+        .orderBy("shard")),
+
+    // bud1: token-budget fill — per-source salted-hash priority order until
+    // 800 tokens per source (the "N tokens of web, M of code" mix spec —
+    // cuts mid-source at every graded SF: per-source totals are ~1.4k at
+    // sf0.01, ~14k at sf0.1);
+    // two-phase bucket classification keeps each source parallel (only the
+    // boundary bucket pays an exact window), bit-identical to the oracle's
+    // single running-sum window
+    "bud1_token_budget" -> ((s, d) =>
+      ext.Sampling.tokenBudgetFill(
+          Tables.documents(s, d).withColumn("n_tokens",
+            size(TextAnalysis.tokens(col("text"))).cast("long")),
+          col("source"), col("doc_id"), "bud", col("n_tokens"), 800L)
+        .orderBy("doc_id")),
+
     // sp3: deterministic stratified sampling — the k=40 docs per language
     // whose salted hash is smallest (rebalance skewed strata: en has 3×
     // fr's docs in this corpus). WindowGroupLimit caps the per-partition
@@ -2689,6 +2714,25 @@ object SparkEntry {
            |  ('0x' || substring(sha256(doc_id::VARCHAR || ':graft'), 1, 15))::BIGINT % 100 AS bucket
            | FROM documents)
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "shard1_manifest" ->
+        (s"""SELECT shard, COUNT(*)::BIGINT AS n_docs,
+           | SUM(n_tokens)::BIGINT AS n_tokens, SUM(n_chars)::BIGINT AS n_chars,
+           | (SUM(h)::HUGEINT % 1000000007)::BIGINT AS content_fp
+           |FROM (SELECT
+           |  ('0x' || substring(sha256(doc_id::VARCHAR || ':shard'), 1, 15))::BIGINT % 16 AS shard,
+           |  len($toksSql) AS n_tokens, length(text) AS n_chars,
+           |  ('0x' || substring(sha256(text || ':shard:fp'), 1, 15))::BIGINT % 1073741824 AS h
+           | FROM documents)
+           |GROUP BY shard ORDER BY shard""".stripMargin.replace("\n", " ")),
+      "bud1_token_budget" ->
+        (s"""SELECT doc_id, source, n_tokens FROM (
+           | SELECT doc_id, source, n_tokens,
+           |  SUM(n_tokens) OVER (PARTITION BY source
+           |   ORDER BY p, doc_id) AS cum
+           | FROM (SELECT doc_id, source, len($toksSql) AS n_tokens,
+           |   ('0x' || substring(sha256(doc_id::VARCHAR || ':bud'), 1, 15))::BIGINT % 1048576 AS p
+           |  FROM documents))
+           |WHERE cum <= 800 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       "sp3_stratified_sample" ->
         ("""SELECT doc_id, lang FROM (
            | SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang

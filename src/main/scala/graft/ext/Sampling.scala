@@ -159,6 +159,111 @@ object Sampling {
         (max(col("n_tokens")) * count(lit(1)) - sum(col("n_tokens")))
           .cast("long").as("padding_waste"))
 
+  /** Deterministic SHARD MANIFEST — the export "last mile" of a training
+    * pipeline: assign every document to one of `shards` fixed output shards
+    * by salted hash (stable across runs/engines/partitionings, same
+    * guarantees as [[sampleByHash]]) and emit one manifest row per shard:
+    * document count, token and character totals, and an ORDER-FREE content
+    * fingerprint (exact DECIMAL sum of a per-doc content hash, mod a
+    * prime) — enough for a consumer to verify a shard it downloaded
+    * without re-reading the corpus. Returns
+    * (shard, n_docs, n_tokens, n_chars, content_fp).
+    *
+    * The physical write is the same assignment:
+    * `df.repartition(shards, shardCol).write...` (or
+    * `partitionBy(shard)`) puts each shard in exactly one task = one
+    * file, and this manifest is its sidecar. Scale: one hash-partitioned
+    * aggregate with map-side combine; output = `shards` rows. The
+    * fingerprint sum rides DECIMAL(30,0) (exact to 10²¹ docs, order-free,
+    * engine-portable — the [[graft.core.Num.dsum]] rationale; a plain
+    * BIGINT sum would wrap differently in Spark and the HUGEINT-widening
+    * oracle). */
+  def shardManifest(df: DataFrame, id: Column, content: Column,
+                    nTokens: Column, salt: String, shards: Int): DataFrame = {
+    require(shards > 0)
+    val FpPrime = 1000000007L
+    df.select(
+        hashBucket(id, salt, shards).as("shard"),
+        nTokens.cast("long").as("graft_tok"),
+        length(content).cast("long").as("graft_chars"),
+        // per-doc content hash bounded to 2^30 so the decimal sum stays
+        // far inside DECIMAL(30,0) at any corpus size
+        hashBucket(content, salt + ":fp", 1 << 30)
+          .cast("decimal(30,0)").as("graft_h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("graft_tok")).cast("long").as("n_tokens"),
+        sum(col("graft_chars")).cast("long").as("n_chars"),
+        (sum(col("graft_h")) % lit(FpPrime)).cast("long").as("content_fp"))
+  }
+
+  /** TOKEN-BUDGET fill — take documents per source in deterministic
+    * salted-hash priority order until the source's token budget is
+    * exhausted: the way production mixes are actually specified ("50 B
+    * tokens of web, 5 B of code"), complementing [[temperatureMix]]'s
+    * rate-based flattening with exact token targets. A document is kept
+    * iff the running token sum up to and including it (ordered by
+    * (priority, key) within its source) stays ≤ `budget`. Deterministic:
+    * fate is a pure function of (key, salt, the source's population).
+    * Returns the kept rows as (doc_id, source, n_tokens).
+    *
+    * Scale: the naive shape — one running-sum window per source — funnels
+    * each source through ONE partition (the global-window trap, see
+    * [[packSequences]]). Instead the priority space is pre-bucketed by its
+    * top bits and filled in two phases: (1) a per-(source, bucket) token
+    * aggregate (tiny: |sources|·1024 rows) gets a running sum over buckets,
+    * classifying every bucket as fully-inside, fully-outside, or THE
+    * boundary bucket of its source; (2) docs in fully-inside buckets are
+    * kept by a plain join+filter (no window, no per-source serialization),
+    * and only the ~1/1024 slice of docs in the boundary bucket pays the
+    * exact within-bucket running-sum window. Ordering by (bucket, priority,
+    * key) equals ordering by (priority, key) because the bucket is the
+    * priority's own top bits — so the two-phase result is bit-identical to
+    * the single-window semantics the oracle recomputes. */
+  def tokenBudgetFill(df: DataFrame, source: Column, key: Column,
+                      salt: String, nTokens: Column, budget: Long): DataFrame = {
+    require(budget >= 0)
+    val docs = df.select(key.cast("long").as("doc_id"),
+        source.cast("string").as("source"),
+        nTokens.cast("long").as("n_tokens"),
+        hashBucket(key, salt, 1 << 20).as("graft_p"))
+      .withColumn("graft_b", shiftright(col("graft_p"), 10)) // top 10 bits
+    val buckets = docs.groupBy(col("source"), col("graft_b"))
+      .agg(sum(col("n_tokens")).as("graft_btok"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("graft_b"))
+    // per bucket: tokens before it (exclusive) and through it (inclusive);
+    // |sources|·1024 rows — the window here is over the TINY relation
+    val classed = buckets
+      .withColumn("graft_cum", sum(col("graft_btok")).over(wb))
+      .withColumn("graft_before", col("graft_cum") - col("graft_btok"))
+      .select(col("source").as("graft_src"), col("graft_b"),
+        col("graft_before"),
+        (col("graft_cum") <= budget).as("graft_full"),
+        // boundary admits before == budget too: a zero-token row whose
+        // running sum sits exactly at the exhausted budget is kept by the
+        // pure-window definition, and only the exact window can see it —
+        // with before ≤ budget the window's run ≤ budget filter reproduces
+        // the window semantics for every n_tokens ≥ 0
+        (col("graft_before") <= budget && col("graft_cum") > budget)
+          .as("graft_boundary"))
+    val joined = docs.join(classed,
+      docs("source") === col("graft_src") && docs("graft_b") === classed("graft_b"))
+    val kept_full = joined.where(col("graft_full"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    // exact running sum only inside the one boundary bucket per source:
+    // the windowed set is ~corpus/1024, and partitioning by (source,
+    // bucket) keeps even that slice parallel across sources
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("graft_p"), col("doc_id"))
+    val kept_boundary = joined.where(col("graft_boundary"))
+      .withColumn("graft_run",
+        col("graft_before") + sum(col("n_tokens")).over(win))
+      .where(col("graft_run") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    kept_full.unionByName(kept_boundary)
+  }
+
   /** Train/val/test assignment: adds `bucket` (0-99) and `split` columns.
     * Buckets < trainPct → "train", < trainPct+valPct → "val", rest "test".
     * One codegen'd projection over the corpus — zero shuffles. */

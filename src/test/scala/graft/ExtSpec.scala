@@ -500,6 +500,56 @@ class ExtSpec extends SparkSpec {
     assert(got(1L) == ((1L, 0L)), got.toString)
   }
 
+  test("shardManifest: totals conserve, fingerprint is order-free and content-sensitive") {
+    val df = Seq((0L, "alpha beta"), (1L, "gamma"), (2L, "delta epsilon zeta"),
+      (3L, "eta"), (4L, "theta iota"))
+      .toDF("doc_id", "text")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ext.Sampling.shardManifest(d, col("doc_id"), col("text"),
+        col("n_tokens"), "t", 4)
+    val m = run(df).collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m.values.map(_._1).sum == 5L, m.toString) // every doc in a shard
+    assert(m.values.map(_._2).sum == 9L, m.toString) // token total conserved
+    // order/partitioning-free: a shuffled input yields the identical manifest
+    val m2 = run(df.repartition(7).orderBy(col("text"))).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m == m2, s"$m vs $m2")
+    // content-sensitive: mutating one doc's text flips its shard's fingerprint
+    val mutated = run(df.withColumn("text",
+      when(col("doc_id") === 1L, lit("gamma!")).otherwise(col("text")))).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val shardOf1 = graft.ext.Sampling.hashBucket(lit(1L), "t", 4)
+    val s1 = df.sparkSession.range(1).select(shardOf1).head().getLong(0)
+    assert(mutated(s1) != m(s1)._4, s"fp must change for shard $s1")
+    assert((m.keySet - s1).forall(k => mutated(k) == m(k)._4), "other shards unchanged")
+  }
+
+  test("tokenBudgetFill: two-phase result equals the single-window definition") {
+    // 2 sources × 40 docs with varied sizes (plus zero-token rows) and a
+    // budget that cuts mid-source: the two-phase bucket classification must
+    // reproduce the pure running-sum window bit-for-bit
+    val rows = (0L until 40L).flatMap(i => Seq(
+      (i, "web", 1L + (i * 7) % 13), (i + 100L, "code", if (i % 9 == 0) 0L else 1L + (i * 5) % 11)))
+    val df = rows.toDF("doc_id", "source", "n_tokens")
+    val got = graft.ext.Sampling.tokenBudgetFill(df, col("source"),
+        col("doc_id"), "bt", col("n_tokens"), budget = 60L)
+      .as[(Long, String, Long)].collect().toSet
+    df.createOrReplaceTempView("bud_docs")
+    val want = spark.sql("""
+      SELECT doc_id, source, n_tokens FROM (
+        SELECT doc_id, source, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY source ORDER BY
+            CAST(conv(substring(sha2(cast(concat(cast(doc_id AS STRING), ':bt') AS BINARY), 256), 1, 15), 16, 10) AS BIGINT) % 1048576,
+            doc_id) AS cum
+        FROM bud_docs) WHERE cum <= 60""")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want, s"two-phase ${got.size} vs window ${want.size}: " +
+      s"missing ${want -- got}, extra ${got -- want}")
+    assert(want.nonEmpty && want.size < rows.size, "budget must cut mid-source")
+  }
+
   test("withRepetitionStats: duplicate-trigram and top-token fractions") {
     val df = Seq(
       (0L, "spam spam spam spam spam spam"),   // 6 tokens, 4 trigrams all equal
