@@ -210,58 +210,78 @@ object Sampling {
     * Scale: the naive shape — one running-sum window per source — funnels
     * each source through ONE partition (the global-window trap, see
     * [[packSequences]]). Instead the priority space is pre-bucketed by its
-    * top bits and filled in two phases: (1) a per-(source, bucket) token
-    * aggregate (tiny: |sources|·1024 rows) gets a running sum over buckets,
-    * classifying every bucket as fully-inside, fully-outside, or THE
-    * boundary bucket of its source; (2) docs in fully-inside buckets are
-    * kept by a plain join+filter (no window, no per-source serialization),
-    * and only the ~1/1024 slice of docs in the boundary bucket pays the
-    * exact within-bucket running-sum window. Ordering by (bucket, priority,
-    * key) equals ordering by (priority, key) because the bucket is the
-    * priority's own top bits — so the two-phase result is bit-identical to
-    * the single-window semantics the oracle recomputes. */
+    * top bits: a per-(source, bucket) token aggregate (tiny:
+    * |sources|·1024 rows) gets a running sum over buckets, classifying
+    * every bucket as fully-inside the budget, fully-outside, or THE
+    * boundary bucket of its source; the corpus then keeps full buckets by
+    * a plain join+filter and resolves boundary buckets with a running-sum
+    * window partitioned by (source, BUCKET) — 1024-way parallel per
+    * source, never one partition per source. Ordering by (bucket,
+    * priority, key) equals ordering by (priority, key) because the bucket
+    * is the priority's own top bits — so the result is bit-identical to
+    * the single-window definition the oracle recomputes (including
+    * zero-token rows sitting exactly at an exhausted budget: the boundary
+    * class admits before == budget so the exact window can see them).
+    *
+    * Cost accounting: the tokenized 5-column projection has two consumers
+    * with DIVERGENT prunings — the bucket aggregate reads (source,
+    * graft_b, n_tokens), the join probe reads all five — so their
+    * subplans de-canonicalize below the shared fan-out exchange and the
+    * tokenize runs twice (the LayoutSpec-pinned divergent-consumer
+    * caveat; no projection trick survives column pruning here). A run
+    * where the tokenize dominates should pass `materializeDocs = true`
+    * (MEMORY_AND_DISK persist of the narrow 5-column projection —
+    * ~40 B/row, spill-safe; the spec pins that it collapses the two
+    * pipelines onto one scan). It stays OFF by default because pinning a
+    * corpus-sized frame is a deployment decision, not an operator
+    * default; the caller owns the eventual `unpersist` — the cur2
+    * `materializeKept` contract. The base carries the join's isNotNull
+    * explicitly so constraint inference adds nothing one-sided (the q15
+    * rule); NULL-source rows are excluded by that predicate — a keyed
+    * fill has no budget line to charge them to. */
   def tokenBudgetFill(df: DataFrame, source: Column, key: Column,
-                      salt: String, nTokens: Column, budget: Long): DataFrame = {
+                      salt: String, nTokens: Column, budget: Long,
+                      materializeDocs: Boolean = false): DataFrame = {
     require(budget >= 0)
-    val docs = df.select(key.cast("long").as("doc_id"),
-        source.cast("string").as("source"),
-        nTokens.cast("long").as("n_tokens"),
-        hashBucket(key, salt, 1 << 20).as("graft_p"))
-      .withColumn("graft_b", shiftright(col("graft_p"), 10)) // top 10 bits
-    val buckets = docs.groupBy(col("source"), col("graft_b"))
+    val docs0 = graft.core.Par.fanOut(
+      df.select(key.cast("long").as("doc_id"),
+          source.cast("string").as("source"),
+          nTokens.cast("long").as("n_tokens"),
+          hashBucket(key, salt, 1 << 20).as("graft_p"))
+        .withColumn("graft_b", shiftright(col("graft_p"), 10)) // top 10 bits
+        .where(col("source").isNotNull && col("graft_b").isNotNull))
+    val docs =
+      if (materializeDocs)
+        docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else docs0
+    // per (source, bucket) token totals: |sources|·1024 groups
+    val buckets = docs
+      .groupBy(col("source").as("graft_src"), col("graft_b").as("graft_cb"))
       .agg(sum(col("n_tokens")).as("graft_btok"))
     val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("graft_b"))
-    // per bucket: tokens before it (exclusive) and through it (inclusive);
-    // |sources|·1024 rows — the window here is over the TINY relation
+      .partitionBy(col("graft_src")).orderBy(col("graft_cb"))
+    // running bucket totals over the TINY relation; before = exclusive cum
     val classed = buckets
       .withColumn("graft_cum", sum(col("graft_btok")).over(wb))
-      .withColumn("graft_before", col("graft_cum") - col("graft_btok"))
-      .select(col("source").as("graft_src"), col("graft_b"),
-        col("graft_before"),
+      .select(col("graft_src"), col("graft_cb"),
+        (col("graft_cum") - col("graft_btok")).as("graft_before"),
         (col("graft_cum") <= budget).as("graft_full"),
-        // boundary admits before == budget too: a zero-token row whose
-        // running sum sits exactly at the exhausted budget is kept by the
-        // pure-window definition, and only the exact window can see it —
-        // with before ≤ budget the window's run ≤ budget filter reproduces
-        // the window semantics for every n_tokens ≥ 0
-        (col("graft_before") <= budget && col("graft_cum") > budget)
-          .as("graft_boundary"))
-    val joined = docs.join(classed,
-      docs("source") === col("graft_src") && docs("graft_b") === classed("graft_b"))
-    val kept_full = joined.where(col("graft_full"))
-      .select(col("doc_id"), col("source"), col("n_tokens"))
-    // exact running sum only inside the one boundary bucket per source:
-    // the windowed set is ~corpus/1024, and partitioning by (source,
-    // bucket) keeps even that slice parallel across sources
+        ((col("graft_cum") - col("graft_btok")) <= budget
+          && col("graft_cum") > budget).as("graft_boundary"))
+    // ONE join, ONE output-sized window: full-bucket rows pass the filter
+    // unconditionally; boundary-bucket rows pass iff their exact running
+    // sum (before + intra-bucket run) stays within budget. classed is
+    // |sources|·1024 rows — no broadcast hint, AQE broadcasts while it fits
     val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("graft_p"), col("doc_id"))
-    val kept_boundary = joined.where(col("graft_boundary"))
+      .partitionBy(col("source"), col("graft_b"))
+      .orderBy(col("graft_p"), col("doc_id"))
+    docs.join(classed,
+        col("source") === col("graft_src") && col("graft_b") === col("graft_cb"))
+      .where(col("graft_full") || col("graft_boundary"))
       .withColumn("graft_run",
         col("graft_before") + sum(col("n_tokens")).over(win))
-      .where(col("graft_run") <= budget)
+      .where(col("graft_full") || col("graft_run") <= budget)
       .select(col("doc_id"), col("source"), col("n_tokens"))
-    kept_full.unionByName(kept_boundary)
   }
 
   /** Train/val/test assignment: adds `bucket` (0-99) and `split` columns.

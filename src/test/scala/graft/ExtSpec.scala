@@ -550,6 +550,23 @@ class ExtSpec extends SparkSpec {
     assert(want.nonEmpty && want.size < rows.size, "budget must cut mid-source")
   }
 
+  test("tokenBudgetFill materializeDocs: same result, cached tokenize") {
+    val rows = (0L until 60L).map(i => (i, s"src${i % 3}", 1L + (i * 7) % 13))
+    val df = rows.toDF("doc_id", "source", "n_tokens")
+    val lazyRes = graft.ext.Sampling.tokenBudgetFill(df, col("source"),
+      col("doc_id"), "bm", col("n_tokens"), budget = 40L).collect().map(_.toSeq).toSet
+    val mat = graft.ext.Sampling.tokenBudgetFill(df, col("source"),
+      col("doc_id"), "bm", col("n_tokens"), budget = 40L, materializeDocs = true)
+    try {
+      assert(mat.collect().map(_.toSeq).toSet == lazyRes,
+        "materialization must not change the result")
+      val p = mat.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+        s"expected both consumers to read the cached projection:\n$p")
+    } finally spark.catalog.clearCache()
+  }
+
   test("withRepetitionStats: duplicate-trigram and top-token fractions") {
     val df = Seq(
       (0L, "spam spam spam spam spam spam"),   // 6 tokens, 4 trigrams all equal
