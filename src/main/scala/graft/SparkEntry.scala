@@ -423,6 +423,29 @@ object SparkEntry {
             "o_orderdate", "o_orderpriority"))
         .orderBy("col_name")),
 
+    // pv2: pivot→MELT round trip — the pivot side is Reshape.pivotCounts
+    // (explicit vocabulary, one hash aggregate; same operator class the
+    // graded pv1_nation_segment_pivot covers), the melt side is the
+    // missing inverse: a stack projection back to long form, zero extra
+    // shuffles. Zero-count combinations survive the round trip (count
+    // semantics), which a plain GROUP BY cannot produce.
+    "pv2_event_melt" -> ((s, d) =>
+      graft.queries.Reshape.melt(
+          graft.queries.Reshape.pivotCounts(events(s, d), col("user_id"),
+            col("event_type"), EventTypes),
+          col("id"), EventTypes.map("n_" + _), "event_type", "n")
+        .withColumnRenamed("id", "user_id")
+        .withColumn("event_type", expr("substring(event_type, 3)"))
+        .orderBy("user_id", "event_type")),
+
+    // st1: EXACT bivariate statistics (corr / covar / OLS slope) from
+    // integer moment sums — order-free and engine-identical where the
+    // built-in double-streaming corr/covar_samp is neither
+    "st1_bivariate_stats" -> ((s, d) =>
+      graft.queries.Stats.bivariate(Tables.lineitem(s, d), Seq("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"), scale = 2)
+        .orderBy("l_returnflag")),
+
     // A2: bytes per user, 90 s tumbling window
     "a2_user_90s" -> ((s, d) =>
       graft.streaming.Speed.windowedSum(events(s, d),
@@ -1798,6 +1821,34 @@ object SparkEntry {
           .map { case (c, n) => one(c, n) }
           .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
       },
+      // pv2: zero-count combinations survive the pivot→melt round trip, so
+      // the oracle builds the full user × vocabulary grid and left-joins
+      // the observed counts onto it
+      "pv2_event_melt" ->
+        ("""SELECT u.user_id, v.event_type, COALESCE(c.n, 0)::BIGINT AS n
+           |FROM (SELECT DISTINCT user_id FROM events) u
+           |CROSS JOIN (SELECT unnest(['click','error','purchase','signup','view']) AS event_type) v
+           |LEFT JOIN (SELECT user_id, event_type, COUNT(*) AS n FROM events
+           |           GROUP BY user_id, event_type) c
+           | USING (user_id, event_type)
+           |ORDER BY user_id, event_type""".stripMargin.replace("\n", " ")),
+      // st1: identical integer moment sums and the identical combination
+      // expression — HUGEINT on the DuckDB side mirrors DECIMAL(38,0)
+      "st1_bivariate_stats" ->
+        ("""WITH q AS (SELECT l_returnflag,
+           |  CAST(round(l_quantity * 100) AS BIGINT) AS x,
+           |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
+           |a AS (SELECT l_returnflag, COUNT(*)::HUGEINT AS n,
+           |  SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+           |  SUM(x*y)::HUGEINT AS sxy, SUM(x*x)::HUGEINT AS sxx,
+           |  SUM(y*y)::HUGEINT AS syy
+           | FROM q GROUP BY l_returnflag)
+           |SELECT l_returnflag, n::BIGINT AS n,
+           | CAST(n*sxy - sx*sy AS DOUBLE)
+           |  / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr,
+           | CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS covar_samp,
+           | CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
+           |FROM a ORDER BY l_returnflag""".stripMargin.replace("\n", " ")),
       "a2_user_90s" -> windowed("90 seconds", "CAST(user_id AS VARCHAR)", "events", "user_bytes_total"),
       // mv1: the maintained view must equal the batch hourly aggregate
       "mv1_streaming_matview" -> windowed("1 hour", "CAST(user_id AS VARCHAR)", "events", "user_hourly_mv"),
@@ -3468,6 +3519,11 @@ object SparkEntry {
     * +1000000). A larger fixture must scale the offsets — or negate
     * planted ids — in the query AND its oracle together. */
   private val BoilerPrefix = (1 to 25).map(i => "bp" + i).mkString(" ")
+
+  /** The events table's bounded event_type vocabulary (TESTDATA.md
+    * generator); pv1/pv2 pivot over it explicitly — the scale rule in
+    * [[graft.queries.Reshape]]. */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** Oracle-side whitespace tokenization matching TextAnalysis.tokens. */
   private val toksSql = "regexp_split_to_array(trim(lower(text)), '\\s+')"

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact bivariate statistics — correlation, sample covariance and the
+  * least-squares slope per group, computed from INTEGER moment sums so the
+  * result is independent of partitioning and row order and identical in
+  * any engine.
+  *
+  * The built-in `corr`/`covar_samp` stream double partials whose value
+  * depends on the reduction order — fine for dashboards, a hash-compare
+  * flake against any oracle. Here both variables quantize to integers
+  * (round(x·10^scale), exact for fixed-decimal business data: prices,
+  * quantities), the five moment sums (Σx, Σy, Σxy, Σx², Σy²) ride
+  * DECIMAL(38,0) (order-free, map-side combined; DuckDB's BIGINT sums
+  * widen to HUGEINT — the same 38-digit headroom), and the classic
+  * uncentered identities combine them exactly IN DECIMAL before one final
+  * correctly-rounded cast to double and IEEE sqrt/divide — the only
+  * floating-point steps, both bit-identical across engines (the repo's
+  * cross-engine math rule).
+  *
+  * Scale note: the uncentered products n·Σxy and Σx·Σy grow as (rows per
+  * group)², so 38 digits bound the EXACT regime to ~10⁸ rows per group at
+  * price-scale magnitudes. Past that, go two-pass: compute exact decimal
+  * group means first, join back, and sum exact decimal CENTERED products
+  * — bounded magnitudes, same order-free guarantees, one extra shuffle.
+  */
+object Stats {
+
+  /** Per-group exact bivariate stats of (x, y) quantized at `scale`
+    * decimal digits. Output: group cols, n, plus
+    * corr / covar_samp / slope in the ORIGINAL units (the 10^scale
+    * quantization factors cancel in corr and slope; covariance divides
+    * them back out). Groups with < 2 rows or zero variance report NULL
+    * (division by zero propagates as NULL in both engines). */
+  def bivariate(df: DataFrame, groupCols: Seq[String], x: Column, y: Column,
+                scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 6)
+    val f = math.pow(10, scale).toLong
+    val xi = round(x * f).cast("long")
+    val yi = round(y * f).cast("long")
+    def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
+    val agged = df
+      .select(groupCols.map(col) ++ Seq(xi.as("graft_x"), yi.as("graft_y")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("graft_n"),
+        dsum(col("graft_x")).as("graft_sx"),
+        dsum(col("graft_y")).as("graft_sy"),
+        dsum(col("graft_x") * col("graft_y")).as("graft_sxy"),
+        dsum(col("graft_x") * col("graft_x")).as("graft_sxx"),
+        dsum(col("graft_y") * col("graft_y")).as("graft_syy"))
+    // exact decimal combination, then ONE cast to double per term — the
+    // identical expression shape the oracle writes
+    val num = (col("graft_n") * col("graft_sxy") - col("graft_sx") * col("graft_sy")).cast("double")
+    val vx = (col("graft_n") * col("graft_sxx") - col("graft_sx") * col("graft_sx")).cast("double")
+    val vy = (col("graft_n") * col("graft_syy") - col("graft_sy") * col("graft_sy")).cast("double")
+    // try_divide, not `/`: ANSI mode raises DIVIDE_BY_ZERO where the
+    // zero-variance / n<2 contract wants NULL — which is also exactly
+    // DuckDB's division-by-zero result, so the oracle agrees without a
+    // guard. Operation ORDER mirrors the oracle expression exactly
+    // (FP division is not associative).
+    agged.select(
+      groupCols.map(col) ++ Seq(
+        col("graft_n").cast("long").as("n"),
+        try_divide(num, sqrt(vx) * sqrt(vy)).as("corr"),
+        // covar in original units: / (n(n-1)) and the two quantization
+        // factors divide back out
+        try_divide(try_divide(num,
+            (col("graft_n") * (col("graft_n") - lit(1))).cast("double")),
+          lit(f.toDouble * f.toDouble)).as("covar_samp"),
+        try_divide(num, vx).as("slope")): _*)
+  }
+}

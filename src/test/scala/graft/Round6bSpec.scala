@@ -178,6 +178,46 @@ class Round6bSpec extends SparkSpec {
       assert(pruned.toSeq == exact.toSeq, s"diverged at numBits=$bits")
     }
   }
+
+  test("Reshape: pivot counts wide, melt restores long incl. zero cells") {
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "b")).toDF("k", "tag")
+    val wide = graft.queries.Reshape.pivotCounts(df, col("k"), col("tag"),
+      Seq("a", "b", "c"))
+    val w = wide.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(w.toSeq == Seq((1L, 2L, 1L, 0L), (2L, 0L, 1L, 0L)), w.mkString(","))
+    // out-of-vocabulary tags are dropped at plan time, zero cells survive
+    val long = graft.queries.Reshape.melt(wide, col("id"),
+        Seq("n_a", "n_b", "n_c"), "tag", "n")
+      .as[(Long, String, Long)].collect().toSet
+    assert(long == Set((1L, "n_a", 2L), (1L, "n_b", 1L), (1L, "n_c", 0L),
+      (2L, "n_a", 0L), (2L, "n_b", 1L), (2L, "n_c", 0L)), long.toString)
+  }
+
+  test("Stats.bivariate: exact corr/slope on a perfect line; order-free") {
+    // y = 2x + 1 exactly: corr must be exactly 1.0 and slope exactly 2.0 —
+    // the integer-moment formulation has no accumulation error to round
+    val pts = (1 to 200).map(i => ("g", i.toDouble, 2.0 * i + 1))
+    val df = pts.toDF("grp", "x", "y")
+    val r = graft.queries.Stats.bivariate(df, Seq("grp"), col("x"), col("y"))
+      .collect().head
+    assert(r.getLong(1) == 200L)
+    // corr lands within 2 ulp of 1.0 (sqrt(vx)·sqrt(vy) vs sqrt(vx·vy)
+    // rounding); what the oracle compare needs is bit-DETERMINISM, pinned
+    // by the partitioning-invariance assertion below
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12, s"corr ${r.getDouble(2)}")
+    assert(r.getDouble(4) == 2.0, s"slope ${r.getDouble(4)}")
+    // partitioning invariance: the exact sums make the doubles bit-equal
+    val r2 = graft.queries.Stats.bivariate(df.repartition(13), Seq("grp"),
+      col("x"), col("y")).collect().head
+    assert(r.getDouble(2) == r2.getDouble(2) && r.getDouble(3) == r2.getDouble(3)
+      && r.getDouble(4) == r2.getDouble(4), "must not depend on partitioning")
+    // zero x-variance: slope/corr divide by zero → NULL, not crash
+    val z = graft.queries.Stats.bivariate(
+        Seq(("g", 1.0, 1.0), ("g", 1.0, 2.0)).toDF("grp", "x", "y"),
+        Seq("grp"), col("x"), col("y")).collect().head
+    assert(z.isNullAt(2) && z.isNullAt(4), "zero variance reports NULL")
+  }
 }
 
 private object Tuple2SeqDocs {
