@@ -188,6 +188,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // inc2s: STREAMING FUZZY ingest dedup — the near-dup counterpart of
+    // inc1s (Ingest.nearDupIngest: per-batch LSH blocking vs the archived
+    // survivors, exact verify, survivors append). Planted near-dup copies
+    // (+100000 ≡ +1 mod 3) land exactly one replay batch AFTER their
+    // original, except i ≡ 2 originals whose copies WRAP to batch 0 and
+    // arrive FIRST — so both drop directions execute: later copies drop
+    // against archived originals (b1, b2), and b2's originals drop against
+    // their own earlier-archived copies. Docs under 6 tokens fall below
+    // J = (t−2)/(t−1) < 0.7 and both survive; the oracle's exact
+    // batch-by-batch replay prices all of it.
+    "inc2s_stream_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs
+        .union(docs.select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text")))
+      val slices = (0 until 3).map(i =>
+        planted.where(pmod(col("doc_id"), lit(3)) === i))
+      val dir = graft.streaming.Replay.slicedSourceReplay(s, slices,
+          "doc_id BIGINT, text STRING", "neardup-") { (src, dir) =>
+        val arch = s"$dir/archive"
+        planted.limit(0).write.parquet(arch)
+        graft.streaming.Ingest.nearDupIngest(src, "doc_id", "text", arch,
+          s"$dir/ckpt")
+      }
+      s.read.parquet(s"$dir/archive")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // mv1: UPDATE-mode streaming aggregation maintaining a MATERIALIZED
     // VIEW by per-batch upsert (Ingest.upsertMatview) — the output-mode
     // class the Append replays can't reach: a window's running total
@@ -1710,6 +1738,44 @@ object SparkEntry {
            |  FROM f)
            |SELECT doc_id, content_fp FROM r WHERE rn = 1
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // inc2s: exact batch-by-batch replay of the fuzzy ingest — survivors
+      // accumulate; a batch doc drops iff its exact 3-shingle Jaccard with
+      // ANY earlier-batch survivor reaches 0.7 (the LSH blocking on the
+      // Spark side is recall-pinned against this brute-force recomputation,
+      // the d3 grading argument); <3-token docs have no shingles and never
+      // match on either side, mirroring the operator's guard
+      "inc2s_stream_neardup" -> {
+        def jge(c: String, s: String) =
+          s"len($c) > 0 AND len($s) > 0 AND " +
+            s"len(list_intersect($c, $s))::DOUBLE / " +
+            s"(len($c) + len($s) - len(list_intersect($c, $s))) >= 0.7"
+        (s"""WITH planted AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 100000 AS doc_id,
+           |   text || ' graftdup' AS text FROM documents),
+           |sh AS (SELECT doc_id, doc_id % 3 AS b,
+           |  CASE WHEN len(toks) >= 3
+           |   THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+           |     for i in range(1, len(toks)-1)])
+           |   ELSE [] END AS sh
+           | FROM (SELECT doc_id, $toksSql AS toks FROM planted)),
+           |s0 AS (SELECT doc_id, sh FROM sh WHERE b = 0),
+           |c1 AS (SELECT doc_id, sh FROM sh WHERE b = 1),
+           |d1 AS (SELECT DISTINCT c.doc_id FROM c1 c, s0 s
+           | WHERE ${jge("c.sh", "s.sh")}),
+           |s1 AS (SELECT doc_id, sh FROM c1
+           | WHERE doc_id NOT IN (SELECT doc_id FROM d1)),
+           |c2 AS (SELECT doc_id, sh FROM sh WHERE b = 2),
+           |a2 AS (SELECT doc_id, sh FROM s0 UNION ALL SELECT doc_id, sh FROM s1),
+           |d2 AS (SELECT DISTINCT c.doc_id FROM c2 c, a2 s
+           | WHERE ${jge("c.sh", "s.sh")}),
+           |s2 AS (SELECT doc_id, sh FROM c2
+           | WHERE doc_id NOT IN (SELECT doc_id FROM d2))
+           |SELECT doc_id FROM (SELECT doc_id FROM s0
+           | UNION ALL SELECT doc_id FROM s1
+           | UNION ALL SELECT doc_id FROM s2)
+           |ORDER BY doc_id""".stripMargin.replace("\n", " "))
+      },
       // es1s: identical oracle to batch j1_enrich
       "es1s_enrich_replay" ->
         ("""SELECT event_id, ts, user_id, event_type, value, c_name, c_acctbal,

@@ -46,6 +46,40 @@ object Ingest {
     }.trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming FUZZY ingest dedup — the near-dup counterpart of
+    * [[dedupIngest]] and the production shape of
+    * [[graft.ext.Dedup.nearDupIncremental]] (inc2's per-run batch form):
+    * each arriving batch drops documents whose shingle-Jaccard with ANY
+    * archived SURVIVOR reaches the threshold (MinHash-LSH band blocking
+    * between batch and archive, exact verify on candidates only), then
+    * appends its own survivors' (id, text) to the archive — the archive is
+    * again both state and output. Within one batch nothing drops (two
+    * near-dup copies arriving together both survive); across batches the
+    * earlier-arriving copy wins — the contract the oracle replays
+    * batch-by-batch.
+    *
+    * Scale: per batch, the archive side is re-shingled from text here for
+    * fixture simplicity; the production form persists the archive's
+    * (id, band, bh) index and (id, shh) signatures at append time, bucketed
+    * by (band, bh), so history is never re-shingled and the candidate join
+    * needs no archive-side shuffle ([[graft.ext.Dedup.nearDupIncremental]]'s
+    * stored-artifact note). Idempotence on foreachBatch retry: a re-run
+    * batch finds its own rows in the archive at J = 1 ≥ threshold and drops
+    * them all — the re-append is a no-op, same guarantee as [[dedupIngest]].
+    */
+  def nearDupIngest(stream: DataFrame, idCol: String, textCol: String,
+                    archiveDir: String, checkpoint: String,
+                    minJaccard: Double = 0.7): StreamingQuery =
+    graft.core.Sinks.foreachBatchSink(stream, checkpoint) { (batch, _) =>
+      val arch = batch.sparkSession.read.parquet(archiveDir)
+      val keptIds = graft.ext.Dedup.nearDupIncremental(
+        batch, arch, idCol, textCol, minJaccard = minJaccard)
+      batch.select(col(idCol).cast("long").as("doc_id"), col(textCol))
+        .join(keptIds, Seq("doc_id"), "left_semi")
+        .write.mode("append").parquet(archiveDir)
+    }.trigger(Trigger.AvailableNow())
+      .start()
+
   /** UPDATE-mode MATERIALIZED-VIEW maintenance: a streaming aggregate's
     * per-batch changed rows UPSERT into a keyed snapshot — the incremental
     * alternative to recomputing the aggregate from scratch, and the one
