@@ -179,6 +179,21 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
+  test("nearDupIncremental: a batch vs an archive containing itself drops everything") {
+    // the idempotence contract Ingest.nearDupIngest relies on for
+    // foreachBatch retries: a replayed batch finds its own rows in the
+    // archive at J = 1 and re-appends nothing (docs under n tokens have no
+    // shingles, never match, and legitimately pass through)
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "entirely different words compose this second document here"),
+      (3L, "tiny doc")). // < 3 tokens: no shingles, passes through
+      toDF("doc_id", "text")
+    val kept = graft.ext.Dedup.nearDupIncremental(batch, batch,
+      "doc_id", "text").as[Long].collect().toSet
+    assert(kept == Set(3L), s"only the shingle-less doc survives: $kept")
+  }
+
   test("Reshape: pivot counts wide, melt restores long incl. zero cells") {
     val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "b")).toDF("k", "tag")
     val wide = graft.queries.Reshape.pivotCounts(df, col("k"), col("tag"),
