@@ -224,4 +224,37 @@ class PropertySpec extends SparkSpec {
         s"base=$baseKeys changes=$changes: batch=$allAtOnce seq=$oneAtATime")
     }
   }
+
+  test("tokenBudgetFill equals the single-window definition on random corpora") {
+    // randomized sources/sizes (including zero-token rows and budgets that
+    // land anywhere from nothing-kept to everything-kept); the bucketed
+    // two-phase implementation must match the naive per-source running-sum
+    // window bit-for-bit — the bud1 oracle contract, fuzzed
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        src <- Gen.oneOf("w", "c", "m")
+        tok <- Gen.frequency(5 -> Gen.choose(1L, 40L), 1 -> Gen.const(0L))
+      } yield (src, tok))
+      budget <- Gen.choose(0L, 400L)
+    } yield (rows, budget)
+    forAll(gen) { case (rows, budget) =>
+      val df = rows.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+        .toDF("doc_id", "source", "n_tokens")
+      val got = graft.ext.Sampling.tokenBudgetFill(df, col("source"),
+          col("doc_id"), "fz", col("n_tokens"), budget)
+        .as[(Long, String, Long)].collect().toSet
+      df.createOrReplaceTempView("fz_docs")
+      val want = spark.sql(s"""
+        SELECT doc_id, source, n_tokens FROM (
+          SELECT doc_id, source, n_tokens,
+            SUM(n_tokens) OVER (PARTITION BY source ORDER BY
+              CAST(conv(substring(sha2(cast(concat(cast(doc_id AS STRING), ':fz') AS BINARY), 256), 1, 15), 16, 10) AS BIGINT) % 1048576,
+              doc_id) AS cum
+          FROM fz_docs) WHERE cum <= $budget""")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == want,
+        s"budget=$budget: missing ${want -- got}, extra ${got -- want}")
+    }
+  }
 }
