@@ -15,6 +15,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // ~300 executions run in this one JVM; the status store retains
       // plan graphs + metrics per execution (default 1000) and this
@@ -26,8 +27,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // JVM/codegen warmup
-    // warm-touch every table (footers + OS page cache); events via its
-    // loader (TIMESTAMP(NANOS) needs the legacy read flag)
+    // warm-touch every table (footers + OS page cache)
     graft.core.Tables.events(spark, sfDir).count()
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "documents", "embeddings"))
