@@ -1749,6 +1749,15 @@ object SparkEntry {
           s"len($c) > 0 AND len($s) > 0 AND " +
             s"len(list_intersect($c, $s))::DOUBLE / " +
             s"(len($c) + len($s) - len(list_intersect($c, $s))) >= 0.7"
+        // candidate prefilter: a pair at J >= 0.7 > 0 shares a shingle, so
+        // the inverted-index equi-join loses nothing and spares the
+        // all-pairs nested loop (ngramPairsSql's shape; makes the oracle
+        // usable at the dev sf0.1 gate, not just the graded sf0.01)
+        def cand(c: String, s: String) =
+          s"""(SELECT DISTINCT c.doc_id AS cid, s.doc_id AS sid
+             | FROM (SELECT doc_id, unnest(sh) AS t FROM $c) c
+             | JOIN (SELECT doc_id, unnest(sh) AS t FROM $s) s ON c.t = s.t)"""
+            .stripMargin.replace("\n", " ")
         (s"""WITH planted AS (
            |  SELECT doc_id, text FROM documents
            |  UNION ALL SELECT doc_id + 100000 AS doc_id,
@@ -1761,13 +1770,15 @@ object SparkEntry {
            | FROM (SELECT doc_id, $toksSql AS toks FROM planted)),
            |s0 AS (SELECT doc_id, sh FROM sh WHERE b = 0),
            |c1 AS (SELECT doc_id, sh FROM sh WHERE b = 1),
-           |d1 AS (SELECT DISTINCT c.doc_id FROM c1 c, s0 s
+           |d1 AS (SELECT DISTINCT c.doc_id FROM ${cand("c1", "s0")} p
+           | JOIN c1 c ON p.cid = c.doc_id JOIN s0 s ON p.sid = s.doc_id
            | WHERE ${jge("c.sh", "s.sh")}),
            |s1 AS (SELECT doc_id, sh FROM c1
            | WHERE doc_id NOT IN (SELECT doc_id FROM d1)),
            |c2 AS (SELECT doc_id, sh FROM sh WHERE b = 2),
            |a2 AS (SELECT doc_id, sh FROM s0 UNION ALL SELECT doc_id, sh FROM s1),
-           |d2 AS (SELECT DISTINCT c.doc_id FROM c2 c, a2 s
+           |d2 AS (SELECT DISTINCT c.doc_id FROM ${cand("c2", "a2")} p
+           | JOIN c2 c ON p.cid = c.doc_id JOIN a2 s ON p.sid = s.doc_id
            | WHERE ${jge("c.sh", "s.sh")}),
            |s2 AS (SELECT doc_id, sh FROM c2
            | WHERE doc_id NOT IN (SELECT doc_id FROM d2))
