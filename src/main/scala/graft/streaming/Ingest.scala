@@ -48,35 +48,81 @@ object Ingest {
 
   /** Streaming FUZZY ingest dedup — the near-dup counterpart of
     * [[dedupIngest]] and the production shape of
-    * [[graft.ext.Dedup.nearDupIncremental]] (inc2's per-run batch form):
-    * each arriving batch drops documents whose shingle-Jaccard with ANY
-    * archived SURVIVOR reaches the threshold (MinHash-LSH band blocking
-    * between batch and archive, exact verify on candidates only), then
-    * appends its own survivors' (id, text) to the archive — the archive is
-    * again both state and output. Within one batch nothing drops (two
-    * near-dup copies arriving together both survive); across batches the
-    * earlier-arriving copy wins — the contract the oracle replays
-    * batch-by-batch.
+    * [[graft.ext.Dedup.nearDupIncrementalIndexed]] (inc2's per-run batch
+    * form): each arriving batch drops documents whose shingle-Jaccard with
+    * ANY archived SURVIVOR reaches the threshold (MinHash-LSH band
+    * blocking between batch and the archive's STORED band index, exact
+    * verify against the STORED signatures), then appends its survivors'
+    * (id, text) to the archive AND the survivors' (id, bh) / (id, shh)
+    * rows to the sibling `<archiveDir>_idx` / `<archiveDir>_sig` stores —
+    * so the index is maintained at append time and NO batch ever
+    * re-reads, re-tokenizes or re-shingles archive text. Per-batch work is
+    * O(batch shingle+minhash + columnar artifact scan + matched buckets):
+    * the archive-side joins are shuffle-free (the batch-derived sides are
+    * micro-batch-bounded and broadcast under AQE; a
+    * [[graft.core.Layout.writeBucketed]] bh / id layout keeps them
+    * exchange-free past the broadcast threshold), replacing round 6's
+    * O(archive) re-shingle per batch.
     *
-    * Scale: per batch, the archive side is re-shingled from text here for
-    * fixture simplicity; the production form persists the archive's
-    * (id, band, bh) index and (id, shh) signatures at append time, bucketed
-    * by (band, bh), so history is never re-shingled and the candidate join
-    * needs no archive-side shuffle ([[graft.ext.Dedup.nearDupIncremental]]'s
-    * stored-artifact note). Idempotence on foreachBatch retry: a re-run
-    * batch finds its own rows in the archive at J = 1 ≥ threshold and drops
-    * them all — the re-append is a no-op, same guarantee as [[dedupIngest]].
-    */
+    * Within one batch nothing drops (two near-dup copies arriving
+    * together both survive); across batches the earlier-arriving copy
+    * wins — the contract the oracle replays batch-by-batch.
+    *
+    * Idempotence on foreachBatch retry: each of the three appends
+    * anti-joins its OWN store on id first, so a re-run batch's appends
+    * are no-ops for every row that already landed, and whichever store
+    * missed a mid-batch crash is back-filled on retry (id-column-only
+    * probes — footer-pruned). Candidate self-pairs (arch_id = doc_id,
+    * which only a redelivered id can produce) are excluded in
+    * [[graft.ext.Dedup.nearDupDroppedIds]], so a batch whose artifacts
+    * landed but whose archive append crashed still re-appends its rows
+    * instead of J=1-matching itself into data loss. Cold start needs no
+    * seeding: missing stores read as empty. */
   def nearDupIngest(stream: DataFrame, idCol: String, textCol: String,
                     archiveDir: String, checkpoint: String,
                     minJaccard: Double = 0.7): StreamingQuery =
     graft.core.Sinks.foreachBatchSink(stream, checkpoint) { (batch, _) =>
-      val arch = batch.sparkSession.read.parquet(archiveDir)
-      val keptIds = graft.ext.Dedup.nearDupIncremental(
-        batch, arch, idCol, textCol, minJaccard = minJaccard)
-      batch.select(col(idCol).cast("long").as("doc_id"), col(textCol))
-        .join(keptIds, Seq("doc_id"), "left_semi")
-        .write.mode("append").parquet(archiveDir)
+      import graft.ext.Dedup
+      val s = batch.sparkSession
+      val idxDir = s"${archiveDir}_idx"
+      val sigDir = s"${archiveDir}_sig"
+      def store(dir: String, empty: => DataFrame): DataFrame = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+          s.read.parquet(dir)
+        else empty.limit(0)
+      }
+      // one tokenize+shingle pass AND one minhash pass over the batch,
+      // shared by the drop check, the signature append and the index
+      // append (bsh and its band rows are both cached)
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val bsh = Dedup.shingleSignatures(batch, idCol, textCol).persist(mem)
+      val bidx = Dedup.bandIndex(bsh).persist(mem)
+      val idx = store(idxDir, bidx)
+      val sigs = store(sigDir, bsh)
+      val kept = batch
+        .select(col(idCol).cast("long").as("doc_id"), col(textCol))
+        .join(Dedup.nearDupDroppedIdsFromBands(bidx, bsh, idx, sigs,
+          minJaccard = minJaccard), Seq("doc_id"), "left_anti")
+        .persist(mem)
+      try {
+        // archive first: this action materializes `kept`, so the artifact
+        // appends below reuse the cached survivors instead of re-deriving
+        // the drop set against stores that are being appended to
+        kept.join(store(archiveDir, kept).select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(archiveDir)
+        bsh.join(kept.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+          .join(sigs.select("id"), Seq("id"), "left_anti")
+          .write.mode("append").parquet(sigDir)
+        bidx.join(kept.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+          .join(idx.select("id"), Seq("id"), "left_anti")
+          .write.mode("append").parquet(idxDir)
+      } finally {
+        kept.unpersist()
+        bidx.unpersist()
+        bsh.unpersist()
+      }
     }.trigger(Trigger.AvailableNow())
       .start()
 

@@ -179,11 +179,13 @@ class Round6bSpec extends SparkSpec {
     }
   }
 
-  test("nearDupIncremental: a batch vs an archive containing itself drops everything") {
-    // the idempotence contract Ingest.nearDupIngest relies on for
-    // foreachBatch retries: a replayed batch finds its own rows in the
-    // archive at J = 1 and re-appends nothing (docs under n tokens have no
-    // shingles, never match, and legitimately pass through)
+  test("nearDupIncremental: a redelivered batch (same ids) never drops itself") {
+    // round-7 retry contract: candidate SELF-pairs (arch_id = doc_id, which
+    // only a redelivered id can produce) are excluded, so a batch replayed
+    // against artifacts it already appended re-keeps every row — the ingest
+    // sink's per-store id anti-joins then make the re-appends no-ops
+    // (previously idempotence leaned on the J = 1 self-match, which lost
+    // data when a crash landed between the artifact and archive appends)
     val batch = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
       (2L, "entirely different words compose this second document here"),
@@ -191,7 +193,12 @@ class Round6bSpec extends SparkSpec {
       toDF("doc_id", "text")
     val kept = graft.ext.Dedup.nearDupIncremental(batch, batch,
       "doc_id", "text").as[Long].collect().toSet
-    assert(kept == Set(3L), s"only the shingle-less doc survives: $kept")
+    assert(kept == Set(1L, 2L, 3L), s"self-pairs excluded, all rows keep: $kept")
+    // the same text under a DIFFERENT id still drops (J = 1, not a self-pair)
+    val rekeyed = batch.select((col("doc_id") + 10).as("doc_id"), col("text"))
+    val kept2 = graft.ext.Dedup.nearDupIncremental(rekeyed, batch,
+      "doc_id", "text").as[Long].collect().toSet
+    assert(kept2 == Set(13L), s"only the shingle-less doc survives: $kept2")
   }
 
   test("Reshape: pivot counts wide, melt restores long incl. zero cells") {
