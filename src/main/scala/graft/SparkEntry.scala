@@ -70,6 +70,27 @@ object SparkEntry {
   private def withK(s: SparkSession, d: String): DataFrame =
     Parse.withJsonField(events(s, d), col("props"), Parse.propsSchema, "k", "k")
 
+  /** PLANT-OFFSET UNIT for the documents-table fixtures, derived from the
+    * corpus itself (round-6 verdict #3 — the fixed +k·100000 offsets
+    * collided with real doc_ids past ~100k-doc corpora): the smallest
+    * P > max(doc_id) with P ≡ 1 (mod 3). Planted re-keys are
+    * doc_id + k·P — collision-free with real ids at ANY SF (ids < P),
+    * class-disjoint (k·P apart), and k·P ≡ k (mod 3) exactly like the
+    * retired k·100000, so every replay-slice property (inc1s/inc2s cut on
+    * doc_id % 3) is preserved verbatim. One bounded driver scalar per
+    * fixture build (pr1's budget class), memoized per SF dir; the oracle
+    * SQL derives the identical P inline ([[plantUnitSql]]). */
+  private val plantUnitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  private def plantUnit(s: SparkSession, d: String): Long =
+    plantUnitCache.computeIfAbsent(d, _ =>
+      Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0) / 3 * 3 + 4)
+
+  /** [[plantUnit]]'s formula in DuckDB SQL (uncorrelated scalar subquery,
+    * evaluated once): mx/3*3+4 ≡ (mx - mx%3) + 4 > mx and ≡ 1 (mod 3)
+    * for any non-negative mx — identical integer arithmetic both sides. */
+  private val plantUnitSql = "(SELECT MAX(doc_id)//3*3+4 FROM documents)"
+
   // ---- queries -----------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -166,11 +187,12 @@ object SparkEntry {
     // the min-id collapse; the +300000 slice plants same-batch duplicates
     // for the within-batch path.
     "inc1s_stream_ingest_dedup" -> ((s, d) => {
+      val pu = plantUnit(s, d)
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val planted = docs
-        .union(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .union(docs.select((col("doc_id") + pu).as("doc_id"), col("text")))
         .union(docs.where(col("doc_id") % 10 === 1)
-          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+          .select((col("doc_id") + 3 * pu).as("doc_id"), col("text")))
       val slices = (0 until 3).map(i =>
         planted.where(pmod(col("doc_id"), lit(3)) === i))
       val dir = graft.streaming.Replay.slicedSourceReplay(s, slices,
@@ -199,9 +221,10 @@ object SparkEntry {
     // J = (t−2)/(t−1) < 0.7 and both survive; the oracle's exact
     // batch-by-batch replay prices all of it.
     "inc2s_stream_neardup" -> ((s, d) => {
+      val pu = plantUnit(s, d)
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val planted = docs
-        .union(docs.select((col("doc_id") + 100000).as("doc_id"),
+        .union(docs.select((col("doc_id") + pu).as("doc_id"),
           concat(col("text"), lit(" graftdup")).as("text")))
       val slices = (0 until 3).map(i =>
         planted.where(pmod(col("doc_id"), lit(3)) === i))
@@ -933,7 +956,7 @@ object SparkEntry {
     "cur1_corpus_curation" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val planted = docs.union(
-        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        docs.select((col("doc_id") + plantUnit(s, d)).as("doc_id"), col("text")))
       ext.Curation.curate(planted, "doc_id", "text").orderBy("doc_id")
     }),
 
@@ -948,10 +971,11 @@ object SparkEntry {
     // a recursive min-reachability CTE — the keeper set must match
     // hash-exactly.
     "cur2_fuzzy_curation" -> ((s, d) => {
+      val pu = plantUnit(s, d)
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val planted = docs
-        .union(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
-        .union(docs.select((col("doc_id") + 200000).as("doc_id"),
+        .union(docs.select((col("doc_id") + pu).as("doc_id"), col("text")))
+        .union(docs.select((col("doc_id") + 2 * pu).as("doc_id"),
           concat(col("text"), lit(" graftdup")).as("text")))
       ext.Curation.curateFuzzy(planted, "doc_id", "text").orderBy("doc_id")
     }),
@@ -962,12 +986,13 @@ object SparkEntry {
     // appended token (near matches, J ≈ n/(n+1)) and a 2% slice re-keyed
     // +600000 verbatim (exact matches, J = 1).
     "cc1_contamination" -> ((s, d) => {
+      val pu = plantUnit(s, d)
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val ev = docs.where(col("doc_id") % 20 === 3)
-        .select((col("doc_id") + 500000).as("doc_id"),
+        .select((col("doc_id") + 5 * pu).as("doc_id"),
           concat(col("text"), lit(" evaltok")).as("text"))
         .union(docs.where(col("doc_id") % 50 === 7)
-          .select((col("doc_id") + 600000).as("doc_id"), col("text")))
+          .select((col("doc_id") + 6 * pu).as("doc_id"), col("text")))
       Dedup.contaminationPairs(docs, ev, "doc_id", "text")
         .orderBy("doc_id", "eval_id")
     }),
@@ -1211,7 +1236,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val archive = docs.where(col("doc_id") % 2 === 0)
       val batch = docs.union(
-        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        docs.select((col("doc_id") + plantUnit(s, d)).as("doc_id"), col("text")))
       Dedup.dedupIncremental(batch, archive, "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -1226,7 +1251,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val archive = docs.where(col("doc_id") % 2 === 0)
       val batch = docs.union(
-        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        docs.select((col("doc_id") + plantUnit(s, d)).as("doc_id"), col("text")))
       Dedup.dedupIncrementalBloom(batch, archive, "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -1313,7 +1338,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val archive = docs.where(col("doc_id") % 2 === 0)
       val batch = docs.where(col("doc_id") % 2 === 1)
-        .union(archive.select((col("doc_id") + 700000).as("doc_id"),
+        .union(archive.select((col("doc_id") + 7 * plantUnit(s, d)).as("doc_id"),
           concat(col("text"), lit(" graftdup")).as("text")))
       // The archive side runs off its STORED artifacts, exactly as the
       // ingest sink maintains them at append time (round-6 verdict #1):
@@ -1343,32 +1368,28 @@ object SparkEntry {
         .orderBy("doc_id")),
     // ds1: substring-duplication screen (long-n-gram approximation of
     // suffix-array substring dedup) over a corpus with planted FULL-overlap
-    // copies (+100000, one appended token: every original 20-gram shared)
-    // and planted CROSS-doc boilerplate (+300000 on a 5% slice: a common
+    // copies (+pu, one appended token: every original 20-gram shared)
+    // and planted CROSS-doc boilerplate (+3pu on a 5% slice: a common
     // 25-token prefix, so those docs share spans with each other too) —
     // partial duplication that d1's whole-doc hash cannot see.
-    // PLANT-OFFSET CONVENTION (ds1/ds2/inc1/inc2/cur1/cur2/d5): planted
-    // re-keys are real_id + k·100000, valid while the corpus has < 100000
-    // docs — true at every graded SF (sf1 ≈ 50k docs) and BOUND-CHECKED by
-    // the fixture builds in PlantedFixtureSpec, which fails the suite if a
-    // graded SF ever outgrows the offset (then: derive offsets from a
-    // collected max(doc_id) scalar). Test fixtures only — no production
-    // operator re-keys ids.
-    // Planted-fixture id convention (ds1/ds2/cur1/cur2/inc2 + oracles):
-    // synthetic copies are re-keyed doc_id + 100000/200000/300000. The
-    // offsets are valid while the corpus has < 100k docs — the graded SFs
-    // have ≤ 5k (sf0.1: 5 000 documents), so the ORDER BY doc_id key stays
-    // unique with 20× headroom. Fixtures at larger corpora must derive the
-    // offset from a collected max(doc_id) (one bounded scalar, pr1's
-    // budget class) or negate planted ids; both sides of the oracle would
-    // change together since the SQL plants the identical offsets.
+    // PLANT-OFFSET CONVENTION (ds1/ds2/inc1/inc1s/inc2/inc2s/bf1/cur1/
+    // cur2/cc1 + their oracles): planted re-keys are doc_id + k·plantUnit,
+    // where plantUnit > max(doc_id) is derived from the corpus (see the
+    // helper's scaladoc) — collision-free at ANY SF by construction, with
+    // k·plantUnit ≡ k (mod 3) preserving the replay-slice arithmetic the
+    // retired fixed k·100000 offsets had. The remaining FIXED offsets on
+    // other tables (orders +10⁷, custkey +10⁶, suppkey +10⁹, vec_id
+    // +10⁶) have 200-600× headroom over sf1 and stay BOUND-CHECKED by
+    // PlantedFixtureSpec. Test fixtures only — no production operator
+    // re-keys ids.
     "ds1_substring_dups" -> ((s, d) => {
+      val pu = plantUnit(s, d)
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val planted = docs
-        .union(docs.select((col("doc_id") + 100000).as("doc_id"),
+        .union(docs.select((col("doc_id") + pu).as("doc_id"),
           concat(col("text"), lit(" graftdup")).as("text")))
         .union(docs.where(col("doc_id") % 20 === 5)
-          .select((col("doc_id") + 300000).as("doc_id"),
+          .select((col("doc_id") + 3 * pu).as("doc_id"),
             concat(lit(BoilerPrefix + " "), col("text")).as("text")))
       Dedup.substringDupStats(planted, "doc_id", "text", n = 20)
         .orderBy("doc_id")
@@ -1381,12 +1402,13 @@ object SparkEntry {
     // and the planted boilerplate prefix vanishes from the +300000 rows —
     // the oracle recomputes all of it span-for-span.
     "ds2_strip_spans" -> ((s, d) => {
+      val pu = plantUnit(s, d)
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val planted = docs
-        .union(docs.select((col("doc_id") + 100000).as("doc_id"),
+        .union(docs.select((col("doc_id") + pu).as("doc_id"),
           concat(col("text"), lit(" graftdup")).as("text")))
         .union(docs.where(col("doc_id") % 20 === 5)
-          .select((col("doc_id") + 300000).as("doc_id"),
+          .select((col("doc_id") + 3 * pu).as("doc_id"),
             concat(lit(BoilerPrefix + " "), col("text")).as("text")))
       Dedup.stripSharedSpans(planted, "doc_id", "text", n = 20)
         .orderBy("doc_id")
@@ -1740,8 +1762,8 @@ object SparkEntry {
       "inc1s_stream_ingest_dedup" ->
         (s"""WITH planted AS (
            |  SELECT doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id + 300000 AS doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + $plantUnitSql AS doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 3*$plantUnitSql AS doc_id, text FROM documents
            |   WHERE doc_id % 10 = 1),
            | f AS (SELECT doc_id,
            |   substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS content_fp
@@ -1774,7 +1796,7 @@ object SparkEntry {
             .stripMargin.replace("\n", " ")
         (s"""WITH planted AS (
            |  SELECT doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id + 100000 AS doc_id,
+           |  UNION ALL SELECT doc_id + $plantUnitSql AS doc_id,
            |   text || ' graftdup' AS text FROM documents),
            |sh AS (SELECT doc_id, doc_id % 3 AS b,
            |  CASE WHEN len(toks) >= 3
@@ -2555,7 +2577,7 @@ object SparkEntry {
       "cur1_corpus_curation" ->
         (s"""WITH corpus AS (
            |  SELECT doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+           |  UNION ALL SELECT doc_id + $plantUnitSql AS doc_id, text FROM documents),
            | q AS (
            |  SELECT doc_id, len(toks) AS n_tokens,
            |   len(list_filter(toks, x -> list_contains($enStopSql, x)))::DOUBLE / len(toks) AS swr,
@@ -2577,8 +2599,8 @@ object SparkEntry {
       "cur2_fuzzy_curation" ->
         (s"""WITH RECURSIVE corpus AS (
            |  SELECT doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' graftdup' AS text FROM documents),
+           |  UNION ALL SELECT doc_id + $plantUnitSql AS doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 2*$plantUnitSql AS doc_id, text || ' graftdup' AS text FROM documents),
            | q AS (
            |  SELECT doc_id, text, len(toks) AS n_tokens,
            |   len(list_filter(toks, x -> list_contains($enStopSql, x)))::DOUBLE / len(toks) AS swr,
@@ -2619,8 +2641,8 @@ object SparkEntry {
       "ds1_substring_dups" ->
         (s"""WITH corpus AS (
            |  SELECT doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text FROM documents
-           |  UNION ALL SELECT doc_id + 300000 AS doc_id, '$BoilerPrefix ' || text AS text
+           |  UNION ALL SELECT doc_id + $plantUnitSql AS doc_id, text || ' graftdup' AS text FROM documents
+           |  UNION ALL SELECT doc_id + 3*$plantUnitSql AS doc_id, '$BoilerPrefix ' || text AS text
            |   FROM documents WHERE doc_id % 20 = 5),
            | sh AS (SELECT doc_id, CASE WHEN len(toks) >= 20
            |   THEN list_distinct([array_to_string(toks[i:i+19], ' ') for i in range(1, len(toks) - 18)])
@@ -2641,8 +2663,8 @@ object SparkEntry {
       "ds2_strip_spans" ->
         (s"""WITH corpus AS (
            |  SELECT doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text FROM documents
-           |  UNION ALL SELECT doc_id + 300000 AS doc_id, '$BoilerPrefix ' || text AS text
+           |  UNION ALL SELECT doc_id + $plantUnitSql AS doc_id, text || ' graftdup' AS text FROM documents
+           |  UNION ALL SELECT doc_id + 3*$plantUnitSql AS doc_id, '$BoilerPrefix ' || text AS text
            |   FROM documents WHERE doc_id % 20 = 5),
            | tok AS (SELECT doc_id, $toksSql AS toks FROM corpus),
            | inv0 AS (SELECT doc_id, toks,
@@ -2682,7 +2704,7 @@ object SparkEntry {
       "inc1_incremental_dedup" ->
         (s"""WITH b AS (
            |  SELECT doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+           |  UNION ALL SELECT doc_id + $plantUnitSql AS doc_id, text FROM documents),
            | bf AS (SELECT min(doc_id) AS doc_id, fp AS content_fp FROM (
            |  SELECT doc_id, substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
            |  FROM b) GROUP BY fp),
@@ -2696,7 +2718,7 @@ object SparkEntry {
       "bf1_bloom_dedup" ->
         (s"""WITH b AS (
            |  SELECT doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+           |  UNION ALL SELECT doc_id + $plantUnitSql AS doc_id, text FROM documents),
            | bf AS (SELECT min(doc_id) AS doc_id, fp AS content_fp FROM (
            |  SELECT doc_id, substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
            |  FROM b) GROUP BY fp),
@@ -2786,7 +2808,7 @@ object SparkEntry {
       "inc2_incremental_neardup" ->
         (s"""WITH arch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
            | bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
-           |  UNION ALL SELECT doc_id + 700000 AS doc_id, text || ' graftdup' AS text
+           |  UNION ALL SELECT doc_id + 7*$plantUnitSql AS doc_id, text || ' graftdup' AS text
            |  FROM documents WHERE doc_id % 2 = 0),
            | bsh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
            |   THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
@@ -2816,9 +2838,9 @@ object SparkEntry {
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       "cc1_contamination" ->
         (s"""WITH ev AS (
-           |  SELECT doc_id + 500000 AS eval_id, text || ' evaltok' AS text
+           |  SELECT doc_id + 5*$plantUnitSql AS eval_id, text || ' evaltok' AS text
            |  FROM documents WHERE doc_id % 20 = 3
-           |  UNION ALL SELECT doc_id + 600000 AS eval_id, text
+           |  UNION ALL SELECT doc_id + 6*$plantUnitSql AS eval_id, text
            |  FROM documents WHERE doc_id % 50 = 7),
            | csh AS (SELECT doc_id,
            |  CASE WHEN len(toks) >= 3
