@@ -133,28 +133,64 @@ object Ingest {
     * once, finalized; Update re-emits a window's running total every batch
     * that changes it, so the sink must replace by key, not append).
     *
-    * The snapshot is copy-on-write VERSIONED: batch b reads v_{b-1},
-    * anti-joins out the keys the batch re-emits, unions the new rows, and
-    * writes v_b (never overwriting what it reads; a lakehouse MERGE INTO
-    * with snapshot isolation is the production form — see merge1, whose
-    * latest-wins fold is this sink's batch-side contract). Keyed state
-    * between batches lives in storage; driver holds only the current
-    * version path. */
+    * PARTITIONED copy-on-write (round-6 verdict #4 — the previous form
+    * rewrote the WHOLE snapshot per batch): rows hash into `buckets`
+    * key-partitions (pk = xxhash64(keys) mod buckets), and batch b writes
+    * `v=b/pk=…` dirs for ONLY the buckets its keys touch — each holding
+    * that bucket's full post-batch state (prior rows of the bucket minus
+    * re-emitted keys, plus the batch). Untouched buckets' files are never
+    * rewritten, read, or listed per batch beyond a driver dir probe: the
+    * per-batch write is O(changed partitions), never O(snapshot).
+    * Readers ([[latestSnapshot]]) take the NEWEST committed version of
+    * each bucket, so a half-written batch (no _SUCCESS) is invisible and
+    * the view is always a consistent committed state — the same
+    * changed-partitions-versioning a lakehouse MERGE INTO provides, built
+    * from plain parquet (merge1's latest-wins fold is the batch-side
+    * contract). Retry-safe: batch b's reconstruction reads versions < b
+    * only (its own failed attempt is ignored) and the rewrite of v=b is
+    * an idempotent overwrite. Versions-per-bucket grow with batches —
+    * production compacts old versions periodically; the replay fixtures
+    * are bounded-batch so none is needed here. */
   def upsertMatview(agg: DataFrame, keys: Seq[String], snapRoot: String,
-                    checkpoint: String): StreamingQuery = {
-    val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+                    checkpoint: String, buckets: Int = 16): StreamingQuery =
     graft.core.Sinks.foreachBatchSink(agg, checkpoint) { (b, id) =>
-      val prev = Option(latest.get())
-        .map(b.sparkSession.read.parquet(_)).getOrElse(b.limit(0))
-      val next = prev.join(b.select(keys.map(col): _*), keys, "left_anti")
-        .unionByName(b)
-      val path = s"$snapRoot/v=$id"
-      next.write.mode("overwrite").parquet(path)
-      latest.set(path)
+      val s = b.sparkSession
+      val batch = b.withColumn("pk",
+          pmod(xxhash64(keys.map(col): _*), lit(buckets)).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // bounded driver scalar set: at most `buckets` values
+        val affected = batch.select("pk").distinct()
+          .collect().map(_.getInt(0)).sorted
+        val prevPaths = affected.flatMap(pk =>
+          newestBucketVersion(snapRoot, pk, beforeVersion = id)
+            .map(v => s"$snapRoot/v=$v/pk=$pk"))
+        val prev =
+          if (prevPaths.isEmpty) batch.limit(0)
+          else s.read.option("basePath", snapRoot).parquet(prevPaths: _*)
+            .select(batch.columns.map(col): _*)
+        prev.join(batch.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(batch)
+          .write.mode("overwrite").partitionBy("pk")
+          .parquet(s"$snapRoot/v=$id")
+      } finally batch.unpersist()
     }.outputMode("update")
       .trigger(Trigger.AvailableNow())
       .start()
-  }
+
+  /** Committed (has _SUCCESS) snapshot versions under `snapRoot`, sorted. */
+  private def committedVersions(snapRoot: String): Seq[Long] =
+    Option(new java.io.File(snapRoot).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("v=").toLong).sorted.toSeq
+
+  /** Newest committed version < `beforeVersion` holding bucket `pk`
+    * (Long.MaxValue = no bound). Driver-side dir probes only. */
+  private def newestBucketVersion(snapRoot: String, pk: Int,
+                                  beforeVersion: Long = Long.MaxValue): Option[Long] =
+    committedVersions(snapRoot).filter(_ < beforeVersion).reverse
+      .find(v => new java.io.File(s"$snapRoot/v=$v/pk=$pk").isDirectory)
 
   /** COMPLETE-mode sink: every batch re-emits the ENTIRE aggregate result,
     * so the sink overwrites the whole snapshot (no keyed upsert needed —
@@ -172,13 +208,25 @@ object Ingest {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** Read back the highest-version snapshot [[upsertMatview]] wrote. */
+  /** Read back the current state [[upsertMatview]] maintains: the NEWEST
+    * committed version of every bucket, unioned. [[completeSnapshot]]
+    * writes unpartitioned versions — for those each version IS the full
+    * state, and the newest-per-bucket rule degenerates to "read the
+    * newest version" (no pk dirs below it). */
   def latestSnapshot(spark: org.apache.spark.sql.SparkSession,
                      snapRoot: String): DataFrame = {
-    val versions = new java.io.File(snapRoot).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
-    require(versions.nonEmpty, s"no snapshot versions under $snapRoot")
-    spark.read.parquet(s"$snapRoot/v=${versions.max}")
+    val versions = committedVersions(snapRoot)
+    require(versions.nonEmpty, s"no committed snapshot versions under $snapRoot")
+    val buckets = versions.flatMap(v =>
+      Option(new java.io.File(s"$snapRoot/v=$v").listFiles())
+        .getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("pk="))
+        .map(d => d.getName.stripPrefix("pk=").toInt)).distinct
+    if (buckets.isEmpty) // unpartitioned (complete-mode) layout
+      return spark.read.parquet(s"$snapRoot/v=${versions.max}")
+    val paths = buckets.map(pk =>
+      s"$snapRoot/v=${newestBucketVersion(snapRoot, pk).get}/pk=$pk")
+    spark.read.option("basePath", snapRoot).parquet(paths: _*)
+      .drop("v", "pk")
   }
 }

@@ -389,4 +389,34 @@ class StreamingSpec extends SparkSpec {
     assert(fin == Seq(3.0, 5.0),
       "first window's row replaced with the full total, second window added")
   }
+
+  test("upsertMatview: untouched buckets survive a batch (changed-partitions write)") {
+    def t(m: Int) = new Timestamp(1704067200000L + m * 60000L) // 2024-01-01 UTC
+    // both keys share window [00:00, 01:00); batch 1 re-emits key a ONLY —
+    // key b's bucket must never be rewritten after v=0
+    val b0 = Seq((t(5), "a", 1.0), (t(5), "b", 2.0)).toDF("ts", "id", "value")
+    val b1 = Seq((t(6), "a", 10.0)).toDF("ts", "id", "value")
+    val dir = graft.streaming.Replay.slicedSourceReplay(spark, Seq(b0, b1),
+        "ts TIMESTAMP, id STRING, value DOUBLE", "mvpart-spec-") { (src, dir) =>
+      val agg = Speed.windowedSum(src, col("id"), "ts", "1 hour",
+        "30 seconds", col("value"), "t")
+      graft.streaming.Ingest.upsertMatview(agg, Seq("timestamp", "id"),
+        s"$dir/snap", s"$dir/ckpt", buckets = 64)
+    }
+    // buckets computed with the sink's own expression (deterministic)
+    val pk = Seq("a", "b").toDF("id")
+      .select(pmod(xxhash64(lit("2024-01-01 00:00:00").cast("timestamp"),
+        col("id")), lit(64)).cast("int").as("pk")).as[Int].collect()
+    val (pkA, pkB) = (pk(0), pk(1))
+    assert(pkA != pkB, "fixture keys must land in distinct buckets")
+    def dirs(v: Int) = new java.io.File(s"$dir/snap/v=$v").listFiles()
+      .filter(_.getName.startsWith("pk=")).map(_.getName).toSet
+    assert(dirs(0) == Set(s"pk=$pkA", s"pk=$pkB"), dirs(0).toString)
+    assert(dirs(1) == Set(s"pk=$pkA"),
+      s"batch 1 must rewrite ONLY key a's bucket: ${dirs(1)}")
+    // the reader serves key b from the v=0 files batch 1 never touched
+    val fin = graft.streaming.Ingest.latestSnapshot(spark, s"$dir/snap")
+      .select("id", "value").as[(String, Double)].collect().toSet
+    assert(fin == Set("a" -> 11.0, "b" -> 2.0), fin.toString)
+  }
 }
