@@ -568,6 +568,31 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // zo1: the Z-ORDER layout tier in the GRADED path — lineitem staged
+    // Morton-clustered on (l_orderkey, l_partkey) via Layout.writeZOrdered,
+    // then a 2-D range query runs against the staged files. Results are
+    // layout-invariant (the oracle reads the plain table), so a green row
+    // proves the clustering rewrite is lossless; the layout's POINT —
+    // parquet row-group min/max pruning engaging on BOTH dimensions —
+    // is asserted from the scan metrics of this same staged layout by
+    // LayoutSpec (the z-scan reads a strict subset of row groups where a
+    // round-robin layout reads every row; the geometric file-envelope
+    // version also lives there). Range bounds derive from two max()
+    // scalars (bounded driver state), so selectivity stays ~1/16 at any
+    // SF and the predicate pushes into the parquet scan as a plain range.
+    "zo1_zorder_scan" -> ((s, d) => {
+      val root = graft.core.Scratch.dir("zo-")
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber",
+        "l_partkey", "l_quantity", "l_extendedprice")
+      Layout.writeZOrdered(li, "l_orderkey", "l_partkey", s"$root/li", files = 16)
+      val m = li.agg(max(col("l_orderkey")), max(col("l_partkey"))).head
+      val (okHi, pkHi) = (m.getLong(0), m.getLong(1))
+      s.read.parquet(s"$root/li")
+        .where(col("l_orderkey").between(okHi / 4, okHi / 2) &&
+          col("l_partkey").between(pkHi / 4, pkHi / 2))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // dpp1: DYNAMIC PARTITION PRUNING over a day-partitioned fact layout —
     // the star-join scale feature: the campaign flag is dimension DATA
     // (not an expression of the join key, so constraint inference cannot
@@ -1196,6 +1221,26 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("user_id"))
       graft.streaming.Replay.joinWithinReplay(s, side("error"), side("click"),
           "30 seconds", "60 minutes", "click_")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("click_event_id"), col("click_ts"))
+        .orderBy("event_id", "click_event_id")
+    }),
+
+    // ss2: ss1 re-run as FOUR event-time-ordered micro-batches per side
+    // (maxFilesPerTrigger staging) so the watermark advances BETWEEN
+    // batches and EVICTS buffered join state — the state-lifecycle
+    // behavior a single-batch replay never executes (round-6 verdict #8;
+    // at 100 TB the join is viable ONLY because state stays bounded by
+    // rate × (watermark + within), and this is the row that grades that
+    // mechanism end-to-end). Eviction only retires state the time-range
+    // bound proves dead, so the output still equals the batch interval
+    // join — same oracle as ss1; StreamingSpec asserts numRowsRemoved > 0
+    // on the same replay.
+    "ss2_join_multibatch" -> ((s, d) => {
+      def side(tp: String) = events(s, d).where(col("event_type") === tp)
+        .select(col("event_id"), col("ts"), col("user_id"))
+      graft.streaming.Replay.joinWithinSlicedReplay(s, side("error"),
+          side("click"), 4, "30 seconds", "60 minutes", "click_")._1
         .select(col("event_id"), col("ts"), col("user_id"),
           col("click_event_id"), col("click_ts"))
         .orderBy("event_id", "click_event_id")
@@ -1996,6 +2041,19 @@ object SparkEntry {
            | CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      // zo1: the z-ordered rewrite is lossless — same rows as the plain
+      // table under the same 2-D range predicate (bounds re-derived by the
+      // identical integer formula; FLOOR on positives ≡ Scala Long /)
+      "zo1_zorder_scan" ->
+        ("""WITH b AS (SELECT CAST(FLOOR(MAX(l_orderkey)/4) AS BIGINT) AS ok_lo,
+           | CAST(FLOOR(MAX(l_orderkey)/2) AS BIGINT) AS ok_hi,
+           | CAST(FLOOR(MAX(l_partkey)/4) AS BIGINT) AS pk_lo,
+           | CAST(FLOOR(MAX(l_partkey)/2) AS BIGINT) AS pk_hi FROM lineitem)
+           |SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+           |FROM lineitem, b
+           |WHERE l_orderkey BETWEEN ok_lo AND ok_hi
+           | AND l_partkey BETWEEN pk_lo AND pk_hi
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", " ")),
       // dpp1: the pruned join ≡ a direct day-range filter on the facts
       "dpp1_partition_pruned_join" ->
         ("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
@@ -3019,6 +3077,16 @@ object SparkEntry {
            |FROM tf LEFT JOIN v ON tf.token = v.token
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       "ss1_join_replay" ->
+        ("""SELECT e.event_id, e.ts, e.user_id,
+           | c.event_id AS click_event_id, c.ts AS click_ts
+           |FROM (SELECT * FROM events WHERE event_type = 'error') e
+           |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           | ON e.user_id = c.user_id
+           | AND c.ts BETWEEN e.ts - INTERVAL 60 MINUTE AND e.ts
+           |ORDER BY e.event_id, click_event_id""".stripMargin.replace("\n", " ")),
+      // ss2: state eviction between micro-batches cannot change the result
+      // — the oracle is the identical batch interval join as ss1
+      "ss2_join_multibatch" ->
         ("""SELECT e.event_id, e.ts, e.user_id,
            | c.event_id AS click_event_id, c.ts AS click_ts
            |FROM (SELECT * FROM events WHERE event_type = 'error') e

@@ -238,7 +238,15 @@ object Sampling {
     * `materializeKept` contract. The base carries the join's isNotNull
     * explicitly so constraint inference adds nothing one-sided (the q15
     * rule); NULL-source rows are excluded by that predicate — a keyed
-    * fill has no budget line to charge them to. */
+    * fill has no budget line to charge them to.
+    *
+    * Precondition: `nTokens` must be non-negative — the two-phase bucket
+    * classification equals the single-running-sum-window definition only
+    * when the cumulative sum is MONOTONE, which a negative count breaks
+    * (round-6 advice). A negative count is malformed upstream data, not a
+    * budget line: such rows are excluded by the base predicate below, the
+    * same treatment as a NULL source, so the operator degrades to
+    * "ignore garbage" instead of silently diverging from its contract. */
   def tokenBudgetFill(df: DataFrame, source: Column, key: Column,
                       salt: String, nTokens: Column, budget: Long,
                       materializeDocs: Boolean = false): DataFrame = {
@@ -249,7 +257,8 @@ object Sampling {
           nTokens.cast("long").as("n_tokens"),
           hashBucket(key, salt, 1 << 20).as("graft_p"))
         .withColumn("graft_b", shiftright(col("graft_p"), 10)) // top 10 bits
-        .where(col("source").isNotNull && col("graft_b").isNotNull))
+        .where(col("source").isNotNull && col("graft_b").isNotNull
+          && col("n_tokens") >= 0))
     val docs =
       if (materializeDocs)
         docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -21,10 +21,18 @@ import org.apache.spark.sql.functions._
   * cross-engine math rule).
   *
   * Scale note: the uncentered products n·Σxy and Σx·Σy grow as (rows per
-  * group)², so 38 digits bound the EXACT regime to ~10⁸ rows per group at
-  * price-scale magnitudes. Past that, go two-pass: compute exact decimal
-  * group means first, join back, and sum exact decimal CENTERED products
-  * — bounded magnitudes, same order-free guarantees, one extra shuffle.
+  * group)² × (raw magnitude)², so 38 digits bound the one-pass EXACT
+  * regime to ~10⁸ rows per group at price-scale magnitudes — and under
+  * Spark 4 ANSI mode crossing it is a hard DECIMAL overflow error, not a
+  * graceful degradation. For larger groups pass `centered = true`: a
+  * first pass computes each group's ROUNDED-INTEGER mean, rows shift by
+  * it (one extra shuffle for the join-back), and the same identities run
+  * over the centered integers. Shift invariance is EXACT in integer
+  * arithmetic — n·Σc_xc_y − Sc_xSc_y = n·Σxy − S_xS_y identically, so
+  * the outputs are bit-for-bit the one-pass values (pinned by spec) —
+  * while the moment magnitudes drop from (raw magnitude)² to
+  * (deviation from mean)², extending the exact regime by
+  * (magnitude/deviation)² at the same 38-digit budget.
   */
 object Stats {
 
@@ -33,16 +41,45 @@ object Stats {
     * corr / covar_samp / slope in the ORIGINAL units (the 10^scale
     * quantization factors cancel in corr and slope; covariance divides
     * them back out). Groups with < 2 rows or zero variance report NULL
-    * (division by zero propagates as NULL in both engines). */
+    * (division by zero propagates as NULL in both engines).
+    * `centered = false` is the single-pass default (exact to ~10⁸ rows
+    * per group at price-scale magnitudes); `centered = true` is the
+    * two-pass large-group regime — identical results, one extra shuffle,
+    * moment magnitudes bounded by deviations instead of raw values. */
   def bivariate(df: DataFrame, groupCols: Seq[String], x: Column, y: Column,
-                scale: Int = 2): DataFrame = {
+                scale: Int = 2, centered: Boolean = false): DataFrame = {
     require(scale >= 0 && scale <= 6)
     val f = math.pow(10, scale).toLong
-    val xi = round(x * f).cast("long")
-    val yi = round(y * f).cast("long")
+    val quantized = df.select(
+      groupCols.map(col) ++ Seq(
+        round(x * f).cast("long").as("graft_x"),
+        round(y * f).cast("long").as("graft_y")): _*)
+    val rows =
+      if (!centered) quantized
+      else {
+        // pass 1: per-group ROUNDED-INTEGER means (bounded output — one
+        // row per group). round() on the decimal quotient is exact and
+        // deterministic; any constant shift leaves corr/covar/slope
+        // unchanged, the rounded mean just minimizes the residual range.
+        val means = quantized.groupBy(groupCols.map(col): _*)
+          .agg(round(sum(col("graft_x").cast("decimal(38,0)")) /
+              count(lit(1))).cast("long").as("graft_mx"),
+            round(sum(col("graft_y").cast("decimal(38,0)")) /
+              count(lit(1))).cast("long").as("graft_my"))
+          .select(groupCols.map(g => col(g).as(s"graft_g_$g")) ++
+            Seq(col("graft_mx"), col("graft_my")): _*)
+        // pass 2: shift each row by its group mean. Null-SAFE key compare:
+        // the one-pass groupBy treats NULL as a group of its own, so the
+        // join-back must too. No broadcast hint — groups-per-table is
+        // SF-scaled; AQE broadcasts while it fits.
+        quantized.join(means, groupCols.map(g =>
+            col(g) <=> col(s"graft_g_$g")).reduce(_ && _))
+          .select(groupCols.map(col) ++ Seq(
+            (col("graft_x") - col("graft_mx")).as("graft_x"),
+            (col("graft_y") - col("graft_my")).as("graft_y")): _*)
+      }
     def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
-    val agged = df
-      .select(groupCols.map(col) ++ Seq(xi.as("graft_x"), yi.as("graft_y")): _*)
+    val agged = rows
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).cast("decimal(38,0)").as("graft_n"),
         dsum(col("graft_x")).as("graft_sx"),

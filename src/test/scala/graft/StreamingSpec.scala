@@ -324,6 +324,26 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((10L, 20L)), s"got $out")
   }
 
+  test("Replay multi-batch: watermark EVICTS join state between batches, result unchanged") {
+    import java.time.LocalDateTime
+    def t(s: String) = LocalDateTime.parse(s)
+    // four hours of one-pair-per-hour data; within = 60 s, watermark = 10 s:
+    // by the time a later hour's batch runs, every earlier hour's buffered
+    // state is provably dead and must be evicted — the state-lifecycle
+    // behavior the single-batch replay (previous test) never executes
+    val errors = (0 until 4).map(h =>
+      (10L + h, t(f"2022-02-26T0$h%d:00:30"), 1L + h))
+    val clicks = (0 until 4).map(h =>
+      (20L + h, t(f"2022-02-26T0$h%d:00:00"), 1L + h))
+    val (out, evicted) = graft.streaming.Replay.joinWithinSlicedReplay(spark,
+      errors.toDF("event_id", "ts", "user_id"),
+      clicks.toDF("event_id", "ts", "user_id"),
+      slices = 4, "10 seconds", "60 seconds")
+    val pairs = out.select("event_id", "r_event_id").as[(Long, Long)].collect().toSet
+    assert(pairs == (0 until 4).map(h => (10L + h, 20L + h)).toSet, s"got $pairs")
+    assert(evicted > 0, "multi-batch replay must evict retired join state")
+  }
+
   test("T5: several concurrent streaming queries from one parsed stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
