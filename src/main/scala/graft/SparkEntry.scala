@@ -1111,6 +1111,29 @@ object SparkEntry {
       TextAnalysis.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // ret1: BM25 top-k retrieval — the LEXICAL leg of a retrieval stack
+    // (sim1/sim3 are the dense leg): a bounded query set broadcast-filters
+    // the posting relation before anything wide happens, idf quantized at
+    // its libm boundary, per-term scores exact-decimal-summed, rank<=k
+    // via WindowGroupLimit. The corpus never shuffles on anything but its
+    // tokenize fan-out.
+    "ret1_bm25_topk" -> ((s, d) =>
+      ext.Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          Seq(0 -> Seq("spark", "join", "table"),
+            1 -> Seq("hash", "merge", "sort"),
+            2 -> Seq("stream", "window", "batch")), k = 5)
+        .orderBy("query_id", "rk")),
+
+    // kl1: per-source token-distribution KL divergence vs the whole
+    // corpus — the TEXT-side drift monitor (drift1 watches embeddings):
+    // a feed that switched language / extractor / started emitting
+    // boilerplate shows as a KL jump with no model in the loop. Same
+    // quantized-ln policy as lm1; Q's support contains P's by
+    // construction, so no zero-support guard.
+    "kl1_source_kl" -> ((s, d) =>
+      TextAnalysis.sourceTokenKl(Tables.documents(s, d), "text", "source")
+        .orderBy("source")),
+
     // inc3: INCREMENTAL corpus-statistics maintenance — yesterday's
     // archived per-term (df, tf) summary (even docs, standing in for the
     // stored table) merged additively with today's batch (odd docs); the
@@ -1241,6 +1264,28 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("user_id"))
       graft.streaming.Replay.joinWithinSlicedReplay(s, side("error"),
           side("click"), 4, "30 seconds", "60 minutes", "click_")._1
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("click_event_id"), col("click_ts"))
+        .orderBy("event_id", "click_event_id")
+    }),
+
+    // ss3: stream-stream LEFT OUTER join through the engine — the join
+    // class where emission is driven by STATE LIFECYCLE, not arrival: an
+    // error with no click in its hour window emits its null-padded row
+    // only when the advancing watermark EXPIRES its buffered state
+    // unmatched (Spark rejects an unconstrained outer stream join — the
+    // engine could never prove "no future match"; the watermark bound is
+    // what makes outer semantics decidable on a stream). Replayed as the
+    // ss2 multi-batch staging plus a far-future sentinel slice per side
+    // so every real row's state horizon passes before termination; the
+    // oracle is the plain batch LEFT interval join.
+    "ss3_left_outer_replay" -> ((s, d) => {
+      def side(tp: String) = events(s, d).where(col("event_type") === tp)
+        .select(col("event_id"), col("ts"), col("user_id"))
+      graft.streaming.Replay.joinWithinSlicedReplay(s, side("error"),
+          side("click"), 4, "30 seconds", "60 minutes", "click_",
+          joinType = "left_outer")._1
+        .where(col("event_id") >= 0)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("click_event_id"), col("click_ts"))
         .orderBy("event_id", "click_event_id")
@@ -1689,6 +1734,18 @@ object SparkEntry {
           (score >= lit(80L * 65536L)).cast("int").as("kept"))
         .orderBy("doc_id")
     }),
+
+    // auc1: exact ROC-AUC per source — the EVALUATION leg of the
+    // train→apply loop (fit1 trains, cur5 filters, this measures how well
+    // a score separates a label): Mann–Whitney rank-sum with midrank tie
+    // correction, integers until one final IEEE division, so the metric is
+    // engine-exact — no sampled or binned approximation. Scored here on
+    // (n_chars → lang='en') over documents: real ties, both classes in
+    // every source group.
+    "auc1_score_auc" -> ((s, d) =>
+      ext.Eval.rocAuc(Tables.documents(s, d), Seq("source"),
+          col("n_chars"), col("lang") === "en")
+        .orderBy("source")),
 
     // sql1: the PURE-SQL user path end-to-end — the sim1 ranking restated
     // as SQL TEXT over a temp view, with the cosine built from the
@@ -3000,6 +3057,57 @@ object SparkEntry {
            |   AS DECIMAL(30,6))) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
            |  AS surprisal
            |FROM ct, n GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // ret1: identical BM25 formula — integer tf/df/len/N, ln behind a
+      // 6-decimal round, pinned IEEE order, DECIMAL(30,6) per-term
+      // quantization; (1.2 + 1) spelled as the SUM both sides (the
+      // literal 2.2 parses to a different double than 1.2 + 1)
+      "ret1_bm25_topk" ->
+        (s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | n AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS n_toks FROM toks),
+           | tf AS (SELECT doc_id, len_d, term, COUNT(*) AS tf
+           |  FROM (SELECT doc_id, len(toks) AS len_d, unnest(toks) AS term
+           |        FROM toks)
+           |  GROUP BY 1, 2, 3),
+           | q(query_id, term) AS (VALUES (0,'spark'),(0,'join'),(0,'table'),
+           |  (1,'hash'),(1,'merge'),(1,'sort'),
+           |  (2,'stream'),(2,'window'),(2,'batch')),
+           | cand AS (SELECT tf.* FROM tf
+           |  JOIN (SELECT DISTINCT term FROM q) qq USING(term)),
+           | wd AS (SELECT cand.*, COUNT(*) OVER (PARTITION BY term) AS dft
+           |  FROM cand),
+           | scored AS (SELECT q.query_id, wd.doc_id,
+           |  CAST(SUM(CAST(
+           |   round(ln((CAST(n_docs - dft AS DOUBLE) + 0.5)
+           |     / (CAST(dft AS DOUBLE) + 0.5) + 1.0), 6)
+           |   * (CAST(tf AS DOUBLE) * (1.2 + 1))
+           |   / (CAST(tf AS DOUBLE) + 1.2 * ((1 - 0.75)
+           |      + 0.75 * ((len_d * n_docs) / n_toks)))
+           |   AS DECIMAL(30,6))) AS DOUBLE) AS score
+           |  FROM wd JOIN q USING(term), n GROUP BY 1, 2)
+           |SELECT query_id, doc_id, score,
+           | CAST(rank() OVER (PARTITION BY query_id
+           |   ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+           |FROM scored QUALIFY rk <= 5
+           |ORDER BY query_id, rk""".stripMargin.replace("\n", " ")),
+      // kl1: identical per-term formula and quantization as lm1, one
+      // extra USING(source) join for the per-source total
+      "kl1_source_kl" ->
+        (s"""WITH tf AS (SELECT source, term, COUNT(*) AS tf
+           |  FROM (SELECT source, unnest($toksSql) AS term FROM documents)
+           |  GROUP BY 1, 2),
+           | n AS (SELECT SUM(tf) AS n_corpus FROM tf),
+           | ct AS (SELECT source, term, tf,
+           |   SUM(tf) OVER (PARTITION BY term) AS ct FROM tf),
+           | ns AS (SELECT source, SUM(tf) AS ns FROM tf GROUP BY 1)
+           |SELECT ct.source, CAST(SUM(ct.tf) AS BIGINT) AS n_tokens,
+           | CAST(COUNT(*) AS BIGINT) AS n_terms,
+           | round(CAST(SUM(CAST(CAST(ct.tf AS DOUBLE) *
+           |   (ln(CAST(ct.tf AS DOUBLE)) - ln(CAST(ns.ns AS DOUBLE)) +
+           |    ln(CAST(n_corpus AS DOUBLE)) - ln(CAST(ct.ct AS DOUBLE)))
+           |   AS DECIMAL(30,6))) AS DOUBLE) / CAST(SUM(ct.tf) AS DOUBLE), 6)
+           |  AS kl
+           |FROM ct JOIN ns USING(source), n
+           |GROUP BY ct.source ORDER BY ct.source""".stripMargin.replace("\n", " ")),
       // inc3: the oracle rebuilds the merged stats from scratch
       "inc3_incremental_stats" ->
         (s"""SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
@@ -3091,6 +3199,15 @@ object SparkEntry {
            | c.event_id AS click_event_id, c.ts AS click_ts
            |FROM (SELECT * FROM events WHERE event_type = 'error') e
            |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           | ON e.user_id = c.user_id
+           | AND c.ts BETWEEN e.ts - INTERVAL 60 MINUTE AND e.ts
+           |ORDER BY e.event_id, click_event_id""".stripMargin.replace("\n", " ")),
+      // ss3: watermark-expiry null emission ≡ the batch LEFT interval join
+      "ss3_left_outer_replay" ->
+        ("""SELECT e.event_id, e.ts, e.user_id,
+           | c.event_id AS click_event_id, c.ts AS click_ts
+           |FROM (SELECT * FROM events WHERE event_type = 'error') e
+           |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            | ON e.user_id = c.user_id
            | AND c.ts BETWEEN e.ts - INTERVAL 60 MINUTE AND e.ts
            |ORDER BY e.event_id, click_event_id""".stripMargin.replace("\n", " ")),
@@ -3448,6 +3565,24 @@ object SparkEntry {
            | CAST(x0*b0 + x1*b1 + x2*b2 + x3*b3 AS BIGINT) AS score,
            | CAST(x0*b0 + x1*b1 + x2*b2 + x3*b3 >= 80 * 65536 AS INTEGER) AS kept
            |FROM f2, w4 ORDER BY f2.doc_id""".stripMargin.replace("\n", " ")),
+      // auc1: the identical rank-sum formula — integers until one final
+      // division (DuckDB BIGINT sums widen to HUGEINT, hence the BIGINT
+      // casts in the outer projection; x/0 is NULL in both engines)
+      "auc1_score_auc" ->
+        ("""WITH r AS (SELECT source, (lang = 'en') AS l,
+           |  2 * rank() OVER (PARTITION BY source ORDER BY n_chars)
+           |   + count(*) OVER (PARTITION BY source, n_chars) - 1 AS r2
+           | FROM documents),
+           |a AS (SELECT source,
+           |  SUM(CASE WHEN l THEN 1 ELSE 0 END) AS n_pos,
+           |  SUM(CASE WHEN l THEN 0 ELSE 1 END) AS n_neg,
+           |  SUM(CASE WHEN l THEN r2 ELSE 0 END) AS rp2
+           | FROM r GROUP BY 1)
+           |SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+           | CAST(n_neg AS BIGINT) AS n_neg,
+           | CAST(rp2 - n_pos * (n_pos + 1) AS DOUBLE)
+           |  / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+           |FROM a ORDER BY source""".stripMargin.replace("\n", " ")),
       // sql1: identical oracle to sim1 — graft_dot ≡ list_dot_product
       "sql1_pure_sql_ann" ->
         ("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

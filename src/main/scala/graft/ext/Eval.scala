@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-quality EVALUATION statistics — the metrics a data-curation loop
+  * reads after training a filter model ([[Fit]] trains, cur5 applies,
+  * THIS measures): exact ROC-AUC from rank statistics.
+  *
+  * Exactness contract (the repo's cross-engine rule): AUC is the
+  * Mann–Whitney U statistic normalized by nPos·nNeg. Computed from ranks
+  * it is a RATIONAL number; everything up to the final division stays in
+  * 64-bit integers — ranks from a window, tie correction via the tie-group
+  * size, both engine-exact — and the one double division at the end is
+  * IEEE-correctly-rounded in any engine. No sampling, no trapezoid
+  * approximation over binned thresholds.
+  *
+  * Scale: one shuffle per group (the rank window sorts each group by
+  * score), then a per-group aggregate — group cardinality bounds the
+  * output. At 100 TB the per-group sort is the cost; the standard swap is
+  * binned AUC (fixed score buckets → one groupBy, trapezoid over ≤ B
+  * points), trading exactness for a bounded error of ~1/B — documented
+  * here, not silently substituted.
+  */
+object Eval {
+
+  /** Per-group exact ROC-AUC of `score` against boolean `label`.
+    * Ties get the standard midrank treatment: a tie group spanning ranks
+    * [r, r+c−1] contributes average rank (2r+c−1)/2, carried ×2 so the
+    * sum stays integral. AUC = (2·Rpos − nPos(nPos+1)) / (2·nPos·nNeg);
+    * groups with no positives or no negatives report NULL (try_divide —
+    * the DuckDB division-by-zero contract). Output: group cols, n_pos,
+    * n_neg, auc. */
+  def rocAuc(df: DataFrame, groupCols: Seq[String], score: Column,
+             label: Column): DataFrame = {
+    val base = df.select(groupCols.map(col) ++ Seq(
+      score.cast("long").as("graft_s"),
+      label.cast("boolean").as("graft_l")): _*)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("graft_s"))
+    val tie = Window.partitionBy(groupCols.map(col) :+ col("graft_s"): _*)
+    // 2 × midrank = 2·rank + tieSize − 1 (integral); both windows share
+    // the one (group, score) sort — Catalyst plans a single exchange+sort
+    val ranked = base
+      .withColumn("graft_r2",
+        lit(2) * rank().over(w) + count(lit(1)).over(tie) - lit(1))
+    val agged = ranked.groupBy(groupCols.map(col): _*)
+      .agg(sum(when(col("graft_l"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("graft_l"), 0L).otherwise(1L)).as("n_neg"),
+        sum(when(col("graft_l"), col("graft_r2")).otherwise(0L)).as("graft_rp2"))
+    agged.select(groupCols.map(col) ++ Seq(
+      col("n_pos"), col("n_neg"),
+      try_divide(
+        (col("graft_rp2") - col("n_pos") * (col("n_pos") + lit(1))).cast("double"),
+        (lit(2) * col("n_pos") * col("n_neg")).cast("double")).as("auc")): _*)
+  }
+}

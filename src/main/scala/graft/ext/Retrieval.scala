@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Num
+
+/** Sparse-retrieval scoring — BM25 top-k over the corpus for a BOUNDED
+  * query set: the lexical leg of a retrieval stack (sim1/sim3 are the
+  * dense leg), and the standard relevance baseline any hybrid RAG
+  * pipeline keeps around. Okapi BM25 with the Lucene +1 idf variant
+  * (idf stays positive even for terms in more than half the corpus).
+  *
+  * Scale shape: ONE corpus tokenize pass builds the (doc, term, tf, len)
+  * relation; the bounded query vocabulary broadcasts and SEMI-filters it
+  * immediately (only postings of query terms survive — the corpus never
+  * shuffles on anything but its own tokenize fan-out), document
+  * frequencies ride a window over the term-keyed candidate slice, corpus
+  * totals ride a 1-row broadcast, and the per-query top-k compiles to a
+  * rank-≤-k window (Catalyst's WindowGroupLimit partial limit). Nothing
+  * is corpus-shuffled at any point — the only wide exchange moves the
+  * candidate slice, whose size is (query terms × docs containing them).
+  *
+  * Determinism (the repo's cross-engine rule): tf / df / len / N are
+  * integers; idf's `ln` — the one libm call — is quantized to 6 decimals
+  * before use (the lm1/x2 policy); the remaining per-term arithmetic is
+  * IEEE +,*,/ in a pinned evaluation order, and per-term scores quantize
+  * to DECIMAL(30,6) so the per-document sum is summation-order-free. */
+object Retrieval {
+
+  /** BM25 top-`k` documents per query. `queries` = (query_id, terms) —
+    * bounded by definition (a query set, not a corpus). Output:
+    * (query_id, doc_id, score, rk), rk 1..k by (score desc, doc_id). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Int, Seq[String])], k: Int = 5,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = graft.core.Par.fanOut(docs.select(col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks")))
+    // corpus totals: one bounded scalar row
+    val n = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).as("n_toks"))
+    val tf = toks.select(col("doc_id"), size(col("toks")).as("len_d"),
+        explode_outer(col("toks")).as("term"))
+      .where(col("term").isNotNull) // see TextAnalysis.termStats
+      .groupBy("doc_id", "len_d", "term").agg(count(lit(1)).as("tf"))
+    // the query VOCABULARY (distinct terms) semi-filters the postings
+    // before anything wide happens; both relations are bounded → explicit
+    // broadcast is safe (the repo's bounded-relation rule)
+    val qvocab = queries.flatMap(_._2).distinct.toDF("term")
+    val qmap = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+      .toDF("query_id", "term")
+    val cand = tf.join(broadcast(qvocab), "term")
+    // document frequency per (query) term over the candidate slice — the
+    // slice holds EVERY posting of each query term, so this IS the corpus
+    // df; window over the term-keyed slice, no self-join
+    val withDf = cand.withColumn("dft",
+      count(lit(1)).over(Window.partitionBy("term")))
+    // idf quantized at its libm boundary; everything after is pinned-order
+    // IEEE arithmetic mirrored verbatim by the oracle
+    val idf = round(log(((col("n_docs") - col("dft")).cast("double") + lit(0.5)) /
+      (col("dft").cast("double") + lit(0.5)) + lit(1.0)), 6)
+    val tfd = col("tf").cast("double")
+    val denom = tfd + lit(k1) * (lit(1.0 - b) +
+      lit(b) * ((col("len_d") * col("n_docs")) / col("n_toks")))
+    val termScore = idf * (tfd * lit(k1 + 1.0)) / denom
+    val scored = withDf.crossJoin(broadcast(n))
+      .join(broadcast(qmap), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(Num.dsum(termScore).as("score"))
+    val rk = rank().over(Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id")))
+    scored.withColumn("rk", rk).where(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rk").cast("long").as("rk"))
+  }
+}

@@ -230,6 +230,49 @@ object TextAnalysis {
           .as("surprisal"))
   }
 
+  /** Per-source token-distribution KL DIVERGENCE against the whole-corpus
+    * unigram distribution — the TEXT-side drift/domain-shift monitor
+    * (drift1 watches the embedding space; this watches the token space):
+    * a source whose token mix diverges from the corpus — a feed that
+    * switched language, started emitting boilerplate, or got re-scraped
+    * through a different extractor — shows up as a KL jump without any
+    * model in the loop. KL(P_s ‖ Q) = Σ_t p_s(t)·ln(p_s(t)/q(t)) with
+    * p_s(t) = c_st/N_s and q(t) = c_t/N; every source term has c_t ≥
+    * c_st ≥ 1, so no zero-support guard is needed against the corpus
+    * distribution (Q's support contains P's by construction).
+    *
+    * Scale shape: one corpus tokenize pass to (source, term, tf) —
+    * vocabulary-bounded, not corpus-bounded; the per-term corpus count
+    * rides the term-keyed window (the lm1/x2 pattern — no self-join
+    * re-scan), per-source totals come back as a tiny per-source relation
+    * joined WITHOUT a hint (AQE broadcasts while it fits — source
+    * cardinality is a data property, not provably bounded), and the
+    * grand total rides as a 1-row broadcast. Determinism: per-term
+    * contributions quantize to DECIMAL(30,6) and sum exactly (the lm1
+    * policy — ln's ±1 ulp libm exposure sits behind the 6-decimal
+    * quantization and final round). */
+  def sourceTokenKl(df: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val toks = graft.core.Par.fanOut(df.select(col(srcCol).as("source"),
+      tokens(col(textCol)).as("toks")))
+    val tf = toks.select(col("source"), explode_outer(col("toks")).as("term"))
+      .where(col("term").isNotNull) // see termStats' explode_outer note
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val n = tf.agg(sum(col("tf")).as("n_corpus"))
+    val ns = tf.groupBy(col("source").as("graft_src"))
+      .agg(sum(col("tf")).as("ns"))
+    val bits = col("tf").cast("double") *
+      (log(col("tf").cast("double")) - log(col("ns").cast("double")) +
+        log(col("n_corpus").cast("double")) - log(col("ct").cast("double")))
+    tf.withColumn("ct", sum(col("tf"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
+      .join(ns, col("source") === col("graft_src"))
+      .crossJoin(broadcast(n))
+      .groupBy("source")
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_terms"),
+        round(Num.dsum(bits) / sum(col("tf")).cast("double"), 6).as("kl"))
+  }
+
   /** Deterministic 64-bit-hex document fingerprint over normalized tokens —
     * the exact-dedup / provenance key. sha2 is identical everywhere, so the
     * fingerprint is portable across engines and runs. */

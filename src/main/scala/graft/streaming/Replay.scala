@@ -302,7 +302,8 @@ object Replay {
     * min/max ts (one 1-row scalar aggregate — bounded driver state). */
   def joinWithinSlicedReplay(spark: SparkSession, left: DataFrame, right: DataFrame,
                              slices: Int, watermark: String, within: String,
-                             rightPrefix: String = "r_"): (DataFrame, Long) = {
+                             rightPrefix: String = "r_",
+                             joinType: String = "inner"): (DataFrame, Long) = {
     def norm(df: DataFrame): DataFrame = df.toDF("event_id", "ts", "user_id")
       .select(col("event_id").cast("long").as("event_id"),
         col("ts").cast("timestamp").as("ts"),
@@ -312,9 +313,25 @@ object Replay {
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val span = hi - lo + 1
-    def sliceOf(df: DataFrame): Seq[DataFrame] = (0 until slices).map { i =>
-      val (a, z) = (lo + span * i / slices, lo + span * (i + 1) / slices)
-      df.where(unix_micros(col("ts")) >= a && unix_micros(col("ts")) < z)
+    // OUTER joins emit their null-padded rows only when the watermark
+    // EXPIRES a left row's state unmatched — for the final rows of a
+    // finite replay that expiry never comes (the watermark trails max
+    // seen event time), so a trailing SENTINEL slice on BOTH sides
+    // (key −1, ten days past the data — far beyond any sane watermark +
+    // within argument) pushes the watermark past every real row's state
+    // horizon — the same contract as the windowed-agg sentinel; the
+    // caller filters event_id ≥ 0. Inner replays skip it: matches emit
+    // on arrival.
+    val sentinel = joinType != "inner"
+    def sliceOf(df: DataFrame): Seq[DataFrame] = {
+      val real = (0 until slices).map { i =>
+        val (a, z) = (lo + span * i / slices, lo + span * (i + 1) / slices)
+        df.where(unix_micros(col("ts")) >= a && unix_micros(col("ts")) < z)
+      }
+      if (!sentinel) real
+      else real :+ spark.range(1).select(lit(-1L).as("event_id"),
+        timestamp_micros(lit(hi + 10L * 86400L * 1000000L)).as("ts"),
+        lit(-1L).as("user_id"))
     }
     val dir = scratch("mjoin-")
     def stage(df: DataFrame, sub: String): DataFrame = {
@@ -324,7 +341,7 @@ object Replay {
         .option("maxFilesPerTrigger", 1).parquet(s"$dir/$sub")
     }
     val joined = Speed.joinWithin(stage(l, "l"), stage(r, "r"),
-      "user_id", "ts", "ts", watermark, within, rightPrefix)
+      "user_id", "ts", "ts", watermark, within, rightPrefix, joinType)
     val q = joined.writeStream.format("parquet")
       .option("path", s"$dir/out")
       .option("checkpointLocation", s"$dir/ckpt")

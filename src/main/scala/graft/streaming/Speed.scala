@@ -94,7 +94,7 @@ object Speed {
     graft.core.Agg.windowedSumSession(df.withWatermark(tsCol, watermark),
       dim, col(tsCol), gap, value, typeTag)
 
-  /** Stream-stream inner join: left events pick up right events with the
+  /** Stream-stream join: left events pick up right events with the
     * same key whose event time falls in [leftTs − within, leftTs] — the
     * "error within N minutes of a click" correlation shape. Both sides are
     * watermarked and the join carries an explicit event-time range, so
@@ -102,17 +102,26 @@ object Speed {
     * (rate × (watermark + within)), independent of stream length — the
     * REQUIRED shape for an unbounded stream-stream join at scale (an
     * unconstrained join buffers both streams forever). Right columns are
-    * prefixed to keep the output schema collision-free. */
+    * prefixed to keep the output schema collision-free.
+    *
+    * `joinType` "inner" (default) emits matches as they arrive;
+    * "left_outer" ADDITIONALLY emits a null-padded row for a left event
+    * once the WATERMARK EXPIRES its state unmatched — emission driven by
+    * state lifecycle, not arrival, which is why only a watermark-bounded
+    * join may be outer on a stream (Spark rejects the unconstrained
+    * form: the engine could never prove "no future match"). */
   def joinWithin(left: DataFrame, right: DataFrame, keyCol: String,
                  leftTs: String, rightTs: String,
                  watermark: String, within: String,
-                 rightPrefix: String = "r_"): DataFrame = {
+                 rightPrefix: String = "r_",
+                 joinType: String = "inner"): DataFrame = {
     val r0 = right.withWatermark(rightTs, watermark)
     val r = r0.columns.foldLeft(r0)((df, c) => df.withColumnRenamed(c, rightPrefix + c))
     left.withWatermark(leftTs, watermark)
       .join(r, expr(
         s"$keyCol = $rightPrefix$keyCol AND " +
-          s"$rightPrefix$rightTs BETWEEN $leftTs - INTERVAL $within AND $leftTs"))
+          s"$rightPrefix$rightTs BETWEEN $leftTs - INTERVAL $within AND $leftTs"),
+        joinType)
       .drop(rightPrefix + keyCol)
   }
 

@@ -88,6 +88,56 @@ class Round7Spec extends SparkSpec {
     assert(!corr.isNaN && math.abs(corr) <= 1.0)
   }
 
+  test("rocAuc: separation, inversion, and midrank tie handling") {
+    import spark.implicits._
+    def auc(rows: Seq[(Long, Boolean)]): Double =
+      ext.Eval.rocAuc(rows.toDF("s", "l").withColumn("g", lit("g")),
+        Seq("g"), $"s", $"l").collect().head.getDouble(3)
+    // perfect separation → 1.0; perfect inversion → 0.0
+    assert(auc(Seq((1L, false), (2L, false), (3L, true), (4L, true))) == 1.0)
+    assert(auc(Seq((4L, false), (3L, false), (1L, true), (2L, true))) == 0.0)
+    // all scores tied → midranks make AUC exactly 0.5
+    assert(auc(Seq((7L, false), (7L, true), (7L, false), (7L, true))) == 0.5)
+    // hand case with a cross-class tie: scores 1,2,2,3 labels F,F,T,T —
+    // pairs: (1,2)=1, (1,3)=1, (2,2)=0.5, (2,3)=1 → U=3.5, AUC=3.5/4
+    assert(auc(Seq((1L, false), (2L, false), (2L, true), (3L, true))) == 0.875)
+    // degenerate single-class group → NULL (try_divide contract)
+    val r = ext.Eval.rocAuc(Seq((1L, true), (2L, true)).toDF("s", "l")
+        .withColumn("g", lit("g")), Seq("g"), $"s", $"l").collect().head
+    assert(r.isNullAt(3))
+  }
+
+  test("sourceTokenKl: zero against itself, non-negative in general") {
+    import spark.implicits._
+    // single source ⇒ P = Q ⇒ every per-term contribution is ln(1) = 0
+    val one = Seq((1L, "a b c a", "s0"), (2L, "b c d", "s0"))
+      .toDF("doc_id", "text", "source")
+    val k0 = ext.TextAnalysis.sourceTokenKl(one, "text", "source")
+      .select("kl").as[Double].collect()
+    assert(k0.toSeq == Seq(0.0), k0.toSeq.toString)
+    // Gibbs: KL ≥ 0 for every source (up to the 1e-6 quantization grain)
+    val kls = ext.TextAnalysis.sourceTokenKl(
+        Tables.documents(spark, sf), "text", "source")
+      .select("kl").as[Double].collect()
+    assert(kls.nonEmpty && kls.forall(_ >= -1e-5), kls.toSeq.toString)
+  }
+
+  test("bm25TopK: term-matching docs outrank partial matches; absent terms score nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join table spark join"), // all three query terms, repeated
+      (2L, "spark filter filter filter"),  // one query term
+      (3L, "sort merge hash"),             // zero query terms for q0
+      (4L, "spark join table")).toDF("doc_id", "text")
+    val out = ext.Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq(0 -> Seq("spark", "join", "table")), k = 4)
+      .select("doc_id", "rk").as[(Long, Long)].collect().toMap
+    // doc 3 shares no term → absent from the ranking entirely
+    assert(!out.contains(3L), out.toString)
+    // full-coverage docs beat the single-term doc
+    assert(out(1L) < out(2L) && out(4L) < out(2L), out.toString)
+  }
+
   test("tokenBudgetFill ignores malformed negative token counts") {
     import spark.implicits._
     // contract guard (round-6 advice): a negative count breaks the

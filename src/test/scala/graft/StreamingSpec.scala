@@ -344,6 +344,28 @@ class StreamingSpec extends SparkSpec {
     assert(evicted > 0, "multi-batch replay must evict retired join state")
   }
 
+  test("Replay left outer: unmatched left rows emit null-padded on state expiry") {
+    import java.time.LocalDateTime
+    def t(s: String) = LocalDateTime.parse(s)
+    val errors = Seq(
+      (10L, t("2022-02-26T00:00:30"), 1L), // click 30 s earlier → matches
+      (11L, t("2022-02-26T01:00:00"), 2L), // no click for u2 → null row
+      (12L, t("2022-02-26T03:00:00"), 3L)) // last batch, no click → null row
+    val clicks = Seq(
+      (20L, t("2022-02-26T00:00:00"), 1L),
+      (21L, t("2022-02-26T02:00:00"), 9L)) // unmatched RIGHT row: never emitted
+    val (out, _) = graft.streaming.Replay.joinWithinSlicedReplay(spark,
+      errors.toDF("event_id", "ts", "user_id"),
+      clicks.toDF("event_id", "ts", "user_id"),
+      slices = 4, "10 seconds", "60 seconds", joinType = "left_outer")
+    val rows = out.where($"event_id" >= 0)
+      .select("event_id", "r_event_id")
+      .as[(Long, Option[Long])].collect().toSet
+    // 12's state can only expire via the SENTINEL slice — a replay without
+    // it would emit 10 and 11 but hold 12's null row forever
+    assert(rows == Set((10L, Some(20L)), (11L, None), (12L, None)), s"got $rows")
+  }
+
   test("T5: several concurrent streaming queries from one parsed stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
