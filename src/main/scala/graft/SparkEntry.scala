@@ -934,6 +934,30 @@ object SparkEntry {
           col("redacted_text")))
         .orderBy("doc_id")),
 
+    // norm1: Unicode NFC canonicalization — the pre-pass that makes
+    // exact dedup see precomposed and combining-mark spellings as the
+    // same document (no Spark builtin; graft_nfc is a native kernel over
+    // the JDK normalizer, pinned by UAX #15 so the oracle's
+    // nfc_normalize() emits identical bytes). Every third doc gains a
+    // decomposed "café niño" suffix (combining U+0301/U+0303); the other
+    // two thirds prove already-normalized text passes through untouched
+    // (changed = 0, lengths equal).
+    "norm1_nfc_normalize" -> ((s, d) =>
+      Par.stage(Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" cafe\u0301 nin\u0303o")))
+            .otherwise(col("text")).as("text"))
+        .select(col("doc_id"), col("text"),
+          graft.functions.VectorExpressions.nfcNormalizeNative(col("text"))
+            .as("norm"))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_raw"),
+          length(col("norm")).cast("long").as("n_chars_nfc"),
+          (col("text") =!= col("norm")).cast("long").as("changed"),
+          right(col("norm"), lit(8)).as("tail8")))
+        .orderBy("doc_id")),
+
     // BPE-ish regex tokenizer (letter/digit runs), subword count per doc
     "t5_regex_tokens" -> ((s, d) =>
       Par.stage(Tables.documents(s, d)
@@ -1124,6 +1148,31 @@ object SparkEntry {
             2 -> Seq("stream", "window", "batch")), k = 5)
         .orderBy("query_id", "rk")),
 
+    // ret2: HYBRID retrieval — reciprocal-rank fusion of the lexical leg
+    // (ret1's BM25, k=20) and the dense leg (sim1's exact cosine top-k,
+    // k=20, query vectors = vec_id 0-2) into one ranking. Rank-only
+    // fusion (Retrieval.rrfFuse scaladoc): incomparable score scales
+    // never mix, contributions are 1/(60+rk) quantized to exact decimal,
+    // and the fused relation is ≤ 40 rows/query before the final window —
+    // both legs already end in per-query top-k, so fusion adds no
+    // corpus-sized work to either.
+    "ret2_rrf_fusion" -> ((s, d) => {
+      val lex = ext.Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          Seq(0 -> Seq("spark", "join", "table"),
+            1 -> Seq("hash", "merge", "sort"),
+            2 -> Seq("stream", "window", "batch")), k = 20)
+        .select(col("query_id").cast("long").as("query_id"), col("doc_id"),
+          col("rk"))
+      val emb = Tables.embeddings(s, d)
+      val dense = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 3),
+          "vec_id", "embedding", 20)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("neighbor_id").cast("long").as("doc_id"),
+          col("rank").cast("long").as("rk"))
+      ext.Retrieval.rrfFuse(Seq(lex, dense), k0 = 60, k = 10)
+        .orderBy("query_id", "rk")
+    }),
+
     // kl1: per-source token-distribution KL divergence vs the whole
     // corpus — the TEXT-side drift monitor (drift1 watches embeddings):
     // a feed that switched language / extractor / started emitting
@@ -1184,6 +1233,24 @@ object SparkEntry {
           col("doc_id"), "temp")
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
+
+    // mix2: fractional EPOCH upsampling — mix1 picks a keep-set, this
+    // REPLICATES: "0.5 epochs of en, 2.25 of zh, 1.5 of fr, 3 of es"
+    // turned into actual duplicated rows with a deterministic hash fate
+    // for the fractional copy (Sampling.epochUpsample scaladoc). The
+    // unique key is (doc_id, epoch_copy); de gets exactly 1.0 epochs —
+    // the pass-through case.
+    "mix2_epoch_upsample" -> ((s, d) =>
+      ext.Sampling.epochUpsample(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          col("doc_id"), "mix2",
+          when(col("lang") === "en", 500)
+            .when(col("lang") === "zh", 2250)
+            .when(col("lang") === "fr", 1500)
+            .when(col("lang") === "es", 3000)
+            .otherwise(1000))
+        .select(col("doc_id"), col("lang"), col("epoch_copy"))
+        .orderBy("doc_id", "epoch_copy")),
 
     // emb1: per-dimension embedding QC stats — 64 groups at any corpus
     // scale, exact-decimal sums so mean/variance hash-match the oracle
@@ -1414,6 +1481,20 @@ object SparkEntry {
       // no .distinct() here: triangleCounts canonicalizes + dedups anyway
       Graph.triangleCounts(edges).orderBy("node")
     }),
+
+    // ccmp1: CONNECTED COMPONENTS over the frequent-co-purchase graph
+    // (fi1's support-≥2 pairs as edges) — "product families" by
+    // transitive co-purchase, the graph tier's exact clustering primitive
+    // (and the general-graph form of the clusterRoots fixpoint sd1
+    // already grades on near-dup pairs). Unlike pr1/lp1 the contract has
+    // NO iteration count — min-label propagation runs to convergence, so
+    // the oracle states the semantics engine-free as recursive transitive
+    // closure: component(v) = min id reachable from v.
+    "ccmp1_components" -> ((s, d) =>
+      Graph.connectedComponents(
+          Basket.frequentPairs(Tables.lineitem(s, d), minSupport = 2L),
+          "part_a", "part_b")
+        .orderBy("node")),
 
     // inc2: cross-run INCREMENTAL NEAR-dup dedup — inc1's fuzzy
     // counterpart. Archive = even-id docs; batch = odd-id docs plus a
@@ -2920,6 +3001,23 @@ object SparkEntry {
            | UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
            |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
            |FROM n GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      // ccmp1: the fixpoint stated engine-free — transitive closure over
+      // the symmetric frequent-pair edges (UNION dedups, so the recursion
+      // terminates on any cycle), component = min reachable id
+      "ccmp1_components" ->
+        ("""WITH RECURSIVE
+           |b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |p AS (SELECT a.l_partkey AS x, c.l_partkey AS y
+           | FROM b a JOIN b c
+           |  ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+           | GROUP BY 1, 2 HAVING count(*) >= 2),
+           |e AS (SELECT x, y FROM p UNION SELECT y, x FROM p),
+           |r AS (SELECT x AS node, y AS reach FROM e
+           | UNION
+           | SELECT r.node, e.y FROM r JOIN e ON e.x = r.reach)
+           |SELECT CAST(node AS BIGINT) AS node,
+           | CAST(LEAST(node, MIN(reach)) AS BIGINT) AS component
+           |FROM r GROUP BY node ORDER BY node""".stripMargin.replace("\n", " ")),
       "inc2_incremental_neardup" ->
         (s"""WITH arch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
            | bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
@@ -3089,6 +3187,62 @@ object SparkEntry {
            |   ORDER BY score DESC, doc_id) AS BIGINT) AS rk
            |FROM scored QUALIFY rk <= 5
            |ORDER BY query_id, rk""".stripMargin.replace("\n", " ")),
+      // ret2: ret1's BM25 CTE at k=20 + sim1's dense ranking at k=20 for
+      // vec_id 0-2, fused by 1/(60+rk) — contributions quantized to
+      // DECIMAL(30,6) exactly like the Spark side's Num.dsum, fused rank
+      // = row_number by (rrf DESC, doc_id)
+      "ret2_rrf_fusion" ->
+        (s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | n AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS n_toks FROM toks),
+           | tf AS (SELECT doc_id, len_d, term, COUNT(*) AS tf
+           |  FROM (SELECT doc_id, len(toks) AS len_d, unnest(toks) AS term
+           |        FROM toks)
+           |  GROUP BY 1, 2, 3),
+           | q(query_id, term) AS (VALUES (0,'spark'),(0,'join'),(0,'table'),
+           |  (1,'hash'),(1,'merge'),(1,'sort'),
+           |  (2,'stream'),(2,'window'),(2,'batch')),
+           | cand AS (SELECT tf.* FROM tf
+           |  JOIN (SELECT DISTINCT term FROM q) qq USING(term)),
+           | wd AS (SELECT cand.*, COUNT(*) OVER (PARTITION BY term) AS dft
+           |  FROM cand),
+           | scored AS (SELECT q.query_id, wd.doc_id,
+           |  CAST(SUM(CAST(
+           |   round(ln((CAST(n_docs - dft AS DOUBLE) + 0.5)
+           |     / (CAST(dft AS DOUBLE) + 0.5) + 1.0), 6)
+           |   * (CAST(tf AS DOUBLE) * (1.2 + 1))
+           |   / (CAST(tf AS DOUBLE) + 1.2 * ((1 - 0.75)
+           |      + 0.75 * ((len_d * n_docs) / n_toks)))
+           |   AS DECIMAL(30,6))) AS DOUBLE) AS score
+           |  FROM wd JOIN q USING(term), n GROUP BY 1, 2),
+           | lex AS (SELECT query_id, doc_id,
+           |   rank() OVER (PARTITION BY query_id
+           |     ORDER BY score DESC, doc_id) AS rk
+           |  FROM scored QUALIFY rk <= 20),
+           | qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id < 3),
+           | cv AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+           |  FROM embeddings),
+           | dense AS (SELECT query_id, neighbor_id AS doc_id,
+           |   row_number() OVER (PARTITION BY query_id
+           |     ORDER BY list_dot_product(qv, cv) /
+           |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+           |      DESC, neighbor_id) AS rk
+           |  FROM qv JOIN cv ON query_id <> neighbor_id QUALIFY rk <= 20),
+           | u AS (SELECT query_id, doc_id,
+           |   CAST(1.0 / (60.0 + CAST(rk AS DOUBLE)) AS DECIMAL(30,6)) AS c
+           |  FROM lex
+           |  UNION ALL
+           |  SELECT query_id, doc_id,
+           |   CAST(1.0 / (60.0 + CAST(rk AS DOUBLE)) AS DECIMAL(30,6)) AS c
+           |  FROM dense),
+           | fused AS (SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS rrf
+           |  FROM u GROUP BY 1, 2)
+           |SELECT CAST(query_id AS BIGINT) AS query_id,
+           | CAST(doc_id AS BIGINT) AS doc_id, rrf,
+           | CAST(row_number() OVER (PARTITION BY query_id
+           |   ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+           |FROM fused QUALIFY rk <= 10
+           |ORDER BY query_id, rk""".stripMargin.replace("\n", " ")),
       // kl1: identical per-term formula and quantization as lm1, one
       // extra USING(source) join for the per-source total
       "kl1_source_kl" ->
@@ -3150,6 +3304,19 @@ object SparkEntry {
            |WHERE ('0x' || substring(sha256(doc_id::VARCHAR || ':temp'), 1, 15))::BIGINT
            |  % 1000000 / 1000000.0 < rate
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // mix2: identical permille weights and sha-prefix fate; range(1,
+      // copies+1) is empty at copies = 0 so unnest drops the row, exactly
+      // like Spark's explode over the guarded empty array
+      "mix2_epoch_upsample" ->
+        ("""SELECT doc_id, lang, unnest(range(1, copies + 1)) AS epoch_copy
+           |FROM (SELECT doc_id, lang, epm // 1000 +
+           |  CASE WHEN ('0x' || substring(sha256(doc_id::VARCHAR || ':mix2'), 1, 15))::BIGINT
+           |    % 1000 < epm % 1000 THEN 1 ELSE 0 END AS copies
+           | FROM (SELECT doc_id, lang,
+           |   CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 2250
+           |    WHEN 'fr' THEN 1500 WHEN 'es' THEN 3000 ELSE 1000 END AS epm
+           |  FROM documents))
+           |ORDER BY doc_id, epoch_copy""".stripMargin.replace("\n", " ")),
       "qd1_source_quality" ->
         (s"""WITH q AS (
            | SELECT source, len(toks) AS n_tokens,
@@ -3303,6 +3470,22 @@ object SparkEntry {
            | CAST(n_urls AS BIGINT) AS n_urls,
            | regexp_replace(nourl, '$EmailReSql', '<EMAIL>', 'g') AS redacted_text
            |FROM u ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // norm1: identical decomposed plant via chr(769)/chr(771) combining
+      // marks; nfc_normalize is pinned by UAX #15, so bytes match the
+      // JDK-normalizer kernel exactly
+      "norm1_nfc_normalize" ->
+        ("""WITH p AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 3 = 0
+           |   THEN text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o'
+           |   ELSE text END AS text
+           | FROM documents),
+           |n AS (SELECT doc_id, text, nfc_normalize(text) AS norm FROM p)
+           |SELECT doc_id,
+           | CAST(length(text) AS BIGINT) AS n_chars_raw,
+           | CAST(length(norm) AS BIGINT) AS n_chars_nfc,
+           | CAST(CASE WHEN text <> norm THEN 1 ELSE 0 END AS BIGINT) AS changed,
+           | right(norm, 8) AS tail8
+           |FROM n ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       "t5_regex_tokens" ->
         ("""SELECT doc_id,
            | len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),

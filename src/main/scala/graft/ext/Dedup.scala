@@ -810,15 +810,28 @@ object Dedup {
     * shuffle of the edge list; labels only decrease, so convergence is
     * exact (checked with a per-round count) in O(graph diameter) rounds.
     * Near-dup graphs are clique-shaped (every member of a cluster pairs
-    * with most others), so the fixpoint lands in 2-3 rounds in practice.
-    * Scale note: the edge list is output-sized (near-dup pairs), orders of
-    * magnitude smaller than the corpus; each round persists its label
-    * frame and drops the previous one, so lineage stays flat. For
-    * adversarial long-chain graphs at extreme scale the alternating
-    * large-star/small-star formulation (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", SoCC'14) converges in
-    * O(log² n) rounds — the clique-regime loop here is the right default
-    * for near-dup collapse.
+    * with most others), so the fixpoint lands in 2-3 rounds in practice;
+    * general graphs (ccmp1's co-purchase families) take O(label radius)
+    * rounds. Scale note: the edge list is output-sized (near-dup pairs),
+    * orders of magnitude smaller than the corpus; each round LOCAL-
+    * CHECKPOINTS its label frame — `lbl` appears twice in the next
+    * round's plan, so persist alone leaves the logical tree doubling
+    * every round (2^25 nodes by the iteration cap: planning itself OOMs
+    * long before any data pressure — the iterative-algorithm trap
+    * GraphX's Pregel periodic checkpoint exists for). The checkpoint
+    * materializes the round into self-contained blocks, truncates
+    * lineage to a constant-size plan, and the superseded round's blocks
+    * are freed via [[org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint]]
+    * (a local checkpoint bypasses the cache manager, so `unpersist` is a
+    * no-op on it). Local checkpoints forgo lineage-replay fault
+    * tolerance — lose an executor mid-fixpoint and the job restarts; a
+    * long-running production fixpoint swaps in reliable `checkpoint()`
+    * (DFS-backed) at the same call site. For adversarial long-chain
+    * graphs at extreme scale the alternating large-star/small-star
+    * formulation (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) converges in O(log² n) rounds — the loop here is
+    * the right default for near-dup collapse and bounded-diameter
+    * families.
     */
   def clusterRoots(pairs: DataFrame, aCol: String = "id_a",
                    bCol: String = "id_b", maxIters: Int = 25): DataFrame = {
@@ -828,9 +841,10 @@ object Dedup {
       .union(pairs.select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoint: materialize + truncate lineage (scaladoc)
     var lbl = edges.groupBy("x").agg(min(col("y")).as("ny"))
       .select(col("x"), least(col("x"), col("ny")).as("l"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var it = 0
     var changed = 1L
     while (changed > 0 && it < maxIters) {
@@ -841,9 +855,9 @@ object Dedup {
         .join(lbl, "x")
         .select(col("x"), least(col("l"), col("nl")).as("l"),
           (col("nl") < col("l")).as("chg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       changed = next.where(col("chg")).count()
-      lbl.unpersist()
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(lbl)
       lbl = next.select(col("x"), col("l"))
       it += 1
     }

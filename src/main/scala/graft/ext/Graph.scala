@@ -76,6 +76,33 @@ object Graph {
     r.select(col("node"), col("r").as("rank_fp"))
   }
 
+  /** CONNECTED COMPONENTS to convergence — the graph tier's exact
+    * clustering primitive (lp1 is its density-aware cousin; tri1 measures
+    * what it groups): every node is labeled with the MINIMUM node id
+    * reachable from it. Semantics are engine-free (a pure fixpoint — no
+    * iteration count in the contract, unlike [[labelPropagation]]), so an
+    * oracle can state it as transitive closure.
+    *
+    * Implementation delegates to [[Dedup.clusterRoots]] — synchronous
+    * min-label propagation over the symmetric edge list, one keyed
+    * shuffle of the cached edges per round, labels-only frame per round
+    * (|nodes| rows, AQE-broadcast while it fits), terminating when no
+    * label decreases. Rounds needed = the graph's label-propagation
+    * radius (≤ diameter); at web scale the alternating large-star /
+    * small-star contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) converges in O(log²) rounds and is
+    * the drop-in upgrade — the per-round shape (join + min-aggregate on
+    * the edge relation) is identical, only the rewrite rule differs.
+    * Input: (src, dst) pairs in either orientation, self-loops/dups
+    * tolerated. Output: (node, component) for every node with ≥ 1 edge —
+    * singletons carry no edge and are their own component by definition;
+    * union them back in if the caller keeps isolated rows. */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+                          dstCol: String = "dst", maxIters: Int = 50): DataFrame =
+    Dedup.clusterRoots(edges.select(col(srcCol).as("id_a"),
+        col(dstCol).as("id_b")), maxIters = maxIters)
+      .select(col("id").as("node"), col("root").as("component"))
+
   /** Fixed-iteration synchronous LABEL PROPAGATION (Raghavan et al. 2007)
     * — community detection, the graph tier's clustering primitive between
     * [[Dedup.clusterRoots]] (connected components: min-label to fixpoint)

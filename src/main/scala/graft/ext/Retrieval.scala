@@ -74,4 +74,39 @@ object Retrieval {
     scored.withColumn("rk", rk).where(col("rk") <= k)
       .select(col("query_id"), col("doc_id"), col("score"), col("rk").cast("long").as("rk"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N retrieval
+    * legs — the standard hybrid-retrieval combiner (BM25 leg + dense-ANN
+    * leg in a RAG stack): rrf(q, d) = Σ_legs 1 ∕ (k0 + rank_leg(q, d)),
+    * summing only over legs that ranked d. Rank-only fusion — leg SCORES
+    * never mix, so legs with incomparable score scales (idf sums vs
+    * cosines) compose without calibration.
+    *
+    * Each leg is (query_id, doc_id, rk). Legs UNION (no N-way outer join —
+    * a union is shuffle-free into the fusion aggregate's own exchange) and
+    * one (query_id, doc_id) hash-aggregate sums the contributions; the
+    * per-query top-`k` compiles to a rank-≤-k window (WindowGroupLimit).
+    * Everything upstream is per-leg top-k, so the fused relation is
+    * ≤ Σ leg-k rows per query — bounded by construction, never
+    * corpus-sized.
+    *
+    * Determinism: ranks are integers; 1∕(k0+rk) is one correctly-rounded
+    * IEEE division (the cross-engine rule), and contributions quantize to
+    * DECIMAL(30,6) via [[Num.dsum]] so the per-document sum is
+    * summation-order-free. No denominator in 61..80 (k0=60, leg-k ≤ 20)
+    * hits a decimal half-way point at 6 places, so the quantization is
+    * rounding-mode-free too. */
+  def rrfFuse(legs: Seq[DataFrame], k0: Int = 60, k: Int = 10): DataFrame = {
+    require(legs.nonEmpty && k0 >= 1 && k >= 1)
+    val contrib = legs.map(_.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(k0.toDouble) + col("rk").cast("double"))).as("c")))
+      .reduce(_ unionByName _)
+    val fused = contrib.groupBy("query_id", "doc_id")
+      .agg(Num.dsum(col("c")).as("rrf"))
+    val rk = row_number().over(Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id")))
+    fused.withColumn("rk", rk).where(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf"),
+        col("rk").cast("long").as("rk"))
+  }
 }

@@ -48,6 +48,33 @@ object Sampling {
   def sampleByProb(df: DataFrame, key: Column, salt: String, prob: Column): DataFrame =
     df.where(hashBucket(key, salt, 1000000).cast("double") / 1e6 < prob)
 
+  /** Fractional EPOCH up/down-sampling — the mixing spec "2.25 epochs of
+    * zh, 0.5 epochs of en" that turns a per-source epoch count into an
+    * actual replicated row stream: each row appears
+    * floor(e) + [fate < frac(e)] times, where e = `epochsPermille`∕1000
+    * (an integer-permille Column, usually a CASE over source/lang) and
+    * fate is the [[hashBucket]] salted-hash of the key — so replication
+    * is a pure projection of the row: reproducible across runs, engines
+    * and partitioning (the [[sampleByHash]] guarantees), with e < 1
+    * degrading to deterministic down-sampling ([[sampleByProb]] at
+    * permille resolution) and e ≥ 1 emitting every copy tagged
+    * `epoch_copy` 1..n. The fan-out is sequence+explode in the
+    * projection — no shuffle, no join; downstream packing (`pack1`)
+    * receives copies as ordinary rows. Expected stream size multiplies
+    * by the weighted mean epoch count — the caller's mixing budget, by
+    * definition. */
+  def epochUpsample(df: DataFrame, key: Column, salt: String,
+                    epochsPermille: Column): DataFrame = {
+    val epm = epochsPermille.cast("long")
+    val copies = call_function("div", epm, lit(1000L)) +
+      when(hashBucket(key, salt, 1000) < epm % 1000, lit(1L)).otherwise(lit(0L))
+    // sequence(1, 0) counts DOWN in Spark — guard the zero-copy case to
+    // an empty array so explode (not explode_outer) drops the row
+    df.withColumn("epoch_copy", explode(
+      when(copies >= 1L, sequence(lit(1L), copies))
+        .otherwise(array().cast("array<long>"))))
+  }
+
   /** SHARDED sequence packing — assign documents to fixed-capacity training
     * chunks, the "concatenate the corpus, cut every ctxLen tokens" layout
     * every autoregressive training run performs before batching. Within a

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expres
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the vector dot product.
   *
@@ -839,6 +840,39 @@ case class HyperplaneSigExpr(child: Expression, bits: Int, seed: Long = 0L)
   * a hot kernel per the repo invariant). Pairs are CODE-POINT pairs
   * (UTF8String.substringSQL), matching SQL substr semantics in any engine.
   * Interpreted eval (CodegenFallback): one virtual call per row. */
+/** Unicode NFC normalization (canonical decomposition + canonical
+  * composition, UAX #15) of a string — the text-canonicalization pre-pass
+  * every exact-dedup / fingerprint tier needs: "café" arrives as both the
+  * precomposed U+00E9 and the decomposed e+U+0301 in web text, and without
+  * canonicalization they hash as distinct documents. Spark ships no
+  * normalization builtin; this wraps the JDK's `java.text.Normalizer`
+  * (ICU-equivalent for NFC — normalization is pinned by the Unicode
+  * standard, so any conforming engine, the DuckDB oracle's
+  * `nfc_normalize()` included, produces identical bytes).
+  *
+  * Fast path: `Normalizer.isNormalized` is a cheap scan (ASCII and most
+  * already-composed text short-circuits without allocating), so the
+  * common case returns the input UTF8String untouched — no String
+  * round-trip. CodegenFallback: one virtual call per ROW, the usual
+  * native-kernel economics (the per-row work dominates). */
+case class NfcNormalizeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(input: Any): Any = {
+    import java.text.Normalizer
+    val s = input.asInstanceOf[UTF8String]
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class CharPairsExpr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -945,4 +979,8 @@ object VectorExpressions {
   /** All adjacent character pairs of every element of an array<string>. */
   def charPairsNative(tokens: Column): Column =
     Bridge.column(CharPairsExpr(Bridge.expression(tokens)))
+
+  /** Unicode NFC normalization of a string ([[NfcNormalizeExpr]]). */
+  def nfcNormalizeNative(text: Column): Column =
+    Bridge.column(NfcNormalizeExpr(Bridge.expression(text)))
 }

@@ -27,6 +27,24 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(id, info, builder)
 
+  /** Release the block-manager storage behind a `localCheckpoint()`ed
+    * frame (or any frame derived from one): a local checkpoint persists
+    * the materialized RDD directly — NOT through the cache manager — so
+    * `Dataset.unpersist()` is a no-op on it, and an iterative fixpoint
+    * that checkpoints per round ([[graft.ext.Dedup.clusterRoots]]) would
+    * otherwise leak one |nodes|-sized copy per iteration. Walks the
+    * analyzed plan for `LogicalRDD` leaves (the truncated-lineage root a
+    * checkpoint leaves behind; `private[sql]`, hence bridged) and
+    * unpersists their RDDs. Safe on the superseded round: the NEXT
+    * round's checkpoint blocks are self-contained once eagerly
+    * materialized. */
+  def freeLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Unload every state-store provider this executor JVM holds (and stop
     * their maintenance pool; both restart lazily on the next stateful
     * query). A TERMINATED streaming query's providers are NOT dropped by
