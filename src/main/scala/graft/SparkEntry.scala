@@ -464,6 +464,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // src7: the binaryFile SOURCE — multimodal assets as one file per
+    // blob, the other arrival shape next to m1's parquet binary column.
+    // A slice of documents exports as <doc_id>.bin (distributed
+    // executor-side writes, BinaryFiles scaladoc), reads back through
+    // spark.read.format("binaryFile"), and is graded on the parsed id,
+    // the listing-side byte length, and a sha256-of-hex content digest
+    // (the m3 digest portability pattern) against the parquet originals —
+    // a full write→list→read→hash round trip of the source.
+    "src7_binaryfile_roundtrip" -> ((s, d) => {
+      val root = graft.core.Scratch.dir("binsrc-")
+      val slice = Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+      graft.sources.BinaryFiles.writeBlobs(
+        Multimodal.withBlob(slice, "text"), "doc_id", "payload", root)
+      graft.sources.BinaryFiles.readBlobs(s, root)
+        .select(col("id").as("doc_id"), col("n_bytes"),
+          sha2(hex(col("content")), 256).as("digest"))
+        .orderBy("doc_id")
+    }),
+
     // prof1: one-pass column profiler over orders (non-null / null /
     // exact-distinct counts, typed min/max per column in ONE aggregate;
     // the exact multi-distinct plans as a single Expand pass — swap in
@@ -1828,6 +1847,16 @@ object SparkEntry {
           col("n_chars"), col("lang") === "en")
         .orderBy("source")),
 
+    // cal1: calibration bins on the SAME score fixture as auc1 — auc1
+    // grades the ranking, this grades the reliability diagram (observed
+    // positive rate per equal-width score bin): integer bin/counts, two
+    // final IEEE divisions, one map-side-combined aggregate
+    // (Eval.calibrationBins scaladoc). Unique key (source, bin).
+    "cal1_calibration_bins" -> ((s, d) =>
+      ext.Eval.calibrationBins(Tables.documents(s, d), Seq("source"),
+          col("n_chars"), col("lang") === "en", width = 200L)
+        .orderBy("source", "bin")),
+
     // sql1: the PURE-SQL user path end-to-end — the sim1 ranking restated
     // as SQL TEXT over a temp view, with the cosine built from the
     // registered native kernel (graft_dot, the SparkSessionExtensions
@@ -2082,6 +2111,14 @@ object SparkEntry {
            |FROM documents WHERE doc_id % 2 = 0
            |UNION ALL SELECT doc_id, text, doc_id % 7 AS lang_hint
            |FROM documents WHERE doc_id % 2 = 1
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // src7: byte length and sha256-of-hex digest recomputed from the
+      // parquet originals (the m3 digest portability pattern)
+      "src7_binaryfile_roundtrip" ->
+        ("""SELECT doc_id,
+           | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           | sha256(hex(encode(text))) AS digest
+           |FROM documents WHERE doc_id % 20 = 0
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       // scd1: change-point runs of event_type per user → validity intervals
       "scd1_type_history" ->
@@ -3766,6 +3803,18 @@ object SparkEntry {
            | CAST(rp2 - n_pos * (n_pos + 1) AS DOUBLE)
            |  / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
            |FROM a ORDER BY source""".stripMargin.replace("\n", " ")),
+      // cal1: same score/label fixture, integer bins via // — counts and
+      // sums stay integral until the two final divisions
+      "cal1_calibration_bins" ->
+        ("""SELECT source, CAST(n_chars // 200 AS BIGINT) AS bin,
+           | CAST(n_chars // 200 * 200 AS BIGINT) AS bin_lo,
+           | CAST(COUNT(*) AS BIGINT) AS n,
+           | CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           | CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+           |  / CAST(COUNT(*) AS DOUBLE) AS pos_rate,
+           | CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_score
+           |FROM documents GROUP BY source, n_chars // 200
+           |ORDER BY source, bin""".stripMargin.replace("\n", " ")),
       // sql1: identical oracle to sim1 — graft_dot ≡ list_dot_product
       "sql1_pure_sql_ann" ->
         ("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

@@ -54,4 +54,34 @@ object Eval {
         (col("graft_rp2") - col("n_pos") * (col("n_pos") + lit(1))).cast("double"),
         (lit(2) * col("n_pos") * col("n_neg")).cast("double")).as("auc")): _*)
   }
+
+  /** Per-group CALIBRATION bins — the reliability-diagram feed that pairs
+    * with [[rocAuc]]: AUC says a score RANKS well, calibration says its
+    * magnitude means what it claims (a 0.8-bin should be ~80% positive).
+    * Scores bucket into equal-width integer bins (`bin` =
+    * floor(score∕width), with `bin_lo` the bin's inclusive lower edge);
+    * each (group, bin) reports count, positives, the observed positive
+    * rate and the mean score — everything integer until two final IEEE
+    * divisions (correctly rounded in any engine), so the diagram is
+    * engine-exact, unlike a sampled or float-binned one.
+    *
+    * Scale: one map-side-combined groupBy — output is groups × occupied
+    * bins, never corpus-sized; no window, no sort. */
+  def calibrationBins(df: DataFrame, groupCols: Seq[String], score: Column,
+                      label: Column, width: Long): DataFrame = {
+    require(width > 0)
+    val bin = call_function("div", score.cast("long"), lit(width))
+    df.select(groupCols.map(col) ++ Seq(bin.as("bin"),
+        score.cast("long").as("graft_s"),
+        label.cast("boolean").as("graft_l")): _*)
+      .groupBy(groupCols.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("graft_l"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("graft_s")).as("graft_ssum"))
+      .select(groupCols.map(col) ++ Seq(col("bin"),
+        (col("bin") * lit(width)).as("bin_lo"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"),
+        (col("graft_ssum").cast("double") / col("n").cast("double"))
+          .as("mean_score")): _*)
+  }
 }

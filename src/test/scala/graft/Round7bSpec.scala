@@ -66,6 +66,35 @@ class Round7bSpec extends SparkSpec {
       b.filter(_._2 == 3L).map(x => (x._1, 1L)).toSet == a.map(x => (x._1, 1L)).toSet)
   }
 
+  test("calibrationBins: exact bin edges, rates, and means on a hand fixture") {
+    import spark.implicits._
+    val rows = Seq((5L, true), (15L, false), (17L, true), (25L, true))
+      .map { case (s, l) => ("g", s, l) }.toDF("grp", "s", "l")
+    val got = ext.Eval.calibrationBins(rows, Seq("grp"), $"s", $"l", width = 10L)
+      .select("bin", "bin_lo", "n", "n_pos", "pos_rate", "mean_score")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 0L, 1L, 1L, 1.0, 5.0),
+      (1L, 10L, 2L, 1L, 0.5, 16.0),
+      (2L, 20L, 1L, 1L, 1.0, 25.0)), got.mkString(","))
+  }
+
+  test("binaryFile round trip: ids, lengths, and bytes survive; metadata-only scan prunes content") {
+    import spark.implicits._
+    val dir = core.Scratch.dir("binspec-")
+    val in = Seq((7L, "hello"), (13L, "wörld")).toDF("id", "s")
+      .select($"id", $"s".cast("binary").as("payload"))
+    sources.BinaryFiles.writeBlobs(in, "id", "payload", dir)
+    val back = sources.BinaryFiles.readBlobs(spark, dir)
+    val got = back.select($"id", $"n_bytes", $"content".cast("string"))
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // ö is two UTF-8 bytes: listing-side length must be BYTE length
+    assert(got.toSeq == Seq((7L, 5L, "hello"), (13L, 6L, "wörld")), got.toSeq)
+    // column pruning: a metadata projection plans without the content column
+    val meta = back.select("id", "n_bytes")
+    assert(!meta.queryExecution.executedPlan.toString.contains("content"))
+  }
+
   test("rrfFuse: hand-computed fusion, rank ties to doc_id, single-leg docs fuse too") {
     import spark.implicits._
     // leg A ranks docs 1,2,3; leg B ranks docs 2,1,4
