@@ -91,6 +91,17 @@ object SparkEntry {
     * for any non-negative mx — identical integer arithmetic both sides. */
   private val plantUnitSql = "(SELECT MAX(doc_id)//3*3+4 FROM documents)"
 
+  /** er1's variant-id offset over the part catalog — same collision-free
+    * derivation discipline as [[plantUnit]]: mx/2*2+2 > mx at any SF, so
+    * pk + k·U never collides with a real partkey or another k. */
+  private val partUnitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  private def partUnit(s: SparkSession, d: String): Long =
+    partUnitCache.computeIfAbsent(d, _ =>
+      Tables.table(s, d, "part").agg(max(col("p_partkey").cast("long")))
+        .head.getLong(0) / 2 * 2 + 2)
+  // DuckDB form (er1's pu CTE): SELECT MAX(p_partkey)//2*2+2 FROM part
+
   // ---- queries -----------------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -483,6 +494,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // src8: NESTED Avro — array<struct>, a struct column, and a
+    // string-keyed map round-trip through the recursive schema mapper in
+    // sources.Avro (container files on the stock classpath, as src5, but
+    // exercising every container type plus a nullable field INSIDE a
+    // nested struct). The read-back is consumed by HOFs so the graded
+    // projection is flat exact-integer scalars: the array's size, a
+    // null-skipping aggregate over the nested nullable field, a struct
+    // field access, and a map lookup.
+    "src8_avro_nested" -> ((s, d) => {
+      val nested = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          array_sort(collect_list(struct(
+            col("l_linenumber"),
+            when(col("l_quantity") > 25.0,
+              round(col("l_extendedprice") * 100).cast("long"))
+              .as("big_cents")))).as("lines"),
+          struct(count(lit(1)).as("n"),
+            max("l_linenumber").as("max_line")).as("meta"))
+        .withColumn("tags",
+          map(lit("n_lines"), size(col("lines")).cast("long")))
+      sources.Avro.avroRoundTrip(s, nested, "avro-src8-")
+        .select(col("l_orderkey"),
+          size(col("lines")).cast("long").as("n_lines"),
+          aggregate(col("lines"), lit(0L),
+            (acc, x) => acc + coalesce(x.getField("big_cents"), lit(0L)))
+            .as("big_cents"),
+          col("meta.max_line").cast("long").as("max_line"),
+          element_at(col("tags"), "n_lines").as("tag_n"))
+        .orderBy("l_orderkey")
+    }),
+
     // prof1: one-pass column profiler over orders (non-null / null /
     // exact-distinct counts, typed min/max per column in ONE aggregate;
     // the exact multi-distinct plans as a single Expand pass — swap in
@@ -561,6 +604,26 @@ object SparkEntry {
       Agg.saltedSum(events(s, d), col("event_type"), col("event_id"), 16,
         col("value"), "value")
         .orderBy("id")),
+
+    // sj1: SALTED REPLICATED JOIN — a9's companion for the join leg
+    // (core.Skew scaladoc: when to prefer AQE's skew split and when it
+    // cannot see the skew). A planted hot key (70% of events collapse
+    // onto user_key 0) joins a per-key weight dim through the salted
+    // rewrite; result must be row-identical to the plain join, which is
+    // what the oracle computes.
+    "sj1_salted_join" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("event_id"), col("value"),
+          when(col("event_id") % 10 < 7, lit(0L))
+            .otherwise(col("user_id")).cast("long").as("uk"))
+      val dim = ev.select(col("uk").as("du")).distinct()
+        .withColumn("weight", pmod(col("du"), lit(97L)))
+      core.Skew.saltedEquiJoin(ev, "uk", col("event_id"), dim, "du", 16)
+        .groupBy(col("uk").as("user_key"))
+        .agg(count(lit(1)).as("n_events"),
+          Num.dsum(col("value") * col("weight")).as("weighted"))
+        .orderBy("user_key")
+    }),
 
     // bk1: CATALOG-BUCKETED tables in the graded path — both sides stage
     // as bucketed managed-catalog tables (external data in scratch), then
@@ -1154,6 +1217,19 @@ object SparkEntry {
       TextAnalysis.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // lm2: n-gram-LM QUALITY FILTER (CCNet-lineage perplexity-filter
+    // family) in exact arithmetic — even docs form the reference LM,
+    // odd docs are scored by trigram stupid-backoff coverage; see
+    // TextAnalysis.backoffCoverage for the cascade and the
+    // one-final-division determinism policy.
+    "lm2_backoff_coverage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.backoffCoverage(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ret1: BM25 top-k retrieval — the LEXICAL leg of a retrieval stack
     // (sim1/sim3 are the dense leg): a bounded query set broadcast-filters
     // the posting relation before anything wide happens, idf quantized at
@@ -1230,6 +1306,22 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       ext.Curation.domainFilter(planted, "doc_id", "text",
           Seq("site1.example", "site3.example"))
+        .orderBy("doc_id")
+    }),
+
+    // par1: PARETO-FRONTIER curation — the efficient (vocabulary
+    // richness, length) trade-offs of the corpus, no weighted collapse;
+    // bucketed suffix-max skyline (Curation.paretoFrontier scaladoc for
+    // why the textbook global window is the wrong plan). Criteria are
+    // exact longs; the oracle states the same strict-dominance test as
+    // one window.
+    "par1_pareto_frontier" -> ((s, d) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      ext.Curation.paretoFrontier(
+          Par.fanOut(Tables.documents(s, d).select(col("doc_id"), col("text"))),
+          col("doc_id"), size(array_distinct(toks)), size(toks))
+        .select(col("doc_id"), col("x").as("n_distinct"),
+          col("y").as("n_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -1515,6 +1607,54 @@ object SparkEntry {
           "part_a", "part_b")
         .orderBy("node")),
 
+    // er1: ENTITY RESOLUTION → GOLDEN RECORD over a planted product
+    // catalog: originals plus three deterministic variant classes — a
+    // name-mutated copy ('zz ' prefix, no SKU: only the word-set-Jaccard
+    // leg can link it), a relisted copy (unrelated name, same SKU: only
+    // the exact-key leg can link it), and a second name mutation on a
+    // sub-slice ('yy ', linking transitively through the original into a
+    // 3-member cluster). Membership = EntityResolution.matchComponents
+    // (d2 blocking + ccmp1 closure); survivorship = min-id component,
+    // member count, min name, max price. The oracle restates both match
+    // legs as blocked SQL joins and the closure as ccmp1's recursive CTE.
+    "er1_golden_record" -> ((s, d) => {
+      val pu = partUnit(s, d)
+      // entity name = name+brand+type (4 tokens): p_name alone is a
+      // 64-value vocabulary at sf0.01 — every record would exact-match
+      // dozens of others and the catalog would collapse into giant
+      // chains. The composite puts variants at J = 4/5 = 0.8, natural
+      // 3-of-4 attribute collisions at 0.6, exact composite duplicates
+      // at 1.0 — the 0.75 gate links variants and true duplicates,
+      // never the 3-of-4 neighbors.
+      val p0 = Tables.table(s, d, "part").select(
+        col("p_partkey").cast("long").as("pk"),
+        concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))
+          .as("p_name"),
+        col("p_retailprice").cast("double").as("price"))
+      val sku = concat(lit("S"), col("pk"))
+      val recs = p0.select(col("pk").as("id"), col("p_name").as("name"),
+          sku.as("sku"), col("price"))
+        .unionAll(p0.where(col("pk") % 10 === 0)
+          .select((col("pk") + pu).as("id"),
+            concat(lit("zz "), col("p_name")).as("name"),
+            lit(null).cast("string").as("sku"), (col("price") + 10).as("price")))
+        .unionAll(p0.where(col("pk") % 10 === 1)
+          .select((col("pk") + 2 * pu).as("id"),
+            concat(lit("listing "), col("pk").cast("string")).as("name"),
+            sku.as("sku"), (col("price") - 5).as("price")))
+        .unionAll(p0.where(col("pk") % 20 === 0)
+          .select((col("pk") + 3 * pu).as("id"),
+            concat(lit("yy "), col("p_name")).as("name"),
+            lit(null).cast("string").as("sku"), (col("price") + 20).as("price")))
+      ext.EntityResolution.matchComponents(recs, "id", "name", "sku",
+          minJaccard = 0.75)
+        .join(recs, "id")
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"), min("name").as("first_name"),
+          max("price").as("max_price"))
+        .orderBy("component")
+    }),
+
     // inc2: cross-run INCREMENTAL NEAR-dup dedup — inc1's fuzzy
     // counterpart. Archive = even-id docs; batch = odd-id docs plus a
     // planted near-dup of every archive doc (+700000, one appended token:
@@ -1698,6 +1838,19 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
           "vec_id", "embedding", 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // neg1: HARD-NEGATIVE MINING — sim1's ranking restricted to
+    // label-mismatched neighbors (the contrastive-batch construction
+    // step); the label filter rides the broadcast join condition, so
+    // candidates prune before the rank window.
+    "neg1_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegativesTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", "label", 10)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rank")
@@ -2120,6 +2273,15 @@ object SparkEntry {
            | sha256(hex(encode(text))) AS digest
            |FROM documents WHERE doc_id % 20 = 0
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // src8: every scalar recomputed flat — nested containers exist only
+      // on the Spark side; exact-integer outputs make the trip lossless
+      "src8_avro_nested" ->
+        ("""SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+           | CAST(COALESCE(sum(CASE WHEN l_quantity > 25.0
+           |   THEN CAST(round(l_extendedprice * 100) AS BIGINT) END), 0) AS BIGINT) AS big_cents,
+           | CAST(max(l_linenumber) AS BIGINT) AS max_line,
+           | CAST(count(*) AS BIGINT) AS tag_n
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       // scd1: change-point runs of event_type per user → validity intervals
       "scd1_type_history" ->
         ("""WITH o AS (SELECT user_id, ts, event_id, event_type,
@@ -2210,6 +2372,17 @@ object SparkEntry {
         ("""SELECT event_type AS id,
            | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      // sj1: the salted rewrite must equal the PLAIN inner join
+      "sj1_salted_join" ->
+        ("""WITH ev AS (SELECT event_id, value,
+           |  CASE WHEN event_id % 10 < 7 THEN 0 ELSE user_id END AS uk
+           | FROM events),
+           |dim AS (SELECT DISTINCT uk AS du FROM ev WHERE uk IS NOT NULL),
+           |j AS (SELECT ev.uk, ev.value, du % 97 AS weight
+           | FROM ev JOIN dim ON ev.uk = dim.du)
+           |SELECT uk AS user_key, CAST(COUNT(*) AS BIGINT) AS n_events,
+           | CAST(SUM(CAST(value * weight AS DECIMAL(30,6))) AS DOUBLE) AS weighted
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       // bk1: the bucketed round trip must preserve the plain join/agg
       "bk1_bucketed_join" ->
         ("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
@@ -3055,6 +3228,43 @@ object SparkEntry {
            |SELECT CAST(node AS BIGINT) AS node,
            | CAST(LEAST(node, MIN(reach)) AS BIGINT) AS component
            |FROM r GROUP BY node ORDER BY node""".stripMargin.replace("\n", " ")),
+      // er1: both match legs as blocked SQL (word-set Jaccard all-pairs is
+      // oracle-side-only brute force; the engine blocks via the inverted
+      // index), closure as ccmp1's recursive reachability, survivorship
+      // identical
+      "er1_golden_record" ->
+        (s"""WITH RECURSIVE
+           |pu AS (SELECT MAX(p_partkey)//2*2+2 AS u FROM part),
+           |p0 AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+           |  p_name || ' ' || p_brand || ' ' || p_type AS p_name,
+           |  CAST(p_retailprice AS DOUBLE) AS price FROM part),
+           |recs AS (
+           | SELECT pk AS id, p_name AS name,
+           |  'S' || CAST(pk AS VARCHAR) AS sku, price FROM p0
+           | UNION ALL SELECT pk + u, 'zz ' || p_name, NULL, price + 10
+           |  FROM p0, pu WHERE pk % 10 = 0
+           | UNION ALL SELECT pk + 2*u, 'listing ' || CAST(pk AS VARCHAR),
+           |  'S' || CAST(pk AS VARCHAR), price - 5 FROM p0, pu WHERE pk % 10 = 1
+           | UNION ALL SELECT pk + 3*u, 'yy ' || p_name, NULL, price + 20
+           |  FROM p0, pu WHERE pk % 20 = 0),
+           |tg AS (SELECT id, list_distinct(
+           |   regexp_split_to_array(trim(lower(name)), '\\s+')) AS tg FROM recs),
+           |np AS (SELECT a.id AS x, b.id AS y FROM tg a JOIN tg b ON a.id < b.id
+           | WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+           |   / (len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg))) >= 0.75),
+           |kp AS (SELECT a.id AS x, b.id AS y FROM recs a JOIN recs b
+           | ON a.sku = b.sku AND a.id < b.id),
+           |e0 AS (SELECT x, y FROM np UNION SELECT x, y FROM kp),
+           |e AS (SELECT x, y FROM e0 UNION SELECT y, x FROM e0),
+           |r AS (SELECT x AS node, y AS reach FROM e
+           | UNION SELECT r.node, e.y FROM r JOIN e ON e.x = r.reach),
+           |c AS (SELECT node, LEAST(node, MIN(reach)) AS component
+           | FROM r GROUP BY node),
+           |m AS (SELECT COALESCE(c.component, recs.id) AS component,
+           |  name, price FROM recs LEFT JOIN c ON recs.id = c.node)
+           |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+           | MIN(name) AS first_name, MAX(price) AS max_price
+           |FROM m GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       "inc2_incremental_neardup" ->
         (s"""WITH arch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
            | bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
@@ -3192,6 +3402,38 @@ object SparkEntry {
            |   AS DECIMAL(30,6))) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
            |  AS surprisal
            |FROM ct, n GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // lm2: identical backoff cascade — exact long counts per class, one
+      // final integer-to-double division (IEEE-correct both engines)
+      "lm2_backoff_coverage" ->
+        (s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | lmtri AS (SELECT DISTINCT tri FROM (SELECT unnest(
+           |   [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+           |   AS tri FROM tk WHERE doc_id % 2 = 0 AND len(toks) >= 3)),
+           | lmbi AS (SELECT DISTINCT bi FROM (SELECT unnest(
+           |   [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))])
+           |   AS bi FROM tk WHERE doc_id % 2 = 0 AND len(toks) >= 2)),
+           | lmuni AS (SELECT DISTINCT uni FROM (SELECT unnest(toks) AS uni
+           |   FROM tk WHERE doc_id % 2 = 0)),
+           | pos AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS tri,
+           |   array_to_string(toks[i+1:i+2], ' ') AS bi, toks[i+2] AS uni
+           |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i
+           |        FROM tk WHERE doc_id % 2 = 1 AND len(toks) >= 3)),
+           | c AS (SELECT p.doc_id, COUNT(*) AS n_pos,
+           |   COUNT(CASE WHEN t.tri IS NOT NULL THEN 1 END) AS n_tri,
+           |   COUNT(CASE WHEN t.tri IS NULL AND b.bi IS NOT NULL THEN 1 END) AS n_bi,
+           |   COUNT(CASE WHEN t.tri IS NULL AND b.bi IS NULL
+           |     AND u.uni IS NOT NULL THEN 1 END) AS n_uni
+           |  FROM pos p LEFT JOIN lmtri t ON p.tri = t.tri
+           |   LEFT JOIN lmbi b ON p.bi = b.bi
+           |   LEFT JOIN lmuni u ON p.uni = u.uni
+           |  GROUP BY 1)
+           |SELECT doc_id, CAST(n_pos AS BIGINT) AS n_pos,
+           | CAST(n_tri AS BIGINT) AS n_tri, CAST(n_bi AS BIGINT) AS n_bi,
+           | CAST(n_uni AS BIGINT) AS n_uni,
+           | CAST(n_pos - n_tri - n_bi - n_uni AS BIGINT) AS n_oov,
+           | CAST(3*n_tri + 2*n_bi + n_uni AS DOUBLE) / CAST(3*n_pos AS DOUBLE)
+           |  AS coverage
+           |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       // ret1: identical BM25 formula — integer tf/df/len/N, ln behind a
       // 6-decimal round, pinned IEEE order, DECIMAL(30,6) per-term
       // quantization; (1.2 + 1) spelled as the SUM both sides (the
@@ -3318,6 +3560,21 @@ object SparkEntry {
            |  FROM planted)
            |SELECT doc_id, host FROM h
            |WHERE host NOT IN ('site1.example', 'site3.example')
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // par1: strict dominance as ONE suffix-max window (exact same set
+      // as NOT EXISTS (q.x > p.x AND q.y > p.y)); null-text docs excluded
+      // both sides
+      "par1_pareto_frontier" ->
+        (s"""WITH t AS (SELECT doc_id, len(list_distinct(toks)) AS x,
+           |   len(toks) AS y
+           |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+           |  WHERE toks IS NOT NULL),
+           | m AS (SELECT doc_id, x, y, max(y) OVER (ORDER BY x
+           |   RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS hi
+           |  FROM t)
+           |SELECT doc_id, CAST(x AS BIGINT) AS n_distinct,
+           | CAST(y AS BIGINT) AS n_tokens
+           |FROM m WHERE hi IS NULL OR hi <= y
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       // batch1: ⌊log₂⌋ via binary-string length on both sides
       "batch1_length_buckets" ->
@@ -3625,6 +3882,22 @@ object SparkEntry {
            | SELECT query_id, neighbor_id,
            |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
            | FROM q JOIN c ON query_id <> neighbor_id),
+           |ranked AS (
+           | SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           | FROM scored)
+           |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+      // neg1: sim1's oracle with the label-mismatch predicate in the join
+      "neg1_hard_negatives" ->
+        ("""WITH q AS (SELECT vec_id AS query_id, label AS qlab,
+           |  embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+           |c AS (SELECT vec_id AS neighbor_id, label AS nlab,
+           |  embedding::DOUBLE[] AS cv FROM embeddings),
+           |scored AS (
+           | SELECT query_id, neighbor_id,
+           |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+           | FROM q JOIN c ON query_id <> neighbor_id AND qlab <> nlab),
            |ranked AS (
            | SELECT query_id, neighbor_id, cos,
            |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank

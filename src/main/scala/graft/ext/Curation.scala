@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the composition every training-data pipeline
@@ -163,5 +163,60 @@ object Curation {
     import spark.implicits._
     val block = blocklist.toDF("blocked_host")
     hosts.join(broadcast(block), col("host") === col("blocked_host"), "left_anti")
+  }
+
+  /** 2-D PARETO FRONTIER (skyline) selection — multi-criteria curation
+    * without collapsing criteria into one weighted score: keep every row
+    * NOT strictly dominated, where q dominates p iff q.x > p.x AND
+    * q.y > p.y (both criteria maximized; ties never dominate). The
+    * frontier is the set of efficient quality/length (cost/coverage, …)
+    * trade-offs — mix1/bud1 pick WITHIN a criterion, this picks ACROSS
+    * criteria.
+    *
+    * Scale shape: the textbook O(n log n) skyline is one GLOBAL window
+    * (sort by x, suffix-max of y) — the single-partition trap
+    * [[Sampling.tokenBudgetFill]] documents. Instead x is coarsened into
+    * `bucketWidth`-wide grid cells: a per-cell max(y) aggregate (rows =
+    * x-range / width, a data-bounded few hundred) takes the suffix-max
+    * window on that TINY relation only; every row then needs just (a) the
+    * cross-cell screen — a higher cell's max beats my y (any member of a
+    * strictly higher cell has strictly higher x, so this is exact) — and
+    * (b) an intra-cell window partitioned BY CELL (grid-way parallel,
+    * never one global partition) with a strict RANGE frame
+    * `[x+1, ∞)` for same-cell dominators. Both tests together equal the
+    * NOT EXISTS definition exactly; no screen-then-window staging is
+    * needed (dominance is transitive, but computing both predicates in
+    * one pass avoids relying on it). The cell join carries no broadcast
+    * hint: cell count is a data property (AQE broadcasts while it fits —
+    * the round-2 rule).
+    *
+    * Returns (doc_id, x, y), frontier members only. */
+  def paretoFrontier(df: DataFrame, idCol: Column, xCol: Column,
+                     yCol: Column, bucketWidth: Long = 256): DataFrame = {
+    require(bucketWidth > 0)
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(idCol.cast("long").as("doc_id"),
+        xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      // floor-div grid cell; pmod-free because x >= 0 is not assumed:
+      // floor(x / w) keeps cell order aligned with x order for negatives
+      .withColumn("graft_cell", floor(col("x").cast("double") / bucketWidth)
+        .cast("long"))
+    val cellMax = base.groupBy("graft_cell").agg(max("y").as("graft_cy"))
+    // suffix max over STRICTLY higher cells — tiny relation, the one
+    // intentionally-global window (bud1's classed-buckets shape)
+    val wCells = Window.orderBy(col("graft_cell"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val hi = cellMax
+      .withColumn("graft_hi", max(col("graft_cy")).over(wCells))
+      .drop("graft_cy")
+    // strict same-cell frame: dominators have x in [x+1, inf) of my cell
+    val wIntra = Window.partitionBy("graft_cell").orderBy(col("x"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    base.join(hi, Seq("graft_cell"), "left")
+      .withColumn("graft_in", max(col("y")).over(wIntra))
+      .where((col("graft_hi").isNull || col("graft_hi") <= col("y"))
+        && (col("graft_in").isNull || col("graft_in") <= col("y")))
+      .select("doc_id", "x", "y")
   }
 }

@@ -65,6 +65,40 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** HARD-NEGATIVE MINING — for every query vector, the k most similar
+    * corpus vectors with a DIFFERENT label: the contrastive-training
+    * batch-construction step (the negatives that are hard precisely
+    * because they rank high despite the label mismatch). Identical
+    * plan shape to [[bruteForceTopK]] — bounded query set broadcasts,
+    * label inequality rides the same join condition the self-exclusion
+    * does, per-query top-k via WindowGroupLimit — so the label filter
+    * prunes candidates BEFORE the rank window, never after. Same
+    * determinism contract (cos rounded to 4, neighbor-id tie-break).
+    * At corpus scale swap the scored cross for IVF/LSH candidate
+    * generation exactly as the scaladoc on [[knnGraphExact]] describes —
+    * the output contract is unchanged. */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, labelCol: String,
+                        k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("qlab"),
+      toDouble(col(vecCol)).as("qv"), l2norm(col(vecCol)).as("qn")))
+    val c = graft.core.Par.fanOut(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("nlab"), col(vecCol).as("cv0")))
+      .select(col("neighbor_id"), col("nlab"),
+        toDouble(col("cv0")).as("cv"), l2norm(col("cv0")).as("cn"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id")
+        && col("qlab") =!= col("nlab"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Exact all-vectors kNN GRAPH — every vector's k nearest neighbors in
     * one relation (query_id, rank, neighbor_id, cos). The self-join
     * companion to [[bruteForceTopK]]: there the query set is bounded and

@@ -230,6 +230,76 @@ object TextAnalysis {
           .as("surprisal"))
   }
 
+  /** Trigram STUPID-BACKOFF COVERAGE scoring — the n-gram-LM quality
+    * filter of the CCNet/CC-100 lineage (perplexity-filter family),
+    * stated in exact arithmetic: a held-out reference corpus `lm` defines
+    * trigram/bigram/unigram vocabularies; every trigram position in a
+    * scored document classifies by the backoff cascade (trigram known →
+    * `tri`; else its closing bigram known → `bi`; else its last token
+    * known → `uni`; else `oov`), and the document's score is the weighted
+    * coverage (3·n_tri + 2·n_bi + n_uni) / (3·n_pos). A document of
+    * n-grams the reference corpus has never seen scores toward 0 —
+    * gibberish, boilerplate mutations, and wrong-language text all fall
+    * out, with no floating-point LM probabilities in the graded value:
+    * counts are exact longs and the score is ONE final IEEE division
+    * (both engines correctly-rounded, the mix1 policy — no logs, no
+    * per-token float sums).
+    *
+    * Scale shape: the reference corpus tokenizes ONCE behind a fan-out
+    * exchange with three consumers (tri/bi/uni distinct sets — identical
+    * subplans below the exchange, so the d3 ReusedExchange pattern
+    * applies); the scored corpus tokenizes once into one row per trigram
+    * position (rows ≈ corpus tokens — the same inflation every n-gram
+    * pass here pays, x3/bpe1). Classification is three left joins keyed
+    * on the n-gram string: vocabulary-sized build sides, corpus-sized
+    * probe, no hints (vocabulary size is a data property — AQE broadcasts
+    * the unigram set while it fits and sort-merges the trigram set, the
+    * correct call at every scale). Everything before the joins is one
+    * codegen'd projection. */
+  def backoffCoverage(lm: DataFrame, scored: DataFrame,
+                      idCol: String, textCol: String): DataFrame = {
+    def toks(df: DataFrame, extra: Column*) = graft.core.Par.fanOut(
+      df.select(extra :+ tokens(col(textCol)).as("toks"): _*))
+    def triAt(t: Column, i: Column) = concat_ws(" ",
+      element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))
+    val lmToks = toks(lm)
+    val lmTri = lmToks.where(size(col("toks")) >= 3)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 2),
+        i => triAt(col("toks"), i))).as("tri")).distinct()
+    val lmBi = lmToks
+      .select(explode_outer(bigramsFromTokens(col("toks"))).as("bi"))
+      .where(col("bi").isNotNull).distinct()
+    val lmUni = lmToks.select(explode_outer(col("toks")).as("uni"))
+      .where(col("uni").isNotNull).distinct()
+    val pos = toks(scored, col(idCol).cast("long").as("doc_id"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 2),
+          i => struct(
+            triAt(col("toks"), i).as("tri"),
+            concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2)).as("bi"),
+            element_at(col("toks"), i + 2).as("uni")))).as("g"))
+      .select(col("doc_id"), col("g.tri"), col("g.bi"), col("g.uni"))
+    val cls = pos
+      .join(lmTri.withColumn("t_hit", lit(1)), Seq("tri"), "left")
+      .join(lmBi.withColumn("b_hit", lit(1)), Seq("bi"), "left")
+      .join(lmUni.withColumn("u_hit", lit(1)), Seq("uni"), "left")
+    val nTri = sum(when(col("t_hit").isNotNull, 1L).otherwise(0L))
+    val nBi = sum(when(col("t_hit").isNull && col("b_hit").isNotNull, 1L)
+      .otherwise(0L))
+    val nUni = sum(when(col("t_hit").isNull && col("b_hit").isNull
+      && col("u_hit").isNotNull, 1L).otherwise(0L))
+    cls.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"), nTri.as("n_tri"), nBi.as("n_bi"),
+        nUni.as("n_uni"))
+      .withColumn("n_oov",
+        col("n_pos") - col("n_tri") - col("n_bi") - col("n_uni"))
+      .withColumn("coverage",
+        (col("n_tri") * 3 + col("n_bi") * 2 + col("n_uni")).cast("double")
+          / (col("n_pos") * 3).cast("double"))
+  }
+
   /** Per-source token-distribution KL DIVERGENCE against the whole-corpus
     * unigram distribution — the TEXT-side drift/domain-shift monitor
     * (drift1 watches the embedding space; this watches the token space):

@@ -9,6 +9,8 @@ import org.apache.hadoop.mapreduce.Job
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 /** S4: Avro source/sink over the stock classpath. The reference declares
   * spark-avro (`KCDBProcessingMel/build.sbt:12`) but never invokes it, and
   * the spark-avro CONNECTOR jar isn't shipped offline — Avro's own
@@ -18,11 +20,16 @@ import org.apache.spark.sql.types._
   * executors, splittable input (AvroKeyInputFormat splits on sync
   * markers exactly like any FileInputFormat — a 100 TB Avro corpus
   * parallelizes by block), writer-schema evolution handled by Avro's own
-  * resolution. Scope is FLAT record schemas of primitives — the
-  * dimension-feed shape Avro is declared for in the reference; nested
-  * records/arrays/maps want the real connector (`spark.read.format
-  * ("avro")`), which is the drop-in production path: both ends here take
-  * the same (path, StructType) surface it does.
+  * resolution.
+  *
+  * Scope: primitives (long/int/double/float/boolean/string/binary) plus
+  * NESTED struct / array / string-keyed map, recursively — the full
+  * shape of the [[graft.ext.Multimodal]] asset manifests and nd1's
+  * array<struct> document model. Out of scope: Avro logical types
+  * (decimal/timestamp) — cast at the edge, the same discipline every
+  * other source here applies; `spark.read.format("avro")` remains the
+  * drop-in connector at deploy time (both ends take the same
+  * (path, StructType) surface it does).
   *
   * This is the codebase's one deliberate RDD boundary besides multimodal
   * decode: per-record GenericRecord assembly/extraction is genuinely
@@ -32,25 +39,107 @@ import org.apache.spark.sql.types._
   */
 object Avro {
 
-  /** Avro schema JSON for a flat StructType (long/int/double/float/
-    * boolean/string, nullable → union with null). */
+  /** Avro schema JSON for a StructType, recursing through struct / array /
+    * string-keyed map. Nullable fields become `["null", T]` unions; nested
+    * record names are derived from the field path (Avro requires unique
+    * record names within a schema). */
   def avroSchemaJson(schema: StructType, name: String): String = {
-    def prim(dt: DataType): String = dt match {
+    def gen(dt: DataType, path: String): String = dt match {
       case LongType    => "\"long\""
       case IntegerType => "\"int\""
       case DoubleType  => "\"double\""
       case FloatType   => "\"float\""
       case BooleanType => "\"boolean\""
       case StringType  => "\"string\""
+      case BinaryType  => "\"bytes\""
+      case st: StructType => record(st, path)
+      case ArrayType(elem, containsNull) =>
+        val items = wrap(gen(elem, path + "_item"), containsNull)
+        s"""{"type":"array","items":$items}"""
+      case MapType(StringType, v, valueContainsNull) =>
+        val values = wrap(gen(v, path + "_value"), valueContainsNull)
+        s"""{"type":"map","values":$values}"""
       case other => throw new IllegalArgumentException(
-        s"flat-primitive Avro scope (use spark-avro for $other)")
+        s"unsupported Avro mapping for $other (logical types: cast at the edge)")
     }
-    val fields = schema.fields.map { f =>
-      val t = if (f.nullable) s"""["null",${prim(f.dataType)}]""" else prim(f.dataType)
-      val dflt = if (f.nullable) ""","default":null""" else ""
-      s"""{"name":"${f.name}","type":$t$dflt}"""
-    }.mkString(",")
-    s"""{"type":"record","name":"$name","fields":[$fields]}"""
+    def wrap(t: String, nullable: Boolean): String =
+      if (nullable) s"""["null",$t]""" else t
+    def record(st: StructType, path: String): String = {
+      val fields = st.fields.map { f =>
+        val t = wrap(gen(f.dataType, s"${path}_${f.name}"), f.nullable)
+        val dflt = if (f.nullable) ""","default":null""" else ""
+        s"""{"name":"${f.name}","type":$t$dflt}"""
+      }.mkString(",")
+      s"""{"type":"record","name":"$path","fields":[$fields]}"""
+    }
+    record(schema, name)
+  }
+
+  /** Resolve a (possibly `["null", T]` union) schema node to its non-null
+    * branch. */
+  private def nonNull(sch: Schema): Schema =
+    if (sch.getType == Schema.Type.UNION)
+      sch.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else sch
+
+  /** Catalyst external value → Avro generic value, recursively. */
+  private def toAvro(v: Any, dt: DataType, sch0: Schema): Any = {
+    if (v == null) return null
+    val sch = nonNull(sch0)
+    dt match {
+      case st: StructType =>
+        val row = v.asInstanceOf[Row]
+        val rec = new GenericData.Record(sch)
+        var i = 0
+        while (i < st.length) {
+          val f = sch.getFields.get(i)
+          rec.put(i, if (row.isNullAt(i)) null
+                     else toAvro(row.get(i), st(i).dataType, f.schema()))
+          i += 1
+        }
+        rec
+      case ArrayType(elem, _) =>
+        val seq = v.asInstanceOf[scala.collection.Seq[Any]]
+        val out = new java.util.ArrayList[Any](seq.length)
+        seq.foreach(x => out.add(toAvro(x, elem, sch.getElementType)))
+        out
+      case MapType(StringType, vt, _) =>
+        val m = v.asInstanceOf[scala.collection.Map[String, Any]]
+        val out = new java.util.HashMap[String, Any](m.size * 2)
+        m.foreach { case (k, x) => out.put(k, toAvro(x, vt, sch.getValueType)) }
+        out
+      case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case _ => v
+    }
+  }
+
+  /** Avro generic value → Catalyst external value, recursively. The input
+    * format REUSES its key holder, so every container/string is COPIED to
+    * an immutable value before the iterator advances. */
+  private def fromAvro(v: Any, dt: DataType): Any = {
+    if (v == null) return null
+    dt match {
+      case st: StructType =>
+        val rec = v.asInstanceOf[GenericRecord]
+        val vals = new Array[Any](st.length)
+        var i = 0
+        while (i < st.length) {
+          vals(i) = fromAvro(rec.get(st(i).name), st(i).dataType); i += 1
+        }
+        Row.fromSeq(vals.toIndexedSeq)
+      case ArrayType(elem, _) =>
+        v.asInstanceOf[java.util.List[Any]].asScala
+          .map(fromAvro(_, elem)).toIndexedSeq
+      case MapType(StringType, vt, _) =>
+        v.asInstanceOf[java.util.Map[Any, Any]].asScala.map {
+          case (k, x) => (k.toString, fromAvro(x, vt))
+        }.toMap
+      case BinaryType =>
+        val bb = v.asInstanceOf[java.nio.ByteBuffer]
+        val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+      case StringType => v.toString // Utf8 → String copy
+      case _ => v
+    }
   }
 
   /** Distributed Avro container-file write (one file per partition, same
@@ -58,20 +147,20 @@ object Avro {
   def writeAvro(df: DataFrame, path: String): Unit = {
     val st = df.schema
     val json = avroSchemaJson(st, "graft_record")
-    val names = st.fieldNames
     val job = Job.getInstance(df.sparkSession.sparkContext.hadoopConfiguration)
     AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(json))
+    // the mapreduce writer defaults to ReflectData, which cannot resolve
+    // element classes for generic containers — pin the GENERIC data model
+    // (we hand it GenericData.Record / java collections, never POJOs)
+    org.apache.avro.hadoop.io.AvroSerialization.setDataModelClass(
+      job.getConfiguration, classOf[GenericData])
     df.rdd.mapPartitions { it =>
       // Schema is not serializable pre-Avro-1.9 conventions; re-parse the
       // JSON once per partition and reuse
       val sch = new Schema.Parser().parse(json)
       it.map { row =>
-        val rec = new GenericData.Record(sch)
-        var i = 0
-        while (i < names.length) {
-          rec.put(names(i), if (row.isNullAt(i)) null else row.get(i)); i += 1
-        }
-        (new AvroKey[GenericRecord](rec), NullWritable.get())
+        (new AvroKey[GenericRecord](
+          toAvro(row, st, sch).asInstanceOf[GenericRecord]), NullWritable.get())
       }
     }.saveAsNewAPIHadoopFile(path, classOf[AvroKey[GenericRecord]],
       classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
@@ -83,25 +172,14 @@ object Avro {
     * writer/reader schema resolution applies, so renamed-with-alias or
     * extra writer fields behave per the Avro spec. */
   def readAvro(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val names = schema.fieldNames
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.avro.hadoop.io.AvroSerialization.setDataModelClass(
+      conf, classOf[GenericData]) // generic model on the read side too
     val rows = spark.sparkContext.newAPIHadoopFile(
         path, classOf[AvroKeyInputFormat[GenericRecord]],
-        classOf[AvroKey[GenericRecord]], classOf[NullWritable])
-      .map { case (k, _) =>
-        // the input format REUSES the key holder: extract immutable values
-        // before the iterator advances (Utf8 → String copy)
-        val rec = k.datum()
-        val vals = new Array[Any](names.length)
-        var i = 0
-        while (i < names.length) {
-          vals(i) = rec.get(names(i)) match {
-            case u: org.apache.avro.util.Utf8 => u.toString
-            case v => v
-          }
-          i += 1
-        }
-        Row.fromSeq(vals.toIndexedSeq)
-      }
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable], conf)
+      .map { case (k, _) => fromAvro(k.datum(), schema).asInstanceOf[Row] }
     spark.createDataFrame(rows, schema)
   }
 

@@ -5,8 +5,8 @@ import org.apache.spark.sql.types._
 import graft.sources.Avro
 
 /** S4 Avro source/sink over the stock classpath (avro-mapred, no
-  * connector): value fidelity incl. nulls and hostile strings, and the
-  * flat-primitive scope guard. */
+  * connector): value fidelity incl. nulls and hostile strings, nested
+  * struct/array/map recursion, binary, and the logical-type scope guard. */
 class AvroSpec extends SparkSpec {
 
   test("avro round-trip preserves primitives, nulls and hostile strings") {
@@ -42,9 +42,45 @@ class AvroSpec extends SparkSpec {
       == (0L until 10000L).sum)
   }
 
-  test("non-flat schemas are rejected toward the connector path") {
-    val nested = StructType(Seq(StructField("a",
-      StructType(Seq(StructField("b", LongType))))))
-    intercept[IllegalArgumentException](Avro.avroSchemaJson(nested, "r"))
+  test("nested struct/array/map round-trip, incl. nulls at every depth") {
+    val lineSt = StructType(Seq(
+      StructField("no", IntegerType, nullable = false),
+      StructField("cents", LongType, nullable = true)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("lines", ArrayType(lineSt, containsNull = false), nullable = true),
+      StructField("meta", StructType(Seq(
+        StructField("n", LongType, nullable = false),
+        StructField("tag", StringType, nullable = true))), nullable = true),
+      StructField("tags", MapType(StringType, LongType, valueContainsNull = true),
+        nullable = true),
+      StructField("blob", BinaryType, nullable = true)))
+    val rows = Seq(
+      Row(1L, Seq(Row(1, 100L), Row(2, null)), Row(2L, "ok"),
+        Map("a" -> 1L, "b" -> null), Array[Byte](0, 1, -1, 127)),
+      Row(2L, Seq.empty[Row], Row(0L, null), Map.empty[String, Long],
+        Array.emptyByteArray),
+      Row(3L, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val back = Avro.avroRoundTrip(spark, df, "avro-nested-")
+    assert(back.schema == schema)
+    val got = back.collect().sortBy(_.getLong(0)).toSeq
+    // binary needs element-wise comparison (Array[Byte] equality is by ref)
+    got.zip(rows).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0))
+      assert(g.get(1) == w.get(1), s"lines: $g vs $w")
+      assert(g.get(2) == w.get(2), s"meta: $g vs $w")
+      assert(g.get(3) == w.get(3), s"tags: $g vs $w")
+      val (gb, wb) = (g.get(4), w.get(4))
+      assert((gb == null) == (wb == null) &&
+        (gb == null || java.util.Arrays.equals(gb.asInstanceOf[Array[Byte]],
+          wb.asInstanceOf[Array[Byte]])), s"blob: $g vs $w")
+    }
+  }
+
+  test("logical types are rejected toward the connector path") {
+    val dec = StructType(Seq(StructField("a", DecimalType(10, 2))))
+    intercept[IllegalArgumentException](Avro.avroSchemaJson(dec, "r"))
   }
 }
