@@ -47,6 +47,34 @@ object Replay {
 
   private def scratch(tag: String): String = graft.core.Scratch.dir(tag)
 
+  /** Shuffle/state partition count for replay EXECUTION. A stateful
+    * operator instantiates one state store per shuffle partition — a
+    * stream-stream join keeps FOUR per partition — and every store
+    * commits delta/snapshot files on every micro-batch, so a multi-batch
+    * replay at the session's 32 partitions pays hundreds of per-batch
+    * state commits for fixture-scale data that fits in one partition
+    * (measured 1.5-2× end-to-end on the multi-batch join replays).
+    * Replays therefore scope `spark.sql.shuffle.partitions` down for the
+    * duration of the run: stateful operators pin their partition count
+    * into the checkpoint at first batch, and a replay owns its one-shot
+    * checkpoint, so the scope is self-consistent (restart replays set it
+    * for BOTH runs — the restored run reads the pinned count from the
+    * checkpoint regardless). Results are partitioning-invariant; the
+    * oracle grades content. Compute-bound narrow stages inside the
+    * replayed operators are unaffected — [[graft.core.Par.fanOut]] keys
+    * on defaultParallelism (cores), not on this. At production scale the
+    * same knob is sized to the cluster and the state backend is RocksDB
+    * (SCALING.md §6); the overhead being trimmed here is real there too —
+    * idle state partitions are pure per-batch commit cost at ANY scale. */
+  val ReplayPartitions = 8
+
+  private def scopedPartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, ReplayPartitions.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run a finite streaming frame to completion through a checkpointed
     * parquet sink and read the sink back as a batch frame. The replay's
     * state-store providers are unloaded once the query terminates: its
@@ -55,12 +83,14 @@ object Replay {
     * harness running many replays per JVM (bench: 6 replays × 3 runs)
     * would otherwise drag every prior run's state maps through GC. */
   private def runToSink(spark: SparkSession, streamed: DataFrame, dir: String): DataFrame = {
-    val q = streamed.writeStream.format("parquet")
-      .option("path", s"$dir/out")
-      .option("checkpointLocation", s"$dir/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    scopedPartitions(spark) {
+      val q = streamed.writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     org.apache.spark.sql.graft.Bridge.unloadAllStateStores()
     spark.read.parquet(s"$dir/out")
   }
@@ -101,8 +131,10 @@ object Replay {
     stageSliceFiles(s"$dir/in", s"$dir/stage", slices)
     val src = spark.readStream.schema(schemaDDL)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
-    val q = run(src, dir)
-    q.awaitTermination()
+    scopedPartitions(spark) {
+      val q = run(src, dir)
+      q.awaitTermination()
+    }
     org.apache.spark.sql.graft.Bridge.unloadAllStateStores()
     dir
   }
@@ -342,14 +374,16 @@ object Replay {
     }
     val joined = Speed.joinWithin(stage(l, "l"), stage(r, "r"),
       "user_id", "ts", "ts", watermark, within, rightPrefix, joinType)
-    val q = joined.writeStream.format("parquet")
-      .option("path", s"$dir/out")
-      .option("checkpointLocation", s"$dir/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val evicted = q.recentProgress.toSeq
-      .flatMap(_.stateOperators.toSeq).map(_.numRowsRemoved).sum
+    val evicted = scopedPartitions(spark) {
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsRemoved).sum
+    }
     org.apache.spark.sql.graft.Bridge.unloadAllStateStores()
     val out = spark.read.parquet(s"$dir/out")
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
