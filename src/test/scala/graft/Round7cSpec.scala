@@ -93,6 +93,31 @@ class Round7cSpec extends SparkSpec {
     assert(r == ((4L, 1L, 1L, 1L, 1L, (3.0 + 2.0 + 1.0) / 12.0)), r.toString)
   }
 
+  test("kCorePeel: pendant peels off, core survives at adaptive k") {
+    import spark.implicits._
+    // triangle {1,2,3} plus pendant 4-1: avg deg = 2 → k = 2·3/4+1 = 2;
+    // round 1 removes node 4 (deg 1), the triangle is stable thereafter
+    val p = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    val edges = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val got = ext.Graph.kCorePeel(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), got)
+  }
+
+  test("resampleInterp: gaps ramp linearly between observed buckets") {
+    import spark.implicits._
+    val df = Seq(("2024-01-01 00:00:30", "u", 10.0),
+      ("2024-01-01 00:03:10", "u", 40.0))
+      .toDF("ts", "key", "value")
+      .select(col("ts").cast("timestamp").as("ts"), col("key"), col("value"))
+    val got = graft.queries.TimeSeries.resampleInterp(df, col("key"),
+        col("ts"), col("value"), bucketSeconds = 60L)
+      .orderBy("bucket_ts")
+      .select("interp_sum", "is_gap")
+      .as[(Double, Int)].collect().toSeq
+    assert(got == Seq((10.0, 0), (20.0, 1), (30.0, 1), (40.0, 0)), got)
+  }
+
   test("backoffCoverage: short docs (< 3 tokens) produce no rows") {
     import spark.implicits._
     val lm = Seq((0L, "a b c")).toDF("doc_id", "text")
