@@ -1518,6 +1518,35 @@ object SparkEntry {
       Dedup.dedupIncremental(batch, archive, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // del1: RIGHT-TO-BE-FORGOTTEN propagation (ext.Forget scaladoc) —
+    // the deletion half of the incremental-ingest story: two tombstone
+    // APPENDS (ids ≡0 and ≡4 mod 8 — overlapping requests merge as a
+    // set) retire a quarter of the stored archive; the next ingest batch
+    // dedups against the LIVING view, so fresh copies of forgotten
+    // content provably SURVIVE (the takedown semantics: forgotten docs
+    // stop suppressing their own re-submissions) while copies of
+    // retained content still drop. O(deleted) per request; compaction is
+    // the amortized rewrite, spec-pinned view-invariant.
+    "del1_forget_dedup" -> ((s, d) => {
+      val pu = plantUnit(s, d)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val dir = graft.core.Scratch.dir("forget-")
+      docs.where(col("doc_id") % 2 === 0).write.parquet(s"$dir/arch")
+      ext.Forget.forget(docs.where(pmod(col("doc_id"), lit(8)) === 0)
+        .select("doc_id"), "doc_id", s"$dir/tomb")
+      ext.Forget.forget(docs.where(pmod(col("doc_id"), lit(8)) === 4)
+        .select("doc_id"), "doc_id", s"$dir/tomb")
+      val living = ext.Forget.applyTombstones(
+        s.read.parquet(s"$dir/arch"), "doc_id", s"$dir/tomb")
+      val batch = docs.where(pmod(col("doc_id"), lit(4)) === 0)
+          .select((col("doc_id") + pu).as("doc_id"), col("text"))
+        .unionAll(docs.where(pmod(col("doc_id"), lit(4)) === 2)
+          .select((col("doc_id") + 2 * pu).as("doc_id"), col("text")))
+        .unionAll(docs.where(col("doc_id") % 2 === 1))
+      Dedup.dedupIncremental(batch, living, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // bf1: inc1's fixture through the BLOOM-pruned archive check — the
     // 100 TB shape: the archive folds into one fixed-size mergeable
     // filter (the operator's only broadcast, 1 row), "definitely new"
@@ -3182,6 +3211,25 @@ object SparkEntry {
            |  FROM b) GROUP BY fp),
            | af AS (SELECT substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
            |  FROM documents WHERE doc_id % 2 = 0)
+           |SELECT doc_id, content_fp FROM bf
+           |WHERE NOT EXISTS (SELECT 1 FROM af WHERE af.fp = bf.content_fp)
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // del1: the living archive = stored minus tombstoned (¼ of evens);
+      // batch dedup recomputed against it
+      "del1_forget_dedup" ->
+        (s"""WITH living AS (SELECT doc_id, text FROM documents
+           |  WHERE doc_id % 2 = 0 AND doc_id % 4 <> 0),
+           | b AS (
+           |  SELECT doc_id + $plantUnitSql AS doc_id, text FROM documents
+           |   WHERE doc_id % 4 = 0
+           |  UNION ALL SELECT doc_id + 2*$plantUnitSql AS doc_id, text
+           |   FROM documents WHERE doc_id % 4 = 2
+           |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+           | bf AS (SELECT min(doc_id) AS doc_id, fp AS content_fp FROM (
+           |  SELECT doc_id, substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
+           |  FROM b) GROUP BY fp),
+           | af AS (SELECT substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
+           |  FROM living)
            |SELECT doc_id, content_fp FROM bf
            |WHERE NOT EXISTS (SELECT 1 FROM af WHERE af.fp = bf.content_fp)
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),

@@ -33,7 +33,15 @@ object EntityResolution {
     * matched records share their cluster's min id as `component`,
     * singletons map to themselves. `keyCol` may be null (null keys match
     * nothing); `nameCol` drives the word-set Jaccard leg at
-    * `minJaccard`. */
+    * `minJaccard`.
+    *
+    * `records` is consumed three times (the id spine, the exact-key leg,
+    * the fuzzy leg's fan-out) — each a column-pruned scan of two or three
+    * columns. For a corpus-scale catalog where even pruned scans matter,
+    * pass a persisted narrow projection and own the unpersist (the cur2
+    * `materializeKept` contract); the default stays scan-per-consumer
+    * because pinning a catalog-sized relation is a deployment decision,
+    * not an operator default. */
   def matchComponents(records: DataFrame, idCol: String, nameCol: String,
                       keyCol: String, minJaccard: Double = 0.6): DataFrame = {
     val ids = records.select(col(idCol).cast("long").as("id"))

@@ -263,9 +263,18 @@ object TextAnalysis {
     def triAt(t: Column, i: Column) = concat_ws(" ",
       element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))
     val lmToks = toks(lm)
-    val lmTri = lmToks.where(size(col("toks")) >= 3)
-      .select(explode(transform(sequence(lit(1), size(col("toks")) - 2),
-        i => triAt(col("toks"), i))).as("tri")).distinct()
+    // explode_OUTER over a when-guarded array, NOT where(size>=3)+explode:
+    // the pre-filter (and the size>0 filter InferFiltersFromGenerate adds
+    // below a plain explode) pushes beneath the shared fan-out exchange and
+    // de-canonicalizes this consumer's subplan — the tri/bi/uni trio then
+    // costs three corpus scans instead of one + two ReusedExchange (the
+    // d2 posting-explode note; the when-guard also avoids sequence(1, 0)'s
+    // DESCENDING-array trap for short docs)
+    val lmTri = lmToks
+      .select(explode_outer(when(size(col("toks")) >= 3,
+        transform(sequence(lit(1), size(col("toks")) - 2),
+          i => triAt(col("toks"), i)))).as("tri"))
+      .where(col("tri").isNotNull).distinct()
     val lmBi = lmToks
       .select(explode_outer(bigramsFromTokens(col("toks"))).as("bi"))
       .where(col("bi").isNotNull).distinct()

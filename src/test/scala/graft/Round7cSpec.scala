@@ -93,6 +93,26 @@ class Round7cSpec extends SparkSpec {
     assert(r == ((4L, 1L, 1L, 1L, 1L, (3.0 + 2.0 + 1.0) / 12.0)), r.toString)
   }
 
+  test("Forget: tombstone appends merge; compact preserves the living view") {
+    import spark.implicits._
+    val dir = core.Scratch.dir("forget-spec-")
+    (0L until 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/arch")
+    // two overlapping requests — the tombstone set is {0,4,8,12,16,2}
+    ext.Forget.forget(Seq(0L, 4L, 8L).toDF("doc_id"), "doc_id", s"$dir/tomb")
+    ext.Forget.forget(Seq(4L, 12L, 16L, 2L).toDF("doc_id"), "doc_id", s"$dir/tomb")
+    def living() = ext.Forget.applyTombstones(
+      spark.read.parquet(s"$dir/arch"), "doc_id", s"$dir/tomb")
+      .select("doc_id").as[Long].collect().toSet
+    val before = living()
+    assert(before == (0L until 20L).toSet -- Set(0L, 2L, 4L, 8L, 12L, 16L))
+    ext.Forget.compact(spark, s"$dir/arch", "doc_id", s"$dir/tomb")
+    assert(living() == before, "compaction changed the living view")
+    assert(!new java.io.File(s"$dir/tomb").exists(), "tombstones not cleared")
+    assert(spark.read.parquet(s"$dir/arch").count() == before.size,
+      "physical rewrite kept dead rows")
+  }
+
   test("kCorePeel: pendant peels off, core survives at adaptive k") {
     import spark.implicits._
     // triangle {1,2,3} plus pendant 4-1: avg deg = 2 → k = 2·3/4+1 = 2;
