@@ -167,6 +167,25 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // tws1: Spark 4 transformWithState (the ARBITRARY-STATE successor to
+    // fb1s's flatMapGroupsWithState — typed named state variables,
+    // RocksDB-only) driven by the real engine across 3 event-time
+    // micro-batches: per-key running (count, micro-unit total) in one
+    // ValueState, a cumulative emission per touched batch, the FINAL
+    // emission per key (count is strictly monotone) graded against the
+    // plain batch GROUP BY (streaming.StateApi scaladoc).
+    "tws1_running_totals" -> ((s, d) => {
+      val sink = streaming.StateApi.runningTotalsReplay(s,
+        events(s, d).select(col("ts"), col("user_id"), col("value")),
+        slices = 3)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+        .orderBy(col("n_events").desc)
+      sink.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("id").cast("long").as("id"), col("n_events"),
+          col("total_vm"))
+        .orderBy("id")
+    }),
+
     // dd1s: STREAMING EXACT DEDUP on ingest executed by the engine —
     // dropDuplicatesWithinWatermark (Speed.dedupStream, the d1 operator's
     // speed-layer twin) over a corpus with planted exact-duplicate rows
@@ -376,6 +395,28 @@ object SparkEntry {
     "ts2_hourly_anomaly" -> ((s, d) =>
       graft.queries.TimeSeries.hourlyAnomaly(events(s, d),
           col("event_type"), col("ts"), col("value"))
+        .orderBy("id", "hour")),
+
+    // ewma1: lag-8 DYADIC exponential smoothing of the same hourly
+    // micro-unit totals — power-of-two weights keep the weighted
+    // numerator and the present-weight denominator exact BIGINTs, and
+    // the emitted quotient is truncating integer division (scaled-BIGINT
+    // fixed point — no float, no round-tie; TimeSeries.dyadicSmooth
+    // scaladoc). One window pass; short leading windows normalize by the
+    // weights present.
+    "ewma1_dyadic_smooth" -> ((s, d) =>
+      graft.queries.TimeSeries.dyadicSmooth(events(s, d),
+          col("event_type"), col("ts"), col("value"), lags = 8)
+        .orderBy("id", "hour")),
+
+    // rob1: median/MAD robust outlier screen — ts2's z-score companion
+    // with a 50% breakdown point; both medians are p=0.5 interpolated
+    // quantiles over exact integers → exact dyadic doubles, so the
+    // strict threshold compare is engine-free
+    // (TimeSeries.madOutliers scaladoc).
+    "rob1_mad_outliers" -> ((s, d) =>
+      graft.queries.TimeSeries.madOutliers(events(s, d),
+          col("event_type"), col("ts"), col("value"), nMads = 3)
         .orderBy("id", "hour")),
 
     // src1/src2: non-parquet batch sources behind the parquet oracle — a
@@ -846,6 +887,31 @@ object SparkEntry {
         .orderBy("l_orderkey")
     }),
     "dt1_ship_delay_hist" -> ((s, d) => Analytics.shipDelayHistogram(s, d)),
+
+    // dt2: EQUI-DEPTH histogram of order totals — dt1's equi-width
+    // complement: exact-quantile edges from ONE percentile aggregate
+    // inlined as literals (bf1 discipline), bucket projection pure
+    // codegen, one map-side-combined group-by; cells emit counts + actual
+    // data min/max, never the interpolated edges
+    // (Stats.equiDepthHistogram scaladoc for the 1-ulp edge analysis).
+    "dt2_equidepth_hist" -> ((s, d) =>
+      graft.queries.Stats.equiDepthHistogram(
+          Tables.orders(s, d), col("o_totalprice"), splits = 4)
+        .select(col("bucket"), col("n"), col("min_v"), col("max_v"))
+        .orderBy("bucket")),
+
+    // ord1: GLOBAL ORDINALS without the single-reducer global sort — the
+    // two-phase zipWithIndex shape expressed relationally: range
+    // repartition on the (unique) sort composite, per-partition counts to
+    // a literal offset map (bounded driver state = #ranges), local
+    // row_number + offset (Curation.globalOrdinals scaladoc). The oracle
+    // states the contract as the plain global window.
+    "ord1_global_ordinals" -> ((s, d) =>
+      ext.Curation.globalOrdinals(
+          Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+          Seq(col("o_totalprice"), col("o_orderkey")), numRanges = 32)
+        .select(col("o_orderkey"), col("ordinal"))
+        .orderBy("o_orderkey")),
     "pct1_percentiles" -> ((s, d) => Analytics.quantityPercentiles(s, d)),
     "pv1_nation_segment_pivot" -> ((s, d) => Analytics.customersByNationSegment(s, d)),
 
@@ -990,6 +1056,42 @@ object SparkEntry {
           planted.where(col("o_orderkey").isNotNull), col("o_orderkey")))
         .orderBy("check_name")
     }),
+
+    // dq2: row-level rule QUARANTINE — dq1's aggregate profile routed as
+    // a dead-letter stream with machine-readable reasons (comma-joined
+    // rule names in declaration order; Governance.quarantine scaladoc).
+    // Violations plant IN PLACE on non-key columns only (the key stays
+    // unique for the ORDER BY); %1000==7 plants TWO violations on one
+    // row, proving the reason-ordering contract.
+    "dq2_quarantine" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val planted = o.select(col("o_orderkey"),
+        when(col("o_orderkey") % 1000 === 9, lit(null).cast("long"))
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        when(col("o_orderkey") % 1000 === 3 || col("o_orderkey") % 1000 === 7,
+          lit("X")).otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 1000 === 1 || col("o_orderkey") % 1000 === 7,
+          -col("o_totalprice")).otherwise(col("o_totalprice"))
+          .as("o_totalprice"))
+      ext.Governance.quarantine(planted, Seq(
+          "custkey_not_null" -> col("o_custkey").isNotNull,
+          "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+          "price_non_negative" -> (col("o_totalprice") >= 0)))
+        .select(col("o_orderkey"), col("reasons"))
+        .orderBy("o_orderkey")
+    }),
+
+    // anon1: K-ANONYMITY / L-DIVERSITY audit over customer — equivalence
+    // classes on the (nation, segment) quasi-identifier pair with class
+    // size, distinct sensitive acctbal-bucket count, and the at-risk
+    // flag at k=8 (Governance.kAnonymityAudit scaladoc). One hash
+    // aggregate; |classes| output rows.
+    "anon1_k_anonymity" -> ((s, d) =>
+      ext.Governance.kAnonymityAudit(Tables.customer(s, d),
+          Seq("nation" -> col("c_nationkey"), "segment" -> col("c_mktsegment")),
+          floor(col("c_acctbal") / 1000), k = 8)
+        .orderBy("nation", "segment")),
 
     // ---- extension tier: text analysis over documents --------------------
     // text projections go through Par.stage before their output sort:
@@ -1218,6 +1320,18 @@ object SparkEntry {
     // argmax); native per-token pair kernel, one hash-aggregate
     "bpe1_pair_counts" -> ((s, d) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, d), "text")),
+
+    // bpe2: the ITERATIVE loop bpe1 seeds — three actual BPE merge
+    // rounds over the word-frequency vocabulary: count adjacent symbol
+    // pairs, merge the argmax pair corpus-wide (lexicographic tie-break),
+    // recount over the merged segmentation. The spaced-symbol-string
+    // representation makes each merge one literal replace both engines
+    // scan identically, so the oracle unrolls the identical three rounds
+    // (TextAnalysis.bpeMergeRounds scaladoc, incl. the documented
+    // boundary-sharing deviation).
+    "bpe2_merge_rounds" -> ((s, d) =>
+      TextAnalysis.bpeMergeRounds(Tables.documents(s, d), "text", rounds = 3)
+        .orderBy("round")),
 
     // lm1: unigram-LM quality scoring (per-doc mean surprisal against the
     // corpus's own unigram distribution — the CCNet/KenLM perplexity-
@@ -1668,6 +1782,21 @@ object SparkEntry {
           "part_a", "part_b")
         .orderBy("node")),
 
+    // bfs1: fixed-round multi-source BFS over ccmp1's symmetric
+    // frequent-pair graph — hop distance (0..3) from the 3 lowest part
+    // ids; level-synchronous frontier expansion, one cached-edge join +
+    // one anti-join per round, frontier-sized frames only
+    // (Graph.bfsHops scaladoc). The oracle unrolls the identical levels.
+    "bfs1_seed_hops" -> ((s, d) => {
+      val p = Basket.frequentPairs(Tables.lineitem(s, d), minSupport = 2L)
+      val e = p.select(col("part_a").as("src"), col("part_b").as("dst"))
+        .unionByName(p.select(col("part_b").as("src"),
+          col("part_a").as("dst")))
+      val seeds = e.select(col("src").as("node")).distinct()
+        .orderBy("node").limit(3)
+      Graph.bfsHops(e, seeds, rounds = 3).orderBy("node")
+    }),
+
     // er1: ENTITY RESOLUTION → GOLDEN RECORD over a planted product
     // catalog: originals plus three deterministic variant classes — a
     // name-mutated copy ('zz ' prefix, no SKU: only the word-set-Jaccard
@@ -1926,6 +2055,21 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rank")),
+
+    // mmr1: MAXIMAL-MARGINAL-RELEVANCE diverse top-k — sim1's ranking
+    // with a greedy per-pick diversity penalty (½·rel − ½·max sim to the
+    // query's already-selected set); k bounded driver actions of
+    // |queries| rows each, the km1 budget class
+    // (Similarity.mmrSelect scaladoc for the determinism policy). The
+    // oracle unrolls the 5 greedy rounds.
+    "mmr1_diverse_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mmrSelect(emb, emb.where(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("score"))
+        .orderBy("query_id", "rank")
+    }),
     // ---- extension tier: multimodal binary-column plumbing ---------------
     "m1_blob_meta" -> ((s, d) =>
       Multimodal.decodeMeta(
@@ -2178,6 +2322,12 @@ object SparkEntry {
            | FROM c WHERE cum >= 3000000000)
            |SELECT user_id, ts AS breach_ts, cum::BIGINT AS cum_micro FROM b
            |WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " ")),
+      // tws1: the final per-key cumulative emission must equal the plain
+      // batch aggregate — state restored across every batch boundary
+      "tws1_running_totals" ->
+        ("""SELECT user_id AS id, CAST(count(*) AS BIGINT) AS n_events,
+           | CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS total_vm
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       // dd1s: planted duplicates are verbatim copies, so streaming dedup
       // must return exactly the original table
       "dd1s_dedup_replay" ->
@@ -2326,6 +2476,45 @@ object SparkEntry {
            |  sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 24)
            |   / 23 + 1.0), 6) AS zscore
            |FROM w WHERE n = 24 ORDER BY id, hour""".stripMargin.replace("\n", " ")),
+      // ewma1: lag-8 dyadic smoothing — integer numerator/denominator,
+      // one double division, the identical weights 128..1
+      "ewma1_dyadic_smooth" ->
+        ("""WITH h AS (SELECT event_type AS id, date_trunc('hour', ts) AS hour,
+           |  CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS vm
+           | FROM events GROUP BY 1, 2),
+           |l AS (SELECT id, hour, vm,
+           |  lag(vm, 1) OVER win AS l1, lag(vm, 2) OVER win AS l2,
+           |  lag(vm, 3) OVER win AS l3, lag(vm, 4) OVER win AS l4,
+           |  lag(vm, 5) OVER win AS l5, lag(vm, 6) OVER win AS l6,
+           |  lag(vm, 7) OVER win AS l7
+           | FROM h WINDOW win AS (PARTITION BY id ORDER BY hour))
+           |SELECT id, hour, vm,
+           | CAST((vm * 128 + COALESCE(l1 * 64, 0) + COALESCE(l2 * 32, 0)
+           |   + COALESCE(l3 * 16, 0) + COALESCE(l4 * 8, 0) + COALESCE(l5 * 4, 0)
+           |   + COALESCE(l6 * 2, 0) + COALESCE(l7 * 1, 0))
+           |  // (128 + CASE WHEN l1 IS NOT NULL THEN 64 ELSE 0 END
+           |   + CASE WHEN l2 IS NOT NULL THEN 32 ELSE 0 END
+           |   + CASE WHEN l3 IS NOT NULL THEN 16 ELSE 0 END
+           |   + CASE WHEN l4 IS NOT NULL THEN 8 ELSE 0 END
+           |   + CASE WHEN l5 IS NOT NULL THEN 4 ELSE 0 END
+           |   + CASE WHEN l6 IS NOT NULL THEN 2 ELSE 0 END
+           |   + CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |  AS smooth
+           |FROM l ORDER BY id, hour""".stripMargin.replace("\n", " ")),
+      // rob1: full-history median/MAD — p=0.5 interpolated quantiles over
+      // exact integers are exact dyadic doubles in both engines
+      "rob1_mad_outliers" ->
+        ("""WITH h AS (SELECT event_type AS id, date_trunc('hour', ts) AS hour,
+           |  CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS vm
+           | FROM events GROUP BY 1, 2),
+           |m AS (SELECT id, hour, vm,
+           |  quantile_cont(vm, 0.5) OVER (PARTITION BY id) AS med FROM h),
+           |d2 AS (SELECT id, hour, vm, med,
+           |  quantile_cont(abs(CAST(vm AS DOUBLE) - med), 0.5)
+           |   OVER (PARTITION BY id) AS mad FROM m)
+           |SELECT id, hour, vm, round(med, 6) AS med, round(mad, 6) AS mad
+           |FROM d2 WHERE abs(CAST(vm AS DOUBLE) - med) > 3.0 * mad
+           |ORDER BY id, hour""".stripMargin.replace("\n", " ")),
       // src1/src2: the aggregate over the round-tripped JSON/CSV staging
       // must equal the same aggregate over the parquet original
       "src1_json_roundtrip" ->
@@ -2862,6 +3051,27 @@ object SparkEntry {
            | COUNT(*) AS n
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      // dt2: quantile edges via the same interpolated definition, cells
+      // graded on counts + data min/max only (edges never emitted)
+      "dt2_equidepth_hist" ->
+        ("""WITH e AS (SELECT quantile_cont(o_totalprice, 0.25) AS e1,
+           |  quantile_cont(o_totalprice, 0.5) AS e2,
+           |  quantile_cont(o_totalprice, 0.75) AS e3 FROM orders),
+           |b AS (SELECT CASE WHEN o_totalprice <= e1 THEN 0
+           |  WHEN o_totalprice <= e2 THEN 1
+           |  WHEN o_totalprice <= e3 THEN 2 ELSE 3 END AS bucket,
+           |  o_totalprice AS v
+           | FROM orders, e)
+           |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           | min(v) AS min_v, max(v) AS max_v
+           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      // ord1: the contract is the plain global window; the engine's
+      // range-partitioned two-phase form must agree for any boundary
+      // placement
+      "ord1_global_ordinals" ->
+        ("""SELECT o_orderkey,
+           | CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS ordinal
+           |FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " ")),
       "str1_brand_parse" ->
         ("""SELECT p_partkey,
            | CAST(regexp_extract(p_brand, '(\d+)', 1) AS INTEGER) AS brand_num,
@@ -3058,6 +3268,30 @@ object SparkEntry {
            |SELECT check_name, n_violations,
            | CAST(n_violations = 0 AS INTEGER) AS passed
            |FROM rep ORDER BY check_name""".stripMargin.replace("\n", " ")),
+      // dq2: the same plant classes row-level — concat_ws skips NULL
+      // CASE arms in both engines, reasons in rule-declaration order
+      "dq2_quarantine" ->
+        ("""WITH planted AS (SELECT o_orderkey,
+           |  CASE WHEN o_orderkey % 1000 = 9 THEN NULL ELSE o_custkey END AS o_custkey,
+           |  CASE WHEN o_orderkey % 1000 IN (3, 7) THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+           |  CASE WHEN o_orderkey % 1000 IN (1, 7) THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+           | FROM orders),
+           |q AS (SELECT o_orderkey, concat_ws(',',
+           |  CASE WHEN o_custkey IS NULL THEN 'custkey_not_null' END,
+           |  CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 'status_in_domain' END,
+           |  CASE WHEN o_totalprice < 0 THEN 'price_non_negative' END) AS reasons
+           | FROM planted)
+           |SELECT o_orderkey, reasons FROM q WHERE reasons <> ''
+           |ORDER BY o_orderkey""".stripMargin.replace("\n", " ")),
+      // anon1: one grouped aggregate; the sensitive attribute buckets by
+      // floor-division (floor of a double quotient agrees in both engines)
+      "anon1_k_anonymity" ->
+        ("""SELECT c_nationkey AS nation, c_mktsegment AS segment,
+           | CAST(count(*) AS BIGINT) AS n,
+           | CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT) AS l_div,
+           | CAST(count(*) < 8 AS INTEGER) AS at_risk
+           |FROM customer GROUP BY 1, 2
+           |ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
 
       // ---- extension tier ------------------------------------------------
       "x1_top_tokens" ->
@@ -3366,6 +3600,29 @@ object SparkEntry {
            |SELECT CAST(node AS BIGINT) AS node,
            | CAST(LEAST(node, MIN(reach)) AS BIGINT) AS component
            |FROM r GROUP BY node ORDER BY node""".stripMargin.replace("\n", " ")),
+      // bfs1: the identical levels unrolled — each hop set is the
+      // frontier's neighbors minus everything already claimed
+      "bfs1_seed_hops" ->
+        ("""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |p AS (SELECT a.l_partkey AS x, c.l_partkey AS y
+           | FROM b a JOIN b c
+           |  ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+           | GROUP BY 1, 2 HAVING count(*) >= 2),
+           |e AS (SELECT x AS src, y AS dst FROM p
+           | UNION ALL SELECT y AS src, x AS dst FROM p),
+           |s AS (SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 3),
+           |h1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN s ON e.src = s.node
+           | WHERE e.dst NOT IN (SELECT node FROM s)),
+           |h2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN h1 ON e.src = h1.node
+           | WHERE e.dst NOT IN (SELECT node FROM s UNION ALL SELECT node FROM h1)),
+           |h3 AS (SELECT DISTINCT e.dst AS node FROM e JOIN h2 ON e.src = h2.node
+           | WHERE e.dst NOT IN (SELECT node FROM s UNION ALL SELECT node FROM h1
+           |  UNION ALL SELECT node FROM h2))
+           |SELECT CAST(node AS BIGINT) AS node, CAST(0 AS BIGINT) AS hops FROM s
+           |UNION ALL SELECT node, 1 FROM h1
+           |UNION ALL SELECT node, 2 FROM h2
+           |UNION ALL SELECT node, 3 FROM h3
+           |ORDER BY node""".stripMargin.replace("\n", " ")),
       // er1: both match legs as blocked SQL (word-set Jaccard all-pairs is
       // oracle-side-only brute force; the engine blocks via the inverted
       // index), closure as ccmp1's recursive reachability, survivorship
@@ -3525,6 +3782,37 @@ object SparkEntry {
            | SELECT unnest([word[i:i+1] for i in range(1, len(word))]) AS pair
            | FROM (SELECT unnest($toksSql) AS word FROM documents))
            |GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""".stripMargin.replace("\n", " ")),
+      // bpe2: the identical three merge rounds unrolled — same spaced-
+      // symbol representation, same literal replace, same argmax
+      // tie-break; see TextAnalysis.bpeMergeRounds
+      "bpe2_merge_rounds" ->
+        (s"""WITH t0 AS (SELECT unnest($toksSql) AS word FROM documents),
+           |v0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym,
+           |  COUNT(*) AS freq FROM t0 WHERE word <> '' GROUP BY 1),
+           |p1 AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS f FROM
+           | (SELECT string_split(trim(sym), ' ') AS l, freq,
+           |   unnest(generate_series(1, len(string_split(trim(sym), ' ')) - 1)) AS i
+           |  FROM v0) GROUP BY 1, 2),
+           |m1 AS (SELECT a, b, f FROM p1 ORDER BY f DESC, a, b LIMIT 1),
+           |v1 AS (SELECT replace(sym, ' '||a||' '||b||' ', ' '||a||b||' ') AS sym,
+           |  freq FROM v0, m1),
+           |p2 AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS f FROM
+           | (SELECT string_split(trim(sym), ' ') AS l, freq,
+           |   unnest(generate_series(1, len(string_split(trim(sym), ' ')) - 1)) AS i
+           |  FROM v1) GROUP BY 1, 2),
+           |m2 AS (SELECT a, b, f FROM p2 ORDER BY f DESC, a, b LIMIT 1),
+           |v2 AS (SELECT replace(sym, ' '||a||' '||b||' ', ' '||a||b||' ') AS sym,
+           |  freq FROM v1, m2),
+           |p3 AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS f FROM
+           | (SELECT string_split(trim(sym), ' ') AS l, freq,
+           |   unnest(generate_series(1, len(string_split(trim(sym), ' ')) - 1)) AS i
+           |  FROM v2) GROUP BY 1, 2),
+           |m3 AS (SELECT a, b, f FROM p3 ORDER BY f DESC, a, b LIMIT 1)
+           |SELECT CAST(1 AS INTEGER) AS round, a AS sym_a, b AS sym_b,
+           | a||b AS merged, CAST(f AS BIGINT) AS freq FROM m1
+           |UNION ALL SELECT 2, a, b, a||b, CAST(f AS BIGINT) FROM m2
+           |UNION ALL SELECT 3, a, b, a||b, CAST(f AS BIGINT) FROM m3
+           |ORDER BY round""".stripMargin.replace("\n", " ")),
       // lm1: identical per-term double formula, per-term decimal
       // quantization, one rounded division at the end
       "lm1_surprisal" ->
@@ -4042,6 +4330,68 @@ object SparkEntry {
            | FROM scored)
            |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
            |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+      // mmr1: the 5 greedy rounds unrolled — round N scores every
+      // unselected candidate as ½·rel − ½·max sim to that query's
+      // selected set (identical cosine expression shape both engines),
+      // argmax per query with the lower-id tie-break
+      "mmr1_diverse_topk" ->
+        ("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id < 3),
+           |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+           |r AS (SELECT qid, id, v,
+           |  list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS rel
+           | FROM q JOIN c ON qid <> id),
+           |s1 AS (SELECT qid, id, v, rel AS score FROM
+           | (SELECT qid, id, v, rel,
+           |   row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn
+           |  FROM r) WHERE rn = 1),
+           |e1 AS (SELECT qid, id, v FROM s1),
+           |p2 AS (SELECT r.qid, r.id, first(r.v) AS v,
+           |  0.5 * r.rel - 0.5 * MAX(list_dot_product(r.v, s.v) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(s.v, s.v)))) AS score
+           | FROM r JOIN e1 s ON r.qid = s.qid
+           | WHERE NOT EXISTS (SELECT 1 FROM e1 x WHERE x.qid = r.qid AND x.id = r.id)
+           | GROUP BY r.qid, r.id, r.rel),
+           |s2 AS (SELECT qid, id, v, score FROM
+           | (SELECT qid, id, v, score,
+           |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+           |  FROM p2) WHERE rn = 1),
+           |e2 AS (SELECT qid, id, v FROM e1 UNION ALL SELECT qid, id, v FROM s2),
+           |p3 AS (SELECT r.qid, r.id, first(r.v) AS v,
+           |  0.5 * r.rel - 0.5 * MAX(list_dot_product(r.v, s.v) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(s.v, s.v)))) AS score
+           | FROM r JOIN e2 s ON r.qid = s.qid
+           | WHERE NOT EXISTS (SELECT 1 FROM e2 x WHERE x.qid = r.qid AND x.id = r.id)
+           | GROUP BY r.qid, r.id, r.rel),
+           |s3 AS (SELECT qid, id, v, score FROM
+           | (SELECT qid, id, v, score,
+           |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+           |  FROM p3) WHERE rn = 1),
+           |e3 AS (SELECT qid, id, v FROM e2 UNION ALL SELECT qid, id, v FROM s3),
+           |p4 AS (SELECT r.qid, r.id, first(r.v) AS v,
+           |  0.5 * r.rel - 0.5 * MAX(list_dot_product(r.v, s.v) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(s.v, s.v)))) AS score
+           | FROM r JOIN e3 s ON r.qid = s.qid
+           | WHERE NOT EXISTS (SELECT 1 FROM e3 x WHERE x.qid = r.qid AND x.id = r.id)
+           | GROUP BY r.qid, r.id, r.rel),
+           |s4 AS (SELECT qid, id, v, score FROM
+           | (SELECT qid, id, v, score,
+           |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+           |  FROM p4) WHERE rn = 1),
+           |e4 AS (SELECT qid, id, v FROM e3 UNION ALL SELECT qid, id, v FROM s4),
+           |p5 AS (SELECT r.qid, r.id, first(r.v) AS v,
+           |  0.5 * r.rel - 0.5 * MAX(list_dot_product(r.v, s.v) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(s.v, s.v)))) AS score
+           | FROM r JOIN e4 s ON r.qid = s.qid
+           | WHERE NOT EXISTS (SELECT 1 FROM e4 x WHERE x.qid = r.qid AND x.id = r.id)
+           | GROUP BY r.qid, r.id, r.rel),
+           |s5 AS (SELECT qid, id, v, score FROM
+           | (SELECT qid, id, v, score,
+           |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+           |  FROM p5) WHERE rn = 1)
+           |SELECT qid AS query_id, CAST(1 AS BIGINT) AS rank,
+           | id AS neighbor_id, round(score, 4) AS score FROM s1
+           |UNION ALL SELECT qid, 2, id, round(score, 4) FROM s2
+           |UNION ALL SELECT qid, 3, id, round(score, 4) FROM s3
+           |UNION ALL SELECT qid, 4, id, round(score, 4) FROM s4
+           |UNION ALL SELECT qid, 5, id, round(score, 4) FROM s5
+           |ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
       // knn1: the same rank/rounding semantics, self all-pairs
       "knn1_knn_graph" ->
         ("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,

@@ -219,4 +219,47 @@ object Curation {
         && (col("graft_in").isNull || col("graft_in") <= col("y")))
       .select("doc_id", "x", "y")
   }
+
+  /** GLOBAL ORDINALS without a single-reducer sort — every row gets its
+    * 1-based rank in `sortCols` order (the export "stable id" step: shard
+    * offsets, curriculum positions, resumable cursor keys). The naive
+    * `row_number() OVER (ORDER BY …)` plans as ONE task holding the whole
+    * table — the classic global-sort bottleneck; this is the two-phase
+    * zipWithIndex shape expressed relationally: range-repartition on the
+    * sort key (Spark's sampled range partitioner — partition i's keys all
+    * precede partition i+1's), count rows per partition (ONE bounded
+    * driver action: `numRanges` longs, cluster-sized state, never data-
+    * sized), turn the exclusive prefix sums into a LITERAL map, and add
+    * each partition's offset to its LOCAL row_number — a per-partition
+    * window, no global exchange. The composite must be UNIQUE (pass a
+    * tie-break column): equal keys co-locate under range partitioning, but
+    * a non-unique order would make ranks partition-order-dependent.
+    *
+    * Output ordinals are INVARIANT to where the sampled range boundaries
+    * land: ranges are contiguous in sort order, so offset + local rank is
+    * the global rank for ANY boundary placement — the oracle states it as
+    * the plain window. The input persists once (two consumers: the count
+    * pass and the rank pass; the bounded count action doubles as the cache
+    * materializer, the pr1 budget discipline). */
+  def globalOrdinals(df: DataFrame, sortCols: Seq[Column],
+                     numRanges: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sortCols.nonEmpty && numRanges >= 1)
+    val parted = df.repartitionByRange(numRanges, sortCols: _*)
+      .withColumn("graft_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = parted.groupBy("graft_pid").agg(count(lit(1)).as("c"))
+      .orderBy("graft_pid").collect()
+    var acc = 0L
+    val offs = counts.map { r =>
+      val o = (r.getInt(0), acc); acc += r.getLong(1); o
+    }
+    val offMap = map(offs.flatMap { case (p, o) =>
+      Seq(lit(p), lit(o)) }.toIndexedSeq: _*)
+    val w = Window.partitionBy("graft_pid").orderBy(sortCols: _*)
+    parted
+      .withColumn("ordinal",
+        element_at(offMap, col("graft_pid")) + row_number().over(w))
+      .drop("graft_pid")
+  }
 }

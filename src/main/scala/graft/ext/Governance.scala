@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-governance primitives — the audit/enforcement tier next to
+  * [[Forget]] (right-to-be-forgotten) and the dq1 constraint profile:
+  * re-identification risk over quasi-identifiers, and row-level rule
+  * quarantine with machine-readable reasons.
+  *
+  * Both are single-aggregation / single-projection shapes — no joins, no
+  * driver state — so they run as a side output of any existing scan of the
+  * governed table.
+  */
+object Governance {
+
+  /** K-ANONYMITY / L-DIVERSITY audit: group the table by its
+    * quasi-identifier columns (the attributes an attacker can link from
+    * public data — Sweeney, "k-Anonymity: a model for protecting privacy",
+    * IJUFKS 2002) and report each equivalence class with its size `n`,
+    * an `at_risk` flag (n < k — the class is re-identifiable to fewer
+    * than k candidates), and `l_div` = the count of DISTINCT sensitive
+    * values in the class (l-diversity — a class where every member shares
+    * one sensitive value leaks it even at n ≥ k; Machanavajjhala et al.,
+    * ICDE'06). The caller suppresses or generalizes the at-risk classes;
+    * the audit itself is read-only.
+    *
+    * Shape at scale: ONE hash aggregate keyed on the quasi-identifiers
+    * (map-side combined — the output is |classes| rows, never the table),
+    * count-distinct of the sensitive column inside it. Exact
+    * count-distinct expands the aggregate by the sensitive cardinality
+    * per class; at extreme class sizes swap in approx_count_distinct and
+    * keep the flag semantics (documented exact→approximate swap). */
+  def kAnonymityAudit(df: DataFrame, quasiIds: Seq[(String, Column)],
+                      sensitive: Column, k: Int): DataFrame = {
+    require(quasiIds.nonEmpty && k >= 1)
+    val keys = quasiIds.map { case (name, c) => c.as(name) }
+    df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitive).as("l_div"))
+      .withColumn("at_risk", (col("n") < k).cast("int"))
+      .select(quasiIds.map(q => col(q._1)) ++
+        Seq(col("n"), col("l_div"), col("at_risk")): _*)
+  }
+
+  /** Row-level rule QUARANTINE: evaluate a named rule set against every
+    * row and return the FAILING rows with `reasons` — the comma-joined
+    * names of every violated rule, in rule-declaration order (the
+    * dead-letter side of a validation split; dq1 is the aggregate
+    * profile, this is the row-level routing that feeds a repair queue).
+    * Each rule is (name, predicate-that-must-hold); a NULL predicate
+    * result counts as a violation (SQL three-valued logic would otherwise
+    * let a NULL comparison slip through the gate — the standard
+    * constraint-check trap).
+    *
+    * Shape at scale: ONE projection + filter over the scan — no shuffle
+    * at all; the reasons column is a constant-folded concat_ws over
+    * per-rule CASE arms, fully codegen'd. The healthy-row complement is
+    * the same scan with the filter inverted — callers split once, not
+    * per rule. */
+  def quarantine(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty)
+    val violated = rules.map { case (name, pred) =>
+      when(!coalesce(pred, lit(false)), lit(name))
+    }
+    df.withColumn("reasons", concat_ws(",", violated: _*))
+      .where(col("reasons") =!= "")
+  }
+}

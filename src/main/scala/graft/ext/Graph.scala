@@ -244,6 +244,54 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).cast("long").as("n_tri"))
   }
 
+  /** Fixed-round MULTI-SOURCE BFS — hop distances from a seed set, the
+    * reachability primitive the rest of the graph tier ranks
+    * ([[pageRankFixedPoint]]), groups ([[connectedComponents]],
+    * [[labelPropagation]]) or measures ([[triangleCounts]]): every node
+    * within `rounds` hops of a seed is labeled with its MINIMUM hop count
+    * (level-synchronous frontier expansion — a node is claimed by the
+    * first round that reaches it, which IS its shortest unweighted
+    * distance, so no min-relaxation pass is needed). Fixed rounds keep the
+    * oracle unrollable (the pr1/lp1/kcore1 discipline); integer hops make
+    * the rounds engine-exact. Input: directed (src, dst) pairs — pass both
+    * directions for an undirected graph; `seeds` is a 1-column (node)
+    * frame. Returns (node, hops) for every reached node, seeds at 0.
+    *
+    * Scale shape: the edge list persists once (flat lineage); a round is
+    * ONE equi-join of the cached edges against the current FRONTIER (never
+    * the full visited set — AQE broadcasts the frontier while it fits), a
+    * distinct on the neighbor set, and one anti-join against the visited
+    * frame to claim only unseen nodes. Each frontier materializes
+    * (bounded: one count per round, the kCorePeel budget) so the visited
+    * union is a union of materialized levels, not a growing lazy lineage.
+    * Frontier size is bounded by the graph's expansion, not by |V| —
+    * the standard level-synchronous BFS cost model (total work =
+    * Σ|frontier-adjacent edges| ≤ O(m) over all rounds). */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1)
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = seeds.select(col("node").cast("long").as("node")).distinct()
+      .localCheckpoint()   // materialize: seeds may derive from e itself
+    var levels = List(frontier.select(col("node"), lit(0L).as("hops")))
+    var visited = frontier
+    for (r <- 1 to rounds) {
+      val next = e.join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint()   // one bounded action per round; flat lineage
+      levels ::= next.select(col("node"), lit(r.toLong).as("hops"))
+      visited = visited.union(next)
+      frontier = next
+    }
+    val out = levels.reverse.reduce(_ union _)
+    e.unpersist()
+    out
+  }
+
   /** Fixed-round K-CORE PEELING — the density-tier decomposition between
     * [[labelPropagation]] (who clusters with whom) and [[triangleCounts]]
     * (how dense): each round removes every node whose current degree sits

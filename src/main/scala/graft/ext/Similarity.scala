@@ -99,6 +99,96 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** MAXIMAL-MARGINAL-RELEVANCE diverse top-k (Carbonell & Goldstein,
+    * SIGIR'98) — the DIVERSITY-aware re-ranker the plain similarity tier
+    * lacks: [[bruteForceTopK]] returns the k most relevant items even if
+    * they are near-copies of each other; MMR greedily picks, per query,
+    * the item maximizing ½·rel − ½·max_{s∈selected} sim(item, s) — each
+    * pick is penalized by its similarity to what that query already
+    * selected, so the k results cover the neighborhood instead of piling
+    * on its mode (the training-data angle: diverse example selection from
+    * a retrieved pool). Rank 1 is the plain relevance argmax (empty
+    * penalty); ties break on lower id. λ is pinned at ½ so both MMR terms
+    * are one exact double halving — no libm, the mix1 discipline.
+    *
+    * The greedy loop is inherently sequential in k, so the implementation
+    * mirrors [[Clustering.kmeansFit]]'s bounded-driver-state shape: the
+    * scored candidate pool (query_id, id, v, rel) persists once; each of
+    * the k rounds is ONE distributed pass — broadcast-join the (≤ q·k)-row
+    * selected set, a (query, candidate)-keyed max-sim aggregate
+    * (map-side combined), and a per-query lexicographic-max argmax — and
+    * collects exactly |queries| rows (O(q·k·dim) total driver state, the
+    * budget class of km1's centroids, never the corpus). At corpus scale
+    * the pool must be a bounded ANN shortlist ([[ivfTopK]] top-N per
+    * query) — MMR is a RE-RANKER; feeding it an unfiltered corpus is the
+    * quadratic trap, and the contract (greedy argmax over the pool) is
+    * unchanged by the pre-filter.
+    *
+    * Determinism: rel and sim are dot/(√dot·√dot) in fixed order (IEEE
+    * correctly-rounded ops only), the score is ½·rel − ½·maxsim verbatim
+    * on both engines, argmax compares raw doubles with an integer
+    * tie-break, and only the EMITTED score is rounded (the sim1 policy).
+    * Returns (query_id, rank, neighbor_id, score ROUND(·,4)). */
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv")))
+    val cand = graft.core.Par.fanOut(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("cv0")))
+      .select(col("id"), toDouble(col("cv0")).as("v"))
+      .join(q, col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"), col("v"),
+        (dot(col("v"), col("qv")) / (l2norm(col("v")) * l2norm(col("qv"))))
+          .as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // (query_id, rank, neighbor_id, vec, score)
+      var selected = Vector.empty[(Long, Int, Long, Array[Double], Double)]
+      for (r <- 1 to k) {
+        val scored =
+          if (selected.isEmpty)
+            cand.select(col("query_id"), col("id"), col("v"),
+              col("rel").as("score"))
+          else {
+            val selDf = broadcast(
+              selected.map { case (qid, _, sid, sv, _) => (qid, sid, sv) }
+                .toDF("query_id", "sel_id", "sv"))
+            cand
+              .join(broadcast(selDf.select(col("query_id").as("sq"),
+                  col("sel_id").as("si"))),
+                col("query_id") === col("sq") && col("id") === col("si"),
+                "left_anti")
+              .join(selDf, Seq("query_id"))
+              .groupBy(col("query_id"), col("id"))
+              .agg(first(col("v")).as("v"), first(col("rel")).as("rel"),
+                max(dot(col("v"), col("sv"))
+                  / (l2norm(col("v")) * l2norm(col("sv")))).as("maxsim"))
+              .select(col("query_id"), col("id"), col("v"),
+                (lit(0.5) * col("rel") - lit(0.5) * col("maxsim")).as("score"))
+          }
+        // lexicographic max = (score DESC, id ASC) argmax; the trailing
+        // fields ride along (id unique per query → never compared)
+        val winners = scored.groupBy("query_id")
+          .agg(max(struct(col("score"), (-col("id")).as("nid"),
+            col("id"), col("v"))).as("w"))
+          .collect()
+        selected = selected ++ winners.map { row =>
+          val w = row.getStruct(1)
+          (row.getLong(0), r, w.getLong(2),
+            w.getSeq[Double](3).toArray, w.getDouble(0))
+        }
+      }
+      selected.map { case (qid, rank, id, _, sc) => (qid, rank, id, sc) }
+        .toDF("query_id", "rank", "neighbor_id", "score")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    } finally cand.unpersist(blocking = false)
+  }
+
   /** Exact all-vectors kNN GRAPH — every vector's k nearest neighbors in
     * one relation (query_id, rank, neighbor_id, cos). The self-join
     * companion to [[bruteForceTopK]]: there the query set is bounded and

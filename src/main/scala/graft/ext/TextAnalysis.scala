@@ -195,6 +195,74 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** FIXED-ROUND BPE MERGE TRAINING (Sennrich et al. 2016) — the iterative
+    * loop [[bpePairCounts]] seeds, run for `rounds` merges: each round
+    * counts corpus-wide adjacent SYMBOL pairs (frequency-weighted over the
+    * distinct-word vocabulary — the classic word-frequency formulation, so
+    * per-round work is vocabulary-sized, not corpus-sized), merges the
+    * most frequent pair everywhere (ties break lexicographically on the
+    * pair — classic BPE's insertion-order tie is not an engine-free
+    * contract), and recounts over the merged segmentation. Returns one row
+    * per round: (round, sym_a, sym_b, merged, freq).
+    *
+    * Words ride as SPACE-JOINED SYMBOL STRINGS with flanking spaces
+    * (" l o w " → merge(l,o) → " lo w "): the merge is then ONE literal
+    * (non-regex) `replace(sym, " a b ", " ab ")` — a pure codegen'd
+    * projection both engines implement with the identical left-to-right
+    * non-overlapping scan, which is what makes the whole loop
+    * oracle-expressible. Deviation from reference BPE, documented:
+    * CONSECUTIVE occurrences of the top pair share their boundary space
+    * (" a a a a " matches at positions 0 and 6, not 0 and 4), so runs
+    * like "aaaa" merge alternately within one round rather than strictly
+    * greedily — deterministic, engine-identical, and immaterial off
+    * repeated-character runs; a fixpoint inner replace is the drop-in
+    * upgrade where reference-greedy parity matters.
+    *
+    * Scale shape: the word-frequency vocabulary aggregates ONCE from the
+    * corpus (the only corpus-sized pass) and persists; each round is one
+    * vocabulary-sized pair count (HOF expansion over the symbol array —
+    * acceptable off the corpus hot path; map-side combine collapses to
+    * the pair vocabulary) + ONE 1-row driver argmax (the km1 bounded-
+    * action budget) + a lazy merge projection. Driver state: `rounds`
+    * merge rows. */
+  def bpeMergeRounds(df: DataFrame, textCol: String,
+                     rounds: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(rounds >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sym0 = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+    val vocab0 = graft.core.Par.fanOut(
+        df.select(explode(tokens(col(textCol))).as("w")))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(sym0.as("sym"), col("freq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var vocab = vocab0
+    try {
+      val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+      for (r <- 1 to rounds) {
+        val arr = split(trim(col("sym")), " ")
+        val idx = when(size(arr) >= 2, sequence(lit(0), size(arr) - 2))
+          .otherwise(array().cast("array<int>"))
+        val top = vocab.select(col("freq"), explode(transform(idx, i =>
+            struct(element_at(arr, i + 1).as("a"),
+              element_at(arr, i + 2).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("f"))
+          .orderBy(col("f").desc, col("a").asc, col("b").asc)
+          .limit(1).head()
+        val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
+        out += ((r, a, b, a + b, f))
+        vocab = vocab.select(
+          call_function("replace", col("sym"),
+            lit(s" $a $b "), lit(s" $a$b ")).as("sym"),
+          col("freq"))
+      }
+      out.toSeq.toDF("round", "sym_a", "sym_b", "merged", "freq")
+    } finally vocab0.unpersist(blocking = false)
+  }
+
   /** Per-document mean unigram SURPRISAL against the corpus's own unigram
     * distribution — the language-model quality filter's cheap stand-in
     * (CCNet/KenLM-style perplexity filtering ranks docs by LM score; the

@@ -108,4 +108,46 @@ object Stats {
           lit(f.toDouble * f.toDouble)).as("covar_samp"),
         try_divide(num, vx).as("slope")): _*)
   }
+
+  /** EQUI-DEPTH histogram — the profiling complement to the equi-WIDTH
+    * shape (dt1): `splits` buckets holding ~equal row counts, edges at the
+    * exact interpolated quantiles. Equi-width histograms of skewed
+    * business values put 99% of rows in one bar; equi-depth is the form
+    * optimizers and drift monitors actually consume (NDV-per-range
+    * estimates, CDF comparisons).
+    *
+    * Shape at scale: ONE exact-percentile aggregate produces all edges in
+    * a single 1-row result (bounded driver state — the bf1 literal-inline
+    * discipline: edges ride back into the plan as LITERALS, so the bucket
+    * projection is pure codegen, no join against a 1-row frame), then one
+    * map-side-combined group-by on the bucket id. Exact percentile
+    * buffers the column per partition — at extreme table sizes swap
+    * approx_percentile for the edge pass (documented exact→approximate
+    * swap; bucket semantics unchanged).
+    *
+    * Determinism: emitted values are row COUNTS and MIN/MAX of actual data
+    * values (exact doubles) — the interpolated edges themselves are NOT
+    * emitted, because Spark's `a + f·(b−a)` and DuckDB's `(1−f)·a + f·b`
+    * interpolations can differ by 1 ulp. A 1-ulp edge shift only matters
+    * if a data value lands strictly between the two engines' edges —
+    * impossible: an interpolated edge either equals a data value (its two
+    * neighbors tie; both formulas then return exactly that value) or lies
+    * strictly between two ADJACENT data values (no data in between, and
+    * double arithmetic keeps both engines' edges inside that open
+    * interval), so `value ≤ edge` classifies identically. */
+  def equiDepthHistogram(df: DataFrame, value: Column,
+                         splits: Int = 4): DataFrame = {
+    require(splits >= 2)
+    val probs = (1 until splits).map(_.toDouble / splits).toArray
+    val edges = df.agg(call_function("percentile", value,
+        lit(probs)).as("e")).head().getSeq[Double](0)
+    val bucket = edges.zipWithIndex.reverse
+      .foldLeft(lit(splits - 1): Column) { case (acc, (e, i)) =>
+        when(value <= e, lit(i)).otherwise(acc)
+      }
+    df.select(bucket.as("bucket"), value.as("graft_v"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("graft_v").as("min_v"),
+        max("graft_v").as("max_v"))
+  }
 }

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+/** Spark 4's `transformWithState` — the ARBITRARY-STATE successor to
+  * `flatMapGroupsWithState` (fb1s exercises that legacy API): typed,
+  * named, individually-evolvable state variables (ValueState / ListState /
+  * MapState with per-variable TTL) behind a `StatefulProcessor`, executed
+  * only on the RocksDB state-store provider — the backend SCALING.md §6
+  * names for 100 TB state (per-executor state bounded by local disk, not
+  * JVM heap; changelog checkpointing instead of full snapshots).
+  *
+  * The graded operator is the canonical running-aggregate shape: per-key
+  * event count + integer micro-unit value total in ONE ValueState, each
+  * micro-batch emitting the key's post-batch cumulative row. Because the
+  * count is strictly monotone per key, the FINAL emission per key (max
+  * n_events) must equal the plain batch GROUP BY — which is exactly what
+  * the oracle grades after a multi-batch replay; the intermediate
+  * emissions additionally pin that state genuinely crossed batch
+  * boundaries (spec asserts a key emits once per touching batch).
+  */
+object StateApi {
+
+  /** Input row: key + integer micro-units (floor(value·10⁶) — the fb1s
+    * convention: floors agree bit-for-bit, integer sums are order-free). */
+  case class TotIn(id: String, vm: Long)
+  /** The one state variable: running (event count, micro-unit sum). */
+  case class TotState(n: Long, s: Long)
+  /** Per-batch emission: the key's cumulative totals AFTER this batch. */
+  case class TotOut(id: String, n_events: Long, total_vm: Long)
+
+  /** Running per-key totals as a [[StatefulProcessor]]: fold the batch's
+    * rows into the ValueState, emit one cumulative row per touched key.
+    * TimeMode.None — no timers; state lives until the query ends (a
+    * production ingest would pass a TTLConfig, semantics unchanged while
+    * keys stay live). */
+  class RunningTotalsProcessor extends StatefulProcessor[String, TotIn, TotOut] {
+    @transient private var st: ValueState[TotState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TotState]("totals",
+        Encoders.product[TotState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[TotIn],
+                                 tv: TimerValues): Iterator[TotOut] = {
+      val prev = if (st.exists()) st.get() else TotState(0L, 0L)
+      var n = prev.n
+      var s = prev.s
+      rows.foreach { r => n += 1; s += r.vm }
+      st.update(TotState(n, s))
+      Iterator.single(TotOut(key, n, s))
+    }
+  }
+
+  /** Replay `(ts, id, value)` rows through the processor in `slices`
+    * event-time-ordered micro-batches (the [[Replay.slicedSourceReplay]]
+    * boundary-controlled harness) under the ROCKSDB provider
+    * `transformWithState` requires, and return ALL per-batch emissions as
+    * a batch frame (id, n_events, total_vm). Slice boundaries derive from
+    * one bounded min/max scalar aggregate; nothing data-sized touches the
+    * driver. */
+  def runningTotalsReplay(spark: SparkSession, input: DataFrame,
+                          slices: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(slices >= 1)
+    val rows = input.toDF("ts", "id", "value")
+      .select(col("ts").cast("timestamp").as("ts"),
+        col("id").cast("string").as("id"),
+        col("value").cast("double").as("value"))
+    val b = rows.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = hi - lo + 1
+    val sliceDfs = (0 until slices).map { i =>
+      val (a, z) = (lo + span * i / slices, lo + span * (i + 1) / slices)
+      rows.where(unix_micros(col("ts")) >= a && unix_micros(col("ts")) < z)
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val dir = Replay.slicedSourceReplay(spark, sliceDfs,
+        "ts TIMESTAMP, id STRING, value DOUBLE", "tws-") { (src, root) =>
+        src
+          .select(col("id"),
+            floor(col("value") * lit(1000000d)).cast("long").as("vm"))
+          .as[TotIn]
+          .groupByKey(_.id)
+          .transformWithState(new RunningTotalsProcessor,
+            TimeMode.None(), OutputMode.Append())
+          .toDF()
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      spark.read.parquet(s"$dir/out")
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+}
