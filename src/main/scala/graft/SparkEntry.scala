@@ -1082,6 +1082,26 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // sar1: SUBJECT ACCESS REPORT — for the bounded request batch (every
+    // 100th customer), the profile plus per-source activity rollups
+    // (events by user id, orders by custkey), each fact source semi-joined
+    // to the broadcast subject set BEFORE its aggregate so the fact
+    // tables never shuffle their full key space
+    // (Governance.subjectAccessReport scaladoc).
+    "sar1_subject_access" -> ((s, d) => {
+      val subjects = Tables.customer(s, d)
+        .where(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("id"), col("c_name"),
+          col("c_mktsegment"))
+      ext.Governance.subjectAccessReport(subjects, "id", Seq(
+          "events" -> events(s, d).select(col("user_id").as("graft_sid"),
+            col("value").as("graft_val")),
+          "orders" -> Tables.orders(s, d).select(
+            col("o_custkey").as("graft_sid"),
+            col("o_totalprice").as("graft_val"))))
+        .orderBy("id")
+    }),
+
     // anon1: K-ANONYMITY / L-DIVERSITY audit over customer — equivalence
     // classes on the (nation, segment) quasi-identifier pair with class
     // size, distinct sensitive acctbal-bucket count, and the at-risk
@@ -1781,6 +1801,23 @@ object SparkEntry {
           Basket.frequentPairs(Tables.lineitem(s, d), minSupport = 2L),
           "part_a", "part_b")
         .orderBy("node")),
+
+    // inc4: INCREMENTAL CONNECTED COMPONENTS — ccmp1's archive-friendly
+    // form (the graph member of the inc1/inc3 family): the even-order
+    // co-purchase graph folds into a label store, then the odd-order
+    // batch merges against the label STAR — O(labels + batch) per round,
+    // never O(archive edges) — provably ≡ from-scratch over the union,
+    // which is exactly what the oracle recomputes
+    // (Graph.incrementalComponents scaladoc).
+    "inc4_incremental_components" -> ((s, d) => {
+      def pairs(f: Column => Column) = Basket.frequentPairs(
+        Tables.lineitem(s, d).where(f(col("l_orderkey"))), minSupport = 2L)
+      val labels = Graph.connectedComponents(pairs(_ % 2 === 0),
+        "part_a", "part_b")
+      val e1 = pairs(_ % 2 === 1)
+        .select(col("part_a").as("src"), col("part_b").as("dst"))
+      Graph.incrementalComponents(labels, e1).orderBy("node")
+    }),
 
     // bfs1: fixed-round multi-source BFS over ccmp1's symmetric
     // frequent-pair graph — hop distance (0..3) from the 3 lowest part
@@ -3285,6 +3322,24 @@ object SparkEntry {
            |ORDER BY o_orderkey""".stripMargin.replace("\n", " ")),
       // anon1: one grouped aggregate; the sensitive attribute buckets by
       // floor-division (floor of a double quotient agrees in both engines)
+      // sar1: bounded-subject rollups; COALESCE keeps the zero-activity
+      // contract, totals in exact integer micro-units
+      "sar1_subject_access" ->
+        ("""WITH s AS (SELECT c_custkey AS id, c_name, c_mktsegment
+           |  FROM customer WHERE c_custkey % 100 = 0),
+           |ev AS (SELECT user_id AS id, CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS total_events
+           | FROM events WHERE user_id IN (SELECT id FROM s) GROUP BY 1),
+           |o AS (SELECT o_custkey AS id, CAST(count(*) AS BIGINT) AS n_orders,
+           |  CAST(SUM(CAST(floor(o_totalprice * 1000000) AS BIGINT)) AS BIGINT) AS total_orders
+           | FROM orders WHERE o_custkey IN (SELECT id FROM s) GROUP BY 1)
+           |SELECT s.id, s.c_name, s.c_mktsegment,
+           | COALESCE(ev.n_events, 0) AS n_events,
+           | COALESCE(ev.total_events, 0) AS total_events,
+           | COALESCE(o.n_orders, 0) AS n_orders,
+           | COALESCE(o.total_orders, 0) AS total_orders
+           |FROM s LEFT JOIN ev ON s.id = ev.id LEFT JOIN o ON s.id = o.id
+           |ORDER BY s.id""".stripMargin.replace("\n", " ")),
       "anon1_k_anonymity" ->
         ("""SELECT c_nationkey AS nation, c_mktsegment AS segment,
            | CAST(count(*) AS BIGINT) AS n,
@@ -3623,6 +3678,31 @@ object SparkEntry {
            |UNION ALL SELECT node, 2 FROM h2
            |UNION ALL SELECT node, 3 FROM h3
            |ORDER BY node""".stripMargin.replace("\n", " ")),
+      // inc4: the incremental path must equal the FROM-SCRATCH fixpoint
+      // over the union of both thresholded pair sets (ccmp1's recursive
+      // closure, stated engine-free)
+      "inc4_incremental_components" ->
+        ("""WITH RECURSIVE
+           |b0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           | WHERE l_orderkey % 2 = 0),
+           |p0 AS (SELECT a.l_partkey AS x, c.l_partkey AS y
+           | FROM b0 a JOIN b0 c
+           |  ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+           | GROUP BY 1, 2 HAVING count(*) >= 2),
+           |b1 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           | WHERE l_orderkey % 2 = 1),
+           |p1 AS (SELECT a.l_partkey AS x, c.l_partkey AS y
+           | FROM b1 a JOIN b1 c
+           |  ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+           | GROUP BY 1, 2 HAVING count(*) >= 2),
+           |pu AS (SELECT x, y FROM p0 UNION SELECT x, y FROM p1),
+           |e AS (SELECT x, y FROM pu UNION SELECT y, x FROM pu),
+           |r AS (SELECT x AS node, y AS reach FROM e
+           | UNION
+           | SELECT r.node, e.y FROM r JOIN e ON e.x = r.reach)
+           |SELECT CAST(node AS BIGINT) AS node,
+           | CAST(LEAST(node, MIN(reach)) AS BIGINT) AS component
+           |FROM r GROUP BY node ORDER BY node""".stripMargin.replace("\n", " ")),
       // er1: both match legs as blocked SQL (word-set Jaccard all-pairs is
       // oracle-side-only brute force; the engine blocks via the inverted
       // index), closure as ccmp1's recursive reachability, survivorship

@@ -103,6 +103,31 @@ object Graph {
         col(dstCol).as("id_b")), maxIters = maxIters)
       .select(col("id").as("node"), col("root").as("component"))
 
+  /** INCREMENTAL connected components — maintain component labels under
+    * edge APPENDS without re-walking the archived edge set (the graph
+    * tier's member of the inc1/inc3 family: archive summarized, batch
+    * merged, result provably ≡ from-scratch): the stored labeling
+    * (node, component) is itself a STAR GRAPH that preserves the old
+    * graph's connectivity exactly (every old component is connected
+    * through its root), so components(labelStar ∪ newEdges) equals
+    * components(oldEdges ∪ newEdges) — same sets, same min-id labels
+    * (every old node appears in its star edge, so the merged minimum is
+    * taken over the full membership). Per-batch cost is
+    * O(|labels| + |batch|) per round instead of O(|archive edges|), and
+    * the fixpoint runs on the QUOTIENT structure: the star has radius 1,
+    * so rounds are bounded by the radius of the NEW connections between
+    * old components — typically 2-3 — not the original graph's diameter.
+    * Input labels: (node, component); newEdges: (src, dst) either
+    * orientation. Output: (node, component) over every node with an edge
+    * in either input — the same contract [[connectedComponents]] has,
+    * re-foldable into the store for the next batch. */
+  def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
+                            maxIters: Int = 50): DataFrame =
+    connectedComponents(
+      labels.select(col("node").as("src"), col("component").as("dst"))
+        .unionByName(newEdges.select(col("src"), col("dst"))),
+      "src", "dst", maxIters)
+
   /** Fixed-iteration synchronous LABEL PROPAGATION (Raghavan et al. 2007)
     * — community detection, the graph tier's clustering primitive between
     * [[Dedup.clusterRoots]] (connected components: min-label to fixpoint)

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 additions, part 6: incremental connected components and the
+  * subject access report.
+  *
+  * The incremental-components test is the load-bearing one: label-star ∪
+  * batch must equal from-scratch over the union on randomized graphs —
+  * including batches that MERGE previously separate components (the case
+  * the star-graph argument exists for) and batches touching brand-new
+  * nodes only.
+  */
+class Round7fSpec extends SparkSpec {
+
+  test("incrementalComponents equals from-scratch on random splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val all = (1 to 300).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    for (cut <- Seq(0.3, 0.7)) {
+      val k = (all.size * cut).toInt
+      val (oldE, newE) = all.splitAt(k)
+      val labels = ext.Graph.connectedComponents(
+        oldE.toDF("src", "dst"), "src", "dst")
+      val got = ext.Graph.incrementalComponents(labels,
+          newE.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      val want = ext.Graph.connectedComponents(
+          all.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"cut=$cut")
+    }
+  }
+
+  test("incrementalComponents: batch merges two old components") {
+    import spark.implicits._
+    val oldE = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val labels = ext.Graph.connectedComponents(oldE, "src", "dst")
+    // bridge 2-3 plus a fresh disjoint pair 9-10
+    val got = ext.Graph.incrementalComponents(labels,
+        Seq((2L, 3L), (9L, 10L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      9L -> 9L, 10L -> 9L))
+  }
+
+  test("subjectAccessReport: rollups, zero-activity subjects report zeros") {
+    import spark.implicits._
+    val subjects = Seq((10L, "alice"), (20L, "bo")).toDF("id", "name")
+    val ev = Seq((10L, 1.5), (10L, 2.25), (30L, 9.0))
+      .toDF("graft_sid", "graft_val")
+    val ord = Seq((10L, 100.0)).toDF("graft_sid", "graft_val")
+    val got = ext.Governance.subjectAccessReport(subjects, "id",
+        Seq("events" -> ev, "orders" -> ord))
+      .orderBy("id")
+      .select("id", "name", "n_events", "total_events", "n_orders",
+        "total_orders")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (10L, "alice", 2L, 3750000L, 1L, 100000000L),
+      (20L, "bo", 0L, 0L, 0L, 0L)))
+  }
+}
