@@ -782,6 +782,18 @@ object SparkEntry {
       withK(s, d).select(col("event_id"), col("k"))
         .orderBy("event_id")),
 
+    // var1: p3's extraction restated SCHEMA-FREE via Spark 4 VARIANT —
+    // parse_json into the binary variant encoding, lazy variant_get path
+    // extraction, try_-semantics NULL for the absent path (schema drift
+    // without migration; Parse.variantField scaladoc). Same oracle family
+    // as p3: DuckDB's JSON path extraction.
+    "var1_variant_extract" -> ((s, d) =>
+      Parse.variantField(
+          Parse.variantField(events(s, d), col("props"), "$.k", "int", "k"),
+          col("props"), "$.absent", "int", "absent")
+        .select(col("event_id"), col("k"), col("absent"))
+        .orderBy("event_id")),
+
     // ---- analytics breadth (graft.queries.Analytics) --------------------
     "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q3_top_orders" -> ((s, d) => Analytics.topUnshippedOrders(s, d)),
@@ -1825,7 +1837,13 @@ object SparkEntry {
     // one anti-join per round, frontier-sized frames only
     // (Graph.bfsHops scaladoc). The oracle unrolls the identical levels.
     "bfs1_seed_hops" -> ((s, d) => {
+      // localCheckpoint: the pair relation has THREE consumers (both
+      // union orientations + the seed derivation) across separate
+      // actions — without the barrier the pair-expansion aggregate runs
+      // once per consumer (measured 3.5 s → the checkpoint collapses it
+      // to one; the kCorePeel return-shape discipline)
       val p = Basket.frequentPairs(Tables.lineitem(s, d), minSupport = 2L)
+        .localCheckpoint()
       val e = p.select(col("part_a").as("src"), col("part_b").as("dst"))
         .unionByName(p.select(col("part_b").as("src"),
           col("part_a").as("dst")))
@@ -1995,6 +2013,36 @@ object SparkEntry {
     "d3_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")),
+
+    // ssj1: the PREFIX-FILTER AllPairs set-similarity join graded
+    // DIRECTLY (er1 also exercises it embedded): word-set Jaccard ≥ 0.8
+    // pairs over a deterministic 1-in-5 corpus slice plus one planted
+    // copy per %20==0 doc with an appended unique token — word-set
+    // J = m/(m+1) ≥ 0.8 whenever the doc has m ≥ 4 distinct words (the
+    // planting predicate carries the size guard, so every planted pair
+    // provably qualifies); candidates from rarest-prefix postings only,
+    // exact verify, recall exact by the prefix theorem
+    // (Dedup.setJaccardPairsPrefix scaladoc). The slice bounds the
+    // GRADED OUTPUT, not the operator: this template-generated corpus
+    // holds ~4.4 M qualifying pairs at sf0.1 (near-identical templates
+    // form J ≥ 0.8 cliques, so the all-pairs answer itself grows
+    // quadratically with clique size) — a report nobody materializes
+    // whole; real pipelines aggregate it (degree screens, cluster-then-
+    // collapse as sd1/er1 do).
+    "ssj1_set_similarity_join" -> ((s, d) => {
+      val pu = plantUnit(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .where(col("doc_id") % 5 === 0)
+      val planted = docs
+        .where(col("doc_id") % 20 === 0 &&
+          size(array_distinct(TextAnalysis.tokens(col("text")))) >= 4)
+        .select((col("doc_id") + pu).as("doc_id"),
+          concat(col("text"), lit(" qqplantedtoken")).as("text"))
+      Dedup.setJaccardPairsPrefix(docs.unionByName(planted),
+          "doc_id", "text", minJaccard = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("j"), 6).as("j"))
+        .orderBy("id_a", "id_b")
+    }),
     // d4 runs the chunk-blocked SimHash with the PORTABLE token hash
     // (first 60 bits of sha256) so the DuckDB oracle can rebuild the exact
     // fingerprints; production calls default to the faster xxhash64.
@@ -2751,6 +2799,10 @@ object SparkEntry {
            |ORDER BY event_id""".stripMargin.replace("\n", " ")),
       "p3_json_parse" ->
         "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events ORDER BY event_id",
+      "var1_variant_extract" ->
+        ("""SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k,
+           | CAST(json_extract(props, '$.absent') AS INT) AS absent
+           |FROM events ORDER BY event_id""".stripMargin.replace("\n", " ")),
 
       // ---- analytics breadth ---------------------------------------------
       "q1_pricing_summary" ->
@@ -4327,6 +4379,27 @@ object SparkEntry {
       // and all planted near-dups sit at J≥0.9 with the rest <0.3 — so the
       // exact blocked-all-pairs result IS the LSH result here.
       "d3_minhash_lsh" -> ngramPairsSql,
+      // ssj1: blocked exact word-set Jaccard over the planted corpus —
+      // candidates share >=1 token (a superset of the engine's prefix
+      // candidates; both filter on exact J, so results agree)
+      "ssj1_set_similarity_join" ->
+        (s"""WITH base AS (SELECT doc_id, text FROM documents
+           |  WHERE doc_id % 5 = 0
+           | UNION ALL
+           | SELECT doc_id + $plantUnitSql AS doc_id,
+           |  text || ' qqplantedtoken' AS text
+           | FROM documents WHERE doc_id % 20 = 0
+           |  AND len(list_distinct($toksSql)) >= 4),
+           |w AS (SELECT doc_id AS id, list_distinct($toksSql) AS ws FROM base),
+           |inv AS (SELECT id, unnest(ws) AS t FROM w),
+           |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           | FROM inv x JOIN inv y ON x.t = y.t AND x.id < y.id),
+           |scored AS (SELECT id_a, id_b,
+           |  len(list_intersect(a.ws, b.ws))::DOUBLE /
+           |   (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS j
+           | FROM cand JOIN w a ON cand.id_a = a.id JOIN w b ON cand.id_b = b.id)
+           |SELECT id_a, id_b, round(j, 6) AS j FROM scored
+           |WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
       // brute-force reference over the SAME planted-duplicate corpus the
       // Spark query builds; the LSH-blocked result must equal it exactly
       // (scale-invariant signatures → deterministic recall 1.0 on the

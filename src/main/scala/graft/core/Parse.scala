@@ -40,4 +40,30 @@ object Parse {
   def withJsonField(df: DataFrame, payload: Column, schema: StructType,
                     field: String, as: String): DataFrame =
     df.withColumn(as, from_json(payload.cast(StringType), schema).getField(field))
+
+  /** SCHEMA-ON-READ semi-structured ingestion via Spark 4 VARIANT — the
+    * declared-schema-free counterpart to [[parseJson]]: `parse_json`
+    * stores the payload in Spark's binary variant encoding (typed,
+    * shredded, columnar-friendly — the open Parquet `VARIANT` spec), and
+    * fields extract lazily with `variant_get` path expressions, so a
+    * payload whose shape drifts (new fields, heterogeneous rows) ingests
+    * WITHOUT a schema migration — `try_variant_get` returns NULL for an
+    * absent path or an uncastable value instead of failing the batch,
+    * the (P3) explicit-schema contract relaxed to evolving feeds.
+    * `malformedNull = true` swaps `try_parse_json` in, additionally
+    * mapping syntactically invalid payloads to a NULL variant (the
+    * quarantine-friendly read; pair with [[graft.ext.Governance
+    * .quarantine]] to route them).
+    *
+    * Scale shape: both functions are Catalyst-native expressions inside
+    * whole-stage codegen — a pure projection, no UDF, no shuffle; at rest
+    * the variant column stores ONCE and serves every future field access,
+    * where repeated `from_json` re-parses the string per query. */
+  def variantField(df: DataFrame, payload: Column, path: String,
+                   targetType: String, as: String,
+                   malformedNull: Boolean = false): DataFrame = {
+    val v = if (malformedNull) try_parse_json(payload.cast(StringType))
+            else parse_json(payload.cast(StringType))
+    df.withColumn(as, try_variant_get(v, path, targetType))
+  }
 }

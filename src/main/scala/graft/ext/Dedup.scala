@@ -445,6 +445,103 @@ object Dedup {
     }
   }
 
+  /** PREFIX-FILTER set-similarity self-join (AllPairs — Bayardo, Ma &
+    * Srikant, "Scaling Up All Pairs Similarity Search", WWW'07): all id
+    * pairs whose WORD-SET Jaccard ≥ `minJaccard`, with candidates
+    * generated from each set's PREFIX under a global rarest-first token
+    * order instead of the full inverted index. Same semantics as
+    * [[ngramJaccardPairs]] at n = 1 (Jaccard over distinct 64-bit token
+    * hashes — the same ~2⁻⁶⁵ collision exposure), different blocking
+    * COST MODEL: single-token postings are only as selective as the
+    * vocabulary, and on a small-vocabulary catalog (entity names drawn
+    * from ~250 tokens) the full index expands Σ_t C(df_t, 2) ≈ 10⁸ pairs
+    * at 25 k records — measured 174 s at sf0.1, the quadratic-in-df trap.
+    * The theorem: if J(A,B) ≥ t then A and B must share a token among
+    * each one's first |A| − ⌈t·|A|⌉ + 1 tokens in ANY fixed global order
+    * (fewer shared prefix tokens would leave too few remaining slots to
+    * reach the required intersection), so posting ONLY prefixes preserves
+    * recall exactly while cutting posting volume by ~t/(1−t); ordering
+    * the vocabulary by ascending document frequency makes those prefix
+    * tokens the globally RAREST, collapsing the quadratic df term
+    * (measured 174 s → ~3 s on the er1 catalog). Verification is exact
+    * Jaccard over the full sets, so precision is exact and recall is
+    * exact by the theorem — unlike LSH banding there is no probabilistic
+    * arm.
+    *
+    * Scale shape: one fan-out tokenize pass; a DISTINCT-set collapse
+    * (the d6 discipline — equal sets pair at J=1 without touching the
+    * index, so verbatim duplicates can't inflate any posting); document
+    * frequencies are one vocabulary-sized aggregate; per-set ranking is
+    * ONE id-partitioned window (two frames, one sort); candidates expand
+    * MAP-SIDE from sorted prefix-posting lists as packed longs (the d2
+    * kernel; ids must fit 31 bits — loud error otherwise) and dedup on
+    * the packed key before the two verify lookups. The ceil guard
+    * subtracts 1e-9 before ceiling: thresholds like 0.8 sit ABOVE their
+    * decimal value in binary, and an overshooting ceil would SHRINK the
+    * prefix below the theorem's bound (silent recall loss); undershooting
+    * only lengthens it (safe). The distinct-set relation persists (four
+    * consumers); callers owning a tighter budget pass a pre-persisted
+    * projection as with [[ngramJaccardPairs]]. */
+  def setJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                            minJaccard: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    require(minJaccard > 0 && minJaccard <= 1, "minJaccard in (0, 1]")
+    val V = graft.functions.VectorExpressions
+    def unpack(p: Column): Seq[Column] = Seq(
+      call_function("shiftright", p, lit(32)).as("id_a"),
+      p.bitwiseAND(lit(0xffffffffL)).as("id_b"))
+    val sh0 = graft.core.Par.fanOut(
+        df.select(col(idCol).cast("long").as("id"),
+          sort_array(array_distinct(shingleHashesFromTokens(
+            TextAnalysis.tokens(col(textCol)), 1))).as("ts")))
+      .where(size(col("ts")) > 0)
+    val groups = sh0.groupBy("ts")
+      .agg(array_distinct(sort_array(collect_list(col("id")))).as("members"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = groups.select(col("members").getItem(0).as("id"), col("ts"))
+    val intra = groups.where(size(col("members")) > 1)
+      .select(explode(V.pairExpandNative(col("members"))).as("p"))
+      .select(unpack(col("p")) :+ lit(1.0).as("j"): _*)
+    val postings = reps.select(col("id"), explode(col("ts")).as("s"))
+    val dfreq = postings.groupBy("s").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy("id").orderBy(col("df"), col("s"))
+    val ranked = postings.join(dfreq, "s")
+      .select(col("id"), col("s"), row_number().over(wRank).as("rk"),
+        count(lit(1)).over(Window.partitionBy("id")).as("m"))
+    // A double-prefix "require ≥2 shared postings" refinement (the
+    // PPJoin-family positional idea) was measured and REJECTED here: the
+    // extra prefix slot falls on strictly DENSER tokens under the
+    // rarest-first order, and generation volume Σ C(len,2) grows faster
+    // than the verify stream shrinks (er1's catalog: 12 s → 22 s). The
+    // full positional/suffix filters (Xiao et al., PPJoin+, WWW'08) prune
+    // DURING expansion and are the principled upgrade if verify cost ever
+    // dominates; at the measured balance the plain prefix + exact verify
+    // is the faster plan.
+    val prefix = ranked.where(col("rk") <=
+      col("m") - ceil(lit(minJaccard) * col("m") - lit(1e-9)) + 1)
+    val cand = prefix.groupBy("s")
+      .agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(V.pairExpandNative(col("ids"))).as("p"))
+      .distinct()
+    val verified = withJaccard(cand
+        .select(unpack(col("p")): _*)
+        .join(reps.select(col("id").as("id_a"), col("ts").as("sh_a")), "id_a")
+        .join(reps.select(col("id").as("id_b"), col("ts").as("sh_b")), "id_b"),
+      "sh_a", "sh_b")
+      .where(col("j") >= minJaccard)
+    verified
+      .join(groups.select(col("members").getItem(0).as("id_a"),
+        col("members").as("ma")), "id_a")
+      .join(groups.select(col("members").getItem(0).as("id_b"),
+        col("members").as("mb")), "id_b")
+      .select(explode(V.pairCrossExpandNative(col("ma"), col("mb"))).as("p"),
+        col("j"))
+      .select(unpack(col("p")) :+ col("j"): _*)
+      .unionByName(intra)
+  }
+
   /** MinHash signature: `numHashes` independent permutations approximated by
     * a seeded avalanche-mix family over pre-hashed shingles; sig[i] = min
     * over shingles of mix(h, i). Codegen'd (graft.functions.MinHashSigExpr). */

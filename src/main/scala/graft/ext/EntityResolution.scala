@@ -57,10 +57,17 @@ object EntityResolution {
         graft.functions.VectorExpressions.pairExpandNative(col("ids"))).as("p"))
       .select(call_function("shiftright", col("p"), lit(32)).as("id_a"),
         col("p").bitwiseAND(lit(0xffffffffL)).as("id_b"))
-    // fuzzy leg: word-set Jaccard on the name (n=1 shingles = the token
-    // set itself), d2's blocked pipeline end to end
-    val namePairs = Dedup.ngramJaccardPairs(records, idCol, nameCol,
-        n = 1, minJaccard = minJaccard)
+    // fuzzy leg: word-set Jaccard on the name — the PREFIX-FILTER
+    // AllPairs join, not the full single-token inverted index: entity
+    // names draw from small vocabularies (TPC-H's composite name space is
+    // ~250 tokens), where full postings expand Σ C(df,2) ≈ 10⁸ candidate
+    // pairs at 25 k records (measured 174 s at sf0.1); prefix posting
+    // under the rarest-first order is recall-exact at the threshold and
+    // collapses the quadratic df term (~3 s). Identical match semantics
+    // (Jaccard over distinct hashed tokens), so downstream contracts and
+    // oracles are unchanged.
+    val namePairs = Dedup.setJaccardPairsPrefix(records, idCol, nameCol,
+        minJaccard = minJaccard)
       .select(col("id_a"), col("id_b"))
     val comp = Dedup.clusterRoots(keyPairs.union(namePairs))
     ids.join(comp.select(col("id"), col("root")), Seq("id"), "left")

@@ -31,7 +31,13 @@ object DumpPlans {
       "q13_order_distribution", "d6_editdist", "ds2_strip_spans",
       "xm1_blob_ann", "bf1_bloom_dedup", "pr1_pagerank",
       "tri1_triangle_counts", "knn1_knn_graph", "sd1_semantic_dedup",
-      "lp1_label_prop")
+      "lp1_label_prop",
+      // round-7 scale-critical additions: the prefix-filter set join, the
+      // MMR re-ranker's per-round shape, the two-phase global ordinals,
+      // frontier BFS, and the label-star incremental components
+      "ssj1_set_similarity_join", "mmr1_diverse_topk",
+      "ord1_global_ordinals", "bfs1_seed_hops",
+      "inc4_incremental_components")
     val sections = new StringBuilder
     val inventory = new StringBuilder
     inventory.append("\n## Plan inventory — all graded queries (finalized plans, sf0.001)\n\n")

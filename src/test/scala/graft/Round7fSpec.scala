@@ -45,6 +45,24 @@ class Round7fSpec extends SparkSpec {
       9L -> 9L, 10L -> 9L))
   }
 
+  test("variantField: drifted, absent, malformed, uncastable payloads") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"k": 7}"""),
+      (2L, """{"k": "x"}"""),        // uncastable to int -> NULL
+      (3L, """{"a": {"b": 5}}"""),   // nested path, k absent
+      (4L, "not json"))              // malformed -> NULL variant
+      .toDF("id", "props")
+    val got = core.Parse.variantField(
+        core.Parse.variantField(df, col("props"), "$.k", "int", "k",
+          malformedNull = true),
+        col("props"), "$.a.b", "int", "ab", malformedNull = true)
+      .select("id", "k", "ab")
+      .as[(Long, Option[Int], Option[Int])].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, Some(7), None), (2L, None, None),
+      (3L, None, Some(5)), (4L, None, None)))
+  }
+
   test("subjectAccessReport: rollups, zero-activity subjects report zeros") {
     import spark.implicits._
     val subjects = Seq((10L, "alice"), (20L, "bo")).toDF("id", "name")
