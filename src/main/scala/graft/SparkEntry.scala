@@ -1891,6 +1891,12 @@ object SparkEntry {
           .select((col("pk") + 3 * pu).as("id"),
             concat(lit("yy "), col("p_name")).as("name"),
             lit(null).cast("string").as("sku"), (col("price") + 20).as("price")))
+        // localCheckpoint: the 4-branch union is consumed 4× (the three
+        // matchComponents legs + the survivorship join) — without the
+        // barrier that is 16 part scans in the finalized plan (the bfs1
+        // fixture discipline; the operator's scaladoc leaves pinning a
+        // catalog-sized relation to the caller, and this fixture is one)
+        .localCheckpoint()
       ext.EntityResolution.matchComponents(recs, "id", "name", "sku",
           minJaccard = 0.75)
         .join(recs, "id")
@@ -2105,6 +2111,16 @@ object SparkEntry {
     // projections with modest outputs, measured both ways)
     "d6_editdist" -> ((s, d) =>
       Dedup.editDistancePairs(Tables.part(s, d), "p_partkey", "p_name")
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b")),
+
+    // d7: edit distance ≤ 2 by PASSJOIN segment blocking — d6's deletion
+    // neighborhood is exact at one edit but grows |s|² at two; the
+    // 3-segment pigeonhole stays linear (≤ 75 bounded probes per distinct
+    // string, recall exact — Dedup.editDistance2Pairs scaladoc), verified
+    // by the threshold-bounded levenshtein both engines share.
+    "d7_editdist2" -> ((s, d) =>
+      Dedup.editDistance2Pairs(Tables.part(s, d), "p_partkey", "p_name")
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
         .orderBy("id_a", "id_b")),
 
@@ -4373,6 +4389,14 @@ object SparkEntry {
            | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
            |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
            |WHERE levenshtein(a.p_name, b.p_name) <= 1
+           |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
+      // d7: brute with the length filter the pigeonhole implies
+      "d7_editdist2" ->
+        ("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+           |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+           | AND abs(length(a.p_name) - length(b.p_name)) <= 2
+           |WHERE levenshtein(a.p_name, b.p_name) <= 2
            |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
       "d2_ngram_jaccard" -> ngramPairsSql,
       // LSH banding at (128 hashes, 32 bands of 4): P(miss | J≥0.9) < 1e-30,

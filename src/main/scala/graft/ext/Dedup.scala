@@ -740,6 +740,103 @@ object Dedup {
         col("p").bitwiseAND(lit(0xffffffffL)).as("id_b"), col("dist"))
   }
 
+  /** Edit-distance ≤ 2 pairs by PASSJOIN segment blocking (Li, Deng &
+    * Feng, "PassJoin: A Partition-based Method for Similarity Joins",
+    * VLDB'11) — [[editDistancePairs]]'s distance-2 sibling, with a
+    * DIFFERENT blocking family: the deletion neighborhood that is exact
+    * for one edit grows as |s|² variants at k = 2, while the pigeonhole
+    * stays linear — partition every string into k + 1 = 3 contiguous
+    * segments; two edits can corrupt at most two of them, so some segment
+    * of B survives VERBATIM inside A, shifted by at most the edits before
+    * it (≤ 2). Candidates are therefore (substring-of-A = segment-of-B)
+    * key matches where A probes, for each partner length l′ ∈ [l−2, l+2],
+    * the partner's deterministic partition scheme at starts q_i ± 2 — ≤ 75
+    * bounded probes per string, corpus-linear posting volume, recall
+    * EXACT by the pigeonhole (the probe window covers every legal shift,
+    * and the length filter rides the join key as l′). Zero-length
+    * segments (strings shorter than 3) degrade gracefully: their empty
+    * segment keys block short strings against each other, never the
+    * corpus.
+    *
+    * Same group-level shape as [[editDistancePairs]]: distinct-string
+    * collapse first (dist-0 pairs expand map-side from each group, no
+    * verification), the index and probes build over ONE representative
+    * per distinct string, candidate rep pairs dedup on a packed long, the
+    * threshold-bounded `levenshtein(·,·,2)` (early-exit DP band) verifies
+    * exactly, and surviving rep pairs cross-expand their member lists.
+    * Probe generation is a 75-literal-combo HOF — per-ROW work, not
+    * per-character, so the interpreted-lambda ban for hot kernels does
+    * not bite (75 substr ops/row vs d2's per-char hashing).
+    * Returns (id_a, id_b, dist ∈ {0, 1, 2}); ids must fit 31 bits (the
+    * packed-pair contract, loud error otherwise). */
+  def editDistance2Pairs(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val V = graft.functions.VectorExpressions
+    val base = graft.core.Par.fanOut(df
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t")))
+    val grp = base.groupBy("t")
+      .agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
+      .withColumn("rep", col("ids")(0))
+    val eq = grp.select(explode(V.pairExpandNative(col("ids"))).as("p"),
+      lit(0).as("dist"))
+    val reps = grp.select(col("rep"), col("t"), length(col("t")).as("l"))
+    // partition scheme of a length-L string: base = L div 3, rem = L mod 3,
+    // m_i = base + (i < rem), q_i = i·base + min(i, rem) — identical
+    // arithmetic on both the index (own length) and probe (partner
+    // length) sides, so a surviving segment meets its probe by key
+    def mOf(lp: Column, i: Column): Column =
+      call_function("div", lp, lit(3)) + when(i < lp % 3, 1).otherwise(0)
+    def qOf(lp: Column, i: Column): Column =
+      i * call_function("div", lp, lit(3)) + least(i, lp % 3)
+    val segs = (0 to 2).map { i =>
+      struct(lit(i).as("i"),
+        col("t").substr((qOf(col("l"), lit(i)) + 1).cast("int"),
+          mOf(col("l"), lit(i)).cast("int")).as("seg"))
+    }
+    val index = reps
+      .select(col("rep").as("x_rep"), col("l").as("x_l"),
+        explode(array(segs: _*)).as("e"))
+      .select(col("x_rep"), col("x_l"), col("e.i").as("i"),
+        col("e.seg").as("seg"))
+    val combos = array((for { dl <- -2 to 2; i <- 0 to 2; sh <- -2 to 2 }
+      yield struct(lit(dl).as("dl"), lit(i).as("i"), lit(sh).as("sh"))): _*)
+    val probes = reps
+      .select(col("rep").as("p_rep"), col("l"), col("t"),
+        explode(filter(transform(combos, c => {
+          val lp = col("l") + c("dl")
+          val m = mOf(lp, c("i"))
+          val s0 = qOf(lp, c("i")) + c("sh")
+          struct(lp.as("lp"), c("i").as("i"),
+            when(lp >= lit(1) && s0 >= lit(0) && s0 + m <= col("l"),
+              col("t").substr((s0 + 1).cast("int"), m.cast("int")))
+              .as("sub"))
+        }), c => c("sub").isNotNull)).as("pr"))
+      .select(col("p_rep"), col("pr.lp").as("lp"), col("pr.i").as("i"),
+        col("pr.sub").as("sub"))
+    val candReps = probes.join(index,
+        col("lp") === col("x_l") && probes("i") === index("i")
+          && col("sub") === col("seg"))
+      .where(col("p_rep") =!= col("x_rep"))
+      .select((shiftleft(least(col("p_rep"), col("x_rep")), 32)
+        bitwiseOR greatest(col("p_rep"), col("x_rep"))).as("rp"))
+      .distinct()
+      .select(call_function("shiftright", col("rp"), lit(32)).as("rep_a"),
+        col("rp").bitwiseAND(lit(0xffffffffL)).as("rep_b"))
+    val cross = candReps
+      .join(grp.select(col("rep").as("rep_a"), col("t").as("t_a"),
+        col("ids").as("ids_a")), "rep_a")
+      .join(grp.select(col("rep").as("rep_b"), col("t").as("t_b"),
+        col("ids").as("ids_b")), "rep_b")
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), 2))
+      .where(col("dist") >= 1)
+      .select(explode(V.pairCrossExpandNative(col("ids_a"), col("ids_b")))
+        .as("p"), col("dist"))
+    eq.union(cross)
+      .select(call_function("shiftright", col("p"), lit(32)).as("id_a"),
+        col("p").bitwiseAND(lit(0xffffffffL)).as("id_b"), col("dist"))
+  }
+
   /** Train/eval CONTAMINATION check — the decontamination primitive every
     * LLM training pipeline runs before a model ships: find corpus documents
     * whose n-gram shingle overlap with any document of a (small, bounded)

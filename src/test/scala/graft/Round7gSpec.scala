@@ -41,6 +41,37 @@ class Round7gSpec extends SparkSpec {
     }
   }
 
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("editDistance2Pairs equals brute force incl. short strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val alpha = "abc"
+    // short random strings over a 3-letter alphabet: dense distance
+    // structure, zero-length segments (|s| < 3), shifts from indels
+    val rows = (0L until 250L).map { i =>
+      val n = rnd.nextInt(9)   // 0..8, includes empty strings
+      (i, Seq.fill(n)(alpha(rnd.nextInt(3))).mkString)
+    }
+    val want = (for {
+      (a, sa) <- rows; (b, sb) <- rows
+      if a < b && lev(sa, sb) <= 2
+    } yield (a, b, lev(sa, sb).toLong)).toSet
+    val got = ext.Dedup.editDistance2Pairs(rows.toDF("id", "t"), "id", "t")
+      .select(col("id_a"), col("id_b"), col("dist").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("setJaccardPairsPrefix: verbatim duplicate sets pair at J=1") {
     import spark.implicits._
     val df = Seq((1L, "red blue lime"), (2L, "blue red lime red"),
