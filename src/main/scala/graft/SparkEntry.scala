@@ -912,6 +912,37 @@ object SparkEntry {
         .select(col("bucket"), col("n"), col("min_v"), col("max_v"))
         .orderBy("bucket")),
 
+    // qq1: QUANTILE-QUANTILE drift between the even- and odd-order
+    // snapshots — exact discrete deciles via integer target ranks over
+    // the ord1 ranking machinery (never ceil(p·n) in floats — the FP
+    // trap Stats.qqDrift's scaladoc documents), emitted values are
+    // actual data doubles, the gap one correctly-rounded subtraction.
+    "qq1_quantile_drift" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice"))
+      graft.queries.Stats.qqDrift(
+          o.where(col("o_orderkey") % 2 === 0),
+          o.where(col("o_orderkey") % 2 === 1),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("decile")
+    }),
+
+    // imp1: GROUP-MEDIAN IMPUTATION — dq1 counts the nulls, this repairs
+    // them: planted nulls (%7) refill from the segment's non-null median
+    // (robust, the rob1 argument) with an audit flag; the p=0.5
+    // interpolated quantile of data values is engine-exact
+    // (Quality.imputeByGroupMedian scaladoc).
+    "imp1_median_impute" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("bal"))
+      ext.Quality.imputeByGroupMedian(c, col("c_mktsegment"), col("bal"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("was_imputed"),
+          col("imputed"))
+        .orderBy("c_custkey")
+    }),
+
     // ord1: GLOBAL ORDINALS without the single-reducer global sort — the
     // two-phase zipWithIndex shape expressed relationally: range
     // repartition on the (unique) sort composite, per-partition counts to
@@ -3170,6 +3201,39 @@ object SparkEntry {
            |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
            | min(v) AS min_v, max(v) AS max_v
            |FROM b GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      // qq1: identical exact integer target ranks ((k·n + s−1) // s) over
+      // a (value, id) row_number — no float quantile arithmetic anywhere
+      "qq1_quantile_drift" ->
+        ("""WITH av AS (SELECT o_orderkey AS id, o_totalprice AS v
+           |  FROM orders WHERE o_orderkey % 2 = 0),
+           |bv AS (SELECT o_orderkey AS id, o_totalprice AS v
+           |  FROM orders WHERE o_orderkey % 2 = 1),
+           |ks AS (SELECT unnest(range(1, 10)) AS decile),
+           |na AS (SELECT count(*) AS n FROM av),
+           |nb AS (SELECT count(*) AS n FROM bv),
+           |ra AS (SELECT decile, (decile * n + 9) // 10 AS rk FROM ks, na),
+           |rb AS (SELECT decile, (decile * n + 9) // 10 AS rk FROM ks, nb),
+           |oa AS (SELECT v, row_number() OVER (ORDER BY v, id) AS rn FROM av),
+           |ob AS (SELECT v, row_number() OVER (ORDER BY v, id) AS rn FROM bv),
+           |qa AS (SELECT decile, v AS qa FROM ra JOIN oa ON oa.rn = ra.rk),
+           |qb AS (SELECT decile, v AS qb FROM rb JOIN ob ON ob.rn = rb.rk)
+           |SELECT CAST(qa.decile AS INT) AS decile, qa.qa, qb.qb,
+           | qb.qb - qa.qa AS gap
+           |FROM qa JOIN qb ON qa.decile = qb.decile
+           |ORDER BY decile""".stripMargin.replace("\n", " ")),
+      // imp1: both engines' percentile aggregates skip NULLs; the median
+      // is (a+b)/2 of data values — exact dyadic, the rob1 argument
+      "imp1_median_impute" ->
+        ("""WITH c AS (SELECT c_custkey, c_mktsegment,
+           |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
+           | FROM customer),
+           |m AS (SELECT c_custkey, c_mktsegment, bal,
+           |  quantile_cont(bal, 0.5) OVER (PARTITION BY c_mktsegment) AS med
+           | FROM c)
+           |SELECT c_custkey, c_mktsegment,
+           | CAST(bal IS NULL AS INT) AS was_imputed,
+           | COALESCE(bal, med) AS imputed
+           |FROM m ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
       // ord1: the contract is the plain global window; the engine's
       // range-partitioned two-phase form must agree for any boundary
       // placement

@@ -56,4 +56,36 @@ object Quality {
       .agg(count(lit(1)).as("n_violations"))
       .select(lit(name).as("check_name"), col("n_violations"),
         (col("n_violations") === 0L).cast("int").as("passed"))
+
+  /** GROUP-MEDIAN IMPUTATION — the data-prep step downstream of the
+    * constraint report (dq1 counts the nulls; this repairs them): every
+    * NULL in `value` is replaced by its group's median over the NON-null
+    * members, with a `was_imputed` flag so the repair stays auditable.
+    * Median, not mean, for the same robustness reason rob1 uses MAD —
+    * one corrupt extreme value must not poison every imputed row in its
+    * group.
+    *
+    * Determinism: the p=0.5 interpolated quantile is (a+b)/2 of two data
+    * values — the sum is correctly rounded and the halving exact, so
+    * Spark `percentile` and DuckDB `quantile_cont` produce the identical
+    * double (the rob1 argument; no round() call, no half-boundary).
+    * Groups that are entirely NULL impute nothing (value stays NULL,
+    * flagged) — inventing a global fallback is a policy decision the
+    * caller layers on.
+    *
+    * Shape at scale: ONE window pass over an unordered group partition
+    * (the aggregate ignores nulls via the when-guard); no join-back, no
+    * second scan. Exact percentile buffers a group's rows in the window
+    * operator — per-group bounded; approx_percentile is the documented
+    * swap at extreme group sizes. */
+  def imputeByGroupMedian(df: DataFrame, group: Column,
+                          value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group)
+    // both engines' percentile aggregates skip NULLs — the non-null
+    // median needs no explicit guard
+    val med = call_function("percentile", value, lit(0.5)).over(w)
+    df.withColumn("was_imputed", value.isNull.cast("int"))
+      .withColumn("imputed", coalesce(value, med))
+  }
 }

@@ -135,6 +135,48 @@ object Stats {
     * strictly between two ADJACENT data values (no data in between, and
     * double arithmetic keeps both engines' edges inside that open
     * interval), so `value ≤ edge` classifies identically. */
+  /** QUANTILE-QUANTILE numeric drift between two snapshots — the
+    * distribution-shape monitor next to drift1 (embedding means) and kl1
+    * (token distributions): for each interior `splits`-ile, both sides'
+    * exact DISCRETE quantile and their gap. A mean/σ comparison misses
+    * shape changes (a heavier tail with the same mean); the q-q vector is
+    * the classic shape diagnostic.
+    *
+    * Determinism is STRUCTURAL, not numeric: the k-th quantile's target
+    * rank ⌈k·n/splits⌉ is computed in EXACT integer arithmetic on the
+    * driver (n is one bounded count per side) — never as ceil(p·n) in
+    * floats, where 0.1·7500 = 750.0000…04 silently selects rank 751 —
+    * and the selected value is an actual data value via
+    * [[graft.ext.Curation.globalOrdinals]] (range-partitioned two-phase
+    * ranking, no single-reducer sort), so the emitted numbers are exact
+    * parquet doubles and the gap one correctly-rounded subtraction.
+    * PERCENTILE_DISC semantics (smallest value with cum. freq ≥ k/splits)
+    * without trusting either engine's FP realization of it.
+    *
+    * Shape at scale: per side one range repartition + bounded count + one
+    * per-partition window (the ord1 machinery) + a broadcast join against
+    * the (splits−1)-row literal rank frame. Output: splits−1 rows. */
+  def qqDrift(a: DataFrame, b: DataFrame, id: Column, value: Column,
+              splits: Int = 10): DataFrame = {
+    require(splits >= 2)
+    val spark = a.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, out: String): DataFrame = {
+      val o = graft.ext.Curation.globalOrdinals(
+        df.select(id.as("__id"), value.as("__v")),
+        Seq(col("__v"), col("__id")))
+      val n = o.count()   // reads the cache globalOrdinals materialized
+      val ranks = (1 until splits)
+        .map(k => (k, (k.toLong * n + splits - 1) / splits))
+        .toDF("decile", "rk")
+      o.join(broadcast(ranks), col("ordinal") === col("rk"))
+        .select(col("decile"), col("__v").as(out))
+    }
+    side(a, "qa").join(side(b, "qb"), "decile")
+      .select(col("decile"), col("qa"), col("qb"),
+        (col("qb") - col("qa")).as("gap"))
+  }
+
   def equiDepthHistogram(df: DataFrame, value: Column,
                          splits: Int = 4): DataFrame = {
     require(splits >= 2)

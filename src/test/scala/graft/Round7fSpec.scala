@@ -45,6 +45,39 @@ class Round7fSpec extends SparkSpec {
       9L -> 9L, 10L -> 9L))
   }
 
+  test("qqDrift: exact integer-rank quartiles, including tie runs") {
+    import spark.implicits._
+    val a = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+    // side b: 100 values 101,103,...,299 plus ties at the low end
+    val b = ((1L to 100L).map(i => (i, 99.0 + 2 * i)) :+ (200L, 101.0))
+      .toDF("id", "v")
+    val got = queries.Stats.qqDrift(a, b, col("id"), col("v"), splits = 4)
+      .orderBy("decile")
+      .as[(Int, Double, Double, Double)].collect().toSeq
+    // n_a=100 -> ranks 25,50,75 -> values 25,50,75
+    // n_b=101 -> ranks ceil(k*101/4)=26,51,76 -> sorted b: 101,101,103,...
+    //   rank 26 = 99+2*25=149, rank 51 = 199, rank 76 = 249
+    assert(got == Seq((1, 25.0, 149.0, 124.0), (2, 50.0, 199.0, 149.0),
+      (3, 75.0, 249.0, 174.0)))
+  }
+
+  test("imputeByGroupMedian: median fill, all-null group stays null") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 1L, Some(10.0)), ("g1", 2L, Some(20.0)), ("g1", 3L, None),
+      ("g1", 4L, Some(31.0)),
+      ("g2", 5L, None), ("g2", 6L, None))
+      .toDF("g", "id", "bal")
+    val got = ext.Quality.imputeByGroupMedian(df, col("g"), col("bal"))
+      .orderBy("id")
+      .select("id", "was_imputed", "imputed")
+      .as[(Long, Int, Option[Double])].collect().toSeq
+    // g1 non-null median = 20.0; g2 has nothing to impute from
+    assert(got == Seq((1L, 0, Some(10.0)), (2L, 0, Some(20.0)),
+      (3L, 1, Some(20.0)), (4L, 0, Some(31.0)),
+      (5L, 1, None), (6L, 1, None)))
+  }
+
   test("variantField: drifted, absent, malformed, uncastable payloads") {
     import spark.implicits._
     val df = Seq(
