@@ -912,6 +912,33 @@ object SparkEntry {
         .select(col("bucket"), col("n"), col("min_v"), col("max_v"))
         .orderBy("bucket")),
 
+    // rfm1: RFM behavioral segmentation — per customer the recency /
+    // frequency / monetary metrics scored 1..5 by deterministic NTILE
+    // (customer-key tie-break pins the order-sensitive bucket
+    // boundaries), composed into the classic 3-digit segment code; the
+    // global ntile runs over the |customers|-row aggregate, never the
+    // facts (Behavior.rfmScores scaladoc, incl. the ord1 swap).
+    "rfm1_segmentation" -> ((s, d) =>
+      graft.queries.Behavior.rfmScores(Tables.orders(s, d),
+          col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        .orderBy("cust")),
+
+    // ab1: two-variant A/B conversion lift + pooled two-proportion
+    // z-statistic — variants by customer-key parity, conversion = placed
+    // an urgent order; rates/lift as truncating micro-unit BIGINTs (the
+    // ewma1 fixed-point discipline — small-denominator ratios are the
+    // round-tie population), z rounded (irrational, no terminating
+    // decimals; Behavior.abLift scaladoc).
+    "ab1_test_lift" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey").as("unit"),
+        when(col("c_custkey") % 2 === 0, "A").otherwise("B").as("variant"))
+      val conv = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      graft.queries.Behavior.abLift(cust, col("unit"), col("variant"),
+        conv, col("o_custkey"), "A", "B")
+    }),
+
     // qq1: QUANTILE-QUANTILE drift between the even- and odd-order
     // snapshots — exact discrete deciles via integer target ranks over
     // the ord1 ranking machinery (never ceil(p·n) in floats — the FP
@@ -3201,6 +3228,48 @@ object SparkEntry {
            |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
            | min(v) AS min_v, max(v) AS max_v
            |FROM b GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      // rfm1: identical ntile definition both engines (first n mod b
+      // buckets take one extra), cust tie-break pins the boundaries
+      "rfm1_segmentation" ->
+        ("""WITH per AS (SELECT o_custkey AS cust, max(o_orderdate) AS last_ts,
+           |  count(*) AS freq,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS monetary
+           | FROM orders GROUP BY 1),
+           |sc AS (SELECT cust,
+           |  ntile(5) OVER (ORDER BY last_ts DESC, cust) AS r,
+           |  ntile(5) OVER (ORDER BY freq DESC, cust) AS f,
+           |  ntile(5) OVER (ORDER BY monetary DESC, cust) AS m
+           | FROM per)
+           |SELECT cust, CAST(r AS INT) AS r, CAST(f AS INT) AS f,
+           | CAST(m AS INT) AS m, CAST(r * 100 + f * 10 + m AS INT) AS seg
+           |FROM sc ORDER BY cust""".stripMargin.replace("\n", " ")),
+      // ab1: exact integer counts; micro-rates via truncating //; the z
+      // formula mirrors the engine's operation order token for token
+      "ab1_test_lift" ->
+        ("""WITH pop AS (SELECT c_custkey AS u,
+           |  CASE WHEN c_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS v
+           | FROM customer),
+           |cv AS (SELECT DISTINCT o_custkey AS cu FROM orders
+           | WHERE o_orderpriority = '1-URGENT'),
+           |fl AS (SELECT v, CAST(cu IS NOT NULL AS BIGINT) AS c
+           | FROM pop LEFT JOIN cv ON pop.u = cv.cu),
+           |a AS (SELECT
+           |  CAST(count(CASE WHEN v = 'A' THEN 1 END) AS BIGINT) AS n_a,
+           |  CAST(SUM(CASE WHEN v = 'A' THEN c END) AS BIGINT) AS conv_a,
+           |  CAST(count(CASE WHEN v = 'B' THEN 1 END) AS BIGINT) AS n_b,
+           |  CAST(SUM(CASE WHEN v = 'B' THEN c END) AS BIGINT) AS conv_b
+           | FROM fl)
+           |SELECT n_a, conv_a, n_b, conv_b,
+           | conv_a * 1000000 // n_a AS rate_a_micro,
+           | conv_b * 1000000 // n_b AS rate_b_micro,
+           | conv_b * 1000000 // n_b - conv_a * 1000000 // n_a AS lift_micro,
+           | round((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+           |   - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+           |  / sqrt(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+           |   * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+           |   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+           |  AS zscore
+           |FROM a""".stripMargin.replace("\n", " ")),
       // qq1: identical exact integer target ranks ((k·n + s−1) // s) over
       // a (value, id) row_number — no float quantile arithmetic anywhere
       "qq1_quantile_drift" ->

@@ -117,4 +117,82 @@ object Behavior {
       .withColumn("p", col("n_transitions") /
         sum(col("n_transitions")).over(Window.partitionBy(col("from_type"))))
   }
+
+  /** RFM SEGMENTATION (Hughes 1994) — the classic behavioral customer
+    * scoring: per customer the recency (last purchase), frequency (order
+    * count) and monetary (exact-decimal spend) metrics, each mapped to a
+    * 1..`buckets` NTILE score (1 = best — the DESC orderings put the
+    * most recent / most frequent / highest spenders in bucket 1) and
+    * composed into the three-digit segment code marketers cut campaigns
+    * by. Ties break on the customer key, so the bucket boundaries — the
+    * one place NTILE is order-sensitive — are deterministic and
+    * engine-identical (both engines implement standard NTILE: the first
+    * n mod b buckets take one extra row).
+    *
+    * Shape at scale: the fact table collapses to ONE |customers|-row
+    * aggregate first; the three NTILE windows are intentionally GLOBAL
+    * (bud1's classed-bucket precedent) but run over that aggregate, never
+    * the facts — three sorts of |customers| rows in one task. At customer
+    * counts where a single-task sort hurts, the ord1 two-phase ranking
+    * (range repartition + literal offsets) computes the same ranks
+    * distributed, then scores are rank·buckets/n integer arithmetic —
+    * the documented swap; the scores contract is unchanged. */
+  def rfmScores(orders: DataFrame, custCol: Column, tsCol: Column,
+                amountCol: Column, buckets: Int = 5): DataFrame = {
+    require(buckets >= 2)
+    val per = orders.groupBy(custCol.as("cust"))
+      .agg(max(tsCol).as("last_ts"), count(lit(1)).as("freq"),
+        graft.core.Num.dsum(amountCol).as("monetary"))
+    def score(order: Column*) = ntile(buckets).over(Window.orderBy(order: _*))
+    per.select(col("cust"),
+        score(col("last_ts").desc, col("cust")).as("r"),
+        score(col("freq").desc, col("cust")).as("f"),
+        score(col("monetary").desc, col("cust")).as("m"))
+      .withColumn("seg", col("r") * 100 + col("f") * 10 + col("m"))
+  }
+
+  /** Two-variant A/B CONVERSION LIFT with the pooled two-proportion
+    * z-statistic — the experiment-readout primitive: unit counts and
+    * conversion counts per variant (exact integers), conversion rates,
+    * absolute lift, and z = (p_b − p_a) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with
+    * p̂ the pooled rate. Rates and lift emit as TRUNCATING micro-unit
+    * BIGINTs (conv·10⁶ div n): small-denominator ratios cluster near
+    * simple decimals, exactly the population where round(·,6) on a float
+    * quotient hit its cross-engine half-boundary (the ewma1 incident) —
+    * fixed point has no tie. Only z, an irrational (√), stays a
+    * round(·,6) double: its decimal expansion never terminates, so the
+    * half-boundary event class is empty for it.
+    *
+    * Shape at scale: one broadcast-friendly semi-flag join of the
+    * population against the distinct converted-unit set, one aggregate to
+    * TWO rows, one driver-free 1-row assembly via conditional sums — no
+    * collect, output is a single row. */
+  def abLift(population: DataFrame, unitCol: Column, variantCol: Column,
+             converted: DataFrame, convUnitCol: Column,
+             variantA: String, variantB: String): DataFrame = {
+    val conv = converted.select(convUnitCol.as("__cu")).distinct()
+    val flagged = population
+      .select(unitCol.as("__u"), variantCol.as("__variant"))
+      .join(conv, col("__u") === col("__cu"), "left")
+      .select(col("__variant"), col("__cu").isNotNull.cast("long").as("__c"))
+    val agg = flagged.groupBy().agg(
+      count(when(col("__variant") === variantA, 1)).as("n_a"),
+      sum(when(col("__variant") === variantA, col("__c"))).as("conv_a"),
+      count(when(col("__variant") === variantB, 1)).as("n_b"),
+      sum(when(col("__variant") === variantB, col("__c"))).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    def rateMicro(conv: Column, n: Column): Column =
+      call_function("div", conv * lit(1000000L), n)
+    val ra = rateMicro(col("conv_a"), col("n_a"))
+    val rb = rateMicro(col("conv_b"), col("n_b"))
+    agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      ra.as("rate_a_micro"), rb.as("rate_b_micro"),
+      (rb - ra).as("lift_micro"),
+      round((pb - pa) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a").cast("double")
+          + lit(1.0) / col("n_b").cast("double"))), 6).as("zscore"))
+  }
 }

@@ -72,6 +72,46 @@ class Round7gSpec extends SparkSpec {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("rfmScores: ntile boundaries with tie-break, segment code") {
+    import spark.implicits._
+    // 5 customers, metrics engineered so each quintile has one member;
+    // customer 5 ties customer 4 on frequency -> key break decides
+    val orders = Seq(
+      (1L, "2026-01-05 00:00:00", 500.0), (1L, "2026-01-04 00:00:00", 500.0),
+      (1L, "2026-01-03 00:00:00", 500.0), (1L, "2026-01-02 00:00:00", 500.0),
+      (1L, "2026-01-01 00:00:00", 500.0),
+      (2L, "2026-01-04 12:00:00", 400.0), (2L, "2026-01-01 00:00:00", 400.0),
+      (2L, "2026-01-01 01:00:00", 400.0), (2L, "2026-01-01 02:00:00", 400.0),
+      (3L, "2026-01-03 12:00:00", 300.0), (3L, "2026-01-01 00:00:00", 300.0),
+      (3L, "2026-01-01 01:00:00", 300.0),
+      (4L, "2026-01-02 12:00:00", 200.0), (4L, "2026-01-01 00:00:00", 200.0),
+      (5L, "2026-01-01 12:00:00", 100.0), (5L, "2026-01-01 00:00:00", 50.0))
+      .toDF("cust", "ts", "amt")
+      .select(col("cust"), col("ts").cast("timestamp_ntz").as("ts"), col("amt"))
+    val got = queries.Behavior.rfmScores(orders, col("cust"), col("ts"),
+        col("amt"))
+      .orderBy("cust").as[(Long, Int, Int, Int, Int)].collect().toSeq
+    // recency/frequency/monetary all rank 1<2<3<4<5 best-to-worst except
+    // freq ties (4 and 5 both have 2 orders -> cust 4 gets the better
+    // bucket by key)
+    assert(got == Seq((1L, 1, 1, 1, 111), (2L, 2, 2, 2, 222),
+      (3L, 3, 3, 3, 333), (4L, 4, 4, 4, 444), (5L, 5, 5, 5, 555)))
+  }
+
+  test("abLift: counts, truncating micro rates, pooled z") {
+    import spark.implicits._
+    val pop = (1L to 10L).map(i =>
+      (i, if (i <= 4) "A" else "B")).toDF("unit", "variant")
+    val conv = Seq(1L, 5L, 6L, 7L, 99L).toDF("cu")   // 99 outside population
+    val got = queries.Behavior.abLift(pop, col("unit"), col("variant"),
+        conv, col("cu"), "A", "B")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect().head
+    val z = (0.5 - 0.25) / math.sqrt(0.4 * (1.0 - 0.4) * (1.0 / 4 + 1.0 / 6))
+    val zr = BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(got == ((4L, 1L, 6L, 3L, 250000L, 500000L, 250000L, zr)))
+  }
+
   test("setJaccardPairsPrefix: verbatim duplicate sets pair at J=1") {
     import spark.implicits._
     val df = Seq((1L, "red blue lime"), (2L, "blue red lime red"),
