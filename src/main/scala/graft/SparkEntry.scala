@@ -397,6 +397,15 @@ object SparkEntry {
           col("event_type"), col("ts"), col("value"))
         .orderBy("id", "hour")),
 
+    // w5: trailing 3-hour EVENT-TIME-RANGE window sum — the RANGE
+    // BETWEEN INTERVAL frame type (value-bounded, gap-aware) that ROWS
+    // frames like ts2's approximate only on dense series; exact integer
+    // micro-unit sums (TimeSeries.trailingRangeSum scaladoc).
+    "w5_range_frame" -> ((s, d) =>
+      graft.queries.TimeSeries.trailingRangeSum(events(s, d),
+          col("event_type"), col("ts"), col("value"), "3 hours")
+        .orderBy("id", "hour")),
+
     // ewma1: lag-8 DYADIC exponential smoothing of the same hourly
     // micro-unit totals — power-of-two weights keep the weighted
     // numerator and the present-weight denominator exact BIGINTs, and
@@ -2635,6 +2644,16 @@ object SparkEntry {
            |  sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 24)
            |   / 23 + 1.0), 6) AS zscore
            |FROM w WHERE n = 24 ORDER BY id, hour""".stripMargin.replace("\n", " ")),
+      // w5: identical RANGE INTERVAL frame; integer sums are order-free
+      "w5_range_frame" ->
+        ("""WITH h AS (SELECT event_type AS id, date_trunc('hour', ts) AS hour,
+           |  CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS vm
+           | FROM events GROUP BY 1, 2)
+           |SELECT id, hour, vm,
+           | CAST(sum(vm) OVER (PARTITION BY id ORDER BY hour
+           |  RANGE BETWEEN INTERVAL 3 HOURS PRECEDING AND CURRENT ROW)
+           |  AS BIGINT) AS vm_trailing
+           |FROM h ORDER BY id, hour""".stripMargin.replace("\n", " ")),
       // ewma1: lag-8 dyadic smoothing — integer numerator/denominator,
       // one double division, the identical weights 128..1
       "ewma1_dyadic_smooth" ->

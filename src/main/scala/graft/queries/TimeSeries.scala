@@ -186,6 +186,29 @@ object TimeSeries {
     * identical formula on both sides (sqrt is IEEE-correctly-rounded;
     * `+1` regularizes a zero-variance window). Rounded to 6 decimals.
     */
+  /** Trailing EVENT-TIME-RANGE window sum — the frame type the rest of
+    * the window tier doesn't exercise: ROWS frames (ts2's trailing 24)
+    * count physical rows, so a gap in the series silently widens the
+    * covered time span; a RANGE BETWEEN INTERVAL frame bounds the frame
+    * by the ORDER-BY VALUE, so each row sums exactly the trailing
+    * `window` of event time regardless of how many rows exist in it —
+    * the correct "last N hours" semantics over sparse series. Totals are
+    * the exact integer micro-units of the hourly convention, so the
+    * range sums are order-free exact in any engine.
+    *
+    * Shape at scale: one (key, hour) aggregate shuffle + ONE window pass;
+    * the range frame keeps per-key state bounded by the rows inside the
+    * interval, exactly like a rows frame. Expressed through the SQL
+    * window syntax — the DataFrame `rangeBetween(Long)` API cannot state
+    * interval bounds over a timestamp order key. */
+  def trailingRangeSum(df: DataFrame, key: Column, ts: Column, value: Column,
+                       window: String = "3 hours"): DataFrame =
+    df.groupBy(key.as("id"), date_trunc("hour", ts).as("hour"))
+      .agg(sum(floor(value * lit(1000000d)).cast("long")).as("vm"))
+      .selectExpr("id", "CAST(hour AS TIMESTAMP_NTZ) AS hour", "vm",
+        s"sum(vm) OVER (PARTITION BY id ORDER BY hour RANGE BETWEEN " +
+          s"INTERVAL $window PRECEDING AND CURRENT ROW) AS vm_trailing")
+
   /** ROBUST per-key outlier detection — the median/MAD counterpart to
     * [[hourlyAnomaly]]'s trailing mean/σ z-score: each key's hourly
     * integer totals (the same floor(value·10⁶) micro-unit convention)

@@ -72,6 +72,21 @@ class Round7gSpec extends SparkSpec {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("trailingRangeSum: value-bounded frame ignores row gaps") {
+    import spark.implicits._
+    val rows = Seq(0, 1, 2, 6, 7).zipWithIndex.map { case (h, i) =>
+      ("a", f"2026-01-01 $h%02d:30:00", (i + 1).toDouble)
+    }
+    val df = rows.toDF("k", "ts", "v")
+      .select(col("k"), col("ts").cast("timestamp_ntz").as("ts"), col("v"))
+    val got = queries.TimeSeries.trailingRangeSum(df, col("k"), col("ts"),
+        col("v"), "3 hours")
+      .orderBy("hour").select("vm_trailing").as[Long].collect().toSeq
+    // hour 6 is 4 hours past hour 2: a ROWS(-3..0) frame would still
+    // include it; the RANGE frame must not
+    assert(got.map(_ / 1000000L) == Seq(1L, 3L, 6L, 4L, 9L))
+  }
+
   test("rfmScores: ntile boundaries with tie-break, segment code") {
     import spark.implicits._
     // 5 customers, metrics engineered so each quintile has one member;
