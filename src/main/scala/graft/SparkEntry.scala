@@ -1044,6 +1044,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // asof2: asof1 with a TOLERANCE bound — the latest same-user click
+    // counts only within 2 hours of the error, else NULL (the pandas
+    // merge_asof(tolerance=…) / financial quote-match contract); same
+    // union-and-scan window pass, tolerance as an inclusive post-filter
+    // on the carried right timestamp (AsOf.asofBackwardWithin scaladoc).
+    "asof2_tolerant_match" -> ((s, d) => {
+      val ev = events(s, d)
+      AsOf.asofBackwardWithin(
+        ev.where(col("event_type") === "error")
+          .select("event_id", "user_id", "ts"),
+        ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id")),
+        key = "user_id", ts = "ts", rightCols = Seq("click_id"),
+        tolerance = "2 HOURS", prefix = "m_")
+        .orderBy("event_id")
+    }),
+
     // funnel: view→click→purchase dependent-min chain, 24 h per-step
     // deadline — one (user, ts) shuffle + sort for all three steps
     "fun1_funnel" -> ((s, d) =>
@@ -3390,6 +3407,15 @@ object SparkEntry {
       "asof1_prev_click" ->
         ("""SELECT e.event_id, e.user_id, e.ts,
            | c.event_id AS click_id, c.ts AS click_ts
+           |FROM (SELECT * FROM events WHERE event_type = 'error') e
+           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           | ON e.user_id = c.user_id AND e.ts >= c.ts
+           |ORDER BY e.event_id""".stripMargin.replace("\n", " ")),
+      // asof2: native ASOF plus the identical inclusive tolerance CASE
+      "asof2_tolerant_match" ->
+        ("""SELECT e.event_id, e.user_id, e.ts,
+           | CASE WHEN c.ts >= e.ts - INTERVAL 2 HOURS THEN c.event_id END
+           |  AS m_click_id
            |FROM (SELECT * FROM events WHERE event_type = 'error') e
            |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            | ON e.user_id = c.user_id AND e.ts >= c.ts

@@ -56,4 +56,31 @@ object AsOf {
       rightCols.map(c => col(s"__last_r.$c").as(s"$prefix$c"))
     out.select(projected: _*)
   }
+
+  /** [[asofBackward]] with a TOLERANCE bound — the quote/telemetry
+    * matching semantic ("the latest right row, but only if it is recent
+    * enough"): a match older than `tolerance` before the left timestamp
+    * nulls out instead of matching, the financial as-of contract (pandas
+    * `merge_asof(tolerance=…)`). Matching stays the single union-and-scan
+    * window pass — the tolerance is a POST-filter on the carried right
+    * timestamp (inclusive: right.ts ≥ left.ts − tolerance), never a range
+    * join, so the cost class is unchanged and the oracle can state it as
+    * native ASOF JOIN plus the same CASE. The carried timestamp column is
+    * dropped from the output unless the caller asked for it in
+    * `rightCols`. */
+  def asofBackwardWithin(left: DataFrame, right: DataFrame,
+                         key: String, ts: String, rightCols: Seq[String],
+                         tolerance: String,
+                         prefix: String = "asof_"): DataFrame = {
+    val tsCarried = rightCols.contains(ts)
+    val cols2 = if (tsCarried) rightCols else rightCols :+ ts
+    val joined = asofBackward(left, right, key, ts, cols2, prefix)
+      .withColumn("__ok",
+        col(s"$prefix$ts") >= col(ts) - expr(s"INTERVAL $tolerance"))
+    val filtered = cols2.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"$prefix$c", when(col("__ok"), col(s"$prefix$c")))
+    }
+    (if (tsCarried) filtered else filtered.drop(s"$prefix$ts"))
+      .drop("__ok")
+  }
 }

@@ -72,6 +72,28 @@ class Round7gSpec extends SparkSpec {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("asofBackwardWithin: tolerance nulls stale matches, boundary inclusive") {
+    import spark.implicits._
+    def t(s: String) = s"2026-01-01 $s"
+    val left = Seq((1L, 10L, t("10:00:00")), (2L, 10L, t("13:00:00")),
+      (3L, 20L, t("10:00:00")), (4L, 30L, t("10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val right = Seq((100L, 10L, t("09:30:00")),   // fresh for ev1, stale for ev2
+      (200L, 20L, t("08:00:00")))                  // exactly 2h before ev3
+      .toDF("click_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val got = queries.AsOf.asofBackwardWithin(left, right,
+        key = "user_id", ts = "ts", rightCols = Seq("click_id"),
+        tolerance = "2 HOURS", prefix = "m_")
+      .orderBy("event_id")
+      .select("event_id", "m_click_id")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got == Seq((1L, Some(100L)), (2L, None),   // 3.5 h stale
+      (3L, Some(200L)),                               // boundary inclusive
+      (4L, None)))                                    // no right row at all
+  }
+
   test("trailingRangeSum: value-bounded frame ignores row gaps") {
     import spark.implicits._
     val rows = Seq(0, 1, 2, 6, 7).zipWithIndex.map { case (h, i) =>
