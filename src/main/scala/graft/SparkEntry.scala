@@ -2400,6 +2400,15 @@ object SparkEntry {
           col("n_chars"), col("lang") === "en", width = 200L)
         .orderBy("source", "bin")),
 
+    // conf1: confusion matrix + P/R/F1 at one operating point on the
+    // SAME score fixture as auc1/cal1 — exact integer counts, rates as
+    // truncating micro BIGINTs with NULL on empty denominators
+    // (Eval.confusionAtThreshold scaladoc).
+    "conf1_confusion_f1" -> ((s, d) =>
+      ext.Eval.confusionAtThreshold(Tables.documents(s, d), Seq("source"),
+          col("n_chars"), col("lang") === "en", threshold = 700L)
+        .orderBy("source")),
+
     // sql1: the PURE-SQL user path end-to-end — the sim1 ranking restated
     // as SQL TEXT over a temp view, with the cosine built from the
     // registered native kernel (graft_dot, the SparkSessionExtensions
@@ -4921,6 +4930,20 @@ object SparkEntry {
            |FROM a ORDER BY source""".stripMargin.replace("\n", " ")),
       // cal1: same score/label fixture, integer bins via // — counts and
       // sums stay integral until the two final divisions
+      // conf1: identical exact counts; micro rates via guarded //
+      "conf1_confusion_f1" ->
+        ("""WITH a AS (SELECT source,
+           |  CAST(SUM(CASE WHEN n_chars >= 700 AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |  CAST(SUM(CASE WHEN n_chars >= 700 AND lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |  CAST(SUM(CASE WHEN n_chars < 700 AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |  CAST(SUM(CASE WHEN n_chars < 700 AND lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           | FROM documents GROUP BY 1)
+           |SELECT source, tp, fp, fn, tn,
+           | CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) END AS precision_micro,
+           | CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) END AS recall_micro,
+           | CASE WHEN 2 * tp + fp + fn > 0
+           |  THEN 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_micro
+           |FROM a ORDER BY source""".stripMargin.replace("\n", " ")),
       "cal1_calibration_bins" ->
         ("""SELECT source, CAST(n_chars // 200 AS BIGINT) AS bin,
            | CAST(n_chars // 200 * 200 AS BIGINT) AS bin_lo,

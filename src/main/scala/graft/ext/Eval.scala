@@ -84,4 +84,38 @@ object Eval {
         (col("graft_ssum").cast("double") / col("n").cast("double"))
           .as("mean_score")): _*)
   }
+
+  /** Per-group CONFUSION MATRIX + precision/recall/F1 at a fixed score
+    * threshold — the third leg of the eval tier ([[rocAuc]] grades the
+    * RANKING, [[calibrationBins]] the score MAGNITUDES, this the one
+    * operating point a deployed filter actually runs at). Counts are
+    * exact integers from one map-side-combined aggregate; the derived
+    * rates emit as TRUNCATING micro-unit BIGINTs (numer·10⁶ div denom —
+    * the ab1 discipline: small-denominator ratios are exactly the
+    * round(·,6) half-boundary population, fixed point has no tie), with
+    * empty denominators NULL (no predicted / no actual positives is an
+    * answer, not an error — and the explicit guard keeps ANSI mode from
+    * turning the edge case into a hard div-by-zero).
+    * F1 in one exact division: 2·tp / (2·tp + fp + fn). */
+  def confusionAtThreshold(df: DataFrame, groupCols: Seq[String],
+                           score: Column, label: Column,
+                           threshold: Long): DataFrame = {
+    val base = df.select(groupCols.map(col) ++ Seq(
+      (score.cast("long") >= threshold).as("graft_p"),
+      label.cast("boolean").as("graft_l")): _*)
+    def n(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def micro(num: Column, den: Column) =
+      when(den > 0, call_function("div", num * lit(1000000L), den))
+    base.groupBy(groupCols.map(col): _*)
+      .agg(n(col("graft_p") && col("graft_l")).as("tp"),
+        n(col("graft_p") && !col("graft_l")).as("fp"),
+        n(!col("graft_p") && col("graft_l")).as("fn"),
+        n(!col("graft_p") && !col("graft_l")).as("tn"))
+      .select(groupCols.map(col) ++ Seq(
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        micro(col("tp"), col("tp") + col("fp")).as("precision_micro"),
+        micro(col("tp"), col("tp") + col("fn")).as("recall_micro"),
+        micro(lit(2L) * col("tp"),
+          lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_micro")): _*)
+  }
 }

@@ -72,6 +72,24 @@ class Round7gSpec extends SparkSpec {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("confusionAtThreshold: counts, micro rates, NULL on empty denominators") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", 10L, true), ("s1", 9L, true), ("s1", 10L, false),
+      ("s1", 1L, true), ("s1", 1L, false),
+      ("s2", 1L, false), ("s2", 2L, false))   // no positives, none predicted
+      .toDF("g", "score", "lab")
+    val got = ext.Eval.confusionAtThreshold(df, Seq("g"), col("score"),
+        col("lab"), threshold = 9L)
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect().toSeq
+    // s1: tp=2 fp=1 fn=1 tn=1 -> p=2/3, r=2/3, f1=4/6 (all 666666 micro)
+    assert(got == Seq(
+      ("s1", 2L, 1L, 1L, 1L, Some(666666L), Some(666666L), Some(666666L)),
+      ("s2", 0L, 0L, 0L, 2L, None, None, None)))
+  }
+
   test("asofBackwardWithin: tolerance nulls stale matches, boundary inclusive") {
     import spark.implicits._
     def t(s: String) = s"2026-01-01 $s"
