@@ -586,6 +586,34 @@ object SparkEntry {
         .orderBy("l_orderkey")
     }),
 
+    // src9: Avro LOGICAL TYPES — decimal (unscaled-bytes annotation),
+    // local-timestamp-micros (TIMESTAMP_NTZ, the engine's event-time
+    // convention) and date survive the container round trip bit-exact;
+    // closes the round-7 "logical types out of scope" residual without
+    // the spark-avro connector. Decimal fixtures are EXACT DYADICS
+    // derived from integers (k + 0.25, k + 0.5) — never double→decimal
+    // casts, whose half-boundary rounding is the cross-engine trap the
+    // repo rule bans; graded projections cast back to double (exact) and
+    // render the date as ISO text.
+    "src9_avro_logical" -> ((s, d) => {
+      val o = Tables.table(s, d, "orders").select(
+        col("o_orderkey"),
+        (col("o_orderkey").cast("decimal(18,2)")
+          + lit(0.25).cast("decimal(18,2)")).as("dec2"),
+        when(col("o_orderkey") % 3 === 0,
+          col("o_orderkey").cast("decimal(30,6)")
+            + lit(0.5).cast("decimal(30,6)")).as("dec30"),
+        col("o_orderdate").as("ts_ntz"),
+        col("o_orderdate").cast("date").as("dt"))
+      sources.Avro.avroRoundTrip(s, o, "avro-src9-")
+        .select(col("o_orderkey"),
+          col("dec2").cast("double").as("dec2_d"),
+          col("dec30").cast("double").as("dec30_d"),
+          col("ts_ntz"),
+          date_format(col("dt"), "yyyy-MM-dd").as("dt_iso"))
+        .orderBy("o_orderkey")
+    }),
+
     // prof1: one-pass column profiler over orders (non-null / null /
     // exact-distinct counts, typed min/max per column in ONE aggregate;
     // the exact multi-distinct plans as a single Expand pass — swap in
@@ -1336,7 +1364,13 @@ object SparkEntry {
         .union(docs.select((col("doc_id") + pu).as("doc_id"), col("text")))
         .union(docs.select((col("doc_id") + 2 * pu).as("doc_id"),
           concat(col("text"), lit(" graftdup")).as("text")))
-      ext.Curation.curateFuzzy(planted, "doc_id", "text").orderBy("doc_id")
+      // materializeKept: the fixture-owner decision curateFuzzy's
+      // scaladoc assigns to the caller (the er1-recs precedent) — kept
+      // feeds BOTH the pair finder and the survivor join, and without
+      // the pin the tokenize+stats+fingerprint tier runs once per
+      // consumer; the bench's per-query clearCache owns the release
+      ext.Curation.curateFuzzy(planted, "doc_id", "text",
+        materializeKept = true).orderBy("doc_id")
     }),
 
     // cc1: train/eval decontamination — corpus docs whose shingle overlap
@@ -2345,6 +2379,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // sim6: sim4 answered from STORED index artifacts — the production
+    // shape at 100 TB, where index build and query are DIFFERENT jobs
+    // (SCALING.md §8; the reference's own lambda split:
+    // BatchJobImpl.scala:17-27 re-reads what streaming wrote). Build
+    // writes centroids + the int8 index DIRECTORY-PARTITIONED by list
+    // (Similarity.writeIvfIndex); the query tier reads them back, probes
+    // nprobe lists, and the probed list ids push into the index scan as
+    // an IN filter so only those partitions are READ (partition pruning —
+    // the I/O math that makes a stored IVF index pay). The exact re-rank
+    // fetches full-precision vectors from the primary store, the only
+    // corpus touch. Oracle = sim4's verbatim: stored artifacts must
+    // answer identically to the inline build.
+    "sim6_stored_index" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = graft.core.Scratch.dir("sim6-")
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", "label", dir)
+      Similarity.ivfQuantizedTopKFromIndex(
+          s.read.parquet(s"$dir/centroids"), s.read.parquet(s"$dir/qindex"),
+          emb.select(col("vec_id"), col("embedding").as("v")),
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 3, shortlist = 30)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
     // fit1: distributed MODEL TRAINING graded trajectory-exact — a linear
     // probe over engineered doc features (bias, capped token / distinct /
     // char-decile counts) fit by 4 full-batch GD steps in scaled-BIGINT
@@ -2770,6 +2830,16 @@ object SparkEntry {
            | CAST(max(l_linenumber) AS BIGINT) AS max_line,
            | CAST(count(*) AS BIGINT) AS tag_n
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      // src9: the logical-type round trip is identity on exact dyadics —
+      // the oracle recomputes the fixtures straight off orders
+      "src9_avro_logical" ->
+        ("""SELECT o_orderkey,
+           | CAST(o_orderkey AS DOUBLE) + 0.25 AS dec2_d,
+           | CASE WHEN o_orderkey % 3 = 0
+           |   THEN CAST(o_orderkey AS DOUBLE) + 0.5 END AS dec30_d,
+           | o_orderdate AS ts_ntz,
+           | strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS dt_iso
+           |FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " ")),
       // scd1: change-point runs of event_type per user → validity intervals
       "scd1_type_history" ->
         ("""WITH o AS (SELECT user_id, ts, event_id, event_type,
@@ -5152,8 +5222,18 @@ object SparkEntry {
       // (emb2's round(x·127/max|x|) arithmetic — integer dots, so the
       // shortlist boundary is bit-deterministic), exact re-rank of the
       // 30-candidate shortlist in full precision
-      "sim4_ann_ivf_quant" ->
-        ("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      "sim4_ann_ivf_quant" -> Sim4OracleSql,
+      // sim6: SAME oracle as sim4 — the stored-artifact path must answer
+      // identically to the inline build (index build and query are
+      // different jobs; the artifacts carry no information the inline
+      // derivation doesn't)
+      "sim6_stored_index" -> Sim4OracleSql,
+    )
+  }
+
+  /** sim4's oracle, shared verbatim by sim6 (stored-index path). */
+  private val Sim4OracleSql =
+        """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
            |ex AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e),
            |cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY 1, 2),
            |cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY 1),
@@ -5190,9 +5270,7 @@ object SparkEntry {
            |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
            | FROM scored)
            |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
-           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
-    )
-  }
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")
 
   /** Shared 25-token boilerplate prefix for the ds1/ds2 fixtures (Spark
     * side and oracle SQL must plant the identical string).

@@ -240,9 +240,24 @@ object Curation {
     * the global rank for ANY boundary placement — the oracle states it as
     * the plain window. The input persists once (two consumers: the count
     * pass and the rank pass; the bounded count action doubles as the cache
-    * materializer, the pr1 budget discipline). */
+    * materializer, the pr1 budget discipline) and stays resident after the
+    * call — use [[globalOrdinalsManaged]] to release it once the result is
+    * materialized. */
   def globalOrdinals(df: DataFrame, sortCols: Seq[Column],
-                     numRanges: Int = 64): DataFrame = {
+                     numRanges: Int = 64): DataFrame =
+    globalOrdinalsManaged(df, sortCols, numRanges)._1
+
+  /** [[globalOrdinals]] plus an explicit RELEASE handle for the internal
+    * range-partitioned cache: the rank pass necessarily persists its
+    * repartitioned input (two consumers — the bounded count pass and the
+    * window pass), and the bare [[globalOrdinals]] leaves that cache
+    * resident for library callers outside the bench's per-query
+    * clearCache. Callers that materialize the result (qq1 consumes both
+    * sides into a (splits−1)-row checkpoint) invoke the handle to free
+    * the partitions; calling it before the result is fully consumed
+    * forces a recompute of the repartition, nothing worse. */
+  def globalOrdinalsManaged(df: DataFrame, sortCols: Seq[Column],
+                            numRanges: Int = 64): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     require(sortCols.nonEmpty && numRanges >= 1)
     val parted = df.repartitionByRange(numRanges, sortCols: _*)
@@ -257,9 +272,10 @@ object Curation {
     val offMap = map(offs.flatMap { case (p, o) =>
       Seq(lit(p), lit(o)) }.toIndexedSeq: _*)
     val w = Window.partitionBy("graft_pid").orderBy(sortCols: _*)
-    parted
+    val ranked = parted
       .withColumn("ordinal",
         element_at(offMap, col("graft_pid")) + row_number().over(w))
       .drop("graft_pid")
+    (ranked, () => { parted.unpersist(); () })
   }
 }

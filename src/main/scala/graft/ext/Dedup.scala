@@ -473,8 +473,10 @@ object Dedup {
     * index, so verbatim duplicates can't inflate any posting); document
     * frequencies are one vocabulary-sized aggregate; per-set ranking is
     * ONE id-partitioned window (two frames, one sort); candidates expand
-    * MAP-SIDE from sorted prefix-posting lists as packed longs (the d2
-    * kernel; ids must fit 31 bits — loud error otherwise) and dedup on
+    * MAP-SIDE from sorted prefix-posting lists as packed longs with the
+    * PPJoin length + positional filters fused into the expansion kernel
+    * ([[graft.functions.PairExpandPositionalExpr]] — recall-exact; ids
+    * must fit 31 bits, set sizes 16 — loud error otherwise) and dedup on
     * the packed key before the two verify lookups. The ceil guard
     * subtracts 1e-9 before ceiling: thresholds like 0.8 sit ABOVE their
     * decimal value in binary, and an overshooting ceil would SHRINK the
@@ -504,33 +506,60 @@ object Dedup {
       .select(explode(V.pairExpandNative(col("members"))).as("p"))
       .select(unpack(col("p")) :+ lit(1.0).as("j"): _*)
     val postings = reps.select(col("id"), explode(col("ts")).as("s"))
-    val dfreq = postings.groupBy("s").agg(count(lit(1)).as("df"))
+    // document frequency as a COUNT WINDOW over the token partition — one
+    // exchange on s, no separate vocabulary aggregate + join-back (each
+    // (id, s) is unique below, so the partition count IS df)
     val wRank = Window.partitionBy("id").orderBy(col("df"), col("s"))
-    val ranked = postings.join(dfreq, "s")
+    val ranked = postings
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
       .select(col("id"), col("s"), row_number().over(wRank).as("rk"),
         count(lit(1)).over(Window.partitionBy("id")).as("m"))
     // A double-prefix "require ≥2 shared postings" refinement (the
-    // PPJoin-family positional idea) was measured and REJECTED here: the
+    // PPJoin-family COUNTING idea) was measured and REJECTED here: the
     // extra prefix slot falls on strictly DENSER tokens under the
     // rarest-first order, and generation volume Σ C(len,2) grows faster
-    // than the verify stream shrinks (er1's catalog: 12 s → 22 s). The
-    // full positional/suffix filters (Xiao et al., PPJoin+, WWW'08) prune
-    // DURING expansion and are the principled upgrade if verify cost ever
-    // dominates; at the measured balance the plain prefix + exact verify
-    // is the faster plan.
+    // than the verify stream shrinks (er1's catalog: 12 s → 22 s).
     val prefix = ranked.where(col("rk") <=
       col("m") - ceil(lit(minJaccard) * col("m") - lit(1e-9)) + 1)
-    val cand = prefix.groupBy("s")
-      .agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(V.pairExpandNative(col("ids"))).as("p"))
-      .distinct()
+    // Candidates expand with the PPJoin LENGTH + POSITIONAL filters fused
+    // into the expansion kernel ([[graft.functions.PairExpandPositionalExpr]]
+    // — recall-exact; proof sketch in its scaladoc): each posting carries
+    // its token's global rank and its set's full size packed around the
+    // id, so infeasible size combinations and too-late shared positions
+    // are pruned map-side BEFORE the dedup shuffle ever materializes
+    // them (er1's catalog: 6.9 M raw generations → 2.36 M, measured).
+    // Rank and size must fit 16 bits each (the packer fails loudly via
+    // raise_error) — a >65535-distinct-token "name" is not this
+    // operator's regime ([[ngramJaccardPairs]] covers long documents).
+    val packed = shiftleft(col("rk").cast("long"), 47)
+      .bitwiseOR(shiftleft(col("m").cast("long"), 31))
+      .bitwiseOR(col("id"))
+    val cand = prefix
+      .select(col("s"), when(col("m") < 65536 && col("id").between(0, 0x7fffffffL),
+        packed).otherwise(raise_error(concat(
+          lit("graft setJaccardPairsPrefix: cannot pack (rank, size, id) = ("),
+          col("rk"), lit(", "), col("m"), lit(", "), col("id"),
+          lit(") — setSize needs < 2^16 and id in [0, 2^31)"))).cast("long"))
+        .as("pv"))
+      .groupBy("s")
+      .agg(sort_array(collect_list(col("pv"))).as("pvs"))
+      .where(size(col("pvs")) > 1)
+      .select(explode(V.pairExpandPositionalNative(col("pvs"), minJaccard)).as("p"))
+    // Duplicate generations (a pair sharing ≥2 prefix tokens) dedup AFTER
+    // the verify filter, not before: the verify lookups are broadcast
+    // joins over the bounded rep relation — a fully PIPELINED narrow
+    // stage — so a pre-verify distinct would be the tier's only big
+    // exchange (2.36 M rows on er1's catalog, where measured duplicate
+    // generations are ZERO), while re-verifying a duplicate costs one
+    // short-array intersect (sets are 16-bit-bounded by the packer) and
+    // the post-filter dedup shuffles only true pairs (6 k rows there).
     val verified = withJaccard(cand
         .select(unpack(col("p")): _*)
         .join(reps.select(col("id").as("id_a"), col("ts").as("sh_a")), "id_a")
         .join(reps.select(col("id").as("id_b"), col("ts").as("sh_b")), "id_b"),
       "sh_a", "sh_b")
       .where(col("j") >= minJaccard)
+      .dropDuplicates("id_a", "id_b")
     verified
       .join(groups.select(col("members").getItem(0).as("id_a"),
         col("members").as("ma")), "id_a")
@@ -1007,12 +1036,13 @@ object Dedup {
     * with most others), so the fixpoint lands in 2-3 rounds in practice;
     * general graphs (ccmp1's co-purchase families) take O(label radius)
     * rounds. Scale note: the edge list is output-sized (near-dup pairs),
-    * orders of magnitude smaller than the corpus; each round LOCAL-
-    * CHECKPOINTS its label frame — `lbl` appears twice in the next
-    * round's plan, so persist alone leaves the logical tree doubling
-    * every round (2^25 nodes by the iteration cap: planning itself OOMs
-    * long before any data pressure — the iterative-algorithm trap
-    * GraphX's Pregel periodic checkpoint exists for). The checkpoint
+    * orders of magnitude smaller than the corpus; every `checkpointEvery`
+    * rounds (default 3) the loop LOCAL-CHECKPOINTS its label frame — an
+    * unbounded lazy iteration would accrete a 25-round plan whose
+    * planning alone dwarfs the data (the iterative-algorithm trap
+    * GraphX's Pregel periodic checkpoint exists for); the self-loop
+    * round shape keeps the per-round tree growth LINEAR, and the cadence
+    * amortizes the materialization+count actions k×. The checkpoint
     * materializes the round into self-contained blocks, truncates
     * lineage to a constant-size plan, and the superseded round's blocks
     * are freed via [[org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint]]
@@ -1028,34 +1058,86 @@ object Dedup {
     * families.
     */
   def clusterRoots(pairs: DataFrame, aCol: String = "id_a",
-                   bCol: String = "id_b", maxIters: Int = 25): DataFrame = {
+                   bCol: String = "id_b", maxIters: Int = 25,
+                   checkpointEvery: Int = 2): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // symmetric, deduped edge list — persisted once, read every round
-    val edges = pairs.select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
-      .union(pairs.select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
+    require(checkpointEvery >= 1, "checkpointEvery >= 1")
+    // Symmetric, deduped edge list — persisted once, read every round.
+    // Dedup BELOW the direction-doubling union: `pairs` is typically an
+    // expensive generation DAG (a blocked similarity join), and a
+    // union-of-two-projections-then-distinct runs everything above the
+    // generation DAG's last exchange once PER BRANCH (reuse stops at the
+    // exchange boundary — the CLAUDE.md invariant). Normalizing to
+    // (min, max), deduping, and only THEN mirroring leaves the two union
+    // branches sharing the distinct's own exchange, so the generation
+    // work above it is a cheap final-aggregate, not a verify re-run
+    // (measured ~2 s off er1 at sf0.1).
+    // The normalized deduped pair list is OUTPUT-SIZED (near-dup pairs,
+    // orders of magnitude under the corpus) and referenced four times by
+    // the edge construction below (two directions + self-loop node set);
+    // `pairs` is typically an expensive generation DAG (a blocked
+    // similarity join), and exchange reuse between union branches is
+    // fragile (reuse stops at the exchange boundary; consumers that
+    // diverge re-run the verify tier per branch — measured as a 2-4×
+    // generation re-run inside er1). One eager localCheckpoint
+    // materializes the generation exactly once; everything downstream
+    // reads the tiny RDD.
+    val und = pairs
+      .select(least(col(aCol).cast("long"), col(bCol).cast("long")).as("x"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("y"))
       .distinct()
+      .localCheckpoint()
+    val sym = und.union(und.select(col("y").as("x"), col("x").as("y")))
+    // SELF-LOOPS carry each node's own label through the round, so one
+    // round is ONE join + ONE aggregate — l'(x) = min over (x,y)∈E' of
+    // l(y) with E' = edges ∪ {(x,x)} — and the label frame appears ONCE
+    // per round: the lazy k-round tree grows LINEARLY (the two-reference
+    // `least(l, min-neighbor)` shape doubles it per round). The self edge
+    // is flagged so the same aggregate also recovers the PREVIOUS label
+    // (min over the one self edge) for convergence detection, replacing
+    // the second label join entirely.
+    val edges = sym.select(col("x"), col("y"), lit(false).as("self"))
+      .union(sym.select(col("x")).distinct()
+        .select(col("x"), col("x").as("y"), lit(true).as("self")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // init: l0(x) = min(x, min neighbor) = plain min over E'(x, ·)
     // eager localCheckpoint: materialize + truncate lineage (scaladoc)
-    var lbl = edges.groupBy("x").agg(min(col("y")).as("ny"))
-      .select(col("x"), least(col("x"), col("ny")).as("l"))
+    var lbl = edges.groupBy("x").agg(min(col("y")).as("l"))
       .localCheckpoint()
     var it = 0
     var changed = 1L
     while (changed > 0 && it < maxIters) {
-      // nl(x) = min label among x's neighbors; labels only decrease
-      val next = edges
-        .join(lbl.select(col("x").as("y"), col("l").as("ly")), "y")
-        .groupBy("x").agg(min(col("ly")).as("nl"))
-        .join(lbl, "x")
-        .select(col("x"), least(col("l"), col("nl")).as("l"),
-          (col("nl") < col("l")).as("chg"))
-        .localCheckpoint()
-      changed = next.where(col("chg")).count()
+      // Collapse `k` rounds into ONE lazy plan, then a single
+      // localCheckpoint + convergence count — actions (the fixture-scale
+      // cost: scheduling + codegen per job) drop k×. Convergence needs
+      // only the LAST round's old-vs-new compare: labels are monotone
+      // non-increasing, so "round k changed nothing" is a fixpoint
+      // regardless of what rounds 1..k-1 did. Worst case this overshoots
+      // convergence by k-1 edge-shuffle rounds — the round-7 trade
+      // adjudication asked for exactly this cadence (eager-every-round
+      // cost sd1/cur2 ~3 s of fixture-scale materialization).
+      val k = math.max(1, math.min(checkpointEvery, maxIters - it))
+      var cur = lbl
+      var i = 0
+      while (i < k) {
+        val joined = edges
+          .join(cur.select(col("x").as("y"), col("l").as("ly")), "y")
+        cur =
+          if (i == k - 1)
+            joined.groupBy("x").agg(min(col("ly")).as("l"),
+              min(when(col("self"), col("ly"))).as("old"))
+          else
+            joined.groupBy("x").agg(min(col("ly")).as("l"))
+        i += 1
+      }
+      val next = cur.localCheckpoint()
+      changed = next.where(col("l") < col("old")).count()
       org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(lbl)
       lbl = next.select(col("x"), col("l"))
-      it += 1
+      it += k
     }
     edges.unpersist()
+    org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(und)
     lbl.select(col("x").as("id"), col("l").as("root"))
   }
 

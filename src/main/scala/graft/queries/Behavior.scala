@@ -184,15 +184,19 @@ object Behavior {
     val pb = col("conv_b").cast("double") / col("n_b").cast("double")
     val pp = (col("conv_a") + col("conv_b")).cast("double") /
       (col("n_a") + col("n_b")).cast("double")
+    // Degenerate variants (zero units) NULL out instead of tripping the
+    // ANSI hard div-by-zero — the conf1 `when(den > 0)` discipline; the
+    // z-score needs both arms populated.
     def rateMicro(conv: Column, n: Column): Column =
-      call_function("div", conv * lit(1000000L), n)
+      when(n > 0, call_function("div", conv * lit(1000000L), n))
     val ra = rateMicro(col("conv_a"), col("n_a"))
     val rb = rateMicro(col("conv_b"), col("n_b"))
     agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
       ra.as("rate_a_micro"), rb.as("rate_b_micro"),
       (rb - ra).as("lift_micro"),
-      round((pb - pa) / sqrt(pp * (lit(1.0) - pp) *
-        (lit(1.0) / col("n_a").cast("double")
-          + lit(1.0) / col("n_b").cast("double"))), 6).as("zscore"))
+      when(col("n_a") > 0 && col("n_b") > 0,
+        round((pb - pa) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n_a").cast("double")
+            + lit(1.0) / col("n_b").cast("double"))), 6)).as("zscore"))
   }
 }

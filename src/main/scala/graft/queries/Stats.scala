@@ -109,32 +109,6 @@ object Stats {
         try_divide(num, vx).as("slope")): _*)
   }
 
-  /** EQUI-DEPTH histogram — the profiling complement to the equi-WIDTH
-    * shape (dt1): `splits` buckets holding ~equal row counts, edges at the
-    * exact interpolated quantiles. Equi-width histograms of skewed
-    * business values put 99% of rows in one bar; equi-depth is the form
-    * optimizers and drift monitors actually consume (NDV-per-range
-    * estimates, CDF comparisons).
-    *
-    * Shape at scale: ONE exact-percentile aggregate produces all edges in
-    * a single 1-row result (bounded driver state — the bf1 literal-inline
-    * discipline: edges ride back into the plan as LITERALS, so the bucket
-    * projection is pure codegen, no join against a 1-row frame), then one
-    * map-side-combined group-by on the bucket id. Exact percentile
-    * buffers the column per partition — at extreme table sizes swap
-    * approx_percentile for the edge pass (documented exact→approximate
-    * swap; bucket semantics unchanged).
-    *
-    * Determinism: emitted values are row COUNTS and MIN/MAX of actual data
-    * values (exact doubles) — the interpolated edges themselves are NOT
-    * emitted, because Spark's `a + f·(b−a)` and DuckDB's `(1−f)·a + f·b`
-    * interpolations can differ by 1 ulp. A 1-ulp edge shift only matters
-    * if a data value lands strictly between the two engines' edges —
-    * impossible: an interpolated edge either equals a data value (its two
-    * neighbors tie; both formulas then return exactly that value) or lies
-    * strictly between two ADJACENT data values (no data in between, and
-    * double arithmetic keeps both engines' edges inside that open
-    * interval), so `value ≤ edge` classifies identically. */
   /** QUANTILE-QUANTILE numeric drift between two snapshots — the
     * distribution-shape monitor next to drift1 (embedding means) and kl1
     * (token distributions): for each interior `splits`-ile, both sides'
@@ -162,32 +136,69 @@ object Stats {
     val spark = a.sparkSession
     import spark.implicits._
     def side(df: DataFrame, out: String): DataFrame = {
-      val o = graft.ext.Curation.globalOrdinals(
+      val (o, release) = graft.ext.Curation.globalOrdinalsManaged(
         df.select(id.as("__id"), value.as("__v")),
         Seq(col("__v"), col("__id")))
       val n = o.count()   // reads the cache globalOrdinals materialized
       val ranks = (1 until splits)
         .map(k => (k, (k.toLong * n + splits - 1) / splits))
         .toDF("decile", "rk")
-      o.join(broadcast(ranks), col("ordinal") === col("rk"))
+      // (splits−1) rows — checkpoint the bounded result so the internal
+      // range-partitioned cache can be released immediately
+      val res = o.join(broadcast(ranks), col("ordinal") === col("rk"))
         .select(col("decile"), col("__v").as(out))
+        .localCheckpoint()
+      release()
+      res
     }
     side(a, "qa").join(side(b, "qb"), "decile")
       .select(col("decile"), col("qa"), col("qb"),
         (col("qb") - col("qa")).as("gap"))
   }
 
+  /** EQUI-DEPTH histogram — the profiling complement to the equi-WIDTH
+    * shape (dt1): `splits` buckets holding ~equal row counts, edges at the
+    * exact interpolated quantiles. Equi-width histograms of skewed
+    * business values put 99% of rows in one bar; equi-depth is the form
+    * optimizers and drift monitors actually consume (NDV-per-range
+    * estimates, CDF comparisons).
+    *
+    * Shape at scale: ONE exact-percentile aggregate produces all edges in
+    * a single 1-row result (bounded driver state — the bf1 literal-inline
+    * discipline: edges ride back into the plan as LITERALS, so the bucket
+    * projection is pure codegen, no join against a 1-row frame), then one
+    * map-side-combined group-by on the bucket id. Exact percentile
+    * buffers the column per partition — at extreme table sizes swap
+    * approx_percentile for the edge pass (documented exact→approximate
+    * swap; bucket semantics unchanged).
+    *
+    * NULL values are excluded up front: `percentile` already ignores
+    * them, and without the explicit filter a NULL would fall through
+    * every `value <= edge` arm into the LAST bucket's count while
+    * min/max skipped it — a silent miscount.
+    *
+    * Determinism: emitted values are row COUNTS and MIN/MAX of actual data
+    * values (exact doubles) — the interpolated edges themselves are NOT
+    * emitted, because Spark's `a + f·(b−a)` and DuckDB's `(1−f)·a + f·b`
+    * interpolations can differ by 1 ulp. A 1-ulp edge shift only matters
+    * if a data value lands strictly between the two engines' edges —
+    * impossible: an interpolated edge either equals a data value (its two
+    * neighbors tie; both formulas then return exactly that value) or lies
+    * strictly between two ADJACENT data values (no data in between, and
+    * double arithmetic keeps both engines' edges inside that open
+    * interval), so `value ≤ edge` classifies identically. */
   def equiDepthHistogram(df: DataFrame, value: Column,
                          splits: Int = 4): DataFrame = {
     require(splits >= 2)
+    val nn = df.where(value.isNotNull)
     val probs = (1 until splits).map(_.toDouble / splits).toArray
-    val edges = df.agg(call_function("percentile", value,
+    val edges = nn.agg(call_function("percentile", value,
         lit(probs)).as("e")).head().getSeq[Double](0)
     val bucket = edges.zipWithIndex.reverse
       .foldLeft(lit(splits - 1): Column) { case (acc, (e, i)) =>
         when(value <= e, lit(i)).otherwise(acc)
       }
-    df.select(bucket.as("bucket"), value.as("graft_v"))
+    nn.select(bucket.as("bucket"), value.as("graft_v"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), min("graft_v").as("min_v"),
         max("graft_v").as("max_v"))

@@ -139,8 +139,16 @@ object TimeSeries {
     }
     val num = terms.map(_._1).reduce(_ + _)
     val den = terms.map(_._2).reduce(_ + _)
+    // FLOOR division, not Spark's truncate-toward-zero `div`: the oracle
+    // restates this as DuckDB `//`, which floors — the two agree only for
+    // non-negative numerators, and event values are not contractually
+    // positive. den > 0 always (the k=0 weight is present on every row),
+    // so floor = trunc − 1 exactly when the division is inexact and
+    // negative.
+    val q = call_function("div", num, den)
     hourly
-      .withColumn("smooth", call_function("div", num, den))
+      .withColumn("smooth",
+        when(num < 0 && num % den =!= 0, q - 1).otherwise(q))
       .select(col("id"), col("hour").cast("timestamp_ntz").as("hour"),
         col("vm"), col("smooth"))
   }

@@ -25,11 +25,16 @@ import scala.jdk.CollectionConverters._
   * Scope: primitives (long/int/double/float/boolean/string/binary) plus
   * NESTED struct / array / string-keyed map, recursively — the full
   * shape of the [[graft.ext.Multimodal]] asset manifests and nd1's
-  * array<struct> document model. Out of scope: Avro logical types
-  * (decimal/timestamp) — cast at the edge, the same discipline every
-  * other source here applies; `spark.read.format("avro")` remains the
-  * drop-in connector at deploy time (both ends take the same
-  * (path, StructType) surface it does).
+  * array<struct> document model — plus the Avro LOGICAL TYPES the
+  * reference's serving schemas would exchange (Avro spec §Logical
+  * Types): `decimal` (bytes carrying the two's-complement unscaled
+  * value, precision/scale annotated), `timestamp-micros` (long,
+  * instant-semantics TimestampType), `local-timestamp-micros` (long,
+  * TIMESTAMP_NTZ — the engine's event-time convention), and `date`
+  * (int epoch days). Annotations ride in the writer schema, so files
+  * interop with spark-avro and any Avro consumer;
+  * `spark.read.format("avro")` remains the drop-in connector at deploy
+  * time (both ends take the same (path, StructType) surface it does).
   *
   * This is the codebase's one deliberate RDD boundary besides multimodal
   * decode: per-record GenericRecord assembly/extraction is genuinely
@@ -52,6 +57,14 @@ object Avro {
       case BooleanType => "\"boolean\""
       case StringType  => "\"string\""
       case BinaryType  => "\"bytes\""
+      case d: DecimalType =>
+        s"""{"type":"bytes","logicalType":"decimal","precision":${d.precision},"scale":${d.scale}}"""
+      case TimestampType =>
+        """{"type":"long","logicalType":"timestamp-micros"}"""
+      case TimestampNTZType =>
+        """{"type":"long","logicalType":"local-timestamp-micros"}"""
+      case DateType =>
+        """{"type":"int","logicalType":"date"}"""
       case st: StructType => record(st, path)
       case ArrayType(elem, containsNull) =>
         val items = wrap(gen(elem, path + "_item"), containsNull)
@@ -109,6 +122,28 @@ object Avro {
         m.foreach { case (k, x) => out.put(k, toAvro(x, vt, sch.getValueType)) }
         out
       case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case d: DecimalType =>
+        // Avro decimal: two's-complement big-endian unscaled value at the
+        // SCHEMA's scale — rescale first so the bytes decode at d.scale
+        val bd = v.asInstanceOf[java.math.BigDecimal]
+          .setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
+        java.nio.ByteBuffer.wrap(bd.unscaledValue().toByteArray)
+      case TimestampType => v match {
+        // micros since epoch (timestamp-micros); external value is
+        // java.sql.Timestamp by default, Instant under the java8 API flag
+        case ts: java.sql.Timestamp =>
+          math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+        case i: java.time.Instant =>
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+      }
+      case TimestampNTZType =>
+        val ldt = v.asInstanceOf[java.time.LocalDateTime]
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+      case DateType => v match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case ld: java.time.LocalDate => ld.toEpochDay.toInt
+      }
       case _ => v
     }
   }
@@ -137,6 +172,24 @@ object Avro {
       case BinaryType =>
         val bb = v.asInstanceOf[java.nio.ByteBuffer]
         val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+      case d: DecimalType =>
+        val bb = v.asInstanceOf[java.nio.ByteBuffer]
+        val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+        new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale)
+      case TimestampType =>
+        val micros = v.asInstanceOf[Long]
+        val ts = new java.sql.Timestamp(math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
+      case TimestampNTZType =>
+        val micros = v.asInstanceOf[Long]
+        java.time.LocalDateTime.ofEpochSecond(
+          math.floorDiv(micros, 1000000L),
+          (math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[Int].toLong))
       case StringType => v.toString // Utf8 → String copy
       case _ => v
     }

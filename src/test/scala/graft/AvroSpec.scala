@@ -6,7 +6,8 @@ import graft.sources.Avro
 
 /** S4 Avro source/sink over the stock classpath (avro-mapred, no
   * connector): value fidelity incl. nulls and hostile strings, nested
-  * struct/array/map recursion, binary, and the logical-type scope guard. */
+  * struct/array/map recursion, binary, and the logical-type matrix
+  * (decimal / timestamp-micros / local-timestamp-micros / date). */
 class AvroSpec extends SparkSpec {
 
   test("avro round-trip preserves primitives, nulls and hostile strings") {
@@ -79,8 +80,40 @@ class AvroSpec extends SparkSpec {
     }
   }
 
-  test("logical types are rejected toward the connector path") {
-    val dec = StructType(Seq(StructField("a", DecimalType(10, 2))))
-    intercept[IllegalArgumentException](Avro.avroSchemaJson(dec, "r"))
+  test("logical types round-trip: decimal / timestamp / timestamp_ntz / date, nulls included") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("dec", DecimalType(10, 2), nullable = true),
+      StructField("big", DecimalType(30, 6), nullable = true),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("ntz", TimestampNTZType, nullable = true),
+      StructField("d", DateType, nullable = true)))
+    def bd(s: String) = new java.math.BigDecimal(s)
+    val rows = Seq(
+      Row(1L, bd("12345678.90"), bd("123456789012345678901234.567891"),
+        java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456"),
+        java.time.LocalDateTime.parse("2024-01-02T03:04:05.000001"),
+        java.sql.Date.valueOf("2024-01-02")),
+      Row(2L, bd("-0.01"), bd("-1.000001"),
+        java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999"), // pre-epoch
+        java.time.LocalDateTime.parse("1969-12-31T23:59:59.999999"),
+        java.sql.Date.valueOf("1969-12-31")),
+      Row(3L, null, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val back = Avro.avroRoundTrip(spark, df, "avro-logical-")
+    assert(back.schema == schema)
+    val got = back.collect().sortBy(_.getLong(0)).toSeq
+    // compare via Spark-normalized values (Decimal scale normalization):
+    // collect both frames and compare row-by-row
+    val want = df.collect().sortBy(_.getLong(0)).toSeq
+    assert(got == want, s"got $got\nexpected $want")
+    // the writer schema carries the interop annotations spark-avro and
+    // any Avro consumer resolve
+    val json = Avro.avroSchemaJson(schema, "r")
+    assert(json.contains(""""logicalType":"decimal","precision":10,"scale":2"""))
+    assert(json.contains(""""logicalType":"timestamp-micros""""))
+    assert(json.contains(""""logicalType":"local-timestamp-micros""""))
+    assert(json.contains(""""logicalType":"date""""))
   }
 }

@@ -37,7 +37,14 @@ object DumpPlans {
       // frontier BFS, and the label-star incremental components
       "ssj1_set_similarity_join", "mmr1_diverse_topk",
       "ord1_global_ordinals", "bfs1_seed_hops",
-      "inc4_incremental_components")
+      "inc4_incremental_components",
+      // round-8: the expensive batch tail the round-7 verdict asked the
+      // inventory to cover (er1/kcore1/cur2/ccmp1/d7 are the costliest
+      // non-streaming bench lines; streaming replays' returned frames are
+      // plain parquet reads — their cost is engine fixed overhead, not a
+      // plan), plus the stored-index ANN path (partition-pruned probes)
+      "er1_golden_record", "kcore1_peel", "cur2_fuzzy_curation",
+      "ccmp1_components", "d7_editdist2", "sim6_stored_index")
     val sections = new StringBuilder
     val inventory = new StringBuilder
     inventory.append("\n## Plan inventory — all graded queries (finalized plans, sf0.001)\n\n")

@@ -106,6 +106,42 @@ class JdbcSpec extends SparkSpec {
     assert(back.count() >= 3)
   }
 
+  test("dialect matrix: Derby vs Postgres DDL/upsert mapping, Derby row executed for real") {
+    import graft.core.Provisioner
+    import graft.core.Provisioner.{Derby, Postgres}
+    // The divergent surface, rendered per dialect. Postgres (the
+    // reference's serving DB) cannot run offline — its rendering is
+    // pinned as text; the Derby rendering executes below.
+    val cols = Seq("email" -> "'a@ex.org'", "usage_b" -> "7", "quota" -> "100")
+    val pg = Postgres.upsertSql("user_quota_limit", Seq("email"), cols)
+    assert(pg == "INSERT INTO user_quota_limit (email, usage_b, quota) " +
+      "VALUES ('a@ex.org', 7, 100) ON CONFLICT (email) DO UPDATE SET " +
+      "usage_b = EXCLUDED.usage_b, quota = EXCLUDED.quota", pg)
+    assert(Postgres.varcharDdl(64) == "VARCHAR(64)"
+      && Postgres.bigintDdl == "BIGINT" && Postgres.timestampDdl == "TIMESTAMP")
+    val db = Derby.upsertSql("UPQ_DIALECT", Seq("email"), cols)
+    assert(db.startsWith("MERGE INTO UPQ_DIALECT t USING SYSIBM.SYSDUMMY1 ON "), db)
+    // Derby row runs for real: provision through the seam, upsert twice
+    // with changing values — second run UPDATES instead of duplicating
+    Provisioner.withConnection(url, "", "") { conn =>
+      Provisioner.ensureTable(conn, "UPQ_DIALECT",
+        s"email ${Derby.varcharDdl(256)}, usage_b ${Derby.bigintDdl}, " +
+          s"quota ${Derby.bigintDdl}", Derby)
+      Provisioner.upsert(conn, Derby, "UPQ_DIALECT", Seq("email"), cols)
+      Provisioner.upsert(conn, Derby, "UPQ_DIALECT", Seq("email"),
+        Seq("email" -> "'a@ex.org'", "usage_b" -> "9", "quota" -> "100"))
+      Provisioner.upsert(conn, Derby, "UPQ_DIALECT", Seq("email"),
+        Seq("email" -> "'b@ex.org'", "usage_b" -> "1", "quota" -> "50"))
+    }
+    val back = Tables.jdbcTable(spark, url, "UPQ_DIALECT", "", "")
+      .orderBy("email").collect()
+    assert(back.length == 2, s"upsert must key on email: ${back.mkString}")
+    assert(back(0).getLong(1) == 9L, "second upsert must update usage_b")
+    // the pipeline provisioner itself through the explicit dialect seam
+    Provisioner.provisionPipeline(url, "", "",
+      Seq(("u1", "n1", "e1@ex.org", 5L)), Derby)
+  }
+
   test("range-partitioned parallel JDBC read: disjoint covering partitions") {
     val nation = Tables.nation(spark, sf)
       .select(col("n_nationkey").cast("long").as("n_nationkey"),

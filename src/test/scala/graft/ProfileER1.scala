@@ -45,13 +45,48 @@ object ProfileER1 {
     val np = t("namePairs (prefix join)")(
       ext.Dedup.setJaccardPairsPrefix(recs, "id", "name", 0.75).count())
     println(s"  -> $np name pairs")
+    val np2 = t("namePairs again (warm)")(
+      ext.Dedup.setJaccardPairsPrefix(recs, "id", "name", 0.75).count())
+    println(s"  -> $np2 name pairs")
+    val keyPairs = recs
+      .select(col("id").cast("long").as("id"), col("sku").as("k"))
+      .where(col("k").isNotNull)
+      .groupBy("k").agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(
+        graft.functions.VectorExpressions.pairExpandNative(col("ids"))).as("p"))
+      .select(call_function("shiftright", col("p"), lit(32)).as("id_a"),
+        col("p").bitwiseAND(lit(0xffffffffL)).as("id_b"))
+    val nk = t("keyPairs")(keyPairs.count())
+    println(s"  -> $nk key pairs")
+    val allPairs = keyPairs.union(
+      ext.Dedup.setJaccardPairsPrefix(recs, "id", "name", 0.75)
+        .select(col("id_a"), col("id_b"))).localCheckpoint()
+    t("pairs checkpoint")(())
+    val nr = t("clusterRoots on pairs")(
+      ext.Dedup.clusterRoots(allPairs).count())
+    println(s"  -> $nr labeled")
     val comp = t("matchComponents (full)")(
       ext.EntityResolution.matchComponents(recs, "id", "name", "sku", 0.75)
         .count())
     println(s"  -> $comp component rows")
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.put(js.jobId, js.time)
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = jobs.getOrDefault(je.jobId, je.time)
+        println(f"    job ${je.jobId}%4d  ${(je.time - t0) / 1e3}%6.2f s")
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val nr2 = t("clusterRoots again (jobs)")(
+      ext.Dedup.clusterRoots(allPairs).count())
+    println(s"  -> $nr2 labeled")
     val full = t("full er1 query")(
       SparkEntry.queries("er1_golden_record")(spark, sfDir).count())
     println(s"  -> $full golden records")
+    spark.sparkContext.removeSparkListener(listener)
     spark.stop()
   }
 }

@@ -226,15 +226,18 @@ class PropertySpec extends SparkSpec {
   }
 
   test("tokenBudgetFill equals the single-window definition on random corpora") {
-    // randomized sources/sizes (including zero-token rows and budgets that
-    // land anywhere from nothing-kept to everything-kept); the bucketed
-    // two-phase implementation must match the naive per-source running-sum
-    // window bit-for-bit — the bud1 oracle contract, fuzzed
+    // randomized sources/sizes (including zero-token rows, NEGATIVE-token
+    // rows — malformed upstream data the operator contractually EXCLUDES,
+    // like NULL sources — and budgets that land anywhere from nothing-kept
+    // to everything-kept); the bucketed two-phase implementation must
+    // match the naive per-source running-sum window over the well-formed
+    // rows bit-for-bit — the bud1 oracle contract, fuzzed
     val gen = for {
       n <- Gen.choose(1, 60)
       rows <- Gen.listOfN(n, for {
         src <- Gen.oneOf("w", "c", "m")
-        tok <- Gen.frequency(5 -> Gen.choose(1L, 40L), 1 -> Gen.const(0L))
+        tok <- Gen.frequency(5 -> Gen.choose(1L, 40L), 1 -> Gen.const(0L),
+          1 -> Gen.choose(-40L, -1L))
       } yield (src, tok))
       budget <- Gen.choose(0L, 400L)
     } yield (rows, budget)
@@ -251,7 +254,7 @@ class PropertySpec extends SparkSpec {
             SUM(n_tokens) OVER (PARTITION BY source ORDER BY
               CAST(conv(substring(sha2(cast(concat(cast(doc_id AS STRING), ':fz') AS BINARY), 256), 1, 15), 16, 10) AS BIGINT) % 1048576,
               doc_id) AS cum
-          FROM fz_docs) WHERE cum <= $budget""")
+          FROM fz_docs WHERE n_tokens >= 0) WHERE cum <= $budget""")
         .as[(Long, String, Long)].collect().toSet
       assert(got == want,
         s"budget=$budget: missing ${want -- got}, extra ${got -- want}")
