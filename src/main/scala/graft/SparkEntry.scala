@@ -1471,6 +1471,17 @@ object SparkEntry {
     "bpe1_pair_counts" -> ((s, d) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, d), "text")),
 
+    // msk1: T5-style SPAN CORRUPTION, deterministic — the denoising
+    // training-pair builder: fixed 3-token spans mask at 15% by the sp1
+    // hash-fate rule (pure function of (doc, span, salt) — replayable,
+    // retry-safe, oracle-replicable, unlike T5's random sampler),
+    // sentinels number in span order, targets carry the masked spans.
+    // Oracle restates the identical grouping/hash/window/string assembly.
+    "msk1_span_corruption" -> ((s, d) =>
+      TextAnalysis.maskSpans(Tables.documents(s, d), "doc_id", "text",
+          "graftmask")
+        .orderBy("doc_id")),
+
     // bpe2: the ITERATIVE loop bpe1 seeds — three actual BPE merge
     // rounds over the word-frequency vocabulary: count adjacent symbol
     // pairs, merge the argmax pair corpus-wide (lexicographic tie-break),
@@ -2395,6 +2406,34 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val dir = graft.core.Scratch.dir("sim6-")
       Similarity.writeIvfIndex(emb, "vec_id", "embedding", "label", dir)
+      Similarity.ivfQuantizedTopKFromIndex(
+          s.read.parquet(s"$dir/centroids"), s.read.parquet(s"$dir/qindex"),
+          emb.select(col("vec_id"), col("embedding").as("v")),
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 3, shortlist = 30)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // sim7: INCREMENTAL index maintenance — the third job of the stored
+    // index's lifecycle (sim6 grades build+query; this grades APPEND):
+    // the index is built over 3/4 of the corpus, the remaining quarter
+    // arrives later and appends WITHOUT a rebuild — assigned to the
+    // frozen stored centroids by the probe metric (cosine, same
+    // tie-break), quantized, appended into only the affected list
+    // directories — and the query tier answers from the final artifact.
+    // Centroids stay from build time (the FAISS IVF contract), so the
+    // oracle recomputes centroids over the INITIAL subset, assigns the
+    // appended quarter by the identical argmax-cosine window, and runs
+    // the sim4 pipeline over the unioned index.
+    "sim7_index_append" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = graft.core.Scratch.dir("sim7-")
+      Similarity.writeIvfIndex(emb.where(col("vec_id") % 4 =!= 1),
+        "vec_id", "embedding", "label", dir)
+      Similarity.appendToIvfIndex(emb.where(col("vec_id") % 4 === 1),
+        "vec_id", "embedding", dir)
       Similarity.ivfQuantizedTopKFromIndex(
           s.read.parquet(s"$dir/centroids"), s.read.parquet(s"$dir/qindex"),
           emb.select(col("vec_id"), col("embedding").as("v")),
@@ -4187,6 +4226,31 @@ object SparkEntry {
            | SELECT unnest([word[i:i+1] for i in range(1, len(word))]) AS pair
            | FROM (SELECT unnest($toksSql) AS word FROM documents))
            |GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""".stripMargin.replace("\n", " ")),
+      // msk1: identical span grouping, hash fate, sentinel numbering and
+      // string assembly — string_agg's null-skip yields the NULL target
+      // on unmasked docs exactly like the Spark-side when-guard
+      "msk1_span_corruption" ->
+        (s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok,
+           |  generate_subscripts($toksSql, 1) AS p1
+           | FROM documents WHERE len($toksSql) > 0),
+           |g0 AS (SELECT doc_id, (p1 - 1) // 3 AS g,
+           |  list(tok ORDER BY p1) AS gtoks FROM tk GROUP BY 1, 2),
+           |g1 AS (SELECT *, ('0x' || substring(sha256(
+           |   doc_id::VARCHAR || ':' || g::VARCHAR || ':graftmask'), 1, 15))::BIGINT
+           |   % 100 < 15 AS flag FROM g0),
+           |g2 AS (SELECT *, SUM(CASE WHEN flag THEN 1 ELSE 0 END)
+           |   OVER (PARTITION BY doc_id ORDER BY g
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |   - (CASE WHEN flag THEN 1 ELSE 0 END) AS k FROM g1)
+           |SELECT doc_id,
+           | string_agg(CASE WHEN flag THEN '<extra_id_' || k || '>'
+           |   ELSE array_to_string(gtoks, ' ') END, ' ' ORDER BY g) AS masked_text,
+           | string_agg(CASE WHEN flag
+           |   THEN '<extra_id_' || k || '> ' || array_to_string(gtoks, ' ') END,
+           |  ' ' ORDER BY g) AS target_text,
+           | CAST(COALESCE(SUM(CASE WHEN flag THEN len(gtoks) ELSE 0 END), 0)
+           |  AS BIGINT) AS n_masked
+           |FROM g2 GROUP BY 1 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       // bpe2: the identical three merge rounds unrolled — same spaced-
       // symbol representation, same literal replace, same argmax
       // tie-break; see TextAnalysis.bpeMergeRounds
@@ -5228,6 +5292,58 @@ object SparkEntry {
       // different jobs; the artifacts carry no information the inline
       // derivation doesn't)
       "sim6_stored_index" -> Sim4OracleSql,
+      // sim7: sim4's pipeline with centroids over the INITIAL 3/4 and the
+      // appended quarter assigned by the identical argmax-cosine window
+      // (row_number over csim DESC, list ASC), lists = union of the two
+      "sim7_index_append" ->
+        ("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |init AS (SELECT * FROM e WHERE vec_id % 4 <> 1),
+           |ex AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM init),
+           |cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY 1, 2),
+           |cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY 1),
+           |asg AS (SELECT vec_id, list FROM (
+           | SELECT a.vec_id, cent.label AS list,
+           |  row_number() OVER (PARTITION BY a.vec_id
+           |   ORDER BY list_dot_product(a.v, cent.c) /
+           |     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(cent.c, cent.c))) DESC,
+           |    cent.label ASC) AS pr
+           | FROM e a CROSS JOIN cent WHERE a.vec_id % 4 = 1) t WHERE pr = 1),
+           |idx AS (SELECT vec_id, label AS list FROM init
+           | UNION ALL SELECT vec_id, list FROM asg),
+           |qz AS (SELECT vec_id,
+           |  list_transform(v, x -> round(x * CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END)) AS qv
+           | FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e)),
+           |q AS (SELECT vec_id AS query_id, v AS fqv FROM e WHERE vec_id < 5),
+           |probes AS (
+           | SELECT query_id, label FROM (
+           |  SELECT q.query_id, cent.label,
+           |   row_number() OVER (PARTITION BY q.query_id
+           |    ORDER BY list_dot_product(q.fqv, cent.c) /
+           |      (sqrt(list_dot_product(q.fqv, q.fqv)) * sqrt(list_dot_product(cent.c, cent.c))) DESC,
+           |     cent.label ASC) AS pr
+           |  FROM q CROSS JOIN cent) t WHERE pr <= 3),
+           |shortq AS (
+           | SELECT query_id, neighbor_id FROM (
+           |  SELECT p.query_id, i.vec_id AS neighbor_id,
+           |   row_number() OVER (PARTITION BY p.query_id
+           |    ORDER BY list_dot_product(zq.qv, z2.qv) /
+           |      (sqrt(list_dot_product(zq.qv, zq.qv)) * sqrt(list_dot_product(z2.qv, z2.qv))) DESC,
+           |     i.vec_id ASC) AS sr
+           |  FROM probes p
+           |   JOIN qz zq ON zq.vec_id = p.query_id
+           |   JOIN idx i ON i.list = p.label AND i.vec_id <> p.query_id
+           |   JOIN qz z2 ON z2.vec_id = i.vec_id) t WHERE sr <= 30),
+           |scored AS (
+           | SELECT s.query_id, s.neighbor_id,
+           |  list_dot_product(q.fqv, e3.v) /
+           |    (sqrt(list_dot_product(q.fqv, q.fqv)) * sqrt(list_dot_product(e3.v, e3.v))) AS cos
+           | FROM shortq s JOIN q ON s.query_id = q.query_id
+           |  JOIN e e3 ON e3.vec_id = s.neighbor_id),
+           |ranked AS (SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           | FROM scored)
+           |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
     )
   }
 

@@ -460,6 +460,41 @@ object Similarity {
       .write.mode("overwrite").partitionBy("list").parquet(s"$dir/qindex")
   }
 
+  /** APPEND new vectors to a STORED IVF index ([[writeIvfIndex]]) without
+    * a rebuild — the third job of the production index lifecycle (build,
+    * append, query): each new vector is assigned to the nearest stored
+    * centroid by cosine (row_number over (csim DESC, list ASC) — the
+    * identical metric, expression shape and tie-break the query tier's
+    * probe selection uses, so an appended vector lands exactly in the
+    * lists a query for it would probe first), int8-quantized
+    * ([[quantizeInt8]]), and appended to the directory-partitioned
+    * `qindex` — only the affected list directories gain files; centroids
+    * are IMMUTABLE after build (the FAISS IVF contract: assignment drift
+    * is handled by periodic re-train, not per-append mutation, so
+    * concurrent queries never see a half-updated quantizer). Per-batch
+    * cost: one bounded centroid broadcast (|lists| rows), one
+    * per-vector-keyed window over the BATCH, one partitioned append —
+    * never touches existing index rows. All-zero vectors are
+    * ill-defined under cosine (NaN similarity) and must be screened
+    * upstream, as everywhere else in this module. */
+  def appendToIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+                       dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val v = newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("v0"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("list").asc)
+    val assigned = v
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", dot(toDouble(col("v0")), col("centroid")) /
+        (l2norm(col("v0")) * l2norm(col("centroid"))))
+      .withColumn("pr", row_number().over(w))
+      .where(col("pr") === 1)
+      .select(col("vec_id"), col("v0"), col("list"))
+    quantizeInt8(assigned, "vec_id", "v0", carry = Seq("list"))
+      .write.mode("append").partitionBy("list").parquet(s"$dir/qindex")
+  }
+
   /** [[ivfQuantizedTopK]] answered from PRE-BUILT index relations —
     * `centroids` = (list, centroid), `qindex` = (vec_id, list, scale, q),
     * `fetch` = (vec_id, v) full-precision primary-store projection used

@@ -565,4 +565,73 @@ object TextAnalysis {
       .when(cjk * 3 > length(text), lit("zh"))
       .otherwise(element_at(labels, (array_max(packed) % 8 - 2).cast("int")))
   }
+
+  /** T5-style SPAN CORRUPTION, deterministic (Raffel et al., JMLR'20 §3.1.4
+    * objective): the corpus-to-training-pairs step of a denoising
+    * pretraining pipeline — contiguous token spans are replaced by
+    * numbered sentinels in the input and emitted after their sentinel in
+    * the target. Fate is a pure function of (doc id, span ordinal, salt):
+    * positions group into fixed `groupLen`-token spans and span g masks
+    * iff hashBucket(docId:g, salt) < rate — the sp1 hash-fate discipline,
+    * so re-runs, retries and the oracle agree row for row (T5's random
+    * span sampling is exactly what a distributed, replayable pipeline
+    * cannot use). Sentinels number 0,1,… in span order per document.
+    *
+    * Returns (doc_id, masked_text, target_text, n_masked): masked_text =
+    * the document with each masked span collapsed to `<extra_id_K>`,
+    * target_text = the masked spans each prefixed by its sentinel (NULL
+    * when nothing masked — the degenerate doc contributes no denoising
+    * pair), n_masked = masked token count.
+    *
+    * Shape at scale: posexplode → one (doc, span) aggregate → one
+    * running-count window + final per-doc aggregate, all keyed by doc id
+    * — the sessionization cost class (per-doc sort, no self-join). The
+    * per-token explode is the honest relational form; a fused native
+    * expression (one pass per document string) is the documented swap if
+    * this ever dominates a pipeline. */
+  def maskSpans(docs: DataFrame, idCol: String, textCol: String,
+                salt: String, rate: Int = 15, groupLen: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rate >= 0 && rate <= 100 && groupLen >= 1)
+    val tk = graft.core.Par.fanOut(
+        docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+          .where(size(col("toks")) > 0))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .withColumn("g", floor(col("p") / groupLen))
+    val grp = tk.groupBy("doc_id", "g")
+      .agg(transform(sort_array(collect_list(struct(col("p"), col("tok")))),
+        s => s.getField("tok")).as("gtoks"))
+      .withColumn("flag", Sampling.hashBucket(
+        concat(col("doc_id").cast("string"), lit(":"), col("g").cast("string")),
+        salt, 100) < rate)
+    // sentinel ordinal = masked spans strictly BEFORE this span
+    val w = Window.partitionBy("doc_id").orderBy("g")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val numbered = grp
+      .withColumn("k",
+        sum(when(col("flag"), 1L).otherwise(0L)).over(w) -
+          when(col("flag"), 1L).otherwise(0L))
+      .withColumn("sentinel", concat(lit("<extra_id_"), col("k"), lit(">")))
+    val pieces = numbered.select(col("doc_id"), col("g"),
+      when(col("flag"), col("sentinel"))
+        .otherwise(array_join(col("gtoks"), " ")).as("mstr"),
+      when(col("flag"),
+        concat(col("sentinel"), lit(" "), array_join(col("gtoks"), " ")))
+        .as("tstr"),
+      when(col("flag"), size(col("gtoks")).cast("long")).otherwise(lit(0L))
+        .as("nm"))
+    pieces.groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("g"), col("mstr")))),
+          s => s.getField("mstr")), " ").as("masked_text"),
+        array_join(transform(
+          sort_array(collect_list(when(col("tstr").isNotNull,
+            struct(col("g"), col("tstr"))))),
+          s => s.getField("tstr")), " ").as("target0"),
+        sum(col("nm")).as("n_masked"))
+      .select(col("doc_id"), col("masked_text"),
+        when(col("n_masked") > 0, col("target0")).as("target_text"),
+        col("n_masked"))
+  }
 }

@@ -44,7 +44,8 @@ object DumpPlans {
       // plain parquet reads — their cost is engine fixed overhead, not a
       // plan), plus the stored-index ANN path (partition-pruned probes)
       "er1_golden_record", "kcore1_peel", "cur2_fuzzy_curation",
-      "ccmp1_components", "d7_editdist2", "sim6_stored_index")
+      "ccmp1_components", "d7_editdist2", "sim6_stored_index",
+      "msk1_span_corruption")
     val sections = new StringBuilder
     val inventory = new StringBuilder
     inventory.append("\n## Plan inventory — all graded queries (finalized plans, sf0.001)\n\n")
