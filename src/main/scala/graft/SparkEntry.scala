@@ -1096,6 +1096,45 @@ object SparkEntry {
         col("event_type"), Seq("view", "click", "purchase"),
         stepWindowSeconds = 24 * 3600)),
 
+    // seq1: regex EVENT-SEQUENCE pattern matching — fun1's regex
+    // generalization (MATCH_RECOGNIZE class): per-user symbol string in
+    // (ts, event_id) order, non-overlapping counts of three
+    // alternation-free greedy patterns (the backtracking/RE2 agreement
+    // class — Behavior.eventPatterns scaladoc).
+    "seq1_event_patterns" -> ((s, d) =>
+      Behavior.eventPatterns(events(s, d), col("user_id"), col("ts"),
+          col("event_id"), col("event_type"),
+          Seq("click" -> "c", "error" -> "e", "purchase" -> "p",
+            "signup" -> "s", "view" -> "v"),
+          Seq("n_view_purchase" -> "v+p", "n_error_runs" -> "ee+",
+            "n_click_convert" -> "c[^p]*p"))
+        .orderBy("user_id")),
+
+    // pit1: POINT-IN-TIME join against the SCD2 history — the
+    // feature-store "as the dimension looked then" semantics: a user's
+    // value-tier profile evolves with NON-purchase activity (scd1's
+    // history build over that slice), and each purchase reads the tier
+    // version valid AT its timestamp via the as-of formulation (SCD2
+    // runs tile time, so most-recent-start = containing interval);
+    // purchases before a user's first profile event null out. The
+    // oracle states it as the LEFT BETWEEN-join over the same history.
+    "pit1_point_in_time" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      val tiered = ev.withColumn("tier",
+        when(col("value") >= 500.0, lit("high")).otherwise(lit("std")))
+      val hist = graft.queries.TimeSeries.scd2History(
+        tiered.where(col("event_type") =!= "purchase"),
+        col("user_id"), col("ts"), col("event_id"), col("tier"))
+      graft.queries.AsOf.pointInTime(
+          ev.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          hist, "user_id", "ts", attrOut = "tier_at_purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("tier_at_purchase"))
+        .orderBy("event_id")
+    }),
+
     // cohort retention: first-active-day cohorts × day offset, distinct
     // returning users per cell
     "coh1_cohort_retention" -> ((s, d) =>
@@ -3581,6 +3620,51 @@ object SparkEntry {
            | UNION ALL SELECT CAST(2 AS BIGINT), 'click', n1 FROM c
            | UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n2 FROM c)
            |ORDER BY step_no""".stripMargin.replace("\n", " ")),
+      // seq1: identical symbol mapping and (ts, event_id) string order;
+      // non-overlapping regexp counts agree for alternation-free greedy
+      // patterns (Behavior.eventPatterns engine-parity note)
+      "seq1_event_patterns" ->
+        ("""WITH b AS (SELECT user_id,
+           |  CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+           |   WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+           |   WHEN 'view' THEN 'v' ELSE '?' END AS y, ts, event_id
+           | FROM events),
+           |a AS (SELECT user_id, COUNT(*) AS n_events,
+           |  string_agg(y, '' ORDER BY ts, event_id) AS str
+           | FROM b GROUP BY 1)
+           |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           | CAST(len(regexp_extract_all(str, 'v+p')) AS BIGINT) AS n_view_purchase,
+           | CAST(len(regexp_extract_all(str, 'ee+')) AS BIGINT) AS n_error_runs,
+           | CAST(len(regexp_extract_all(str, 'c[^p]*p')) AS BIGINT) AS n_click_convert
+           |FROM a ORDER BY user_id""".stripMargin.replace("\n", " ")),
+      // pit1: the BETWEEN formulation over the identical SCD2 history
+      // (scd1's CTE shape over the non-purchase slice) — must equal the
+      // as-of pick because SCD2 runs tile time per key
+      "pit1_point_in_time" ->
+        ("""WITH t AS (SELECT user_id, ts, event_id, event_type,
+           |  CASE WHEN value >= 500.0 THEN 'high' ELSE 'std' END AS tier
+           | FROM events),
+           |d AS (SELECT * FROM t WHERE event_type <> 'purchase'),
+           |o AS (SELECT user_id, ts, event_id, tier,
+           |  CASE WHEN lag(tier) OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id) IS DISTINCT FROM tier
+           |   THEN 1 ELSE 0 END AS chg FROM d),
+           |r AS (SELECT user_id, ts, tier,
+           |  SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_no
+           | FROM o),
+           |g AS (SELECT user_id, run_no, tier, MIN(ts) AS valid_from
+           | FROM r GROUP BY 1, 2, 3),
+           |h AS (SELECT user_id, tier, valid_from,
+           |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_no)
+           |   AS valid_to FROM g),
+           |f AS (SELECT user_id, ts, event_id FROM events
+           | WHERE event_type = 'purchase')
+           |SELECT f.user_id, f.event_id, f.ts, h.tier AS tier_at_purchase
+           |FROM f LEFT JOIN h ON f.user_id = h.user_id
+           | AND h.valid_from <= f.ts
+           | AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+           |ORDER BY f.event_id""".stripMargin.replace("\n", " ")),
       "coh1_cohort_retention" ->
         ("""WITH d AS (
            | SELECT user_id AS u, date_trunc('day', ts) AS day FROM events),

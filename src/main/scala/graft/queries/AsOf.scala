@@ -83,4 +83,30 @@ object AsOf {
     (if (tsCarried) filtered else filtered.drop(s"$prefix$ts"))
       .drop("__ok")
   }
+
+  /** POINT-IN-TIME join of a fact stream against an SCD2 validity history
+    * ([[TimeSeries.scd2History]]'s (key, attr, valid_from, valid_to)
+    * shape): each fact row gets the attribute version valid AT its
+    * timestamp — the feature-store / "as the dimension looked then"
+    * semantics that a plain dimension join silently gets wrong (it reads
+    * the CURRENT version, leaking future state into training features).
+    *
+    * Implementation: [[asofBackward]] on (key, valid_from) — SCD2 runs
+    * TILE time per key (each interval's valid_to is the next interval's
+    * valid_from, the last is open), so the most-recent-start interval at
+    * or before the fact timestamp IS the containing interval; no range
+    * join, no interval explosion, same union-and-scan cost class. Facts
+    * before the key's first interval null out (LEFT OUTER) — exactly the
+    * BETWEEN-join formulation the oracle states. The history must come
+    * from [[TimeSeries.scd2History]] or satisfy the same tiling
+    * invariant; overlapping hand-built intervals would make the
+    * between-join multi-match where this picks one. */
+  def pointInTime(facts: DataFrame, history: DataFrame,
+                  key: String, ts: String,
+                  attrOut: String = "pit_attr"): DataFrame = {
+    val h = history.select(col("key").as(key), col("valid_from").as(ts),
+      col("attr"))
+    asofBackward(facts, h, key, ts, Seq("attr"), "__pit_")
+      .withColumnRenamed("__pit_attr", attrOut)
+  }
 }

@@ -17,6 +17,51 @@ import org.apache.spark.sql.functions._
   */
 object Behavior {
 
+  /** EVENT-SEQUENCE PATTERN MATCHING — the regex generalization of the
+    * ordered funnel ([[funnelCounts]] detects ONE fixed step chain; this
+    * counts arbitrary regular patterns over each user's full event
+    * history — the MATCH_RECOGNIZE / behavioral-motif class: "views
+    * ending in a purchase", "error bursts", "click that eventually
+    * converts"). Each event type maps to a single-character symbol, the
+    * per-user history becomes one symbol string in (ts, seq) order, and
+    * every pattern is a non-overlapping regexp count over that string —
+    * whole-history backtracking a window/aggregate formulation cannot
+    * express without enumerating the automaton by hand.
+    *
+    * Engine parity: patterns must stay in the backtracking/RE2 AGREEMENT
+    * class — concatenation, character classes, greedy quantifiers, no
+    * alternation whose branches can match at the same start (Java picks
+    * leftmost-FIRST, RE2 leftmost-LONGEST; alternation-free greedy
+    * patterns have a unique match, so both engines count identically) —
+    * and both sides count non-overlapping leftmost matches. Unknown
+    * event types map to '?' so they can never satisfy a letter class.
+    *
+    * Scale: ONE per-user aggregate (map-side combined collect) — the
+    * sessionization cost class; the symbol string is bounded by a user's
+    * own activity, never the corpus, and the regexp runs once per USER
+    * row through codegen'd built-ins. */
+  def eventPatterns(events: DataFrame, user: Column, ts: Column, seq: Column,
+                    etype: Column, symbols: Seq[(String, String)],
+                    patterns: Seq[(String, String)]): DataFrame = {
+    require(symbols.nonEmpty && patterns.nonEmpty)
+    require(symbols.forall(_._2.length == 1), "one character per event type")
+    val sym = symbols.tail
+      .foldLeft(when(etype === symbols.head._1, lit(symbols.head._2))) {
+        case (acc, (t, s)) => acc.when(etype === t, lit(s))
+      }.otherwise(lit("?"))
+    val agged = events
+      .select(user.as("user_id"), ts.as("__t"), seq.as("__s"), sym.as("__y"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__t"), col("__s"), col("__y")))),
+          x => x.getField("__y")), "").as("__str"))
+    agged.select(col("user_id") +: col("n_events") +:
+      patterns.map { case (name, pat) =>
+        regexp_count(col("__str"), lit(pat)).cast("long").as(name)
+      }: _*)
+  }
+
   /** Ordered-funnel conversion counts with a per-step deadline.
     *
     * A user "reaches" step k when an event of type `steps(k)` occurs at

@@ -225,6 +225,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("clusterRoots equals a union-find reference on random graphs") {
+    // random multigraphs incl. self-referential duplicates and both edge
+    // directions; the distributed min-label fixpoint (self-loop round
+    // shape, k=2 checkpoint cadence) must assign every node the MINIMUM
+    // id reachable in its component — the exact contract a driver-side
+    // union-find states independently
+    val gen = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+    } yield edges.filter(e => e._1 != e._2)
+    forAll(gen, n = 5) { edges =>
+      whenever(edges.nonEmpty) {
+        val got = Dedup.clusterRoots(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(x => x -> find(x)).toMap
+        assert(got == want, s"edges=$edges:\n got=$got\nwant=$want")
+      }
+    }
+  }
+
   test("tokenBudgetFill equals the single-window definition on random corpora") {
     // randomized sources/sizes (including zero-token rows, NEGATIVE-token
     // rows — malformed upstream data the operator contractually EXCLUDES,
