@@ -269,6 +269,34 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // cur1s: the FULL CURATION PIPELINE as one streaming query — inc2s's
+    // replay fixture through Ingest.curationIngest: each batch passes the
+    // curateFuzzy quality screen (n_tokens ≥ 20, stopword ratio ≥ 0.04)
+    // BEFORE the stored-band-index fuzzy dedup, so rejected documents
+    // provably never enter the archive or its artifacts and later
+    // batches never dedup against rejected content. The corpus's sub-20-
+    // token documents make the quality leg fire for real; the planted
+    // copies make both drop directions fire as in inc2s; the oracle
+    // replays batch-by-batch with the same screen then exact Jaccard.
+    "cur1s_stream_curation" -> ((s, d) => {
+      val pu = plantUnit(s, d)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs
+        .union(docs.select((col("doc_id") + pu).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text")))
+      val slices = (0 until 3).map(i =>
+        planted.where(pmod(col("doc_id"), lit(3)) === i))
+      val dir = graft.streaming.Replay.slicedSourceReplay(s, slices,
+          "doc_id BIGINT, text STRING", "curingest-") { (src, dir) =>
+        val arch = s"$dir/archive"
+        planted.limit(0).write.parquet(arch)
+        graft.streaming.Ingest.curationIngest(src, "doc_id", "text", arch,
+          s"$dir/ckpt")
+      }
+      s.read.parquet(s"$dir/archive")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // mv1: UPDATE-mode streaming aggregation maintaining a MATERIALIZED
     // VIEW by per-batch upsert (Ingest.upsertMatview) — the output-mode
     // class the Append replays can't reach: a window's running total
@@ -2712,6 +2740,53 @@ object SparkEntry {
            |     for i in range(1, len(toks)-1)])
            |   ELSE [] END AS sh
            | FROM (SELECT doc_id, $toksSql AS toks FROM planted)),
+           |s0 AS (SELECT doc_id, sh FROM sh WHERE b = 0),
+           |c1 AS (SELECT doc_id, sh FROM sh WHERE b = 1),
+           |d1 AS (SELECT DISTINCT c.doc_id FROM ${cand("c1", "s0")} p
+           | JOIN c1 c ON p.cid = c.doc_id JOIN s0 s ON p.sid = s.doc_id
+           | WHERE ${jge("c.sh", "s.sh")}),
+           |s1 AS (SELECT doc_id, sh FROM c1
+           | WHERE doc_id NOT IN (SELECT doc_id FROM d1)),
+           |c2 AS (SELECT doc_id, sh FROM sh WHERE b = 2),
+           |a2 AS (SELECT doc_id, sh FROM s0 UNION ALL SELECT doc_id, sh FROM s1),
+           |d2 AS (SELECT DISTINCT c.doc_id FROM ${cand("c2", "a2")} p
+           | JOIN c2 c ON p.cid = c.doc_id JOIN a2 s ON p.sid = s.doc_id
+           | WHERE ${jge("c.sh", "s.sh")}),
+           |s2 AS (SELECT doc_id, sh FROM c2
+           | WHERE doc_id NOT IN (SELECT doc_id FROM d2))
+           |SELECT doc_id FROM (SELECT doc_id FROM s0
+           | UNION ALL SELECT doc_id FROM s1
+           | UNION ALL SELECT doc_id FROM s2)
+           |ORDER BY doc_id""".stripMargin.replace("\n", " "))
+      },
+      // cur1s: inc2s's batch-by-batch replay with the curateFuzzy quality
+      // screen applied to each batch BEFORE shingling — a rejected doc
+      // never reaches any later batch's archive side, exactly the engine
+      // contract (screen precedes all state)
+      "cur1s_stream_curation" -> {
+        def jge(c: String, s: String) =
+          s"len($c) > 0 AND len($s) > 0 AND " +
+            s"len(list_intersect($c, $s))::DOUBLE / " +
+            s"(len($c) + len($s) - len(list_intersect($c, $s))) >= 0.7"
+        def cand(c: String, s: String) =
+          s"""(SELECT DISTINCT c.doc_id AS cid, s.doc_id AS sid
+             | FROM (SELECT doc_id, unnest(sh) AS t FROM $c) c
+             | JOIN (SELECT doc_id, unnest(sh) AS t FROM $s) s ON c.t = s.t)"""
+            .stripMargin.replace("\n", " ")
+        (s"""WITH planted AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + $plantUnitSql AS doc_id,
+           |   text || ' graftdup' AS text FROM documents),
+           |tk AS (SELECT doc_id, $toksSql AS toks FROM planted),
+           |scr AS (SELECT doc_id, toks FROM tk
+           | WHERE len(toks) >= 20 AND len(list_filter(toks,
+           |   x -> list_contains($enStopSql, x)))::DOUBLE / len(toks) >= 0.04),
+           |sh AS (SELECT doc_id, doc_id % 3 AS b,
+           |  CASE WHEN len(toks) >= 3
+           |   THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+           |     for i in range(1, len(toks)-1)])
+           |   ELSE [] END AS sh
+           | FROM scr),
            |s0 AS (SELECT doc_id, sh FROM sh WHERE b = 0),
            |c1 AS (SELECT doc_id, sh FROM sh WHERE b = 1),
            |d1 AS (SELECT DISTINCT c.doc_id FROM ${cand("c1", "s0")} p

@@ -80,9 +80,15 @@ object Ingest {
     * seeding: missing stores read as empty. */
   def nearDupIngest(stream: DataFrame, idCol: String, textCol: String,
                     archiveDir: String, checkpoint: String,
-                    minJaccard: Double = 0.7): StreamingQuery =
-    graft.core.Sinks.foreachBatchSink(stream, checkpoint) { (batch, _) =>
+                    minJaccard: Double = 0.7,
+                    batchScreen: DataFrame => DataFrame = identity): StreamingQuery =
+    graft.core.Sinks.foreachBatchSink(stream, checkpoint) { (batch0, _) =>
       import graft.ext.Dedup
+      // optional per-batch pre-screen (stateless — quality gates belong
+      // BEFORE any state is built or appended: a screened-out document
+      // must never enter the archive, the signature store or the band
+      // index, or later batches would dedup against rejected content)
+      val batch = batchScreen(batch0)
       val s = batch.sparkSession
       val idxDir = s"${archiveDir}_idx"
       val sigDir = s"${archiveDir}_sig"
@@ -125,6 +131,28 @@ object Ingest {
       }
     }.trigger(Trigger.AvailableNow())
       .start()
+
+  /** STREAMING CURATION ingest — the full training-corpus pipeline as ONE
+    * streaming query: each arriving batch passes the quality screen
+    * (token count + stopword ratio, curateFuzzy's thresholds), then the
+    * fuzzy dedup vs the archived survivors ([[nearDupIngest]]'s stored
+    * band-index path), and survivors append to the archive + its index
+    * artifacts. The screen runs BEFORE any state is touched: rejected
+    * documents never reach the archive, signatures or band index, so
+    * later batches cannot dedup against rejected content. Same
+    * idempotence/retry contract as nearDupIngest (the screen is a pure
+    * per-row predicate, stable under redelivery). */
+  def curationIngest(stream: DataFrame, idCol: String, textCol: String,
+                     archiveDir: String, checkpoint: String,
+                     minJaccard: Double = 0.7, minTokens: Long = 20,
+                     minStopwordRatio: Double = 0.04): StreamingQuery =
+    nearDupIngest(stream, idCol, textCol, archiveDir, checkpoint, minJaccard,
+      batchScreen = { b =>
+        graft.ext.TextAnalysis.withTextStats(b, textCol)
+          .where(col("n_tokens") >= minTokens &&
+            col("stopword_ratio") >= minStopwordRatio)
+          .select(b.columns.map(col).toIndexedSeq: _*)
+      })
 
   /** UPDATE-mode MATERIALIZED-VIEW maintenance: a streaming aggregate's
     * per-batch changed rows UPSERT into a keyed snapshot — the incremental

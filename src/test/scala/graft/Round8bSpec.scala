@@ -89,6 +89,34 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("curationIngest: rejected docs never enter archive/artifacts or later dedup state") {
+    val words = (1 to 24).map(i => s"w$i").mkString(" ")
+    val quality = s"the a $words"                  // 26 toks, 2 stop → 0.077
+    val noStop = (1 to 26).map(i => s"q$i").mkString(" ") // ratio 0 → rejected
+    val b0 = Seq((10L, quality), (11L, noStop)).toDF("doc_id", "text")
+    val b1 = Seq(
+      (20L, quality + " tail"),       // near-dups archived 10 → drops
+      (21L, noStop + " the a"),       // near-dups only the REJECTED 11 → survives
+      (22L, "zz yy xx")               // short junk → rejected
+    ).toDF("doc_id", "text")
+    val arch = tmpDir("curingest-") + "/archive"
+    graft.streaming.Replay.slicedSourceReplay(spark, Seq(b0, b1),
+        "doc_id BIGINT, text STRING", "curingest-spec-") { (src, d) =>
+      graft.streaming.Ingest.curationIngest(src, "doc_id", "text",
+        arch, s"$d/ckpt")
+    }
+    val kept = spark.read.parquet(arch).select("doc_id").as[Long]
+      .collect().toSet
+    assert(kept == Set(10L, 21L),
+      s"expected quality originals only (21 must NOT dedup vs the rejected 11): $kept")
+    val sigIds = spark.read.parquet(s"${arch}_sig").select("id").as[Long]
+      .collect().toSet
+    assert(sigIds == Set(10L, 21L), s"rejected docs leaked into signatures: $sigIds")
+    val idxIds = spark.read.parquet(s"${arch}_idx").select("id").as[Long]
+      .collect().toSet
+    assert(idxIds == Set(10L, 21L), s"rejected docs leaked into the band index: $idxIds")
+  }
+
   test("maskSpans rate=100 masks everything; rate=0 masks nothing") {
     val docs = Seq((1L, "Alpha beta gamma delta epsilon zeta eta"),
       (2L, "one two three")).toDF("doc_id", "text")
