@@ -325,6 +325,45 @@ object SparkEntry {
         .orderBy("timestamp", "id")
     }),
 
+    // mv2: MATVIEW VERSION COMPACTION graded through the oracle — the
+    // maintenance mv1's layout prices (versions-per-bucket grow with
+    // batches; Ingest.compactMatview folds them back to one, keeping the
+    // newest id so writer batch ids never collide). Three update-mode
+    // batches run through the SAME versioned copy-on-write upsert as mv1
+    // (upsertMatviewBatch — the foreachBatch body, driven directly so the
+    // grade isolates the STORAGE protocol from the streaming engine mv1
+    // already grades), then the snapshot is COMPACTED and read back: the
+    // graded rows pass THROUGH the compaction, so snapshot ≡ batch
+    // aggregate proves view-invariance, not just the spec's version
+    // count. Update-mode emission is emulated exactly: batch b upserts
+    // the CUMULATIVE aggregate restricted to keys its slice changed —
+    // every key's newest version holds its full running total.
+    "mv2_matview_compaction" -> ((s, d) => {
+      import java.time.LocalDateTime
+      val ev = events(s, d).select(col("ts"), col("event_type").as("id"),
+        col("value").cast("double").as("value"))
+      val day = date_trunc("day", col("ts")).cast("timestamp_ntz").as("day")
+      val cuts = Seq(LocalDateTime.parse("2024-01-11T00:30:00"),
+        LocalDateTime.parse("2024-01-21T00:30:00"))
+      val root = graft.core.Scratch.dir("mv2-") + "/snap"
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(day, col("id")).agg(Num.dsum(col("value")).as("value"))
+      val slices = Seq(
+        ev.where(col("ts") < lit(cuts(0))),
+        ev.where(col("ts") >= lit(cuts(0)) && col("ts") < lit(cuts(1))),
+        ev.where(col("ts") >= lit(cuts(1))))
+      val cums = Seq(ev.where(col("ts") < lit(cuts(0))),
+        ev.where(col("ts") < lit(cuts(1))), ev)
+      for (b <- slices.indices) {
+        val changed = slices(b).select(day, col("id")).distinct()
+        graft.streaming.Ingest.upsertMatviewBatch(
+          agg(cums(b)).join(changed, Seq("day", "id"), "left_semi"),
+          Seq("day", "id"), root, b.toLong)
+      }
+      graft.streaming.Ingest.compactMatview(s, root)
+      graft.streaming.Ingest.latestSnapshot(s, root).orderBy("day", "id")
+    }),
+
     // rs1: CHECKPOINT RECOVERY graded by the oracle — the a4-class hourly
     // aggregate split across a stop/restart at 2024-01-16: run 1 processes
     // the first half and terminates; run 2 starts a NEW query from the
@@ -1561,6 +1600,24 @@ object SparkEntry {
       TextAnalysis.bpeMergeRounds(Tables.documents(s, d), "text", rounds = 3)
         .orderBy("round")),
 
+    // bpe3: BPE APPLY — the trained artifact's consumer (bpe2 trains the
+    // merge list; this segments the corpus under it and reports per-doc
+    // token counts in TRAINED-tokenizer units, the measurement vb1's
+    // whitespace approximation stands in for). The merge list rides as
+    // bounded driver state (`rounds` rows — the km1 budget); the
+    // segmentation kernel runs once per DISTINCT WORD, never per
+    // occurrence (TextAnalysis.bpeSegmentCounts scaladoc). Oracle unrolls
+    // the identical three trained replaces over the same distinct-word
+    // relation — tokenizer skew between train and apply would hash-fail.
+    "bpe3_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = TextAnalysis.bpeMergeRounds(docs, "text", rounds = 3)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeSegmentCounts(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     // lm1: unigram-LM quality scoring (per-doc mean surprisal against the
     // corpus's own unigram distribution — the CCNet/KenLM perplexity-
     // filter stand-in); one corpus pass, per-term contributions quantized
@@ -2511,6 +2568,45 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // sim8: RE-TRAIN-ON-DRIFT — the stored index's closing lifecycle
+    // stage (sim6 grades build+query, sim7 append; this grades the
+    // rebuild DECISION and the rebuilt artifact). A planted distribution
+    // shift (+0.25 on every dimension — exact dyadic, so the oracle
+    // reproduces it bit-for-bit; ids offset +1000000 per the planted-id
+    // convention) appends under the FROZEN build-time centroids; the
+    // drift metric on the STORED artifact (Similarity.indexCentroidDrift
+    // — stored-centroid-to-current-mean cosine recomputed from the
+    // index's own dequantized vectors, no corpus scan) crosses the
+    // threshold; retrainIvfIndex rebuilds from the primary store; the
+    // query tier answers from the REBUILT artifact. require() keeps the
+    // decision loud: if the fixture ever stopped drifting, the grade
+    // must fail, not silently answer from a stale index. Oracle = sim4's
+    // pipeline over the post-rebuild population (original ∪ shifted) —
+    // the sim7 oracle pattern.
+    "sim8_index_retrain" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = graft.core.Scratch.dir("sim8-")
+      val base = emb.select(col("vec_id"), col("label"),
+        Similarity.toDoubleArr(col("embedding")).as("embedding"))
+      val shifted = base.where(col("vec_id") % 4 === 1)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+          transform(col("embedding"), x => x + lit(0.25d)).as("embedding"))
+      Similarity.writeIvfIndex(base, "vec_id", "embedding", "label", dir)
+      Similarity.appendToIvfIndex(shifted, "vec_id", "embedding", dir)
+      val full = base.unionByName(shifted)
+      val rebuilt = Similarity.retrainIvfIndex(full, "vec_id", "embedding",
+        "label", dir)
+      require(rebuilt, "sim8: planted shift must trip the drift threshold")
+      Similarity.ivfQuantizedTopKFromIndex(
+          s.read.parquet(s"$dir/centroids"), s.read.parquet(s"$dir/qindex"),
+          full.select(col("vec_id"), col("embedding").as("v")),
+          base.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 3, shortlist = 30)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
     // fit1: distributed MODEL TRAINING graded trajectory-exact — a linear
     // probe over engineered doc features (bias, capped token / distinct /
     // char-decile counts) fit by 4 full-batch GD steps in scaled-BIGINT
@@ -3058,6 +3154,12 @@ object SparkEntry {
       "a2_user_90s" -> windowed("90 seconds", "CAST(user_id AS VARCHAR)", "events", "user_bytes_total"),
       // mv1: the maintained view must equal the batch hourly aggregate
       "mv1_streaming_matview" -> windowed("1 hour", "CAST(user_id AS VARCHAR)", "events", "user_hourly_mv"),
+      // mv2: the upserted-then-COMPACTED view must equal the batch daily
+      // aggregate — view-invariance through the version fold
+      "mv2_matview_compaction" ->
+        ("""SELECT date_trunc('day', ts) AS day, event_type AS id,
+           | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
       // cm1: the complete-mode snapshot must equal the batch GROUP BY
       "cm1_complete_totals" ->
         ("""SELECT event_type AS id,
@@ -4441,6 +4543,43 @@ object SparkEntry {
            |UNION ALL SELECT 2, a, b, a||b, CAST(f AS BIGINT) FROM m2
            |UNION ALL SELECT 3, a, b, a||b, CAST(f AS BIGINT) FROM m3
            |ORDER BY round""".stripMargin.replace("\n", " ")),
+      // bpe3: bpe2's training unrolled verbatim (t0..m3), then the three
+      // learned merges applied IN TRAINING ORDER over the distinct-word
+      // relation — identical spaced-symbol segmenter — and summed per doc
+      "bpe3_apply" ->
+        (s"""WITH t0 AS (SELECT unnest($toksSql) AS word FROM documents),
+           |v0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym,
+           |  COUNT(*) AS freq FROM t0 WHERE word <> '' GROUP BY 1),
+           |p1 AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS f FROM
+           | (SELECT string_split(trim(sym), ' ') AS l, freq,
+           |   unnest(generate_series(1, len(string_split(trim(sym), ' ')) - 1)) AS i
+           |  FROM v0) GROUP BY 1, 2),
+           |m1 AS (SELECT a, b, f FROM p1 ORDER BY f DESC, a, b LIMIT 1),
+           |v1 AS (SELECT replace(sym, ' '||a||' '||b||' ', ' '||a||b||' ') AS sym,
+           |  freq FROM v0, m1),
+           |p2 AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS f FROM
+           | (SELECT string_split(trim(sym), ' ') AS l, freq,
+           |   unnest(generate_series(1, len(string_split(trim(sym), ' ')) - 1)) AS i
+           |  FROM v1) GROUP BY 1, 2),
+           |m2 AS (SELECT a, b, f FROM p2 ORDER BY f DESC, a, b LIMIT 1),
+           |v2 AS (SELECT replace(sym, ' '||a||' '||b||' ', ' '||a||b||' ') AS sym,
+           |  freq FROM v1, m2),
+           |p3 AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS f FROM
+           | (SELECT string_split(trim(sym), ' ') AS l, freq,
+           |   unnest(generate_series(1, len(string_split(trim(sym), ' ')) - 1)) AS i
+           |  FROM v2) GROUP BY 1, 2),
+           |m3 AS (SELECT a, b, f FROM p3 ORDER BY f DESC, a, b LIMIT 1),
+           |wx AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+           |vw AS (SELECT DISTINCT w FROM wx WHERE w <> ''),
+           |s0 AS (SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym FROM vw),
+           |s1 AS (SELECT w, replace(sym, ' '||m1.a||' '||m1.b||' ', ' '||m1.a||m1.b||' ') AS sym FROM s0, m1),
+           |s2 AS (SELECT w, replace(sym, ' '||m2.a||' '||m2.b||' ', ' '||m2.a||m2.b||' ') AS sym FROM s1, m2),
+           |s3 AS (SELECT w, replace(sym, ' '||m3.a||' '||m3.b||' ', ' '||m3.a||m3.b||' ') AS sym FROM s2, m3),
+           |cnt AS (SELECT w, len(string_split(trim(sym), ' ')) AS n_sub FROM s3)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           | CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
+           |FROM wx JOIN cnt USING (w)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       // lm1: identical per-term double formula, per-term decimal
       // quantization, one rounded division at the end
       "lm1_surprisal" ->
@@ -5503,7 +5642,27 @@ object SparkEntry {
            | FROM scored)
            |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
            |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+      // sim8: sim4's pipeline over the POST-REBUILD population — original
+      // corpus ∪ the planted +0.25 shifted appends (exact dyadic shift,
+      // float→double widening exact) with centroids re-trained over the
+      // union, exactly what retrainIvfIndex rebuilt
+      "sim8_index_retrain" -> Sim8OracleSql,
     )
+  }
+
+  /** sim4's oracle over sim8's post-rebuild population: the `e` relation
+    * swaps from the raw corpus to corpus ∪ planted shifted appends; the
+    * pipeline below the swap is byte-identical (guarded, not assumed). */
+  private lazy val Sim8OracleSql: String = {
+    val plainE =
+      "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),"
+    require(Sim4OracleSql.startsWith(plainE),
+      "sim8 oracle derivation out of sync with Sim4OracleSql")
+    ("WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings " +
+      "UNION ALL SELECT vec_id + 1000000, label, " +
+      "list_transform(embedding::DOUBLE[], x -> x + 0.25) " +
+      "FROM embeddings WHERE vec_id % 4 = 1),") +
+      Sim4OracleSql.stripPrefix(plainE)
   }
 
   /** sim4's oracle, shared verbatim by sim6 (stored-index path). */

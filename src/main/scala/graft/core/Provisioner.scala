@@ -44,47 +44,54 @@ object Provisioner {
       * probing both is portable). */
     def identifierFolds(id: String): Seq[String] =
       Seq(id.toUpperCase, id.toLowerCase)
-    /** Keyed idempotent UPSERT of one literal row — the serving-layer
-      * maintenance statement whose syntax genuinely differs per engine.
-      * `cols` lists (name, literal) pairs; `keyCols` ⊆ the col names. */
+    /** Keyed idempotent UPSERT of one row — the serving-layer maintenance
+      * statement whose syntax genuinely differs per engine — rendered as a
+      * PREPARED statement: SQL with `?` placeholders plus the column-name
+      * BIND ORDER (names may repeat — Derby's MERGE references the key
+      * values in its ON clause and every value again in the INSERT arm).
+      * VALUES never splice into the SQL text: a name like O'Brien must
+      * neither break the statement nor open an injection seam the moment
+      * a value stops being a code-level literal. Identifiers (table /
+      * column names) remain code-level constants by contract. */
     def upsertSql(table: String, keyCols: Seq[String],
-                  cols: Seq[(String, String)]): String
+                  colNames: Seq[String]): (String, Seq[String])
   }
 
   /** The reference deployment's target (`JdbcProvisioner.scala:21`):
-    * `INSERT … ON CONFLICT (keys) DO UPDATE SET c = EXCLUDED.c`. */
+    * `INSERT … ON CONFLICT (keys) DO UPDATE SET c = EXCLUDED.c`.
+    * Binds once per column, in declaration order. */
   case object Postgres extends Dialect {
     val name = "postgresql"
     def upsertSql(table: String, keyCols: Seq[String],
-                  cols: Seq[(String, String)]): String = {
-      val names = cols.map(_._1)
-      val sets = names.filterNot(keyCols.contains)
+                  colNames: Seq[String]): (String, Seq[String]) = {
+      val sets = colNames.filterNot(keyCols.contains)
         .map(c => s"$c = EXCLUDED.$c").mkString(", ")
-      s"INSERT INTO $table (${names.mkString(", ")}) " +
-        s"VALUES (${cols.map(_._2).mkString(", ")}) " +
-        s"ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET $sets"
+      (s"INSERT INTO $table (${colNames.mkString(", ")}) " +
+        s"VALUES (${colNames.map(_ => "?").mkString(", ")}) " +
+        s"ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET $sets",
+        colNames)
     }
   }
 
   /** The embedded engine the offline spec matrix executes against
     * (ships in the Spark distribution's own jars): `MERGE INTO` over the
-    * one-row SYSIBM.SYSDUMMY1 catalog table with inline literals — Derby
-    * (≥ 10.11) restricts a MERGE source to a base table or table
-    * function, so the Postgres-style row-constructor source is exactly
-    * the kind of divergence this seam exists to pin. */
+    * one-row SYSIBM.SYSDUMMY1 catalog table — Derby (≥ 10.11) restricts a
+    * MERGE source to a base table or table function, so the Postgres-style
+    * row-constructor source is exactly the kind of divergence this seam
+    * exists to pin. Binds keys (ON clause), then non-keys (UPDATE arm),
+    * then every column again (INSERT arm). */
   case object Derby extends Dialect {
     val name = "derby"
     def upsertSql(table: String, keyCols: Seq[String],
-                  cols: Seq[(String, String)]): String = {
-      val lit = cols.toMap
-      val names = cols.map(_._1)
-      val on = keyCols.map(k => s"t.$k = ${lit(k)}").mkString(" AND ")
-      val sets = names.filterNot(keyCols.contains)
-        .map(c => s"t.$c = ${lit(c)}").mkString(", ")
-      s"MERGE INTO $table t USING SYSIBM.SYSDUMMY1 ON $on " +
+                  colNames: Seq[String]): (String, Seq[String]) = {
+      val nonKeys = colNames.filterNot(keyCols.contains)
+      val on = keyCols.map(k => s"t.$k = ?").mkString(" AND ")
+      val sets = nonKeys.map(c => s"t.$c = ?").mkString(", ")
+      (s"MERGE INTO $table t USING SYSIBM.SYSDUMMY1 ON $on " +
         s"WHEN MATCHED THEN UPDATE SET $sets " +
-        s"WHEN NOT MATCHED THEN INSERT (${names.mkString(", ")}) " +
-        s"VALUES (${cols.map(_._2).mkString(", ")})"
+        s"WHEN NOT MATCHED THEN INSERT (${colNames.mkString(", ")}) " +
+        s"VALUES (${colNames.map(_ => "?").mkString(", ")})",
+        keyCols ++ nonKeys ++ colNames)
     }
   }
 
@@ -110,22 +117,45 @@ object Provisioner {
   }
 
   /** Idempotent seed: INSERT rows only when the table is empty (the
-    * reference re-INSERTs unconditionally and duplicates on re-run). */
-  def seedIfEmpty(conn: Connection, table: String, insertSql: Seq[String]): Unit = {
+    * reference re-INSERTs unconditionally and duplicates on re-run).
+    * One PreparedStatement, values bound per row — never spliced into
+    * the SQL text (quoting-safe: O'Brien seeds fine; and seed values
+    * that one day come from data instead of code stop being an
+    * injection vector). */
+  def seedIfEmpty(conn: Connection, table: String, colNames: Seq[String],
+                  rows: Seq[Seq[Any]]): Unit = {
     val st = conn.createStatement()
-    try {
+    val n = try {
       val rs = st.executeQuery(s"SELECT COUNT(*) FROM $table")
-      val n = try { rs.next(); rs.getLong(1) } finally rs.close()
-      if (n == 0) insertSql.foreach(st.execute)
+      try { rs.next(); rs.getLong(1) } finally rs.close()
     } finally st.close()
+    if (n == 0) {
+      val ps = conn.prepareStatement(
+        s"INSERT INTO $table (${colNames.mkString(", ")}) " +
+          s"VALUES (${colNames.map(_ => "?").mkString(", ")})")
+      try rows.foreach { r =>
+        require(r.length == colNames.length, "row arity != column arity")
+        r.zipWithIndex.foreach { case (v, i) =>
+          ps.setObject(i + 1, v.asInstanceOf[AnyRef])
+        }
+        ps.executeUpdate()
+      } finally ps.close()
+    }
   }
 
-  /** Execute the dialect's keyed UPSERT for one literal row. */
+  /** Execute the dialect's keyed UPSERT for one row, binding values
+    * through the dialect's declared order (see [[Dialect.upsertSql]]). */
   def upsert(conn: Connection, dialect: Dialect, table: String,
-             keyCols: Seq[String], cols: Seq[(String, String)]): Unit = {
-    val st = conn.createStatement()
-    try st.execute(dialect.upsertSql(table, keyCols, cols))
-    finally st.close()
+             keyCols: Seq[String], cols: Seq[(String, Any)]): Unit = {
+    val (sql, bindOrder) = dialect.upsertSql(table, keyCols, cols.map(_._1))
+    val byName = cols.toMap
+    val ps = conn.prepareStatement(sql)
+    try {
+      bindOrder.zipWithIndex.foreach { case (c, i) =>
+        ps.setObject(i + 1, byName(c).asInstanceOf[AnyRef])
+      }
+      ps.execute()
+    } finally ps.close()
   }
 
   /** The reference deployment's full shape: user dimension (+seed) and the
@@ -141,10 +171,8 @@ object Provisioner {
       ensureTable(conn, "user_metadata",
         s"id ${d.varcharDdl(64)}, name ${d.varcharDdl(256)}, " +
           s"email ${d.varcharDdl(256)}, quota ${d.bigintDdl}", d)
-      seedIfEmpty(conn, "user_metadata", seed.map { case (id, nm, em, q) =>
-        s"INSERT INTO user_metadata (id, name, email, quota) " +
-          s"VALUES ('$id', '$nm', '$em', $q)"
-      })
+      seedIfEmpty(conn, "user_metadata", Seq("id", "name", "email", "quota"),
+        seed.map { case (id, nm, em, q) => Seq[Any](id, nm, em, q) })
       ensureTable(conn, "bytes",
         s"ts ${d.timestampDdl}, id ${d.varcharDdl(64)}, " +
           s"value ${d.bigintDdl}, type ${d.varcharDdl(32)}", d)

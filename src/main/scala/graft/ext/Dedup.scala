@@ -1037,7 +1037,8 @@ object Dedup {
     * general graphs (ccmp1's co-purchase families) take O(label radius)
     * rounds. Scale note: the edge list is output-sized (near-dup pairs),
     * orders of magnitude smaller than the corpus; every `checkpointEvery`
-    * rounds (default 3) the loop LOCAL-CHECKPOINTS its label frame — an
+    * rounds (default 2 — the measured cadence, see CLAUDE.md's fixpoint
+    * invariant) the loop LOCAL-CHECKPOINTS its label frame — an
     * unbounded lazy iteration would accrete a 25-round plan whose
     * planning alone dwarfs the data (the iterative-algorithm trap
     * GraphX's Pregel periodic checkpoint exists for); the self-loop

@@ -475,24 +475,104 @@ object Similarity {
     * cost: one bounded centroid broadcast (|lists| rows), one
     * per-vector-keyed window over the BATCH, one partitioned append —
     * never touches existing index rows. All-zero vectors are
-    * ill-defined under cosine (NaN similarity) and must be screened
-    * upstream, as everywhere else in this module. */
+    * ill-defined under cosine (NaN similarity, and NaN sorts FIRST under
+    * desc — the vector would land in an ARBITRARY list silently); the
+    * guard below fails loudly on them (the Dedup packer's raise_error
+    * discipline) instead of producing a nondeterministic index. */
   def appendToIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
                        dir: String): Unit = {
     val spark = newVecs.sparkSession
     val cent = spark.read.parquet(s"$dir/centroids")
     val v = newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("v0"))
+      .withColumn("vnorm", when(l2norm(col("v0")) > 0, l2norm(col("v0")))
+        .otherwise(raise_error(concat(
+          lit("graft appendToIvfIndex: zero-norm vector vec_id="),
+          col("vec_id").cast("string"),
+          lit(" — cosine assignment is undefined; screen zero vectors" +
+            " upstream"))).cast("double")))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("list").asc)
     val assigned = v
       .crossJoin(broadcast(cent))
       .withColumn("csim", dot(toDouble(col("v0")), col("centroid")) /
-        (l2norm(col("v0")) * l2norm(col("centroid"))))
+        (col("vnorm") * l2norm(col("centroid"))))
       .withColumn("pr", row_number().over(w))
       .where(col("pr") === 1)
       .select(col("vec_id"), col("v0"), col("list"))
     quantizeInt8(assigned, "vec_id", "v0", carry = Seq("list"))
       .write.mode("append").partitionBy("list").parquet(s"$dir/qindex")
+  }
+
+  /** QUANTIZER-DRIFT metric over a STORED IVF index ([[writeIvfIndex]]) —
+    * the decision input [[appendToIvfIndex]]'s contract defers to:
+    * centroids are FROZEN at build time, so appended mass moves each
+    * list's TRUE mean away from the stored quantizer, and probe selection
+    * quality decays silently. Per list: member count and the cosine
+    * between the STORED centroid and the list's CURRENT mean, recomputed
+    * from the index's own DEQUANTIZED vectors (qᵢ / scale — the resident
+    * artifact is all this metric reads; no corpus scan, no primary-store
+    * fetch). A fresh index scores ≈ 1 on every list (int8 quantization
+    * noise only, and it averages out across members); a list whose
+    * appended vectors came from a shifted distribution scores visibly
+    * below 1. All-zero members (scale = 0, [[quantizeInt8]]'s degenerate
+    * encoding) dequantize to the zero vector — they dilute the mean
+    * exactly as they would at build time, so they cannot fake drift.
+    *
+    * Scale: ONE scan of the index artifact, a (list, dim)-keyed mean
+    * (map-side combined — |lists|·dim groups at any index size) and a
+    * |lists|-row broadcast join against the centroids. Output:
+    * (list, n, ccos), |lists| rows. */
+  def indexCentroidDrift(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame = {
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val cur = spark.read.parquet(s"$dir/qindex")
+      .select(col("list"), posexplode(transform(col("q"),
+        x => when(col("scale") > 0, x.cast("double") / col("scale"))
+          .otherwise(lit(0.0)))).as(Seq("i", "x")))
+      .groupBy("list", "i").agg(count(lit(1)).as("n"), avg("x").as("x"))
+      .groupBy("list")
+      .agg(max(col("n")).as("n"),
+        transform(array_sort(collect_list(struct(col("i"), col("x")))),
+          s => s.getField("x")).as("cur"))
+    cur.join(broadcast(cent), "list")
+      .select(col("list"), col("n"),
+        (dot(col("cur"), col("centroid")) /
+          (l2norm(col("cur")) * l2norm(col("centroid")))).as("ccos"))
+  }
+
+  /** RE-TRAIN-ON-DRIFT — closes the stored-index lifecycle
+    * (build [[writeIvfIndex]] → append [[appendToIvfIndex]] → measure
+    * [[indexCentroidDrift]] → rebuild): if ANY list's stored-centroid-to-
+    * current-mean cosine fell below `minCentroidCos`, rebuild the whole
+    * artifact from the primary store (`corpus`) — centroids re-trained
+    * over the CURRENT population, every vector re-assigned and
+    * re-quantized, old artifact replaced in place by writeIvfIndex's
+    * overwrites (OFFLINE maintenance — run while no query job reads the
+    * artifact; a zero-downtime deployment writes a fresh dir and swaps a
+    * pointer). Returns whether a rebuild happened, so schedulers can log
+    * the decision. The worst-list (min) criterion, not the mean: drift
+    * concentrates in the lists that RECEIVED the shifted appends, and a
+    * 1000-list index dilutes any mean while probe quality for exactly the
+    * drifted region collapses — min is the metric that pages.
+    *
+    * `minCentroidCos` default 0.999: a freshly built index measures
+    * ≥ 0.9999 on every list (pure int8 noise, averaged over members —
+    * Round9Spec pins it), an order of magnitude above the threshold gap,
+    * while a distribution shift big enough to matter for probe selection
+    * lands well below (the graded sim8 fixture: ~0.97). List re-training
+    * here re-derives centroids from `listCol` (the coarse-quantizer
+    * assignment the build used); a deployment whose lists come from
+    * k-means re-runs [[Clustering.kmeansIterations]] for the same step.
+    * Driver state: |lists| rows (the drift report) — the km1 bounded-
+    * action budget. */
+  def retrainIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      listCol: String, dir: String,
+                      minCentroidCos: Double = 0.999): Boolean = {
+    val worst = indexCentroidDrift(corpus.sparkSession, dir)
+      .agg(min(col("ccos"))).head().getDouble(0)
+    val drifted = worst < minCentroidCos
+    if (drifted) writeIvfIndex(corpus, idCol, vecCol, listCol, dir)
+    drifted
   }
 
   /** [[ivfQuantizedTopK]] answered from PRE-BUILT index relations —

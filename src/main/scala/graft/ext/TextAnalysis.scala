@@ -263,6 +263,50 @@ object TextAnalysis {
     } finally vocab0.unpersist(blocking = false)
   }
 
+  /** BPE APPLY — the consumer of [[bpeMergeRounds]]' trained artifact
+    * (Sennrich et al. 2016 §3: training emits an ordered merge list;
+    * tokenization replays it): segment the corpus under the learned
+    * merges and emit per-document token counts under the TRAINED
+    * tokenizer — the real measurement [[vocabCoverage]]'s whitespace-token
+    * approximation stands in for (token budgets, packing lengths and
+    * per-doc training cost are all priced in TOKENIZER units, not words).
+    * `merges` is the trained artifact: (sym_a, sym_b) pairs in training
+    * order, applied in that order — BPE's apply-time contract. Output:
+    * (doc_id, n_words, n_bpe_tokens); n_bpe_tokens = Σ over the doc's
+    * words of the word's post-merge symbol count, so before any merge it
+    * equals the doc's character count and each applied merge occurrence
+    * reduces it by one — the compression the tokenizer was trained for.
+    *
+    * Segmentation semantics are [[bpeMergeRounds]]' own, verbatim: the
+    * spaced-symbol string, the literal non-regex replace per merge, and
+    * the documented boundary-sharing deviation on repeated-character
+    * runs — train and apply MUST share one segmenter or the learned
+    * merges mis-apply (the classic tokenizer-skew bug this operator's
+    * oracle would catch: it unrolls the identical replaces).
+    *
+    * Scale shape: the string kernel (space-out + |merges| literal
+    * replaces + one split) runs once per DISTINCT WORD — vocabulary-sized,
+    * the same economy bpeMergeRounds trains at — never per occurrence;
+    * occurrences then join the |vocab| counts relation (un-hinted: AQE
+    * broadcasts a vocabulary while it fits and falls back at scale) and
+    * collapse into one map-side-combined per-doc aggregate. */
+  def bpeSegmentCounts(df: DataFrame, idCol: String, textCol: String,
+                       merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "apply needs a trained merge list")
+    val words = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+    val sym0 = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+    val seg = merges.foldLeft(sym0) { case (s, (a, b)) =>
+      call_function("replace", s, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    val perWord = words.select(col("w")).distinct()
+      .select(col("w"), size(split(trim(seg), " ")).cast("long").as("n_sub"))
+    words.join(perWord, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
+  }
+
   /** Per-document mean unigram SURPRISAL against the corpus's own unigram
     * distribution — the language-model quality filter's cheap stand-in
     * (CCNet/KenLM-style perplexity filtering ranks docs by LM score; the

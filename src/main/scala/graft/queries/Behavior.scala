@@ -39,7 +39,21 @@ object Behavior {
     * Scale: ONE per-user aggregate (map-side combined collect) — the
     * sessionization cost class; the symbol string is bounded by a user's
     * own activity, never the corpus, and the regexp runs once per USER
-    * row through codegen'd built-ins. */
+    * row through codegen'd built-ins.
+    *
+    * WHALE-KEY CAVEAT: "bounded by a user's own activity" is a real bound
+    * but not a small one — an adversarial key (a bot account, a shared
+    * service user) with 10⁸ events materializes ONE aggregation buffer
+    * holding its whole symbol string (~100 MB) on a single task. The
+    * semantics (whole-history backtracking) genuinely require the full
+    * string, so the mitigations are contract changes, pick one at ingest:
+    * cap events per user up front (`Window.partitionBy(user).orderBy(ts,
+    * seq)` row_number ≤ N — deterministic prefix semantics), or segment
+    * the history into fixed time slices and sum per-slice counts (exact
+    * for patterns that cannot span a slice boundary; spanning matches
+    * are undercounted — the standard streaming-motif tradeoff). Keys
+    * above the cap are the quarantine tier's business (dq2), not this
+    * operator's. */
   def eventPatterns(events: DataFrame, user: Column, ts: Column, seq: Column,
                     etype: Column, symbols: Seq[(String, String)],
                     patterns: Seq[(String, String)]): DataFrame = {

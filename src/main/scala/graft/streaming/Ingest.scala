@@ -177,34 +177,125 @@ object Ingest {
     * contract). Retry-safe: batch b's reconstruction reads versions < b
     * only (its own failed attempt is ignored) and the rewrite of v=b is
     * an idempotent overwrite. Versions-per-bucket grow with batches —
-    * production compacts old versions periodically; the replay fixtures
-    * are bounded-batch so none is needed here. */
+    * [[compactMatview]] folds them back to one; run it on whatever cadence
+    * the version count warrants, between streaming runs. */
   def upsertMatview(agg: DataFrame, keys: Seq[String], snapRoot: String,
                     checkpoint: String, buckets: Int = 16): StreamingQuery =
     graft.core.Sinks.foreachBatchSink(agg, checkpoint) { (b, id) =>
-      val s = b.sparkSession
-      val batch = b.withColumn("pk",
-          pmod(xxhash64(keys.map(col): _*), lit(buckets)).cast("int"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        // bounded driver scalar set: at most `buckets` values
-        val affected = batch.select("pk").distinct()
-          .collect().map(_.getInt(0)).sorted
-        val prevPaths = affected.flatMap(pk =>
-          newestBucketVersion(snapRoot, pk, beforeVersion = id)
-            .map(v => s"$snapRoot/v=$v/pk=$pk"))
-        val prev =
-          if (prevPaths.isEmpty) batch.limit(0)
-          else s.read.option("basePath", snapRoot).parquet(prevPaths: _*)
-            .select(batch.columns.map(col): _*)
-        prev.join(batch.select(keys.map(col): _*), keys, "left_anti")
-          .unionByName(batch)
-          .write.mode("overwrite").partitionBy("pk")
-          .parquet(s"$snapRoot/v=$id")
-      } finally batch.unpersist()
+      upsertMatviewBatch(b, keys, snapRoot, id, buckets)
     }.outputMode("update")
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** One [[upsertMatview]] batch, callable OUTSIDE the streaming engine —
+    * the versioned copy-on-write upsert itself, factored out so batch
+    * pipelines (and the mv2 grade) can maintain the same snapshot layout
+    * from plain DataFrames: the caller supplies the batch id and rows
+    * whose values are the FULL updated state for their keys (exactly what
+    * update-mode emits). Same retry contract as the streaming path —
+    * reconstruction reads committed versions `< id` only, the `v=$id`
+    * write is an idempotent overwrite. */
+  def upsertMatviewBatch(b: DataFrame, keys: Seq[String], snapRoot: String,
+                         id: Long, buckets: Int = 16): Unit = {
+    // `v` and `pk` are the layout's own partition dimensions — a data
+    // column with either name would silently collide at read time
+    require(!b.columns.contains("v") && !b.columns.contains("pk"),
+      "matview columns `v` and `pk` are reserved by the snapshot layout")
+    val s = b.sparkSession
+    val batch = b.withColumn("pk",
+        pmod(xxhash64(keys.map(col): _*), lit(buckets)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded driver scalar set: at most `buckets` values
+      val affected = batch.select("pk").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val prevPaths = affected.flatMap(pk =>
+        newestBucketVersion(snapRoot, pk, beforeVersion = id)
+          .map(v => s"$snapRoot/v=$v/pk=$pk"))
+      val prev =
+        if (prevPaths.isEmpty) batch.limit(0)
+        else s.read.option("basePath", snapRoot).parquet(prevPaths: _*)
+          .select(batch.columns.map(col): _*)
+      prev.join(batch.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(batch)
+        .write.mode("overwrite").partitionBy("pk")
+        .parquet(s"$snapRoot/v=$id")
+    } finally batch.unpersist()
+  }
+
+  /** VERSION COMPACTION for the [[upsertMatview]] snapshot — the periodic
+    * maintenance its scaladoc prices: fold every bucket's newest committed
+    * state into ONE version and remove the rest, view-invariant
+    * ([[latestSnapshot]] before ≡ after — Round9Spec pins it). Without it
+    * versions-per-bucket grow with batch count and every reader's
+    * newest-per-bucket probe walks an ever-longer version list.
+    *
+    * The compacted state keeps the NEWEST committed version's id, which is
+    * what makes compaction safe to interleave between streaming runs: a
+    * restarted query's batch ids continue ABOVE the last committed id, so
+    * (a) no future batch can collide with the compacted dir, and (b) batch
+    * reconstruction (`beforeVersion = id`) still finds every bucket —
+    * now in one version instead of many. Same offline contract as
+    * [[graft.core.Sinks.compact]] (K3's file compaction — this is its
+    * version-dimension sibling): run while no writer is active.
+    *
+    * Crash-safe ordering, mirroring Sinks.compact's checked swap: the full
+    * current state is materialized into a side dir FIRST (one read of the
+    * newest-per-bucket paths — O(snapshot), the rewrite any compaction
+    * pays), the newest version dir is swapped aside and the compacted dir
+    * swapped in (both renames checked — Hadoop rename reports failure by
+    * returning false), and only then are the superseded versions deleted.
+    * A crash before the swap leaves the original layout untouched; a crash
+    * after it leaves extra old versions that the newest-per-bucket read
+    * rule already ignores — re-running compaction finishes the job. */
+  def compactMatview(spark: org.apache.spark.sql.SparkSession,
+                     snapRoot: String): Unit = {
+    val versions = committedVersions(snapRoot)
+    require(versions.nonEmpty, s"no committed snapshot versions under $snapRoot")
+    if (versions.size <= 1) return // single version already holds all buckets
+    val vmax = versions.max
+    val buckets = versions.flatMap(v =>
+      Option(new java.io.File(s"$snapRoot/v=$v").listFiles())
+        .getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("pk="))
+        .map(_.getName.stripPrefix("pk=").toInt)).distinct.sorted
+    val paths = buckets.map(pk =>
+      s"$snapRoot/v=${newestBucketVersion(snapRoot, pk).get}/pk=$pk")
+    // scratch dirs live OUTSIDE the `v=` namespace so a crash can never
+    // leave a non-numeric dir for committedVersions' parse to choke on
+    val tmp = s"$snapRoot/compact_tmp"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val aside = p(s"$snapRoot/compact_old")
+    if (fs.exists(aside))
+      throw new java.io.IOException(
+        s"compactMatview: $aside exists — a previous compaction crashed " +
+          s"mid-swap; if v=$vmax is missing restore it from $aside, " +
+          s"otherwise delete $aside, then re-run")
+    // materializes the full state BEFORE any dir is touched (the write is
+    // the action; `pk` rides along as a partition column from basePath)
+    spark.read.option("basePath", snapRoot).parquet(paths: _*)
+      .drop("v")
+      .write.mode("overwrite").partitionBy("pk").parquet(tmp)
+    if (!fs.rename(p(s"$snapRoot/v=$vmax"), aside))
+      throw new java.io.IOException(
+        s"compactMatview: could not move v=$vmax aside — snapshot untouched")
+    if (!fs.rename(p(tmp), p(s"$snapRoot/v=$vmax"))) {
+      val restored = fs.rename(aside, p(s"$snapRoot/v=$vmax"))
+      throw new java.io.IOException(
+        s"compactMatview: could not swap compacted state into v=$vmax" +
+          (if (restored) " — original state restored"
+           else s" — NEWEST VERSION LEFT AT $aside, restore manually"))
+    }
+    (versions.filter(_ != vmax).map(v => p(s"$snapRoot/v=$v")) :+ aside)
+      .foreach { old =>
+        if (fs.exists(old) && !fs.delete(old, true))
+          throw new java.io.IOException(
+            s"compactMatview: compacted state committed but could not " +
+              s"remove superseded $old — delete it manually")
+      }
+  }
 
   /** Committed (has _SUCCESS) snapshot versions under `snapRoot`, sorted. */
   private def committedVersions(snapRoot: String): Seq[Long] =

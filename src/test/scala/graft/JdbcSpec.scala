@@ -109,37 +109,61 @@ class JdbcSpec extends SparkSpec {
   test("dialect matrix: Derby vs Postgres DDL/upsert mapping, Derby row executed for real") {
     import graft.core.Provisioner
     import graft.core.Provisioner.{Derby, Postgres}
-    // The divergent surface, rendered per dialect. Postgres (the
-    // reference's serving DB) cannot run offline — its rendering is
-    // pinned as text; the Derby rendering executes below.
-    val cols = Seq("email" -> "'a@ex.org'", "usage_b" -> "7", "quota" -> "100")
-    val pg = Postgres.upsertSql("user_quota_limit", Seq("email"), cols)
+    // The divergent surface, rendered per dialect as PREPARED statements
+    // (values bind through ?, never splice — the O'Brien/injection seam).
+    // Postgres (the reference's serving DB) cannot run offline — its
+    // rendering + bind order are pinned as text; Derby executes below.
+    val names = Seq("email", "usage_b", "quota")
+    val (pg, pgBinds) = Postgres.upsertSql("user_quota_limit", Seq("email"), names)
     assert(pg == "INSERT INTO user_quota_limit (email, usage_b, quota) " +
-      "VALUES ('a@ex.org', 7, 100) ON CONFLICT (email) DO UPDATE SET " +
+      "VALUES (?, ?, ?) ON CONFLICT (email) DO UPDATE SET " +
       "usage_b = EXCLUDED.usage_b, quota = EXCLUDED.quota", pg)
+    assert(pgBinds == names)
     assert(Postgres.varcharDdl(64) == "VARCHAR(64)"
       && Postgres.bigintDdl == "BIGINT" && Postgres.timestampDdl == "TIMESTAMP")
-    val db = Derby.upsertSql("UPQ_DIALECT", Seq("email"), cols)
-    assert(db.startsWith("MERGE INTO UPQ_DIALECT t USING SYSIBM.SYSDUMMY1 ON "), db)
-    // Derby row runs for real: provision through the seam, upsert twice
-    // with changing values — second run UPDATES instead of duplicating
+    val (db, dbBinds) = Derby.upsertSql("UPQ_DIALECT", Seq("email"), names)
+    assert(db == "MERGE INTO UPQ_DIALECT t USING SYSIBM.SYSDUMMY1 " +
+      "ON t.email = ? WHEN MATCHED THEN UPDATE SET t.usage_b = ?, " +
+      "t.quota = ? WHEN NOT MATCHED THEN INSERT (email, usage_b, quota) " +
+      "VALUES (?, ?, ?)", db)
+    // keys (ON), non-keys (UPDATE), all columns again (INSERT)
+    assert(dbBinds == Seq("email", "usage_b", "quota", "email", "usage_b", "quota"))
+    // Derby rows run for real: provision through the seam, upsert twice
+    // with changing values — second run UPDATES instead of duplicating —
+    // and a single-quote-bearing value round-trips intact (the raw-
+    // interpolation form broke on it)
     Provisioner.withConnection(url, "", "") { conn =>
       Provisioner.ensureTable(conn, "UPQ_DIALECT",
         s"email ${Derby.varcharDdl(256)}, usage_b ${Derby.bigintDdl}, " +
           s"quota ${Derby.bigintDdl}", Derby)
-      Provisioner.upsert(conn, Derby, "UPQ_DIALECT", Seq("email"), cols)
       Provisioner.upsert(conn, Derby, "UPQ_DIALECT", Seq("email"),
-        Seq("email" -> "'a@ex.org'", "usage_b" -> "9", "quota" -> "100"))
+        Seq("email" -> "a@ex.org", "usage_b" -> 7L, "quota" -> 100L))
       Provisioner.upsert(conn, Derby, "UPQ_DIALECT", Seq("email"),
-        Seq("email" -> "'b@ex.org'", "usage_b" -> "1", "quota" -> "50"))
+        Seq("email" -> "a@ex.org", "usage_b" -> 9L, "quota" -> 100L))
+      Provisioner.upsert(conn, Derby, "UPQ_DIALECT", Seq("email"),
+        Seq("email" -> "o'brien@ex.org", "usage_b" -> 1L, "quota" -> 50L))
     }
     val back = Tables.jdbcTable(spark, url, "UPQ_DIALECT", "", "")
       .orderBy("email").collect()
     assert(back.length == 2, s"upsert must key on email: ${back.mkString}")
     assert(back(0).getLong(1) == 9L, "second upsert must update usage_b")
+    assert(back(1).getString(0) == "o'brien@ex.org",
+      "quoted value must round-trip through the prepared bind")
+    // the seed path binds too: a quoted value round-trips through a fresh
+    // table (user_metadata may already be seeded by the earlier test —
+    // seedIfEmpty correctly no-ops there)
+    Provisioner.withConnection(url, "", "") { conn =>
+      Provisioner.ensureTable(conn, "SEED_QUOTE",
+        s"id ${Derby.varcharDdl(64)}, name ${Derby.varcharDdl(256)}", Derby)
+      Provisioner.seedIfEmpty(conn, "SEED_QUOTE", Seq("id", "name"),
+        Seq(Seq[Any]("u1", "O'Brien")))
+    }
+    val seeded = Tables.jdbcTable(spark, url, "SEED_QUOTE", "", "").collect()
+    assert(seeded.exists(_.getString(1) == "O'Brien"),
+      "quoted seed value must round-trip through the prepared bind")
     // the pipeline provisioner itself through the explicit dialect seam
     Provisioner.provisionPipeline(url, "", "",
-      Seq(("u1", "n1", "e1@ex.org", 5L)), Derby)
+      Seq(("u1", "O'Brien", "e1@ex.org", 5L)), Derby)
   }
 
   test("range-partitioned parallel JDBC read: disjoint covering partitions") {

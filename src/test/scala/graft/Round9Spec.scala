@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 pins — the three lifecycle closers the round-8 verdict
+  * directed, plus the advice guards:
+  *  - compactMatview folds every bucket's newest state into ONE version,
+  *    view-invariant (latestSnapshot before ≡ after), keeps the newest id
+  *    so a resumed writer's next batch id never collides, and state whose
+  *    bucket was untouched by later batches survives the fold.
+  *  - The stored-IVF drift contract: a fresh index measures ≈ 1 on every
+  *    list (no rebuild), a shifted append drags the metric below the
+  *    threshold (rebuild fires), and the rebuilt index measures clean
+  *    again — drift-metric-triggers-rebuild, end to end.
+  *  - appendToIvfIndex fails LOUDLY on a zero-norm vector (round-8 advice:
+  *    cosine is NaN and NaN sorts first under desc — silently landing the
+  *    vector in an arbitrary list).
+  *  - bpeSegmentCounts applies a trained merge list in training order:
+  *    before any merge the token count is the character count; each merge
+  *    occurrence reduces it by exactly one; chained merges compose.
+  */
+class Round9Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- mv2
+
+  private def snapshotRows(root: String): Set[(String, Long)] =
+    streaming.Ingest.latestSnapshot(spark, root)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+  private def versionDirs(root: String): Seq[String] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName).sorted.toSeq
+
+  test("compactMatview: versions fold to one, view-invariant, newest id kept") {
+    val root = tmpDir("mv2-compact") + "/snap"
+    // batch 0 seeds four keys; batches 1/2 update DISJOINT single keys, so
+    // at least one bucket's newest state still lives in v=0 — the fold
+    // must pick it up from there, not just from the newest version
+    streaming.Ingest.upsertMatviewBatch(
+      Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)).toDF("k", "cnt"),
+      Seq("k"), root, 0L, buckets = 8)
+    streaming.Ingest.upsertMatviewBatch(
+      Seq(("a", 10L)).toDF("k", "cnt"), Seq("k"), root, 1L, buckets = 8)
+    streaming.Ingest.upsertMatviewBatch(
+      Seq(("b", 20L)).toDF("k", "cnt"), Seq("k"), root, 2L, buckets = 8)
+    val before = snapshotRows(root)
+    assert(before == Set(("a", 10L), ("b", 20L), ("c", 3L), ("d", 4L)))
+    assert(versionDirs(root) == Seq("v=0", "v=1", "v=2"))
+    streaming.Ingest.compactMatview(spark, root)
+    assert(versionDirs(root) == Seq("v=2"), "fold keeps the NEWEST id only")
+    assert(snapshotRows(root) == before, "compaction must be view-invariant")
+    // a resumed writer continues ABOVE the kept id: no collision, and
+    // reconstruction still sees every bucket (now all in one version)
+    streaming.Ingest.upsertMatviewBatch(
+      Seq(("c", 30L), ("e", 5L)).toDF("k", "cnt"), Seq("k"), root, 3L, buckets = 8)
+    assert(snapshotRows(root) ==
+      Set(("a", 10L), ("b", 20L), ("c", 30L), ("d", 4L), ("e", 5L)))
+    // idempotent maintenance: single-version snapshots are a no-op
+    streaming.Ingest.compactMatview(spark, root)
+    streaming.Ingest.compactMatview(spark, root)
+    assert(snapshotRows(root) ==
+      Set(("a", 10L), ("b", 20L), ("c", 30L), ("d", 4L), ("e", 5L)))
+  }
+
+  // ---------------------------------------------------------------- sim8
+
+  private def vecDf(rows: Seq[(Long, Int, Seq[Double])]) =
+    rows.toDF("vec_id", "label", "embedding")
+
+  test("stored-IVF drift: fresh index clean, shifted append trips the rebuild, rebuilt index clean") {
+    val dir = tmpDir("sim8-drift")
+    // two tight clusters around (1,0,…) and (0,1,…), dim 4
+    val base = vecDf((0L until 40L).map { i =>
+      val l = (i % 2).toInt
+      val eps = (i % 5).toDouble / 100.0
+      if (l == 0) (i, 0, Seq(1.0 + eps, eps, 0.0, 0.0))
+      else (i, 1, Seq(eps, 1.0 + eps, 0.0, 0.0))
+    })
+    ext.Similarity.writeIvfIndex(base, "vec_id", "embedding", "label", dir)
+    val fresh = ext.Similarity.indexCentroidDrift(spark, dir)
+      .agg(min("ccos")).head().getDouble(0)
+    assert(fresh > 0.9999, s"fresh index must measure int8 noise only: $fresh")
+    assert(!ext.Similarity.retrainIvfIndex(base, "vec_id", "embedding",
+      "label", dir), "no drift -> no rebuild")
+    // appended mass from a shifted distribution: list-0-shaped vectors
+    // with a strong extra component the frozen centroid has none of
+    val shifted = vecDf((100L until 120L).map(i =>
+      (i, 0, Seq(1.0, 0.0, 2.0, 0.0))))
+    ext.Similarity.appendToIvfIndex(shifted, "vec_id", "embedding", dir)
+    val drifted = ext.Similarity.indexCentroidDrift(spark, dir)
+      .agg(min("ccos")).head().getDouble(0)
+    assert(drifted < 0.999, s"shifted append must register as drift: $drifted")
+    val all = base.unionByName(shifted)
+    assert(ext.Similarity.retrainIvfIndex(all, "vec_id", "embedding",
+      "label", dir), "drift past the threshold must trigger the rebuild")
+    val after = ext.Similarity.indexCentroidDrift(spark, dir)
+      .agg(min("ccos")).head().getDouble(0)
+    assert(after > 0.9999, s"re-trained centroids must measure clean: $after")
+  }
+
+  test("appendToIvfIndex raises loudly on a zero-norm vector") {
+    val dir = tmpDir("sim8-zero")
+    ext.Similarity.writeIvfIndex(
+      vecDf(Seq((0L, 0, Seq(1.0, 0.0)), (1L, 1, Seq(0.0, 1.0)))),
+      "vec_id", "embedding", "label", dir)
+    val e = intercept[Exception] {
+      ext.Similarity.appendToIvfIndex(
+        vecDf(Seq((7L, 0, Seq(0.0, 0.0)))), "vec_id", "embedding", dir)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("zero-norm vector vec_id=7")),
+      s"must name the offending vector: ${messages(e).mkString(" | ")}")
+  }
+
+  // ---------------------------------------------------------------- bpe3
+
+  test("bpeSegmentCounts: char count before merges, minus one per merge occurrence, order-composed") {
+    val docs = Seq((1L, "aab ab b"), (2L, "aab aab")).toDF("doc_id", "text")
+    // one merge (a,b): aab -> [a, ab] (2), ab -> [ab] (1), b -> [b] (1)
+    val one = ext.TextAnalysis.bpeSegmentCounts(docs, "doc_id", "text",
+      Seq(("a", "b"))).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(one.toSeq == Seq((1L, 3L, 4L), (2L, 2L, 4L)))
+    // chained merges compose in training order: (a,b) then (a,ab)
+    val two = ext.TextAnalysis.bpeSegmentCounts(docs, "doc_id", "text",
+      Seq(("a", "b"), ("a", "ab"))).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(two.toSeq == Seq((1L, 3L, 3L), (2L, 2L, 2L)))
+    // the trained artifact consumed end-to-end: counts drop vs characters
+    // exactly where merges apply, never below the word count
+    val sf = "/root/testdata/sf0.001"
+    val d = core.Tables.documents(spark, sf)
+    val merges = ext.TextAnalysis.bpeMergeRounds(d, "text", rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = ext.TextAnalysis.bpeSegmentCounts(d, "doc_id", "text", merges)
+    val bad = out.where(col("n_bpe_tokens") < col("n_words")).count()
+    assert(bad == 0, "a word can never segment to fewer than one token")
+  }
+}
