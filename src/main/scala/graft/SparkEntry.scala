@@ -1962,6 +1962,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // bf2: bf1 answered from STORED artifacts — the production shape
+    // bf1's own scaladoc prices ("both archive passes vanish"): the
+    // bloom filter and the fingerprint index are MAINTAINED files
+    // (Dedup.writeBloomIndex / appendToBloomIndex — OR-merged filter,
+    // appended fps; yesterday's filter never rebuilds), and the dedup
+    // (dedupIncrementalBloomFromIndex) fingerprints ONLY the batch —
+    // archive text is never re-read. Build over one quarter, a
+    // maintenance batch appends another (so the probed filter is
+    // provably the MERGED one — archive = doc_id % 2 = 0 exactly),
+    // oracle = bf1's verbatim: stored ≡ inline ≡ exact.
+    "bf2_stored_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val dir = graft.core.Scratch.dir("bf2-")
+      Dedup.writeBloomIndex(docs.where(col("doc_id") % 4 === 0), "text", dir)
+      Dedup.appendToBloomIndex(docs.where(col("doc_id") % 4 === 2), "text", dir)
+      val batch = docs.union(
+        docs.select((col("doc_id") + plantUnit(s, d)).as("doc_id"), col("text")))
+      Dedup.dedupIncrementalBloomFromIndex(batch, "doc_id", "text", dir)
+        .orderBy("doc_id")
+    }),
+
     // pr1: fixed-point PageRank over the customer↔supplier trade graph
     // (distinct (custkey, suppkey) pairs via orders⋈lineitem, both
     // directions = undirected walk; suppliers offset +10⁹ into the shared
@@ -4150,6 +4171,22 @@ object SparkEntry {
       // bf1: bloom prune is result-invariant — the oracle is inc1's exact
       // anti-join verbatim
       "bf1_bloom_dedup" ->
+        (s"""WITH b AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + $plantUnitSql AS doc_id, text FROM documents),
+           | bf AS (SELECT min(doc_id) AS doc_id, fp AS content_fp FROM (
+           |  SELECT doc_id, substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
+           |  FROM b) GROUP BY fp),
+           | af AS (SELECT substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
+           |  FROM documents WHERE doc_id % 2 = 0)
+           |SELECT doc_id, content_fp FROM bf
+           |WHERE NOT EXISTS (SELECT 1 FROM af WHERE af.fp = bf.content_fp)
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // bf2: bf1's oracle VERBATIM — build(%4=0) + append(%4=2) covers
+      // exactly the doc_id % 2 = 0 archive, and the stored-artifact path
+      // must answer identically to the inline build (no false negatives,
+      // false positives re-checked exactly)
+      "bf2_stored_bloom" ->
         (s"""WITH b AS (
            |  SELECT doc_id, text FROM documents
            |  UNION ALL SELECT doc_id + $plantUnitSql AS doc_id, text FROM documents),

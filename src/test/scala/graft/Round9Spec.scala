@@ -115,6 +115,36 @@ class Round9Spec extends SparkSpec {
       s"must name the offending vector: ${messages(e).mkString(" | ")}")
   }
 
+  // ---------------------------------------------------------------- bf2
+
+  test("stored bloom index: OR-merge == from-scratch build, stored path == inline path") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = core.Tables.documents(spark, sf).select("doc_id", "text")
+    val a1 = docs.where(col("doc_id") % 4 === 0)
+    val a2 = docs.where(col("doc_id") % 4 === 2)
+    val incremental = tmpDir("bf2-inc")
+    ext.Dedup.writeBloomIndex(a1, "text", incremental)
+    ext.Dedup.appendToBloomIndex(a2, "text", incremental)
+    val scratch = tmpDir("bf2-scratch")
+    ext.Dedup.writeBloomIndex(a1.unionByName(a2), "text", scratch)
+    def bloomBits(dir: String) =
+      spark.read.parquet(s"$dir/bloom").head().getAs[Array[Byte]](2)
+    assert(java.util.Arrays.equals(bloomBits(incremental), bloomBits(scratch)),
+      "OR-merged filter must equal the from-scratch filter over the union")
+    // the dedup answered from the stored artifacts ≡ the inline build
+    val batch = docs.where(col("doc_id") % 2 === 1)
+      .unionByName(docs.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val stored = ext.Dedup.dedupIncrementalBloomFromIndex(
+        batch, "doc_id", "text", incremental)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val inline = ext.Dedup.dedupIncrementalBloom(
+        batch, a1.unionByName(a2), "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(stored.nonEmpty && stored.sameElements(inline),
+      "stored-artifact dedup must answer identically to the inline path")
+  }
+
   // ---------------------------------------------------------------- bpe3
 
   test("bpeSegmentCounts: char count before merges, minus one per merge occurrence, order-composed") {
