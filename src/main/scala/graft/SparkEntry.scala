@@ -167,6 +167,28 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // fb2s: the EVENT-TIME-TIMEOUT state-expiry branch of custom state —
+    // the production pairing fb1s's operator scaladoc defers to ("expire
+    // idle users"), graded: gap-idle session summaries through
+    // flatMapGroupsWithState with GroupStateTimeout.EventTimeTimeout.
+    // A session closes on a ≥30-min same-key gap (arrival branch) or
+    // when the watermark passes last-event + gap (hasTimedOut branch —
+    // emit and state.remove(), reclaiming the state firstBreach keeps
+    // forever); every key's FINAL session can only leave through the
+    // timeout, so the expiry path provably executes for every user.
+    // Boundaries depend only on event-time gaps in exact micro-units —
+    // never batch boundaries — so the oracle is the standard batch
+    // lag/flag/cumsum gap sessionization.
+    "fb2s_idle_expiry" -> ((s, d) => {
+      val in = events(s, d).select(col("user_id").as("id"),
+        col("ts").cast("timestamp").as("ts"), col("event_id").as("seq"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("v"))
+      graft.streaming.Replay.idleSessionReplay(s, in,
+          java.time.Duration.ofMinutes(30), "15 seconds",
+          java.time.Duration.ofMinutes(40))
+        .orderBy("user_id", "session_start")
+    }),
+
     // tws1: Spark 4 transformWithState (the ARBITRARY-STATE successor to
     // fb1s's flatMapGroupsWithState — typed named state variables,
     // RocksDB-only) driven by the real engine across 3 event-time
@@ -2799,6 +2821,26 @@ object SparkEntry {
            | FROM c WHERE cum >= 3000000000)
            |SELECT user_id, ts AS breach_ts, cum::BIGINT AS cum_micro FROM b
            |WHERE rn = 1 ORDER BY user_id""".stripMargin.replace("\n", " ")),
+      // fb2s: batch gap sessionization (lag/flag/cumsum, the sess1s
+      // family) with the identical strictly-≥ 30-min µs gap rule — the
+      // timeout only decides WHEN a session flushes, never its contents
+      "fb2s_idle_expiry" ->
+        ("""WITH v AS (SELECT user_id, ts, event_id,
+           |  CAST(floor(value * 1000000) AS BIGINT) AS v FROM events),
+           |flagged AS (SELECT user_id, ts, event_id, v,
+           |  CASE WHEN lag(ts) OVER w IS NULL
+           |   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+           |   THEN 1 ELSE 0 END AS nf
+           | FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sess AS (SELECT user_id, ts, v,
+           |  SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |   ROWS UNBOUNDED PRECEDING) AS sno
+           | FROM flagged)
+           |SELECT user_id, min(ts) AS session_start,
+           | CAST(COUNT(*) AS BIGINT) AS n_events,
+           | CAST(SUM(v) AS BIGINT) AS total_micro
+           |FROM sess GROUP BY user_id, sno
+           |ORDER BY user_id, session_start""".stripMargin.replace("\n", " ")),
       // tws1: the final per-key cumulative emission must equal the plain
       // batch aggregate — state restored across every batch boundary
       "tws1_running_totals" ->

@@ -285,6 +285,36 @@ object Replay {
       .withColumn("timestamp", col("timestamp").cast("timestamp_ntz"))
   }
 
+  /** Replay `(id, ts, seq, v)` rows through [[QuotaAlert.idleSessions]]
+    * (flatMapGroupsWithState with EVENT-TIME TIMEOUT — the state-expiry
+    * branch) into a parquet sink and read it back. Same staging, sentinel
+    * and readback contract as [[sessionWindowSumReplay]]: the sentinel
+    * (key −1, filtered from the sink) advances the watermark past every
+    * real key's last-event + gap, so each key's final session flushes
+    * through the `hasTimedOut` branch and its state is reclaimed —
+    * size `sentinelGap` ≫ gap + watermark delay. */
+  def idleSessionReplay(spark: SparkSession, input: DataFrame,
+                        gap: Duration, watermark: String,
+                        sentinelGap: Duration): DataFrame = {
+    val rows = input.toDF("id", "ts", "seq", "v")
+      .select(col("id").cast("long").as("id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("seq").cast("long").as("seq"),
+        col("v").cast("long").as("v"))
+    val sentinel = rows
+      .agg((max(col("ts")) + expr(s"INTERVAL ${sentinelGap.getSeconds} SECONDS")).as("ts"))
+      .select(lit(-1L).as("id"), col("ts"), lit(0L).as("seq"), lit(0L).as("v"))
+    val dir = scratch("idle-")
+    rows.unionByName(sentinel).write.parquet(s"$dir/in")
+    val src = spark.readStream
+      .schema("id BIGINT, ts TIMESTAMP, seq BIGINT, v BIGINT")
+      .parquet(s"$dir/in")
+    val out = QuotaAlert.idleSessions(src, gap, watermark).toDF()
+    runToSink(spark, out, dir)
+      .where(col("user_id") =!= -1L)
+      .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+  }
+
   /** Replay two keyed `(event_id, ts, user_id)` frames through
     * [[Speed.joinWithin]] (the watermark-bounded stream-stream INNER join)
     * into a parquet sink and read it back — the stream-stream-join

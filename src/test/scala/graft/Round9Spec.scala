@@ -115,6 +115,29 @@ class Round9Spec extends SparkSpec {
       s"must name the offending vector: ${messages(e).mkString(" | ")}")
   }
 
+  // ---------------------------------------------------------------- fb2s
+
+  test("idleSessions: arrival branch splits on the gap, timeout branch flushes the final session") {
+    import java.sql.Timestamp
+    def ts(min: Long) = Timestamp.valueOf(java.time.LocalDateTime
+      .of(2024, 1, 1, 0, 0, 0).plusMinutes(min))
+    // user 1: events at 0, 10, 45 min (30-min gap) -> sessions {0,10} and
+    // {45}; user 2: one event -> one session. The {45} and user-2 sessions
+    // have NO successor event, so they can only emit through the
+    // hasTimedOut branch — their presence proves the expiry path ran.
+    val in = Seq((1L, ts(0), 1L, 5L), (1L, ts(10), 2L, 7L),
+      (1L, ts(45), 3L, 11L), (2L, ts(0), 4L, 3L))
+      .toDF("id", "ts", "seq", "v")
+    val got = streaming.Replay.idleSessionReplay(spark, in,
+        java.time.Duration.ofMinutes(30), "15 seconds",
+        java.time.Duration.ofMinutes(40))
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).getMinute, r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 0, 2L, 12L), (1L, 45, 1L, 11L),
+      (2L, 0, 1L, 3L)))
+  }
+
   // ---------------------------------------------------------------- bf2
 
   test("stored bloom index: OR-merge == from-scratch build, stored path == inline path") {
