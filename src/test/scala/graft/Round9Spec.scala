@@ -138,6 +138,76 @@ class Round9Spec extends SparkSpec {
       (2L, 0, 1L, 3L)))
   }
 
+  // ---------------------------------------------------------------- TTL
+
+  test("transformWithState per-variable TTL: generous TTL preserves the fold, expired TTL restarts the key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming._
+    import streaming.StateApi.TotIn
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      // TimeMode.ProcessingTime ALWAYS requests another batch
+      // (TransformWithStateExec.shouldRunAnotherBatch — processing time
+      // never stops advancing), so neither processAllAvailable nor an
+      // AvailableNow run ever quiesces. Each step therefore runs its own
+      // short-lived query against a SHARED checkpoint, polls the memory
+      // sink for the data batch's emission, and stops the query — the
+      // idle period between steps is real wall-clock, which is exactly
+      // what a processing-time TTL expires against.
+      def run(ttl: TTLConfig, sleepMs: Long): Seq[(Long, Long)] = {
+        implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val mem = MemoryStream[TotIn]
+        val ckpt = tmpDir("ttl-ckpt")
+        val outDir = tmpDir("ttl-out")
+        def step(expect: Long): Unit = {
+          val q = mem.toDS()
+            .groupByKey(_.id)
+            .transformWithState(
+              new streaming.StateApi.RunningTotalsProcessor(ttl),
+              TimeMode.ProcessingTime(), OutputMode.Append())
+            .toDF()
+            .writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ckpt)
+            .start()
+          def sinkRows(): Long =
+            try spark.read.parquet(outDir).count()
+            catch { // sink has not committed its first file yet
+              case _: org.apache.spark.sql.AnalysisException => 0L
+            }
+          try {
+            val deadline = System.nanoTime() + 120L * 1000000000L
+            while (sinkRows() < expect &&
+              System.nanoTime() < deadline) Thread.sleep(50)
+          } finally q.stop()
+        }
+        mem.addData(TotIn("u1", 5L)); step(1L)
+        Thread.sleep(sleepMs)
+        mem.addData(TotIn("u1", 7L)); step(2L)
+        spark.read.parquet(outDir)
+          .collect().map(r => (r.getLong(1), r.getLong(2)))
+          .sortBy(identity).toSeq
+      }
+      // generous TTL: the second run folds onto live restored state —
+      // semantics identical to TTLConfig.NONE while keys stay live
+      assert(run(TTLConfig(java.time.Duration.ofHours(1)), 0L) ==
+        Seq((1L, 5L), (2L, 12L)))
+      // tiny TTL + idle gap: the store reclaimed the key, the second
+      // run starts a fresh fold — the production expiry behavior
+      assert(run(TTLConfig(java.time.Duration.ofMillis(100)), 2000L) ==
+        Seq((1L, 5L), (1L, 7L)))
+    } finally {
+      org.apache.spark.sql.graft.Bridge.unloadAllStateStores()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   // ---------------------------------------------------------------- bf2
 
   test("stored bloom index: OR-merge == from-scratch build, stored path == inline path") {
