@@ -45,7 +45,12 @@ object DumpPlans {
       // plan), plus the stored-index ANN path (partition-pruned probes)
       "er1_golden_record", "kcore1_peel", "cur2_fuzzy_curation",
       "ccmp1_components", "d7_editdist2", "sim6_stored_index",
-      "msk1_span_corruption")
+      "msk1_span_corruption",
+      // round-9: the lifecycle closers — stored-bloom dedup, matview
+      // compaction readback, BPE apply (distinct-word join shape), and
+      // the post-retrain stored-index query
+      "bf2_stored_bloom", "mv2_matview_compaction", "bpe3_apply",
+      "sim8_index_retrain")
     val sections = new StringBuilder
     val inventory = new StringBuilder
     inventory.append("\n## Plan inventory — all graded queries (finalized plans, sf0.001)\n\n")
