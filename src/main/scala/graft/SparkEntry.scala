@@ -1834,6 +1834,17 @@ object SparkEntry {
             array_join(col("q"), ",").as("q_csv")))
         .orderBy("vec_id")),
 
+    // emb3: per-dimension z-score STANDARDIZATION in truncating micro
+    // units — the whitening pass between embedding output and an ANN
+    // index (emb1 measures the per-dim stats; this APPLIES them). μ/σ
+    // from the same exact-decimal sums emb1 grades, inlined as dim-sized
+    // array literals; floor fixed point, not round(float) — the ewma1
+    // half-boundary lesson. Constant dims emit 0, not NaN.
+    "emb3_standardize" -> ((s, d) =>
+      Similarity.standardizeMicro(Tables.embeddings(s, d),
+          "vec_id", "embedding")
+        .orderBy("vec_id")),
+
     // vb1: vocabulary coverage / OOV rate against the top-20 corpus vocab
     // (the tokenizer-fit / domain-shift screen); one corpus pass, bounded
     // vocab broadcast
@@ -2645,6 +2656,25 @@ object SparkEntry {
           full.select(col("vec_id"), col("embedding").as("v")),
           base.where(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nprobe = 3, shortlist = 30)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // rp1: JOHNSON–LINDENSTRAUSS reduced-dimension ANN — the
+    // dimensionality-reduction scale path next to quantization (emb2/sim4
+    // shrink value width; this shrinks DIMENSION count, 64→16 = 4× flops
+    // and resident memory, multiplicative with int8): corpus + queries
+    // project through the deterministic plane mix the LSH tier uses (the
+    // hyperplane signature is this projection's sign vector), shortlist
+    // ranks in projected space, exact full-precision re-rank answers.
+    // Oracle rebuilds the identical planes in HUGEINT (sim2's replica)
+    // and unrolls both phases — projected values are bit-identical
+    // (integer-mix planes, left-to-right dot accumulation both engines).
+    "rp1_jl_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.jlTopK(emb, emb.where(col("vec_id") < 5), "vec_id",
+          "embedding", k = 10, dims = 16, shortlist = 30)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rank")
@@ -4904,6 +4934,24 @@ object SparkEntry {
            |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
            | FROM embeddings)
            |ORDER BY vec_id""".stripMargin.replace("\n", " ")),
+      // emb3: identical μ/σ derivation (same exact-decimal sums, same
+      // double expression order) joined back per element, identical
+      // floor fixed point; 1-based subscripts group the same dimensions
+      // the 0-based Spark side does
+      "emb3_standardize" ->
+        ("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |ex AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e),
+           |st AS (SELECT i, COUNT(*) AS n,
+           |  CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS s,
+           |  CAST(SUM(CAST(x*x AS DECIMAL(30,6))) AS DOUBLE) AS s2
+           | FROM ex GROUP BY i),
+           |ms AS (SELECT i, s/n AS m, sqrt((s2 - s*s/n)/(n-1)) AS sd FROM st),
+           |z AS (SELECT vec_id, ex.i,
+           |  CASE WHEN sd > 0 THEN CAST(floor((x - m)/sd * 1000000) AS BIGINT)
+           |   ELSE 0 END AS zi
+           | FROM ex JOIN ms ON ex.i = ms.i)
+           |SELECT vec_id, string_agg(CAST(zi AS VARCHAR), ',' ORDER BY i) AS z_micro_csv
+           |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin.replace("\n", " ")),
       "vb1_vocab_coverage" ->
         (s"""WITH tf AS (
            | SELECT doc_id, token, COUNT(*) AS cnt
@@ -5726,7 +5774,56 @@ object SparkEntry {
       // float→double widening exact) with centroids re-trained over the
       // union, exactly what retrainIvfIndex rebuilt
       "sim8_index_retrain" -> Sim8OracleSql,
+      // rp1: the identical 16-plane integer mix (sim2's HUGEINT replica),
+      // projection via list_dot_product per plane, shortlist in projected
+      // space, exact full-precision re-rank — both phases unrolled
+      "rp1_jl_topk" -> rp1JlSql,
     )
+  }
+
+  /** sim2's deterministic plane mix rebuilt for 16 JL components, then the
+    * two-phase projected-shortlist / exact-re-rank ranking. Constants are
+    * [[graft.functions.RandomProjectExpr]]'s multipliers reinterpreted as
+    * unsigned 64-bit; wraparound `a*b mod 2⁶⁴` splits `a` into 32-bit
+    * halves so every intermediate fits HUGEINT (the sim2 device). */
+  private val rp1JlSql = {
+    val U1 = "11400714819323198485" // unsigned(-7046029254386353131)
+    val U2 = "14181476777654086739" // unsigned(-4265267296055464877)
+    val U4 = "18397679294719823053" // unsigned(-49064778989728563)
+    val M64 = "18446744073709551616" // 2^64
+    (s"""WITH bi AS (SELECT b, i FROM (SELECT unnest(range(16)) AS b), (SELECT unnest(range(64)) AS i)),
+       |m0 AS (SELECT b, i,
+       | xor(CAST((b::HUGEINT * $U1) % $M64 AS UBIGINT),
+       |     CAST((i::HUGEINT * $U2) % $M64 AS UBIGINT)) AS x0 FROM bi),
+       |m1 AS (SELECT b, i, xor(x0, x0 // 8589934592) AS x1 FROM m0),
+       |m2 AS (SELECT b, i,
+       | CAST(((x1::HUGEINT % 4294967296) * $U4
+       |     + (((x1::HUGEINT // 4294967296) * $U4) % 4294967296) * 4294967296
+       |     ) % $M64 AS UBIGINT) AS x2 FROM m1),
+       |m3 AS (SELECT b, i, xor(x2, x2 // 8589934592) AS x3 FROM m2),
+       |planes AS (SELECT b, i, ((x3 % 9223372036854775808)::HUGEINT % 2000003) / 1000001.5 - 1.0 AS val FROM m3),
+       |pl AS (SELECT b, list(val ORDER BY i) AS p FROM planes GROUP BY b),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |proj AS (SELECT vec_id, list(list_dot_product(v, p) ORDER BY b) AS pv
+       | FROM e CROSS JOIN pl GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, pv AS qp FROM proj WHERE vec_id < 5),
+       |shortq AS (SELECT query_id, neighbor_id FROM (
+       | SELECT q.query_id, c.vec_id AS neighbor_id,
+       |  row_number() OVER (PARTITION BY q.query_id
+       |   ORDER BY list_dot_product(q.qp, c.pv) /
+       |     (sqrt(list_dot_product(q.qp, q.qp)) * sqrt(list_dot_product(c.pv, c.pv))) DESC,
+       |    c.vec_id ASC) AS sr
+       | FROM q JOIN proj c ON c.vec_id <> q.query_id) t WHERE sr <= 30),
+       |scored AS (SELECT s.query_id, s.neighbor_id,
+       |  list_dot_product(eq.v, ec.v) /
+       |    (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS cos
+       | FROM shortq s JOIN e eq ON eq.vec_id = s.query_id
+       |  JOIN e ec ON ec.vec_id = s.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       | FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " "))
   }
 
   /** sim4's oracle over sim8's post-rebuild population: the `e` relation

@@ -676,6 +676,107 @@ object Similarity {
       .withColumn("drifted",
         (abs(col("mean_shift")) > meanShiftThreshold).cast("int"))
 
+  /** JOHNSON–LINDENSTRAUSS reduced-dimension ANN — the dimensionality-
+    * reduction scale path next to quantization (emb2/sim4 shrink the
+    * VALUE width; this shrinks the DIMENSION count): corpus and queries
+    * project to `dims` components through the deterministic plane mix the
+    * LSH tier already uses ([[graft.functions.RandomProjectExpr]] — the
+    * hyperplane signature is exactly this projection's sign vector), the
+    * candidate shortlist ranks by cosine IN PROJECTED SPACE (the resident
+    * scan touches dims-wide vectors — at 64→16 a 4× flop and memory
+    * reduction, multiplicative with int8 quantization), and the final
+    * answer re-ranks the bounded shortlist against FULL-precision
+    * vectors — reduction error can affect shortlist membership only,
+    * never the final ordering (the sim4 re-rank contract, JL's distance
+    * preservation bounding the membership loss).
+    *
+    * Determinism: plane components are exact integer-mix values, both
+    * engines accumulate dot products left-to-right, so projected values —
+    * and hence the shortlist boundary (pcos DESC, neighbor_id tie-break)
+    * — are bit-identical cross-engine; the oracle rebuilds the identical
+    * planes in HUGEINT (sim2's replica) and unrolls both phases.
+    *
+    * Shape at scale: bounded query set broadcasts; per-partition partial
+    * top-shortlist (WindowGroupLimit) caps the shuffle; the re-rank fetch
+    * is |queries|·shortlist rows — broadcast per repo policy. */
+  def jlTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, dims: Int = 16,
+             shortlist: Int = 30): DataFrame = {
+    import graft.functions.VectorExpressions.randomProjectNative
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        randomProjectNative(col(vecCol), dims).as("qp"))
+      .withColumn("qpn", l2norm(col("qp"))))
+    val c = graft.core.Par.fanOut(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv0")))
+      .select(col("neighbor_id"), randomProjectNative(col("cv0"), dims).as("cp"))
+      .withColumn("cpn", l2norm(col("cp")))
+    val sw = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id").asc)
+    val short = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qp"), col("cp")) / (col("qpn") * col("cpn"))).as("pcos"))
+      .withColumn("srank", row_number().over(sw))
+      .where(col("srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qf = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"), l2norm(col(vecCol)).as("qn"))
+    val cf = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"), l2norm(col(vecCol)).as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(short.join(qf, "query_id"))
+      .join(cf, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** PER-DIMENSION Z-SCORE STANDARDIZATION of an embedding corpus — the
+    * whitening pass between embedding-model output and an ANN index
+    * (un-standardized dimensions with large variance dominate cosine/L2;
+    * every classical pipeline standardizes or at least mean-centers
+    * first). Output: (vec_id, z_micro_csv) with each element the
+    * TRUNCATING micro-unit zᵢ = ⌊(xᵢ − μᵢ)/σᵢ · 10⁶⌋ — the ewma1
+    * fixed-point discipline: a float z-score behind round(·,6) can land
+    * on a cross-engine half-boundary, floor of the identical
+    * correctly-rounded double chain cannot. μ/σ derive from the SAME two
+    * exact-decimal sums dimStats grades (emb1), in an expression order
+    * the oracle mirrors token-for-token; constant dimensions (σ = 0)
+    * emit 0 rather than an ANSI NaN/∞ error.
+    *
+    * Shape at scale: one dim-keyed map-side-combined aggregate (group
+    * count = vector DIMENSION, never the corpus), the (μ, σ) table
+    * collected as DIM-sized driver state and inlined as array LITERALS
+    * (the bf1/km1 literal discipline — the projection is pure per-row
+    * compute, no join against a stats frame), then one corpus-scan
+    * projection. The per-element HOF lambda is interpreted (emb2's
+    * documented tradeoff); at corpus scale the swap is a native
+    * Catalyst expression over the two literal arrays — semantics
+    * unchanged. */
+  def standardizeMicro(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val ex = df.select(posexplode(toDouble(col(vecCol))).as(Seq("i", "x")))
+    val stats = ex.groupBy("i")
+      .agg(count(lit(1)).as("n"),
+        graft.core.Num.dsum(col("x")).as("s"),
+        graft.core.Num.dsum(col("x") * col("x")).as("s2"))
+      .select(col("i"),
+        (col("s") / col("n")).as("m"),
+        sqrt((col("s2") - col("s") * col("s") / col("n")) /
+          (col("n") - 1)).as("sd"))
+      .orderBy("i").collect() // dim-sized driver state (the km1 budget)
+    val ms = typedlit(stats.map(_.getDouble(1)).toSeq)
+    val sds = typedlit(stats.map(_.getDouble(2)).toSeq)
+    df.select(col(idCol).as("vec_id"),
+      array_join(transform(toDouble(col(vecCol)), (x, i) =>
+        when(element_at(sds, i + 1) > 0,
+          floor((x - element_at(ms, i + 1)) /
+            element_at(sds, i + 1) * 1000000).cast("long"))
+          .otherwise(lit(0L))), ",").as("z_micro_csv"))
+  }
+
   def dimStats(df: DataFrame, vecCol: String): DataFrame = {
     val exploded = df
       .select(posexplode(toDouble(col(vecCol))).as(Seq("dim", "x")))

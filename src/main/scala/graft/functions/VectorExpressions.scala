@@ -948,6 +948,58 @@ case class HyperplaneSigExpr(child: Expression, bits: Int, seed: Long = 0L)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Johnson–Lindenstrauss RANDOM PROJECTION of a double vector to `k`
+  * dimensions: y_b = ⟨v, p_b⟩ with the SAME deterministic plane mix as
+  * [[HyperplaneSigExpr]] — value-identical components, so the LSH
+  * signature is exactly the SIGN vector of this projection, and the
+  * projected space inherits the oracle-side plane replica sim2 already
+  * pins (integer mix in HUGEINT, division by 1000001.5). Accumulation
+  * is left-to-right per plane — the order both engines' dot products
+  * use — so projected VALUES are bit-identical cross-engine, not just
+  * signs. Interpreted eval (CodegenFallback): one k×dims flop loop per
+  * row, the hyperplane-signature cost class. */
+case class RandomProjectExpr(child: Expression, k: Int, seed: Long = 0L)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1 && k <= 256)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_random_project"
+
+  private def plane(b: Int, i: Int): Double = {
+    var x = b.toLong * -7046029254386353131L ^ i.toLong * -4265267296055464877L ^
+      seed * 6364136223846793005L
+    x ^= (x >>> 33); x *= -49064778989728563L
+    x ^= (x >>> 33)
+    ((x & Long.MaxValue) % 2000003L) / 1000001.5 - 1.0
+  }
+  @transient private lazy val planesHolder =
+    new ThreadLocal[Array[Array[Double]]]
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val dims = xs.numElements()
+    var planes = planesHolder.get()
+    if (planes == null || planes(0).length < dims) {
+      planes = Array.tabulate(k, dims)(plane)
+      planesHolder.set(planes)
+    }
+    val out = new Array[Double](k)
+    var b = 0
+    while (b < k) {
+      val p = planes(b)
+      var acc = 0.0
+      var i = 0
+      while (i < dims) { acc += xs.getDouble(i) * p(i); i += 1 }
+      out(b) = acc
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** All adjacent CHARACTER pairs of every element of an array<string> — the
   * corpus-wide pair-frequency count that seeds byte-pair-encoding tokenizer
   * induction (the first BPE merge step counts exactly these). For each
@@ -1100,6 +1152,13 @@ object VectorExpressions {
   def hyperplaneSigNative(vec: Column, bits: Int, seed: Long = 0L): Column =
     Bridge.column(HyperplaneSigExpr(
       Cast(Bridge.expression(vec), ArrayType(DoubleType)), bits, seed))
+
+  /** k-dim Johnson–Lindenstrauss projection (array<double>) of a numeric
+    * array column — the value-space sibling of [[hyperplaneSigNative]]
+    * (same planes; the signature is this projection's sign vector). */
+  def randomProjectNative(vec: Column, k: Int, seed: Long = 0L): Column =
+    Bridge.column(RandomProjectExpr(
+      Cast(Bridge.expression(vec), ArrayType(DoubleType)), k, seed))
 
   /** All adjacent character pairs of every element of an array<string>. */
   def charPairsNative(tokens: Column): Column =

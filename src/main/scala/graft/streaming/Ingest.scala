@@ -245,9 +245,16 @@ object Ingest {
     * pays), the newest version dir is swapped aside and the compacted dir
     * swapped in (both renames checked — Hadoop rename reports failure by
     * returning false), and only then are the superseded versions deleted.
-    * A crash before the swap leaves the original layout untouched; a crash
-    * after it leaves extra old versions that the newest-per-bucket read
-    * rule already ignores — re-running compaction finishes the job. */
+    * A crash before the swap-out leaves the original layout untouched and
+    * a re-run just starts over; a crash inside the swap window leaves the
+    * `compact_old` marker behind, and a re-run REFUSES with instructions
+    * (restore `v=max` from `compact_old` if it is missing, else delete
+    * the marker) rather than guessing which side holds the newest state.
+    * No committed data is ever the only copy in flight: superseded
+    * versions are still on disk until the compacted state has committed.
+    * Like Sinks.compact, this is OFFLINE maintenance — run it with no
+    * writer active, and expect readers inside the swap window to see the
+    * pre-compaction buckets (the window is two renames long). */
   def compactMatview(spark: org.apache.spark.sql.SparkSession,
                      snapRoot: String): Unit = {
     val versions = committedVersions(snapRoot)

@@ -238,6 +238,48 @@ class Round9Spec extends SparkSpec {
       "stored-artifact dedup must answer identically to the inline path")
   }
 
+  // ------------------------------------------------------------ emb3/rp1
+
+  test("standardizeMicro: hand-checked z-scores, constant dimension emits 0") {
+    val df = Seq((1L, Seq(0.0, 5.0)), (2L, Seq(2.0, 5.0)))
+      .toDF("vec_id", "embedding")
+    val got = ext.Similarity.standardizeMicro(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    // dim 0: mean 1, sample sd = sqrt(2) -> z = ∓1/sqrt(2), floored micro
+    // units are asymmetric around zero (truncation toward -inf); dim 1 is
+    // constant (sd = 0) -> 0 instead of an ANSI NaN
+    assert(got.toSeq == Seq((1L, "-707107,0"), (2L, "707106,0")))
+  }
+
+  test("jlTopK: sign vector matches the LSH signature, exhaustive shortlist == brute force") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = core.Tables.embeddings(spark, sf)
+    // the hyperplane signature is exactly the projection's sign vector
+    import graft.functions.VectorExpressions.{hyperplaneSigNative, randomProjectNative}
+    val both = emb.limit(50).select(
+        hyperplaneSigNative(col("embedding"), 12).as("sig"),
+        randomProjectNative(col("embedding"), 12).as("proj"))
+      .collect()
+    both.foreach { r =>
+      val sig = r.getLong(0)
+      val proj = r.getSeq[Double](1)
+      (0 until 12).foreach { b =>
+        assert(((sig >> b) & 1L) == (if (proj(b) > 0) 1L else 0L),
+          s"bit $b must be the projection's sign")
+      }
+    }
+    // shortlist >= corpus makes the projected phase recall-total: the
+    // exact re-rank must reproduce brute force row for row
+    val queries = emb.where(col("vec_id") < 3)
+    val jl = ext.Similarity.jlTopK(emb, queries, "vec_id", "embedding",
+        k = 5, dims = 16, shortlist = 600)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    val brute = ext.Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(jl.nonEmpty && jl.toSeq == brute.toSeq)
+  }
+
   // ---------------------------------------------------------------- bpe3
 
   test("bpeSegmentCounts: char count before merges, minus one per merge occurrence, order-composed") {
