@@ -50,7 +50,7 @@ object DumpPlans {
       // compaction readback, BPE apply (distinct-word join shape), and
       // the post-retrain stored-index query
       "bf2_stored_bloom", "mv2_matview_compaction", "bpe3_apply",
-      "sim8_index_retrain")
+      "sim8_index_retrain", "rp1_jl_topk", "emb3_standardize")
     val sections = new StringBuilder
     val inventory = new StringBuilder
     inventory.append("\n## Plan inventory — all graded queries (finalized plans, sf0.001)\n\n")
