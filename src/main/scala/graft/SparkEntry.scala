@@ -4945,7 +4945,7 @@ object SparkEntry {
            |  CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS s,
            |  CAST(SUM(CAST(x*x AS DECIMAL(30,6))) AS DOUBLE) AS s2
            | FROM ex GROUP BY i),
-           |ms AS (SELECT i, s/n AS m, sqrt((s2 - s*s/n)/(n-1)) AS sd FROM st),
+           |ms AS (SELECT i, s/n AS m, sqrt(greatest((s2 - s*s/n)/(n-1), 0.0)) AS sd FROM st),
            |z AS (SELECT vec_id, ex.i,
            |  CASE WHEN sd > 0 THEN CAST(floor((x - m)/sd * 1000000) AS BIGINT)
            |   ELSE 0 END AS zi

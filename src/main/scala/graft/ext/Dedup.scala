@@ -226,9 +226,13 @@ object Dedup {
     * FIRST — a filter with extra bits only adds false positives, which
     * the exact check absorbs, while the reverse order could leave a
     * recorded fingerprint the filter misses (a false NEGATIVE — the one
-    * failure mode a bloom must never have). A retry is harmless on both
-    * artifacts: OR is idempotent and duplicate stored fingerprints only
-    * multiply anti-join matches, which the fp-group aggregate absorbs. */
+    * failure mode a bloom must never have) — and the commit itself is a
+    * side-write + checked swap, never an in-place overwrite, so no crash
+    * window holds the only copy of the filter (see
+    * [[writeBloomArtifact]]'s self-healing contract). A retry is
+    * harmless on both artifacts: OR is idempotent and duplicate stored
+    * fingerprints only multiply anti-join matches, which the fp-group
+    * aggregate absorbs. */
   def appendToBloomIndex(batch: DataFrame, textCol: String,
                          dir: String): Unit = {
     val spark = batch.sparkSession
@@ -268,16 +272,68 @@ object Dedup {
       bloomBytes, numHashes)
   }
 
+  /** Commit the filter via a side-write + checked two-rename swap (the
+    * compactMatview device) — a plain mode("overwrite") deletes the ONLY
+    * copy of the stored filter before the replacement commits, so a
+    * crash in that window would force the full archive re-read the
+    * artifact exists to avoid. Here no window deletes the only copy: a
+    * crash mid-swap leaves the previous filter at `bloom__old`, and the
+    * next write SELF-HEALS (restores it if `bloom` is missing, clears
+    * stale scratch otherwise) before swapping in the new one. */
   private def writeBloomArtifact(spark: org.apache.spark.sql.SparkSession,
                                  bits: Array[Byte], numBits: Int,
                                  numHashes: Int, dir: String): Unit = {
     import spark.implicits._
+    val target = s"$dir/bloom"
+    val tmp = s"$dir/bloom__tmp"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val old = p(s"$dir/bloom__old")
+    healBloomArtifact(spark, dir)
     Seq((numBits, numHashes, bits)).toDF("num_bits", "num_hashes", "bits")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/bloom")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    if (fs.exists(p(target)) && !fs.rename(p(target), old))
+      throw new java.io.IOException(
+        s"writeBloomArtifact: could not move $target aside — filter untouched")
+    if (!fs.rename(p(tmp), p(target))) {
+      val restored = fs.rename(old, p(target))
+      throw new java.io.IOException(
+        s"writeBloomArtifact: could not swap new filter into $target" +
+          (if (restored) " — previous filter restored"
+           else s" — previous filter left at $old; the next write recovers it"))
+    }
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(
+        s"writeBloomArtifact: new filter committed but could not remove " +
+          s"the superseded $old — delete it manually")
+  }
+
+  /** Restore the filter from `bloom__old` if a crashed swap left the
+    * target missing; clear the stale aside otherwise. Runs on BOTH the
+    * read and the write path — a retry after a mid-swap crash reads the
+    * artifact before it writes, so read-side healing is what makes the
+    * documented "retry is harmless" contract true. */
+  private def healBloomArtifact(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val old = p(s"$dir/bloom__old")
+    if (fs.exists(old)) {
+      if (!fs.exists(p(s"$dir/bloom"))) {
+        if (!fs.rename(old, p(s"$dir/bloom")))
+          throw new java.io.IOException(
+            s"healBloomArtifact: could not restore $dir/bloom from $old")
+      } else if (!fs.delete(old, true))
+        throw new java.io.IOException(
+          s"healBloomArtifact: could not remove stale $old")
+    }
   }
 
   private def readBloomArtifact(spark: org.apache.spark.sql.SparkSession,
                                 dir: String): (Int, Int, Array[Byte]) = {
+    healBloomArtifact(spark, dir)
     val r = spark.read.parquet(s"$dir/bloom").head()
     (r.getInt(0), r.getInt(1), r.getAs[Array[Byte]](2))
   }

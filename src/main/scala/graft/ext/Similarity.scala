@@ -752,29 +752,42 @@ object Similarity {
     * collected as DIM-sized driver state and inlined as array LITERALS
     * (the bf1/km1 literal discipline — the projection is pure per-row
     * compute, no join against a stats frame), then one corpus-scan
-    * projection. The per-element HOF lambda is interpreted (emb2's
-    * documented tradeoff); at corpus scale the swap is a native
-    * Catalyst expression over the two literal arrays — semantics
-    * unchanged. */
+    * projection behind a fan-out exchange (the compute-bound
+    * narrow-stage invariant: the interpreted kernel runs at full
+    * parallelism, not input-split parallelism). The per-element HOF
+    * lambda is interpreted (emb2's documented tradeoff); at corpus
+    * scale the swap is a native Catalyst expression over the two
+    * literal arrays — semantics unchanged. */
   def standardizeMicro(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val ex = df.select(posexplode(toDouble(col(vecCol))).as(Seq("i", "x")))
+    // greatest(·, 0) BEFORE the sqrt: per-term decimal quantization can
+    // push a constant dimension's s2 − s²/n a hair NEGATIVE, and sqrt of
+    // that is NaN — which compares > 0 under Spark's nan-sorts-greater
+    // semantics, so without the clamp the σ=0 guard would not fire and
+    // the two engines would diverge (NULL-dropping array_join vs a hard
+    // DuckDB cast error). The clamped expression is mirrored
+    // token-for-token by the oracle.
     val stats = ex.groupBy("i")
       .agg(count(lit(1)).as("n"),
         graft.core.Num.dsum(col("x")).as("s"),
         graft.core.Num.dsum(col("x") * col("x")).as("s2"))
       .select(col("i"),
         (col("s") / col("n")).as("m"),
-        sqrt((col("s2") - col("s") * col("s") / col("n")) /
-          (col("n") - 1)).as("sd"))
+        sqrt(greatest((col("s2") - col("s") * col("s") / col("n")) /
+          (col("n") - 1), lit(0.0))).as("sd"))
       .orderBy("i").collect() // dim-sized driver state (the km1 budget)
     val ms = typedlit(stats.map(_.getDouble(1)).toSeq)
     val sds = typedlit(stats.map(_.getDouble(2)).toSeq)
-    df.select(col(idCol).as("vec_id"),
-      array_join(transform(toDouble(col(vecCol)), (x, i) =>
-        when(element_at(sds, i + 1) > 0,
-          floor((x - element_at(ms, i + 1)) /
-            element_at(sds, i + 1) * 1000000).cast("long"))
-          .otherwise(lit(0L))), ",").as("z_micro_csv"))
+    // fanOut AFTER the cheap projection, BEFORE the per-element kernel
+    // (the repo's compute-bound narrow-stage invariant)
+    graft.core.Par.fanOut(df.select(col(idCol).as("vec_id"),
+        toDouble(col(vecCol)).as("graft_v")))
+      .select(col("vec_id"),
+        array_join(transform(col("graft_v"), (x, i) =>
+          when(element_at(sds, i + 1) > 0,
+            floor((x - element_at(ms, i + 1)) /
+              element_at(sds, i + 1) * 1000000).cast("long"))
+            .otherwise(lit(0L))), ",").as("z_micro_csv"))
   }
 
   def dimStats(df: DataFrame, vecCol: String): DataFrame = {

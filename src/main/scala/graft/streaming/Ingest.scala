@@ -245,18 +245,45 @@ object Ingest {
     * pays), the newest version dir is swapped aside and the compacted dir
     * swapped in (both renames checked — Hadoop rename reports failure by
     * returning false), and only then are the superseded versions deleted.
-    * A crash before the swap-out leaves the original layout untouched and
-    * a re-run just starts over; a crash inside the swap window leaves the
-    * `compact_old` marker behind, and a re-run REFUSES with instructions
-    * (restore `v=max` from `compact_old` if it is missing, else delete
-    * the marker) rather than guessing which side holds the newest state.
-    * No committed data is ever the only copy in flight: superseded
-    * versions are still on disk until the compacted state has committed.
-    * Like Sinks.compact, this is OFFLINE maintenance — run it with no
-    * writer active, and expect readers inside the swap window to see the
-    * pre-compaction buckets (the window is two renames long). */
+    * The aside marker carries the version id (`compact_old_v=N`), so a
+    * re-run after ANY crash SELF-HEALS before doing anything else: if
+    * `v=N` is missing the swap died in the middle and the marker holds
+    * the only copy — it is renamed straight back; if `v=N` exists the
+    * prior compaction committed and only its cleanup was interrupted —
+    * the marker (and any stale `compact_tmp`) is garbage and is removed.
+    * Either way the re-run then proceeds normally (Round9Spec simulates
+    * the mid-swap crash and pins the recovery). No committed data is
+    * ever the only copy in flight: superseded versions stay on disk
+    * until the compacted state has committed. Like Sinks.compact, this
+    * is OFFLINE maintenance — run it with no writer active, and expect
+    * readers inside the swap window to see the pre-compaction buckets
+    * (the window is two renames long). */
   def compactMatview(spark: org.apache.spark.sql.SparkSession,
                      snapRoot: String): Unit = {
+    // scratch dirs live OUTSIDE the `v=` namespace so a crash can never
+    // leave a non-numeric dir for committedVersions' parse to choke on
+    val tmp = s"$snapRoot/compact_tmp"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // self-heal from a prior crash BEFORE reading any state
+    Option(new java.io.File(snapRoot).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("compact_old_v="))
+      .foreach { d =>
+        val n = d.getName.stripPrefix("compact_old_v=").toLong
+        val vdir = p(s"$snapRoot/v=$n")
+        if (!fs.exists(vdir)) {
+          // crashed mid-swap: the marker holds the ONLY copy of v=n
+          if (!fs.rename(p(d.getPath), vdir))
+            throw new java.io.IOException(
+              s"compactMatview: could not restore $vdir from ${d.getPath}")
+        } else if (!fs.delete(p(d.getPath), true))
+          throw new java.io.IOException(
+            s"compactMatview: could not remove stale marker ${d.getPath}")
+      }
+    if (fs.exists(p(tmp)) && !fs.delete(p(tmp), true))
+      throw new java.io.IOException(
+        s"compactMatview: could not remove stale $tmp")
     val versions = committedVersions(snapRoot)
     require(versions.nonEmpty, s"no committed snapshot versions under $snapRoot")
     if (versions.size <= 1) return // single version already holds all buckets
@@ -268,18 +295,7 @@ object Ingest {
         .map(_.getName.stripPrefix("pk=").toInt)).distinct.sorted
     val paths = buckets.map(pk =>
       s"$snapRoot/v=${newestBucketVersion(snapRoot, pk).get}/pk=$pk")
-    // scratch dirs live OUTSIDE the `v=` namespace so a crash can never
-    // leave a non-numeric dir for committedVersions' parse to choke on
-    val tmp = s"$snapRoot/compact_tmp"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val aside = p(s"$snapRoot/compact_old")
-    if (fs.exists(aside))
-      throw new java.io.IOException(
-        s"compactMatview: $aside exists — a previous compaction crashed " +
-          s"mid-swap; if v=$vmax is missing restore it from $aside, " +
-          s"otherwise delete $aside, then re-run")
+    val aside = p(s"$snapRoot/compact_old_v=$vmax")
     // materializes the full state BEFORE any dir is touched (the write is
     // the action; `pk` rides along as a partition column from basePath)
     spark.read.option("basePath", snapRoot).parquet(paths: _*)
@@ -293,7 +309,7 @@ object Ingest {
       throw new java.io.IOException(
         s"compactMatview: could not swap compacted state into v=$vmax" +
           (if (restored) " — original state restored"
-           else s" — NEWEST VERSION LEFT AT $aside, restore manually"))
+           else s" — NEWEST VERSION LEFT AT $aside; re-running recovers it"))
     }
     (versions.filter(_ != vmax).map(v => p(s"$snapRoot/v=$v")) :+ aside)
       .foreach { old =>

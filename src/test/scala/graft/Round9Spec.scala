@@ -64,6 +64,49 @@ class Round9Spec extends SparkSpec {
       Set(("a", 10L), ("b", 20L), ("c", 30L), ("d", 4L), ("e", 5L)))
   }
 
+  test("compactMatview self-heals a simulated mid-swap crash") {
+    val root = tmpDir("mv2-crash") + "/snap"
+    streaming.Ingest.upsertMatviewBatch(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "cnt"), Seq("k"), root, 0L, buckets = 4)
+    streaming.Ingest.upsertMatviewBatch(
+      Seq(("a", 10L)).toDF("k", "cnt"), Seq("k"), root, 1L, buckets = 4)
+    val before = snapshotRows(root)
+    // simulate the crash window: v=1 moved aside, compacted dir never
+    // swapped in — the marker holds the only copy of v=1
+    assert(new java.io.File(s"$root/v=1")
+      .renameTo(new java.io.File(s"$root/compact_old_v=1")))
+    streaming.Ingest.compactMatview(spark, root)
+    assert(versionDirs(root) == Seq("v=1"), "recovery + compaction completed")
+    assert(snapshotRows(root) == before,
+      "self-heal must restore the asided newest version before folding")
+    // committed-then-cleanup-crash variant: stale marker next to a live
+    // v=N is garbage and a re-run removes it silently
+    assert(new java.io.File(s"$root/compact_old_v=1").mkdirs())
+    streaming.Ingest.compactMatview(spark, root)
+    assert(!new java.io.File(s"$root/compact_old_v=1").exists())
+    assert(snapshotRows(root) == before)
+  }
+
+  test("stored bloom artifact self-heals a simulated mid-swap crash on read and write") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = core.Tables.documents(spark, sf).select("doc_id", "text")
+    val dir = tmpDir("bf2-crash")
+    ext.Dedup.writeBloomIndex(docs.where(col("doc_id") % 4 === 0), "text", dir)
+    // simulate the crash window: filter moved aside, replacement never in
+    assert(new java.io.File(s"$dir/bloom")
+      .renameTo(new java.io.File(s"$dir/bloom__old")))
+    // the RETRY path reads before it writes — read-side healing restores
+    // the previous filter and the append then commits normally
+    ext.Dedup.appendToBloomIndex(docs.where(col("doc_id") % 4 === 2), "text", dir)
+    assert(!new java.io.File(s"$dir/bloom__old").exists())
+    val scratch = tmpDir("bf2-crash-scratch")
+    ext.Dedup.writeBloomIndex(docs.where(col("doc_id") % 2 === 0), "text", scratch)
+    def bits(d: String) =
+      spark.read.parquet(s"$d/bloom").head().getAs[Array[Byte]](2)
+    assert(java.util.Arrays.equals(bits(dir), bits(scratch)),
+      "healed-then-merged filter must equal the from-scratch union filter")
+  }
+
   // ---------------------------------------------------------------- sim8
 
   private def vecDf(rows: Seq[(Long, Int, Seq[Double])]) =
@@ -249,6 +292,16 @@ class Round9Spec extends SparkSpec {
     // units are asymmetric around zero (truncation toward -inf); dim 1 is
     // constant (sd = 0) -> 0 instead of an ANSI NaN
     assert(got.toSeq == Seq((1L, "-707107,0"), (2L, "707106,0")))
+    // a NEAR-constant dimension whose decimal-quantized variance lands a
+    // hair NEGATIVE (s2 − s²/n < 0 after per-term DECIMAL(30,6)
+    // rounding): without greatest(·,0) the sd is NaN, NaN > 0 holds
+    // under nan-sorts-greater, and the guard would not fire — the value
+    // must clamp to sd = 0 and emit 0, with no silently-dropped fields
+    val near = Seq((1L, Seq(1.0000006)), (2L, Seq(1.0000006)))
+      .toDF("vec_id", "embedding")
+    val gotNear = ext.Similarity.standardizeMicro(near, "vec_id", "embedding")
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(gotNear.toSeq == Seq((1L, "0"), (2L, "0")))
   }
 
   test("jlTopK: sign vector matches the LSH signature, exhaustive shortlist == brute force") {
