@@ -517,6 +517,20 @@ object SparkEntry {
           col("event_type"), col("ts"), col("value"), nMads = 3)
         .orderBy("id", "hour")),
 
+    // cp1: CUSUM changepoint detection over the SAME hourly per-type
+    // micro-unit totals as ts2/rob1 — the LEVEL-SHIFT monitor those point
+    // screens are blind to (a sustained mean shift accumulates linearly
+    // in a cumulative sum but never trips a per-point z-score). The
+    // recursion is re-expressed as prefix-sum minus running-extremum, so
+    // the whole statistic is two stock window frames and every emitted
+    // value an exact n-scaled integer (TimeSeries.cusumChangepoints
+    // scaladoc). One summary row per key: both one-sided maxima and
+    // their earliest argmax hours.
+    "cp1_cusum_changepoint" -> ((s, d) =>
+      graft.queries.TimeSeries.cusumChangepoints(events(s, d),
+          col("event_type"), col("ts"), col("value"))
+        .orderBy("id")),
+
     // src1/src2: non-parquet batch sources behind the parquet oracle — a
     // distributed JSON-lines (resp. headered CSV) stage + explicit-schema
     // read-back of orders (resp. customer), then an aggregate that can
@@ -1078,6 +1092,22 @@ object SparkEntry {
           o.where(col("o_orderkey") % 2 === 1),
           col("o_orderkey"), col("o_totalprice"))
         .orderBy("decile")
+    }),
+
+    // ks1: EXACT two-sample KOLMOGOROV–SMIRNOV between the even- and
+    // odd-user event-value distributions — qq1 compares nine fixed
+    // quantiles; this takes the supremum CDF gap over EVERY distinct
+    // value, with the maximum found on integer cross-products (never the
+    // float quotient) and the global running CDFs built by the ord1
+    // two-phase range machinery — no global sort, no single-reducer
+    // window (Stats.ksTwoSample scaladoc). One summary row: both side
+    // sizes, the argmax value, both CDF counts there, the scaled gap.
+    "ks1_two_sample_ks" -> ((s, d) => {
+      val ev = events(s, d)
+      graft.queries.Stats.ksTwoSample(
+        ev.where(col("user_id") % 2 === 0),
+        ev.where(col("user_id") % 2 === 1),
+        floor(col("value") * lit(1000000d)).cast("long"))
     }),
 
     // imp1: GROUP-MEDIAN IMPUTATION — dq1 counts the nulls, this repairs
@@ -3121,6 +3151,34 @@ object SparkEntry {
            |SELECT id, hour, vm, round(med, 6) AS med, round(mad, 6) AS mad
            |FROM d2 WHERE abs(CAST(vm AS DOUBLE) - med) > 3.0 * mad
            |ORDER BY id, hour""".stripMargin.replace("\n", " ")),
+      // cp1: the identical prefix-sum/running-extremum identity — HUGEINT
+      // carries what Spark holds in DECIMAL(38,0); yₜ = n·vmₜ − total is
+      // integer-exact so every compared value is an integer
+      "cp1_cusum_changepoint" ->
+        ("""WITH h AS (SELECT event_type AS id, date_trunc('hour', ts) AS hour,
+           |  SUM(CAST(floor(value * 1000000) AS BIGINT)) AS vm
+           | FROM events GROUP BY 1, 2),
+           |t AS (SELECT id, hour, vm,
+           |  COUNT(*) OVER (PARTITION BY id) AS n,
+           |  SUM(CAST(vm AS HUGEINT)) OVER (PARTITION BY id) AS tot FROM h),
+           |p AS (SELECT id, hour, n,
+           |  SUM(n * CAST(vm AS HUGEINT) - tot) OVER win AS pfx
+           | FROM t WINDOW win AS (PARTITION BY id ORDER BY hour
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |c AS (SELECT id, hour, n,
+           |  pfx - LEAST(CAST(0 AS HUGEINT), MIN(pfx) OVER win) AS sup,
+           |  GREATEST(CAST(0 AS HUGEINT), MAX(pfx) OVER win) - pfx AS sdn
+           | FROM p WINDOW win AS (PARTITION BY id ORDER BY hour
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |m AS (SELECT id, hour, n, sup, sdn,
+           |  MAX(sup) OVER (PARTITION BY id) AS umax,
+           |  MAX(sdn) OVER (PARTITION BY id) AS dmax FROM c)
+           |SELECT id, CAST(MAX(n) AS BIGINT) AS n_hours,
+           | CAST(MAX(sup) AS BIGINT) AS up_max,
+           | MIN(CASE WHEN sup = umax THEN hour END) AS up_hour,
+           | CAST(MAX(sdn) AS BIGINT) AS dn_max,
+           | MIN(CASE WHEN sdn = dmax THEN hour END) AS dn_hour
+           |FROM m GROUP BY id ORDER BY id""".stripMargin.replace("\n", " ")),
       // src1/src2: the aggregate over the round-tripped JSON/CSV staging
       // must equal the same aggregate over the parquet original
       "src1_json_roundtrip" ->
@@ -3753,6 +3811,26 @@ object SparkEntry {
            | qb.qb - qa.qa AS gap
            |FROM qa JOIN qb ON qa.decile = qb.decile
            |ORDER BY decile""".stripMargin.replace("\n", " ")),
+      // ks1: one global running CDF per side (the oracle may sort
+      // globally; the engine must not), supremum over HUGEINT
+      // cross-products, ties to the smallest value
+      "ks1_two_sample_ks" ->
+        ("""WITH g AS (SELECT CAST(floor(value * 1000000) AS BIGINT) AS v,
+           |  SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+           |  SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+           | FROM events WHERE value IS NOT NULL GROUP BY 1),
+           |t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM g),
+           |c AS (SELECT v, SUM(ca) OVER win AS cuma, SUM(cb) OVER win AS cumb
+           | FROM g WINDOW win AS (ORDER BY v
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |d AS (SELECT v, cuma, cumb,
+           |  ABS(cuma * CAST(nb AS HUGEINT) - cumb * CAST(na AS HUGEINT))
+           |   AS dnum FROM c, t)
+           |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+           | CAST(d.v AS BIGINT) AS ks_value, CAST(d.cuma AS BIGINT) AS cum_a,
+           | CAST(d.cumb AS BIGINT) AS cum_b, CAST(d.dnum AS BIGINT) AS d_num
+           |FROM d, t ORDER BY d.dnum DESC, d.v ASC
+           |LIMIT 1""".stripMargin.replace("\n", " ")),
       // imp1: both engines' percentile aggregates skip NULLs; the median
       // is (a+b)/2 of data values — exact dyadic, the rob1 argument
       "imp1_median_impute" ->

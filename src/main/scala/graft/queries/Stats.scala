@@ -156,6 +156,79 @@ object Stats {
         (col("qb") - col("qa")).as("gap"))
   }
 
+  /** EXACT two-sample KOLMOGOROV–SMIRNOV drift — the whole-CDF companion
+    * to [[qqDrift]] (which compares `splits` fixed quantiles and can miss
+    * a divergence concentrated between them): D = sup over all values of
+    * |F_a − F_b|, the classic distribution-equality statistic, computed
+    * EXACTLY — no binning, no sampling.
+    *
+    * Determinism: the supremum is taken over the INTEGER cross-products
+    * |cum_a·n_b − cum_b·n_a| (never the float quotient |cum_a/n_a −
+    * cum_b/n_b|, whose rounding could reorder near-ties across engines),
+    * so the argmax value, both CDF counts at it, and the scaled statistic
+    * are engine-exact; ties on the maximum break to the SMALLEST value.
+    * Products ride in DECIMAL(38,0); the emitted d_num is BIGINT (exact
+    * while n_a·n_b < 2⁶³ — beyond that emit the decimal, the compare
+    * values cum/n are always in-range).
+    *
+    * Shape at scale: the running CDFs need a GLOBAL value order, but
+    * never a global sort: one map-side-combined groupBy collapses both
+    * sides to distinct values, then the [[graft.ext.Curation
+    * .globalOrdinals]] two-phase discipline — range-repartition by value,
+    * ONE bounded driver collect (numRanges per-partition subtotal rows,
+    * which doubles as n_a/n_b), per-partition running sums plus literal
+    * offsets — and one map-side-combined max-of-struct aggregate. No
+    * single-reducer stage anywhere; output is 1 row. */
+  def ksTwoSample(a: DataFrame, b: DataFrame, value: Column,
+                  numRanges: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tagged = a.select(value.cast("long").as("v"),
+        lit(1L).as("ca"), lit(0L).as("cb"))
+      .unionAll(b.select(value.cast("long").as("v"),
+        lit(0L).as("ca"), lit(1L).as("cb")))
+      .where(col("v").isNotNull)
+    val parted = tagged.groupBy("v")
+      .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+      .repartitionByRange(numRanges, col("v"))
+      .withColumn("graft_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE bounded action: per-range subtotals (≤ numRanges rows) give the
+    // exclusive prefix offsets AND the global n_a/n_b
+    val totals = parted.groupBy("graft_pid")
+      .agg(sum("ca").as("ta"), sum("cb").as("tb"))
+      .orderBy("graft_pid").collect()
+    var accA = 0L; var accB = 0L
+    val offs = totals.map { r =>
+      val o = (r.getInt(0), accA, accB)
+      accA += r.getLong(1); accB += r.getLong(2); o
+    }
+    val (na, nb) = (accA, accB)
+    def offMap(sel: ((Int, Long, Long)) => Long) =
+      map(offs.flatMap(t => Seq(lit(t._1), lit(sel(t)))).toIndexedSeq: _*)
+    val w = Window.partitionBy("graft_pid").orderBy("v")
+    val cum = parted.select(col("v"),
+      (element_at(offMap(_._2), col("graft_pid")) + sum(col("ca")).over(w))
+        .as("cum_a"),
+      (element_at(offMap(_._3), col("graft_pid")) + sum(col("cb")).over(w))
+        .as("cum_b"))
+    val dnum = abs(col("cum_a").cast(dec) * lit(nb).cast(dec)
+      - col("cum_b").cast(dec) * lit(na).cast(dec))
+    // lexicographic struct max: largest d_num, then largest −v = SMALLEST
+    // value; (d_num, v) is unique per row so the whole struct is
+    // deterministic. 1-row checkpoint so the range cache can release.
+    val res = cum
+      .select(max(struct(dnum.as("d"), (-col("v")).as("nv"),
+        col("cum_a").as("ca"), col("cum_b").as("cb"))).as("m"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        (-col("m.nv")).as("ks_value"),
+        col("m.ca").as("cum_a"), col("m.cb").as("cum_b"),
+        col("m.d").cast("long").as("d_num"))
+      .localCheckpoint()
+    parted.unpersist()
+    res
+  }
+
   /** EQUI-DEPTH histogram — the profiling complement to the equi-WIDTH
     * shape (dt1): `splits` buckets holding ~equal row counts, edges at the
     * exact interpolated quantiles. Equi-width histograms of skewed

