@@ -1883,6 +1883,21 @@ object SparkEntry {
           vocabSize = 20)
         .orderBy("doc_id")),
 
+    // hh1: RECALL-EXACT heavy hitters over the corpus token stream —
+    // every token covering ≥ 1/200 of all token occurrences, found by
+    // per-partition Misra–Gries (zero-shuffle phase 1, ≤ k candidates per
+    // task) + an exact semi-joined count of candidates only — the
+    // full-vocabulary groupBy a 100 TB token stream cannot afford
+    // (Profile.heavyHitters scaladoc for the recall proof). The oracle
+    // states it as the plain HAVING over the full groupBy.
+    "hh1_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      ext.Profile.heavyHitters(toks, col("token"), k = 200)
+        .select(col("key").as("token"), col("n"))
+        .orderBy("token")
+    }),
+
     // ss1: the stream-stream watermark-bounded INNER join executed by the
     // STREAMING engine — error/click events replayed through
     // Speed.joinWithin (state-store symmetric hash join) to completion,
@@ -2187,6 +2202,28 @@ object SparkEntry {
       val seeds = e.select(col("src").as("node")).distinct()
         .orderBy("node").limit(3)
       Graph.bfsHops(e, seeds, rounds = 3).orderBy("node")
+    }),
+
+    // wsp1: WEIGHTED shortest paths (3-round Bellman–Ford) over the same
+    // frequent-pair graph as bfs1, with co-purchase strength as closeness
+    // (w = max(1, 8 − n_orders)): bfs1 grades hop reachability, this
+    // grades the cost-aware route — a 2-edge strong detour beats a direct
+    // weak edge, which hop counting cannot express. Integer weights keep
+    // every distance engine-exact; the oracle unrolls the identical three
+    // min-relaxations (Graph.weightedHops scaladoc).
+    "wsp1_weighted_paths" -> ((s, d) => {
+      // localCheckpoint: the pair relation feeds both union orientations
+      // and (through them) the seed derivation — the bfs1 barrier
+      val p = Basket.frequentPairs(Tables.lineitem(s, d), minSupport = 2L)
+        .localCheckpoint()
+      val w = greatest(lit(1L), lit(8L) - col("n_orders"))
+      val e = p.select(col("part_a").as("src"), col("part_b").as("dst"),
+          w.as("w"))
+        .unionByName(p.select(col("part_b").as("src"),
+          col("part_a").as("dst"), w.as("w")))
+      val seeds = e.select(col("src").as("node")).distinct()
+        .orderBy("node").limit(3)
+      Graph.weightedHops(e, seeds, rounds = 3).orderBy("node")
     }),
 
     // er1: ENTITY RESOLUTION → GOLDEN RECORD over a planted product
@@ -4490,6 +4527,33 @@ object SparkEntry {
            |UNION ALL SELECT node, 2 FROM h2
            |UNION ALL SELECT node, 3 FROM h3
            |ORDER BY node""".stripMargin.replace("\n", " ")),
+      // wsp1: the identical three Bellman–Ford relaxations unrolled —
+      // each round is min over (relax every edge from the frame) ∪ (keep
+      // the frame); integer weights, integer distances
+      "wsp1_weighted_paths" ->
+        ("""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |p AS (SELECT a.l_partkey AS x, c.l_partkey AS y, count(*) AS n
+           | FROM b a JOIN b c
+           |  ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+           | GROUP BY 1, 2 HAVING count(*) >= 2),
+           |e AS (SELECT x AS src, y AS dst, GREATEST(1, 8 - n) AS w FROM p
+           | UNION ALL SELECT y AS src, x AS dst, GREATEST(1, 8 - n) FROM p),
+           |s AS (SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 3),
+           |d0 AS (SELECT node, 0 AS dist FROM s),
+           |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+           | SELECT e.dst AS node, d0.dist + e.w AS dist
+           |  FROM d0 JOIN e ON e.src = d0.node
+           | UNION ALL SELECT node, dist FROM d0) GROUP BY node),
+           |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+           | SELECT e.dst AS node, d1.dist + e.w AS dist
+           |  FROM d1 JOIN e ON e.src = d1.node
+           | UNION ALL SELECT node, dist FROM d1) GROUP BY node),
+           |d3 AS (SELECT node, MIN(dist) AS dist FROM (
+           | SELECT e.dst AS node, d2.dist + e.w AS dist
+           |  FROM d2 JOIN e ON e.src = d2.node
+           | UNION ALL SELECT node, dist FROM d2) GROUP BY node)
+           |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+           |FROM d3 ORDER BY node""".stripMargin.replace("\n", " ")),
       // inc4: the incremental path must equal the FROM-SCRATCH fixpoint
       // over the union of both thresholded pair sets (ccmp1's recursive
       // closure, stated engine-free)
@@ -5043,6 +5107,14 @@ object SparkEntry {
            | SUM(CASE WHEN v.token IS NULL THEN cnt ELSE 0 END)::DOUBLE / SUM(cnt) AS oov_rate
            |FROM tf LEFT JOIN v ON tf.token = v.token
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // hh1: the engine must equal the exact full-vocabulary HAVING set
+      "hh1_heavy_hitters" ->
+        (s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents),
+           |t AS (SELECT COUNT(*) AS n FROM tk)
+           |SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+           |FROM tk, t GROUP BY token, t.n
+           |HAVING COUNT(*) * 200 >= t.n
+           |ORDER BY token""".stripMargin.replace("\n", " ")),
       "ss1_join_replay" ->
         ("""SELECT e.event_id, e.ts, e.user_id,
            | c.event_id AS click_event_id, c.ts AS click_ts

@@ -317,6 +317,53 @@ object Graph {
     out
   }
 
+  /** Fixed-round WEIGHTED single-source-set shortest paths (Bellman–Ford
+    * relaxation) — the cost-aware companion to [[bfsHops]]: hop count
+    * treats every edge as 1, but most graph costs (latency, co-purchase
+    * distance, edit cost) are weighted, and the cheapest route is not the
+    * fewest-hop route whenever a 2-edge detour is lighter than a direct
+    * heavy edge. `rounds` synchronous relaxations bound the answer to
+    * paths of ≤ `rounds` edges (the exact Bellman–Ford invariant, and the
+    * pr1/bfs1 fixed-round discipline that keeps the oracle unrollable);
+    * INTEGER weights make every distance engine-exact.
+    *
+    * Input: directed (src, dst, w) triples, w a non-negative integer —
+    * pass both directions for an undirected graph; `seeds` is a 1-column
+    * (node) frame reached at distance 0. Returns (node, dist): every node
+    * reachable in ≤ rounds edges with its cheapest ≤-rounds-edge cost.
+    *
+    * Shape at scale: the edge list persists once; a round is ONE
+    * equi-join of the cached edges against the current distance frame
+    * (node-sized — AQE broadcasts it while it fits, never a hint), a
+    * union with the frame itself (keep-current is min's identity
+    * relaxation), and one map-side-combined min aggregate. The frame is
+    * localCheckpointed each round (bounded: node-sized, `rounds`
+    * actions) so the two references per round hit a materialized frame —
+    * the bfsHops flat-lineage budget. Unlike BFS, a node's distance can
+    * IMPROVE after first discovery, so there is no frontier shrink — the
+    * per-round cost is O(m) joins against an O(n) frame, the standard
+    * synchronous Bellman–Ford cost model. */
+  def weightedHops(edges: DataFrame, seeds: DataFrame,
+                   rounds: Int = 3): DataFrame = {
+    require(rounds >= 1)
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .where(col("src").isNotNull && col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col("node").cast("long").as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()   // materialize: seeds may derive from e itself
+    for (_ <- 1 to rounds) {
+      dist = e.join(dist.select(col("node").as("src"), col("dist")), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Fixed-round K-CORE PEELING — the density-tier decomposition between
     * [[labelPropagation]] (who clusters with whom) and [[triangleCounts]]
     * (how dense): each round removes every node whose current degree sits

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 widening pins — the contracts behind the four new graded
+  * operators, each checked against a brute-force or planted ground truth:
+  *  - cusumChangepoints equals the literal CUSUM recursion on a planted
+  *    level shift, and the argmax lands where the shift accumulates.
+  *  - ksTwoSample equals the brute-force supremum over a fuzzed pair of
+  *    samples (including the smallest-value tie-break), and identical
+  *    sides score zero.
+  *  - weightedHops: a cheap 2-edge detour beats a direct heavy edge
+  *    (the semantics hop-count BFS cannot express), unreached nodes stay
+  *    absent, and a later round only ever improves distances.
+  *  - heavyHitters is RECALL-EXACT vs the full groupBy on skewed data
+  *    across many partitions — the Misra–Gries survival guarantee plus
+  *    the exact verify phase reproduce the HAVING set exactly.
+  */
+class Round9bSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- cp1
+
+  test("cusumChangepoints: planted level shift matches the literal recursion") {
+    // key "a": 12 hours at 100 then 12 hours at 160 — a sustained +60
+    // shift; key "b": flat with ONE isolated hour at the same 160 — the
+    // sustained regime must accumulate far past the equal-magnitude
+    // point event (the discrimination z-score screens cannot make)
+    val base = java.time.LocalDateTime.of(2026, 1, 1, 0, 0)
+    def row(k: String, h: Int, v: Double) =
+      (k, java.sql.Timestamp.valueOf(base.plusHours(h)), v)
+    val rows =
+      (0 until 12).map(h => row("a", h, 100.0)) ++
+      (12 until 24).map(h => row("a", h, 160.0)) ++
+      (0 until 24).map(h => row("b", h, if (h == 5) 160.0 else 100.0))
+    val df = rows.toDF("k", "ts", "v")
+    val got = queries.TimeSeries.cusumChangepoints(df, $"k", $"ts", $"v")
+      .orderBy("id").collect()
+
+    // literal one-sided CUSUM recursion on the n-scaled integer series
+    def brute(vs: Seq[Long]): (Long, Int) = {
+      val n = vs.length.toLong; val tot = vs.sum
+      var s = 0L; var best = 0L; var arg = 0
+      vs.zipWithIndex.foreach { case (v, i) =>
+        s = math.max(0L, s + (n * v - tot))
+        if (s > best) { best = s; arg = i }
+      }
+      (best, arg)
+    }
+    val va = (0 until 12).map(_ => 100000000L) ++ (12 until 24).map(_ => 160000000L)
+    val (bestA, argA) = brute(va)
+    val a = got(0)
+    assert(a.getString(0) == "a" && a.getLong(1) == 24L)
+    assert(a.getLong(2) == bestA)
+    assert(a.getAs[java.time.LocalDateTime](3) == base.plusHours(argA))
+    // the up-shift statistic accumulates over the whole second regime:
+    // its argmax is the LAST hour, and it dwarfs the spike key's
+    val b = got(1)
+    assert(argA == 23)
+    assert(a.getLong(2) > b.getLong(2))
+  }
+
+  test("cusumChangepoints: flat series scores zero both sides") {
+    val base = java.time.LocalDateTime.of(2026, 1, 1, 0, 0)
+    val df = (0 until 10)
+      .map(h => ("k", java.sql.Timestamp.valueOf(base.plusHours(h)), 7.0))
+      .toDF("k", "ts", "v")
+    val r = queries.TimeSeries.cusumChangepoints(df, $"k", $"ts", $"v").head()
+    assert(r.getLong(2) == 0L && r.getLong(4) == 0L)
+    // zero is attained everywhere; ties break to the EARLIEST hour
+    assert(r.getAs[java.time.LocalDateTime](3) == base)
+  }
+
+  // ------------------------------------------------------------- ks1
+
+  private def bruteKs(a: Seq[Long], b: Seq[Long]): (Long, Long, Long, Long) = {
+    // (ks_value, cum_a, cum_b, d_num) with ties to the smallest value
+    val na = a.size.toLong; val nb = b.size.toLong
+    val vs = (a ++ b).distinct.sorted
+    var best = (0L, 0L, 0L, -1L)
+    vs.foreach { v =>
+      val ca = a.count(_ <= v).toLong; val cb = b.count(_ <= v).toLong
+      val d = math.abs(ca * nb - cb * na)
+      if (d > best._4) best = (v, ca, cb, d)
+    }
+    best
+  }
+
+  test("ksTwoSample: fuzzed agreement with the brute-force supremum") {
+    val rnd = new scala.util.Random(9)
+    (1 to 5).foreach { trial =>
+      val a = Seq.fill(40 + rnd.nextInt(40))(rnd.nextInt(25).toLong)
+      val b = Seq.fill(40 + rnd.nextInt(40))(rnd.nextInt(25).toLong + trial % 3)
+      val r = queries.Stats.ksTwoSample(
+        a.toDF("v"), b.toDF("v"), $"v", numRanges = 7).head()
+      val (v, ca, cb, d) = bruteKs(a, b)
+      assert(r.getLong(0) == a.size.toLong && r.getLong(1) == b.size.toLong)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+        ((v, ca, cb, d)), s"trial $trial")
+    }
+  }
+
+  test("ksTwoSample: identical sides have zero supremum") {
+    val xs = Seq(1L, 2L, 2L, 3L, 9L)
+    val r = queries.Stats.ksTwoSample(xs.toDF("v"), xs.toDF("v"), $"v").head()
+    assert(r.getLong(5) == 0L)
+    assert(r.getLong(2) == 1L, "zero everywhere — tie breaks to smallest value")
+  }
+
+  // ------------------------------------------------------------ wsp1
+
+  test("weightedHops: cheap detour beats direct heavy edge; rounds bound paths") {
+    // 1→2 direct w=10; 1→3→2 costs 2+2=4; 1→4→5 needs two rounds
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 2L),
+      (1L, 4L, 1L), (4L, 5L, 1L), (6L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    def dists(rounds: Int): Map[Long, Long] =
+      ext.Graph.weightedHops(e, seeds, rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r1 = dists(1)
+    assert(r1 == Map(1L -> 0L, 2L -> 10L, 3L -> 2L, 4L -> 1L))
+    val r2 = dists(2)
+    // the detour relaxes in round 2 and IMPROVES node 2's distance
+    assert(r2(2L) == 4L && r2(5L) == 2L)
+    // node 6 only has an OUT-edge to the seed: never reached
+    assert(!r2.contains(6L))
+    // monotonicity: another round never worsens any distance
+    val r3 = dists(3)
+    r2.foreach { case (n, d2) => assert(r3(n) <= d2) }
+  }
+
+  // ------------------------------------------------------------- hh1
+
+  test("heavyHitters: recall-exact vs the full groupBy on skewed data") {
+    val rnd = new scala.util.Random(17)
+    // Zipf-ish: key i drawn with weight ~ 1/(i+1); 12 partitions so the
+    // per-partition MG summaries genuinely differ from the global answer
+    val keys = Seq.fill(6000) {
+      val u = rnd.nextDouble()
+      ("k" + math.min((1.0 / u).toInt, 40)): String
+    }
+    val df = spark.createDataset(keys).repartition(12).toDF("t")
+    val k = 25
+    val got = ext.Profile.heavyHitters(df, $"t", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = keys.size.toLong
+    val want = keys.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 * k >= n).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must actually contain heavy hitters")
+    assert(got.size < keys.distinct.size,
+      "fixture must also contain NON-hitters or the threshold is vacuous")
+  }
+
+  test("heavyHitters: threshold boundary is ≥, exactly n/k included") {
+    // n = 20, k = 4 → threshold count 5: one key at exactly 5, one at 4
+    val xs = Seq.fill(5)("at") ++ Seq.fill(4)("below") ++
+      Seq.fill(11)("big")
+    val got = ext.Profile.heavyHitters(xs.toDF("t").repartition(3), $"t", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("at" -> 5L, "big" -> 11L))
+  }
+}
