@@ -2747,6 +2747,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // pq1: PRODUCT-QUANTIZATION ANN — the codebook tier completing the
+    // quantization family (emb2/sim4 shrink value width, rp1 shrinks
+    // dimension count, PQ shrinks the whole vector to m centroid codes,
+    // the FAISS IVFPQ layout): per-subspace integer k-means codebooks,
+    // corpus stored as codes only, asymmetric-distance shortlist, exact
+    // cosine re-rank (Similarity.pqTopK scaladoc). The oracle replays
+    // every Lloyd round of all four subspaces and both ranking phases.
+    "pq1_product_quant" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, emb.where(col("vec_id") < 5), "vec_id",
+          "embedding", k = 10, dims = 64, m = 4, ksub = 4, iters = 2,
+          shortlist = 30)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
     // fit1: distributed MODEL TRAINING graded trajectory-exact — a linear
     // probe over engineered doc features (bias, capped token / distinct /
     // char-decile counts) fit by 4 full-batch GD steps in scaled-BIGINT
@@ -5928,6 +5945,7 @@ object SparkEntry {
       // projection via list_dot_product per plane, shortlist in projected
       // space, exact full-precision re-rank — both phases unrolled
       "rp1_jl_topk" -> rp1JlSql,
+      "pq1_product_quant" -> pq1Sql,
     )
   }
 
@@ -5936,6 +5954,64 @@ object SparkEntry {
     * [[graft.functions.RandomProjectExpr]]'s multipliers reinterpreted as
     * unsigned 64-bit; wraparound `a*b mod 2⁶⁴` splits `a` into 32-bit
     * halves so every intermediate fits HUGEINT (the sim2 device). */
+  /** pq1's oracle, built per subspace: each 16-dim slice replays the km1
+    * Lloyd machinery (quantize → seed from the 4 lowest ids → assign →
+    * sign-split integer centroid update → final assign = the CODE), then
+    * the asymmetric distance is the query's own d2 row picked by each
+    * neighbor's code, summed across subspaces; shortlist and exact-cosine
+    * re-rank mirror rp1's two phases token for token. */
+  private lazy val pq1Sql: String = {
+    def subCtes(j: Int): String = {
+      val lo = j * 16 + 1; val hi = (j + 1) * 16
+      s"""qv$j AS (SELECT vec_id, i AS dim, CAST(round(x * 1000000) AS BIGINT) AS q
+         | FROM (SELECT vec_id, unnest((embedding[$lo:$hi])::DOUBLE[]) AS x,
+         |   generate_subscripts(embedding[$lo:$hi], 1) AS i FROM embeddings)),
+         |c0$j AS (SELECT init.c, qv$j.dim, qv$j.q AS m
+         | FROM init JOIN qv$j USING (vec_id)),
+         |d1$j AS (SELECT qv$j.vec_id, c.c, sum((qv$j.q - c.m) * (qv$j.q - c.m)) AS d
+         | FROM qv$j JOIN c0$j c ON qv$j.dim = c.dim GROUP BY 1, 2),
+         |a1$j AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d1$j)
+         |  WHERE rn = 1),
+         |c1$j AS (SELECT a.c, qv$j.dim,
+         |  CASE WHEN sum(qv$j.q) < 0 THEN -((-sum(qv$j.q)) // count(*))
+         |   ELSE sum(qv$j.q) // count(*) END AS m
+         | FROM a1$j a JOIN qv$j USING (vec_id) GROUP BY 1, 2),
+         |d2$j AS (SELECT qv$j.vec_id, c.c, sum((qv$j.q - c.m) * (qv$j.q - c.m)) AS d
+         | FROM qv$j JOIN c1$j c ON qv$j.dim = c.dim GROUP BY 1, 2),
+         |code$j AS (SELECT vec_id, c AS code FROM (SELECT vec_id, c,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d2$j)
+         |  WHERE rn = 1),
+         |p$j AS (SELECT qd.vec_id AS query_id, k.vec_id AS neighbor_id, qd.d
+         | FROM d2$j qd JOIN code$j k ON qd.c = k.code WHERE qd.vec_id < 5)"""
+        .stripMargin
+    }
+    (s"""WITH init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+       | FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+       |${(0 until 4).map(subCtes).mkString(",\n")},
+       |adc AS (SELECT query_id, neighbor_id, sum(d) AS adc FROM (
+       |  SELECT * FROM p0 UNION ALL SELECT * FROM p1
+       |  UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+       | GROUP BY 1, 2),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       | SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |   ORDER BY adc ASC, neighbor_id ASC) AS sr
+       | FROM adc WHERE query_id <> neighbor_id) t WHERE sr <= 30),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |scored AS (SELECT s.query_id, s.neighbor_id,
+       |  list_dot_product(eq.v, ec.v) /
+       |    (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS cos
+       | FROM short s JOIN e eq ON eq.vec_id = s.query_id
+       |  JOIN e ec ON ec.vec_id = s.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       | FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+      .stripMargin.replace("\n", " "))
+  }
+
   private val rp1JlSql = {
     val U1 = "11400714819323198485" // unsigned(-7046029254386353131)
     val U2 = "14181476777654086739" // unsigned(-4265267296055464877)

@@ -734,6 +734,84 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** PRODUCT-QUANTIZATION ANN (Jégou et al. 2011) — the CODEBOOK
+    * compression tier that completes the quantization family: emb2/sim4
+    * shrink value WIDTH (float→int8, 4×), [[jlTopK]] shrinks DIMENSION
+    * count, PQ shrinks a whole vector to `m` byte-sized centroid CODES
+    * (64 floats → 4 codes here = 64× resident memory), the standard
+    * billion-vector index layout (FAISS IVFPQ's fine quantizer). The
+    * vector splits into `m` subspaces; each learns its own `ksub`-centroid
+    * k-means codebook ([[Clustering.kmeansFit]] — deterministic seed,
+    * integer Lloyd rounds); a corpus vector stores only its per-subspace
+    * nearest-centroid codes. Queries never decode: the ASYMMETRIC
+    * DISTANCE (ADC) to a coded vector is the sum of per-subspace
+    * query-to-centroid distances picked by code — per candidate O(m)
+    * lookups instead of O(dim) multiplies. ADC ranks a shortlist; exact
+    * full-precision cosine re-ranks it (the sim4/rp1 discipline — the
+    * emitted neighbors are real cosines, approximation only prunes).
+    *
+    * Determinism: codebooks, codes, and ADC scores are all integer-exact
+    * (micro-unit quantization, the km1 machinery); shortlist ties break
+    * on neighbor id; the re-rank cosine is the engines' shared IEEE
+    * formula. The oracle replays every Lloyd round of every subspace and
+    * both ranking phases.
+    *
+    * Shape at scale: training runs m bounded kmeansFit loops (O(m·iters)
+    * corpus aggregates — at extreme scale fuse into one subspace-tagged
+    * aggregate per round, the documented swap); codebooks are
+    * m·ksub·(dim/m) driver longs riding as LITERALS (the bf1/km1
+    * discipline — encode and ADC are pure codegen projections, no join
+    * against a codebook frame). Candidate scoring is one corpus scan
+    * against the BROADCAST bounded query set; per-query shortlist via
+    * one rank window; the exact phase re-ranks |queries|·shortlist rows
+    * only. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, dims: Int, m: Int = 4, ksub: Int = 4,
+             iters: Int = 2, shortlist: Int = 30,
+             scale: Long = 1000000L): DataFrame = {
+    require(m >= 1 && dims % m == 0, "dims must split evenly into m subspaces")
+    val sub = dims / m
+    val books: Seq[Seq[Array[Long]]] = (0 until m).map { j =>
+      Clustering.kmeansFit(
+        corpus.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("__sv")),
+        idCol, "__sv", ksub, iters, scale)
+    }
+    val coded = graft.core.Par.fanOut(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv0")))
+      .select(col("neighbor_id") +: (0 until m).map(j =>
+        Clustering.assignColumn(slice(col("cv0"), j * sub + 1, sub), books(j),
+          scale).as(s"code$j")): _*)
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id") +: (0 until m).map(j =>
+        array(Clustering.centroidDists(
+          Clustering.quantize(slice(col(vecCol), j * sub + 1, sub), scale),
+          books(j)): _*).as(s"qd$j")): _*))
+    val adc = (0 until m)
+      .map(j => element_at(col(s"qd$j"), (col(s"code$j") + 1).cast("int")))
+      .reduce(_ + _)
+    val sw = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val short = q.join(coded, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+      .withColumn("srank", row_number().over(sw))
+      .where(col("srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qf = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"), l2norm(col(vecCol)).as("qn"))
+    val cf = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"), l2norm(col(vecCol)).as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(short.join(qf, "query_id"))
+      .join(cf, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** PER-DIMENSION Z-SCORE STANDARDIZATION of an embedding corpus — the
     * whitening pass between embedding-model output and an ANN index
     * (un-standardized dimensions with large variance dominate cosine/L2;

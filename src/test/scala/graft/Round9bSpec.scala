@@ -153,6 +153,51 @@ class Round9bSpec extends SparkSpec {
       "fixture must also contain NON-hitters or the threshold is vacuous")
   }
 
+  // ------------------------------------------------------------- pq1
+
+  test("pqTopK: exhaustive shortlist makes the ADC phase recall-total") {
+    // shortlist ≥ corpus: the codebook approximation may only PRUNE, so
+    // with nothing pruned the exact re-rank must reproduce brute force
+    // row for row (the jlTopK recall-total discipline)
+    val sf = "/root/testdata/sf0.001"
+    val emb = core.Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 3)
+    val pq = ext.Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, dims = 64, m = 4, ksub = 4, iters = 2, shortlist = 600)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    val brute = ext.Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(pq.nonEmpty && pq.toSeq == brute.toSeq)
+  }
+
+  test("pqTopK: lossless on a subspace-lattice corpus — ADC alone ranks exactly") {
+    // 8-dim vectors over m=4 two-dim subspaces; every subvector is one of
+    // 4 orthogonal unit patterns, and the 4 lowest ids (the k-means
+    // seeds) enumerate ALL 4 patterns in EVERY subspace — so each seed
+    // cluster's members are copies of its own pattern, the Lloyd update
+    // averages them back exactly, reconstruction is lossless, and ADC ==
+    // true squared L2. Equal norms make L2 order ≡ cosine order, so even
+    // a TIGHT shortlist (no re-rank slack) must match brute force.
+    val pat = Map(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0),
+      2L -> Seq(-1.0, 0.0), 3L -> Seq(0.0, -1.0))
+    def vec(id: Long): Seq[Double] =
+      (0 until 4).flatMap { j =>
+        val p = if (id < 4) (id + j) % 4
+                else (id * 7 + j * 3 + (id >> 2)) % 4
+        pat(p)
+      }
+    val corpus = (0L until 16L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" === 0L)
+    val pq = ext.Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+        k = 3, dims = 8, m = 4, ksub = 4, iters = 2, shortlist = 3)
+      .orderBy("rank").collect().map(_.toSeq)
+    val brute = ext.Similarity.bruteForceTopK(corpus, queries, "vec_id",
+        "embedding", k = 3)
+      .orderBy("rank").collect().map(_.toSeq)
+    assert(pq.toSeq == brute.toSeq)
+  }
+
   test("heavyHitters: threshold boundary is ≥, exactly n/k included") {
     // n = 20, k = 4 → threshold count 5: one key at exactly 5, one at 4
     val xs = Seq.fill(5)("at") ++ Seq.fill(4)("below") ++
