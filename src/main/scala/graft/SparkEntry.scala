@@ -531,6 +531,17 @@ object SparkEntry {
           col("event_type"), col("ts"), col("value"))
         .orderBy("id")),
 
+    // sea1: hour-of-day SEASONAL anomaly ranking — each hour scored
+    // against its own diurnal cohort (3 a.m. vs other 3 a.m.s), the
+    // baseline that catches what trailing windows (ts2), full-history
+    // medians (rob1) and level shifts (cp1) normalize away; top-3 hours
+    // per key by truncating fixed-point deviation
+    // (TimeSeries.seasonalAnomalies scaladoc). Unique key (id, rank).
+    "sea1_seasonal_anomaly" -> ((s, d) =>
+      graft.queries.TimeSeries.seasonalAnomalies(events(s, d),
+          col("event_type"), col("ts"), col("value"), topK = 3)
+        .orderBy("id", "rank")),
+
     // src1/src2: non-parquet batch sources behind the parquet oracle — a
     // distributed JSON-lines (resp. headered CSV) stage + explicit-schema
     // read-back of orders (resp. customer), then an aggregate that can
@@ -1623,6 +1634,18 @@ object SparkEntry {
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(20)),
 
+    // pmi1: PMI collocations — the association-strength upgrade to x3's
+    // raw bigram counts (raw frequency ranks stopword pairs first; PMI
+    // ranks pairs that co-occur far more than their parts' popularity
+    // predicts, the classic phrase-mining statistic). The monotone log
+    // drops out: score = truncating scaled-BIGINT ratio
+    // (N·c(ab)·10⁴)/(c(a)·c(b)) — integer-exact in both engines
+    // (TextAnalysis.pmiCollocations scaladoc). Unique key: bigram.
+    "pmi1_collocations" -> ((s, d) =>
+      TextAnalysis.pmiCollocations(Tables.documents(s, d), "text",
+          topK = 20, minCount = 5L)
+        .orderBy(col("pmi_fp").desc, col("bigram").asc)),
+
     // bpe1: corpus character-pair frequencies, top 30 — the statistic that
     // seeds BPE tokenizer induction (the first merge is this table's
     // argmax); native per-token pair kernel, one hash-aggregate
@@ -2225,6 +2248,17 @@ object SparkEntry {
         .orderBy("node").limit(3)
       Graph.weightedHops(e, seeds, rounds = 3).orderBy("node")
     }),
+
+    // fp1: FREQUENT TRIPLES via the Apriori candidate-pruning step over
+    // the same per-order baskets as bfs1's pair graph — items outside
+    // any frequent pair drop before the basket rebuild, only frequent
+    // (a,b) legs expand, (b,c)/(a,c) legs prune before the exact count;
+    // recall-exact by support monotonicity, explode volume bounded by
+    // pair structure instead of C(basket,3)
+    // (Basket.frequentTriples scaladoc). The oracle states the plain
+    // 3-way self-join HAVING.
+    "fp1_frequent_triples" -> ((s, d) =>
+      Basket.frequentTriples(Tables.lineitem(s, d), minSupport = 2L)),
 
     // er1: ENTITY RESOLUTION → GOLDEN RECORD over a planted product
     // catalog: originals plus three deterministic variant classes — a
@@ -3233,6 +3267,28 @@ object SparkEntry {
            | CAST(MAX(sdn) AS BIGINT) AS dn_max,
            | MIN(CASE WHEN sdn = dmax THEN hour END) AS dn_hour
            |FROM m GROUP BY id ORDER BY id""".stripMargin.replace("\n", " ")),
+      // sea1: the identical cohort window and truncating quotient —
+      // DuckDB // floors, so the negative branch sign-splits (the km1
+      // centroid-update convention); rank ties break on hour
+      "sea1_seasonal_anomaly" ->
+        ("""WITH h AS (SELECT event_type AS id, date_trunc('hour', ts) AS hour,
+           |  SUM(CAST(floor(value * 1000000) AS BIGINT)) AS vm
+           | FROM events GROUP BY 1, 2),
+           |g AS (SELECT id, hour, vm, EXTRACT(hour FROM hour) AS hod FROM h),
+           |w AS (SELECT id, hour, vm, hod,
+           |  COUNT(*) OVER win AS n, SUM(CAST(vm AS HUGEINT)) OVER win AS s
+           | FROM g WINDOW win AS (PARTITION BY id, hod)),
+           |r AS (SELECT id, hour, vm, hod,
+           |  CASE WHEN n * CAST(vm AS HUGEINT) - s < 0
+           |   THEN -((-(n * CAST(vm AS HUGEINT) - s)) // n)
+           |   ELSE (n * CAST(vm AS HUGEINT) - s) // n END AS resid_fp
+           | FROM w),
+           |k AS (SELECT id, hour, vm, hod, resid_fp,
+           |  row_number() OVER (PARTITION BY id
+           |   ORDER BY abs(resid_fp) DESC, hour ASC) AS rank FROM r)
+           |SELECT id, hour, CAST(vm AS BIGINT) AS vm, CAST(hod AS INT) AS hod,
+           | CAST(resid_fp AS BIGINT) AS resid_fp, CAST(rank AS BIGINT) AS rank
+           |FROM k WHERE rank <= 3 ORDER BY id, rank""".stripMargin.replace("\n", " ")),
       // src1/src2: the aggregate over the round-tripped JSON/CSV staging
       // must equal the same aggregate over the parquet original
       "src1_json_roundtrip" ->
@@ -4544,6 +4600,17 @@ object SparkEntry {
            |UNION ALL SELECT node, 2 FROM h2
            |UNION ALL SELECT node, 3 FROM h3
            |ORDER BY node""".stripMargin.replace("\n", " ")),
+      // fp1: the plain 3-way self-join the Apriori pruning must equal
+      "fp1_frequent_triples" ->
+        ("""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+           |SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+           | d.l_partkey AS part_c, CAST(COUNT(*) AS BIGINT) AS n_orders
+           |FROM b a JOIN b c
+           | ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+           | JOIN b d
+           | ON a.l_orderkey = d.l_orderkey AND c.l_partkey < d.l_partkey
+           |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+           |ORDER BY 1, 2, 3""".stripMargin.replace("\n", " ")),
       // wsp1: the identical three Bellman–Ford relaxations unrolled —
       // each round is min over (relax every edge from the frame) ∪ (keep
       // the frame); integer weights, integer distances
@@ -4748,6 +4815,27 @@ object SparkEntry {
            |   ELSE [] END) AS bigram
            | FROM (SELECT $toksSql AS toks FROM documents))
            |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin.replace("\n", " ")),
+      // pmi1: identical counts, identical truncating integer ratio —
+      // HUGEINT // floors, all terms positive so floor = truncation
+      "pmi1_collocations" ->
+        (s"""WITH tk AS (SELECT unnest($toksSql) AS w FROM documents),
+           |nn AS (SELECT COUNT(*) AS n FROM tk),
+           |u AS (SELECT w, COUNT(*) AS c FROM tk GROUP BY 1),
+           |bg AS (SELECT bigram, COUNT(*) AS cab FROM (
+           | SELECT unnest(CASE WHEN len(toks) >= 2
+           |   THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+           |   ELSE [] END) AS bigram
+           | FROM (SELECT $toksSql AS toks FROM documents))
+           | GROUP BY 1 HAVING COUNT(*) >= 5)
+           |SELECT bigram, CAST(cab AS BIGINT) AS c_ab,
+           | CAST(ua.c AS BIGINT) AS c_a, CAST(ub.c AS BIGINT) AS c_b,
+           | CAST((nn.n::HUGEINT * cab * 10000) // (ua.c::HUGEINT * ub.c)
+           |  AS BIGINT) AS pmi_fp
+           |FROM bg CROSS JOIN nn
+           | JOIN u ua ON ua.w = split_part(bigram, ' ', 1)
+           | JOIN u ub ON ub.w = split_part(bigram, ' ', 2)
+           |ORDER BY pmi_fp DESC, bigram ASC LIMIT 20"""
+          .stripMargin.replace("\n", " ")),
       // bpe1: per-word adjacent code-point pairs (1-based inclusive slice
       // w[i:i+1] = substr(w, i, 2)), counted corpus-wide
       "bpe1_pair_counts" ->

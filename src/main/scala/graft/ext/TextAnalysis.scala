@@ -109,6 +109,56 @@ object TextAnalysis {
 
   def bigrams(text: Column): Column = bigramsFromTokens(tokens(text))
 
+  /** PMI COLLOCATIONS — the association-strength upgrade to x3's raw
+    * bigram counts: raw frequency ranks "of the"-type stopword pairs
+    * first, while pointwise mutual information log(N·c(ab)/(c(a)·c(b)))
+    * ranks pairs that co-occur far MORE than their parts' popularity
+    * predicts — the classic phrase-mining statistic (Church & Hanks
+    * 1990) every tokenizer-vocabulary and named-entity seeding pipeline
+    * runs. The log is monotone, so the emitted score drops it and ranks
+    * by the RATIO itself as truncating scaled-BIGINT fixed point
+    * (N·c(ab)·10⁴)/(c(a)·c(b)) — the ewma1 discipline: a float log
+    * behind round(·,6) can land cross-engine half-boundaries, an integer
+    * quotient cannot. `minCount` floors c(ab) (rare pairs otherwise
+    * dominate PMI — the statistic's known pathology).
+    *
+    * Shape at scale: one tokenize pass behind a fan-out exchange feeds
+    * BOTH the unigram and bigram aggregates (identical exchange subplan
+    * → ReusedExchange; only the cheap explode differs per branch); the
+    * unigram table is vocabulary-sized and joins the thresholded bigram
+    * relation twice with no hint (AQE broadcasts while it fits); N rides
+    * as a driver literal from one bounded 1-row action. Integer bound:
+    * N·c(ab)·10⁴ is ANSI-loud past ~10⁷-token corpora × 10⁶-count
+    * bigrams — beyond that, widen the numerator to DECIMAL(38,0) and
+    * sign-split the division (documented swap). */
+  def pmiCollocations(docs: DataFrame, textCol: String, topK: Int = 20,
+                      minCount: Long = 5L, scale: Long = 10000L): DataFrame = {
+    val base = graft.core.Par.fanOut(
+      docs.select(tokens(col(textCol)).as("toks")))
+    val uni = base.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = uni.agg(sum(col("c"))).head().getLong(0)
+    val bg = base
+      .select(explode_outer(bigramsFromTokens(col("toks"))).as("bigram"))
+      .where(col("bigram").isNotNull)
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val res = bg
+      .withColumn("wa", element_at(split(col("bigram"), " "), 1))
+      .withColumn("wb", element_at(split(col("bigram"), " "), 2))
+      .join(uni.select(col("w").as("wa"), col("c").as("c_a")), "wa")
+      .join(uni.select(col("w").as("wb"), col("c").as("c_b")), "wb")
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        call_function("div", lit(n) * col("c_ab") * lit(scale),
+          col("c_a") * col("c_b")).as("pmi_fp"))
+      .orderBy(col("pmi_fp").desc, col("bigram").asc)
+      .limit(topK)
+      .localCheckpoint()   // topK rows; frees the unigram cache now
+    uni.unpersist()
+    res
+  }
+
   /** Overlapping token-window chunking — the max-sequence-length splitter
     * every training pipeline runs on documents longer than the model
     * context (the converse of [[Sampling.packSequences]], which packs

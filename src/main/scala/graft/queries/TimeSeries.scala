@@ -316,6 +316,49 @@ object TimeSeries {
           .cast("timestamp_ntz").as("dn_hour"))
   }
 
+  /** SEASONAL (hour-of-day) anomaly ranking — the diurnal-baseline member
+    * of the anomaly family: [[hourlyAnomaly]] scores against the trailing
+    * 24 h (drifts with recent noise), [[madOutliers]] against the full
+    * history (blind to time-of-day structure), [[cusumChangepoints]]
+    * detects sustained shifts — this one scores each hour against its OWN
+    * hour-of-day cohort (3 a.m. compares to other 3 a.m.s), the baseline
+    * that catches "busy-hour volume at midnight" anomalies every other
+    * screen normalizes away. Emits each key's topK hours by absolute
+    * deseasonalized deviation.
+    *
+    * Determinism: hourly totals are the ts2 micro-unit BIGINTs; the
+    * cohort deviation is the TRUNCATING fixed-point quotient
+    * (n·vm − Σ)/n (the ewma1 scaled-BIGINT device — vm's own micro units
+    * already carry the resolution, no further scaling, no float, no
+    * round-tie; Spark `div` truncates toward zero and the oracle
+    * sign-splits its floor division to match). Ranking is |deviation|
+    * desc with hour-asc tie-break — engine-exact integers end to end.
+    *
+    * Shape at scale: one (key, hour) aggregate shuffle, one sort-free
+    * whole-partition window per (key, hod) cohort, one rank window per
+    * key (WindowGroupLimit prunes to topK per key before the final
+    * sort). Integer magnitudes: n_cohort·max|vm| — history-length ×
+    * hourly total, ANSI-loud on overflow. */
+  def seasonalAnomalies(df: DataFrame, key: Column, ts: Column,
+                        value: Column, topK: Int = 3): DataFrame = {
+    val hourly = df
+      .groupBy(key.as("id"), date_trunc("hour", ts).as("hour"))
+      .agg(sum(floor(value * lit(1000000d)).cast("long")).as("vm"))
+      .withColumn("hod", hour(col("hour")))
+    val wHod = Window.partitionBy("id", "hod")
+    val dev = col("n_hod") * col("vm") - col("s_hod")
+    hourly
+      .withColumn("n_hod", count(lit(1)).over(wHod))
+      .withColumn("s_hod", sum(col("vm")).over(wHod))
+      .withColumn("resid_fp", call_function("div", dev, col("n_hod")))
+      .withColumn("rank", row_number().over(Window.partitionBy("id")
+        .orderBy(abs(col("resid_fp")).desc, col("hour").asc)))
+      .where(col("rank") <= topK)
+      .select(col("id"), col("hour").cast("timestamp_ntz").as("hour"),
+        col("vm"), col("hod").cast("int").as("hod"),
+        col("resid_fp"), col("rank").cast("long").as("rank"))
+  }
+
   def hourlyAnomaly(df: DataFrame, key: Column, ts: Column, value: Column,
                     window: Int = 24): DataFrame = {
     val hourly = df

@@ -153,6 +153,82 @@ class Round9bSpec extends SparkSpec {
       "fixture must also contain NON-hitters or the threshold is vacuous")
   }
 
+  // ------------------------------------------------------------- fp1
+
+  test("frequentTriples: Apriori pruning is recall-exact vs brute force") {
+    val rnd = new scala.util.Random(31)
+    // 120 baskets over a 12-item catalog, 3-6 items each — small enough
+    // that C(n,3) brute force is trivial, dense enough that support-2
+    // triples exist and the pair prunes actually drop candidates
+    val rows = (1L to 120L).flatMap { o =>
+      rnd.shuffle((0L until 12L).toList).take(3 + rnd.nextInt(4))
+        .map(p => (o, p))
+    }
+    val li = rows.toDF("l_orderkey", "l_partkey")
+    val got = queries.Basket.frequentTriples(li, minSupport = 2L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    val want = rows.groupBy(_._1).values
+      .flatMap(b => b.map(_._2).distinct.sorted.combinations(3))
+      .toSeq.groupBy(identity).view
+      .mapValues(_.size.toLong).filter(_._2 >= 2L)
+      .map { case (t, n) => ((t(0), t(1), t(2)), n) }.toMap
+    assert(want.nonEmpty, "fixture must contain frequent triples")
+    assert(got == want)
+  }
+
+  // ------------------------------------------------------------- pmi1
+
+  test("pmiCollocations: association beats raw frequency; exact fixed point") {
+    // "of the" appears 20× but both words are everywhere (low PMI);
+    // "zig zag" appears 6× and its words appear ONLY together (max PMI)
+    val docs = (
+      (1 to 20).map(i => (i.toLong, "of the filler" + i)) ++
+      (21 to 26).map(i => (i.toLong, "zig zag")) ++
+      (27 to 46).map(i => (i.toLong, "of x" + i)) ++
+      (47 to 66).map(i => (i.toLong, "the y" + i))
+    ).toDF("doc_id", "text")
+    val out = ext.TextAnalysis.pmiCollocations(docs, "text", topK = 5,
+        minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val byName = out.map(t => t._1 -> t).toMap
+    assert(byName.contains("zig zag") && byName.contains("of the"))
+    // N = 20*3 + 6*2 + 20*2 + 20*2 = 152 tokens
+    val zz = byName("zig zag")
+    assert((zz._2, zz._3, zz._4) == ((6L, 6L, 6L)))
+    assert(zz._5 == 152L * 6L * 10000L / (6L * 6L))
+    val ot = byName("of the")
+    assert((ot._2, ot._3, ot._4) == ((20L, 40L, 40L)))
+    assert(ot._5 == 152L * 20L * 10000L / (40L * 40L))
+    assert(zz._5 > ot._5, "pure collocation must out-rank the stopword pair")
+    assert(out.head._1 == "zig zag")
+  }
+
+  // ------------------------------------------------------------- sea1
+
+  test("seasonalAnomalies: cohort baseline flags the off-diurnal hour") {
+    val base = java.time.LocalDateTime.of(2026, 3, 1, 0, 0)
+    // 5 days × 4 hours-of-day; hod 2 runs at 100 except day 3 at 400 —
+    // a trailing-window screen would flag nothing (the spike is brief)
+    // but the hod-2 cohort deviation must rank it first for the key
+    val rows = for (d <- 0 until 5; h <- 0 until 4) yield {
+      val v = if (h == 2 && d == 3) 400.0 else 100.0
+      ("k", java.sql.Timestamp.valueOf(base.plusDays(d).plusHours(h)), v)
+    }
+    val out = queries.TimeSeries.seasonalAnomalies(
+        rows.toDF("k", "ts", "v"), $"k", $"ts", $"v", topK = 3)
+      .orderBy("rank").collect()
+    val top = out(0)
+    assert(top.getAs[java.time.LocalDateTime](1) == base.plusDays(3).plusHours(2))
+    assert(top.getInt(3) == 2)
+    // cohort: n=5, sum=800e6 micro; dev = (5·400e6 − 800e6)/5 = 240e6
+    assert(top.getLong(4) == 240000000L)
+    // the other cohort members sit BELOW their mean: (5·100e6 − 800e6)/5
+    // = −60e6, truncation toward zero both engines
+    assert(out(1).getLong(4) == -60000000L)
+  }
+
   // ------------------------------------------------------------- pq1
 
   test("pqTopK: exhaustive shortlist makes the ADC phase recall-total") {
