@@ -1121,6 +1121,17 @@ object SparkEntry {
         floor(col("value") * lit(1000000d)).cast("long"))
     }),
 
+    // qn1: QUANTILE NORMALIZATION of order totals across order-status
+    // groups — each row's value replaced by the POOLED distribution's
+    // value at the same within-group quantile (integer target ranks,
+    // actual data values — the batch-effect remover that makes
+    // cross-group thresholds comparable; Curation.quantileNormalize
+    // scaladoc for why NO per-group window appears at scale).
+    "qn1_quantile_normalize" -> ((s, d) =>
+      ext.Curation.quantileNormalize(Tables.orders(s, d),
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("id")),
+
     // imp1: GROUP-MEDIAN IMPUTATION — dq1 counts the nulls, this repairs
     // them: planted nulls (%7) refill from the segment's non-null median
     // (robust, the rob1 argument) with an audit flag; the p=0.5
@@ -3941,6 +3952,20 @@ object SparkEntry {
            | CAST(d.cumb AS BIGINT) AS cum_b, CAST(d.dnum AS BIGINT) AS d_num
            |FROM d, t ORDER BY d.dnum DESC, d.v ASC
            |LIMIT 1""".stripMargin.replace("\n", " ")),
+      // qn1: the oracle may state the per-group window directly; the
+      // target rank is the identical exact-integer ceil
+      "qn1_quantile_normalize" ->
+        ("""WITH o AS (SELECT o_orderkey AS id, o_orderstatus AS grp,
+           |  o_totalprice AS v FROM orders),
+           |r AS (SELECT id, grp, v,
+           |  row_number() OVER (PARTITION BY grp ORDER BY v, id) AS r,
+           |  COUNT(*) OVER (PARTITION BY grp) AS ng,
+           |  COUNT(*) OVER () AS n FROM o),
+           |p AS (SELECT v AS norm_v, row_number() OVER (ORDER BY v, id) AS t
+           | FROM o)
+           |SELECT r.id, r.grp, r.v, p.norm_v
+           |FROM r JOIN p ON p.t = (r.r * r.n + r.ng - 1) // r.ng
+           |ORDER BY r.id""".stripMargin.replace("\n", " ")),
       // imp1: both engines' percentile aggregates skip NULLs; the median
       // is (a+b)/2 of data values — exact dyadic, the rob1 argument
       "imp1_median_impute" ->

@@ -247,6 +247,58 @@ object Curation {
                      numRanges: Int = 64): DataFrame =
     globalOrdinalsManaged(df, sortCols, numRanges)._1
 
+  /** QUANTILE NORMALIZATION across groups — the batch-effect remover for
+    * scores that mean different things per source (a quality classifier
+    * trained per domain, review scores per marketplace): each row's value
+    * is replaced by the POOLED distribution's value at the same quantile,
+    * so every group's normalized distribution is the pooled one and
+    * cross-group thresholds become comparable (the microarray-era
+    * technique, Bolstad 2003, generalized to unequal group sizes by
+    * integer target ranks ⌈r·N/n_g⌉ — the qq1 discipline: never
+    * ceil(p·N) in floats). Emitted normalized values are ACTUAL data
+    * values selected by exact integer ranks — engine-free determinism.
+    *
+    * Shape at scale: two [[globalOrdinals]] passes (range-partitioned
+    * two-phase ranking — no single-reducer sort, and no per-group sort
+    * either: a handful of giant groups would each land on ONE reducer
+    * under a group-partitioned window, so within-group ranks derive from
+    * the (group, value, id)-ordered GLOBAL ordinals minus per-group
+    * offsets collected in one bounded |groups|-row action), then one
+    * equi-join on the target rank. The row-sized result localCheckpoints
+    * so both internal caches release before return (the qq1 contract);
+    * integer bound: r·N — past ~3·10⁹ rows widen to DECIMAL(38,0)
+    * (documented swap). */
+  def quantileNormalize(df: DataFrame, id: Column, group: Column,
+                        value: Column, numRanges: Int = 64): DataFrame = {
+    val base = df.select(id.as("id"), group.as("grp"), value.as("v"))
+    val (og, relG) = globalOrdinalsManaged(base,
+      Seq(col("grp"), col("v"), col("id")), numRanges)
+    val gc = og.groupBy("grp").agg(count(lit(1)).as("c"))
+      .orderBy("grp").collect()
+    var acc = 0L
+    val offs = gc.map { r =>
+      val o = (r.get(0), acc, r.getLong(1)); acc += r.getLong(1); o
+    }
+    val n = acc
+    val offMap = map(offs.flatMap(t =>
+      Seq(lit(t._1), lit(t._2))).toIndexedSeq: _*)
+    val cntMap = map(offs.flatMap(t =>
+      Seq(lit(t._1), lit(t._3))).toIndexedSeq: _*)
+    val ranked = og.select(col("id"), col("grp"), col("v"),
+        (col("ordinal") - element_at(offMap, col("grp"))).as("r"),
+        element_at(cntMap, col("grp")).as("ng"))
+      .withColumn("t", call_function("div",
+        col("r") * lit(n) + col("ng") - lit(1L), col("ng")))
+    val (op, relP) = globalOrdinalsManaged(base,
+      Seq(col("v"), col("id")), numRanges)
+    val pooled = op.select(col("ordinal").as("t"), col("v").as("norm_v"))
+    val res = ranked.join(pooled, "t")
+      .select(col("id"), col("grp"), col("v"), col("norm_v"))
+      .localCheckpoint()
+    relG(); relP()
+    res
+  }
+
   /** [[globalOrdinals]] plus an explicit RELEASE handle for the internal
     * range-partitioned cache: the rank pass necessarily persists its
     * repartitioned input (two consumers — the bounded count pass and the

@@ -229,6 +229,46 @@ class Round9bSpec extends SparkSpec {
     assert(out(1).getLong(4) == -60000000L)
   }
 
+  // ------------------------------------------------------------- qn1
+
+  test("quantileNormalize: equal-size groups land on identical pooled multisets") {
+    // group A is uniformly LOW, group B uniformly HIGH — after
+    // normalization both groups' value multisets must be the SAME pooled
+    // quantile selection (the whole point of the technique), and every
+    // emitted value must be an actual input value
+    val rows = (1L to 8L).map(i => (i, "A", i.toDouble)) ++
+      (9L to 16L).map(i => (i, "B", 100.0 + i))
+    val df = rows.toDF("id", "g", "v")
+    val out = ext.Curation.quantileNormalize(df, $"id", $"g", $"v",
+        numRanges = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.length == 16)
+    val aNorm = out.filter(_._2 == "A").map(_._4).sorted.toSeq
+    val bNorm = out.filter(_._2 == "B").map(_._4).sorted.toSeq
+    assert(aNorm == bNorm, "equal-size groups must normalize identically")
+    val inputVals = rows.map(_._3).toSet
+    assert(out.forall(t => inputVals.contains(t._4)),
+      "normalized values are actual data values, never interpolations")
+    // rank math: with n_g=8, N=16 the k-th smallest of a group maps to
+    // pooled rank 2k — the even-indexed pooled values
+    val pooled = rows.map(_._3).sorted
+    assert(aNorm == (1 to 8).map(k => pooled(2 * k - 1)).toSeq)
+  }
+
+  test("quantileNormalize: unequal sizes hit the exact ceil target ranks") {
+    val rows = Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", 30.0),
+      (4L, "B", 15.0), (5L, "B", 25.0))
+    val out = ext.Curation.quantileNormalize(rows.toDF("id", "g", "v"),
+        $"id", $"g", $"v", numRanges = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val pooled = Seq(10.0, 15.0, 20.0, 25.0, 30.0)
+    // A (n_g=3, N=5): ranks 1,2,3 → ceil(5r/3) = 2,4,5
+    assert(out(1L) == pooled(1) && out(2L) == pooled(3) && out(3L) == pooled(4))
+    // B (n_g=2): ranks 1,2 → ceil(5r/2) = 3,5
+    assert(out(4L) == pooled(2) && out(5L) == pooled(4))
+  }
+
   // ------------------------------------------------------------- pq1
 
   test("pqTopK: exhaustive shortlist makes the ADC phase recall-total") {
