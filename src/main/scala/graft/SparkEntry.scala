@@ -1932,6 +1932,29 @@ object SparkEntry {
         .orderBy("token")
     }),
 
+    // inc5: INCREMENTAL heavy hitters from a STORED mergeable summary —
+    // the bf2/sim7 lifecycle applied to hh1: the archive's Misra–Gries
+    // summary commits once (side-write + checked swap), each ingest
+    // batch MERGES its own summary in (Agarwal 2012 mergeability — the
+    // error bound survives any merge tree, so recall for ≥ n/k is
+    // preserved without ever re-reading the archive key stream), and the
+    // answer counts ONLY the ≤ k stored candidates via an IN-list
+    // literal. Must equal hh1's from-scratch HAVING set over the
+    // accumulated corpus (the inc4 discipline).
+    "inc5_incremental_hh" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val dir = graft.core.Scratch.dir("inc5-")
+      ext.Profile.writeHhSummary(toks.where(col("doc_id") % 2 === 0),
+        col("token"), k = 200, dir)
+      ext.Profile.appendToHhSummary(toks.where(col("doc_id") % 2 === 1),
+        col("token"), dir)
+      ext.Profile.heavyHittersFromSummary(toks, col("token"), dir)
+        .select(col("key").as("token"), col("n"))
+        .orderBy("token")
+    }),
+
     // ss1: the stream-stream watermark-bounded INNER join executed by the
     // STREAMING engine — error/click events replayed through
     // Speed.joinWithin (state-store symmetric hash join) to completion,
@@ -5239,6 +5262,15 @@ object SparkEntry {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       // hh1: the engine must equal the exact full-vocabulary HAVING set
       "hh1_heavy_hitters" ->
+        (s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents),
+           |t AS (SELECT COUNT(*) AS n FROM tk)
+           |SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+           |FROM tk, t GROUP BY token, t.n
+           |HAVING COUNT(*) * 200 >= t.n
+           |ORDER BY token""".stripMargin.replace("\n", " ")),
+      // inc5: the incremental path must equal the FROM-SCRATCH heavy
+      // hitters over the accumulated corpus — hh1's oracle verbatim
+      "inc5_incremental_hh" ->
         (s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents),
            |t AS (SELECT COUNT(*) AS n FROM tk)
            |SELECT token, CAST(COUNT(*) AS BIGINT) AS n

@@ -78,13 +78,29 @@ object Profile {
     * by definition of the threshold. */
   def heavyHitters(df: DataFrame, key: Column, k: Int): DataFrame = {
     require(k >= 2)
-    val spark = df.sparkSession
-    import spark.implicits._
     val keys = df.select(key.cast("string").as("key"))
       .where(col("key").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = keys.count()
-    val cands = keys.as[String].mapPartitions { it =>
+    val cands = mgPartitionCounters(keys, k).select("key").distinct()
+    val res = keys.join(cands, Seq("key"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .where(col("n") * lit(k.toLong) >= lit(n))
+      .select(col("key"), col("n").cast("long").as("n"))
+      .localCheckpoint()   // ≤ k rows; lets the key cache release now
+    keys.unpersist()
+    res
+  }
+
+  /** Per-partition MISRA–GRIES residual counters over a 1-column ("key")
+    * string frame: ≤ k (key, cnt) rows per task, cnt underestimating the
+    * local true count by ≤ nₚ/(k+1) (each decrement round consumes k+1
+    * occurrences). The shared phase-1 kernel of [[heavyHitters]] and the
+    * stored-summary lifecycle. */
+  private def mgPartitionCounters(keys: DataFrame, k: Int): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys.as[String].mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach { x =>
         counters.get(x) match {
@@ -103,14 +119,144 @@ object Profile {
             }
         }
       }
-      counters.keysIterator
-    }.toDF("key").distinct()
-    val res = keys.join(cands, Seq("key"), "left_semi")
+      counters.iterator
+    }.toDF("key", "cnt")
+  }
+
+  /** MERGE Misra–Gries counter sets and SHRINK back to ≤ k rows — the
+    * mergeable-summaries theorem (Agarwal et al. 2012) that makes the
+    * stored-summary lifecycle sound: counters add per key, then the
+    * (k+1)-th largest merged value δ subtracts from all (≤ k survive —
+    * at most k values sit strictly above the (k+1)-th order statistic).
+    * Every unit of δ is paid by ≥ k+1 units of removed mass, so the
+    * TOTAL underestimate across any merge tree stays ≤ n/(k+1) — the
+    * same bound as a single MG pass, preserving recall for the ≥ n/k
+    * threshold. δ comes from one bounded sort-limit action (k+1 rows). */
+  private def mgMergeShrink(counters: DataFrame, k: Int): DataFrame = {
+    val merged = counters.groupBy("key").agg(sum(col("cnt")).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = merged.orderBy(col("cnt").desc, col("key").asc)
+      .limit(k + 1).collect()
+    val delta = if (top.length <= k) 0L else top.last.getLong(1)
+    val res = merged.where(col("cnt") > delta)
+      .select(col("key"), (col("cnt") - lit(delta)).as("cnt"))
+      .localCheckpoint()   // ≤ k rows
+    merged.unpersist()
+    res
+  }
+
+  /** BUILD the stored heavy-hitter summary for a key stream: one MG pass
+    * (zero shuffle), merge-shrink to ≤ k rows, committed as a single-row
+    * artifact (k, n, keys[], cnts[]) under the side-write + checked-swap
+    * discipline (crash never holds the only copy; see [[healMgArtifact]]).
+    * The bf2 lifecycle shape: build → [[appendToHhSummary]] per batch →
+    * [[heavyHittersFromSummary]] answers. */
+  def writeHhSummary(df: DataFrame, key: Column, k: Int, dir: String): Unit = {
+    require(k >= 2)
+    val keys = df.select(key.cast("string").as("key"))
+      .where(col("key").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = keys.count()
+    val summary = mgMergeShrink(mgPartitionCounters(keys, k), k).collect()
+    keys.unpersist()
+    writeMgArtifact(df.sparkSession, dir, k, n,
+      summary.map(_.getString(0)).toSeq, summary.map(_.getLong(1)).toSeq)
+  }
+
+  /** MAINTAIN the stored summary per ingest batch: the batch gets its own
+    * MG pass under the STORED k, the two counter sets merge-shrink (the
+    * mergeable guarantee — total error stays ≤ n_total/(k+1), recall for
+    * ≥ n/k preserved), and the artifact swaps atomically with n updated.
+    * The archive key stream is never re-read — per-batch cost is the
+    * batch scan plus k-sized driver state. A retry after a crash is
+    * harmless: the swap is all-or-nothing, so the artifact holds either
+    * the pre- or post-batch state, and re-appending the SAME batch only
+    * inflates counts/n consistently (at-least-once, the foreachBatch
+    * sink contract). */
+  def appendToHhSummary(batch: DataFrame, key: Column, dir: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (k, n, keys0, cnts0) = readMgArtifact(spark, dir)
+    val bkeys = batch.select(key.cast("string").as("key"))
+      .where(col("key").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nb = bkeys.count()
+    val stored = keys0.zip(cnts0).toDF("key", "cnt")
+    val summary = mgMergeShrink(
+      stored.unionByName(mgPartitionCounters(bkeys, k)), k).collect()
+    bkeys.unpersist()
+    writeMgArtifact(spark, dir, k, n + nb,
+      summary.map(_.getString(0)).toSeq, summary.map(_.getLong(1)).toSeq)
+  }
+
+  /** Answer the exact ≥ n/k heavy-hitter set from the STORED summary:
+    * candidates are the summary's ≤ k keys riding as an IN-list LITERAL
+    * (the bf1 literal-inline discipline — the filter is pure codegen and
+    * pushes into the scan), so the one data pass counts ONLY candidate
+    * rows; n and k come from the artifact, never a recount. Identical
+    * results to [[heavyHitters]] over the same accumulated stream, for
+    * the same reason: recall-exact candidates, exact verification. */
+  def heavyHittersFromSummary(data: DataFrame, key: Column,
+                              dir: String): DataFrame = {
+    val (k, n, keys0, _) = readMgArtifact(data.sparkSession, dir)
+    data.select(key.cast("string").as("key"))
+      .where(col("key").isNotNull && col("key").isin(keys0: _*))
       .groupBy("key").agg(count(lit(1)).as("n"))
       .where(col("n") * lit(k.toLong) >= lit(n))
       .select(col("key"), col("n").cast("long").as("n"))
-      .localCheckpoint()   // ≤ k rows; lets the key cache release now
-    keys.unpersist()
-    res
+  }
+
+  private def writeMgArtifact(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, k: Int, n: Long,
+                              keys: Seq[String], cnts: Seq[Long]): Unit = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    healMgArtifact(spark, dir)
+    Seq((k, n, keys, cnts)).toDF("k", "n", "keys", "cnts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/mg__tmp")
+    val old = p(s"$dir/mg__old")
+    if (fs.exists(p(s"$dir/mg")) && !fs.rename(p(s"$dir/mg"), old))
+      throw new java.io.IOException(
+        s"writeMgArtifact: could not move $dir/mg aside — summary untouched")
+    if (!fs.rename(p(s"$dir/mg__tmp"), p(s"$dir/mg"))) {
+      val restored = fs.rename(old, p(s"$dir/mg"))
+      throw new java.io.IOException(
+        s"writeMgArtifact: could not swap new summary into $dir/mg" +
+          (if (restored) " — previous summary restored"
+           else s" — previous summary left at $old; the next write recovers it"))
+    }
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(
+        s"writeMgArtifact: new summary committed but could not remove " +
+          s"the superseded $old — delete it manually")
+  }
+
+  /** Restore the summary from `mg__old` if a crashed swap left the target
+    * missing; clear the stale aside otherwise (the bloom-artifact healing
+    * contract — runs on both the read and the write path). */
+  private def healMgArtifact(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val old = p(s"$dir/mg__old")
+    if (fs.exists(old)) {
+      if (!fs.exists(p(s"$dir/mg"))) {
+        if (!fs.rename(old, p(s"$dir/mg")))
+          throw new java.io.IOException(
+            s"healMgArtifact: could not restore $dir/mg from $old")
+      } else if (!fs.delete(old, true))
+        throw new java.io.IOException(
+          s"healMgArtifact: could not remove stale $old")
+    }
+  }
+
+  private def readMgArtifact(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): (Int, Long, Seq[String], Seq[Long]) = {
+    healMgArtifact(spark, dir)
+    val r = spark.read.parquet(s"$dir/mg").head()
+    (r.getInt(0), r.getLong(1), r.getSeq[String](2), r.getSeq[Long](3))
   }
 }

@@ -314,6 +314,50 @@ class Round9bSpec extends SparkSpec {
     assert(pq.toSeq == brute.toSeq)
   }
 
+  test("hh summary lifecycle: incremental merge equals from-scratch, fuzzed") {
+    val rnd = new scala.util.Random(41)
+    val keys = Seq.fill(5000) {
+      val u = rnd.nextDouble()
+      "k" + math.min((1.0 / u).toInt, 35)
+    }
+    val (arch, batch) = keys.splitAt(3200)
+    val k = 20
+    val dir = tmpDir("inc5-spec") + "/hh"
+    val archDf = spark.createDataset(arch).repartition(7).toDF("t")
+    val batchDf = spark.createDataset(batch).repartition(5).toDF("t")
+    ext.Profile.writeHhSummary(archDf, $"t", k, dir)
+    ext.Profile.appendToHhSummary(batchDf, $"t", dir)
+    val all = spark.createDataset(keys).toDF("t")
+    val got = ext.Profile.heavyHittersFromSummary(all, $"t", dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = ext.Profile.heavyHitters(all, $"t", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(want.nonEmpty && got == want,
+      "stored-summary answer must equal the from-scratch operator")
+    // storage bound: the committed summary never exceeds k rows
+    val stored = spark.read.parquet(s"$dir/mg").head()
+    assert(stored.getSeq[String](2).length <= k)
+    assert(stored.getLong(1) == keys.size.toLong, "n accumulates across batches")
+  }
+
+  test("hh summary artifact: a crashed swap heals on the next read") {
+    val dir = tmpDir("inc5-heal") + "/hh"
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b")).toDF("t")
+    ext.Profile.writeHhSummary(df, $"t", 3, dir)
+    val before = ext.Profile.heavyHittersFromSummary(df, $"t", dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // simulate the crash window: target moved aside, new copy never landed
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/mg"),
+      new org.apache.hadoop.fs.Path(s"$dir/mg__old")))
+    val after = ext.Profile.heavyHittersFromSummary(df, $"t", dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after == before, "read-side healing restores the aside copy")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/mg")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/mg__old")))
+  }
+
   test("heavyHitters: threshold boundary is ≥, exactly n/k included") {
     // n = 20, k = 4 → threshold count 5: one key at exactly 5, one at 4
     val xs = Seq.fill(5)("at") ++ Seq.fill(4)("below") ++
