@@ -50,7 +50,14 @@ object DumpPlans {
       // compaction readback, BPE apply (distinct-word join shape), and
       // the post-retrain stored-index query
       "bf2_stored_bloom", "mv2_matview_compaction", "bpe3_apply",
-      "sim8_index_retrain", "rp1_jl_topk", "emb3_standardize")
+      "sim8_index_retrain", "rp1_jl_topk", "emb3_standardize",
+      // round-9 widening: the zero-shuffle MG candidate phase + IN-literal
+      // probe, the two-phase KS prefix sums, the Apriori semi-join prunes,
+      // the Bellman–Ford round shape, PQ's literal-codebook ADC, and the
+      // double-ordinal quantile normalization
+      "hh1_heavy_hitters", "inc5_incremental_hh", "ks1_two_sample_ks",
+      "fp1_frequent_triples", "wsp1_weighted_paths", "pq1_product_quant",
+      "qn1_quantile_normalize")
     val sections = new StringBuilder
     val inventory = new StringBuilder
     inventory.append("\n## Plan inventory — all graded queries (finalized plans, sf0.001)\n\n")
