@@ -1955,6 +1955,30 @@ object SparkEntry {
         .orderBy("token")
     }),
 
+    // hh1s: inc5's summary lifecycle driven by the REAL STREAMING ENGINE
+    // (the a1s/inc1s discipline): three replay batches each merge-shrink
+    // their own MG summary into the stored artifact via foreachBatch,
+    // with the batch id committed atomically WITH the merged state so
+    // at-least-once redelivery is a provable no-op (a summary merge is
+    // not naturally idempotent — Ingest.hhSummaryIngest scaladoc). The
+    // answer from the stream-built artifact must equal hh1's
+    // from-scratch HAVING set, in any batch order (mergeability).
+    "hh1s_stream_hh" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val slices = (0 until 3).map(i =>
+        docs.where(pmod(col("doc_id"), lit(3)) === i))
+      val dir = graft.streaming.Replay.slicedSourceReplay(s, slices,
+          "doc_id BIGINT, text STRING", "hh1s-") { (src, dir) =>
+        graft.streaming.Ingest.hhSummaryIngest(src, "text", 200,
+          s"$dir/hh", s"$dir/ckpt")
+      }
+      val toks = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      ext.Profile.heavyHittersFromSummary(toks, col("token"), s"$dir/hh")
+        .select(col("key").as("token"), col("n"))
+        .orderBy("token")
+    }),
+
     // ss1: the stream-stream watermark-bounded INNER join executed by the
     // STREAMING engine — error/click events replayed through
     // Speed.joinWithin (state-store symmetric hash join) to completion,
@@ -5271,6 +5295,15 @@ object SparkEntry {
       // inc5: the incremental path must equal the FROM-SCRATCH heavy
       // hitters over the accumulated corpus — hh1's oracle verbatim
       "inc5_incremental_hh" ->
+        (s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents),
+           |t AS (SELECT COUNT(*) AS n FROM tk)
+           |SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+           |FROM tk, t GROUP BY token, t.n
+           |HAVING COUNT(*) * 200 >= t.n
+           |ORDER BY token""".stripMargin.replace("\n", " ")),
+      // hh1s: the stream-built summary must answer the identical
+      // from-scratch HAVING set — hh1's oracle verbatim
+      "hh1s_stream_hh" ->
         (s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents),
            |t AS (SELECT COUNT(*) AS n FROM tk)
            |SELECT token, CAST(COUNT(*) AS BIGINT) AS n

@@ -151,7 +151,8 @@ object Profile {
     * discipline (crash never holds the only copy; see [[healMgArtifact]]).
     * The bf2 lifecycle shape: build → [[appendToHhSummary]] per batch →
     * [[heavyHittersFromSummary]] answers. */
-  def writeHhSummary(df: DataFrame, key: Column, k: Int, dir: String): Unit = {
+  def writeHhSummary(df: DataFrame, key: Column, k: Int, dir: String,
+                     batchId: Long = -1L): Unit = {
     require(k >= 2)
     val keys = df.select(key.cast("string").as("key"))
       .where(col("key").isNotNull)
@@ -160,7 +161,8 @@ object Profile {
     val summary = mgMergeShrink(mgPartitionCounters(keys, k), k).collect()
     keys.unpersist()
     writeMgArtifact(df.sparkSession, dir, k, n,
-      summary.map(_.getString(0)).toSeq, summary.map(_.getLong(1)).toSeq)
+      summary.map(_.getString(0)).toSeq, summary.map(_.getLong(1)).toSeq,
+      batchId)
   }
 
   /** MAINTAIN the stored summary per ingest batch: the batch gets its own
@@ -173,10 +175,17 @@ object Profile {
     * the pre- or post-batch state, and re-appending the SAME batch only
     * inflates counts/n consistently (at-least-once, the foreachBatch
     * sink contract). */
-  def appendToHhSummary(batch: DataFrame, key: Column, dir: String): Unit = {
+  def appendToHhSummary(batch: DataFrame, key: Column, dir: String,
+                        batchId: Long = -1L): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val (k, n, keys0, cnts0) = readMgArtifact(spark, dir)
+    val (k, n, keys0, cnts0, lastBid) = readMgArtifact(spark, dir)
+    // idempotency under at-least-once redelivery (the foreachBatch
+    // contract): the swap commits the batch id WITH the merged state, so
+    // a redelivered batch — crash after swap, before checkpoint commit —
+    // is a provable no-op instead of a double count (the mv2/upsert
+    // newest-id discipline). batchId −1 opts out for ad-hoc batch use.
+    if (batchId >= 0 && batchId <= lastBid) return
     val bkeys = batch.select(key.cast("string").as("key"))
       .where(col("key").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -186,7 +195,23 @@ object Profile {
       stored.unionByName(mgPartitionCounters(bkeys, k)), k).collect()
     bkeys.unpersist()
     writeMgArtifact(spark, dir, k, n + nb,
-      summary.map(_.getString(0)).toSeq, summary.map(_.getLong(1)).toSeq)
+      summary.map(_.getString(0)).toSeq, summary.map(_.getLong(1)).toSeq,
+      math.max(lastBid, batchId))
+  }
+
+  /** Per-micro-batch entry for the STREAMING summary ingest: initializes
+    * the artifact on the first batch, then appends under the batch-id
+    * idempotency guard. Artifact existence is checked AFTER healing, so
+    * a crash mid-first-swap still initializes cleanly on retry. */
+  def ingestHhBatch(batch: DataFrame, key: Column, k: Int, dir: String,
+                    batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    healMgArtifact(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/mg")))
+      appendToHhSummary(batch, key, dir, batchId)
+    else writeHhSummary(batch, key, k, dir, batchId)
   }
 
   /** Answer the exact ≥ n/k heavy-hitter set from the STORED summary:
@@ -198,7 +223,7 @@ object Profile {
     * the same reason: recall-exact candidates, exact verification. */
   def heavyHittersFromSummary(data: DataFrame, key: Column,
                               dir: String): DataFrame = {
-    val (k, n, keys0, _) = readMgArtifact(data.sparkSession, dir)
+    val (k, n, keys0, _, _) = readMgArtifact(data.sparkSession, dir)
     data.select(key.cast("string").as("key"))
       .where(col("key").isNotNull && col("key").isin(keys0: _*))
       .groupBy("key").agg(count(lit(1)).as("n"))
@@ -208,13 +233,14 @@ object Profile {
 
   private def writeMgArtifact(spark: org.apache.spark.sql.SparkSession,
                               dir: String, k: Int, n: Long,
-                              keys: Seq[String], cnts: Seq[Long]): Unit = {
+                              keys: Seq[String], cnts: Seq[Long],
+                              lastBid: Long): Unit = {
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     healMgArtifact(spark, dir)
-    Seq((k, n, keys, cnts)).toDF("k", "n", "keys", "cnts")
+    Seq((k, n, keys, cnts, lastBid)).toDF("k", "n", "keys", "cnts", "last_bid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/mg__tmp")
     val old = p(s"$dir/mg__old")
     if (fs.exists(p(s"$dir/mg")) && !fs.rename(p(s"$dir/mg"), old))
@@ -254,9 +280,10 @@ object Profile {
   }
 
   private def readMgArtifact(spark: org.apache.spark.sql.SparkSession,
-                             dir: String): (Int, Long, Seq[String], Seq[Long]) = {
+                             dir: String): (Int, Long, Seq[String], Seq[Long], Long) = {
     healMgArtifact(spark, dir)
     val r = spark.read.parquet(s"$dir/mg").head()
-    (r.getInt(0), r.getLong(1), r.getSeq[String](2), r.getSeq[Long](3))
+    (r.getInt(0), r.getLong(1), r.getSeq[String](2), r.getSeq[Long](3),
+      r.getLong(4))
   }
 }

@@ -46,6 +46,32 @@ object Ingest {
     }.trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming HEAVY-HITTER summary maintenance — the stored-summary
+    * lifecycle ([[graft.ext.Profile.writeHhSummary]] /
+    * `appendToHhSummary`) driven by the real engine: each micro-batch
+    * tokenizes itself and merge-shrinks its own Misra–Gries summary into
+    * the artifact (mergeability keeps the error bound, so recall for the
+    * ≥ n/k threshold survives any batch order), and the archive token
+    * stream is never re-read — per-batch cost is the batch scan plus
+    * k-sized driver state.
+    *
+    * Exactly-once note: foreachBatch is at-least-once on retry, and a
+    * summary merge is NOT naturally idempotent (unlike the anti-joined
+    * appends above) — so the artifact commits the BATCH ID with the
+    * merged state in one atomic swap, and
+    * [[graft.ext.Profile.ingestHhBatch]] skips any batch id at or below
+    * the stored one. Crash after swap, before checkpoint commit →
+    * redelivery is a provable no-op; crash before swap → the artifact
+    * still holds the pre-batch state and redelivery applies cleanly. */
+  def hhSummaryIngest(stream: DataFrame, textCol: String, k: Int,
+                      dir: String, checkpoint: String): StreamingQuery =
+    graft.core.Sinks.foreachBatchSink(stream, checkpoint) { (batch, bid) =>
+      val toks = batch.select(
+        explode(graft.ext.TextAnalysis.tokens(col(textCol))).as("token"))
+      graft.ext.Profile.ingestHhBatch(toks, col("token"), k, dir, bid)
+    }.trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming FUZZY ingest dedup — the near-dup counterpart of
     * [[dedupIngest]] and the production shape of
     * [[graft.ext.Dedup.nearDupIncrementalIndexed]] (inc2's per-run batch

@@ -340,6 +340,27 @@ class Round9bSpec extends SparkSpec {
     assert(stored.getLong(1) == keys.size.toLong, "n accumulates across batches")
   }
 
+  test("hh summary ingest: redelivered batch ids are provable no-ops") {
+    val dir = tmpDir("inc5-bid") + "/hh"
+    val b0 = (Seq.fill(8)("a") ++ Seq.fill(2)("b")).toDF("t")
+    val b1 = (Seq.fill(4)("a") ++ Seq.fill(6)("c")).toDF("t")
+    ext.Profile.ingestHhBatch(b0, $"t", 3, dir, 0L)   // initializes
+    ext.Profile.ingestHhBatch(b1, $"t", 3, dir, 1L)
+    val committed = spark.read.parquet(s"$dir/mg").head()
+    // at-least-once redelivery of BOTH batches, any order: no double count
+    ext.Profile.ingestHhBatch(b1, $"t", 3, dir, 1L)
+    ext.Profile.ingestHhBatch(b0, $"t", 3, dir, 0L)
+    val after = spark.read.parquet(s"$dir/mg").head()
+    assert(after.getLong(1) == committed.getLong(1), "n must not double")
+    assert(after.getSeq[String](2) == committed.getSeq[String](2))
+    assert(after.getSeq[Long](3) == committed.getSeq[Long](3))
+    assert(after.getLong(4) == 1L, "newest batch id is kept")
+    // a genuinely NEW batch still applies after the replays
+    ext.Profile.ingestHhBatch(b0, $"t", 3, dir, 2L)
+    assert(spark.read.parquet(s"$dir/mg").head().getLong(1) ==
+      committed.getLong(1) + 10L)
+  }
+
   test("hh summary artifact: a crashed swap heals on the next read") {
     val dir = tmpDir("inc5-heal") + "/hh"
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b")).toDF("t")
