@@ -1738,6 +1738,24 @@ object SparkEntry {
             2 -> Seq("stream", "window", "batch")), k = 5)
         .orderBy("query_id", "rk")),
 
+    // ret3: ret1 answered from the STORED postings index — the lexical
+    // counterpart of sim6's stored-ANN shape: Retrieval.writePostingsIndex
+    // builds the term-hash-bucketed inverted index + term dictionary
+    // (document frequency precomputed) + meta once; the query tier hashes
+    // its vocabulary under the STORED bucket count and reads only those
+    // buckets (partition IN-filter, spec-pinned), df from the dictionary,
+    // totals as literals. Oracle: ret1's from-scratch BM25 verbatim.
+    "ret3_stored_postings" -> ((s, d) => {
+      val dir = graft.core.Scratch.dir("ret3-")
+      ext.Retrieval.writePostingsIndex(Tables.documents(s, d), "doc_id",
+        "text", dir)
+      ext.Retrieval.bm25TopKFromIndex(s,
+          Seq(0 -> Seq("spark", "join", "table"),
+            1 -> Seq("hash", "merge", "sort"),
+            2 -> Seq("stream", "window", "batch")), dir, k = 5)
+        .orderBy("query_id", "rk")
+    }),
+
     // ret2: HYBRID retrieval — reciprocal-rank fusion of the lexical leg
     // (ret1's BM25, k=20) and the dense leg (sim1's exact cosine top-k,
     // k=20, query vectors = vec_id 0-2) into one ranking. Rank-only
@@ -5059,34 +5077,9 @@ object SparkEntry {
       // 6-decimal round, pinned IEEE order, DECIMAL(30,6) per-term
       // quantization; (1.2 + 1) spelled as the SUM both sides (the
       // literal 2.2 parses to a different double than 1.2 + 1)
-      "ret1_bm25_topk" ->
-        (s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           | n AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS n_toks FROM toks),
-           | tf AS (SELECT doc_id, len_d, term, COUNT(*) AS tf
-           |  FROM (SELECT doc_id, len(toks) AS len_d, unnest(toks) AS term
-           |        FROM toks)
-           |  GROUP BY 1, 2, 3),
-           | q(query_id, term) AS (VALUES (0,'spark'),(0,'join'),(0,'table'),
-           |  (1,'hash'),(1,'merge'),(1,'sort'),
-           |  (2,'stream'),(2,'window'),(2,'batch')),
-           | cand AS (SELECT tf.* FROM tf
-           |  JOIN (SELECT DISTINCT term FROM q) qq USING(term)),
-           | wd AS (SELECT cand.*, COUNT(*) OVER (PARTITION BY term) AS dft
-           |  FROM cand),
-           | scored AS (SELECT q.query_id, wd.doc_id,
-           |  CAST(SUM(CAST(
-           |   round(ln((CAST(n_docs - dft AS DOUBLE) + 0.5)
-           |     / (CAST(dft AS DOUBLE) + 0.5) + 1.0), 6)
-           |   * (CAST(tf AS DOUBLE) * (1.2 + 1))
-           |   / (CAST(tf AS DOUBLE) + 1.2 * ((1 - 0.75)
-           |      + 0.75 * ((len_d * n_docs) / n_toks)))
-           |   AS DECIMAL(30,6))) AS DOUBLE) AS score
-           |  FROM wd JOIN q USING(term), n GROUP BY 1, 2)
-           |SELECT query_id, doc_id, score,
-           | CAST(rank() OVER (PARTITION BY query_id
-           |   ORDER BY score DESC, doc_id) AS BIGINT) AS rk
-           |FROM scored QUALIFY rk <= 5
-           |ORDER BY query_id, rk""".stripMargin.replace("\n", " ")),
+      "ret1_bm25_topk" -> ret1Bm25Sql,
+      // ret3: the stored-postings path must equal the from-scratch BM25
+      "ret3_stored_postings" -> ret1Bm25Sql,
       // ret2: ret1's BM25 CTE at k=20 + sim1's dense ranking at k=20 for
       // vec_id 0-2, fused by 1/(60+rk) — contributions quantized to
       // DECIMAL(30,6) exactly like the Spark side's Num.dsum, fused rank
@@ -6138,6 +6131,37 @@ object SparkEntry {
     * the asymmetric distance is the query's own d2 row picked by each
     * neighbor's code, summed across subspaces; shortlist and exact-cosine
     * re-rank mirror rp1's two phases token for token. */
+  /** ret1/ret3 share one oracle: the stored-postings answer must be
+    * byte-identical to the from-scratch BM25 (the sim6/sim4 pattern). */
+  private lazy val ret1Bm25Sql: String =
+    (s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | n AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS n_toks FROM toks),
+           | tf AS (SELECT doc_id, len_d, term, COUNT(*) AS tf
+           |  FROM (SELECT doc_id, len(toks) AS len_d, unnest(toks) AS term
+           |        FROM toks)
+           |  GROUP BY 1, 2, 3),
+           | q(query_id, term) AS (VALUES (0,'spark'),(0,'join'),(0,'table'),
+           |  (1,'hash'),(1,'merge'),(1,'sort'),
+           |  (2,'stream'),(2,'window'),(2,'batch')),
+           | cand AS (SELECT tf.* FROM tf
+           |  JOIN (SELECT DISTINCT term FROM q) qq USING(term)),
+           | wd AS (SELECT cand.*, COUNT(*) OVER (PARTITION BY term) AS dft
+           |  FROM cand),
+           | scored AS (SELECT q.query_id, wd.doc_id,
+           |  CAST(SUM(CAST(
+           |   round(ln((CAST(n_docs - dft AS DOUBLE) + 0.5)
+           |     / (CAST(dft AS DOUBLE) + 0.5) + 1.0), 6)
+           |   * (CAST(tf AS DOUBLE) * (1.2 + 1))
+           |   / (CAST(tf AS DOUBLE) + 1.2 * ((1 - 0.75)
+           |      + 0.75 * ((len_d * n_docs) / n_toks)))
+           |   AS DECIMAL(30,6))) AS DOUBLE) AS score
+           |  FROM wd JOIN q USING(term), n GROUP BY 1, 2)
+           |SELECT query_id, doc_id, score,
+           | CAST(rank() OVER (PARTITION BY query_id
+           |   ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+           |FROM scored QUALIFY rk <= 5
+           |ORDER BY query_id, rk""".stripMargin.replace("\n", " "))
+
   private lazy val pq1Sql: String = {
     def subCtes(j: Int): String = {
       val lo = j * 16 + 1; val hi = (j + 1) * 16

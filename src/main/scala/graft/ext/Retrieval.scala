@@ -75,6 +75,93 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("score"), col("rk").cast("long").as("rk"))
   }
 
+  /** BUILD the stored POSTINGS index for [[bm25TopK]] — the lexical
+    * counterpart of the stored ANN index (sim6): production retrieval
+    * never re-tokenizes the corpus per query; it builds the inverted
+    * index once and queries read only the slivers they touch (Lucene's
+    * segment layout, re-expressed columnar). The artifact:
+    * `postings/pb=…` — (term, doc_id, len_d, tf) directory-partitioned
+    * by a term-hash bucket so a query's terms prune to their buckets;
+    * `terms/pb=…` — (term, dft) the term dictionary with document
+    * frequency PRECOMPUTED at build (queries never run the df window);
+    * `meta` — one row (n_docs, n_toks, buckets), the bucket count stored
+    * WITH the artifact so the query side can never hash with mismatched
+    * parameters (the bf2 discipline).
+    *
+    * Build shape: ONE corpus tokenize pass writes the postings; the term
+    * dictionary and corpus totals derive from the WRITTEN postings
+    * (columnar read-back — no second tokenize, no build-time cache of a
+    * corpus-sized frame). Every document has ≥ 1 posting (the tokenizer
+    * emits [""] for empty text), so n_docs/n_toks reconstruct exactly. */
+  def writePostingsIndex(docs: DataFrame, idCol: String, textCol: String,
+                         dir: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1)
+    val spark = docs.sparkSession
+    val toks = graft.core.Par.fanOut(docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks")))
+    toks.select(col("doc_id"), size(col("toks")).as("len_d"),
+        explode_outer(col("toks")).as("term"))
+      .where(col("term").isNotNull)
+      .groupBy("doc_id", "len_d", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("pb", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$dir/postings")
+    val post = spark.read.parquet(s"$dir/postings")
+    post.groupBy("pb", "term").agg(count(lit(1)).as("dft"))
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$dir/terms")
+    post.agg(count_distinct(col("doc_id")).as("n_docs"),
+        sum(col("tf")).as("n_toks"), lit(buckets).as("buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** [[bm25TopK]] answered from the STORED index: the query vocabulary
+    * hashes to its buckets under the artifact's OWN stored bucket count,
+    * and the bucket ids — bounded by |query terms| — push into both the
+    * postings and term-dictionary scans as partition IN-filters, so only
+    * the touched slivers of the index are READ (the sim6 probed-list
+    * discipline; spec-pinned). Document frequencies come from the stored
+    * dictionary — no window over the candidate slice — and corpus totals
+    * ride as literals from the 1-row meta. Identical results to the
+    * inline [[bm25TopK]] for any corpus and query set: same postings,
+    * same df values, same pinned-order scoring arithmetic. */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        queries: Seq[(Int, Seq[String])], dir: String,
+                        k: Int = 5, k1: Double = 1.2,
+                        b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (nDocs, nToks, buckets) =
+      (meta.getLong(0), meta.getLong(1), meta.getInt(2))
+    val qvocab = queries.flatMap(_._2).distinct.toDF("term")
+    val qmap = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+      .toDF("query_id", "term")
+    // bounded: ≤ |query vocabulary| bucket ids, hashed under the STORED
+    // bucket count — one tiny local job, inlined as the IN-filter literal
+    val pbs = qvocab
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).as("pb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val post = spark.read.parquet(s"$dir/postings")
+      .where(col("pb").isin(pbs: _*)).join(broadcast(qvocab), "term")
+    val dict = spark.read.parquet(s"$dir/terms")
+      .where(col("pb").isin(pbs: _*)).join(broadcast(qvocab), "term")
+      .select(col("term"), col("dft"))
+    val idf = round(log(((lit(nDocs) - col("dft")).cast("double") + lit(0.5)) /
+      (col("dft").cast("double") + lit(0.5)) + lit(1.0)), 6)
+    val tfd = col("tf").cast("double")
+    val denom = tfd + lit(k1) * (lit(1.0 - b) +
+      lit(b) * ((col("len_d") * lit(nDocs)) / lit(nToks)))
+    val termScore = idf * (tfd * lit(k1 + 1.0)) / denom
+    val scored = post.join(dict, "term")
+      .join(broadcast(qmap), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(Num.dsum(termScore).as("score"))
+    val rk = rank().over(Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id")))
+    scored.withColumn("rk", rk).where(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N retrieval
     * legs — the standard hybrid-retrieval combiner (BM25 leg + dense-ANN
     * leg in a RAG stack): rrf(q, d) = Σ_legs 1 ∕ (k0 + rank_leg(q, d)),

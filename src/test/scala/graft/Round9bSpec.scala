@@ -229,6 +229,48 @@ class Round9bSpec extends SparkSpec {
     assert(out(1).getLong(4) == -60000000L)
   }
 
+  // ------------------------------------------------------------- ret3
+
+  test("stored postings: from-index equals inline BM25; query prunes buckets") {
+    val docs = Seq(
+      (1L, "spark join table scan"), (2L, "hash join merge sort"),
+      (3L, "stream window batch join"), (4L, "table table table spark"),
+      (5L, "sort hash probe"), (6L, "unrelated words only here"),
+      (7L, "more filler text rows"), (8L, "window stream stream")
+    ).toDF("doc_id", "text")
+    val qs = Seq(0 -> Seq("spark", "join"), 1 -> Seq("stream", "window"))
+    val dir = tmpDir("ret3-spec") + "/idx"
+    ext.Retrieval.writePostingsIndex(docs, "doc_id", "text", dir, buckets = 16)
+    val fromIdx = ext.Retrieval.bm25TopKFromIndex(spark, qs, dir, k = 3)
+    val inline = ext.Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 3)
+    val a = fromIdx.orderBy("query_id", "rk").collect().map(_.toSeq)
+    val b = inline.orderBy("query_id", "rk").collect().map(_.toSeq)
+    assert(a.nonEmpty && a.toSeq == b.toSeq,
+      "stored-index answers must equal the from-scratch operator")
+    // the postings scan must carry the bucket partition filter and read
+    // fewer pb partitions than the artifact holds (the sim6 pin)
+    assert(fromIdx.collect().nonEmpty) // finalize the adaptive plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(n: SparkPlan): Seq[SparkPlan] = n match {
+      case ad: AdaptiveSparkPlanExec => flatten(ad.executedPlan)
+      case qst: QueryStageExec => Seq(qst) ++ flatten(qst.plan)
+      case o => Seq(o) ++ o.children.flatMap(flatten)
+    }
+    val scans = flatten(fromIdx.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata("Location").contains("postings") => f
+    }
+    assert(scans.nonEmpty, "stored postings scan missing from the plan")
+    assert(scans.head.partitionFilters.nonEmpty,
+      "query buckets must reach the postings scan as partition filters")
+    val nBuckets = new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.startsWith("pb="))
+    val read = scans.head.selectedPartitions.partitionCount
+    assert(read < nBuckets,
+      s"must read fewer buckets than the artifact holds: $read of $nBuckets")
+  }
+
   // ------------------------------------------------------------- qn1
 
   test("quantileNormalize: equal-size groups land on identical pooled multisets") {
