@@ -1756,6 +1756,28 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // ret4: INCREMENTAL maintenance of the stored postings index — the
+    // sim7 counterpart for the lexical leg: half the corpus builds the
+    // index, the other half APPENDS (tokenized once, postings land in
+    // the stored buckets, dictionary + meta rebuild from the post-append
+    // store and swap atomically — BM25's df/N coupling means a stale
+    // dictionary drifts every score). Anti-joined doc ids make retries
+    // no-ops (Retrieval.appendToPostingsIndex scaladoc). Must equal
+    // ret1's from-scratch BM25 over the full corpus.
+    "ret4_postings_append" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.core.Scratch.dir("ret4-")
+      ext.Retrieval.writePostingsIndex(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir)
+      ext.Retrieval.appendToPostingsIndex(docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", dir)
+      ext.Retrieval.bm25TopKFromIndex(s,
+          Seq(0 -> Seq("spark", "join", "table"),
+            1 -> Seq("hash", "merge", "sort"),
+            2 -> Seq("stream", "window", "batch")), dir, k = 5)
+        .orderBy("query_id", "rk")
+    }),
+
     // ret2: HYBRID retrieval — reciprocal-rank fusion of the lexical leg
     // (ret1's BM25, k=20) and the dense leg (sim1's exact cosine top-k,
     // k=20, query vectors = vec_id 0-2) into one ranking. Rank-only
@@ -5078,8 +5100,10 @@ object SparkEntry {
       // quantization; (1.2 + 1) spelled as the SUM both sides (the
       // literal 2.2 parses to a different double than 1.2 + 1)
       "ret1_bm25_topk" -> ret1Bm25Sql,
-      // ret3: the stored-postings path must equal the from-scratch BM25
+      // ret3/ret4: the stored-postings paths must equal the from-scratch
+      // BM25 — build-then-query and build-append-query alike
       "ret3_stored_postings" -> ret1Bm25Sql,
+      "ret4_postings_append" -> ret1Bm25Sql,
       // ret2: ret1's BM25 CTE at k=20 + sim1's dense ranking at k=20 for
       // vec_id 0-2, fused by 1/(60+rk) — contributions quantized to
       // DECIMAL(30,6) exactly like the Spark side's Num.dsum, fused rank

@@ -271,6 +271,36 @@ class Round9bSpec extends SparkSpec {
       s"must read fewer buckets than the artifact holds: $read of $nBuckets")
   }
 
+  test("postings append: equals from-scratch, retries no-op, swap heals") {
+    val docs = Seq(
+      (1L, "spark join table scan"), (2L, "hash join merge sort"),
+      (3L, "stream window batch join"), (4L, "table table table spark"),
+      (5L, "sort hash probe"), (6L, "window stream stream")
+    ).toDF("doc_id", "text")
+    val qs = Seq(0 -> Seq("spark", "join"), 1 -> Seq("stream", "window"))
+    val dir = tmpDir("ret4-spec") + "/idx"
+    ext.Retrieval.writePostingsIndex(
+      docs.where($"doc_id" <= 3), "doc_id", "text", dir, buckets = 8)
+    val batch = docs.where($"doc_id" > 3)
+    ext.Retrieval.appendToPostingsIndex(batch, "doc_id", "text", dir)
+    def answer() = ext.Retrieval.bm25TopKFromIndex(spark, qs, dir, k = 3)
+      .orderBy("query_id", "rk").collect().map(_.toSeq).toSeq
+    val want = ext.Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 3)
+      .orderBy("query_id", "rk").collect().map(_.toSeq).toSeq
+    assert(answer() == want, "append path must equal from-scratch BM25")
+    // at-least-once redelivery: the anti-join makes the re-append a no-op
+    ext.Retrieval.appendToPostingsIndex(batch, "doc_id", "text", dir)
+    assert(answer() == want, "re-appending a landed batch must change nothing")
+    assert(spark.read.parquet(s"$dir/meta").head().getLong(0) == 6L)
+    // crash window on the dictionary swap: live copy aside, next read heals
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/terms"),
+      new org.apache.hadoop.fs.Path(s"$dir/terms__old")))
+    assert(answer() == want, "read-side healing restores the dictionary")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/terms__old")))
+  }
+
   // ------------------------------------------------------------- qn1
 
   test("quantileNormalize: equal-size groups land on identical pooled multisets") {
