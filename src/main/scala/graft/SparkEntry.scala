@@ -542,6 +542,31 @@ object SparkEntry {
           col("event_type"), col("ts"), col("value"), topK = 3)
         .orderBy("id", "rank")),
 
+    // ttl1: PARTITION-TTL retention on the K3 archive — the maintenance
+    // job next to compaction: the event archive lands y/m/d/h-partitioned,
+    // hour partitions older than min(ts)+72h delete as whole directories
+    // (pure metadata work, zero rows read or rewritten — the reason
+    // time-partitioned layouts exist; Sinks.expirePartitions scaladoc),
+    // and the surviving store must aggregate exactly like the oracle's
+    // WHERE over the raw table. The require keeps the sweep honest: it
+    // must actually remove partitions at every graded SF.
+    "ttl1_partition_retention" -> ((s, d) => {
+      val ev = events(s, d)
+      val dir = graft.core.Scratch.dir("ttl1-") + "/arch"
+      graft.core.Sinks.writePartitionedParquet(ev, "ts", dir)
+      val cutoff = ev
+        .agg(date_trunc("hour", min(col("ts"))).cast("timestamp_ntz"))
+        .head().getAs[java.time.LocalDateTime](0).plusHours(72)
+      val removed = graft.core.Sinks.expirePartitions(s, dir, cutoff)
+      require(removed > 0, s"ttl1: retention sweep removed nothing ($dir)")
+      s.read.parquet(dir)
+        .groupBy(col("event_type").as("id"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+        .agg(sum(floor(col("value") * lit(1000000d)).cast("long")).as("vm"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy("id", "hour")
+    }),
+
     // src1/src2: non-parquet batch sources behind the parquet oracle — a
     // distributed JSON-lines (resp. headered CSV) stage + explicit-schema
     // read-back of orders (resp. customer), then an aggregate that can
@@ -3387,6 +3412,16 @@ object SparkEntry {
            |SELECT id, hour, CAST(vm AS BIGINT) AS vm, CAST(hod AS INT) AS hod,
            | CAST(resid_fp AS BIGINT) AS resid_fp, CAST(rank AS BIGINT) AS rank
            |FROM k WHERE rank <= 3 ORDER BY id, rank""".stripMargin.replace("\n", " ")),
+      // ttl1: the surviving partitioned store ≡ the raw table filtered at
+      // the same whole-hour boundary
+      "ttl1_partition_retention" ->
+        ("""WITH c AS (SELECT date_trunc('hour', MIN(ts))
+           |  + INTERVAL 72 HOUR AS cut FROM events)
+           |SELECT event_type AS id, date_trunc('hour', ts) AS hour,
+           | CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS vm,
+           | CAST(COUNT(*) AS BIGINT) AS n
+           |FROM events, c WHERE date_trunc('hour', ts) >= c.cut
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
       // src1/src2: the aggregate over the round-tripped JSON/CSV staging
       // must equal the same aggregate over the parquet original
       "src1_json_roundtrip" ->

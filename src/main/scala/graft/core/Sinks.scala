@@ -113,6 +113,50 @@ object Sinks {
           s"copy at $oldP — delete it manually")
   }
 
+  /** TTL RETENTION sweep over a K3 y/m/d/h-partitioned archive — the
+    * maintenance job every production archive schedules next to
+    * [[compact]]: hour partitions strictly OLDER than the cutoff hour
+    * delete as whole directories, pure metadata work — O(partitions)
+    * filesystem operations, not one data row read or rewritten (the
+    * reason time-partitioned layouts exist; a DELETE WHERE over an
+    * unpartitioned store rewrites everything it keeps). Whole-hour
+    * boundary semantics: rows with date_trunc('hour', ts) ≥ cutoff
+    * survive exactly, because the partition VALUE is the row's hour.
+    * Emptied day/month/year parents prune so later readers never list
+    * dead directories. Returns the number of hour partitions removed;
+    * idempotent (a re-run removes nothing). */
+  def expirePartitions(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       cutoff: java.time.LocalDateTime): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(base)) return 0L
+    def kids(p: org.apache.hadoop.fs.Path, pre: String) =
+      fs.listStatus(p).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(pre)).map(_.getPath)
+    def pv(p: org.apache.hadoop.fs.Path) =
+      p.getName.substring(p.getName.indexOf('=') + 1).toInt
+    var removed = 0L
+    for (y <- kids(base, "year=")) {
+      for (m <- kids(y, "month=")) {
+        for (d <- kids(m, "day=")) {
+          for (h <- kids(d, "hour=")) {
+            val t = java.time.LocalDateTime.of(pv(y), pv(m), pv(d), pv(h), 0)
+            if (t.isBefore(cutoff)) {
+              if (!fs.delete(h, true)) throw new java.io.IOException(
+                s"expirePartitions: could not delete $h")
+              removed += 1
+            }
+          }
+          if (fs.listStatus(d).isEmpty) fs.delete(d, true)
+        }
+        if (fs.listStatus(m).isEmpty) fs.delete(m, true)
+      }
+      if (fs.listStatus(y).isEmpty) fs.delete(y, true)
+    }
+    removed
+  }
+
   /** K3: streaming partitioned-parquet archive with checkpoint
     * (`StreamingJobImpl.scala:96-109`). Caller starts the query. */
   def archiveStream(df: DataFrame, tsCol: String, path: String,

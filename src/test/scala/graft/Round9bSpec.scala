@@ -301,6 +301,29 @@ class Round9bSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/terms__old")))
   }
 
+  // ------------------------------------------------------------- ttl1
+
+  test("expirePartitions: whole-hour boundary, parent pruning, idempotent") {
+    val base = java.time.LocalDateTime.of(2025, 12, 31, 22, 0)
+    // rows straddle a month/year boundary so parent pruning is exercised
+    val rows = (0 until 6).map(h =>
+      (h.toLong, java.sql.Timestamp.valueOf(base.plusHours(h)), "x"))
+    val dir = tmpDir("ttl1-spec") + "/arch"
+    core.Sinks.writePartitionedParquet(
+      rows.toDF("event_id", "ts", "event_type"), "ts", dir)
+    // cutoff at 2026-01-01 01:00 — hours 22, 23, 00 delete; 01+ survive,
+    // INCLUDING the row exactly AT the cutoff hour (strictly-older rule)
+    val cutoff = java.time.LocalDateTime.of(2026, 1, 1, 1, 0)
+    assert(core.Sinks.expirePartitions(spark, dir, cutoff) == 3L)
+    val left = spark.read.parquet(dir).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(left == Seq(3L, 4L, 5L))
+    // the emptied year=2025 tree is gone entirely
+    assert(!new java.io.File(s"$dir/year=2025").exists())
+    // a re-run removes nothing
+    assert(core.Sinks.expirePartitions(spark, dir, cutoff) == 0L)
+  }
+
   // ------------------------------------------------------------- qn1
 
   test("quantileNormalize: equal-size groups land on identical pooled multisets") {
