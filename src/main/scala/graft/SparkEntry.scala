@@ -553,7 +553,12 @@ object SparkEntry {
     "ttl1_partition_retention" -> ((s, d) => {
       val ev = events(s, d)
       val dir = graft.core.Scratch.dir("ttl1-") + "/arch"
-      graft.core.Sinks.writePartitionedParquet(ev, "ts", dir)
+      // co-locate each hour before the partitioned write: an unshaped
+      // write sprays every task across all ~720 hour dirs (tasks × hours
+      // small files, the dominant cost — measured 9.2 → 4.3 s at sf0.1);
+      // hash-repartitioning on the hour writes each dir once
+      graft.core.Sinks.writePartitionedParquet(
+        ev.repartition(date_trunc("hour", col("ts"))), "ts", dir)
       val cutoff = ev
         .agg(date_trunc("hour", min(col("ts"))).cast("timestamp_ntz"))
         .head().getAs[java.time.LocalDateTime](0).plusHours(72)
