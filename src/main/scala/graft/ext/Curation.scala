@@ -270,7 +270,13 @@ object Curation {
     * (documented swap). */
   def quantileNormalize(df: DataFrame, id: Column, group: Column,
                         value: Column, numRanges: Int = 64): DataFrame = {
+    // NULL values are excluded up front: the two engines disagree on NULL
+    // sort position (Spark first, DuckDB last), so a null value would
+    // silently shift every rank after it — the equiDepthHistogram lesson.
+    // A null value has no quantile; callers impute first (imp1) if they
+    // want nulls repaired.
     val base = df.select(id.as("id"), group.as("grp"), value.as("v"))
+      .where(col("v").isNotNull && col("grp").isNotNull)
     val (og, relG) = globalOrdinalsManaged(base,
       Seq(col("grp"), col("v"), col("id")), numRanges)
     val gc = og.groupBy("grp").agg(count(lit(1)).as("c"))

@@ -354,9 +354,15 @@ class Round9bSpec extends SparkSpec {
   test("quantileNormalize: unequal sizes hit the exact ceil target ranks") {
     val rows = Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", 30.0),
       (4L, "B", 15.0), (5L, "B", 25.0))
-    val out = ext.Curation.quantileNormalize(rows.toDF("id", "g", "v"),
+    // a NULL value must be excluded, not silently shift every rank after
+    // it (the engines disagree on NULL sort position)
+    val withNull = rows.toDF("id", "g", "v").unionByName(
+      Seq((6L, "A")).toDF("id", "g")
+        .withColumn("v", lit(null).cast("double")))
+    val out = ext.Curation.quantileNormalize(withNull,
         $"id", $"g", $"v", numRanges = 2)
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(!out.contains(6L), "null values have no quantile")
     val pooled = Seq(10.0, 15.0, 20.0, 25.0, 30.0)
     // A (n_g=3, N=5): ranks 1,2,3 → ceil(5r/3) = 2,4,5
     assert(out(1L) == pooled(1) && out(2L) == pooled(3) && out(3L) == pooled(4))
