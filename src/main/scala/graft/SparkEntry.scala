@@ -2388,6 +2388,28 @@ object SparkEntry {
     "fp1_frequent_triples" -> ((s, d) =>
       Basket.frequentTriples(Tables.lineitem(s, d), minSupport = 2L)),
 
+    // mst1: fixed-round BORŮVKA minimum-spanning forest over wsp1's
+    // weighted co-purchase graph — the cheapest edge set that still
+    // connects what it can (single-linkage clustering's dendrogram):
+    // each round every component claims its minimum edge under the total
+    // order (w, a, b) — unique claims, provably acyclic, MST-safe by the
+    // cut property — then components merge through the claims via the
+    // ccmp1 closure and the next round sees the quotient
+    // (Graph.boruvkaEdges scaladoc). The oracle unrolls both rounds with
+    // the identical tie-break and restates the merge as the recursive
+    // closure.
+    "mst1_boruvka" -> ((s, d) => {
+      val p = Basket.frequentPairs(Tables.lineitem(s, d), minSupport = 2L)
+        .localCheckpoint()   // the bfs1 multi-consumer barrier
+      val w = greatest(lit(1L), lit(8L) - col("n_orders"))
+      val e = p.select(col("part_a").as("src"), col("part_b").as("dst"),
+          w.as("w"))
+        .unionByName(p.select(col("part_b").as("src"),
+          col("part_a").as("dst"), w.as("w")))
+      Graph.boruvkaEdges(e, rounds = 2)
+        .select(col("a").as("part_a"), col("b").as("part_b"), col("w"))
+    }),
+
     // er1: ENTITY RESOLUTION → GOLDEN RECORD over a planted product
     // catalog: originals plus three deterministic variant classes — a
     // name-mutated copy ('zz ' prefix, no SKU: only the word-set-Jaccard
@@ -4763,6 +4785,37 @@ object SparkEntry {
            | ON a.l_orderkey = d.l_orderkey AND c.l_partkey < d.l_partkey
            |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
            |ORDER BY 1, 2, 3""".stripMargin.replace("\n", " ")),
+      // mst1: both Borůvka rounds unrolled — per-node claims, closure
+      // over the claimed set (ccmp1's recursive reachability), per-
+      // component claims on the quotient, identical (w, a, b) tie-break
+      "mst1_boruvka" ->
+        ("""WITH RECURSIVE
+           |bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |p AS (SELECT a.l_partkey AS x, c.l_partkey AS y, count(*) AS n
+           | FROM bk a JOIN bk c
+           |  ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+           | GROUP BY 1, 2 HAVING count(*) >= 2),
+           |e0 AS (SELECT x AS a, y AS b, GREATEST(1, 8 - n) AS w FROM p),
+           |eu AS (SELECT a AS u, b AS v, a, b, w FROM e0
+           | UNION ALL SELECT b, a, a, b, w FROM e0),
+           |c1 AS (SELECT DISTINCT a, b, w FROM (
+           | SELECT a, b, w, row_number() OVER (PARTITION BY u
+           |  ORDER BY w, a, b) AS rn FROM eu) t WHERE rn = 1),
+           |ec AS (SELECT a AS x, b AS y FROM c1 UNION SELECT b, a FROM c1),
+           |r AS (SELECT x AS node, y AS reach FROM ec
+           | UNION SELECT r.node, ec.y FROM r JOIN ec ON ec.x = r.reach),
+           |l1 AS (SELECT node, LEAST(node, MIN(reach)) AS comp
+           | FROM r GROUP BY node),
+           |c2 AS (SELECT DISTINCT a, b, w FROM (
+           | SELECT eu.a, eu.b, eu.w, row_number() OVER (PARTITION BY la.comp
+           |  ORDER BY eu.w, eu.a, eu.b) AS rn
+           | FROM eu JOIN l1 la ON la.node = eu.u
+           |  JOIN l1 lb ON lb.node = eu.v
+           | WHERE la.comp <> lb.comp) t WHERE rn = 1)
+           |SELECT CAST(a AS BIGINT) AS part_a, CAST(b AS BIGINT) AS part_b,
+           | CAST(w AS BIGINT) AS w
+           |FROM (SELECT * FROM c1 UNION SELECT * FROM c2) t
+           |ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
       // wsp1: the identical three Bellman–Ford relaxations unrolled —
       // each round is min over (relax every edge from the frame) ∪ (keep
       // the frame); integer weights, integer distances

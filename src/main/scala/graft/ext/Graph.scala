@@ -364,6 +364,68 @@ object Graph {
     dist
   }
 
+  /** Fixed-round BORŮVKA minimum-spanning-forest construction — the
+    * backbone extractor of the graph tier ([[weightedHops]] prices routes
+    * through the weighted graph; this keeps the globally CHEAPEST edge
+    * set that still connects everything it can — single-linkage
+    * clustering's dendrogram, network-design's first answer): each round,
+    * every current component claims its minimum outgoing edge under the
+    * TOTAL order (w, a, b) — the classic distinct-weight trick, so claims
+    * are unique, the claimed set is provably acyclic, and every claimed
+    * edge is MST-safe by the cut property — then components merge through
+    * the claimed edges ([[graft.ext.Dedup.clusterRoots]], the ccmp1
+    * fixpoint) and the next round sees the quotient. `rounds` Borůvka
+    * rounds at least HALVE the component count each time (every component
+    * claims an edge), so log₂(n) rounds complete the forest; the fixed-
+    * round form keeps the oracle unrollable (the bfs1/kcore1 discipline)
+    * and returns the partial forest built so far — integer weights make
+    * every claim engine-exact.
+    *
+    * Input: directed (src, dst, w) triples — pass both directions for an
+    * undirected graph (claims canonicalize to a < b internally). Output:
+    * the claimed canonical edge set (a, b, w), distinct.
+    *
+    * Shape at scale: the edge relation persists once; a round is TWO
+    * label equi-joins (labels are node-sized — AQE broadcasts while they
+    * fit), one map-side-combined min-of-struct aggregate per component,
+    * and the clusterRoots closure over the OUTPUT-SIZED claimed set
+    * (never the input edges). The claimed set localCheckpoints per round
+    * (bounded: ≤ 2·components edges), the clusterRoots budget. */
+  def boruvkaEdges(edges: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1)
+    val eu = edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"), col("w").cast("long").as("w"))
+      .where(col("u").isNotNull && col("u") =!= col("v"))
+      .select(col("u"), col("v"), least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"), col("w"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // round 1's labels are the nodes themselves — per-node claims
+    var labels = eu.select(col("u").as("node"), col("u").as("comp"))
+      .distinct().localCheckpoint()
+    var chosen = eu.select(col("a"), col("b"), col("w")).limit(0)
+    for (r <- 1 to rounds) {
+      val lu = eu
+        .join(labels.select(col("node").as("u"), col("comp").as("cu")), "u")
+        .join(labels.select(col("node").as("v"), col("comp").as("cv")), "v")
+        .where(col("cu") =!= col("cv"))
+      val claims = lu.groupBy("cu")
+        .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
+        .select(col("m.a").as("a"), col("m.b").as("b"), col("m.w").as("w"))
+      chosen = chosen.unionByName(claims).distinct().localCheckpoint()
+      if (r < rounds) {
+        // merge through the claimed set only — every node appears in a
+        // round-1 claim, so the closure covers the full node set
+        labels = graft.ext.Dedup.clusterRoots(
+            chosen.select(col("a").as("id_a"), col("b").as("id_b")))
+          .select(col("id").as("node"), col("root").as("comp"))
+          .localCheckpoint()
+      }
+    }
+    eu.unpersist()
+    chosen.orderBy("a", "b")
+  }
+
   /** Fixed-round K-CORE PEELING — the density-tier decomposition between
     * [[labelPropagation]] (who clusters with whom) and [[triangleCounts]]
     * (how dense): each round removes every node whose current degree sits

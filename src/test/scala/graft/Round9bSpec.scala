@@ -130,6 +130,51 @@ class Round9bSpec extends SparkSpec {
     r2.foreach { case (n, d2) => assert(r3(n) <= d2) }
   }
 
+  // ------------------------------------------------------------- mst1
+
+  test("boruvkaEdges: fuzzed full-MSF equality vs Kruskal under (w,a,b) order") {
+    val rnd = new scala.util.Random(53)
+    (1 to 3).foreach { trial =>
+      // ~14 nodes, enough density to connect most of them; weights with
+      // deliberate TIES so the (w, a, b) total-order tie-break is load-
+      // bearing; log2(14) < 4 rounds complete the forest
+      val nodes = (0L until 14L)
+      val es = (for {
+        a <- nodes; b <- nodes if a < b && rnd.nextDouble() < 0.25
+      } yield (a, b, (rnd.nextInt(5) + 1).toLong)).toSeq
+      val edges = es.flatMap { case (a, b, w) =>
+        Seq((a, b, w), (b, a, w)) }.toDF("src", "dst", "w")
+      val got = ext.Graph.boruvkaEdges(edges, rounds = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // Kruskal with the identical total order (w, a, b)
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      val want = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+      es.sortBy { case (a, b, w) => (w, a, b) }.foreach { case (a, b, w) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { parent(ra) = rb; want += ((a, b, w)) }
+      }
+      assert(want.nonEmpty, s"trial $trial: fixture must have edges")
+      assert(got == want.toSet, s"trial $trial")
+    }
+  }
+
+  test("boruvkaEdges: one round claims an acyclic subset covering every node") {
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 4L, 2L), (4L, 1L, 5L),
+        (5L, 6L, 1L))
+      .flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      .toDF("src", "dst", "w")
+    val got = ext.Graph.boruvkaEdges(edges, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // claims: 1→(1,2,3)? no — 1's min is (4,1) w=5 vs (1,2) w=3 → (1,2);
+    // 2→(2,3) w=1; 3→(2,3); 4→(3,4) w=2; 5,6→(5,6)
+    assert(got == Set((1L, 2L, 3L), (2L, 3L, 1L), (3L, 4L, 2L), (5L, 6L, 1L)))
+    val covered = got.flatMap(t => Seq(t._1, t._2))
+    assert(covered == Set(1L, 2L, 3L, 4L, 5L, 6L), "every node is an endpoint")
+    assert(got.size < 6, "forest property: fewer edges than nodes")
+  }
+
   // ------------------------------------------------------------- hh1
 
   test("heavyHitters: recall-exact vs the full groupBy on skewed data") {
