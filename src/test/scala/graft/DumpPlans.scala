@@ -57,7 +57,8 @@ object DumpPlans {
       // double-ordinal quantile normalization
       "hh1_heavy_hitters", "inc5_incremental_hh", "ks1_two_sample_ks",
       "fp1_frequent_triples", "wsp1_weighted_paths", "pq1_product_quant",
-      "qn1_quantile_normalize")
+      "qn1_quantile_normalize", "mst1_boruvka", "ret3_stored_postings",
+      "ttl1_partition_retention")
     val sections = new StringBuilder
     val inventory = new StringBuilder
     inventory.append("\n## Plan inventory — all graded queries (finalized plans, sf0.001)\n\n")
