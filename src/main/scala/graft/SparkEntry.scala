@@ -608,6 +608,25 @@ object SparkEntry {
     // src3: the in-core columnar alternative (ORC) behind the same oracle —
     // proves a second binary codec preserves long/int/double/string exactly
     // through the identical scan surface (Formats.orcRoundTrip scaladoc).
+    // src10: XML round-trip through Spark 4's NATIVE xml source (spark-xml
+    // folded into core — no connector jar): supplier stages to XML and
+    // reads back under an explicit schema; the oracle can only match if
+    // the writer entity-encoded and the reader decoded every string
+    // exactly, on top of the long/double fidelity the JSON/CSV twins
+    // grade (core.Formats.xmlRoundTrip scaladoc).
+    "src10_xml_roundtrip" -> ((s, d) => {
+      val staged = Tables.table(s, d, "supplier").select(
+        col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      Formats.xmlRoundTrip(s, staged,
+          "s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, " +
+            "s_acctbal DOUBLE", "xml-")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          Num.dsum(col("s_acctbal")).as("total_bal"),
+          min("s_name").as("first_name"), max("s_name").as("last_name"))
+        .orderBy("s_nationkey")
+    }),
+
     "src3_orc_roundtrip" -> ((s, d) => {
       val staged = Tables.table(s, d, "part").select(
         col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
@@ -3461,6 +3480,12 @@ object SparkEntry {
         ("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
            | CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal
            |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      "src10_xml_roundtrip" ->
+        ("""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           | CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           | CAST(SUM(CAST(s_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_bal,
+           | MIN(s_name) AS first_name, MAX(s_name) AS last_name
+           |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
       "src3_orc_roundtrip" ->
         ("""SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
            | CAST(SUM(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price,

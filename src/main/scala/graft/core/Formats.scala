@@ -48,6 +48,22 @@ object Formats {
     spark.read.schema(schemaDDL).orc(dir)
   }
 
+  /** Stage `df` to XML (Spark 4's NATIVE xml source — spark-xml folded
+    * into core, no connector jar), read back with `schemaDDL`. The
+    * round-trip under test is the escaping-sensitive one: XML must
+    * entity-encode &, <, > in string values and the reader must decode
+    * them back exactly, on top of the long/shortest-round-trip-double
+    * fidelity the JSON/CSV twins grade. `rowTag` is mandatory on read —
+    * there is no default record delimiter in XML. */
+  def xmlRoundTrip(spark: SparkSession, df: DataFrame, schemaDDL: String,
+                   tag: String): DataFrame = {
+    val dir = Scratch.dir(tag)
+    df.write.mode("overwrite").option("rootTag", "rows")
+      .option("rowTag", "row").format("xml").save(dir)
+    spark.read.schema(schemaDDL).option("rowTag", "row")
+      .format("xml").load(dir)
+  }
+
   /** SCHEMA EVOLUTION read: stage several schema EPOCHS of one logical
     * table (each write appends its own part files) and read the directory
     * back with `mergeSchema` — the lakehouse schema-drift reality at

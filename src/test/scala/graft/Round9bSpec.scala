@@ -346,6 +346,18 @@ class Round9bSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/terms__old")))
   }
 
+  // ------------------------------------------------------------ src10
+
+  test("xmlRoundTrip: entity escaping and unicode survive the trip") {
+    val rows = Seq((1L, "a & b < c > d"), (2L, "quote \" apos ' done"),
+      (3L, "unicode ünïcødé ✓"),
+      (4L, "]]> cdata-terminator in text"))
+    val got = core.Formats.xmlRoundTrip(spark,
+        rows.toDF("id", "s"), "id BIGINT, s STRING", "xml-spec-")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == rows.toSet)
+  }
+
   // ------------------------------------------------------------- ttl1
 
   test("expirePartitions: whole-hour boundary, parent pruning, idempotent") {
