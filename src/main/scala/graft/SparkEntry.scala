@@ -96,6 +96,20 @@ object SparkEntry {
     * pk + k·U never collides with a real partkey or another k. */
   private val partUnitCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  /** wsp1/mst1's shared fixture: the co-purchase graph with strength as
+    * closeness — w = max(1, 8 − n_orders), both directions. The pair
+    * relation localCheckpoints once (the bfs1 multi-consumer barrier:
+    * both union orientations plus any seed derivation read it). One
+    * definition so the two graphs can never drift (round-9 review). */
+  private def coPurchaseWeightedEdges(s: SparkSession, d: String): DataFrame = {
+    val p = Basket.frequentPairs(Tables.lineitem(s, d), minSupport = 2L)
+      .localCheckpoint()
+    val w = greatest(lit(1L), lit(8L) - col("n_orders"))
+    p.select(col("part_a").as("src"), col("part_b").as("dst"), w.as("w"))
+      .unionByName(p.select(col("part_b").as("src"),
+        col("part_a").as("dst"), w.as("w")))
+  }
+
   private def partUnit(s: SparkSession, d: String): Long =
     partUnitCache.computeIfAbsent(d, _ =>
       Tables.table(s, d, "part").agg(max(col("p_partkey").cast("long")))
@@ -2382,15 +2396,7 @@ object SparkEntry {
     // every distance engine-exact; the oracle unrolls the identical three
     // min-relaxations (Graph.weightedHops scaladoc).
     "wsp1_weighted_paths" -> ((s, d) => {
-      // localCheckpoint: the pair relation feeds both union orientations
-      // and (through them) the seed derivation — the bfs1 barrier
-      val p = Basket.frequentPairs(Tables.lineitem(s, d), minSupport = 2L)
-        .localCheckpoint()
-      val w = greatest(lit(1L), lit(8L) - col("n_orders"))
-      val e = p.select(col("part_a").as("src"), col("part_b").as("dst"),
-          w.as("w"))
-        .unionByName(p.select(col("part_b").as("src"),
-          col("part_a").as("dst"), w.as("w")))
+      val e = coPurchaseWeightedEdges(s, d)
       val seeds = e.select(col("src").as("node")).distinct()
         .orderBy("node").limit(3)
       Graph.weightedHops(e, seeds, rounds = 3).orderBy("node")
@@ -2418,14 +2424,7 @@ object SparkEntry {
     // the identical tie-break and restates the merge as the recursive
     // closure.
     "mst1_boruvka" -> ((s, d) => {
-      val p = Basket.frequentPairs(Tables.lineitem(s, d), minSupport = 2L)
-        .localCheckpoint()   // the bfs1 multi-consumer barrier
-      val w = greatest(lit(1L), lit(8L) - col("n_orders"))
-      val e = p.select(col("part_a").as("src"), col("part_b").as("dst"),
-          w.as("w"))
-        .unionByName(p.select(col("part_b").as("src"),
-          col("part_a").as("dst"), w.as("w")))
-      Graph.boruvkaEdges(e, rounds = 2)
+      Graph.boruvkaEdges(coPurchaseWeightedEdges(s, d), rounds = 2)
         .select(col("a").as("part_a"), col("b").as("part_b"), col("w"))
     }),
 
@@ -5421,30 +5420,15 @@ object SparkEntry {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       // hh1: the engine must equal the exact full-vocabulary HAVING set
       "hh1_heavy_hitters" ->
-        (s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents),
-           |t AS (SELECT COUNT(*) AS n FROM tk)
-           |SELECT token, CAST(COUNT(*) AS BIGINT) AS n
-           |FROM tk, t GROUP BY token, t.n
-           |HAVING COUNT(*) * 200 >= t.n
-           |ORDER BY token""".stripMargin.replace("\n", " ")),
+        hh1Sql,
       // inc5: the incremental path must equal the FROM-SCRATCH heavy
       // hitters over the accumulated corpus — hh1's oracle verbatim
       "inc5_incremental_hh" ->
-        (s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents),
-           |t AS (SELECT COUNT(*) AS n FROM tk)
-           |SELECT token, CAST(COUNT(*) AS BIGINT) AS n
-           |FROM tk, t GROUP BY token, t.n
-           |HAVING COUNT(*) * 200 >= t.n
-           |ORDER BY token""".stripMargin.replace("\n", " ")),
+        hh1Sql,
       // hh1s: the stream-built summary must answer the identical
       // from-scratch HAVING set — hh1's oracle verbatim
       "hh1s_stream_hh" ->
-        (s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents),
-           |t AS (SELECT COUNT(*) AS n FROM tk)
-           |SELECT token, CAST(COUNT(*) AS BIGINT) AS n
-           |FROM tk, t GROUP BY token, t.n
-           |HAVING COUNT(*) * 200 >= t.n
-           |ORDER BY token""".stripMargin.replace("\n", " ")),
+        hh1Sql,
       "ss1_join_replay" ->
         ("""SELECT e.event_id, e.ts, e.user_id,
            | c.event_id AS click_event_id, c.ts AS click_ts
@@ -6273,6 +6257,16 @@ object SparkEntry {
     * the asymmetric distance is the query's own d2 row picked by each
     * neighbor's code, summed across subspaces; shortlist and exact-cosine
     * re-rank mirror rp1's two phases token for token. */
+  /** hh1/inc5/hh1s share one oracle: the incremental and streaming
+    * summary paths must equal the from-scratch HAVING set exactly. */
+  private lazy val hh1Sql: String =
+    (s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents),
+           |t AS (SELECT COUNT(*) AS n FROM tk)
+           |SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+           |FROM tk, t GROUP BY token, t.n
+           |HAVING COUNT(*) * 200 >= t.n
+           |ORDER BY token""".stripMargin.replace("\n", " "))
+
   /** ret1/ret3 share one oracle: the stored-postings answer must be
     * byte-identical to the from-scratch BM25 (the sim6/sim4 pattern). */
   private lazy val ret1Bm25Sql: String =

@@ -124,13 +124,30 @@ object Sinks {
     * survive exactly, because the partition VALUE is the row's hour.
     * Emptied day/month/year parents prune so later readers never list
     * dead directories. Returns the number of hour partitions removed;
-    * idempotent (a re-run removes nothing). */
+    * idempotent (a re-run removes nothing).
+    *
+    * REFUSES an archive carrying a `_spark_metadata` log ([[archiveStream]]'s
+    * FileStreamSink output): batch readers of such a store resolve files
+    * through the metadata log, NOT directory listing, so deleting
+    * directories underneath it leaves every subsequent read throwing
+    * FileNotFoundException on the logged-but-gone files — silent
+    * corruption deferred to read time. Streaming archives expire by
+    * rewriting through [[compact]]-style jobs that also rewrite the log
+    * (or by `spark.sql.streaming.fileSink.log.cleanupDelay`-governed log
+    * compaction); this sweep is for batch-written partitioned stores
+    * ([[writePartitionedParquet]] / [[overwritePartitions]]). */
   def expirePartitions(spark: org.apache.spark.sql.SparkSession, dir: String,
                        cutoff: java.time.LocalDateTime): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(base)) return 0L
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_spark_metadata")))
+      throw new java.io.IOException(
+        s"expirePartitions: $dir carries a _spark_metadata streaming-sink " +
+          "log; deleting partitions underneath it corrupts every " +
+          "metadata-log read. Expire streaming archives through a " +
+          "log-rewriting compaction instead.")
     def kids(p: org.apache.hadoop.fs.Path, pre: String) =
       fs.listStatus(p).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith(pre)).map(_.getPath)

@@ -284,52 +284,19 @@ object Dedup {
                                  bits: Array[Byte], numBits: Int,
                                  numHashes: Int, dir: String): Unit = {
     import spark.implicits._
-    val target = s"$dir/bloom"
-    val tmp = s"$dir/bloom__tmp"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val old = p(s"$dir/bloom__old")
-    healBloomArtifact(spark, dir)
-    Seq((numBits, numHashes, bits)).toDF("num_bits", "num_hashes", "bits")
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    if (fs.exists(p(target)) && !fs.rename(p(target), old))
-      throw new java.io.IOException(
-        s"writeBloomArtifact: could not move $target aside — filter untouched")
-    if (!fs.rename(p(tmp), p(target))) {
-      val restored = fs.rename(old, p(target))
-      throw new java.io.IOException(
-        s"writeBloomArtifact: could not swap new filter into $target" +
-          (if (restored) " — previous filter restored"
-           else s" — previous filter left at $old; the next write recovers it"))
+    graft.core.Artifacts.swapInto(spark, s"$dir/bloom") { tmp =>
+      Seq((numBits, numHashes, bits)).toDF("num_bits", "num_hashes", "bits")
+        .coalesce(1).write.parquet(tmp)
     }
-    if (fs.exists(old) && !fs.delete(old, true))
-      throw new java.io.IOException(
-        s"writeBloomArtifact: new filter committed but could not remove " +
-          s"the superseded $old — delete it manually")
   }
 
-  /** Restore the filter from `bloom__old` if a crashed swap left the
-    * target missing; clear the stale aside otherwise. Runs on BOTH the
-    * read and the write path — a retry after a mid-swap crash reads the
-    * artifact before it writes, so read-side healing is what makes the
-    * documented "retry is harmless" contract true. */
+  /** [[graft.core.Artifacts.heal]] on the filter target — read- and
+    * write-path healing, the shared artifact-commit protocol (the swap
+    * itself lives in [[graft.core.Artifacts.swapInto]]; one definition
+    * for bloom/MG/postings alike since the round-9 consolidation). */
   private def healBloomArtifact(spark: org.apache.spark.sql.SparkSession,
-                                dir: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val old = p(s"$dir/bloom__old")
-    if (fs.exists(old)) {
-      if (!fs.exists(p(s"$dir/bloom"))) {
-        if (!fs.rename(old, p(s"$dir/bloom")))
-          throw new java.io.IOException(
-            s"healBloomArtifact: could not restore $dir/bloom from $old")
-      } else if (!fs.delete(old, true))
-        throw new java.io.IOException(
-          s"healBloomArtifact: could not remove stale $old")
-    }
-  }
+                                dir: String): Unit =
+    graft.core.Artifacts.heal(spark, s"$dir/bloom")
 
   private def readBloomArtifact(spark: org.apache.spark.sql.SparkSession,
                                 dir: String): (Int, Int, Array[Byte]) = {

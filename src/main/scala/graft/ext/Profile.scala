@@ -236,48 +236,17 @@ object Profile {
                               keys: Seq[String], cnts: Seq[Long],
                               lastBid: Long): Unit = {
     import spark.implicits._
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    healMgArtifact(spark, dir)
-    Seq((k, n, keys, cnts, lastBid)).toDF("k", "n", "keys", "cnts", "last_bid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/mg__tmp")
-    val old = p(s"$dir/mg__old")
-    if (fs.exists(p(s"$dir/mg")) && !fs.rename(p(s"$dir/mg"), old))
-      throw new java.io.IOException(
-        s"writeMgArtifact: could not move $dir/mg aside — summary untouched")
-    if (!fs.rename(p(s"$dir/mg__tmp"), p(s"$dir/mg"))) {
-      val restored = fs.rename(old, p(s"$dir/mg"))
-      throw new java.io.IOException(
-        s"writeMgArtifact: could not swap new summary into $dir/mg" +
-          (if (restored) " — previous summary restored"
-           else s" — previous summary left at $old; the next write recovers it"))
+    graft.core.Artifacts.swapInto(spark, s"$dir/mg") { tmp =>
+      Seq((k, n, keys, cnts, lastBid)).toDF("k", "n", "keys", "cnts", "last_bid")
+        .coalesce(1).write.parquet(tmp)
     }
-    if (fs.exists(old) && !fs.delete(old, true))
-      throw new java.io.IOException(
-        s"writeMgArtifact: new summary committed but could not remove " +
-          s"the superseded $old — delete it manually")
   }
 
-  /** Restore the summary from `mg__old` if a crashed swap left the target
-    * missing; clear the stale aside otherwise (the bloom-artifact healing
-    * contract — runs on both the read and the write path). */
+  /** [[graft.core.Artifacts.heal]] on the summary target — runs on both
+    * the read and the write path (the shared artifact-commit protocol). */
   private def healMgArtifact(spark: org.apache.spark.sql.SparkSession,
-                             dir: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val old = p(s"$dir/mg__old")
-    if (fs.exists(old)) {
-      if (!fs.exists(p(s"$dir/mg"))) {
-        if (!fs.rename(old, p(s"$dir/mg")))
-          throw new java.io.IOException(
-            s"healMgArtifact: could not restore $dir/mg from $old")
-      } else if (!fs.delete(old, true))
-        throw new java.io.IOException(
-          s"healMgArtifact: could not remove stale $old")
-    }
-  }
+                             dir: String): Unit =
+    graft.core.Artifacts.heal(spark, s"$dir/mg")
 
   private def readMgArtifact(spark: org.apache.spark.sql.SparkSession,
                              dir: String): (Int, Long, Seq[String], Seq[Long], Long) = {

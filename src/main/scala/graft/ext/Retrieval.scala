@@ -134,7 +134,7 @@ object Retrieval {
   def appendToPostingsIndex(batch: DataFrame, idCol: String, textCol: String,
                             dir: String): Unit = {
     val spark = batch.sparkSession
-    healSwapped(spark, s"$dir/meta"); healSwapped(spark, s"$dir/terms")
+    graft.core.Artifacts.heal(spark, s"$dir/meta"); graft.core.Artifacts.heal(spark, s"$dir/terms")
     val buckets = spark.read.parquet(s"$dir/meta").head().getInt(2)
     val fresh = batch.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("__text"))
@@ -149,60 +149,14 @@ object Retrieval {
       .withColumn("pb", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .write.mode("append").partitionBy("pb").parquet(s"$dir/postings")
     val post = spark.read.parquet(s"$dir/postings")
-    swapInto(spark, s"$dir/terms") { tmp =>
+    graft.core.Artifacts.swapInto(spark, s"$dir/terms") { tmp =>
       post.groupBy("pb", "term").agg(count(lit(1)).as("dft"))
         .write.partitionBy("pb").parquet(tmp)
     }
-    swapInto(spark, s"$dir/meta") { tmp =>
+    graft.core.Artifacts.swapInto(spark, s"$dir/meta") { tmp =>
       post.agg(count_distinct(col("doc_id")).as("n_docs"),
           sum(col("tf")).as("n_toks"), lit(buckets).as("buckets"))
         .coalesce(1).write.parquet(tmp)
-    }
-  }
-
-  /** Side-write + checked swap for a derived artifact directory (the
-    * bloom/mg discipline): the new copy lands at `__tmp`, the live copy
-    * moves aside, the new copy renames in, the aside deletes — no crash
-    * window holds the only copy, and [[healSwapped]] on every read/write
-    * entry restores a mid-swap aside. */
-  private def swapInto(spark: org.apache.spark.sql.SparkSession,
-                       target: String)(write: String => Unit): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(target), spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    healSwapped(spark, target)
-    fs.delete(p(target + "__tmp"), true)
-    write(target + "__tmp")
-    if (fs.exists(p(target)) && !fs.rename(p(target), p(target + "__old")))
-      throw new java.io.IOException(
-        s"swapInto: could not move $target aside — artifact untouched")
-    if (!fs.rename(p(target + "__tmp"), p(target))) {
-      val restored = fs.rename(p(target + "__old"), p(target))
-      throw new java.io.IOException(
-        s"swapInto: could not swap new copy into $target" +
-          (if (restored) " — previous copy restored"
-           else s" — previous copy left at ${target}__old; the next" +
-             " write recovers it"))
-    }
-    if (fs.exists(p(target + "__old")) && !fs.delete(p(target + "__old"), true))
-      throw new java.io.IOException(
-        s"swapInto: committed but could not remove the superseded " +
-          s"${target}__old — delete it manually")
-  }
-
-  private def healSwapped(spark: org.apache.spark.sql.SparkSession,
-                          target: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(target), spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    if (fs.exists(p(target + "__old"))) {
-      if (!fs.exists(p(target))) {
-        if (!fs.rename(p(target + "__old"), p(target)))
-          throw new java.io.IOException(
-            s"healSwapped: could not restore $target from ${target}__old")
-      } else if (!fs.delete(p(target + "__old"), true))
-        throw new java.io.IOException(
-          s"healSwapped: could not remove stale ${target}__old")
     }
   }
 
@@ -221,7 +175,7 @@ object Retrieval {
                         k: Int = 5, k1: Double = 1.2,
                         b: Double = 0.75): DataFrame = {
     import spark.implicits._
-    healSwapped(spark, s"$dir/meta"); healSwapped(spark, s"$dir/terms")
+    graft.core.Artifacts.heal(spark, s"$dir/meta"); graft.core.Artifacts.heal(spark, s"$dir/terms")
     val meta = spark.read.parquet(s"$dir/meta").head()
     val (nDocs, nToks, buckets) =
       (meta.getLong(0), meta.getLong(1), meta.getInt(2))

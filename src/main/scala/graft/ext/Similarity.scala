@@ -851,8 +851,15 @@ object Similarity {
         graft.core.Num.dsum(col("x") * col("x")).as("s2"))
       .select(col("i"),
         (col("s") / col("n")).as("m"),
-        sqrt(greatest((col("s2") - col("s") * col("s") / col("n")) /
-          (col("n") - 1), lit(0.0))).as("sd"))
+        // n ≤ 1 short-circuits BEFORE the sample-variance division:
+        // (s2 − s²/n)/(n − 1) at n = 1 is a 0/0 — an ANSI decimal
+        // divide-by-zero error, and the greatest(·, 0) clamp below never
+        // gets to run (round-9 review finding). A single sample has no
+        // variance; σ = 0 routes it to the same z = 0 arm as constant
+        // dimensions.
+        sqrt(greatest(when(col("n") > 1,
+            (col("s2") - col("s") * col("s") / col("n")) / (col("n") - 1))
+          .otherwise(lit(0.0)), lit(0.0))).as("sd"))
       .orderBy("i").collect() // dim-sized driver state (the km1 budget)
     val ms = typedlit(stats.map(_.getDouble(1)).toSeq)
     val sds = typedlit(stats.map(_.getDouble(2)).toSeq)

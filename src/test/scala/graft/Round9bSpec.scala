@@ -381,6 +381,26 @@ class Round9bSpec extends SparkSpec {
     assert(core.Sinks.expirePartitions(spark, dir, cutoff) == 0L)
   }
 
+  test("expirePartitions: refuses a streaming-sink archive (metadata log)") {
+    // a FileStreamSink store resolves files through _spark_metadata, not
+    // directory listing — deleting dirs underneath it corrupts every
+    // later read; the sweep must fail LOUDLY instead
+    val dir = tmpDir("ttl1-stream") + "/arch"
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "x"))
+      .toDF("event_id", "ts", "event_type")
+    core.Sinks.writePartitionedParquet(df, "ts", dir)
+    new java.io.File(s"$dir/_spark_metadata").mkdirs()
+    val e = intercept[java.io.IOException] {
+      core.Sinks.expirePartitions(spark, dir,
+        java.time.LocalDateTime.of(2027, 1, 1, 0, 0))
+    }
+    assert(e.getMessage.contains("_spark_metadata"))
+    // the data is untouched (checked on the filesystem: a Spark read of
+    // this store now resolves through the metadata log — which is
+    // precisely the corruption mode the guard exists to prevent)
+    assert(new java.io.File(s"$dir/year=2026").exists())
+  }
+
   // ------------------------------------------------------------- qn1
 
   test("quantileNormalize: equal-size groups land on identical pooled multisets") {
