@@ -861,18 +861,19 @@ object Similarity {
             (col("s2") - col("s") * col("s") / col("n")) / (col("n") - 1))
           .otherwise(lit(0.0)), lit(0.0))).as("sd"))
       .orderBy("i").collect() // dim-sized driver state (the km1 budget)
-    val ms = typedlit(stats.map(_.getDouble(1)).toSeq)
-    val sds = typedlit(stats.map(_.getDouble(2)).toSeq)
+    val ms = stats.map(_.getDouble(1))
+    val sds = stats.map(_.getDouble(2))
     // fanOut AFTER the cheap projection, BEFORE the per-element kernel
-    // (the repo's compute-bound narrow-stage invariant)
+    // (the repo's compute-bound narrow-stage invariant). The kernel is
+    // the fused NATIVE expression (ZScoreMicroExpr) — the interpreted
+    // transform + array_join HOF chain this replaced paid two lambda
+    // dispatches per element on a full-corpus scan, the hot-kernel
+    // invariant's named anti-pattern (round-9 review).
     graft.core.Par.fanOut(df.select(col(idCol).as("vec_id"),
         toDouble(col(vecCol)).as("graft_v")))
       .select(col("vec_id"),
-        array_join(transform(col("graft_v"), (x, i) =>
-          when(element_at(sds, i + 1) > 0,
-            floor((x - element_at(ms, i + 1)) /
-              element_at(sds, i + 1) * 1000000).cast("long"))
-            .otherwise(lit(0L))), ",").as("z_micro_csv"))
+        graft.functions.VectorExpressions.zScoreMicroNative(
+          col("graft_v"), ms, sds).as("z_micro_csv"))
   }
 
   def dimStats(df: DataFrame, vecCol: String): DataFrame = {

@@ -1000,6 +1000,46 @@ case class RandomProjectExpr(child: Expression, k: Int, seed: Long = 0L)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused per-dimension Z-SCORE-to-micro-CSV kernel — emb3's hot
+  * projection as ONE native expression instead of an interpreted
+  * `transform` lambda plus `array_join` (two lambda dispatches per
+  * ELEMENT on a full-corpus scan — the repo's hot-kernel invariant names
+  * exactly this shape). The (μ, σ) tables ride as constructor constants
+  * (the bf1/km1 literal discipline: dim-sized driver state serialized
+  * once with the expression, referenced as plain JVM arrays per row).
+  * Value-identical to the compositional form: per element,
+  * σᵢ > 0 ? ⌊(xᵢ − μᵢ)/σᵢ · 10⁶⌋ : 0, comma-joined — Spark `floor(double)`
+  * is `math.floor(·).toLong` for in-range finite values, and the
+  * float-op order (subtract, divide, multiply) is preserved exactly.
+  * Interpreted eval (CodegenFallback): one virtual call per ROW. */
+case class ZScoreMicroExpr(child: Expression, ms: Array[Double],
+                           sds: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(ms.length == sds.length, "mean/sd tables must align")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_zscore_micro_csv"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val dims = math.min(xs.numElements(), ms.length)
+    val sb = new java.lang.StringBuilder(dims * 8)
+    var i = 0
+    while (i < dims) {
+      if (i > 0) sb.append(',')
+      if (sds(i) > 0)
+        sb.append(math.floor((xs.getDouble(i) - ms(i)) / sds(i) * 1000000.0)
+          .toLong)
+      else sb.append('0')
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** All adjacent CHARACTER pairs of every element of an array<string> — the
   * corpus-wide pair-frequency count that seeds byte-pair-encoding tokenizer
   * induction (the first BPE merge step counts exactly these). For each
@@ -1163,6 +1203,13 @@ object VectorExpressions {
   /** All adjacent character pairs of every element of an array<string>. */
   def charPairsNative(tokens: Column): Column =
     Bridge.column(CharPairsExpr(Bridge.expression(tokens)))
+
+  /** Fused z-score-to-micro-CSV projection ([[ZScoreMicroExpr]]) against
+    * driver-side (μ, σ) tables riding as expression constants. */
+  def zScoreMicroNative(vec: Column, ms: Array[Double],
+                        sds: Array[Double]): Column =
+    Bridge.column(ZScoreMicroExpr(
+      Cast(Bridge.expression(vec), ArrayType(DoubleType)), ms, sds))
 
   /** Unicode NFC normalization of a string ([[NfcNormalizeExpr]]). */
   def nfcNormalizeNative(text: Column): Column =
