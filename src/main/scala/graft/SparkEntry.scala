@@ -1474,6 +1474,23 @@ object SparkEntry {
     // size, distinct sensitive acctbal-bucket count, and the at-risk
     // flag at k=8 (Governance.kAnonymityAudit scaladoc). One hash
     // aggregate; |classes| output rows.
+    // pii1: PII REDACTION over a planted contact fixture — every doc
+    // gains a deterministic synthetic email + phone-like run, the scrub
+    // must find and replace BOTH (plus anything naturally matching),
+    // and the graded values are the exact match counts and the t3-style
+    // fingerprint of the redacted text — the oracle can only match if
+    // both engines' regex dialects agree match-for-match on the pinned
+    // RE2∩Java pattern class and the same redaction order
+    // (Governance.piiRedact scaladoc).
+    "pii1_redact" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-"),
+          (col("doc_id") % 10000).cast("string")).as("text"))
+      ext.Governance.piiRedact(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "anon1_k_anonymity" -> ((s, d) =>
       ext.Governance.kAnonymityAudit(Tables.customer(s, d),
           Seq("nation" -> col("c_nationkey"), "segment" -> col("c_mktsegment")),
@@ -4444,6 +4461,28 @@ object SparkEntry {
            | COALESCE(o.total_orders, 0) AS total_orders
            |FROM s LEFT JOIN ev ON s.id = ev.id LEFT JOIN o ON s.id = o.id
            |ORDER BY s.id""".stripMargin.replace("\n", " ")),
+      // pii1: identical patterns (RE2∩Java class), identical order —
+      // emails first, phones counted on the email-redacted text; DuckDB
+      // regexp_replace needs the explicit 'g' flag to match Spark's
+      // replace-all
+      "pii1_redact" ->
+        ("""WITH planted AS (SELECT doc_id,
+           |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+           |   || '@example.com or 555-' || CAST(doc_id % 10000 AS VARCHAR)
+           |   AS text FROM documents),
+           |ne AS (SELECT doc_id, text,
+           |  regexp_replace(text,
+           |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           |   '<EMAIL>', 'g') AS no_email FROM planted)
+           |SELECT doc_id,
+           | CAST(len(regexp_extract_all(text,
+           |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           |  AS n_emails,
+           | CAST(len(regexp_extract_all(no_email, '555-[0-9]{3,}')) AS BIGINT)
+           |  AS n_phones,
+           | substring(sha256(regexp_replace(no_email, '555-[0-9]{3,}',
+           |  '<PHONE>', 'g')), 1, 16) AS redacted_fp
+           |FROM ne ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       "anon1_k_anonymity" ->
         ("""SELECT c_nationkey AS nation, c_mktsegment AS segment,
            | CAST(count(*) AS BIGINT) AS n,

@@ -104,4 +104,35 @@ object Governance {
     df.withColumn("reasons", concat_ws(",", violated: _*))
       .where(col("reasons") =!= "")
   }
+
+  /** PII REDACTION — the text-level privacy pass next to [[kAnonymityAudit]]
+    * (aggregate disclosure) and [[graft.ext.Forget]] (row deletion): every
+    * serious pretraining pipeline scrubs contact strings from documents
+    * BEFORE anything downstream fingerprints or trains on them (C4-style
+    * cleaning), because a takedown against trained weights is the one
+    * request [[Forget]] cannot serve. Emails redact first, then phone-like
+    * digit runs are counted on the EMAIL-REDACTED text (a number inside an
+    * address must not double-count) — a pinned order the oracle mirrors.
+    *
+    * Determinism: both patterns live in the RE2 ∩ java.util.regex
+    * agreement class (character classes, bounded quantifiers — no
+    * backrefs, no lookaround, no word-boundary anchors whose unicode
+    * semantics differ; the seq1 discipline), Spark's regexp_replace is
+    * replace-ALL like the oracle's 'g' flag, and the emitted fingerprint
+    * is the t3 sha-prefix convention over the redacted text.
+    *
+    * Shape at scale: one pure per-row projection — no shuffle, no state;
+    * the regex engine's per-row cost is the whole price (the msk1 class:
+    * swap in a fused native kernel if profiles demand). Output:
+    * (doc_id, n_emails, n_phones, redacted_fp). */
+  def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "555-[0-9]{3,}"
+    val noEmail = regexp_replace(col(textCol), email, "<EMAIL>")
+    docs.select(col(idCol).as("doc_id"),
+      regexp_count(col(textCol), lit(email)).cast("long").as("n_emails"),
+      regexp_count(noEmail, lit(phone)).cast("long").as("n_phones"),
+      substring(sha2(regexp_replace(noEmail, phone, "<PHONE>"), 256), 1, 16)
+        .as("redacted_fp"))
+  }
 }

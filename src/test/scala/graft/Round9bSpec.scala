@@ -346,6 +346,31 @@ class Round9bSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/terms__old")))
   }
 
+  // ------------------------------------------------------------- pii1
+
+  test("piiRedact: counts, order (no double count), clean-doc passthrough") {
+    val docs = Seq(
+      (1L, "mail a@b.com and c.d+x@e.org twice"),
+      // the phone-like run lives INSIDE the email: the email redaction
+      // swallows it, so n_phones must be 0 — the pinned order
+      (2L, "reach user555-123@example.com today"),
+      (3L, "call 555-9876 or 555-12345"),
+      (4L, "no contact info here")).toDF("doc_id", "text")
+    val out = ext.Governance.piiRedact(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0)._2 == 2L && out(0)._3 == 0L)
+    assert(out(1)._2 == 1L && out(1)._3 == 0L,
+      "a digit run inside an email must not double-count as a phone")
+    assert(out(2)._2 == 0L && out(2)._3 == 2L)
+    assert(out(3)._2 == 0L && out(3)._3 == 0L)
+    // a clean doc's fingerprint is the sha prefix of the ORIGINAL text
+    val want = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("no contact info here".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    assert(out(3)._4 == want)
+  }
+
   // ------------------------------------------------------------ src10
 
   test("xmlRoundTrip: entity escaping and unicode survive the trip") {
