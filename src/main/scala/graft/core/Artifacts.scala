@@ -43,6 +43,52 @@ object Artifacts {
           s"${target}__old — delete it manually")
   }
 
+  /** Commit a NEW artifact directory all-or-nothing: `write` produces into
+    * `<target>__tmp`, then ONE checked rename publishes it at `target` —
+    * the append-segment counterpart of [[swapInto]] (which replaces an
+    * existing artifact; this creates one that must never be observed
+    * partially). A crash before the rename leaves only a `__tmp` dir that
+    * [[committedChildren]] ignores and the next writer clears; a crash
+    * after it leaves the complete segment. This is what makes doc-id /
+    * content anti-join idempotence sound for multi-file appends: the
+    * anti-join only ever sees COMPLETE segments, so a failed attempt
+    * re-runs instead of being half-visible and skipped forever (round-9
+    * ADVICE on the postings append). */
+  def stageCommit(spark: org.apache.spark.sql.SparkSession,
+                  target: String)(write: String => Unit): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(target), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    if (fs.exists(p(target)))
+      throw new java.io.IOException(
+        s"Artifacts.stageCommit: $target already committed")
+    fs.delete(p(target + "__tmp"), true)
+    write(target + "__tmp")
+    if (!fs.rename(p(target + "__tmp"), p(target)))
+      throw new java.io.IOException(
+        s"Artifacts.stageCommit: could not publish $target — staged copy " +
+          s"left at ${target}__tmp; retry re-stages")
+  }
+
+  /** The COMMITTED children of a segment parent dir: every subdirectory
+    * except in-flight `__tmp` stages (a crashed [[stageCommit]]'s leftover
+    * is invisible here — that is the read-side half of the contract).
+    * Missing parent → empty. Also sweeps stale `__tmp` dirs when asked. */
+  def committedChildren(spark: org.apache.spark.sql.SparkSession,
+                        parent: String,
+                        sweepStale: Boolean = false): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(parent), spark.sparkContext.hadoopConfiguration)
+    val pp = new org.apache.hadoop.fs.Path(parent)
+    if (!fs.exists(pp)) Seq.empty
+    else fs.listStatus(pp).toSeq.filter(_.isDirectory).flatMap { st =>
+      if (st.getPath.getName.endsWith("__tmp")) {
+        if (sweepStale) fs.delete(st.getPath, true)
+        None
+      } else Some(st.getPath.toString)
+    }.sorted
+  }
+
   /** Restore `target` from `<target>__old` if a crashed swap left it
     * missing; clear the stale aside otherwise. Runs on BOTH the read and
     * the write path — read-side healing is what makes "retry is harmless"

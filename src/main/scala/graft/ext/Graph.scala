@@ -393,6 +393,27 @@ object Graph {
     * (bounded: ≤ 2·components edges), the clusterRoots budget. */
   def boruvkaEdges(edges: DataFrame, rounds: Int = 2): DataFrame = {
     require(rounds >= 1)
+    boruvkaLoop(edges, maxRounds = rounds, toConvergence = false)
+  }
+
+  /** [[boruvkaEdges]] run TO CONVERGENCE — the COMPLETE minimum spanning
+    * forest (mst1 grades the fixed-round prefix, the unrollable-oracle
+    * discipline; this closes the lifecycle the way ccmp1 closes lp1's:
+    * no iteration count in the contract). Component count at least HALVES
+    * per round (every component claims an edge while any cross-component
+    * edge remains), so convergence takes ≤ log₂(n) rounds; the loop stops
+    * the first round that adds no claim — claims are monotone (the
+    * chosen set only grows, each round's claims are MST-safe by the cut
+    * property under the (w, a, b) total order), so "no new edge" IS the
+    * fixpoint regardless of earlier rounds (the clusterRoots convergence
+    * argument). Per-round driver state: one count on the checkpointed
+    * OUTPUT-SIZED chosen set (≤ n−1 rows) — the kcore1 eager-loop budget,
+    * measured better than lazy chaining (CLAUDE.md's third dead end). */
+  def boruvkaForest(edges: DataFrame): DataFrame =
+    boruvkaLoop(edges, maxRounds = 64, toConvergence = true)
+
+  private def boruvkaLoop(edges: DataFrame, maxRounds: Int,
+                          toConvergence: Boolean): DataFrame = {
     val eu = edges.select(col("src").cast("long").as("u"),
         col("dst").cast("long").as("v"), col("w").cast("long").as("w"))
       .where(col("u").isNotNull && col("u") =!= col("v"))
@@ -400,22 +421,48 @@ object Graph {
         greatest(col("u"), col("v")).as("b"), col("w"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // round 1's labels are the nodes themselves — per-node claims
-    var labels = eu.select(col("u").as("node"), col("u").as("comp"))
-      .distinct().localCheckpoint()
+    var labels: DataFrame = null
     var chosen = eu.select(col("a"), col("b"), col("w")).limit(0)
-    for (r <- 1 to rounds) {
-      val lu = eu
-        .join(labels.select(col("node").as("u"), col("comp").as("cu")), "u")
-        .join(labels.select(col("node").as("v"), col("comp").as("cv")), "v")
-        .where(col("cu") =!= col("cv"))
-      val claims = lu.groupBy("cu")
-        .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
-        .select(col("m.a").as("a"), col("m.b").as("b"), col("m.w").as("w"))
+    var nChosen = -1L
+    var converged = false
+    var r = 0
+    while (r < maxRounds && !converged) {
+      r += 1
+      val claims = if (r == 1) {
+        // round 1's labels are the identity map, so the label joins add
+        // nothing: claim = min INCIDENT edge per node, read directly from
+        // both orientations of the cached edge relation — no join, no
+        // label frame, one map-side-combined aggregate. Reading BOTH
+        // endpoint columns (not just u) is what makes directed-only input
+        // safe: a node appearing solely as dst still claims, instead of
+        // its edges silently vanishing (round-9 ADVICE); on symmetric
+        // input each incident edge just appears twice under the same min.
+        eu.select(col("u").as("cu"), col("a"), col("b"), col("w"))
+          .unionByName(eu.select(col("v").as("cu"), col("a"), col("b"),
+            col("w")))
+          .groupBy("cu")
+          .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
+          .select(col("m.a").as("a"), col("m.b").as("b"), col("m.w").as("w"))
+      } else {
+        val lu = eu
+          .join(labels.select(col("node").as("u"), col("comp").as("cu")), "u")
+          .join(labels.select(col("node").as("v"), col("comp").as("cv")), "v")
+          .where(col("cu") =!= col("cv"))
+        lu.groupBy("cu")
+          .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
+          .select(col("m.a").as("a"), col("m.b").as("b"), col("m.w").as("w"))
+      }
       chosen = chosen.unionByName(claims).distinct().localCheckpoint()
-      if (r < rounds) {
-        // merge through the claimed set only — every node appears in a
-        // round-1 claim, so the closure covers the full node set
+      if (toConvergence) {
+        // bounded action on the materialized forest (≤ n−1 rows): the
+        // chosen set is monotone, so an unchanged count is the fixpoint
+        val n = chosen.count()
+        converged = n == nChosen
+        nChosen = n
+      }
+      if (!converged && r < maxRounds) {
+        // merge through the claimed set only — every labeled node appears
+        // in a claim or keeps its own label via the clusterRoots self-loop
         labels = graft.ext.Dedup.clusterRoots(
             chosen.select(col("a").as("id_a"), col("b").as("id_b")))
           .select(col("id").as("node"), col("root").as("comp"))

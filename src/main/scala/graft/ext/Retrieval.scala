@@ -97,6 +97,11 @@ object Retrieval {
                          dir: String, buckets: Int = 64): Unit = {
     require(buckets >= 1)
     val spark = docs.sparkSession
+    // a full (re)build supersedes any previously appended segments — clear
+    // them or the read-side union would double-count their documents
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+        spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$dir/segments"), true)
     val toks = graft.core.Par.fanOut(docs.select(
       col(idCol).cast("long").as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("toks")))
@@ -114,41 +119,75 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** The full stored postings relation: the build-time base plus every
+    * COMMITTED append segment ([[appendToPostingsIndex]]) — in-flight
+    * `__tmp` stages are invisible by construction
+    * ([[graft.core.Artifacts.committedChildren]]). Every path is a
+    * pb-partitioned parquet root, so a `pb IN (…)` filter partition-prunes
+    * each root identically to the single-dir layout. */
+  private def postingsRelation(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): DataFrame = {
+    val segs = graft.core.Artifacts.committedChildren(spark, s"$dir/segments")
+    // one read PER root, unioned: a single multi-path read trips Spark's
+    // uniform-directory-depth check (base and segments sit at different
+    // depths), and per-root reads keep per-branch pb partition pruning.
+    // Segments borrow the base's inferred schema so an EMPTY segment (a
+    // fully-landed batch's retry commits one) still reads as zero rows
+    // instead of failing schema inference.
+    val base = spark.read.parquet(s"$dir/postings")
+    segs.foldLeft(base)((acc, s) =>
+      acc.unionByName(spark.read.schema(base.schema).parquet(s)))
+  }
+
   /** MAINTAIN the stored postings index per ingest batch — the sim7
     * counterpart for the lexical index: new documents tokenize ONCE and
-    * their postings append into the term-hash buckets under the
+    * their postings land as a NEW pb-partitioned SEGMENT under the
     * artifact's STORED bucket count; the term dictionary and meta then
     * REBUILD from the post-append store and swap in atomically (df and
     * corpus totals must reflect the whole store or every score drifts —
     * BM25's df/N coupling is why Lucene merges segments rather than
     * patching counts; the read-back rebuild is the columnar equivalent,
     * and at extreme scale the documented swap is an incremental
-    * dictionary merge).
+    * dictionary merge; a periodic [[writePostingsIndex]] rebuild is the
+    * segment compaction).
     *
     * Idempotence under at-least-once retry: the batch anti-joins the
     * stored postings' doc ids first (an id-column-only columnar probe —
-    * the inc2s discipline), so re-appending a landed batch is a no-op;
-    * a crash ANYWHERE leaves either a consistent store or an
-    * un-dictionaried append that the retry's rebuild repairs — the
-    * dictionary/meta always derive from whatever postings committed. */
+    * the inc2s discipline), and the segment publishes via stage +
+    * ONE checked rename ([[graft.core.Artifacts.stageCommit]]) so it is
+    * all-or-nothing: the anti-join only ever sees COMPLETE segments. The
+    * previous in-place multi-file append had a real corruption window —
+    * a crash during the job commit could leave a document's postings
+    * PARTIALLY visible, and the retry's doc-id anti-join would then skip
+    * it forever (round-9 ADVICE); the staged segment closes it. A crash
+    * between segment commit and the dictionary swap leaves an
+    * un-dictionaried segment that the retry's rebuild repairs — the
+    * dictionary/meta always derive from whatever segments committed. */
   def appendToPostingsIndex(batch: DataFrame, idCol: String, textCol: String,
                             dir: String): Unit = {
     val spark = batch.sparkSession
     graft.core.Artifacts.heal(spark, s"$dir/meta"); graft.core.Artifacts.heal(spark, s"$dir/terms")
+    // sweep any crashed stage while counting committed segments for the
+    // next segment id (names only order listings; results never see them)
+    val nSegs = graft.core.Artifacts
+      .committedChildren(spark, s"$dir/segments", sweepStale = true).size
     val buckets = spark.read.parquet(s"$dir/meta").head().getInt(2)
     val fresh = batch.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("__text"))
-      .join(spark.read.parquet(s"$dir/postings").select("doc_id").distinct(),
+      .join(postingsRelation(spark, dir).select("doc_id").distinct(),
         Seq("doc_id"), "left_anti")
-    graft.core.Par.fanOut(fresh.select(col("doc_id"),
+    val posted = graft.core.Par.fanOut(fresh.select(col("doc_id"),
         TextAnalysis.tokens(col("__text")).as("toks")))
       .select(col("doc_id"), size(col("toks")).as("len_d"),
         explode_outer(col("toks")).as("term"))
       .where(col("term").isNotNull)
       .groupBy("doc_id", "len_d", "term").agg(count(lit(1)).as("tf"))
       .withColumn("pb", pmod(xxhash64(col("term")), lit(buckets.toLong)))
-      .write.mode("append").partitionBy("pb").parquet(s"$dir/postings")
-    val post = spark.read.parquet(s"$dir/postings")
+    graft.core.Artifacts.stageCommit(spark,
+        f"$dir/segments/seg_$nSegs%06d_${java.util.UUID.randomUUID}") { tmp =>
+      posted.write.partitionBy("pb").parquet(tmp)
+    }
+    val post = postingsRelation(spark, dir)
     graft.core.Artifacts.swapInto(spark, s"$dir/terms") { tmp =>
       post.groupBy("pb", "term").agg(count(lit(1)).as("dft"))
         .write.partitionBy("pb").parquet(tmp)
@@ -187,7 +226,7 @@ object Retrieval {
     val pbs = qvocab
       .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).as("pb"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val post = spark.read.parquet(s"$dir/postings")
+    val post = postingsRelation(spark, dir)
       .where(col("pb").isin(pbs: _*)).join(broadcast(qvocab), "term")
     val dict = spark.read.parquet(s"$dir/terms")
       .where(col("pb").isin(pbs: _*)).join(broadcast(qvocab), "term")

@@ -1007,11 +1007,15 @@ case class RandomProjectExpr(child: Expression, k: Int, seed: Long = 0L)
   * exactly this shape). The (μ, σ) tables ride as constructor constants
   * (the bf1/km1 literal discipline: dim-sized driver state serialized
   * once with the expression, referenced as plain JVM arrays per row).
-  * Value-identical to the compositional form: per element,
+  * Value-identical to the compositional form ON the corpora it is defined
+  * for — dense, fixed-width vectors matching the stats table: per element,
   * σᵢ > 0 ? ⌊(xᵢ − μᵢ)/σᵢ · 10⁶⌋ : 0, comma-joined — Spark `floor(double)`
   * is `math.floor(·).toLong` for in-range finite values, and the
   * float-op order (subtract, divide, multiply) is preserved exactly.
-  * Interpreted eval (CodegenFallback): one virtual call per ROW. */
+  * Ragged or null-bearing vectors FAIL LOUDLY (the old HOF chain silently
+  * zero-padded / dropped them, which is a wrong z-vector, not a lenient
+  * one — round-9 ADVICE). Interpreted eval (CodegenFallback): one virtual
+  * call per ROW. */
 case class ZScoreMicroExpr(child: Expression, ms: Array[Double],
                            sds: Array[Double])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -1023,10 +1027,22 @@ case class ZScoreMicroExpr(child: Expression, ms: Array[Double],
 
   override def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
-    val dims = math.min(xs.numElements(), ms.length)
+    // loud, not lenient: a ragged vector (length ≠ stats table) or a null
+    // element means the stats were computed over a DIFFERENT population
+    // shape than this row — silently truncating (or NPE-reading a null
+    // slot as 0.0) would emit a plausible-looking but wrong z-vector
+    // (round-9 ADVICE). Same discipline as PairExpandExpr.nullElement.
+    if (xs.numElements() != ms.length)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector length ${xs.numElements()} != stats table " +
+          s"length ${ms.length} — z-scores are only defined over the " +
+          "population the (mu, sigma) table was computed from; fix the " +
+          "ragged vector upstream")
+    val dims = ms.length
     val sb = new java.lang.StringBuilder(dims * 8)
     var i = 0
     while (i < dims) {
+      if (xs.isNullAt(i)) PairExpandExpr.nullElement(prettyName, i)
       if (i > 0) sb.append(',')
       if (sds(i) > 0)
         sb.append(math.floor((xs.getDouble(i) - ms(i)) / sds(i) * 1000000.0)
