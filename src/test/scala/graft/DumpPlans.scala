@@ -58,7 +58,11 @@ object DumpPlans {
       "hh1_heavy_hitters", "inc5_incremental_hh", "ks1_two_sample_ks",
       "fp1_frequent_triples", "wsp1_weighted_paths", "pq1_product_quant",
       "qn1_quantile_normalize", "mst1_boruvka", "ret3_stored_postings",
-      "ttl1_partition_retention")
+      "ttl1_partition_retention",
+      // round-10: the stored-PQ query path (literal-codebook ADC over the
+      // codes-only scan) and the to-convergence MSF (pr1 — the round-9
+      // verdict's single-subtree done-criterion — is in the base list)
+      "pq2_stored_pq", "mst2_boruvka_msf")
     val sections = new StringBuilder
     val inventory = new StringBuilder
     inventory.append("\n## Plan inventory — all graded queries (finalized plans, sf0.001)\n\n")
