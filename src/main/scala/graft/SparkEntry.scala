@@ -1799,6 +1799,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // bpe4: bpe3 answered from the STORED tokenizer artifact — the
+    // tokenizer tier's pq2 (the corpus-sized vocabulary pass is
+    // build-once; apply jobs load `rounds` merge rows as bounded driver
+    // state and never re-train). stageCommit all-or-nothing build;
+    // integer/string columns round-trip parquet exactly, so the oracle is
+    // bpe3's VERBATIM — stored artifacts must answer identically to the
+    // inline build.
+    "bpe4_stored_vocab" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.core.Scratch.dir("bpe4-") + "/vocab_art"
+      TextAnalysis.writeBpeVocab(docs, "text", dir, rounds = 3)
+      TextAnalysis.bpeSegmentCountsFromVocab(s, dir, docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // bpe5: INCREMENTAL vocabulary growth — train 2 merges, store, extend
+    // by 1 more from the STORED (sym, freq) training state (vocabulary-
+    // sized work, no corpus re-scan), segment under the extended artifact.
+    // A merge round depends on nothing but that state, so extension must
+    // be byte-identical to continuous 3-round training: the oracle is
+    // again bpe3's verbatim — the strongest extend≡retrain contract.
+    "bpe5_vocab_extend" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.core.Scratch.dir("bpe5-") + "/vocab_art"
+      TextAnalysis.writeBpeVocab(docs, "text", dir, rounds = 2)
+      TextAnalysis.extendBpeVocab(s, dir, extraRounds = 1)
+      TextAnalysis.bpeSegmentCountsFromVocab(s, dir, docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // lm1: unigram-LM quality scoring (per-doc mean surprisal against the
     // corpus's own unigram distribution — the CCNet/KenLM perplexity-
     // filter stand-in); one corpus pass, per-term contributions quantized
@@ -5284,41 +5314,13 @@ object SparkEntry {
            |ORDER BY round""".stripMargin.replace("\n", " ")),
       // bpe3: bpe2's training unrolled verbatim (t0..m3), then the three
       // learned merges applied IN TRAINING ORDER over the distinct-word
-      // relation — identical spaced-symbol segmenter — and summed per doc
-      "bpe3_apply" ->
-        (s"""WITH t0 AS (SELECT unnest($toksSql) AS word FROM documents),
-           |v0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym,
-           |  COUNT(*) AS freq FROM t0 WHERE word <> '' GROUP BY 1),
-           |p1 AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS f FROM
-           | (SELECT string_split(trim(sym), ' ') AS l, freq,
-           |   unnest(generate_series(1, len(string_split(trim(sym), ' ')) - 1)) AS i
-           |  FROM v0) GROUP BY 1, 2),
-           |m1 AS (SELECT a, b, f FROM p1 ORDER BY f DESC, a, b LIMIT 1),
-           |v1 AS (SELECT replace(sym, ' '||a||' '||b||' ', ' '||a||b||' ') AS sym,
-           |  freq FROM v0, m1),
-           |p2 AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS f FROM
-           | (SELECT string_split(trim(sym), ' ') AS l, freq,
-           |   unnest(generate_series(1, len(string_split(trim(sym), ' ')) - 1)) AS i
-           |  FROM v1) GROUP BY 1, 2),
-           |m2 AS (SELECT a, b, f FROM p2 ORDER BY f DESC, a, b LIMIT 1),
-           |v2 AS (SELECT replace(sym, ' '||a||' '||b||' ', ' '||a||b||' ') AS sym,
-           |  freq FROM v1, m2),
-           |p3 AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS f FROM
-           | (SELECT string_split(trim(sym), ' ') AS l, freq,
-           |   unnest(generate_series(1, len(string_split(trim(sym), ' ')) - 1)) AS i
-           |  FROM v2) GROUP BY 1, 2),
-           |m3 AS (SELECT a, b, f FROM p3 ORDER BY f DESC, a, b LIMIT 1),
-           |wx AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
-           |vw AS (SELECT DISTINCT w FROM wx WHERE w <> ''),
-           |s0 AS (SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym FROM vw),
-           |s1 AS (SELECT w, replace(sym, ' '||m1.a||' '||m1.b||' ', ' '||m1.a||m1.b||' ') AS sym FROM s0, m1),
-           |s2 AS (SELECT w, replace(sym, ' '||m2.a||' '||m2.b||' ', ' '||m2.a||m2.b||' ') AS sym FROM s1, m2),
-           |s3 AS (SELECT w, replace(sym, ' '||m3.a||' '||m3.b||' ', ' '||m3.a||m3.b||' ') AS sym FROM s2, m3),
-           |cnt AS (SELECT w, len(string_split(trim(sym), ' ')) AS n_sub FROM s3)
-           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-           | CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
-           |FROM wx JOIN cnt USING (w)
-           |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // relation — identical spaced-symbol segmenter — and summed per doc.
+      // bpe4 (stored artifact) and bpe5 (2-round build + 1-round extend
+      // from stored state) share it VERBATIM: store-then-apply and
+      // extend-after-store must both equal continuous 3-round training.
+      "bpe3_apply" -> bpeApplySql,
+      "bpe4_stored_vocab" -> bpeApplySql,
+      "bpe5_vocab_extend" -> bpeApplySql,
       // lm1: identical per-term double formula, per-term decimal
       // quantization, one rounded division at the end
       "lm1_surprisal" ->
@@ -6430,6 +6432,45 @@ object SparkEntry {
 
   /** ret1/ret3 share one oracle: the stored-postings answer must be
     * byte-identical to the from-scratch BM25 (the sim6/sim4 pattern). */
+  /** bpe2's 3-round training unrolled (t0..m3) + the learned merges
+    * applied in training order over the distinct-word relation — the
+    * shared oracle of bpe3 (inline train+apply), bpe4 (stored artifact)
+    * and bpe5 (stored-state extension). */
+  private lazy val bpeApplySql: String =
+    (s"""WITH t0 AS (SELECT unnest($toksSql) AS word FROM documents),
+       |v0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym,
+       |  COUNT(*) AS freq FROM t0 WHERE word <> '' GROUP BY 1),
+       |p1 AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS f FROM
+       | (SELECT string_split(trim(sym), ' ') AS l, freq,
+       |   unnest(generate_series(1, len(string_split(trim(sym), ' ')) - 1)) AS i
+       |  FROM v0) GROUP BY 1, 2),
+       |m1 AS (SELECT a, b, f FROM p1 ORDER BY f DESC, a, b LIMIT 1),
+       |v1 AS (SELECT replace(sym, ' '||a||' '||b||' ', ' '||a||b||' ') AS sym,
+       |  freq FROM v0, m1),
+       |p2 AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS f FROM
+       | (SELECT string_split(trim(sym), ' ') AS l, freq,
+       |   unnest(generate_series(1, len(string_split(trim(sym), ' ')) - 1)) AS i
+       |  FROM v1) GROUP BY 1, 2),
+       |m2 AS (SELECT a, b, f FROM p2 ORDER BY f DESC, a, b LIMIT 1),
+       |v2 AS (SELECT replace(sym, ' '||a||' '||b||' ', ' '||a||b||' ') AS sym,
+       |  freq FROM v1, m2),
+       |p3 AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS f FROM
+       | (SELECT string_split(trim(sym), ' ') AS l, freq,
+       |   unnest(generate_series(1, len(string_split(trim(sym), ' ')) - 1)) AS i
+       |  FROM v2) GROUP BY 1, 2),
+       |m3 AS (SELECT a, b, f FROM p3 ORDER BY f DESC, a, b LIMIT 1),
+       |wx AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |vw AS (SELECT DISTINCT w FROM wx WHERE w <> ''),
+       |s0 AS (SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym FROM vw),
+       |s1 AS (SELECT w, replace(sym, ' '||m1.a||' '||m1.b||' ', ' '||m1.a||m1.b||' ') AS sym FROM s0, m1),
+       |s2 AS (SELECT w, replace(sym, ' '||m2.a||' '||m2.b||' ', ' '||m2.a||m2.b||' ') AS sym FROM s1, m2),
+       |s3 AS (SELECT w, replace(sym, ' '||m3.a||' '||m3.b||' ', ' '||m3.a||m3.b||' ') AS sym FROM s2, m3),
+       |cnt AS (SELECT w, len(string_split(trim(sym), ' ')) AS n_sub FROM s3)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       | CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
+       |FROM wx JOIN cnt USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "))
+
   private lazy val ret1Bm25Sql: String =
     (s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
            | n AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS n_toks FROM toks),

@@ -281,36 +281,144 @@ object TextAnalysis {
     require(rounds >= 1)
     val spark = df.sparkSession
     import spark.implicits._
+    val vocab0 = wordVocab(df, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (merges, _) = trainMerges(vocab0, 1, rounds)
+      merges.toDF("round", "sym_a", "sym_b", "merged", "freq")
+    } finally vocab0.unpersist(blocking = false)
+  }
+
+  /** The word-frequency vocabulary in spaced-symbol form — BPE training's
+    * ONE corpus-sized pass (every later merge round is vocabulary-sized
+    * work over this relation). Shared by [[bpeMergeRounds]] and
+    * [[writeBpeVocab]] so in-query and stored-artifact training see the
+    * identical segmenter seed. */
+  private def wordVocab(df: DataFrame, textCol: String): DataFrame = {
     val sym0 = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
-    val vocab0 = graft.core.Par.fanOut(
+    graft.core.Par.fanOut(
         df.select(explode(tokens(col(textCol))).as("w")))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(sym0.as("sym"), col("freq"))
+  }
+
+  /** The merge-training loop body over a (sym, freq) vocabulary state,
+    * numbering emitted rounds from `startRound` — shared by in-query
+    * training ([[bpeMergeRounds]], startRound = 1), artifact build
+    * ([[writeBpeVocab]]) and stored-state EXTENSION ([[extendBpeVocab]],
+    * startRound = stored + 1). Each round: one vocabulary-sized pair
+    * count, ONE 1-row driver argmax (the km1 bounded-action budget), a
+    * lazy merge projection. Returns the merge rows AND the final vocab
+    * plan (input state + the new merges applied) so callers can persist
+    * the training STATE, which is what makes extension a vocabulary-sized
+    * continuation instead of a corpus re-scan. Round numbering is
+    * bookkeeping only — the trained merges depend on nothing but the
+    * vocab state, so extend-after-store ≡ continuous training (bpe5 pins
+    * this end-to-end). */
+  private def trainMerges(vocabStart: DataFrame, startRound: Int,
+                          rounds: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    var vocab = vocabStart
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    for (r <- startRound until startRound + rounds) {
+      val arr = split(trim(col("sym")), " ")
+      val idx = when(size(arr) >= 2, sequence(lit(0), size(arr) - 2))
+        .otherwise(array().cast("array<int>"))
+      val top = vocab.select(col("freq"), explode(transform(idx, i =>
+          struct(element_at(arr, i + 1).as("a"),
+            element_at(arr, i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, col("a").asc, col("b").asc)
+        .limit(1).head()
+      val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
+      out += ((r, a, b, a + b, f))
+      vocab = vocab.select(
+        call_function("replace", col("sym"),
+          lit(s" $a $b "), lit(s" $a$b ")).as("sym"),
+        col("freq"))
+    }
+    (out.toSeq, vocab)
+  }
+
+  /** BUILD the stored tokenizer artifact — the bf2/sim6/ret3/pq2 lifecycle
+    * closure for the BPE tier (at 100 TB the corpus-sized vocabulary pass
+    * is the expensive step and must be build-once; every apply job and
+    * every vocabulary extension then reads the artifact, never the
+    * corpus). Layout under `dir`: `merges/` — the ordered apply-time
+    * contract (round, sym_a, sym_b, merged, freq); `vocab/` — the
+    * post-merge (sym, freq) training STATE [[extendBpeVocab]] continues
+    * from; `meta/` — rounds trained. Committed all-or-nothing via
+    * [[graft.core.Artifacts.stageCommit]] (a crash mid-build leaves only
+    * an invisible `__tmp`; no reader ever sees merges without their vocab
+    * state). */
+  def writeBpeVocab(df: DataFrame, textCol: String, dir: String,
+                    rounds: Int = 3): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    require(rounds >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab0 = wordVocab(df, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var vocab = vocab0
     try {
-      val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
-      for (r <- 1 to rounds) {
-        val arr = split(trim(col("sym")), " ")
-        val idx = when(size(arr) >= 2, sequence(lit(0), size(arr) - 2))
-          .otherwise(array().cast("array<int>"))
-        val top = vocab.select(col("freq"), explode(transform(idx, i =>
-            struct(element_at(arr, i + 1).as("a"),
-              element_at(arr, i + 2).as("b")))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("freq")).as("f"))
-          .orderBy(col("f").desc, col("a").asc, col("b").asc)
-          .limit(1).head()
-        val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
-        out += ((r, a, b, a + b, f))
-        vocab = vocab.select(
-          call_function("replace", col("sym"),
-            lit(s" $a $b "), lit(s" $a$b ")).as("sym"),
-          col("freq"))
+      val (merges, vocabFinal) = trainMerges(vocab0, 1, rounds)
+      graft.core.Artifacts.stageCommit(spark, dir) { tmp =>
+        merges.toDF("round", "sym_a", "sym_b", "merged", "freq")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/merges")
+        vocabFinal.write.mode("overwrite").parquet(s"$tmp/vocab")
+        Seq(rounds).toDF("rounds")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
       }
-      out.toSeq.toDF("round", "sym_a", "sym_b", "merged", "freq")
     } finally vocab0.unpersist(blocking = false)
+  }
+
+  /** EXTEND a stored vocabulary by `extraRounds` further merges WITHOUT
+    * re-scanning the corpus — the incremental-maintenance leg (sim7/ret4/
+    * pq3's counterpart): training state is the stored (sym, freq)
+    * relation, so each extra round is vocabulary-sized work, and because
+    * a merge round depends on nothing but that state, the extended
+    * artifact is byte-identical to training all rounds in one run (bpe5's
+    * oracle is continuous training's verbatim). The new copy commits via
+    * [[graft.core.Artifacts.swapInto]] — merges, vocab state and meta
+    * swap as ONE unit; training reads the live copy (bounded driver
+    * argmax per round) and the staged write still reads it lazily BEFORE
+    * the swap moves it aside, so no crash window mixes old merges with
+    * new state. */
+  def extendBpeVocab(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     extraRounds: Int = 1): Unit = {
+    import spark.implicits._
+    require(extraRounds >= 1)
+    graft.core.Artifacts.heal(spark, dir)
+    val stored = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val oldMerges = spark.read.parquet(s"$dir/merges").orderBy("round")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val (newMerges, vocabFinal) =
+      trainMerges(spark.read.parquet(s"$dir/vocab"), stored + 1, extraRounds)
+    graft.core.Artifacts.swapInto(spark, dir) { tmp =>
+      (oldMerges ++ newMerges)
+        .toDF("round", "sym_a", "sym_b", "merged", "freq")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/merges")
+      vocabFinal.write.mode("overwrite").parquet(s"$tmp/vocab")
+      Seq(stored + extraRounds).toDF("rounds")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    }
+  }
+
+  /** [[bpeSegmentCounts]] answered from the STORED artifact — the
+    * steady-state tokenize job: the ordered merge list loads as bounded
+    * driver state (`rounds` rows), the corpus segments under it with the
+    * training segmenter verbatim. Heals a mid-swap crash on entry (the
+    * shared read-side contract). */
+  def bpeSegmentCountsFromVocab(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, df: DataFrame,
+                                idCol: String, textCol: String): DataFrame = {
+    graft.core.Artifacts.heal(spark, dir)
+    val merges = spark.read.parquet(s"$dir/merges").orderBy("round")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeSegmentCounts(df, idCol, textCol, merges)
   }
 
   /** BPE APPLY — the consumer of [[bpeMergeRounds]]' trained artifact

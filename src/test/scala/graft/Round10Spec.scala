@@ -193,4 +193,41 @@ class Round10Spec extends SparkSpec {
       .map("%02x".format(_)).mkString.substring(0, 16)
     assert(out(3).getString(3) == wantFp)
   }
+
+  // ----------------------------------------------------------- bpe4/bpe5
+
+  test("bpe stored vocab: from-store equals inline; extend equals continuous train") {
+    val docs = Seq(
+      (1L, "low lower lowest low"),
+      (2L, "new newer newest new new"),
+      (3L, "low new wide wider"))
+      .toDF("doc_id", "text")
+    val merges = ext.TextAnalysis.bpeMergeRounds(docs, "text", rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val want = ext.TextAnalysis
+      .bpeSegmentCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val dir = tmpDir("bpe4-spec") + "/vocab"
+    ext.TextAnalysis.writeBpeVocab(docs, "text", dir, rounds = 3)
+    val got = ext.TextAnalysis
+      .bpeSegmentCountsFromVocab(spark, dir, docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == want, "stored path must equal the inline train+apply")
+    // extension: 2-round build + 1-round extend ≡ 3 rounds continuous —
+    // the merge list, the vocab STATE and the apply result all identical
+    val dir2 = tmpDir("bpe5-spec") + "/vocab"
+    ext.TextAnalysis.writeBpeVocab(docs, "text", dir2, rounds = 2)
+    ext.TextAnalysis.extendBpeVocab(spark, dir2, extraRounds = 1)
+    def rel(d: String, sub: String, key: String) =
+      spark.read.parquet(s"$d/$sub").orderBy(key).collect()
+        .map(_.toSeq).toSeq
+    assert(rel(dir2, "merges", "round") == rel(dir, "merges", "round"))
+    assert(rel(dir2, "vocab", "sym") == rel(dir, "vocab", "sym"))
+    assert(spark.read.parquet(s"$dir2/meta").head().getInt(0) == 3)
+    val got2 = ext.TextAnalysis
+      .bpeSegmentCountsFromVocab(spark, dir2, docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got2 == want, "extend-after-store must equal continuous training")
+  }
 }
