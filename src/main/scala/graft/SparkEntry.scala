@@ -556,6 +556,17 @@ object SparkEntry {
           col("event_type"), col("ts"), col("value"), topK = 3)
         .orderBy("id", "rank")),
 
+    // acf1: sample AUTOCORRELATION of the hourly per-type count series
+    // at lags 1..3 — the window-sizing diagnostic behind ts2/sea1's
+    // hand-chosen spans (Box–Jenkins identification). Exact integer
+    // centering (z = n·y − S, the cp1 trick — the n² cancels in the
+    // ratio) and ONE truncating micro-unit quotient per lag; constant
+    // series emit 0 by definition (TimeSeries.autocorr scaladoc).
+    "acf1_autocorrelation" -> ((s, d) =>
+      graft.queries.TimeSeries.autocorr(events(s, d),
+          col("event_type"), col("ts"), lags = 3)
+        .orderBy("id", "lag")),
+
     // ttl1: PARTITION-TTL retention on the K3 archive — the maintenance
     // job next to compaction: the event archive lands y/m/d/h-partitioned,
     // hour partitions older than min(ts)+72h delete as whole directories
@@ -1512,6 +1523,18 @@ object SparkEntry {
           floor(col("c_acctbal") / 1000), k = 8)
         .orderBy("nation", "segment")),
 
+    // dp1: ε-LOCAL-DP randomized response (Warner; ε = ln 3) — per-type
+    // prevalence of "value > 100" released with every row's report
+    // noised by the hash-fate coin (sp1/sp2 discipline: fate is a pure
+    // function of (event_id, salt), so the oracle replays the identical
+    // mechanism draw) and the debiased estimate emitted DOUBLED so the
+    // whole release is exact BIGINT — no division, no float
+    // (Governance.randomizedResponse scaladoc).
+    "dp1_randomized_response" -> ((s, d) =>
+      ext.Governance.randomizedResponse(events(s, d),
+          col("event_type"), col("event_id"), col("value") > 100.0)
+        .orderBy("id")),
+
     // ---- extension tier: text analysis over documents --------------------
     // text projections go through Par.stage before their output sort:
     // orderBy's range-sampling job re-executes its child, so an unstaged
@@ -2332,6 +2355,58 @@ object SparkEntry {
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
       Graph.pageRankFixedPoint(edges, iterations = 3)
         .orderBy("node")
+    }),
+
+    // tr1: TEXTRANK keyword extraction (Mihalcea & Tarau 2004) — pr1's
+    // fixed-point kernel run over the word ADJACENCY graph: content
+    // words (≥ 4 chars) that appear next to each other link, undirected;
+    // a word's stationary mass is its keyword score. Node ids are the
+    // portable 60-bit sha256 prefix (the sp1/d4 hash family — an
+    // improbable collision would merge the same two words in BOTH
+    // engines), edges canonicalize least/greatest before the distinct so
+    // both textual orders collapse to ONE undirected edge, and the walk
+    // is the identical 3-round integer iteration pr1's oracle unrolls.
+    // Output: global top-20 keywords, ties broken on word.
+    //
+    // Shape at scale: one corpus tokenize pass (fanned out), pairs
+    // collapse map-side to the DISTINCT adjacency vocabulary (edge count
+    // bounded by vocab², in practice ~vocab·avg-neighbors); the
+    // iteration then runs entirely on vocabulary-sized relations.
+    "tr1_textrank" -> ((s, d) => {
+      import graft.functions.VectorExpressions
+      val ws = filter(TextAnalysis.tokens(col("text")),
+        t => length(t) >= 4)
+      val base = Par.fanOut(Tables.documents(s, d).select(ws.as("ws")))
+        .select(col("ws"),
+          VectorExpressions.sha60TokenHashesNative(col("ws")).as("hs"))
+      val idx = when(size(col("hs")) >= 2, sequence(lit(0), size(col("hs")) - 2))
+        .otherwise(array().cast("array<int>"))
+      val pairs = base.select(explode(transform(idx, i =>
+          struct(element_at(col("hs"), i + 1).as("x"),
+            element_at(col("hs"), i + 2).as("y")))).as("p"))
+        .select(least(col("p.x"), col("p.y")).as("a"),
+          greatest(col("p.x"), col("p.y")).as("b"))
+        .where(col("a") =!= col("b")).distinct()
+      val edges = pairs.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val vocab = base.select(explode(col("ws")).as("word")).distinct()
+        .select(col("word"), element_at(
+          VectorExpressions.sha60TokenHashesNative(array(col("word"))), 1)
+          .as("node"))
+      Graph.pageRankFixedPoint(edges, iterations = 3)
+        .join(vocab, "node")
+        .select(col("word"), col("rank_fp"))
+        // distributed top-k (TakeOrdered) FIRST; the rank window then
+        // orders 20 rows, not the vocabulary
+        .orderBy(col("rank_fp").desc, col("word").asc).limit(20)
+        .select(row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("rank_fp").desc, col("word").asc))
+            .cast("long").as("rank"),
+          col("word"), col("rank_fp"))
+        .orderBy("rank")
     }),
 
     // lp1: label-propagation communities over the part co-occurrence
@@ -3593,6 +3668,38 @@ object SparkEntry {
            |SELECT id, hour, CAST(vm AS BIGINT) AS vm, CAST(hod AS INT) AS hod,
            | CAST(resid_fp AS BIGINT) AS resid_fp, CAST(rank AS BIGINT) AS rank
            |FROM k WHERE rank <= 3 ORDER BY id, rank""".stripMargin.replace("\n", " ")),
+      // acf1: identical integer centering and truncating micro-quotient —
+      // DuckDB // floors, so the negative branch sign-splits (sea1's
+      // convention); sums ride HUGEINT oracle-side, COALESCE(…,0) mirrors
+      // the engine's empty-lag coalesce
+      "acf1_autocorrelation" ->
+        ("""WITH h AS (SELECT event_type AS id, date_trunc('hour', ts) AS hour,
+           |  CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+           |t AS (SELECT id, hour, y,
+           |  COUNT(*) OVER (PARTITION BY id) AS n,
+           |  SUM(y) OVER (PARTITION BY id) AS s FROM h),
+           |z AS (SELECT id, hour, n, CAST(n * y - s AS HUGEINT) AS z FROM t),
+           |l AS (SELECT id, n, z,
+           |  lag(z, 1) OVER win AS z1, lag(z, 2) OVER win AS z2,
+           |  lag(z, 3) OVER win AS z3
+           | FROM z WINDOW win AS (PARTITION BY id ORDER BY hour)),
+           |a AS (SELECT id, MAX(n) AS n_hours, SUM(z * z) AS d,
+           |  COALESCE(SUM(z * z1), 0) AS num1, COUNT(z1) AS t1,
+           |  COALESCE(SUM(z * z2), 0) AS num2, COUNT(z2) AS t2,
+           |  COALESCE(SUM(z * z3), 0) AS num3, COUNT(z3) AS t3
+           | FROM l GROUP BY id),
+           |u AS (
+           | SELECT id, CAST(1 AS INTEGER) AS lag, n_hours, t1 AS t, num1 AS num, d FROM a
+           | UNION ALL
+           | SELECT id, CAST(2 AS INTEGER), n_hours, t2, num2, d FROM a
+           | UNION ALL
+           | SELECT id, CAST(3 AS INTEGER), n_hours, t3, num3, d FROM a)
+           |SELECT id, lag, CAST(n_hours AS BIGINT) AS n_hours,
+           | CAST(t AS BIGINT) AS n_terms,
+           | CAST(CASE WHEN d = 0 THEN 0
+           |  WHEN num * 1000000 < 0 THEN -((-(num * 1000000)) // d)
+           |  ELSE (num * 1000000) // d END AS BIGINT) AS acf_micro
+           |FROM u ORDER BY id, lag""".stripMargin.replace("\n", " ")),
       // ttl1: the surviving partitioned store ≡ the raw table filtered at
       // the same whole-hour boundary
       "ttl1_partition_retention" ->
@@ -4624,6 +4731,20 @@ object SparkEntry {
            |  '\([0-9]{2,4}\) [0-9]{3,4}[ -][0-9]{3,4}',
            |  '<PHONE>', 'g')), 1, 16) AS redacted_fp
            |FROM ni ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // dp1: the identical sha-fate coin (% 4 = 0 flips), CASE-inverted
+      // report, and the 4r − n integer debias
+      "dp1_randomized_response" ->
+        ("""WITH r AS (SELECT event_type AS id,
+           |  CASE WHEN ('0x' || substring(sha256(CAST(event_id AS VARCHAR)
+           |     || ':dp'), 1, 15))::BIGINT % 4 = 0
+           |   THEN NOT (value > 100.0) ELSE (value > 100.0) END AS rep
+           | FROM events)
+           |SELECT id, CAST(COUNT(*) AS BIGINT) AS n,
+           | CAST(SUM(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT)
+           |  AS reported_true,
+           | CAST(4 * SUM(CASE WHEN rep THEN 1 ELSE 0 END) - COUNT(*)
+           |  AS BIGINT) AS est_x2
+           |FROM r GROUP BY id ORDER BY id""".stripMargin.replace("\n", " ")),
       "anon1_k_anonymity" ->
         ("""SELECT c_nationkey AS nation, c_mktsegment AS segment,
            | CAST(count(*) AS BIGINT) AS n,
@@ -4873,6 +4994,57 @@ object SparkEntry {
            |  FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
            |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
            |ORDER BY node""".stripMargin.replace("\n", " ")),
+      // tr1: identical content-word adjacency graph (sha60 ids,
+      // least/greatest canonicalized distinct edges) + pr1's three
+      // unrolled integer rounds + the top-20 cut
+      "tr1_textrank" ->
+        (s"""WITH ws AS (SELECT list_filter($toksSql, t -> len(t) >= 4)
+           |   AS ws FROM documents),
+           |hs AS (SELECT list_transform(ws,
+           |   w -> ('0x' || substring(sha256(w), 1, 15))::BIGINT) AS hs
+           |  FROM ws),
+           |pe AS (SELECT DISTINCT least(hs[i], hs[i+1]) AS a,
+           |   greatest(hs[i], hs[i+1]) AS b
+           |  FROM (SELECT hs, unnest(generate_series(1, len(hs) - 1)) AS i
+           |   FROM hs)
+           |  WHERE hs[i] <> hs[i+1]),
+           |e AS (SELECT a AS src, b AS dst FROM pe
+           |  UNION ALL SELECT b, a FROM pe),
+           |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+           |nodes AS (SELECT DISTINCT node FROM
+           | (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+           |c0 AS (SELECT 1000000000000000 // COUNT(*) AS r0,
+           |  (15 * (1000000000000000 // COUNT(*))) // 100 AS base
+           | FROM nodes),
+           |r0 AS (SELECT node, (SELECT r0 FROM c0) AS r FROM nodes),
+           |i1 AS (SELECT e.dst AS node, SUM(r.r // d.outdeg) AS inc
+           | FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+           | GROUP BY e.dst),
+           |r1 AS (SELECT n.node, (SELECT base FROM c0)
+           |  + (85 * COALESCE(i.inc, 0)) // 100 AS r
+           | FROM nodes n LEFT JOIN i1 i ON n.node = i.node),
+           |i2 AS (SELECT e.dst AS node, SUM(r.r // d.outdeg) AS inc
+           | FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+           | GROUP BY e.dst),
+           |r2 AS (SELECT n.node, (SELECT base FROM c0)
+           |  + (85 * COALESCE(i.inc, 0)) // 100 AS r
+           | FROM nodes n LEFT JOIN i2 i ON n.node = i.node),
+           |i3 AS (SELECT e.dst AS node, SUM(r.r // d.outdeg) AS inc
+           | FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+           | GROUP BY e.dst),
+           |r3 AS (SELECT n.node, (SELECT base FROM c0)
+           |  + (85 * COALESCE(i.inc, 0)) // 100 AS r
+           | FROM nodes n LEFT JOIN i3 i ON n.node = i.node),
+           |vocab AS (SELECT DISTINCT w AS word,
+           |  ('0x' || substring(sha256(w), 1, 15))::BIGINT AS node
+           | FROM (SELECT unnest(ws) AS w FROM ws)),
+           |top AS (SELECT v.word, CAST(r.r AS BIGINT) AS rank_fp
+           | FROM r3 r JOIN vocab v ON r.node = v.node
+           | ORDER BY r.r DESC, v.word LIMIT 20)
+           |SELECT CAST(row_number() OVER
+           |  (ORDER BY rank_fp DESC, word) AS BIGINT) AS rank,
+           | word, rank_fp FROM top
+           |ORDER BY rank""".stripMargin.replace("\n", " ")),
       // three unrolled LPA rounds; each round = neighbor-label vote count
       // + top-1 per node ordered (count DESC, label ASC)
       "lp1_label_prop" ->

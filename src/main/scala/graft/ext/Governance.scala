@@ -165,4 +165,33 @@ object Governance {
       substring(sha2(regexp_replace(noIntl, paren, "<PHONE>"), 256), 1, 16)
         .as("redacted_fp"))
   }
+
+  /** ε-LOCAL-DP RANDOMIZED RESPONSE (Warner 1965) over a sensitive binary
+    * attribute — the privacy mechanism that releases per-group prevalence
+    * WITHOUT any row's true value ever being aggregated: each row reports
+    * its truth with probability p = 3/4 and the flip with 1/4 (ε = ln 3
+    * local differential privacy — the plausible-deniability guarantee is
+    * the mechanism's, independent of the data), then the debiased
+    * estimator inverts the known noise: E[r] = p·t + (1−p)(n−t) ⇒
+    * t̂ = 2r − n/2, emitted DOUBLED (est_x2 = 4r − n) so the whole
+    * release is exact BIGINT arithmetic with no division anywhere.
+    *
+    * The flip fate is [[Sampling.hashBucket]](rowKey, salt, 4) = 0 — a
+    * pure function of (row, salt), so the release is reproducible across
+    * runs, engines and partitioning (the sp1/sp2 fate discipline; a fresh
+    * salt is a fresh independent mechanism draw). NOTE the flip hash must
+    * key on the ROW, not the attribute, or correlated flips break the
+    * unbiasedness. One projection + one map-side-combined aggregate; no
+    * shuffle beyond the |groups|-row exchange. Output: (id, n,
+    * reported_true, est_x2). */
+  def randomizedResponse(df: DataFrame, groupKey: Column, rowKey: Column,
+                         truth: Column, salt: String = "dp"): DataFrame = {
+    val flip = Sampling.hashBucket(rowKey, salt, 4) === 0
+    val rep = when(flip, !truth).otherwise(truth)
+    df.select(groupKey.as("id"), rep.as("rep"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rep").cast("long")).as("reported_true"))
+      .withColumn("est_x2", lit(4L) * col("reported_true") - col("n"))
+  }
 }

@@ -359,6 +359,63 @@ object TimeSeries {
         col("resid_fp"), col("rank").cast("long").as("rank"))
   }
 
+  /** SAMPLE AUTOCORRELATION of the per-key hourly COUNT series at lags
+    * 1..`lags` — the diagnostic that sizes every window the other
+    * time-series screens choose by hand (ts2's trailing 24 h, sea1's
+    * diurnal cohort: a 24-lag ACF peak IS the statistical license for
+    * both; Box–Jenkins model identification).
+    *
+    * r_k = Σ_t z_t·z_{t−k} / Σ_t z_t², with z_t = n·y_t − S the
+    * EXACTLY-centered n-scaled deviation (cp1's integer centering: the
+    * n² factors cancel in the ratio, so no mean division ever happens) —
+    * every intermediate an exact BIGINT, the quotient emitted ONCE as
+    * truncating micro-units (the established fixed-point discipline; a
+    * constant series has denominator 0 and emits 0 by definition).
+    * Overflow regime: |z| ≤ n·max|y−ȳ|, so Σz·z·10⁶ needs
+    * n·(n·Δy)²·10⁶ < 2⁶³ — comfortable for count series through ~100×
+    * this corpus; beyond that, route the two sums through DECIMAL(38)
+    * like [[hourlyAnomaly]].
+    *
+    * Shape at scale: one (key, hour) count aggregate (the only
+    * corpus-sized pass, map-side combined), two window passes over the
+    * HOURS-sized series (unpartitioned-by-SF: rows per key = time
+    * horizon) — all `lags` lag() calls share one partition sort, the
+    * dyadicSmooth economy — then one per-key aggregate and a `lags`-way
+    * explode. Output: (id, lag, n_hours, n_terms, acf_micro), unique on
+    * (id, lag). */
+  def autocorr(df: DataFrame, key: Column, ts: Column,
+               lags: Int = 3): DataFrame = {
+    require(lags >= 1 && lags <= 24)
+    val hourly = df
+      .groupBy(key.as("id"), date_trunc("hour", ts).as("hour"))
+      .agg(count(lit(1)).as("y"))
+    val wk = Window.partitionBy("id")
+    val wo = Window.partitionBy("id").orderBy("hour")
+    val lagged = (1 to lags).foldLeft(
+      hourly
+        .withColumn("n", count(lit(1)).over(wk))
+        .withColumn("s", sum(col("y")).over(wk))
+        .withColumn("z", col("n") * col("y") - col("s"))) { (b, k) =>
+      b.withColumn(s"z$k", lag(col("z"), k).over(wo))
+    }
+    val aggs =
+      Seq(max(col("n")).as("n_hours"),
+        sum(col("z") * col("z")).as("d")) ++
+      (1 to lags).flatMap(k => Seq(
+        coalesce(sum(col("z") * col(s"z$k")), lit(0L)).as(s"num$k"),
+        count(col(s"z$k")).as(s"t$k")))
+    val agg = lagged.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    agg.select(col("id"), col("n_hours"), explode(array(
+        (1 to lags).map(k => struct(lit(k).as("lag"),
+          col(s"t$k").as("n_terms"),
+          when(col("d") === 0, lit(0L)).otherwise(
+            call_function("div", col(s"num$k") * lit(1000000L), col("d")))
+            .as("acf_micro"))): _*)).as("r"))
+      .select(col("id"), col("r.lag").cast("int").as("lag"),
+        col("n_hours"), col("r.n_terms").as("n_terms"),
+        col("r.acf_micro").as("acf_micro"))
+  }
+
   def hourlyAnomaly(df: DataFrame, key: Column, ts: Column, value: Column,
                     window: Int = 24): DataFrame = {
     val hourly = df
