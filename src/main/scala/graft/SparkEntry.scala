@@ -1926,6 +1926,19 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // ret5: EXACT PHRASE SEARCH — the positional capability BM25's
+    // bag-of-words cannot express: anchor each phrase on its
+    // occurrence-rarest term (ties: offset, then term — both engines
+    // pick identically), expand anchor hits to candidate starts, verify
+    // all m offsets with one positional equi-join, count windows where
+    // every offset hit. Overlaps count separately
+    // (Retrieval.phraseSearch scaladoc).
+    "ret5_phrase_search" -> ((s, d) =>
+      ext.Retrieval.phraseSearch(Tables.documents(s, d), "doc_id", "text",
+          Seq(1L -> "table table", 2L -> "value fast merge",
+            3L -> "scan slow fast"))
+        .orderBy("query_id", "doc_id")),
+
     // ret2: HYBRID retrieval — reciprocal-rank fusion of the lexical leg
     // (ret1's BM25, k=20) and the dense leg (sim1's exact cosine top-k,
     // k=20, query vectors = vec_id 0-2) into one ranking. Rank-only
@@ -2118,6 +2131,36 @@ object SparkEntry {
       ext.Profile.heavyHitters(toks, col("token"), k = 200)
         .select(col("key").as("token"), col("n"))
         .orderBy("token")
+    }),
+
+    // cms1: COUNT-MIN SKETCH point estimates — MG's (hh1) fixed-size
+    // sibling for ANY-key frequency queries, graded MERGE-FIRST: two
+    // half-corpus sketches (even/odd docs) sum counter-wise into the
+    // union sketch, then the top-20 tokens probe it; est ≥ true always,
+    // the slack being exactly the colliding mass. sha-prefix row hashes
+    // make sketch, merge and estimates integer-exact in any engine — the
+    // oracle builds the whole-corpus counters directly (≡ the merge, by
+    // additivity) and replays the same probes
+    // (Profile.countMinSketch scaladoc).
+    "cms1_countmin" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def toks(df: org.apache.spark.sql.DataFrame) =
+        Par.fanOut(df.select(
+            explode(TextAnalysis.tokens(col("text"))).as("tok")))
+          .where(col("tok") =!= "")
+      val sketch = ext.Profile.cmsMerge(Seq(
+        ext.Profile.countMinSketch(toks(docs.where(col("doc_id") % 2 === 0)),
+          col("tok")),
+        ext.Profile.countMinSketch(toks(docs.where(col("doc_id") % 2 === 1)),
+          col("tok"))))
+      val tf = toks(docs).groupBy("tok")
+        .agg(count(lit(1)).as("true_cnt"))
+      val probes = tf.orderBy(col("true_cnt").desc, col("tok").asc).limit(20)
+      ext.Profile.cmsEstimate(sketch, probes, "tok")
+        .join(probes, col("k") === col("tok"))
+        .select(col("tok"), col("true_cnt"), col("est"),
+          (col("est") - col("true_cnt")).as("overcount"))
+        .orderBy("tok")
     }),
 
     // inc5: INCREMENTAL heavy hitters from a STORED mergeable summary —
@@ -2893,6 +2936,27 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rank")),
+
+    // knn2: knn1 maintained INCREMENTALLY from the STORED graph — build
+    // over 3/4 of the corpus, append the last quarter: new nodes rank
+    // their |B|·|C∪B| pair scores, old nodes merge the mirrored pairs
+    // into their stored rows (a node's true top-k over C∪B lies in
+    // stored-top-k ∪ pairs-with-B — the exactness cut), so the update
+    // never pays the |C∪B|² rebuild. Cosines persist UNROUNDED so the
+    // merge order survives storage; oracle is knn1's from-scratch
+    // verbatim (Similarity.appendToKnnGraph scaladoc).
+    "knn2_incremental_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = graft.core.Scratch.dir("knn2-") + "/graph_art"
+      Similarity.writeKnnGraph(emb.where(col("vec_id") % 4 =!= 3),
+        "vec_id", "embedding", dir, k = 3)
+      Similarity.appendToKnnGraph(emb.where(col("vec_id") % 4 === 3),
+        "vec_id", "embedding", dir)
+      Similarity.knnGraphFromIndex(s, dir)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
 
     // mmr1: MAXIMAL-MARGINAL-RELEVANCE diverse top-k — sim1's ranking
     // with a greedy per-pick diversity penalty (½·rel − ½·max sim to the
@@ -5549,6 +5613,43 @@ object SparkEntry {
       // BM25 — build-then-query and build-append-query alike
       "ret3_stored_postings" -> ret1Bm25Sql,
       "ret4_postings_append" -> ret1Bm25Sql,
+      // ret5: identical rarest-term anchor (COALESCE df 0, tie offset
+      // then term), candidate-start expansion and positional verify join
+      "ret5_phrase_search" ->
+        (s"""WITH q(query_id, phrase) AS (VALUES
+           |  (1, 'table table'), (2, 'value fast merge'),
+           |  (3, 'scan slow fast')),
+           |pt AS (SELECT query_id, i AS j, ws[i] AS term, len(ws) AS m
+           | FROM (SELECT query_id,
+           |   regexp_split_to_array(trim(lower(phrase)), '\\s+') AS ws,
+           |   unnest(generate_series(1,
+           |    len(regexp_split_to_array(trim(lower(phrase)), '\\s+')))) AS i
+           |  FROM q)),
+           |tp AS (SELECT doc_id, i AS pos, ws[i] AS term
+           | FROM (SELECT doc_id, ws,
+           |   unnest(generate_series(1, len(ws))) AS i
+           |  FROM (SELECT doc_id, $toksSql AS ws FROM documents))
+           | WHERE ws[i] IN (SELECT term FROM pt)),
+           |dfs AS (SELECT term, COUNT(*) AS df FROM tp GROUP BY 1),
+           |an AS (SELECT query_id, j AS jstar, term AS aterm FROM (
+           | SELECT pt.query_id, pt.j, pt.term,
+           |  row_number() OVER (PARTITION BY pt.query_id
+           |   ORDER BY COALESCE(dfs.df, 0), pt.j, pt.term) AS rn
+           | FROM pt LEFT JOIN dfs USING (term)) WHERE rn = 1),
+           |cand AS (SELECT an.query_id, tp.doc_id,
+           |  tp.pos - an.jstar + 1 AS start
+           | FROM tp JOIN an ON tp.term = an.aterm
+           | WHERE tp.pos - an.jstar + 1 >= 1),
+           |ver AS (SELECT c.query_id, c.doc_id, c.start,
+           |  COUNT(*) AS hit, MAX(pt.m) AS m
+           | FROM cand c JOIN pt ON pt.query_id = c.query_id
+           | JOIN tp ON tp.doc_id = c.doc_id AND tp.term = pt.term
+           |  AND tp.pos = c.start + pt.j - 1
+           | GROUP BY 1, 2, 3)
+           |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           | CAST(COUNT(*) AS BIGINT) AS n_occ
+           |FROM ver WHERE hit = m GROUP BY 1, 2
+           |ORDER BY query_id, doc_id""".stripMargin.replace("\n", " ")),
       // ret2: ret1's BM25 CTE at k=20 + sim1's dense ranking at k=20 for
       // vec_id 0-2, fused by 1/(60+rk) — contributions quantized to
       // DECIMAL(30,6) exactly like the Spark side's Num.dsum, fused rank
@@ -5757,6 +5858,29 @@ object SparkEntry {
       // from-scratch HAVING set — hh1's oracle verbatim
       "hh1s_stream_hh" ->
         hh1Sql,
+      // cms1: whole-corpus counters (≡ the engine's even⊕odd merge by
+      // additivity), identical sha row hashes and min-over-rows estimate
+      "cms1_countmin" ->
+        (s"""WITH tf AS (SELECT t AS tok, COUNT(*) AS c
+           | FROM (SELECT unnest($toksSql) AS t FROM documents)
+           | WHERE t <> '' GROUP BY 1),
+           |rr AS (SELECT unnest([0, 1, 2]) AS r),
+           |ctr AS (SELECT r,
+           |  ('0x' || substring(sha256(tok || ':cms' || CAST(r AS VARCHAR)),
+           |   1, 15))::BIGINT % 64 AS b, SUM(c) AS cc
+           | FROM tf, rr GROUP BY 1, 2),
+           |probes AS (SELECT tok, c FROM tf ORDER BY c DESC, tok LIMIT 20),
+           |pb AS (SELECT tok, r,
+           |  ('0x' || substring(sha256(tok || ':cms' || CAST(r AS VARCHAR)),
+           |   1, 15))::BIGINT % 64 AS b FROM probes, rr),
+           |est AS (SELECT pb.tok, MIN(COALESCE(ctr.cc, 0)) AS est
+           | FROM pb LEFT JOIN ctr ON ctr.r = pb.r AND ctr.b = pb.b
+           | GROUP BY 1)
+           |SELECT p.tok, CAST(p.c AS BIGINT) AS true_cnt,
+           | CAST(e.est AS BIGINT) AS est,
+           | CAST(e.est - p.c AS BIGINT) AS overcount
+           |FROM probes p JOIN est e USING (tok)
+           |ORDER BY tok""".stripMargin.replace("\n", " ")),
       "ss1_join_replay" ->
         ("""SELECT e.event_id, e.ts, e.user_id,
            | c.event_id AS click_event_id, c.ts AS click_ts
@@ -6108,20 +6232,10 @@ object SparkEntry {
            |UNION ALL SELECT qid, 5, id, round(score, 4) FROM s5
            |ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
       // knn1: the same rank/rounding semantics, self all-pairs
-      "knn1_knn_graph" ->
-        ("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
-           |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-           | FROM embeddings),
-           |scored AS (
-           | SELECT a.id AS query_id, b.id AS neighbor_id,
-           |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-           | FROM v a JOIN v b ON a.id <> b.id),
-           |ranked AS (
-           | SELECT query_id, neighbor_id, cos,
-           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-           | FROM scored)
-           |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
-           |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+      "knn1_knn_graph" -> knn1Sql,
+      // knn2: the incrementally-maintained stored graph must equal the
+      // from-scratch kNN graph — knn1's oracle verbatim
+      "knn2_incremental_knn" -> knn1Sql,
       // IVF probe semantics in SQL: per-label centroids (zipped unnest +
       // avg per (label, dim)), top-nprobe lists per query by centroid
       // cosine, brute force inside probed lists, same rank/rounding as sim1
@@ -6608,6 +6722,23 @@ object SparkEntry {
     * applied in training order over the distinct-word relation — the
     * shared oracle of bpe3 (inline train+apply), bpe4 (stored artifact)
     * and bpe5 (stored-state extension). */
+  /** From-scratch exact kNN graph (k = 3) — shared by knn1 (inline
+    * build) and knn2 (incrementally-maintained stored graph). */
+  private lazy val knn1Sql: String =
+    ("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       | FROM embeddings),
+       |scored AS (
+       | SELECT a.id AS query_id, b.id AS neighbor_id,
+       |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+       | FROM v a JOIN v b ON a.id <> b.id),
+       |ranked AS (
+       | SELECT query_id, neighbor_id, cos,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       | FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin.replace("\n", " "))
+
   private lazy val bpeApplySql: String =
     (s"""WITH t0 AS (SELECT unnest($toksSql) AS word FROM documents),
        |v0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym,

@@ -76,6 +76,66 @@ object Profile {
     * set is plan-bounded but scales with the task count, AQE broadcasts
     * while it fits). Exactly-(n/k)-threshold semantics; output ≤ k rows
     * by definition of the threshold. */
+  /** COUNT-MIN SKETCH over a key column (Cormode & Muthukrishnan 2005) —
+    * the fixed-size frequency summary next to Misra–Gries
+    * ([[heavyHitters]]): MG keeps the k heaviest keys exactly; CMS
+    * answers a point estimate for ANY key in d·w counters, always
+    * OVER-estimating (est ≥ true; est ≤ true + colliding mass), and
+    * counters are purely ADDITIVE — merge = counter-wise sum, the
+    * HLL/MG mergeability story with integer exactness.
+    *
+    * Determinism contract: row hashes are the portable sha256-prefix
+    * family (h_r(x) = sha60(x ":cms" r) mod w — the sp1/d4 discipline),
+    * so the whole sketch, its merges and every estimate are exact
+    * integers any engine reproduces — no seeded RNG, no
+    * implementation-defined state (what keeps this oracle-gradeable
+    * where apx1's HLL bytes are not).
+    *
+    * Scale shape: the corpus pass collapses to DISTINCT (key, cnt)
+    * FIRST (the d6 discipline); the d sha hashes run once per distinct
+    * key, and the counter aggregate is ≤ d·w rows — bounded by the
+    * sketch, not the data. Output: (r, b, c). */
+  def countMinSketch(df: DataFrame, key: Column, d: Int = 3,
+                     w: Int = 64): DataFrame = {
+    require(d >= 1 && w >= 1)
+    val cnts = df.select(key.cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    cnts.select(explode(array((0 until d).map(lit): _*)).as("r"),
+        col("k"), col("cnt"))
+      .select(col("r"), cmsBucket(col("k"), col("r"), w).as("b"), col("cnt"))
+      .groupBy("r", "b").agg(sum(col("cnt")).as("c"))
+  }
+
+  /** h_r(key): first 60 bits of sha256(key ":cms" r) mod w — engine-
+    * portable (DuckDB: ('0x' || substring(sha256(k || ':cms' || r), 1,
+    * 15))::BIGINT % w). */
+  private def cmsBucket(k: Column, r: Column, w: Int): Column =
+    conv(substring(sha2(concat(k, lit(":cms"), r.cast("string"))
+      .cast("binary"), 256), 1, 15), 16, 10).cast("long") % w
+
+  /** Merge CMS sketches built with identical (d, w, hash family):
+    * counter-wise addition — associative, commutative, loss-free (the
+    * sketch of a union IS the sum of the sketches). */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty)
+    sketches.reduce(_ union _)
+      .groupBy("r", "b").agg(sum(col("c")).as("c"))
+  }
+
+  /** Point-estimate each probe key against a sketch: est(x) =
+    * min_r counter[r][h_r(x)] — the CMS upper bound. The sketch is
+    * d·w rows (broadcast by construction); probes fan out d rows each.
+    * A probe whose bucket was never touched estimates 0. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+                  d: Int = 3, w: Int = 64): DataFrame = {
+    val pr = probes.select(col(keyCol).cast("string").as("k"))
+      .select(explode(array((0 until d).map(lit): _*)).as("r"), col("k"))
+      .select(col("k"), col("r"), cmsBucket(col("k"), col("r"), w).as("b"))
+    pr.join(broadcast(sketch), Seq("r", "b"), "left_outer")
+      .groupBy("k")
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
   def heavyHitters(df: DataFrame, key: Column, k: Int): DataFrame = {
     require(k >= 2)
     val keys = df.select(key.cast("string").as("key"))

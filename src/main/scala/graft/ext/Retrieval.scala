@@ -269,6 +269,77 @@ object Retrieval {
     * summation-order-free. No denominator in 61..80 (k0=60, leg-k ≤ 20)
     * hits a decimal half-way point at 6 places, so the quantization is
     * rounding-mode-free too. */
+  /** EXACT PHRASE SEARCH over positional postings — the retrieval
+    * capability BM25's bag-of-words scoring cannot express ("spark sql"
+    * must not match "sql … spark"; Lucene's PhraseQuery over term
+    * positions, re-expressed relational). For each bounded query phrase:
+    * anchor on the phrase's OCCURRENCE-RAREST term (the classic phrase-
+    * query optimization — candidate windows are as selective as the
+    * rarest word, ties broken on offset then term so both engines pick
+    * identically), turn each anchor occurrence into a candidate start
+    * (pos − j* + 1), then verify every remaining offset with ONE
+    * positional equi-join and keep windows where all m offsets hit.
+    * Overlapping occurrences count separately (defined, deterministic).
+    *
+    * Scale shape: one corpus tokenize pass; the bounded phrase
+    * vocabulary IN-filters the positional relation immediately (only
+    * postings of phrase terms survive — the corpus never shuffles; the
+    * filtered slice persists for its three consumers: the df probe, the
+    * anchor scan, the verify join); the df probe collects |phrase-terms|
+    * rows (bounded driver state); candidates × m verify rows join the
+    * slice on (doc, term, pos). With a STORED positional index
+    * ([[writePostingsIndex]] + a pos column) the tokenize pass drops and
+    * the bucket filter prunes to the touched terms — same join shape.
+    * Output: (query_id, doc_id, n_occ) for matching docs only. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrases: Seq[(Long, String)]): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(phrases.nonEmpty)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // phrase terms under the corpus tokenizer's own contract
+    val pterms: Seq[(Long, Int, String)] = phrases.flatMap { case (q, p) =>
+      p.trim.toLowerCase.split("\\s+").toSeq.zipWithIndex
+        .map { case (t, i) => (q, i + 1, t) }
+    }
+    val vocab = pterms.map(_._3).distinct
+    val pos0 = graft.core.Par.fanOut(docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks")))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "term")))
+      .where(col("term").isin(vocab: _*))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("term"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // |phrase-terms| rows of bounded driver state; an absent term has
+    // df 0 → it anchors → zero candidates → no matches (correct)
+    val dfs = pos0.groupBy("term").agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val anchors = pterms.groupBy(_._1).map { case (q, xs) =>
+      val (_, j, t) = xs.minBy { case (_, j, t) =>
+        (dfs.getOrElse(t, 0L), j, t) }
+      (q, j, t)
+    }.toSeq
+    val cands = pos0
+      .join(broadcast(anchors.toDF("query_id", "jstar", "aterm")),
+        col("term") === col("aterm"))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("jstar") + 1).as("start"))
+      .where(col("start") >= 1)
+    val need = broadcast(pterms.toDF("query_id", "j", "term"))
+    val m = pterms.groupBy(_._1).map { case (q, xs) => (q, xs.size.toLong) }
+      .toSeq.toDF("query_id", "m")
+    cands.join(need, "query_id")
+      .select(col("query_id"), col("doc_id"), col("start"), col("term"),
+        (col("start") + col("j") - 1).as("pos"))
+      .join(pos0, Seq("doc_id", "term", "pos"))
+      .groupBy("query_id", "doc_id", "start")
+      .agg(count(lit(1)).as("hit"))
+      .join(broadcast(m), "query_id")
+      .where(col("hit") === col("m"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
   def rrfFuse(legs: Seq[DataFrame], k0: Int = 60, k: Int = 10): DataFrame = {
     require(legs.nonEmpty && k0 >= 1 && k >= 1)
     val contrib = legs.map(_.select(col("query_id"), col("doc_id"),

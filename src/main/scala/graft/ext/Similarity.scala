@@ -207,7 +207,18 @@ object Similarity {
     * downstream: semantic dedup, clustering, graph analytics) is
     * unchanged. */
   def knnGraphExact(corpus: DataFrame, idCol: String, vecCol: String,
-                    k: Int, blocks: Int = 8): DataFrame = {
+                    k: Int, blocks: Int = 8): DataFrame =
+    knnGraphRaw(corpus, idCol, vecCol, k, blocks)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+
+  /** [[knnGraphExact]] with the cosine UNROUNDED — what the stored-graph
+    * tier persists: incremental maintenance merges stored rows with
+    * fresh pair scores under the (cos DESC, neighbor ASC) order, and a
+    * 4-decimal round would corrupt that order at merge time; rounding
+    * happens once, in the graded read projection. */
+  private def knnGraphRaw(corpus: DataFrame, idCol: String, vecCol: String,
+                          k: Int, blocks: Int): DataFrame = {
     val b = blocks.toLong
     // norms compute BELOW the fan-out exchange so it materializes
     // (id, v, nrm) and BOTH tile sides read a ReusedExchange (the d2/d3
@@ -229,6 +240,114 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** BUILD the stored kNN GRAPH — the graph tier's sim6/pq2: semantic
+    * dedup, clustering and diversity pipelines consume the same k-nearest
+    * relation over and over; at 100 TB the N² build is the expensive
+    * step and must be build-once. Layout: `graph/` — (query_id,
+    * neighbor_id, cos UNROUNDED — parquet doubles round-trip exactly, and
+    * the merge order must survive storage); `vectors/` — the (id, v)
+    * primary copy future appends score against; `meta` — (k, blocks).
+    * All-or-nothing via [[graft.core.Artifacts.stageCommit]]. */
+  def writeKnnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+                    dir: String, k: Int, blocks: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.core.Artifacts.stageCommit(spark, dir) { tmp =>
+      knnGraphRaw(corpus, idCol, vecCol, k, blocks)
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+        .write.mode("overwrite").parquet(s"$tmp/graph")
+      corpus.select(col(idCol).cast("long").as("id"),
+          toDouble(col(vecCol)).as("v"))
+        .write.mode("overwrite").parquet(s"$tmp/vectors")
+      Seq((k, blocks)).toDF("k", "blocks").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/meta")
+    }
+  }
+
+  /** INCREMENTAL kNN-graph maintenance under vector APPENDS, provably ≡
+    * from-scratch: a node's true top-k over C∪B lies inside
+    * (its stored top-k over C) ∪ (its pairs with B) — the cut that makes
+    * the update |B|·|C∪B| score work instead of |C∪B|² (the inc1/inc4
+    * family's exactness contract, here for the similarity graph). New
+    * nodes rank their B×(C∪B) pair scores directly; old nodes merge the
+    * MIRRORED pairs (cosine is bitwise symmetric: element-wise IEEE
+    * multiply commutes and the sum order is the shared element order)
+    * into their stored rows and re-take top-k under the identical
+    * (cos DESC, neighbor ASC) order. Batch ids must be disjoint from the
+    * stored corpus (re-inserting an id is an update, not an append —
+    * rebuild instead). Pair scores tile exactly like the build (no
+    * cartesian, no broadcast of the corpus side); graph, vectors and
+    * meta swap as one unit ([[graft.core.Artifacts.swapInto]]). */
+  def appendToKnnGraph(batch: DataFrame, idCol: String, vecCol: String,
+                       dir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = batch.sparkSession
+    graft.core.Artifacts.heal(spark, dir)
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (k, blocks) = (meta.getInt(0), meta.getInt(1))
+    val b = blocks.toLong
+    val oldV = spark.read.parquet(s"$dir/vectors")
+      .select(col("id"), col("v"), lit(false).as("is_new"))
+    val newV = batch.select(col(idCol).cast("long").as("id"),
+      toDouble(col(vecCol)).as("v"), lit(true).as("is_new"))
+    val allN = graft.core.Par.fanOut(oldV.union(newV)
+        .select(col("id"), col("v"), col("is_new"), l2norm(col("v")).as("nrm")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = {
+      val tiles = sequence(lit(0L), lit(b - 1L))
+      val q = allN.where(col("is_new"))
+        .select(col("id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), pmod(xxhash64(col("id")), lit(b)).as("qb"),
+          explode(tiles).as("nb"))
+      val n = allN.select(col("id").as("neighbor_id"), col("v").as("nv"),
+        col("nrm").as("nn"), col("is_new").as("n_new"),
+        pmod(xxhash64(col("id")), lit(b)).as("nb"), explode(tiles).as("qb"))
+      q.join(n, Seq("qb", "nb"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("n_new"),
+          (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // two consumers below
+    }
+    try {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      def topK(df: DataFrame) = df
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+      val newRows = topK(pairs.select("query_id", "neighbor_id", "cos"))
+      val mirror = pairs.where(!col("n_new"))
+        .select(col("neighbor_id").as("query_id"),
+          col("query_id").as("neighbor_id"), col("cos"))
+      val updated = topK(spark.read.parquet(s"$dir/graph").union(mirror))
+      graft.core.Artifacts.swapInto(spark, dir) { tmp =>
+        updated.union(newRows)
+          .write.mode("overwrite").parquet(s"$tmp/graph")
+        allN.select(col("id"), col("v"))
+          .write.mode("overwrite").parquet(s"$tmp/vectors")
+        import spark.implicits._
+        Seq((k, blocks)).toDF("k", "blocks")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+      }
+    } finally {
+      pairs.unpersist(blocking = false)
+      allN.unpersist(blocking = false)
+    }
+  }
+
+  /** The stored graph, read back in [[knnGraphExact]]'s output contract
+    * (rank ordinals re-derived from the stored UNROUNDED cosines under
+    * the same order; rounding applied here, once). Graph-sized work. */
+  def knnGraphFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    graft.core.Artifacts.heal(spark, dir)
+    val k = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    spark.read.parquet(s"$dir/graph")
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 4).as("cos"))
   }

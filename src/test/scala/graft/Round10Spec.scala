@@ -273,6 +273,55 @@ class Round10Spec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("phraseSearch: positional matches, overlap counting, absent terms") {
+    val docs = Seq(
+      (1L, "a b c a b"),        // "a b" twice, "b c a" once
+      (2L, "x x x"),            // "x x" overlaps: starts 1 and 2
+      (3L, "c b a"))            // reversed — must NOT match "a b"
+      .toDF("doc_id", "text")
+    val out = ext.Retrieval.phraseSearch(docs, "doc_id", "text",
+        Seq(1L -> "a b", 2L -> "x x", 3L -> "b c a", 4L -> "a zz"))
+      .orderBy("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 1L, 2L), (2L, 2L, 2L), (3L, 1L, 1L)),
+      out.toString)
+  }
+
+  test("count-min: est >= true always; merge equals whole-corpus sketch; mass conserved") {
+    val keys = (1 to 300).map(i => (i.toLong, s"k${i % 17}")).toDF("id", "key")
+    val whole = ext.Profile.countMinSketch(keys, $"key")
+    val merged = ext.Profile.cmsMerge(Seq(
+      ext.Profile.countMinSketch(keys.where($"id" % 2 === 0), $"key"),
+      ext.Profile.countMinSketch(keys.where($"id" % 2 === 1), $"key")))
+    assert(merged.orderBy("r", "b").collect().map(_.toSeq).toSeq ==
+      whole.orderBy("r", "b").collect().map(_.toSeq).toSeq,
+      "counter-wise merge must equal the whole-corpus sketch")
+    // each row conserves total mass
+    whole.groupBy("r").agg(sum("c").as("t")).collect()
+      .foreach(r => assert(r.getLong(1) == 300L))
+    val tf = keys.groupBy("key").agg(count(lit(1)).as("true_cnt"))
+    val est = ext.Profile.cmsEstimate(whole, tf, "key")
+      .join(tf, $"k" === $"key").collect()
+    est.foreach(r => assert(r.getAs[Long]("est") >= r.getAs[Long]("true_cnt"),
+      s"CMS must overestimate: $r"))
+  }
+
+  test("knn graph: incremental append equals from-scratch (fuzzed)") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(6)(rnd.nextDouble() * 2 - 1))).toDF("vec_id", "embedding")
+    val want = ext.Similarity.knnGraphExact(vecs, "vec_id", "embedding", k = 4)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val dir = tmpDir("knn2-spec") + "/g"
+    ext.Similarity.writeKnnGraph(vecs.where($"vec_id" % 3 =!= 1),
+      "vec_id", "embedding", dir, k = 4)
+    ext.Similarity.appendToKnnGraph(vecs.where($"vec_id" % 3 === 1),
+      "vec_id", "embedding", dir)
+    val got = ext.Similarity.knnGraphFromIndex(spark, dir)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(got == want, "incremental graph must equal from-scratch")
+  }
+
   test("textrank: the adjacency hub ranks first") {
     val docs = Seq(
       (1L, "alpha beta4"), (2L, "alpha gamma"), (3L, "alpha delta"),
