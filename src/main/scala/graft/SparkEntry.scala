@@ -531,6 +531,16 @@ object SparkEntry {
           col("event_type"), col("ts"), col("value"), nMads = 3)
         .orderBy("id", "hour")),
 
+    // win1: per-type WINSORIZED stats — values clip to the exact
+    // [p5, p95] order statistics (integer ranks, never an interpolated
+    // float quantile) and the clipped sum stays exact micro-unit BIGINT;
+    // ranks come from global ordinals minus bounded per-group offsets,
+    // never a group-partitioned window (Stats.winsorizedStats scaladoc).
+    "win1_winsorize" -> ((s, d) =>
+      graft.queries.Stats.winsorizedStats(events(s, d),
+          col("event_type"), col("event_id"), col("value"))
+        .orderBy("id")),
+
     // cp1: CUSUM changepoint detection over the SAME hourly per-type
     // micro-unit totals as ts2/rob1 — the LEVEL-SHIFT monitor those point
     // screens are blind to (a sustained mean shift accumulates linearly
@@ -1939,6 +1949,17 @@ object SparkEntry {
             3L -> "scan slow fast"))
         .orderBy("query_id", "doc_id")),
 
+    // ret6: TERM-PROXIMITY ranking — the sloppy-phrase middle ground
+    // between BM25's bag-of-words (ret1) and exact adjacency (ret5):
+    // docs containing both query terms ranked by minimal positional
+    // distance; bounded pair vocabulary IN-filters the positional slice
+    // before any shuffle (Retrieval.termProximity scaladoc).
+    "ret6_term_proximity" -> ((s, d) =>
+      ext.Retrieval.termProximity(Tables.documents(s, d), "doc_id", "text",
+          Seq((1L, "spark", "join"), (2L, "hash", "merge"),
+            (3L, "stream", "window")), k = 10)
+        .orderBy("query_id", "rk")),
+
     // ret2: HYBRID retrieval — reciprocal-rank fusion of the lexical leg
     // (ret1's BM25, k=20) and the dense leg (sim1's exact cosine top-k,
     // k=20, query vectors = vec_id 0-2) into one ranking. Rank-only
@@ -2157,6 +2178,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("true_cnt"))
       val probes = tf.orderBy(col("true_cnt").desc, col("tok").asc).limit(20)
       ext.Profile.cmsEstimate(sketch, probes, "tok")
+        .join(probes, col("k") === col("tok"))
+        .select(col("tok"), col("true_cnt"), col("est"),
+          (col("est") - col("true_cnt")).as("overcount"))
+        .orderBy("tok")
+    }),
+
+    // cms2: the STORED CMS lifecycle — build from even docs, append the
+    // odd half as batch 0, then RETRY the same batch (the graded query
+    // itself exercises at-least-once delivery: the id ≤ high-water-mark
+    // no-op must swallow the duplicate or every count doubles); the
+    // final artifact answers the same top-20 probes, so the oracle is
+    // cms1's whole-corpus verbatim (Profile.appendToCmsSketch scaladoc
+    // for the one-swap id+state commit).
+    "cms2_stored_cms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def toks(df: org.apache.spark.sql.DataFrame) =
+        Par.fanOut(df.select(
+            explode(TextAnalysis.tokens(col("text"))).as("tok")))
+          .where(col("tok") =!= "")
+      val dir = graft.core.Scratch.dir("cms2-") + "/sketch"
+      ext.Profile.writeCmsSketch(toks(docs.where(col("doc_id") % 2 === 0)),
+        col("tok"), dir)
+      val odd = toks(docs.where(col("doc_id") % 2 === 1))
+      ext.Profile.appendToCmsSketch(odd, col("tok"), dir, batchId = 0L)
+      ext.Profile.appendToCmsSketch(odd, col("tok"), dir, batchId = 0L) // retry
+      val tf = toks(docs).groupBy("tok")
+        .agg(count(lit(1)).as("true_cnt"))
+      val probes = tf.orderBy(col("true_cnt").desc, col("tok").asc).limit(20)
+      ext.Profile.cmsEstimateFromSketch(s, dir, probes, "tok")
         .join(probes, col("k") === col("tok"))
         .select(col("tok"), col("true_cnt"), col("est"),
           (col("est") - col("true_cnt")).as("overcount"))
@@ -3685,6 +3735,27 @@ object SparkEntry {
       // cp1: the identical prefix-sum/running-extremum identity — HUGEINT
       // carries what Spark holds in DECIMAL(38,0); yₜ = n·vmₜ − total is
       // integer-exact so every compared value is an integer
+      // win1: identical integer ranks ((ng·pct)//100 + 1 — DuckDB //
+      // floors, operands non-negative so trunc ≡ floor) and clip sums;
+      // the oracle may use the group-partitioned window the engine avoids
+      "win1_winsorize" ->
+        ("""WITH h AS (SELECT event_type AS id, event_id,
+           |  CAST(floor(value * 1000000) AS BIGINT) AS vm
+           | FROM events WHERE value IS NOT NULL),
+           |r AS (SELECT id, vm,
+           |  row_number() OVER (PARTITION BY id ORDER BY vm, event_id) AS r,
+           |  COUNT(*) OVER (PARTITION BY id) AS ng FROM h),
+           |b AS (SELECT id, MAX(ng) AS n,
+           |  MAX(CASE WHEN r = (ng * 5) // 100 + 1 THEN vm END) AS lo,
+           |  MAX(CASE WHEN r = (ng * 95) // 100 + 1 THEN vm END) AS hi
+           | FROM r GROUP BY 1)
+           |SELECT b.id, CAST(b.n AS BIGINT) AS n, b.lo AS lo_micro,
+           | b.hi AS hi_micro,
+           | CAST(SUM(CASE WHEN h.vm < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+           | CAST(SUM(CASE WHEN h.vm > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+           | CAST(SUM(LEAST(GREATEST(h.vm, b.lo), b.hi)) AS BIGINT) AS wsum_micro
+           |FROM h JOIN b ON h.id = b.id
+           |GROUP BY 1, 2, 3, 4 ORDER BY b.id""".stripMargin.replace("\n", " ")),
       "cp1_cusum_changepoint" ->
         ("""WITH h AS (SELECT event_type AS id, date_trunc('hour', ts) AS hour,
            |  SUM(CAST(floor(value * 1000000) AS BIGINT)) AS vm
@@ -5650,6 +5721,34 @@ object SparkEntry {
            | CAST(COUNT(*) AS BIGINT) AS n_occ
            |FROM ver WHERE hit = m GROUP BY 1, 2
            |ORDER BY query_id, doc_id""".stripMargin.replace("\n", " ")),
+      // ret6: identical positional slice, per-(query, doc) occurrence
+      // join, min |pa − pb| and the (min_dist, doc_id) rank
+      "ret6_term_proximity" ->
+        (s"""WITH q(query_id, ta, tb) AS (VALUES
+           |  (1, 'spark', 'join'), (2, 'hash', 'merge'),
+           |  (3, 'stream', 'window')),
+           |tp AS (SELECT doc_id, i AS pos, ws[i] AS term
+           | FROM (SELECT doc_id, ws,
+           |   unnest(generate_series(1, len(ws))) AS i
+           |  FROM (SELECT doc_id, $toksSql AS ws FROM documents))
+           | WHERE ws[i] IN (SELECT ta FROM q UNION SELECT tb FROM q)),
+           |a AS (SELECT q.query_id, tp.doc_id, tp.pos AS pa
+           | FROM tp JOIN q ON tp.term = q.ta),
+           |b AS (SELECT q.query_id, tp.doc_id, tp.pos AS pb
+           | FROM tp JOIN q ON tp.term = q.tb),
+           |j AS (SELECT a.query_id, a.doc_id,
+           |  MIN(ABS(pa - pb)) AS min_dist,
+           |  COUNT(DISTINCT pa) AS n_a, COUNT(DISTINCT pb) AS n_b
+           | FROM a JOIN b ON a.query_id = b.query_id
+           |  AND a.doc_id = b.doc_id GROUP BY 1, 2),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |  ORDER BY min_dist, doc_id) AS rk FROM j)
+           |SELECT CAST(query_id AS BIGINT) AS query_id,
+           | CAST(rk AS BIGINT) AS rk, doc_id,
+           | CAST(min_dist AS BIGINT) AS min_dist,
+           | CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+           |FROM r WHERE rk <= 10
+           |ORDER BY query_id, rk""".stripMargin.replace("\n", " ")),
       // ret2: ret1's BM25 CTE at k=20 + sim1's dense ranking at k=20 for
       // vec_id 0-2, fused by 1/(60+rk) — contributions quantized to
       // DECIMAL(30,6) exactly like the Spark side's Num.dsum, fused rank
@@ -5860,27 +5959,10 @@ object SparkEntry {
         hh1Sql,
       // cms1: whole-corpus counters (≡ the engine's even⊕odd merge by
       // additivity), identical sha row hashes and min-over-rows estimate
-      "cms1_countmin" ->
-        (s"""WITH tf AS (SELECT t AS tok, COUNT(*) AS c
-           | FROM (SELECT unnest($toksSql) AS t FROM documents)
-           | WHERE t <> '' GROUP BY 1),
-           |rr AS (SELECT unnest([0, 1, 2]) AS r),
-           |ctr AS (SELECT r,
-           |  ('0x' || substring(sha256(tok || ':cms' || CAST(r AS VARCHAR)),
-           |   1, 15))::BIGINT % 64 AS b, SUM(c) AS cc
-           | FROM tf, rr GROUP BY 1, 2),
-           |probes AS (SELECT tok, c FROM tf ORDER BY c DESC, tok LIMIT 20),
-           |pb AS (SELECT tok, r,
-           |  ('0x' || substring(sha256(tok || ':cms' || CAST(r AS VARCHAR)),
-           |   1, 15))::BIGINT % 64 AS b FROM probes, rr),
-           |est AS (SELECT pb.tok, MIN(COALESCE(ctr.cc, 0)) AS est
-           | FROM pb LEFT JOIN ctr ON ctr.r = pb.r AND ctr.b = pb.b
-           | GROUP BY 1)
-           |SELECT p.tok, CAST(p.c AS BIGINT) AS true_cnt,
-           | CAST(e.est AS BIGINT) AS est,
-           | CAST(e.est - p.c AS BIGINT) AS overcount
-           |FROM probes p JOIN est e USING (tok)
-           |ORDER BY tok""".stripMargin.replace("\n", " ")),
+      "cms1_countmin" -> cmsSql,
+      // cms2: the stored artifact after append + duplicate-batch retry
+      // must answer identically — cms1's oracle verbatim
+      "cms2_stored_cms" -> cmsSql,
       "ss1_join_replay" ->
         ("""SELECT e.event_id, e.ts, e.user_id,
            | c.event_id AS click_event_id, c.ts AS click_ts
@@ -6722,6 +6804,31 @@ object SparkEntry {
     * applied in training order over the distinct-word relation — the
     * shared oracle of bpe3 (inline train+apply), bpe4 (stored artifact)
     * and bpe5 (stored-state extension). */
+  /** Whole-corpus CMS counters + top-20 probe estimates — shared by cms1
+    * (in-query merge of halves) and cms2 (stored artifact + idempotent
+    * append): both equal the single-corpus sketch by counter additivity. */
+  private lazy val cmsSql: String =
+    (s"""WITH tf AS (SELECT t AS tok, COUNT(*) AS c
+       | FROM (SELECT unnest($toksSql) AS t FROM documents)
+       | WHERE t <> '' GROUP BY 1),
+       |rr AS (SELECT unnest([0, 1, 2]) AS r),
+       |ctr AS (SELECT r,
+       |  ('0x' || substring(sha256(tok || ':cms' || CAST(r AS VARCHAR)),
+       |   1, 15))::BIGINT % 64 AS b, SUM(c) AS cc
+       | FROM tf, rr GROUP BY 1, 2),
+       |probes AS (SELECT tok, c FROM tf ORDER BY c DESC, tok LIMIT 20),
+       |pb AS (SELECT tok, r,
+       |  ('0x' || substring(sha256(tok || ':cms' || CAST(r AS VARCHAR)),
+       |   1, 15))::BIGINT % 64 AS b FROM probes, rr),
+       |est AS (SELECT pb.tok, MIN(COALESCE(ctr.cc, 0)) AS est
+       | FROM pb LEFT JOIN ctr ON ctr.r = pb.r AND ctr.b = pb.b
+       | GROUP BY 1)
+       |SELECT p.tok, CAST(p.c AS BIGINT) AS true_cnt,
+       | CAST(e.est AS BIGINT) AS est,
+       | CAST(e.est - p.c AS BIGINT) AS overcount
+       |FROM probes p JOIN est e USING (tok)
+       |ORDER BY tok""".stripMargin.replace("\n", " "))
+
   /** From-scratch exact kNN graph (k = 3) — shared by knn1 (inline
     * build) and knn2 (incrementally-maintained stored graph). */
   private lazy val knn1Sql: String =

@@ -136,6 +136,56 @@ object Profile {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** BUILD the stored CMS artifact — the sketch tier's lifecycle closure
+    * (bf2/hh-summary discipline): `counters/` (r, b, c), `meta/`
+    * (d, w, last_batch_id). d·w rows total — the artifact is
+    * sketch-sized, never data-sized. All-or-nothing via
+    * [[graft.core.Artifacts.stageCommit]]. */
+  def writeCmsSketch(df: DataFrame, key: Column, dir: String,
+                     d: Int = 3, w: Int = 64): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.core.Artifacts.stageCommit(spark, dir) { tmp =>
+      countMinSketch(df, key, d, w)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/counters")
+      Seq((d, w, -1L)).toDF("d", "w", "last_batch_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    }
+  }
+
+  /** IDEMPOTENT batch append: counters are additive, but addition is NOT
+    * idempotent under foreachBatch's at-least-once retry — so the batch
+    * id commits atomically WITH the summed counters (ONE swap, the MG
+    * summary's exact discipline) and ids ≤ the stored high-water mark
+    * skip. A crash mid-swap heals on the next entry; a retry after a
+    * completed swap sees its own id and no-ops instead of double-adding. */
+  def appendToCmsSketch(batch: DataFrame, key: Column, dir: String,
+                        batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    graft.core.Artifacts.heal(spark, dir)
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (d, w, last) = (meta.getInt(0), meta.getInt(1), meta.getLong(2))
+    if (batchId <= last) return
+    val merged = cmsMerge(Seq(spark.read.parquet(s"$dir/counters"),
+      countMinSketch(batch, key, d, w)))
+    graft.core.Artifacts.swapInto(spark, dir) { tmp =>
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$tmp/counters")
+      Seq((d, w, batchId)).toDF("d", "w", "last_batch_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    }
+  }
+
+  /** [[cmsEstimate]] answered from the stored artifact. */
+  def cmsEstimateFromSketch(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, probes: DataFrame,
+                            keyCol: String): DataFrame = {
+    graft.core.Artifacts.heal(spark, dir)
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    cmsEstimate(spark.read.parquet(s"$dir/counters"), probes, keyCol,
+      d = meta.getInt(0), w = meta.getInt(1))
+  }
+
   def heavyHitters(df: DataFrame, key: Column, k: Int): DataFrame = {
     require(k >= 2)
     val keys = df.select(key.cast("string").as("key"))

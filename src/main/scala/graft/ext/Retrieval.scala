@@ -340,6 +340,52 @@ object Retrieval {
       .agg(count(lit(1)).as("n_occ"))
   }
 
+  /** TERM-PROXIMITY ranking — the relaxation between [[bm25TopK]]'s
+    * bag-of-words and [[phraseSearch]]'s exact adjacency: for each
+    * bounded (term_a, term_b) query, rank documents containing BOTH by
+    * the minimal positional distance between any occurrence pair
+    * (Lucene's SpanNearQuery / sloppy phrase). Output per query: top-k
+    * docs by (min_dist ASC, doc_id ASC), with per-doc occurrence counts.
+    *
+    * Shape at scale: the bounded pair vocabulary IN-filters the
+    * positional relation before any shuffle (the ret5 slice); per-doc
+    * occurrence lists of the two terms join within the (query, doc) key —
+    * |occ_a|·|occ_b| pairs per doc, fine for natural term frequencies;
+    * documents where a query term goes heavy-hitter (stopword pairs)
+    * want the sorted-positions linear merge instead (same output
+    * contract, one mapGroups over (query, doc)). */
+  def termProximity(docs: DataFrame, idCol: String, textCol: String,
+                    pairs: Seq[(Long, String, String)],
+                    k: Int = 10): DataFrame = {
+    require(pairs.nonEmpty)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = pairs.flatMap(p => Seq(p._2, p._3)).distinct
+    val pos = graft.core.Par.fanOut(docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks")))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "term")))
+      .where(col("term").isin(vocab: _*))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("term"))
+    val pr = pairs.toDF("query_id", "ta", "tb")
+    val a = pos.join(broadcast(pr), col("term") === col("ta"))
+      .select(col("query_id"), col("doc_id"), col("pos").as("pa"))
+    val bSide = pos.join(broadcast(pr), col("term") === col("tb"))
+      .select(col("query_id").as("qb"), col("doc_id").as("db"),
+        col("pos").as("pb"))
+    val j = a.join(bSide,
+        col("query_id") === col("qb") && col("doc_id") === col("db"))
+      .groupBy("query_id", "doc_id")
+      .agg(min(abs(col("pa") - col("pb"))).cast("long").as("min_dist"),
+        count_distinct(col("pa")).as("n_a"),
+        count_distinct(col("pb")).as("n_b"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("min_dist").asc, col("doc_id").asc)
+    j.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("min_dist"), col("n_a"), col("n_b"))
+  }
+
   def rrfFuse(legs: Seq[DataFrame], k0: Int = 60, k: Int = 10): DataFrame = {
     require(legs.nonEmpty && k0 >= 1 && k >= 1)
     val contrib = legs.map(_.select(col("query_id"), col("doc_id"),

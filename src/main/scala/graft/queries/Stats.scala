@@ -260,6 +260,58 @@ object Stats {
     * strictly between two ADJACENT data values (no data in between, and
     * double arithmetic keeps both engines' edges inside that open
     * interval), so `value ≤ edge` classifies identically. */
+  /** Per-group WINSORIZED statistics — the robust-mean screen next to
+    * rob1's MAD outliers: values clip to the group's [p_lo, p_hi] ORDER
+    * STATISTICS (exact data values selected by integer ranks
+    * ng·pct∕100 + 1 — never an interpolated float quantile, the qq1/qn1
+    * rank discipline), and the clipped sum is exact micro-unit BIGINT.
+    * Output per group: (id, n, lo_micro, hi_micro, n_lo, n_hi,
+    * wsum_micro).
+    *
+    * Shape at scale: within-group ranks derive from (group, value, id)-
+    * ordered GLOBAL ordinals minus per-group offsets from one bounded
+    * |groups|-row action ([[graft.ext.Curation.globalOrdinalsManaged]] —
+    * the qn1 invariant: a handful of giant groups must not each
+    * serialize through one reducer under a group-partitioned window);
+    * the per-group cut points aggregate conditionally from the ranked
+    * frame and join back group-keyed (AQE broadcasts the |groups|-row
+    * side). Null values are excluded up front (the engines disagree on
+    * NULL sort position — the equiDepthHistogram lesson). */
+  def winsorizedStats(df: DataFrame, key: Column, id: Column, value: Column,
+                      loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100)
+    val vm = floor(value * lit(1000000d)).cast("long")
+    val base = df.select(key.as("id"), id.as("rid"), vm.as("vm"))
+      .where(col("vm").isNotNull)
+    val (og, rel) = graft.ext.Curation.globalOrdinalsManaged(base,
+      Seq(col("id"), col("vm"), col("rid")))
+    val gc = og.groupBy("id").agg(count(lit(1)).as("c"))
+      .orderBy("id").collect()
+    var acc = 0L
+    val offs = gc.map { r => val o = (r.get(0), acc, r.getLong(1)); acc += r.getLong(1); o }
+    val offMap = map(offs.flatMap(t => Seq(lit(t._1), lit(t._2))).toIndexedSeq: _*)
+    val cntMap = map(offs.flatMap(t => Seq(lit(t._1), lit(t._3))).toIndexedSeq: _*)
+    val ranked = og.select(col("id"), col("vm"),
+      (col("ordinal") - element_at(offMap, col("id"))).as("r"),
+      element_at(cntMap, col("id")).as("ng"))
+    val cuts = ranked.groupBy("id").agg(
+      max(col("ng")).as("n"),
+      max(when(col("r") === call_function("div",
+        col("ng") * lit(loPct.toLong), lit(100L)) + 1, col("vm"))).as("lo"),
+      max(when(col("r") === call_function("div",
+        col("ng") * lit(hiPct.toLong), lit(100L)) + 1, col("vm"))).as("hi"))
+    val res = ranked.join(cuts, "id")
+      .groupBy("id")
+      .agg(max(col("n")).as("n"),
+        max(col("lo")).as("lo_micro"), max(col("hi")).as("hi_micro"),
+        sum((col("vm") < col("lo")).cast("long")).as("n_lo"),
+        sum((col("vm") > col("hi")).cast("long")).as("n_hi"),
+        sum(least(greatest(col("vm"), col("lo")), col("hi"))).as("wsum_micro"))
+      .localCheckpoint()
+    rel()
+    res
+  }
+
   def equiDepthHistogram(df: DataFrame, value: Column,
                          splits: Int = 4): DataFrame = {
     require(splits >= 2)

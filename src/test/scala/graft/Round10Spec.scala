@@ -322,6 +322,45 @@ class Round10Spec extends SparkSpec {
     assert(got == want, "incremental graph must equal from-scratch")
   }
 
+  test("stored CMS: duplicate-batch retry is a no-op; fresh batch adds") {
+    val base = (1 to 100).map(i => (i.toLong, s"k${i % 7}")).toDF("id", "key")
+    val batch = (101 to 150).map(i => (i.toLong, s"k${i % 7}")).toDF("id", "key")
+    val dir = tmpDir("cms2-spec") + "/sk"
+    ext.Profile.writeCmsSketch(base, $"key", dir)
+    ext.Profile.appendToCmsSketch(batch, $"key", dir, batchId = 0L)
+    def counters() = spark.read.parquet(s"$dir/counters")
+      .orderBy("r", "b").collect().map(_.toSeq).toSeq
+    val after = counters()
+    ext.Profile.appendToCmsSketch(batch, $"key", dir, batchId = 0L) // retry
+    assert(counters() == after, "retried batch id must not double-add")
+    assert(after == ext.Profile.countMinSketch(base.union(batch), $"key")
+      .orderBy("r", "b").collect().map(_.toSeq).toSeq,
+      "append must equal the whole-corpus sketch")
+    ext.Profile.appendToCmsSketch(batch, $"key", dir, batchId = 1L)
+    assert(counters() != after, "a fresh batch id must land")
+  }
+
+  test("winsorizedStats: hand-computed cuts and clipped sum") {
+    // values 1..100 (micro = i·10⁶): lo rank 6 → 6, hi rank 96 → 96;
+    // 5 below, 4 above; wsum = 5·6 + Σ6..96 + 4·96 = 5055
+    val df = (1 to 100).map(i => ("a", i.toLong, i.toDouble)).toDF("k", "eid", "v")
+    val out = queries.Stats.winsorizedStats(df, $"k", $"eid", $"v").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) ==
+      (100L, 6000000L, 96000000L, 5L, 4L, 5055000000L), r.toString)
+  }
+
+  test("termProximity: min distance ranks; both terms required") {
+    val docs = Seq((1L, "a x b"), (2L, "b a"), (3L, "a only")).toDF("doc_id", "text")
+    val out = ext.Retrieval.termProximity(docs, "doc_id", "text",
+        Seq((1L, "a", "b")), k = 10)
+      .orderBy("query_id", "rk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 2L, 1L), (2L, 1L, 2L)), out.toString)
+  }
+
   test("textrank: the adjacency hub ranks first") {
     val docs = Seq(
       (1L, "alpha beta4"), (2L, "alpha gamma"), (3L, "alpha delta"),
