@@ -845,6 +845,27 @@ object SparkEntry {
           col("l_quantity"), col("l_extendedprice"), scale = 2)
         .orderBy("l_returnflag")),
 
+    // inc6: st1 maintained INCREMENTALLY from stored MOMENT SUMS — exact
+    // decimal moments are purely additive, so the |groups|-row summary
+    // absorbs batches without ever re-scanning the archive and finishes
+    // with st1's identical expression; the graded query retries a
+    // duplicate batch id (the one-swap id+state commit must no-op it) —
+    // oracle is st1's from-scratch verbatim
+    // (Stats.appendToBivariateMoments scaladoc).
+    "inc6_incremental_bivariate" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val gc = Seq("l_returnflag")
+      val (x, y) = (col("l_quantity"), col("l_extendedprice"))
+      val dir = graft.core.Scratch.dir("inc6-") + "/moments_art"
+      graft.queries.Stats.writeBivariateMoments(
+        li.where(col("l_orderkey") % 2 === 0), gc, x, y, dir)
+      val batch = li.where(col("l_orderkey") % 2 === 1)
+      graft.queries.Stats.appendToBivariateMoments(batch, gc, x, y, dir, 0L)
+      graft.queries.Stats.appendToBivariateMoments(batch, gc, x, y, dir, 0L) // retry
+      graft.queries.Stats.bivariateFromMoments(s, dir, gc)
+        .orderBy("l_returnflag")
+    }),
+
     // A2: bytes per user, 90 s tumbling window
     "a2_user_90s" -> ((s, d) =>
       graft.streaming.Speed.windowedSum(events(s, d),
@@ -2932,6 +2953,30 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // dbscan1: DBSCAN density clustering over sd1's planted corpus —
+    // k-means' (km1) complement: no k up front, arbitrary shapes, an
+    // explicit noise class. Neighborhood = d5's cos ≥ 0.9 pair graph
+    // (LSH-blocked, exact verify — the oracle states plain all-pairs
+    // truth); core ≥ 2 neighbors; clusters = core-core components TO
+    // CONVERGENCE labeled by min id; border attaches to the MIN core-
+    // neighbor cluster (determinism rule); noise = −1
+    // (Clustering.dbscan scaladoc). Planted triples (even ids: base,
+    // ×1.5, ×0.5) come out core clusters; odd-id pairs are mutual
+    // 1-neighbor non-cores → noise — the roles separate visibly.
+    "dbscan1_density_cluster" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.select(col("vec_id"),
+        Similarity.toDoubleArr(col("embedding")).as("embedding"))
+      val dup1 = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x.cast("double") * lit(1.5d)).as("embedding"))
+      val dup2 = emb.where(col("vec_id") % 2 === 0)
+        .select((col("vec_id") + lit(2000000L)).as("vec_id"),
+          transform(col("embedding"), x => x.cast("double") * lit(0.5d)).as("embedding"))
+      ext.Clustering.dbscan(base.unionByName(dup1).unionByName(dup2),
+          "vec_id", "embedding", 0.9, minPts = 2)
+        .orderBy("id")
+    }),
+
     // d6: string-level fuzzy dedup — Levenshtein ≤ 1 via the deletion-
     // neighborhood index (exact recall, so the oracle is the plain
     // all-pairs semantic truth with no blocking in sight)
@@ -3959,21 +4004,10 @@ object SparkEntry {
            |ORDER BY user_id, event_type""".stripMargin.replace("\n", " ")),
       // st1: identical integer moment sums and the identical combination
       // expression — HUGEINT on the DuckDB side mirrors DECIMAL(38,0)
-      "st1_bivariate_stats" ->
-        ("""WITH q AS (SELECT l_returnflag,
-           |  CAST(round(l_quantity * 100) AS BIGINT) AS x,
-           |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
-           |a AS (SELECT l_returnflag, COUNT(*)::HUGEINT AS n,
-           |  SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
-           |  SUM(x*y)::HUGEINT AS sxy, SUM(x*x)::HUGEINT AS sxx,
-           |  SUM(y*y)::HUGEINT AS syy
-           | FROM q GROUP BY l_returnflag)
-           |SELECT l_returnflag, n::BIGINT AS n,
-           | CAST(n*sxy - sx*sy AS DOUBLE)
-           |  / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr,
-           | CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS covar_samp,
-           | CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
-           |FROM a ORDER BY l_returnflag""".stripMargin.replace("\n", " ")),
+      "st1_bivariate_stats" -> st1Sql,
+      // inc6: the stored moment summary after append + duplicate retry
+      // must finish to the identical stats — st1's oracle verbatim
+      "inc6_incremental_bivariate" -> st1Sql,
       "a2_user_90s" -> windowed("90 seconds", "CAST(user_id AS VARCHAR)", "events", "user_bytes_total"),
       // mv1: the maintained view must equal the batch hourly aggregate
       "mv1_streaming_matview" -> windowed("1 hour", "CAST(user_id AS VARCHAR)", "events", "user_hourly_mv"),
@@ -6222,6 +6256,39 @@ object SparkEntry {
            |FROM fps a JOIN fps b ON a.id < b.id
            |WHERE bit_count(xor(a.fp, b.fp)) <= 3
            |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
+      // dbscan1: exact all-pairs neighborhood truth over the planted
+      // corpus, degree-based core set, recursive-CTE core components,
+      // min-core-neighbor border attach, noise −1
+      "dbscan1_density_cluster" ->
+        ("""WITH RECURSIVE
+           |v0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+           |v AS (SELECT id, v FROM v0
+           | UNION ALL SELECT id + 1000000, list_transform(v, x -> x * 1.5) FROM v0
+           | UNION ALL SELECT id + 2000000, list_transform(v, x -> x * 0.5) FROM v0 WHERE id % 2 = 0),
+           |pr AS (SELECT x.id AS id_a, y.id AS id_b
+           | FROM v x JOIN v y ON x.id < y.id
+           | WHERE list_dot_product(x.v, y.v) /
+           |   (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.9),
+           |e AS (SELECT id_a AS x, id_b AS y FROM pr UNION SELECT id_b, id_a FROM pr),
+           |core AS (SELECT x AS id FROM e GROUP BY 1 HAVING COUNT(*) >= 2),
+           |ce AS (SELECT e.x, e.y FROM e
+           | JOIN core a ON e.x = a.id JOIN core b ON e.y = b.id),
+           |reach(x, y) AS (SELECT x, y FROM ce
+           | UNION SELECT r.x, c2.y FROM reach r JOIN ce c2 ON r.y = c2.x),
+           |rt AS (SELECT x AS id, LEAST(x, MIN(y)) AS cluster
+           | FROM reach GROUP BY x),
+           |corelab AS (SELECT c.id, COALESCE(rt.cluster, c.id) AS cluster
+           | FROM core c LEFT JOIN rt ON rt.id = c.id),
+           |border AS (SELECT e.x AS id, MIN(cl.cluster) AS cluster
+           | FROM e JOIN corelab cl ON e.y = cl.id
+           | WHERE e.x NOT IN (SELECT id FROM core) GROUP BY 1)
+           |SELECT v.id,
+           | CASE WHEN cl.id IS NOT NULL THEN 'core'
+           |  WHEN b.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+           | CAST(COALESCE(cl.cluster, b.cluster, -1) AS BIGINT) AS cluster
+           |FROM v LEFT JOIN corelab cl ON v.id = cl.id
+           |LEFT JOIN border b ON v.id = b.id
+           |ORDER BY v.id""".stripMargin.replace("\n", " ")),
       "sim1_ann_topk" ->
         ("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
            |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -6828,6 +6895,24 @@ object SparkEntry {
        | CAST(e.est - p.c AS BIGINT) AS overcount
        |FROM probes p JOIN est e USING (tok)
        |ORDER BY tok""".stripMargin.replace("\n", " "))
+
+  /** From-scratch exact bivariate stats over lineitem — shared by st1
+    * (one-pass) and inc6 (stored moment summary + incremental append). */
+  private lazy val st1Sql: String =
+    ("""WITH q AS (SELECT l_returnflag,
+       |  CAST(round(l_quantity * 100) AS BIGINT) AS x,
+       |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
+       |a AS (SELECT l_returnflag, COUNT(*)::HUGEINT AS n,
+       |  SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+       |  SUM(x*y)::HUGEINT AS sxy, SUM(x*x)::HUGEINT AS sxx,
+       |  SUM(y*y)::HUGEINT AS syy
+       | FROM q GROUP BY l_returnflag)
+       |SELECT l_returnflag, n::BIGINT AS n,
+       | CAST(n*sxy - sx*sy AS DOUBLE)
+       |  / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr,
+       | CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS covar_samp,
+       | CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
+       |FROM a ORDER BY l_returnflag""".stripMargin.replace("\n", " "))
 
   /** From-scratch exact kNN graph (k = 3) — shared by knn1 (inline
     * build) and knn2 (incrementally-maintained stored graph). */

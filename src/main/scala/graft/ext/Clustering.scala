@@ -121,4 +121,70 @@ object Clustering {
     val cents = kmeansFit(df, idCol, vecCol, k, iters, scale)
     df.select(col(idCol).as("vec_id"), assignColumn(col(vecCol), cents, scale))
   }
+
+  /** DBSCAN density clustering over the cosine-similarity neighborhood
+    * (Ester et al. 1996) — the clustering family member k-means cannot
+    * be: no k chosen up front, arbitrary cluster shapes, an explicit
+    * NOISE class (exactly what near-dup corpus structure looks like —
+    * dense duplicate clumps in a sea of singletons). Neighborhood:
+    * cos ≥ `minCos` pairs from the LSH-blocked generator
+    * ([[Dedup.embeddingNearDupPairsLsh]] — candidate volume ~linear in n
+    * at high thresholds, exact verify inside buckets). CORE = ≥ `minPts`
+    * neighbors (self excluded); clusters = connected components of the
+    * core-core subgraph to CONVERGENCE ([[Graph.connectedComponents]] —
+    * engine-free fixpoint semantics), labeled by minimum member id;
+    * BORDER = non-core with a core neighbor, attached to the MINIMUM
+    * core-neighbor cluster (classic DBSCAN leaves the border assignment
+    * order-dependent — the min rule makes it deterministic); NOISE =
+    * everything else, cluster −1.
+    *
+    * Shape at scale: pair generation is the d5 path (distinct-value
+    * collapse + banded signatures, no all-pairs); degrees, core filter,
+    * border attach are one shuffle each on the PAIR relation (output-
+    * sized, ≪ corpus under dedup-regime thresholds); the component
+    * fixpoint runs on the core-core subgraph only. The pair list
+    * persists for its three consumers. */
+  def dbscan(corpus: DataFrame, idCol: String, vecCol: String,
+             minCos: Double, minPts: Int = 2): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = Dedup.embeddingNearDupPairsLsh(
+        corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+        "vec_id", "embedding", minCos)
+      .select(col("id_a"), col("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dbscanFromPairs(corpus.select(col(idCol).as("id")), pairs, minPts)
+  }
+
+  /** The DBSCAN role/label derivation from an explicit NEIGHBOR-PAIR
+    * relation (id_a, id_b, one row per undirected pair) — [[dbscan]]'s
+    * second half, public so any neighborhood generator (LSH, exact,
+    * precomputed kNN graph) plugs in, and so the border/noise logic is
+    * testable against hand-built graphs (the planted cos=1 corpora form
+    * cliques and can never exercise a border). */
+  def dbscanFromPairs(ids: DataFrame, pairs: DataFrame,
+                      minPts: Int): DataFrame = {
+    val e = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    val core = e.groupBy("src").agg(count(lit(1)).as("nn"))
+      .where(col("nn") >= minPts).select(col("src").as("id"))
+    val cc = Graph.connectedComponents(
+      e.join(core.select(col("id").as("src")), "src")
+        .join(core.select(col("id").as("dst")), "dst")
+        .select(col("src"), col("dst")))
+    // a core node with no CORE neighbor is its own singleton cluster
+    val coreLab = core.join(cc, core("id") === cc("node"), "left_outer")
+      .select(core("id"), coalesce(col("component"), core("id")).as("cluster"))
+    val border = e
+      .join(coreLab.select(col("id").as("dst"), col("cluster")), "dst")
+      .join(core.select(col("id").as("src")), Seq("src"), "left_anti")
+      .groupBy("src").agg(min(col("cluster")).as("cluster"))
+      .select(col("src").as("id"), col("cluster"))
+    val labeled = coreLab.withColumn("role", lit("core"))
+      .unionByName(border.withColumn("role", lit("border")))
+    ids.join(labeled, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("role"), lit("noise")).as("role"),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"))
+  }
 }

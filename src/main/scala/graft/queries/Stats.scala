@@ -78,8 +78,17 @@ object Stats {
             (col("graft_x") - col("graft_mx")).as("graft_x"),
             (col("graft_y") - col("graft_my")).as("graft_y")): _*)
       }
+    finishBivariate(momentSums(rows, groupCols), groupCols, f)
+  }
+
+  /** The five exact-decimal moment sums + count per group — the
+    * MERGEABLE summary [[bivariate]] finishes from: sums are purely
+    * additive, so a stored moment relation maintains under batch appends
+    * with the result provably ≡ from-scratch (inc6). Input rows must
+    * carry quantized graft_x/graft_y. */
+  private def momentSums(rows: DataFrame, groupCols: Seq[String]): DataFrame = {
     def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
-    val agged = rows
+    rows
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).cast("decimal(38,0)").as("graft_n"),
         dsum(col("graft_x")).as("graft_sx"),
@@ -87,6 +96,10 @@ object Stats {
         dsum(col("graft_x") * col("graft_y")).as("graft_sxy"),
         dsum(col("graft_x") * col("graft_x")).as("graft_sxx"),
         dsum(col("graft_y") * col("graft_y")).as("graft_syy"))
+  }
+
+  private def finishBivariate(agged: DataFrame, groupCols: Seq[String],
+                              f: Long): DataFrame = {
     // exact decimal combination, then ONE cast to double per term — the
     // identical expression shape the oracle writes
     val num = (col("graft_n") * col("graft_sxy") - col("graft_sx") * col("graft_sy")).cast("double")
@@ -107,6 +120,75 @@ object Stats {
             (col("graft_n") * (col("graft_n") - lit(1))).cast("double")),
           lit(f.toDouble * f.toDouble)).as("covar_samp"),
         try_divide(num, vx).as("slope")): _*)
+  }
+
+  private def quantizeXY(df: DataFrame, groupCols: Seq[String], x: Column,
+                         y: Column, f: Long): DataFrame =
+    df.select(
+      groupCols.map(col) ++ Seq(
+        round(x * f).cast("long").as("graft_x"),
+        round(y * f).cast("long").as("graft_y")): _*)
+
+  /** BUILD the stored bivariate-moment summary — the statistics tier's
+    * mergeable artifact (the CMS/MG discipline applied to exact moments):
+    * `moments/` one row per group with the six decimal sums (parquet
+    * decimals round-trip exactly), `meta/` (scale, last_batch_id).
+    * Centered mode is excluded by construction — mean-shifted moments
+    * are not additive; the uncentered sums are. */
+  def writeBivariateMoments(df: DataFrame, groupCols: Seq[String],
+                            x: Column, y: Column, dir: String,
+                            scale: Int = 2): Unit = {
+    require(scale >= 0 && scale <= 6)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val f = math.pow(10, scale).toLong
+    graft.core.Artifacts.stageCommit(spark, dir) { tmp =>
+      momentSums(quantizeXY(df, groupCols, x, y, f), groupCols)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/moments")
+      Seq((scale, -1L)).toDF("scale", "last_batch_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    }
+  }
+
+  /** IDEMPOTENT batch append: the batch's moment sums add group-wise
+    * into the stored relation (union + re-aggregate — group-keyed, the
+    * summary stays |groups|-sized); addition is not idempotent, so the
+    * batch id commits atomically WITH the summed state and ids ≤ the
+    * high-water mark no-op (the appendToCmsSketch contract). */
+  def appendToBivariateMoments(batch: DataFrame, groupCols: Seq[String],
+                               x: Column, y: Column, dir: String,
+                               batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    graft.core.Artifacts.heal(spark, dir)
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (scale, last) = (meta.getInt(0), meta.getLong(1))
+    if (batchId <= last) return
+    val f = math.pow(10, scale).toLong
+    def dec(c: Column) = sum(c).cast("decimal(38,0)")
+    val merged = spark.read.parquet(s"$dir/moments")
+      .unionByName(momentSums(quantizeXY(batch, groupCols, x, y, f), groupCols))
+      .groupBy(groupCols.map(col): _*)
+      .agg(dec(col("graft_n")).as("graft_n"),
+        dec(col("graft_sx")).as("graft_sx"), dec(col("graft_sy")).as("graft_sy"),
+        dec(col("graft_sxy")).as("graft_sxy"),
+        dec(col("graft_sxx")).as("graft_sxx"),
+        dec(col("graft_syy")).as("graft_syy"))
+    graft.core.Artifacts.swapInto(spark, dir) { tmp =>
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$tmp/moments")
+      Seq((scale, batchId)).toDF("scale", "last_batch_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    }
+  }
+
+  /** [[bivariate]] answered from the stored summary — |groups|-sized
+    * work, no data scan; provably ≡ from-scratch by moment additivity. */
+  def bivariateFromMoments(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, groupCols: Seq[String]): DataFrame = {
+    graft.core.Artifacts.heal(spark, dir)
+    val scale = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    finishBivariate(spark.read.parquet(s"$dir/moments"), groupCols,
+      math.pow(10, scale).toLong)
   }
 
   /** QUANTILE-QUANTILE numeric drift between two snapshots — the

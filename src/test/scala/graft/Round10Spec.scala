@@ -361,6 +361,38 @@ class Round10Spec extends SparkSpec {
     assert(out == Seq((1L, 2L, 1L), (2L, 1L, 2L)), out.toString)
   }
 
+  test("dbscanFromPairs: core/border/noise roles and min-cluster attach") {
+    // core triangle {1,2,3}; 4 touches only core 2 → border; 5 isolated;
+    // 6—7 a mutual-1-neighbor pair → both noise
+    val ids = (1L to 7L).toDF("id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val out = ext.Clustering.dbscanFromPairs(ids, pairs, minPts = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, "core", 1L), (2L, "core", 1L), (3L, "core", 1L),
+      (4L, "border", 1L), (5L, "noise", -1L), (6L, "noise", -1L),
+      (7L, "noise", -1L)), out.toString)
+  }
+
+  test("bivariate moments: append + duplicate retry equals from-scratch") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 200).map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
+      rnd.nextDouble() * 10, rnd.nextDouble() * 5 + i * 0.01))
+      .toDF("rid", "g", "x", "y")
+    val want = queries.Stats.bivariate(df, Seq("g"), $"x", $"y", scale = 2)
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    val dir = tmpDir("inc6-spec") + "/m"
+    queries.Stats.writeBivariateMoments(df.where($"rid" <= 120),
+      Seq("g"), $"x", $"y", dir)
+    val batch = df.where($"rid" > 120)
+    queries.Stats.appendToBivariateMoments(batch, Seq("g"), $"x", $"y", dir, 0L)
+    queries.Stats.appendToBivariateMoments(batch, Seq("g"), $"x", $"y", dir, 0L)
+    val got = queries.Stats.bivariateFromMoments(spark, dir, Seq("g"))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(got == want, "moment summary must finish to the from-scratch stats")
+  }
+
   test("textrank: the adjacency hub ranks first") {
     val docs = Seq(
       (1L, "alpha beta4"), (2L, "alpha gamma"), (3L, "alpha delta"),
