@@ -62,7 +62,14 @@ object DumpPlans {
       // round-10: the stored-PQ query path (literal-codebook ADC over the
       // codes-only scan) and the to-convergence MSF (pr1 — the round-9
       // verdict's single-subtree done-criterion — is in the base list)
-      "pq2_stored_pq", "mst2_boruvka_msf")
+      "pq2_stored_pq", "mst2_boruvka_msf",
+      // round-10 second wave: TextRank's shared-subtree edge build, the
+      // stored-kNN append read path, the positional-slice retrieval
+      // shapes, DBSCAN's pair-reuse, CMS's sketch-sized aggregate, and
+      // the ordinals-based winsorize
+      "tr1_textrank", "knn2_incremental_knn", "ret5_phrase_search",
+      "ret6_term_proximity", "cms1_countmin", "win1_winsorize",
+      "acf1_autocorrelation", "dbscan1_density_cluster")
     val sections = new StringBuilder
     val inventory = new StringBuilder
     inventory.append("\n## Plan inventory — all graded queries (finalized plans, sf0.001)\n\n")
