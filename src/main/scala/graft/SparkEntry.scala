@@ -2281,6 +2281,34 @@ object SparkEntry {
         .orderBy("token")
     }),
 
+    // cms1s: the CMS lifecycle driven by the REAL streaming engine —
+    // hh1s's counter-tier sibling: three replay micro-batches fold into
+    // the stored sketch via foreachBatch (first builds, later merge,
+    // every swap fenced by the batch id since counter addition is not
+    // idempotent), then the artifact answers cms1's probes — oracle is
+    // the whole-corpus cms verbatim (sketch of a union = sum of batch
+    // sketches, whatever the batch boundaries).
+    "cms1s_stream_cms" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val slices = (0 until 3).map(i =>
+        docs.where(pmod(col("doc_id"), lit(3)) === i))
+      val dir = graft.streaming.Replay.slicedSourceReplay(s, slices,
+          "doc_id BIGINT, text STRING", "cms1s-") { (src, dir) =>
+        graft.streaming.Ingest.cmsIngest(src, "text", s"$dir/cms",
+          s"$dir/ckpt")
+      }
+      val tf = Par.fanOut(Tables.documents(s, d).select(
+          explode(TextAnalysis.tokens(col("text"))).as("tok")))
+        .where(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+      val probes = tf.orderBy(col("true_cnt").desc, col("tok").asc).limit(20)
+      ext.Profile.cmsEstimateFromSketch(s, s"$dir/cms", probes, "tok")
+        .join(probes, col("k") === col("tok"))
+        .select(col("tok"), col("true_cnt"), col("est"),
+          (col("est") - col("true_cnt")).as("overcount"))
+        .orderBy("tok")
+    }),
+
     // ss1: the stream-stream watermark-bounded INNER join executed by the
     // STREAMING engine — error/click events replayed through
     // Speed.joinWithin (state-store symmetric hash join) to completion,
@@ -2700,6 +2728,23 @@ object SparkEntry {
     // the complete MSF unique, so fixed-point equality is exact.
     "mst2_boruvka_msf" -> ((s, d) => {
       Graph.boruvkaForest(coPurchaseWeightedEdges(s, d))
+        .select(col("a").as("part_a"), col("b").as("part_b"), col("w"))
+    }),
+
+    // mst3: INCREMENTAL MSF — the forest maintained from the STORED
+    // artifact under an edge-batch append via SPARSIFICATION
+    // (MSF(G₁∪G₂) ⊆ MSF(G₁) ∪ MSF(G₂), so Borůvka re-runs over
+    // node-sized stored state ∪ batch, never the archived edge set;
+    // naturally idempotent, no batch-id fencing needed —
+    // Graph.appendToMsfForest scaladoc). Edges split by parity of
+    // (src + dst); result must equal mst2's from-scratch forest — its
+    // oracle verbatim.
+    "mst3_incremental_msf" -> ((s, d) => {
+      val e = coPurchaseWeightedEdges(s, d)
+      val dir = graft.core.Scratch.dir("mst3-") + "/msf"
+      Graph.writeMsfForest(e.where((col("src") + col("dst")) % 2 === 0), dir)
+      Graph.appendToMsfForest(e.where((col("src") + col("dst")) % 2 === 1), dir)
+      Graph.msfFromStore(s, dir)
         .select(col("a").as("part_a"), col("b").as("part_b"), col("w"))
     }),
 
@@ -3390,6 +3435,18 @@ object SparkEntry {
       ext.Eval.calibrationBins(Tables.documents(s, d), Seq("source"),
           col("n_chars"), col("lang") === "en", width = 200L)
         .orderBy("source", "bin")),
+
+    // ndcg1: NDCG@10 on the SAME score fixture — the fourth eval leg:
+    // auc1 grades the whole ordering, cal1 the score magnitudes, conf1
+    // one operating point, this the position-discounted top-k a consumer
+    // actually reads. Discount weights are integer micro-units computed
+    // ONCE on the driver and interpolated into BOTH sides (no engine
+    // evaluates a log in the graded path); DCG/IDCG exact BIGINT, one
+    // final IEEE division (Eval.ndcgAtK scaladoc).
+    "ndcg1_ranking_ndcg" -> ((s, d) =>
+      ext.Eval.ndcgAtK(Tables.documents(s, d), Seq("source"), col("doc_id"),
+          col("n_chars"), col("lang") === "en", k = 10)
+        .orderBy("source")),
 
     // conf1: confusion matrix + P/R/F1 at one operating point on the
     // SAME score fixture as auc1/cal1 — exact integer counts, rates as
@@ -5365,6 +5422,9 @@ object SparkEntry {
       // round budget — rounds past convergence claim nothing (see the
       // mst2 entry comment), so the unrolled form states the fixpoint
       "mst2_boruvka_msf" -> mst2OracleSql(7),
+      // mst3: the incrementally-maintained stored forest must equal the
+      // from-scratch complete MSF — mst2's oracle verbatim
+      "mst3_incremental_msf" -> mst2OracleSql(7),
       // wsp1: the identical three Bellman–Ford relaxations unrolled —
       // each round is min over (relax every edge from the frame) ∪ (keep
       // the frame); integer weights, integer distances
@@ -5997,6 +6057,9 @@ object SparkEntry {
       // cms2: the stored artifact after append + duplicate-batch retry
       // must answer identically — cms1's oracle verbatim
       "cms2_stored_cms" -> cmsSql,
+      // cms1s: the stream-maintained sketch must answer identically —
+      // cms1's oracle verbatim (counter additivity across any batching)
+      "cms1s_stream_cms" -> cmsSql,
       "ss1_join_replay" ->
         ("""SELECT e.event_id, e.ts, e.user_id,
            | c.event_id AS click_event_id, c.ts AS click_ts
@@ -6545,6 +6608,7 @@ object SparkEntry {
       // cal1: same score/label fixture, integer bins via // — counts and
       // sums stay integral until the two final divisions
       // conf1: identical exact counts; micro rates via guarded //
+      "ndcg1_ranking_ndcg" -> ndcg1Sql,
       "conf1_confusion_f1" ->
         ("""WITH a AS (SELECT source,
            |  CAST(SUM(CASE WHEN n_chars >= 700 AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
@@ -6871,6 +6935,36 @@ object SparkEntry {
     * applied in training order over the distinct-word relation — the
     * shared oracle of bpe3 (inline train+apply), bpe4 (stored artifact)
     * and bpe5 (stored-state extension). */
+  /** NDCG@10 over the auc1 fixture — the discount weights interpolate
+    * from [[ext.Eval.ndcgWeightsMicro]], so engine and oracle consume
+    * the SAME integer literals and no logarithm runs in either engine. */
+  private lazy val ndcg1Sql: String = {
+    val wm = ext.Eval.ndcgWeightsMicro(10)
+    val pf = wm.scanLeft(0L)(_ + _).tail
+    val wtVals = wm.zipWithIndex.map { case (v, i) => s"(${i + 1}, $v)" }
+      .mkString(", ")
+    val pfVals = pf.zipWithIndex.map { case (v, i) => s"(${i + 1}, $v)" }
+      .mkString(", ")
+    (s"""WITH r AS (SELECT source, (lang = 'en') AS l,
+       |  row_number() OVER (PARTITION BY source
+       |   ORDER BY n_chars DESC, doc_id) AS rn
+       | FROM documents),
+       |wt(rn, wm) AS (VALUES $wtVals),
+       |pf(n, v) AS (VALUES $pfVals),
+       |d AS (SELECT source, SUM(CASE WHEN l THEN wm ELSE 0 END) AS dcg
+       | FROM r JOIN wt USING (rn) GROUP BY 1),
+       |p AS (SELECT source, SUM(CASE WHEN l THEN 1 ELSE 0 END) AS npos
+       | FROM r GROUP BY 1)
+       |SELECT p.source, CAST(p.npos AS BIGINT) AS n_pos,
+       | CAST(COALESCE(d.dcg, 0) AS BIGINT) AS dcg_micro,
+       | CAST(COALESCE(pf.v, 0) AS BIGINT) AS idcg_micro,
+       | CAST(COALESCE(d.dcg, 0) AS DOUBLE)
+       |  / CAST(COALESCE(pf.v, 0) AS DOUBLE) AS ndcg
+       |FROM p LEFT JOIN d USING (source)
+       |LEFT JOIN pf ON pf.n = LEAST(p.npos, 10)
+       |ORDER BY source""".stripMargin.replace("\n", " "))
+  }
+
   /** Whole-corpus CMS counters + top-20 probe estimates — shared by cms1
     * (in-query merge of halves) and cms2 (stored artifact + idempotent
     * append): both equal the single-corpus sketch by counter additivity. */

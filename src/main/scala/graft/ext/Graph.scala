@@ -412,14 +412,69 @@ object Graph {
   def boruvkaForest(edges: DataFrame): DataFrame =
     boruvkaLoop(edges, maxRounds = 64, toConvergence = true)
 
+  /** BUILD the stored MSF artifact — `forest/` the complete forest's
+    * (a, b, w) rows, ≤ n−1 per component (node-sized, never edge-sized).
+    * All-or-nothing via [[graft.core.Artifacts.stageCommit]]. */
+  def writeMsfForest(edges: DataFrame, dir: String): Unit = {
+    val spark = edges.sparkSession
+    graft.core.Artifacts.stageCommit(spark, dir) { tmp =>
+      boruvkaForest(edges).write.mode("overwrite").parquet(s"$tmp/forest")
+    }
+  }
+
+  /** INCREMENTAL MSF maintenance under edge APPENDS, provably ≡
+    * from-scratch by SPARSIFICATION: for any edge partition
+    * G = G₁ ∪ G₂, MSF(G) ⊆ MSF(G₁) ∪ MSF(G₂) (cycle property under the
+    * (w, a, b) strict total order that makes the forest unique), and an
+    * MSF over any superset of MSF(G) inside G equals MSF(G) — so
+    * re-running Borůvka on (stored forest ∪ batch) yields exactly the
+    * full-graph forest while touching only node-sized stored state plus
+    * the batch (the Eppstein sparsification scheme's one-level case; at
+    * 100 TB the archived edge set is never re-walked). NATURALLY
+    * idempotent — MSF(MSF(G) ∪ B ∪ B) = MSF(G ∪ B) — so a retried batch
+    * needs no id fencing; the swap still commits atomically. */
+  def appendToMsfForest(batch: DataFrame, dir: String): Unit = {
+    val spark = batch.sparkSession
+    graft.core.Artifacts.heal(spark, dir)
+    val stored = spark.read.parquet(s"$dir/forest")
+      .select(col("a").as("src"), col("b").as("dst"), col("w"))
+    val merged = boruvkaForest(stored.unionByName(
+      batch.select(col("src"), col("dst"), col("w"))))
+    graft.core.Artifacts.swapInto(spark, dir) { tmp =>
+      merged.write.mode("overwrite").parquet(s"$tmp/forest")
+    }
+  }
+
+  /** The stored forest, healed on entry. */
+  def msfFromStore(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = {
+    graft.core.Artifacts.heal(spark, dir)
+    spark.read.parquet(s"$dir/forest")
+  }
+
   private def boruvkaLoop(edges: DataFrame, maxRounds: Int,
                           toConvergence: Boolean): DataFrame = {
+    // SYMMETRIZE from the canonical pair set, whatever orientation(s)
+    // the caller supplied: claiming (both the round-1 per-node min and
+    // every later per-COMPONENT min, which groups by the u-side label
+    // only) must see each undirected edge from BOTH endpoints, or a
+    // one-orientation edge is invisible to its v-side component, which
+    // then claims a WORSE equal-weight edge — not the (w, a, b)-order
+    // MSF. Found the hard way by mst3: the stored forest re-enters in
+    // canonical (a → b) orientation only, and the incremental run
+    // silently diverged from from-scratch on tie-heavy weights.
     val eu = edges.select(col("src").cast("long").as("u"),
         col("dst").cast("long").as("v"), col("w").cast("long").as("w"))
       .where(col("u").isNotNull && col("u") =!= col("v"))
-      .select(col("u"), col("v"), least(col("u"), col("v")).as("a"),
+      .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"), col("w"))
       .distinct()
+      .select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("e"),
+        col("a"), col("b"), col("w"))
+      .select(col("e.u").as("u"), col("e.v").as("v"),
+        col("a"), col("b"), col("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels: DataFrame = null
     var chosen = eu.select(col("a"), col("b"), col("w")).limit(0)
@@ -430,17 +485,12 @@ object Graph {
       r += 1
       val claims = if (r == 1) {
         // round 1's labels are the identity map, so the label joins add
-        // nothing: claim = min INCIDENT edge per node, read directly from
-        // both orientations of the cached edge relation — no join, no
-        // label frame, one map-side-combined aggregate. Reading BOTH
-        // endpoint columns (not just u) is what makes directed-only input
-        // safe: a node appearing solely as dst still claims, instead of
-        // its edges silently vanishing (round-9 ADVICE); on symmetric
-        // input each incident edge just appears twice under the same min.
-        eu.select(col("u").as("cu"), col("a"), col("b"), col("w"))
-          .unionByName(eu.select(col("v").as("cu"), col("a"), col("b"),
-            col("w")))
-          .groupBy("cu")
+        // nothing: claim = min INCIDENT edge per node, one map-side-
+        // combined aggregate over the cached relation. eu is symmetric
+        // by construction (see above), so grouping by u alone sees every
+        // node with an edge — the round-9 ADVICE directed-input safety,
+        // now guaranteed at EVERY round by the shared symmetrization.
+        eu.groupBy(col("u").as("cu"))
           .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
           .select(col("m.a").as("a"), col("m.b").as("b"), col("m.w").as("w"))
       } else {

@@ -142,15 +142,31 @@ object Profile {
     * sketch-sized, never data-sized. All-or-nothing via
     * [[graft.core.Artifacts.stageCommit]]. */
   def writeCmsSketch(df: DataFrame, key: Column, dir: String,
-                     d: Int = 3, w: Int = 64): Unit = {
+                     d: Int = 3, w: Int = 64, batchId: Long = -1L): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     graft.core.Artifacts.stageCommit(spark, dir) { tmp =>
       countMinSketch(df, key, d, w)
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/counters")
-      Seq((d, w, -1L)).toDF("d", "w", "last_batch_id")
+      Seq((d, w, batchId)).toDF("d", "w", "last_batch_id")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
     }
+  }
+
+  /** One streaming micro-batch into the stored CMS: first batch builds
+    * (its id committed WITH the initial counters — a crash between build
+    * and checkpoint commit must make redelivery a no-op too), later
+    * batches merge via [[appendToCmsSketch]]'s fenced swap — the
+    * [[ingestHhBatch]] discipline for the counter tier. */
+  def ingestCmsBatch(batch: DataFrame, key: Column, dir: String,
+                     batchId: Long, d: Int = 3, w: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    graft.core.Artifacts.heal(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/counters")))
+      appendToCmsSketch(batch, key, dir, batchId)
+    else writeCmsSketch(batch, key, dir, d, w, batchId)
   }
 
   /** IDEMPOTENT batch append: counters are additive, but addition is NOT

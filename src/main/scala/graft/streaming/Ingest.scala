@@ -72,6 +72,21 @@ object Ingest {
     }.trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming COUNT-MIN maintenance — [[hhSummaryIngest]]'s counter-tier
+    * sibling: each micro-batch tokenizes and folds into the stored CMS
+    * via [[graft.ext.Profile.ingestCmsBatch]] (first batch builds, later
+    * batches merge, every swap fenced by the batch id — counter addition
+    * is not idempotent, so at-least-once redelivery MUST no-op). */
+  def cmsIngest(stream: DataFrame, textCol: String, dir: String,
+                checkpoint: String): StreamingQuery =
+    graft.core.Sinks.foreachBatchSink(stream, checkpoint) { (batch, bid) =>
+      val toks = batch.select(
+          explode(graft.ext.TextAnalysis.tokens(col(textCol))).as("tok"))
+        .where(col("tok") =!= "")
+      graft.ext.Profile.ingestCmsBatch(toks, col("tok"), dir, bid)
+    }.trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming FUZZY ingest dedup — the near-dup counterpart of
     * [[dedupIngest]] and the production shape of
     * [[graft.ext.Dedup.nearDupIncrementalIndexed]] (inc2's per-run batch

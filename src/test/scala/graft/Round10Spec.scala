@@ -101,6 +101,26 @@ class Round10Spec extends SparkSpec {
       }
       assert(want.nonEmpty, s"trial $trial: fixture must have edges")
       assert(got == want.toSet, s"trial $trial")
+      // ONE-orientation input must produce the identical order-MSF:
+      // claiming is symmetrized inside boruvkaLoop, so a canonical-only
+      // edge list (exactly what a stored forest re-entry looks like) is
+      // never invisible to its v-side component (the mst3 bug)
+      val gotDirected = ext.Graph.boruvkaForest(es.toDF("src", "dst", "w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotDirected == want.toSet,
+        s"trial $trial: one-orientation input must claim identically")
+      // incremental maintenance via sparsification ≡ from-scratch on the
+      // same tie-heavy fixture
+      val (es1, es2) = es.partition { case (a, b, _) => (a + b) % 2 == 0 }
+      if (es1.nonEmpty && es2.nonEmpty) {
+        val dir = tmpDir(s"mst3-spec-$trial") + "/msf"
+        ext.Graph.writeMsfForest(es1.toDF("src", "dst", "w"), dir)
+        ext.Graph.appendToMsfForest(es2.toDF("src", "dst", "w"), dir)
+        val inc = ext.Graph.msfFromStore(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(inc == want.toSet,
+          s"trial $trial: sparsified incremental forest must equal from-scratch")
+      }
       // completeness: per component, |edges| = |nodes| - 1
       val comps = es.flatMap(e => Seq(e._1, e._2)).distinct
         .groupBy(find).values.toSeq
@@ -391,6 +411,21 @@ class Round10Spec extends SparkSpec {
     val got = queries.Stats.bivariateFromMoments(spark, dir, Seq("g"))
       .orderBy("g").collect().map(_.toSeq).toSeq
     assert(got == want, "moment summary must finish to the from-scratch stats")
+  }
+
+  test("ndcgAtK: rank positions, idcg cutoff, zero-positive group") {
+    val wm = ext.Eval.ndcgWeightsMicro(10)
+    val df = ((1 to 12).map(i => ("g1", i.toLong, (100 - i).toLong,
+        i == 1 || i == 3)) ++                    // positives at ranks 1, 3
+      (1 to 4).map(i => ("g0", (100 + i).toLong, i.toLong, false)))
+      .toDF("source", "id", "score", "l")
+    val out = ext.Eval.ndcgAtK(df, Seq("source"), $"id", $"score", $"l")
+      .orderBy("source").collect()
+    val g0 = out(0); val g1 = out(1)
+    assert(g1.getLong(1) == 2L && g1.getLong(2) == wm(0) + wm(2) &&
+      g1.getLong(3) == wm(0) + wm(1), g1.toString)
+    assert(g0.getLong(1) == 0L && g0.getLong(2) == 0L &&
+      g0.getLong(3) == 0L && g0.isNullAt(4), g0.toString)
   }
 
   test("textrank: the adjacency hub ranks first") {
