@@ -302,6 +302,9 @@ object Retrieval {
       p.trim.toLowerCase.split("\\s+").toSeq.zipWithIndex
         .map { case (t, i) => (q, i + 1, t) }
     }
+    // the corpus tokenizer emits [""] for empty text — an empty phrase
+    // term would silently match every empty document's sentinel token
+    require(pterms.forall(_._3.nonEmpty), "phrases must be non-blank")
     val vocab = pterms.map(_._3).distinct
     val pos0 = graft.core.Par.fanOut(docs.select(
         col(idCol).cast("long").as("doc_id"),
@@ -358,6 +361,8 @@ object Retrieval {
                     pairs: Seq[(Long, String, String)],
                     k: Int = 10): DataFrame = {
     require(pairs.nonEmpty)
+    require(pairs.forall(p => p._2.nonEmpty && p._3.nonEmpty),
+      "query terms must be non-blank (the empty-doc sentinel token is \"\")")
     val spark = docs.sparkSession
     import spark.implicits._
     val vocab = pairs.flatMap(p => Seq(p._2, p._3)).distinct

@@ -296,6 +296,15 @@ object Similarity {
     val allN = graft.core.Par.fanOut(oldV.union(newV)
         .select(col("id"), col("v"), col("is_new"), l2norm(col("v")).as("nrm")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // fail LOUDLY on id collision instead of silently producing a graph
+    // with duplicate nodes (the boruvka-claiming lesson: an undocumented
+    // precondition nothing enforces WILL eventually be violated). One
+    // aggregate over the cached node-sized relation — cheap next to the
+    // |B|·|C∪B| scoring it guards.
+    val dup = allN.groupBy("id").count().where(col("count") > 1).count()
+    require(dup == 0L,
+      s"appendToKnnGraph: $dup batch id(s) already exist in the stored " +
+        "corpus — an id re-insert is an update, not an append; rebuild")
     val pairs = {
       val tiles = sequence(lit(0L), lit(b - 1L))
       val q = allN.where(col("is_new"))

@@ -69,7 +69,11 @@ object DumpPlans {
       // the ordinals-based winsorize
       "tr1_textrank", "knn2_incremental_knn", "ret5_phrase_search",
       "ret6_term_proximity", "cms1_countmin", "win1_winsorize",
-      "acf1_autocorrelation", "dbscan1_density_cluster")
+      "acf1_autocorrelation", "dbscan1_density_cluster",
+      // third wave: the WindowGroupLimit top-k NDCG and the stored-
+      // moments finish (mst3/cms1s return trivial artifact reads — the
+      // interesting work is multi-job and lives in their scaladocs)
+      "ndcg1_ranking_ndcg", "inc6_incremental_bivariate")
     val sections = new StringBuilder
     val inventory = new StringBuilder
     inventory.append("\n## Plan inventory — all graded queries (finalized plans, sf0.001)\n\n")
