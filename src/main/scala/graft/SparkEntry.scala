@@ -2731,6 +2731,36 @@ object SparkEntry {
         .select(col("a").as("part_a"), col("b").as("part_b"), col("w"))
     }),
 
+    // scc1: STRONGLY CONNECTED COMPONENTS of the directed nation-level
+    // trade-flow graph — the directed counterpart ccmp1 cannot express
+    // (A→B trade does not imply B→A). Edge build is corpus-scale (the
+    // pr1 join spine aggregated to nation pairs); the graph itself is
+    // bounded by nations², so the oracle can state scc(u) = min of u's
+    // mutual-reachability class as a recursive-CTE closure while the
+    // engine runs the scalable FW-BW-MIN peel
+    // (Graph.stronglyConnectedComponents scaladoc). Above-average flows
+    // survive (n·npairs ≥ total — scale-free, no fixed count pinned).
+    "scc1_trade_flow_scc" -> ((s, d) => {
+      val oc = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey").as("cn"))
+      val ls = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("s_nationkey").as("sn"))
+      val flow = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("cn", "sn").agg(count(lit(1)).as("n"))
+        .where(col("cn") =!= col("sn"))
+        .localCheckpoint() // nations²-bounded; scalar agg + filter consume it
+      val t = flow.agg(sum(col("n")), count(lit(1))).head()
+      val (total, npairs) = (t.getLong(0), t.getLong(1))
+      val edges = flow.where(col("n") * lit(npairs) >= lit(total))
+        .select(col("cn").as("src"), col("sn").as("dst"))
+      Graph.stronglyConnectedComponents(edges)
+        .orderBy("node")
+    }),
+
     // mst3: INCREMENTAL MSF — the forest maintained from the STORED
     // artifact under an edge-batch append via SPARSIFICATION
     // (MSF(G₁∪G₂) ⊆ MSF(G₁) ∪ MSF(G₂), so Borůvka re-runs over
@@ -5425,6 +5455,30 @@ object SparkEntry {
       // mst3: the incrementally-maintained stored forest must equal the
       // from-scratch complete MSF — mst2's oracle verbatim
       "mst3_incremental_msf" -> mst2OracleSql(7),
+      // scc1: the same flow edges, then the pure graph property — the
+      // mutual-reachability closure labeled by class minimum
+      "scc1_trade_flow_scc" ->
+        ("""WITH RECURSIVE
+           |oc AS (SELECT o_orderkey, c_nationkey AS cn
+           | FROM orders JOIN customer ON o_custkey = c_custkey),
+           |ls AS (SELECT l_orderkey, s_nationkey AS sn
+           | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+           |flow AS (SELECT cn, sn, COUNT(*) AS n
+           | FROM oc JOIN ls ON o_orderkey = l_orderkey
+           | WHERE cn <> sn GROUP BY 1, 2),
+           |tot AS (SELECT SUM(n) AS total, COUNT(*) AS npairs FROM flow),
+           |e AS (SELECT cn AS src, sn AS dst FROM flow, tot
+           | WHERE n * npairs >= total),
+           |nodes AS (SELECT DISTINCT node FROM
+           | (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+           |r(x, y) AS (SELECT src, dst FROM e
+           | UNION SELECT r.x, e.dst FROM r JOIN e ON e.src = r.y),
+           |m AS (SELECT a.x, a.y FROM r a
+           | JOIN r b ON a.x = b.y AND a.y = b.x)
+           |SELECT CAST(n.node AS BIGINT) AS node,
+           | CAST(LEAST(n.node, COALESCE(MIN(m.y), n.node)) AS BIGINT) AS scc
+           |FROM nodes n LEFT JOIN m ON m.x = n.node
+           |GROUP BY n.node ORDER BY n.node""".stripMargin.replace("\n", " ")),
       // wsp1: the identical three Bellman–Ford relaxations unrolled —
       // each round is min over (relax every edge from the frame) ∪ (keep
       // the frame); integer weights, integer distances

@@ -452,6 +452,107 @@ object Graph {
     spark.read.parquet(s"$dir/forest")
   }
 
+  /** STRONGLY CONNECTED COMPONENTS of a DIRECTED graph — the directed
+    * counterpart of [[connectedComponents]] (A→B trade does not imply
+    * B→A; cycle structure is what condensation, dependency and flow
+    * analyses actually need). Engine-free semantics: scc(u) = min id in
+    * u's mutual-reachability class — a pure graph property, so the
+    * oracle can state it as transitive closure.
+    *
+    * Algorithm: FW-BW-MIN coloring (Orzan-lineage), peeled to
+    * completion. Each outer round on the remaining subgraph:
+    * (1) FORWARD min-label fixpoint — color(u) = min id that reaches u
+    * (one edge join + one min-aggregate per inner round, the
+    * clusterRoots shape on directed edges); (2) BACKWARD flag fixpoint
+    * WITHIN each color class — f(u) once u has an edge to a flagged
+    * same-class node, seeded at the class root (membership paths
+    * provably stay inside the class: an off-class intermediate would
+    * have received a smaller color, contradiction); flagged nodes are
+    * exactly SCC(root) for every class root simultaneously, emit and
+    * remove them. Every round removes ≥ 1 SCC per color class; the
+    * classic worst case (a long path peels one node per round) is
+    * bounded by `maxRounds` — production graphs add the standard
+    * trim-of-degree-0 prepass; condensation DAGs of real corpora are
+    * shallow.
+    *
+    * Scale shape: per inner round ONE keyed equi-join of the cached
+    * remaining-edge relation against the node-sized label frame + one
+    * map-side-combined aggregate; localCheckpoint per round keeps the
+    * plan flat (the fixpoint discipline). Input: directed (src, dst).
+    * Output: (node, scc) for every node with ≥ 1 edge (singletons with
+    * no edges are their own SCC by definition — union them back in if
+    * kept, the [[connectedComponents]] contract). */
+  def stronglyConnectedComponents(edges: DataFrame,
+                                  maxRounds: Int = 40): DataFrame = {
+    val spark = edges.sparkSession
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var remaining = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var out = remaining.limit(0)
+      .select(col("node"), col("node").as("scc"))
+    var r = 0
+    var nRemaining = remaining.count()
+    while (nRemaining > 0 && r < maxRounds) {
+      r += 1
+      val re = e0
+        .join(remaining.select(col("node").as("src")), "src")
+        .join(remaining.select(col("node").as("dst")), "dst")
+        .select(col("src"), col("dst")).localCheckpoint()
+      // (1) forward min-label fixpoint: color = min id reaching the node
+      var lab = remaining.select(col("node"), col("node").as("l"))
+        .localCheckpoint()
+      var changed = true
+      while (changed) {
+        val nl = re.join(lab.select(col("node").as("src"), col("l")), "src")
+          .select(col("dst").as("node"), col("l"))
+          .union(lab)
+          .groupBy("node").agg(min(col("l")).as("l"))
+          .localCheckpoint()
+        changed = nl.join(lab.select(col("node"), col("l").as("l0")), "node")
+          .where(col("l") < col("l0")).count() > 0
+        lab = nl
+      }
+      // (2) backward flag fixpoint within each color class, seeded at
+      // the class root; flagged = the root's whole SCC
+      var flag = lab.select(col("node"), col("l"),
+        (col("node") === col("l")).as("f")).localCheckpoint()
+      var nFlag = flag.where(col("f")).count()
+      changed = true
+      while (changed) {
+        val hits = re
+          .join(flag.where(col("f")).select(col("node").as("dst"),
+            col("l").as("lw")), "dst")
+          .select(col("src").as("node"), col("lw"))
+        val nf = flag
+          .join(hits, Seq("node"), "left_outer")
+          .groupBy("node")
+          .agg(min(col("l")).as("l"),
+            max(col("f") || (col("lw").isNotNull && col("lw") === col("l")))
+              .as("f"))
+          .localCheckpoint()
+        val n2 = nf.where(col("f")).count()
+        changed = n2 > nFlag
+        nFlag = n2
+        flag = nf
+      }
+      val members = flag.where(col("f"))
+        .select(col("node"), col("l").as("scc")).localCheckpoint()
+      out = out.union(members).localCheckpoint()
+      remaining = remaining.join(members.select("node"), Seq("node"),
+        "left_anti").localCheckpoint()
+      nRemaining = remaining.count()
+    }
+    e0.unpersist(blocking = false)
+    require(nRemaining == 0,
+      s"stronglyConnectedComponents: $nRemaining nodes unresolved after " +
+        s"$maxRounds rounds — raise maxRounds (deep condensation chain)")
+    out
+  }
+
   private def boruvkaLoop(edges: DataFrame, maxRounds: Int,
                           toConvergence: Boolean): DataFrame = {
     // SYMMETRIZE from the canonical pair set, whatever orientation(s)

@@ -428,6 +428,35 @@ class Round10Spec extends SparkSpec {
       g0.getLong(3) == 0L && g0.isNullAt(4), g0.toString)
   }
 
+  test("stronglyConnectedComponents: fuzzed equality vs brute-force mutual reach") {
+    val rnd = new scala.util.Random(31)
+    (1 to 3).foreach { trial =>
+      val n = 12
+      val es = (for {
+        a <- 0 until n; b <- 0 until n
+        if a != b && rnd.nextDouble() < 0.15
+      } yield (a.toLong, b.toLong)).toSeq
+      if (es.nonEmpty) {
+        // brute-force boolean closure
+        val reach = Array.fill(n, n)(false)
+        es.foreach { case (a, b) => reach(a.toInt)(b.toInt) = true }
+        for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+          if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+        val withEdge = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = withEdge.map { u =>
+          val mutual = (0 until n).filter(v =>
+            v != u.toInt && reach(u.toInt)(v) && reach(v)(u.toInt))
+            .map(_.toLong)
+          (u, (mutual :+ u).min)
+        }.toMap
+        val got = ext.Graph.stronglyConnectedComponents(
+            es.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial $trial: got $got want $want")
+      }
+    }
+  }
+
   test("textrank: the adjacency hub ranks first") {
     val docs = Seq(
       (1L, "alpha beta4"), (2L, "alpha gamma"), (3L, "alpha delta"),
