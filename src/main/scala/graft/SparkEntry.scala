@@ -2776,6 +2776,9 @@ object SparkEntry {
       Graph.appendToMsfForest(e.where((col("src") + col("dst")) % 2 === 1), dir)
       Graph.msfFromStore(s, dir)
         .select(col("a").as("part_a"), col("b").as("part_b"), col("w"))
+        // the store read has no inherent order (parquet file order) —
+        // restore the deterministic unique-key sort the invariant wants
+        .orderBy("part_a", "part_b")
     }),
 
     // er1: ENTITY RESOLUTION → GOLDEN RECORD over a planted product
