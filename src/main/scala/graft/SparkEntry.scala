@@ -110,6 +110,30 @@ object SparkEntry {
         col("part_a").as("dst"), w.as("w")))
   }
 
+  /** Directed nation-level trade-flow edges: customer nation → supplier
+    * nation for every above-average flow (n·npairs ≥ total — scale-free,
+    * no fixed count pinned). Corpus-scale join spine aggregated to the
+    * nations²-bounded flow relation; ONE definition shared by scc1 and
+    * topo1 (the coPurchaseWeightedEdges no-drift lesson). */
+  private def nationFlowEdges(s: SparkSession, d: String): DataFrame = {
+    val oc = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey").as("cn"))
+    val ls = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("s_nationkey").as("sn"))
+    val flow = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("cn", "sn").agg(count(lit(1)).as("n"))
+      .where(col("cn") =!= col("sn"))
+      .localCheckpoint() // nations²-bounded; scalar agg + filter consume it
+    val t = flow.agg(sum(col("n")), count(lit(1))).head()
+    val (total, npairs) = (t.getLong(0), t.getLong(1))
+    flow.where(col("n") * lit(npairs) >= lit(total))
+      .select(col("cn").as("src"), col("sn").as("dst"))
+  }
+
   private def partUnit(s: SparkSession, d: String): Long =
     partUnitCache.computeIfAbsent(d, _ =>
       Tables.table(s, d, "part").agg(max(col("p_partkey").cast("long")))
@@ -2740,25 +2764,32 @@ object SparkEntry {
     // engine runs the scalable FW-BW-MIN peel
     // (Graph.stronglyConnectedComponents scaladoc). Above-average flows
     // survive (n·npairs ≥ total — scale-free, no fixed count pinned).
-    "scc1_trade_flow_scc" -> ((s, d) => {
-      val oc = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
-          col("o_custkey") === col("c_custkey"))
-        .select(col("o_orderkey"), col("c_nationkey").as("cn"))
-      val ls = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-        .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
-          col("l_suppkey") === col("s_suppkey"))
-        .select(col("l_orderkey"), col("s_nationkey").as("sn"))
-      val flow = oc.join(ls, col("o_orderkey") === col("l_orderkey"))
-        .groupBy("cn", "sn").agg(count(lit(1)).as("n"))
-        .where(col("cn") =!= col("sn"))
-        .localCheckpoint() // nations²-bounded; scalar agg + filter consume it
-      val t = flow.agg(sum(col("n")), count(lit(1))).head()
-      val (total, npairs) = (t.getLong(0), t.getLong(1))
-      val edges = flow.where(col("n") * lit(npairs) >= lit(total))
-        .select(col("cn").as("src"), col("sn").as("dst"))
-      Graph.stronglyConnectedComponents(edges)
-        .orderBy("node")
+    "scc1_trade_flow_scc" -> ((s, d) =>
+      Graph.stronglyConnectedComponents(nationFlowEdges(s, d))
+        .orderBy("node")),
+
+    // topo1: the CONDENSATION DAG layered topologically — what scc1's
+    // decomposition exists for: contract each SCC to one node, then Kahn
+    // peeling assigns every component its longest-path depth (layer 0 =
+    // pure sources; stages in a layer are independent — the scheduling /
+    // critical-path primitive). Oracle states the equivalence directly:
+    // layer = MAX recursive path depth from the in-degree-0 components
+    // (Graph.topologicalLayers scaladoc; the condensation is provably
+    // acyclic, so the recursion terminates).
+    "topo1_condensation_layers" -> ((s, d) => {
+      val edges = nationFlowEdges(s, d).localCheckpoint()
+      val lab = Graph.stronglyConnectedComponents(edges).localCheckpoint()
+      val ce = edges
+        .join(lab.select(col("node").as("src"), col("scc").as("su")), "src")
+        .join(lab.select(col("node").as("dst"), col("scc").as("sv")), "dst")
+        .where(col("su") =!= col("sv"))
+        .select(col("su").as("src"), col("sv").as("dst")).distinct()
+      val layers = Graph.topologicalLayers(ce,
+        extraNodes = Some(lab.select(col("scc").as("node")).distinct()))
+      lab.groupBy("scc").agg(count(lit(1)).as("n_members"))
+        .join(layers.select(col("node").as("scc"), col("layer")), "scc")
+        .select(col("scc"), col("layer"), col("n_members"))
+        .orderBy("scc")
     }),
 
     // mst3: INCREMENTAL MSF — the forest maintained from the STORED
@@ -5482,6 +5513,45 @@ object SparkEntry {
            | CAST(LEAST(n.node, COALESCE(MIN(m.y), n.node)) AS BIGINT) AS scc
            |FROM nodes n LEFT JOIN m ON m.x = n.node
            |GROUP BY n.node ORDER BY n.node""".stripMargin.replace("\n", " ")),
+      // topo1: scc1's closure labels, condensation edges, then layer =
+      // MAX recursive path depth from the in-degree-0 components (Kahn
+      // layer ≡ longest-path depth; the condensation is acyclic)
+      "topo1_condensation_layers" ->
+        ("""WITH RECURSIVE
+           |oc AS (SELECT o_orderkey, c_nationkey AS cn
+           | FROM orders JOIN customer ON o_custkey = c_custkey),
+           |ls AS (SELECT l_orderkey, s_nationkey AS sn
+           | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+           |flow AS (SELECT cn, sn, COUNT(*) AS n
+           | FROM oc JOIN ls ON o_orderkey = l_orderkey
+           | WHERE cn <> sn GROUP BY 1, 2),
+           |tot AS (SELECT SUM(n) AS total, COUNT(*) AS npairs FROM flow),
+           |e AS (SELECT cn AS src, sn AS dst FROM flow, tot
+           | WHERE n * npairs >= total),
+           |nodes AS (SELECT DISTINCT node FROM
+           | (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+           |r(x, y) AS (SELECT src, dst FROM e
+           | UNION SELECT r.x, e.dst FROM r JOIN e ON e.src = r.y),
+           |m AS (SELECT a.x, a.y FROM r a
+           | JOIN r b ON a.x = b.y AND a.y = b.x),
+           |lab AS (SELECT n.node,
+           |  LEAST(n.node, COALESCE(MIN(m.y), n.node)) AS scc
+           | FROM nodes n LEFT JOIN m ON m.x = n.node GROUP BY n.node),
+           |ce AS (SELECT DISTINCT a.scc AS s, b.scc AS t
+           | FROM e JOIN lab a ON e.src = a.node
+           | JOIN lab b ON e.dst = b.node WHERE a.scc <> b.scc),
+           |sccs AS (SELECT DISTINCT scc FROM lab),
+           |dp(x, d) AS (
+           | SELECT scc, 0 FROM sccs
+           |  WHERE scc NOT IN (SELECT t FROM ce)
+           | UNION ALL
+           | SELECT ce.t, dp.d + 1 FROM dp JOIN ce ON ce.s = dp.x),
+           |ly AS (SELECT x AS scc, MAX(d) AS layer FROM dp GROUP BY 1)
+           |SELECT CAST(l.scc AS BIGINT) AS scc,
+           | CAST(ly.layer AS BIGINT) AS layer,
+           | CAST(COUNT(*) AS BIGINT) AS n_members
+           |FROM lab l JOIN ly ON l.scc = ly.scc
+           |GROUP BY 1, 2 ORDER BY scc""".stripMargin.replace("\n", " ")),
       // wsp1: the identical three Bellman–Ford relaxations unrolled —
       // each round is min over (relax every edge from the frame) ∪ (keep
       // the frame); integer weights, integer distances

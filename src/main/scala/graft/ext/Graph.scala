@@ -452,6 +452,60 @@ object Graph {
     spark.read.parquet(s"$dir/forest")
   }
 
+  /** TOPOLOGICAL LAYERS of a DAG — Kahn peeling with layer numbers:
+    * layer 0 = nodes with no incoming edge, layer k = nodes whose
+    * predecessors all sit in layers < k with at least one in k−1; equals
+    * the longest-path depth from any source (the classic equivalence the
+    * oracle states as a recursive longest-path CTE). THE scheduling /
+    * lineage-ordering primitive the SCC condensation exists for: stages
+    * in the same layer are independent and run concurrently; the layer
+    * count is the critical-path length.
+    *
+    * Fails loudly (require) if peeling stalls with nodes remaining — a
+    * cycle, i.e. the input was not a DAG ([[stronglyConnectedComponents]]
+    * first, then layer the condensation). Per round: one semi-join pair
+    * + one distinct + one anti-join, all on the remaining-edge relation;
+    * rounds = DAG depth. Isolated nodes (no edges) are layer 0 only if
+    * passed in `extraNodes`; the edge-derived node set is used otherwise.
+    * Output: (node, layer). */
+  def topologicalLayers(dag: DataFrame, maxRounds: Int = 200,
+                        extraNodes: Option[DataFrame] = None): DataFrame = {
+    val e = dag.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+    var remaining = extraNodes.map(n =>
+        base.union(n.select(col("node").cast("long").as("node"))))
+      .getOrElse(base).distinct().localCheckpoint()
+    var out = remaining.limit(0).select(col("node"), lit(0L).as("layer"))
+    var k = 0L
+    var nRemaining = remaining.count()
+    while (nRemaining > 0 && k < maxRounds) {
+      val re = e.join(remaining.select(col("node").as("src")), "src")
+        .join(remaining.select(col("node").as("dst")), "dst")
+      val hasIncoming = re.select(col("dst").as("node")).distinct()
+      val layerK = remaining.join(hasIncoming, Seq("node"), "left_anti")
+        .localCheckpoint()
+      val nLayer = layerK.count()
+      require(nLayer > 0,
+        s"topologicalLayers: peeling stalled with $nRemaining nodes — " +
+          "the input has a cycle; condense SCCs first")
+      out = out.union(layerK.select(col("node"), lit(k).as("layer")))
+        .localCheckpoint()
+      remaining = remaining.join(layerK, Seq("node"), "left_anti")
+        .localCheckpoint()
+      nRemaining -= nLayer
+      k += 1
+    }
+    e.unpersist(blocking = false)
+    require(nRemaining == 0,
+      s"topologicalLayers: $nRemaining nodes unresolved after $maxRounds " +
+        "rounds — raise maxRounds (deeper DAG)")
+    out
+  }
+
   /** STRONGLY CONNECTED COMPONENTS of a DIRECTED graph — the directed
     * counterpart of [[connectedComponents]] (A→B trade does not imply
     * B→A; cycle structure is what condensation, dependency and flow

@@ -457,6 +457,32 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("topologicalLayers: fuzzed Kahn layer == longest-path depth; cycle fails loudly") {
+    val rnd = new scala.util.Random(43)
+    (1 to 3).foreach { trial =>
+      val n = 10
+      // random DAG: edges only from smaller to larger id
+      val es = (for {
+        a <- 0 until n; b <- a + 1 until n if rnd.nextDouble() < 0.25
+      } yield (a.toLong, b.toLong)).toSeq
+      if (es.nonEmpty) {
+        val depth = Array.fill(n)(0)
+        es.sorted.foreach { case (a, b) => // topological order by id
+          depth(b.toInt) = math.max(depth(b.toInt), depth(a.toInt) + 1) }
+        val withEdge = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = withEdge.map(u => u -> depth(u.toInt).toLong).toMap
+        val got = ext.Graph.topologicalLayers(es.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial $trial: got $got want $want")
+      }
+    }
+    val cyc = intercept[IllegalArgumentException] {
+      ext.Graph.topologicalLayers(
+        Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")).collect()
+    }
+    assert(cyc.getMessage.contains("cycle"))
+  }
+
   test("textrank: the adjacency hub ranks first") {
     val docs = Seq(
       (1L, "alpha beta4"), (2L, "alpha gamma"), (3L, "alpha delta"),
