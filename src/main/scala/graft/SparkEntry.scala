@@ -128,8 +128,12 @@ object SparkEntry {
       .groupBy("cn", "sn").agg(count(lit(1)).as("n"))
       .where(col("cn") =!= col("sn"))
       .localCheckpoint() // nations²-bounded; scalar agg + filter consume it
-    val t = flow.agg(sum(col("n")), count(lit(1))).head()
+    val t = flow.agg(coalesce(sum(col("n")), lit(0L)), count(lit(1))).head()
     val (total, npairs) = (t.getLong(0), t.getLong(1))
+    require(total > 0 && npairs > 0,
+      s"nationFlowEdges: empty cross-nation flow relation (total=$total, " +
+        s"pairs=$npairs) — the trade-flow graph needs at least one " +
+        "customer-nation != supplier-nation order; check the input tables")
     flow.where(col("n") * lit(npairs) >= lit(total))
       .select(col("cn").as("src"), col("sn").as("dst"))
   }
@@ -1365,6 +1369,20 @@ object SparkEntry {
       Behavior.funnelCounts(events(s, d), col("user_id"), col("ts"),
         col("event_type"), Seq("view", "click", "purchase"),
         stepWindowSeconds = 24 * 3600)),
+
+    // att1: LINEAR MULTI-TOUCH ATTRIBUTION — every purchase's value
+    // splits EQUALLY over the user's click/view touches in the preceding
+    // hour; a touch row reports conversions influenced + attributed
+    // micro-units. Pure scaled-BIGINT fixed point: vmicro = round(v·10⁶)
+    // once (near-integer product, no half-boundary), share = truncating
+    // integer div — no float quotient anywhere (the ewma1 discipline);
+    // oracle mirrors with // (floor ≡ truncation on the non-negative
+    // values the corpus has).
+    "att1_linear_attribution" -> ((s, d) =>
+      Behavior.linearAttribution(events(s, d), col("user_id"), col("ts"),
+          col("event_id"), col("event_type"), col("value"),
+          Seq("click", "view"), "purchase", "1 hour")
+        .orderBy("touch_id")),
 
     // seq1: regex EVENT-SEQUENCE pattern matching — fun1's regex
     // generalization (MATCH_RECOGNIZE class): per-user symbol string in
@@ -2749,9 +2767,15 @@ object SparkEntry {
     // cross-component edge remains), so the unrolled form states the
     // identical fixpoint while staying engine-free and recursive-CTE
     // expressible. Distinct weights under the (w, a, b) total order make
-    // the complete MSF unique, so fixed-point equality is exact.
+    // the complete MSF unique, so fixed-point equality is exact. The
+    // BUDGETED entry point makes the handshake loud (round-10 ADVICE):
+    // if a testdata regeneration deepens the component chain past the
+    // oracle's 7-round unroll, the engine raises an explicit round-budget
+    // error instead of a silent hash mismatch. mst3 (same graph, same
+    // oracle) is covered by this same corpus-level assert.
     "mst2_boruvka_msf" -> ((s, d) => {
-      Graph.boruvkaForest(coPurchaseWeightedEdges(s, d))
+      Graph.boruvkaForestBudgeted(coPurchaseWeightedEdges(s, d),
+          oracleRounds = 7)
         .select(col("a").as("part_a"), col("b").as("part_b"), col("w"))
     }),
 
@@ -3072,6 +3096,12 @@ object SparkEntry {
     // (Clustering.dbscan scaladoc). Planted triples (even ids: base,
     // ×1.5, ×0.5) come out core clusters; odd-id pairs are mutual
     // 1-neighbor non-cores → noise — the roles separate visibly.
+    // MARGIN ASSUMPTION (round-10 ADVICE): the LSH neighborhood has
+    // recall ~1.0 only because every cos ≥ 0.9 pair in this corpus is a
+    // planted scalar multiple (identical hyperplane signs); a NATURAL
+    // pair near the 0.9 boundary could be missed and cascade through
+    // core/border labels. PlantedFixtureSpec pins the assumption with an
+    // exact all-pairs audit over the base embeddings at fixture scale.
     "dbscan1_density_cluster" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val base = emb.select(col("vec_id"),
@@ -3353,6 +3383,39 @@ object SparkEntry {
           s.read.parquet(s"$dir/centroids"), s.read.parquet(s"$dir/qindex"),
           full.select(col("vec_id"), col("embedding").as("v")),
           base.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 3, shortlist = 30)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // sim9: INDEX FORGET — the stored vector index's missing artifact
+    // verb (round-10 verdict #5): del1 grades right-to-be-forgotten for
+    // the dedup archive; this grades it for sim6's IVF artifact. A
+    // deterministic fifth of the corpus (vec_id % 5 = 2) is forgotten:
+    // O(deleted) tombstones land in only the affected list directories,
+    // the query tier answers from the LIVING view (anti-join), and the
+    // amortized compact + a second idempotent forget both execute inside
+    // the graded lifecycle (the result must be invariant under both —
+    // tombstone-set idempotence and compact view-equality are the
+    // operator's contract, graded here, crash-ordering spec-pinned).
+    // Centroids stay from build time (the quantizer is trained state,
+    // not subject data), so the oracle is sim4's VERBATIM pipeline with
+    // only the candidate index population restricted to survivors.
+    "sim9_index_forget" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = graft.core.Scratch.dir("sim9-")
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", "label", dir)
+      val doomed = emb.where(col("vec_id") % 5 === 2).select("vec_id")
+      Similarity.forgetFromIvfIndex(doomed, "vec_id", dir)
+      // retried request: tombstones are a set — same living view
+      Similarity.forgetFromIvfIndex(doomed, "vec_id", dir)
+      // amortized physical rewrite: view must be unchanged after it
+      Similarity.compactIvfIndex(s, dir)
+      Similarity.ivfQuantizedTopKFromIndex(
+          s.read.parquet(s"$dir/centroids"), Similarity.ivfLivingIndex(s, dir),
+          emb.select(col("vec_id"), col("embedding").as("v")),
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nprobe = 3, shortlist = 30)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos"))
@@ -4778,6 +4841,24 @@ object SparkEntry {
            |FROM orders o ASOF JOIN v
            | ON o.o_custkey = v.k AND o.o_orderdate >= v.vt
            |ORDER BY o.o_orderkey""".stripMargin.replace("\n", " ")),
+      // att1: identical integer split — vmicro = round(v·10⁶) once, share
+      // = integer division per (touch, conversion) pair; DuckDB // is
+      // floor division but every vmicro is non-negative, so it equals
+      // Spark's truncating div; SUM over BIGINT → HUGEINT → cast back
+      "att1_linear_attribution" ->
+        ("""WITH t AS (SELECT user_id AS u, event_id AS touch_id, ts AS tts
+           |  FROM events WHERE event_type IN ('click', 'view')),
+           |c AS (SELECT user_id AS u, event_id AS conv_id, ts AS cts,
+           |  CAST(round(value * 1000000) AS BIGINT) AS vmicro
+           |  FROM events WHERE event_type = 'purchase'),
+           |j AS (SELECT t.touch_id, c.conv_id, c.vmicro
+           |  FROM t JOIN c ON t.u = c.u AND t.tts < c.cts
+           |   AND t.tts >= c.cts - INTERVAL 1 HOUR),
+           |s AS (SELECT touch_id,
+           |  vmicro // COUNT(*) OVER (PARTITION BY conv_id) AS share FROM j)
+           |SELECT touch_id, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           | CAST(SUM(share) AS BIGINT) AS attributed_micro
+           |FROM s GROUP BY 1 ORDER BY touch_id""".stripMargin.replace("\n", " ")),
       // fun1: the same dependent-min chain — DuckDB's default window frame
       // (RANGE UNBOUNDED PRECEDING..CURRENT ROW) matches the Spark side's
       // explicit rangeBetween, so equal-timestamp peers resolve identically
@@ -7015,6 +7096,11 @@ object SparkEntry {
            | FROM scored)
            |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
            |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+      // sim9: sim4's pipeline VERBATIM except the candidate index
+      // population excludes the forgotten fifth — centroids and query
+      // quantization stay corpus-derived (the quantizer is build-time
+      // trained state; forget removes subject VECTORS, not the model)
+      "sim9_index_forget" -> Sim9OracleSql,
       // sim8: sim4's pipeline over the POST-REBUILD population — original
       // corpus ∪ the planted +0.25 shifted appends (exact dyadic shift,
       // float→double widening exact) with centroids re-trained over the
@@ -7387,6 +7473,18 @@ object SparkEntry {
       "list_transform(embedding::DOUBLE[], x -> x + 0.25) " +
       "FROM embeddings WHERE vec_id % 4 = 1),") +
       Sim4OracleSql.stripPrefix(plainE)
+  }
+
+  /** sim4's oracle with the candidate index restricted to forget
+    * SURVIVORS (vec_id % 5 ≠ 2) — everything else (centroids from the
+    * full corpus, query set, quantization, scoring) byte-identical;
+    * derived by guarded substitution so a Sim4OracleSql edit cannot
+    * silently desynchronize (the Sim8OracleSql device). */
+  private lazy val Sim9OracleSql: String = {
+    val marker = "JOIN e e2 ON e2.label = p.label AND e2.vec_id <> p.query_id"
+    require(Sim4OracleSql.contains(marker),
+      "sim9 oracle derivation out of sync with Sim4OracleSql")
+    Sim4OracleSql.replace(marker, marker + " AND e2.vec_id % 5 <> 2")
   }
 
   /** sim4's oracle, shared verbatim by sim6 (stored-index path). */

@@ -269,7 +269,8 @@ object Curation {
     * integer bound: r·N — past ~3·10⁹ rows widen to DECIMAL(38,0)
     * (documented swap). */
   def quantileNormalize(df: DataFrame, id: Column, group: Column,
-                        value: Column, numRanges: Int = 64): DataFrame = {
+                        value: Column, numRanges: Int = 64,
+                        maxGroups: Int = 4096): DataFrame = {
     // NULL values are excluded up front: the two engines disagree on NULL
     // sort position (Spark first, DuckDB last), so a null value would
     // silently shift every rank after it — the equiDepthHistogram lesson.
@@ -281,6 +282,17 @@ object Curation {
       Seq(col("grp"), col("v"), col("id")), numRanges)
     val gc = og.groupBy("grp").agg(count(lit(1)).as("c"))
       .orderBy("grp").collect()
+    // Loud contract guard (round-10 verdict #2): the per-group offsets are
+    // collected to the driver and inlined as map(...) PLAN LITERALS, so
+    // both driver state and plan size grow with |groups| — correct only
+    // for the documented FEW-GIANT-GROUPS shape. A high-cardinality group
+    // column would kill a 100× run silently-slowly; fail loudly instead.
+    require(gc.length <= maxGroups,
+      s"quantileNormalize: ${gc.length} groups exceeds maxGroups=$maxGroups " +
+        "— this operator inlines |groups|-sized plan literals and is built " +
+        "for FEW GIANT groups; for high-cardinality groups use a " +
+        "PARTITION BY grp window (percent_rank over Window.partitionBy) " +
+        "instead, where each group fits a single reducer")
     var acc = 0L
     val offs = gc.map { r =>
       val o = (r.get(0), acc, r.getLong(1)); acc += r.getLong(1); o

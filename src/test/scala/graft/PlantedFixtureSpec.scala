@@ -39,6 +39,33 @@ class PlantedFixtureSpec extends SparkSpec {
     }
   }
 
+  test("no NATURAL embedding pair sits in the LSH-fragile [0.9, 1) band") {
+    // d5/sd1/dbscan1 find cos ≥ 0.9 neighborhoods via hyperplane LSH,
+    // whose recall for NATURAL pairs near the 0.9 boundary is well under
+    // 1.0 — the gates hold because every ≥0.9 pair in the corpus is a
+    // PLANTED scalar multiple (deterministic recall: identical hash
+    // signs). This pins that margin assumption exactly (round-10
+    // ADVICE): an exact all-pairs pass over the BASE embeddings must
+    // find no distinct pair with cos ≥ 0.9. Scaled plants preserve
+    // cosine (cos(x, c·y) = cos(x, y)), so base-base coverage covers
+    // every natural cross-family pair too. Guarded to fixture-scale
+    // dirs: the check is O(n²) by design (it is the truth the blocked
+    // operators avoid computing).
+    for (d <- sfDirs.filter(p => p.endsWith("sf0.001") || p.endsWith("sf0.01"))) {
+      val emb = graft.core.Tables.embeddings(spark, d)
+        .select(col("vec_id"), ext.Similarity.toDoubleArr(col("embedding")).as("v"))
+      val a = emb.select(col("vec_id").as("ia"), col("v").as("va"))
+      val b = emb.select(col("vec_id").as("ib"), col("v").as("vb"))
+      val offenders = a.join(b, col("ia") < col("ib"))
+        .where(ext.Similarity.cosine(col("va"), col("vb")) >= 0.9)
+        .count()
+      assert(offenders == 0L,
+        s"$d: $offenders natural embedding pairs at cos >= 0.9 — the " +
+          "LSH-recall margin assumption behind d5/sd1/dbscan1 is broken; " +
+          "raise LSH tables or regenerate embeddings")
+    }
+  }
+
   test("fixed offsets on non-document tables keep their headroom") {
     for (d <- sfDirs) {
       def mx(t: String, c: String) = graft.core.Tables.table(spark, d, t)

@@ -65,7 +65,9 @@ class Round10Spec extends SparkSpec {
     val booksAfter = spark.read.parquet(s"$dir/codebooks")
       .orderBy("subspace", "cluster").collect().map(_.toSeq).toSeq
     assert(booksBefore == booksAfter, "append must never mutate the quantizer")
-    assert(spark.read.parquet(s"$dir/codes").count() == 24L)
+    // appended codes land as committed segments; the full relation = base
+    // + segments (round-11 idempotent-append hardening)
+    assert(ext.Similarity.pqCodesRelation(spark, dir).count() == 24L)
     // the appended quarter's codes equal a from-scratch coding under the
     // same (subset-trained) books: compare against an index built over
     // the FULL corpus with training restricted to init — which is what
