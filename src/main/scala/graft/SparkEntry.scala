@@ -428,6 +428,45 @@ object SparkEntry {
       graft.streaming.Ingest.latestSnapshot(s, root).orderBy("day", "id")
     }),
 
+    // mv3: TIME TRAVEL — the snapshot-isolation verb mv1/mv2's immutable
+    // version layout buys: the SAME three update-mode upserts as mv2,
+    // then a read AS OF version 1 (the middle batch) — per bucket the
+    // newest committed version ≤ 1 — which must equal the state the view
+    // held at that moment: keys last changed in slice 1 carry their
+    // cumulative-to-cut2 totals, keys changed only in slice 0 keep their
+    // cumulative-to-cut1 totals, keys first seen in slice 2 are absent.
+    // The oracle states exactly that keyed-prefix semantics; the third
+    // upsert happening AFTER must be invisible — that invisibility IS
+    // what the grade proves (a reader pinned to v1 is unaffected by
+    // later writers). Compaction deliberately NOT run here: it folds
+    // history (asOfSnapshot then fails loudly — spec-pinned), the
+    // standard lakehouse retention contract.
+    "mv3_time_travel" -> ((s, d) => {
+      import java.time.LocalDateTime
+      val ev = events(s, d).select(col("ts"), col("event_type").as("id"),
+        col("value").cast("double").as("value"))
+      val day = date_trunc("day", col("ts")).cast("timestamp_ntz").as("day")
+      val cuts = Seq(LocalDateTime.parse("2024-01-11T00:30:00"),
+        LocalDateTime.parse("2024-01-21T00:30:00"))
+      val root = graft.core.Scratch.dir("mv3-") + "/snap"
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(day, col("id")).agg(Num.dsum(col("value")).as("value"))
+      val slices = Seq(
+        ev.where(col("ts") < lit(cuts(0))),
+        ev.where(col("ts") >= lit(cuts(0)) && col("ts") < lit(cuts(1))),
+        ev.where(col("ts") >= lit(cuts(1))))
+      val cums = Seq(ev.where(col("ts") < lit(cuts(0))),
+        ev.where(col("ts") < lit(cuts(1))), ev)
+      for (b <- slices.indices) {
+        val changed = slices(b).select(day, col("id")).distinct()
+        graft.streaming.Ingest.upsertMatviewBatch(
+          agg(cums(b)).join(changed, Seq("day", "id"), "left_semi"),
+          Seq("day", "id"), root, b.toLong)
+      }
+      graft.streaming.Ingest.asOfSnapshot(s, root, asOf = 1L)
+        .orderBy("day", "id")
+    }),
+
     // rs1: CHECKPOINT RECOVERY graded by the oracle — the a4-class hourly
     // aggregate split across a stop/restart at 2024-01-16: run 1 processes
     // the first half and terminates; run 2 starts a NEW query from the
@@ -604,6 +643,19 @@ object SparkEntry {
       graft.queries.TimeSeries.autocorr(events(s, d),
           col("event_type"), col("ts"), lags = 3)
         .orderBy("id", "lag")),
+
+    // ts4: CROSS-CORRELATION of the hourly click vs purchase count
+    // series at lags −3..3 — the LEAD-LAG diagnostic acf1 cannot express
+    // (which series moves first). acf1's exact integer centering; the
+    // single non-integer step (num·10⁶ / (√dx·√dy)) is a chain of
+    // IEEE-correctly-rounded ops on exact BIGINT inputs, identical bits
+    // both engines, then a sign-split TRUNCATION (no round(·,6)
+    // half-boundary — TimeSeries.crossCorr scaladoc). Unique key: lag.
+    "ts4_cross_correlation" -> ((s, d) =>
+      graft.queries.TimeSeries.crossCorr(events(s, d), col("ts"),
+          col("event_type") === "click", col("event_type") === "purchase",
+          lags = 3)
+        .orderBy("lag")),
 
     // ttl1: PARTITION-TTL retention on the K3 archive — the maintenance
     // job next to compaction: the event archive lands y/m/d/h-partitioned,
@@ -1999,6 +2051,30 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // ret7: POSTINGS-INDEX FORGET — the lexical tier's delete verb,
+    // completing forget across every artifact family (del1 archive,
+    // sim9 IVF, this). A quarter of the corpus tombstones out (twice —
+    // the set is idempotent, graded), then COMPACT rewrites the whole
+    // root atomically (postings/terms/meta from the living relation; the
+    // pre-compact phase keeps Lucene's docFreq-includes-deletions
+    // semantics, spec-pinned), and the query tier's answer must equal
+    // ret1's from-scratch BM25 over the SURVIVORS — df, corpus totals
+    // and candidates all reflecting the post-merge store.
+    "ret7_postings_forget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.core.Scratch.dir("ret7-")
+      ext.Retrieval.writePostingsIndex(docs, "doc_id", "text", dir)
+      val doomed = docs.where(col("doc_id") % 4 === 2).select("doc_id")
+      ext.Retrieval.forgetFromPostingsIndex(doomed, "doc_id", dir)
+      ext.Retrieval.forgetFromPostingsIndex(doomed, "doc_id", dir)
+      ext.Retrieval.compactPostingsIndex(s, dir)
+      ext.Retrieval.bm25TopKFromIndex(s,
+          Seq(0 -> Seq("spark", "join", "table"),
+            1 -> Seq("hash", "merge", "sort"),
+            2 -> Seq("stream", "window", "batch")), dir, k = 5)
+        .orderBy("query_id", "rk")
+    }),
+
     // ret5: EXACT PHRASE SEARCH — the positional capability BM25's
     // bag-of-words cannot express: anchor each phrase on its
     // occurrence-rarest term (ties: offset, then term — both engines
@@ -2170,6 +2246,18 @@ object SparkEntry {
     "qd1_source_quality" -> ((s, d) =>
       ext.Curation.sourceQuality(Tables.documents(s, d), "source", "text")
         .orderBy("source")),
+
+    // qf1: quality-filter THRESHOLD SWEEP — the yield surface a corpus
+    // team reads before committing to cur1's cut: docs/tokens surviving
+    // at each (min_tokens × min_stopword_micro) grid cell, one corpus
+    // scan + one grid-sized aggregate. Integer truncating micro-ratio
+    // (never float-vs-float threshold compares); pass_rate is a single
+    // exact-long double division (Curation.thresholdSweep scaladoc).
+    "qf1_threshold_sweep" -> ((s, d) =>
+      ext.Curation.thresholdSweep(Tables.documents(s, d), "text",
+          minTokens = Seq(10L, 20L, 40L),
+          minStopMicro = Seq(20000L, 40000L, 80000L))
+        .orderBy("min_tokens", "min_swr_micro")),
 
     // emb2: symmetric int8 vector quantization (scale = 127/max|x|) — the
     // ANN index compression step; pure projection, engine-exact rounding.
@@ -3422,6 +3510,33 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // sim10: FILTERED ANN — top-k among candidates satisfying a METADATA
+    // predicate (the FAISS/Vespa/pgvector "filtered search" feature): the
+    // predicate applies to the candidate index BEFORE the shortlist (the
+    // correct semantics — post-filtering a plain top-k under-fills k and
+    // loses recall), so every returned neighbor satisfies it and recall
+    // within the filtered population is the unfiltered path's. The
+    // stored-index pipeline takes the candidate relation as an argument,
+    // so filtered search IS the sim6 query with a filtered index view —
+    // the same seam sim9's living view rides; an uncorrelated vec_id
+    // parity predicate keeps the grade honest (a label predicate would
+    // degenerate into list probing). Oracle = sim4's verbatim with the
+    // identical candidate restriction.
+    "sim10_filtered_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = graft.core.Scratch.dir("sim10-")
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", "label", dir)
+      Similarity.ivfQuantizedTopKFromIndex(
+          s.read.parquet(s"$dir/centroids"),
+          s.read.parquet(s"$dir/qindex").where(col("vec_id") % 2 === 0),
+          emb.select(col("vec_id"), col("embedding").as("v")),
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 3, shortlist = 30)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
     // rp1: JOHNSON–LINDENSTRAUSS reduced-dimension ANN — the
     // dimensionality-reduction scale path next to quantization (emb2/sim4
     // shrink value width; this shrinks DIMENSION count, 64→16 = 4× flops
@@ -4064,6 +4179,54 @@ object SparkEntry {
            |  WHEN num * 1000000 < 0 THEN -((-(num * 1000000)) // d)
            |  ELSE (num * 1000000) // d END AS BIGINT) AS acf_micro
            |FROM u ORDER BY id, lag""".stripMargin.replace("\n", " ")),
+      // ts4: identical integer centering over the shared spine (hours
+      // with >= 1 click/purchase — silent hours absent from BOTH series
+      // identically), lead/lag over one ORDER BY hour window, HUGEINT
+      // sums cast to exact BIGINT-in-double, the identical
+      // correctly-rounded double chain, sign-split floor = truncation
+      "ts4_cross_correlation" ->
+        ("""WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+           |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+           |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+           | FROM events WHERE event_type IN ('click', 'purchase')
+           | GROUP BY 1),
+           |t AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy FROM h),
+           |z AS (SELECT hour, CAST(n*x - sx AS HUGEINT) AS zx,
+           |  CAST(n*y - sy AS HUGEINT) AS zy, n FROM h, t),
+           |l AS (SELECT n, zx, zy,
+           |  lead(zy, 3) OVER win AS zy_m3, lead(zy, 2) OVER win AS zy_m2,
+           |  lead(zy, 1) OVER win AS zy_m1, zy AS zy_p0,
+           |  lag(zy, 1) OVER win AS zy_p1, lag(zy, 2) OVER win AS zy_p2,
+           |  lag(zy, 3) OVER win AS zy_p3
+           | FROM z WINDOW win AS (ORDER BY hour)),
+           |a AS (SELECT MAX(n) AS n_hours,
+           |  SUM(zx*zx) AS dx, SUM(zy*zy) AS dy,
+           |  COALESCE(SUM(zx*zy_m3), 0) AS nm3, COUNT(zy_m3) AS tm3,
+           |  COALESCE(SUM(zx*zy_m2), 0) AS nm2, COUNT(zy_m2) AS tm2,
+           |  COALESCE(SUM(zx*zy_m1), 0) AS nm1, COUNT(zy_m1) AS tm1,
+           |  COALESCE(SUM(zx*zy_p0), 0) AS np0, COUNT(zy_p0) AS tp0,
+           |  COALESCE(SUM(zx*zy_p1), 0) AS np1, COUNT(zy_p1) AS tp1,
+           |  COALESCE(SUM(zx*zy_p2), 0) AS np2, COUNT(zy_p2) AS tp2,
+           |  COALESCE(SUM(zx*zy_p3), 0) AS np3, COUNT(zy_p3) AS tp3
+           | FROM l),
+           |u AS (
+           | SELECT -3 AS lag, n_hours, tm3 AS t, nm3 AS num, dx, dy FROM a
+           | UNION ALL SELECT -2, n_hours, tm2, nm2, dx, dy FROM a
+           | UNION ALL SELECT -1, n_hours, tm1, nm1, dx, dy FROM a
+           | UNION ALL SELECT 0, n_hours, tp0, np0, dx, dy FROM a
+           | UNION ALL SELECT 1, n_hours, tp1, np1, dx, dy FROM a
+           | UNION ALL SELECT 2, n_hours, tp2, np2, dx, dy FROM a
+           | UNION ALL SELECT 3, n_hours, tp3, np3, dx, dy FROM a),
+           |v AS (SELECT lag, n_hours, t, dx, dy,
+           |  CAST(num AS DOUBLE) * 1000000.0 /
+           |   (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))) AS r
+           | FROM u)
+           |SELECT CAST(lag AS INTEGER) AS lag,
+           | CAST(n_hours AS BIGINT) AS n_hours, CAST(t AS BIGINT) AS n_terms,
+           | CAST(CASE WHEN dx = 0 OR dy = 0 THEN 0
+           |  WHEN r >= 0 THEN floor(r) ELSE -floor(-r) END AS BIGINT)
+           |  AS xcorr_micro
+           |FROM v ORDER BY lag""".stripMargin.replace("\n", " ")),
       // ttl1: the surviving partitioned store ≡ the raw table filtered at
       // the same whole-hour boundary
       "ttl1_partition_retention" ->
@@ -4201,6 +4364,30 @@ object SparkEntry {
         ("""SELECT date_trunc('day', ts) AS day, event_type AS id,
            | CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")),
+      // mv3: the as-of-version-1 read = keyed prefix semantics — keys
+      // with slice-1 activity carry cumulative-to-cut2, keys with only
+      // slice-0 activity carry cumulative-to-cut1, slice-2-only keys
+      // absent; the third (later) upsert must be invisible
+      "mv3_time_travel" ->
+        ("""WITH e AS (SELECT date_trunc('day', ts) AS day, event_type AS id,
+           |  ts, value FROM events),
+           |k1 AS (SELECT DISTINCT day, id FROM e
+           | WHERE ts >= TIMESTAMP '2024-01-11 00:30:00'
+           |  AND ts < TIMESTAMP '2024-01-21 00:30:00'),
+           |k0 AS (SELECT DISTINCT day, id FROM e
+           | WHERE ts < TIMESTAMP '2024-01-11 00:30:00'),
+           |v1 AS (SELECT day, id,
+           |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+           | FROM e WHERE ts < TIMESTAMP '2024-01-21 00:30:00' GROUP BY 1, 2),
+           |v0 AS (SELECT day, id,
+           |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+           | FROM e WHERE ts < TIMESTAMP '2024-01-11 00:30:00' GROUP BY 1, 2)
+           |SELECT v1.day, v1.id, v1.value FROM v1 JOIN k1 USING (day, id)
+           |UNION ALL
+           |SELECT v0.day, v0.id, v0.value FROM v0 JOIN k0 USING (day, id)
+           |WHERE NOT EXISTS (SELECT 1 FROM k1
+           | WHERE k1.day = v0.day AND k1.id = v0.id)
+           |ORDER BY day, id""".stripMargin.replace("\n", " ")),
       // cm1: the complete-mode snapshot must equal the batch GROUP BY
       "cm1_complete_totals" ->
         ("""SELECT event_type AS id,
@@ -5986,6 +6173,9 @@ object SparkEntry {
       // BM25 — build-then-query and build-append-query alike
       "ret3_stored_postings" -> ret1Bm25Sql,
       "ret4_postings_append" -> ret1Bm25Sql,
+      // ret7: ret1's BM25 verbatim over the forget SURVIVORS — after the
+      // compact, df/N/candidates all equal a from-scratch build
+      "ret7_postings_forget" -> Ret7OracleSql,
       // ret5: identical rarest-term anchor (COALESCE df 0, tie offset
       // then term), candidate-start expansion and positional verify join
       "ret5_phrase_search" ->
@@ -6196,6 +6386,29 @@ object SparkEntry {
            |    WHEN 'fr' THEN 1500 WHEN 'es' THEN 3000 ELSE 1000 END AS epm
            |  FROM documents))
            |ORDER BY doc_id, epoch_copy""".stripMargin.replace("\n", " ")),
+      // qf1: identical integer micro-ratio (// ≡ truncation on the
+      // non-negative counts), literal grid cross join, conditional sums
+      "qf1_threshold_sweep" ->
+        (s"""WITH st AS (SELECT len(t)::BIGINT AS n_tokens,
+           |  (len(list_filter(t, x -> list_contains($enStopSql, x)))::BIGINT
+           |    * 1000000) // len(t) AS swr_micro
+           | FROM (SELECT $toksSql AS t FROM documents)),
+           |g AS (SELECT * FROM
+           |  (SELECT unnest([10, 20, 40]::BIGINT[]) AS min_tokens)
+           |  CROSS JOIN
+           |  (SELECT unnest([20000, 40000, 80000]::BIGINT[]) AS min_swr_micro))
+           |SELECT g.min_tokens, g.min_swr_micro,
+           | SUM(CASE WHEN st.n_tokens >= g.min_tokens
+           |   AND st.swr_micro >= g.min_swr_micro THEN 1 ELSE 0 END)::BIGINT
+           |  AS n_docs_pass,
+           | CAST(SUM(CASE WHEN st.n_tokens >= g.min_tokens
+           |   AND st.swr_micro >= g.min_swr_micro THEN st.n_tokens
+           |   ELSE 0 END) AS BIGINT) AS n_tokens_pass,
+           | SUM(CASE WHEN st.n_tokens >= g.min_tokens
+           |   AND st.swr_micro >= g.min_swr_micro THEN 1 ELSE 0 END)::DOUBLE
+           |  / COUNT(*) AS pass_rate
+           |FROM st CROSS JOIN g GROUP BY 1, 2
+           |ORDER BY min_tokens, min_swr_micro""".stripMargin.replace("\n", " ")),
       "qd1_source_quality" ->
         (s"""WITH q AS (
            | SELECT source, len(toks) AS n_tokens,
@@ -7101,6 +7314,11 @@ object SparkEntry {
       // quantization stay corpus-derived (the quantizer is build-time
       // trained state; forget removes subject VECTORS, not the model)
       "sim9_index_forget" -> Sim9OracleSql,
+      // sim10: sim4's verbatim with the candidate population restricted
+      // to the metadata predicate (even vec_ids) — filtered-search
+      // semantics: predicate before shortlist, full recall within the
+      // filtered set
+      "sim10_filtered_ann" -> Sim10OracleSql,
       // sim8: sim4's pipeline over the POST-REBUILD population — original
       // corpus ∪ the planted +0.25 shifted appends (exact dyadic shift,
       // float→double widening exact) with centroids re-trained over the
@@ -7272,6 +7490,17 @@ object SparkEntry {
        | CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
        |FROM wx JOIN cnt USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "))
+
+  /** ret1's oracle with the corpus restricted to the forget SURVIVORS
+    * (doc_id % 4 ≠ 2) — guarded substitution so a ret1Bm25Sql edit can
+    * never silently desynchronize (the Sim8/Sim9 device). */
+  private lazy val Ret7OracleSql: String = {
+    val marker = "FROM documents)"
+    require(ret1Bm25Sql.indexOf(marker) >= 0 &&
+      ret1Bm25Sql.indexOf(marker) == ret1Bm25Sql.lastIndexOf(marker),
+      "ret7 oracle derivation out of sync with ret1Bm25Sql")
+    ret1Bm25Sql.replace(marker, "FROM documents WHERE doc_id % 4 <> 2)")
+  }
 
   private lazy val ret1Bm25Sql: String =
     (s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -7485,6 +7714,16 @@ object SparkEntry {
     require(Sim4OracleSql.contains(marker),
       "sim9 oracle derivation out of sync with Sim4OracleSql")
     Sim4OracleSql.replace(marker, marker + " AND e2.vec_id % 5 <> 2")
+  }
+
+  /** sim4's oracle with the candidate index restricted to the metadata
+    * predicate (even vec_ids) — the filtered-ANN semantics; the Sim9
+    * guarded-substitution device. */
+  private lazy val Sim10OracleSql: String = {
+    val marker = "JOIN e e2 ON e2.label = p.label AND e2.vec_id <> p.query_id"
+    require(Sim4OracleSql.contains(marker),
+      "sim10 oracle derivation out of sync with Sim4OracleSql")
+    Sim4OracleSql.replace(marker, marker + " AND e2.vec_id % 2 = 0")
   }
 
   /** sim4's oracle, shared verbatim by sim6 (stored-index path). */

@@ -73,6 +73,49 @@ object Curation {
         col("n_quality_pass").cast("double") / col("n_docs"))
   }
 
+  /** QUALITY-FILTER THRESHOLD SWEEP — the tuning table BEFORE committing
+    * to a curation cut ([[curate]]/[[sourceQuality]] apply ONE threshold
+    * pair; a corpus team first wants the whole yield surface: "how many
+    * documents and tokens survive at each candidate setting"). One corpus
+    * scan computes integer (n_tokens, stopword-micro-ratio) per document;
+    * the bounded literal grid (|minTokens|·|minStopMicro| cells) explodes
+    * against it and a single hash-aggregate yields per-cell survivors,
+    * surviving token mass and pass rate.
+    *
+    * Determinism: the stopword ratio is the TRUNCATING integer division
+    * n_stop·10⁶ div n_tokens (never a float ratio compared against a
+    * float threshold — the ewma1 half-boundary discipline); pass_rate is
+    * one exact-long/exact-long double division, reproducible under any
+    * partitioning. The tokenizer emits [""] for empty text, so n_tokens
+    * ≥ 1 and the division is total.
+    *
+    * Scale: grid cells multiply the scan ROW COUNT, not its I/O — the
+    * explode sits above the projection, partial aggregation collapses
+    * per-task, and the group count is the grid size. */
+  def thresholdSweep(docs: DataFrame, textCol: String,
+                     minTokens: Seq[Long], minStopMicro: Seq[Long]): DataFrame = {
+    require(minTokens.nonEmpty && minStopMicro.nonEmpty,
+      "thresholdSweep needs a non-empty grid on both axes")
+    val toks = graft.core.Par.fanOut(docs.select(col(textCol).as("text")))
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+    val stats = toks.select(size(col("t")).cast("long").as("n_tokens"),
+        size(filter(col("t"), x => x.isin(TextAnalysis.EnStop: _*)))
+          .cast("long").as("n_stop"))
+      .withColumn("swr_micro", call_function("div",
+        col("n_stop") * lit(1000000L), col("n_tokens")))
+    val grid = array((for { mt <- minTokens; ms <- minStopMicro } yield
+      struct(lit(mt).as("mt"), lit(ms).as("ms"))): _*)
+    val pass = col("n_tokens") >= col("g.mt") &&
+      col("swr_micro") >= col("g.ms")
+    stats.select(col("n_tokens"), col("swr_micro"), explode(grid).as("g"))
+      .groupBy(col("g.mt").as("min_tokens"), col("g.ms").as("min_swr_micro"))
+      .agg(sum(when(pass, 1L).otherwise(0L)).cast("long").as("n_docs_pass"),
+        sum(when(pass, col("n_tokens")).otherwise(0L)).cast("long")
+          .as("n_tokens_pass"),
+        (sum(when(pass, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("pass_rate"))
+  }
+
   /** FUZZY curation: [[curate]]'s quality filter → exact dedup, then a
     * NEAR-duplicate collapse — pair detection via `pairFinder` (default:
     * MinHash-LSH, [[Dedup.minhashLshPairs]]) followed by

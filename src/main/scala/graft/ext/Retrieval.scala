@@ -127,6 +127,8 @@ object Retrieval {
     * each root identically to the single-dir layout. */
   private def postingsRelation(spark: org.apache.spark.sql.SparkSession,
                                dir: String): DataFrame = {
+    // whole-dir heal first: compactPostingsIndex swaps the ENTIRE root
+    graft.core.Artifacts.heal(spark, dir)
     val segs = graft.core.Artifacts.committedChildren(spark, s"$dir/segments")
     // one read PER root, unioned: a single multi-path read trips Spark's
     // uniform-directory-depth check (base and segments sit at different
@@ -162,10 +164,22 @@ object Retrieval {
     * it forever (round-9 ADVICE); the staged segment closes it. A crash
     * between segment commit and the dictionary swap leaves an
     * un-dictionaried segment that the retry's rebuild repairs — the
-    * dictionary/meta always derive from whatever segments committed. */
+    * dictionary/meta always derive from whatever segments committed.
+    *
+    * Perf note (round-11 re-measure, directive #2): the hardened path
+    * costs ~0.5 s more than round-9's direct append at sf0.1 (ret4
+    * 3.54 → ~4.1 s) — the doc-id anti-join probe, the staged-segment
+    * rename, and the per-root union reads of the terms/meta rebuild.
+    * That rebuild CANNOT become incremental arithmetic (meta += batch)
+    * without losing the crash-repair property above: a retry after a
+    * crash between segment commit and the meta swap would add zero and
+    * leave meta stale forever, while the rebuild-from-store recomputes
+    * whatever actually committed. The delta is the price of the
+    * correctness contract, accepted and documented. */
   def appendToPostingsIndex(batch: DataFrame, idCol: String, textCol: String,
                             dir: String): Unit = {
     val spark = batch.sparkSession
+    graft.core.Artifacts.heal(spark, dir)
     graft.core.Artifacts.heal(spark, s"$dir/meta"); graft.core.Artifacts.heal(spark, s"$dir/terms")
     // sweep any crashed stage while counting committed segments for the
     // next segment id (names only order listings; results never see them)
@@ -199,6 +213,62 @@ object Retrieval {
     }
   }
 
+  /** FORGET documents from the stored postings index — right-to-be-
+    * forgotten for the lexical tier, completing the forget verb across
+    * every artifact family (dedup archive `del1`, IVF `sim9`, THIS).
+    * O(deleted) tombstone appends ([[graft.ext.Forget.forget]] — the
+    * tombstones are a set, so overlapping/retried requests are
+    * idempotent); queries answer from [[postingsLiving]] (one doc-id
+    * anti-join), and [[compactPostingsIndex]] is the amortized physical
+    * rewrite.
+    *
+    * SEMANTICS BEFORE COMPACT (deliberately Lucene's): a tombstoned
+    * document disappears from RESULTS immediately, but document
+    * frequencies and corpus totals still reflect the pre-forget store —
+    * exactly Lucene's docFreq-includes-deletions behavior until a
+    * segment merge; [[compactPostingsIndex]] is that merge, after which
+    * scores equal a from-scratch index over the survivors (what ret7
+    * grades). Caveat shared with the IVF tier: re-appending a forgotten
+    * doc_id requires a compact first, or the stale tombstone hides the
+    * new postings — [[appendToPostingsIndex]]'s anti-join therefore
+    * probes the FULL stored ids, not the living view. */
+  def forgetFromPostingsIndex(ids: DataFrame, idCol: String,
+                              dir: String): Unit =
+    Forget.forget(ids, idCol, s"$dir/tombstones")
+
+  /** The LIVING postings view: base + committed segments minus
+    * tombstones — what every query path scans once deletes exist. */
+  def postingsLiving(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame =
+    Forget.applyTombstones(postingsRelation(spark, dir), "doc_id",
+      s"$dir/tombstones")
+
+  /** Amortized physical rewrite of a tombstoned postings index: ONE
+    * whole-directory atomic swap ([[graft.core.Artifacts.swapInto]])
+    * publishing postings/terms/meta derived from the LIVING relation —
+    * segments and tombstones simply do not exist in the new root, so no
+    * crash point can double-count a folded segment or lose one (the
+    * staged root reads the old root, which stays intact until the
+    * checked rename; a mid-swap crash heals on the next read). After
+    * the compact, df and corpus totals reflect the survivors — scores
+    * equal a from-scratch build. */
+  def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Unit = {
+    val living = postingsLiving(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val buckets = spark.read.parquet(s"$dir/meta").head().getInt(2)
+      graft.core.Artifacts.swapInto(spark, dir) { tmp =>
+        living.write.partitionBy("pb").parquet(s"$tmp/postings")
+        living.groupBy("pb", "term").agg(count(lit(1)).as("dft"))
+          .write.partitionBy("pb").parquet(s"$tmp/terms")
+        living.agg(count_distinct(col("doc_id")).as("n_docs"),
+            sum(col("tf")).as("n_toks"), lit(buckets).as("buckets"))
+          .coalesce(1).write.parquet(s"$tmp/meta")
+      }
+    } finally living.unpersist()
+  }
+
   /** [[bm25TopK]] answered from the STORED index: the query vocabulary
     * hashes to its buckets under the artifact's OWN stored bucket count,
     * and the bucket ids — bounded by |query terms| — push into both the
@@ -214,6 +284,7 @@ object Retrieval {
                         k: Int = 5, k1: Double = 1.2,
                         b: Double = 0.75): DataFrame = {
     import spark.implicits._
+    graft.core.Artifacts.heal(spark, dir)
     graft.core.Artifacts.heal(spark, s"$dir/meta"); graft.core.Artifacts.heal(spark, s"$dir/terms")
     val meta = spark.read.parquet(s"$dir/meta").head()
     val (nDocs, nToks, buckets) =
@@ -226,7 +297,10 @@ object Retrieval {
     val pbs = qvocab
       .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).as("pb"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val post = postingsRelation(spark, dir)
+    // LIVING view: tombstoned documents leave the candidate set at once;
+    // df/meta stay stored until compact (the Lucene pre-merge semantics —
+    // forgetFromPostingsIndex scaladoc, Round11Spec pins both phases)
+    val post = postingsLiving(spark, dir)
       .where(col("pb").isin(pbs: _*)).join(broadcast(qvocab), "term")
     val dict = spark.read.parquet(s"$dir/terms")
       .where(col("pb").isin(pbs: _*)).join(broadcast(qvocab), "term")

@@ -416,6 +416,71 @@ object TimeSeries {
         col("r.acf_micro").as("acf_micro"))
   }
 
+  /** CROSS-CORRELATION of two hourly count series at lags −L..L — the
+    * LEAD-LAG diagnostic [[autocorr]] cannot express (which series moves
+    * FIRST: a positive-lag peak says x's count precedes y's by that many
+    * hours — the causal-direction screen behind every "do clicks drive
+    * purchases" question). r(k) pairs zx_t with zy_{t−k} (k > 0: y's
+    * PAST), zy_{t+|k|} for k < 0 (y's FUTURE).
+    *
+    * Arithmetic: [[autocorr]]'s exact integer centering (z = n·c − S; the
+    * n² cancels in the ratio), numerator and the two energy sums exact
+    * BIGINTs; the only non-integer step is the final
+    * num·10⁶ ∕ (√dx·√dy) — BIGINT→double casts and ×,∕,√ are all
+    * IEEE-correctly-rounded (the mix1 rule), so both engines compute the
+    * identical bits and the sign-split TRUNCATION to micro-units cannot
+    * straddle (unlike round(·, 6), which has half-boundaries — ewma1).
+    *
+    * Spine note: the hour spine is the hours with ≥ 1 event of EITHER
+    * type — a fully-silent hour is absent from both series identically,
+    * so adjacency (and hence every lag pairing) is engine-shared by
+    * construction. The series is HORIZON-sized (hours, not SF), so the
+    * single-sequence window sort is bounded by the time horizon — the
+    * cp1/dyadicSmooth cost class, one sort shared by all 2L+1 lags. */
+  def crossCorr(df: DataFrame, ts: Column, xFlag: Column, yFlag: Column,
+                lags: Int = 3): DataFrame = {
+    require(lags >= 1 && lags <= 24)
+    val hourly = df.where(xFlag || yFlag)
+      .groupBy(date_trunc("hour", ts).as("hour"))
+      .agg(sum(when(xFlag, 1L).otherwise(0L)).as("x"),
+        sum(when(yFlag, 1L).otherwise(0L)).as("y"))
+    val tot = hourly.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+    val z = hourly.crossJoin(broadcast(tot))
+      .select(col("hour"),
+        (col("n") * col("x") - col("sx")).as("zx"),
+        (col("n") * col("y") - col("sy")).as("zy"))
+    val wo = Window.orderBy("hour")
+    def zyName(k: Int) = if (k < 0) s"zy_m${-k}" else s"zy_p$k"
+    val lagged = (-lags to lags).foldLeft(z) { (b, k) =>
+      b.withColumn(zyName(k),
+        if (k >= 0) lag(col("zy"), k).over(wo)
+        else lead(col("zy"), -k).over(wo))
+    }
+    val aggs =
+      Seq(count(lit(1)).as("n_hours"),
+        sum(col("zx") * col("zx")).as("dx"),
+        sum(col("zy") * col("zy")).as("dy")) ++
+      (-lags to lags).flatMap(k => Seq(
+        coalesce(sum(col("zx") * col(zyName(k))), lit(0L)).as(s"num_${zyName(k)}"),
+        count(col(zyName(k))).as(s"t_${zyName(k)}")))
+    val agg = lagged.agg(aggs.head, aggs.tail: _*)
+    // sign-split truncating micro-quotient over the identical correctly-
+    // rounded double chain both engines produce (scaladoc)
+    def micro(num: Column): Column = {
+      val v = num.cast("double") * lit(1000000d) /
+        (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double")))
+      when(col("dx") === 0 || col("dy") === 0, lit(0L)
+        ).otherwise(when(v >= 0, floor(v)).otherwise(-floor(-v)).cast("long"))
+    }
+    agg.select(col("n_hours"), explode(array(
+        (-lags to lags).map(k => struct(lit(k).as("lag"),
+          col(s"t_${zyName(k)}").as("n_terms"),
+          micro(col(s"num_${zyName(k)}")).as("xcorr_micro"))): _*)).as("r"))
+      .select(col("r.lag").cast("int").as("lag"), col("n_hours"),
+        col("r.n_terms").as("n_terms"), col("r.xcorr_micro").as("xcorr_micro"))
+  }
+
   def hourlyAnomaly(df: DataFrame, key: Column, ts: Column, value: Column,
                     window: Int = 24): DataFrame = {
     val hourly = df

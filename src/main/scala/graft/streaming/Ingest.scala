@@ -396,6 +396,37 @@ object Ingest {
     * writes unpartitioned versions — for those each version IS the full
     * state, and the newest-per-bucket rule degenerates to "read the
     * newest version" (no pk dirs below it). */
+  /** TIME-TRAVEL read of the versioned snapshot: the state AS OF writer
+    * batch `asOf` — per bucket, the newest committed version ≤ asOf
+    * (exactly what [[latestSnapshot]] reads with the bound at infinity).
+    * The snapshot-isolation verb the copy-on-write version layout buys
+    * for free: versions are immutable once committed, so an as-of read
+    * is reproducible forever — until [[compactMatview]] folds history
+    * (compaction keeps only the newest state; reads as of a compacted-
+    * away version fail loudly below rather than silently answering with
+    * newer data — the retention contract every lakehouse time travel
+    * has). Uncommitted / in-flight versions are invisible (no _SUCCESS),
+    * same as every other reader. */
+  def asOfSnapshot(spark: org.apache.spark.sql.SparkSession,
+                   snapRoot: String, asOf: Long): DataFrame = {
+    val versions = committedVersions(snapRoot).filter(_ <= asOf)
+    require(versions.nonEmpty,
+      s"asOfSnapshot: no committed version <= $asOf under $snapRoot — " +
+        "either the batch never committed or compaction folded it away")
+    val buckets = versions.flatMap(v =>
+      Option(new java.io.File(s"$snapRoot/v=$v").listFiles())
+        .getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("pk="))
+        .map(d => d.getName.stripPrefix("pk=").toInt)).distinct
+    if (buckets.isEmpty) // unpartitioned (complete-mode) layout
+      return spark.read.parquet(s"$snapRoot/v=${versions.max}")
+    val paths = buckets.flatMap(pk =>
+      newestBucketVersion(snapRoot, pk, beforeVersion = asOf + 1)
+        .map(v => s"$snapRoot/v=$v/pk=$pk"))
+    spark.read.option("basePath", snapRoot).parquet(paths: _*)
+      .drop("v", "pk")
+  }
+
   def latestSnapshot(spark: org.apache.spark.sql.SparkSession,
                      snapRoot: String): DataFrame = {
     val versions = committedVersions(snapRoot)

@@ -94,6 +94,72 @@ class Round11Spec extends SparkSpec {
     assert(ok.count() == 40L)
   }
 
+  // -------------------------------------------- postings forget (ret7)
+
+  test("postings forget: living view immediate, Lucene df until compact") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha delta"),
+      (4L, "alpha epsilon"), (5L, "zeta eta"),
+    ).toDF("doc_id", "text")
+    val qs = Seq(0 -> Seq("alpha"))
+    val dir = tmpDir("ret7-spec") + "/idx"
+    ext.Retrieval.writePostingsIndex(docs, "doc_id", "text", dir)
+    val before = ext.Retrieval.bm25TopKFromIndex(spark, qs, dir, k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(before.keySet == Set(1L, 2L, 3L, 4L))
+    ext.Retrieval.forgetFromPostingsIndex(
+      docs.where($"doc_id" === 2).select("doc_id"), "doc_id", dir)
+    // pre-compact: doc 2 leaves the RESULTS at once, but df/N still
+    // reflect the pre-forget store (Lucene's docFreq-includes-deletions)
+    // so the survivors' scores are UNCHANGED
+    val mid = ext.Retrieval.bm25TopKFromIndex(spark, qs, dir, k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(mid.keySet == Set(1L, 3L, 4L))
+    assert(mid.forall { case (d, s) => before(d) == s },
+      "pre-compact scores keep the stored df (the Lucene semantics)")
+    // post-compact: scores equal a FROM-SCRATCH index over survivors
+    ext.Retrieval.compactPostingsIndex(spark, dir)
+    val after = ext.Retrieval.bm25TopKFromIndex(spark, qs, dir, k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val fresh = tmpDir("ret7-spec-fresh") + "/idx"
+    ext.Retrieval.writePostingsIndex(docs.where($"doc_id" =!= 2),
+      "doc_id", "text", fresh)
+    val want = ext.Retrieval.bm25TopKFromIndex(spark, qs, fresh, k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(after == want, "post-compact must equal a from-scratch build")
+  }
+
+  // ------------------------------------------------- time travel (mv3)
+
+  test("asOfSnapshot: pinned version, later writers invisible, compaction folds") {
+    val root = tmpDir("mv3-spec") + "/snap"
+    def up(id: Long, rows: Seq[(String, Long)]): Unit =
+      streaming.Ingest.upsertMatviewBatch(rows.toDF("k", "n"), Seq("k"),
+        root, id)
+    up(0L, Seq(("a", 1L), ("b", 1L)))
+    up(1L, Seq(("b", 2L)))
+    up(2L, Seq(("a", 9L), ("c", 9L)))
+    def read(v: Long) = streaming.Ingest.asOfSnapshot(spark, root, v)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(read(0L) == Set(("a", 1L), ("b", 1L)))
+    assert(read(1L) == Set(("a", 1L), ("b", 2L)),
+      "v1 sees v1's upsert and v0's untouched keys; v2 invisible")
+    assert(read(2L) == Set(("a", 9L), ("b", 2L), ("c", 9L)))
+    assert(streaming.Ingest.latestSnapshot(spark, root)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet == read(2L))
+    // compaction folds history: the latest view survives, as-of reads of
+    // folded-away versions fail LOUDLY (the retention contract)
+    streaming.Ingest.compactMatview(spark, root)
+    assert(streaming.Ingest.latestSnapshot(spark, root)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 9L), ("b", 2L), ("c", 9L)))
+    val ex = intercept[IllegalArgumentException] {
+      streaming.Ingest.asOfSnapshot(spark, root, 0L).collect()
+    }
+    assert(ex.getMessage.contains("compaction"),
+      s"message must name the retention contract: ${ex.getMessage}")
+  }
+
   // ------------------------------------------------ pq commit discipline
 
   private def pqCorpus() = {
