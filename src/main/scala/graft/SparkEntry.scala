@@ -2565,6 +2565,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // del2s: STREAMING forget propagation — takedown requests arrive as
+    // a STREAM and fold into the tombstone store per micro-batch via the
+    // K2 foreachBatch sink (the governance × streaming cell): slice 1
+    // RE-DELIVERS every slice-0 request (the at-least-once worst case —
+    // full overlap), and the living view must be invariant because
+    // tombstones are a SET (append-shaped, applied distinct — the one
+    // artifact class where redelivery needs no id fencing, exactly why
+    // Forget.forget is safe behind foreachBatch where the MG/CMS merges
+    // are not). Graded: the post-replay living archive = documents minus
+    // every requested id.
+    "del2s_stream_forget" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val dir0 = graft.core.Scratch.dir("del2s-")
+      val arch = s"$dir0/archive"; val tomb = s"$dir0/tomb"
+      docs.write.parquet(arch)
+      val reqs = docs.select(col("doc_id")).where(col("doc_id") % 4 === 1)
+      val s0 = reqs.where(pmod(col("doc_id"), lit(8)) === 1)
+      val s1 = reqs // slice 0's requests redelivered in full + the rest
+      graft.streaming.Replay.slicedSourceReplay(s, Seq(s0, s1),
+          "doc_id BIGINT", "del2s-") { (src, dir) =>
+        graft.core.Sinks.foreachBatchSink(src, s"$dir/ckpt") { (b, _) =>
+          ext.Forget.forget(b, "doc_id", tomb)
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      ext.Forget.applyTombstones(s.read.parquet(arch), "doc_id", tomb)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // bf1: inc1's fixture through the BLOOM-pruned archive check — the
     // 100 TB shape: the archive folds into one fixed-size mergeable
     // filter (the operator's only broadcast, 1 row), "definitely new"
@@ -5484,6 +5513,11 @@ object SparkEntry {
            |  FROM living)
            |SELECT doc_id, content_fp FROM bf
            |WHERE NOT EXISTS (SELECT 1 FROM af WHERE af.fp = bf.content_fp)
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // del2s: the living view after the replayed (and fully redelivered)
+      // request stream = documents minus every requested id
+      "del2s_stream_forget" ->
+        ("""SELECT doc_id FROM documents WHERE doc_id % 4 <> 1
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       // bf1: bloom prune is result-invariant — the oracle is inc1's exact
       // anti-join verbatim

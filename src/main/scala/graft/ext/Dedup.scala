@@ -1189,7 +1189,8 @@ object Dedup {
     */
   def clusterRoots(pairs: DataFrame, aCol: String = "id_a",
                    bCol: String = "id_b", maxIters: Int = 25,
-                   checkpointEvery: Int = 2): DataFrame = {
+                   checkpointEvery: Int = 2,
+                   driverMergeMax: Long = 200000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(checkpointEvery >= 1, "checkpointEvery >= 1")
     // Symmetric, deduped edge list — persisted once, read every round.
@@ -1217,6 +1218,24 @@ object Dedup {
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("y"))
       .distinct()
       .localCheckpoint()
+    // ADAPTIVE fast path (round-11, the Borůvka meta-merge device): the
+    // pair list is already materialized, so its count is one cheap job
+    // over cached blocks; at or under the documented budget (≈ 3 MB of
+    // longs) ONE bounded collect + a driver union-find replaces the whole
+    // iterate-to-fixpoint loop (init + per-cadence materialize +
+    // convergence count — the dominant cost at near-dup pair volumes).
+    // Above it the distributed fixpoint below runs unchanged; both paths
+    // compute the identical min-id roots (Round11Spec fuzzes equality).
+    // The result is a LocalRelation — downstream joins broadcast it,
+    // which is exactly right for a ≤ 2·budget-row label map.
+    if (driverMergeMax >= 0 && und.count() <= driverMergeMax) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val roots = graft.core.UnionFind.minRoots(
+        und.collect().map(r => (r.getLong(0), r.getLong(1))))
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(und)
+      return roots.toDF("id", "root")
+    }
     val sym = und.union(und.select(col("y").as("x"), col("x").as("y")))
     // SELF-LOOPS carry each node's own label through the round, so one
     // round is ONE join + ONE aggregate — l'(x) = min over (x,y)∈E' of

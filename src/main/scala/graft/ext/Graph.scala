@@ -773,35 +773,14 @@ object Graph {
           val metaRoots: DataFrame =
             if (driverMerged) {
               val spark = claims.sparkSession
-              val pairRows = claims.select(col("cu"), col("cv")).collect()
-              val parent = new java.util.HashMap[Long, Long]()
-              def find(x: Long): Long = {
-                var root = x
-                while (parent.getOrDefault(root, root) != root)
-                  root = parent.get(root)
-                var c = x
-                while (parent.getOrDefault(c, c) != c) {
-                  val nxt = parent.get(c); parent.put(c, root); c = nxt
-                }
-                root
-              }
-              pairRows.foreach { row =>
-                val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
-                if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-              }
-              // min-id root per member: union-by-min above keeps every
-              // set's root = its minimum id (the clusterRoots semantics)
-              val members = new java.util.HashSet[java.lang.Long]()
-              pairRows.foreach { row =>
-                members.add(row.getLong(0)); members.add(row.getLong(1))
-              }
-              import scala.jdk.CollectionConverters._
-              val rows = members.asScala.toSeq
-                .map(m => (m.longValue, find(m.longValue)))
               import spark.implicits._
-              // provably bounded by metaCollectMax — the broadcast hint
-              // (applied at the join below) is allowed by the invariant
-              rows.toDF("comp", "newComp")
+              // min-id roots from the shared driver kernel; provably
+              // bounded by metaCollectMax — the broadcast hint (applied
+              // at the join below) is allowed by the invariant
+              graft.core.UnionFind.minRoots(
+                  claims.select(col("cu"), col("cv")).collect()
+                    .map(r => (r.getLong(0), r.getLong(1))))
+                .toDF("comp", "newComp")
             } else graft.ext.Dedup.clusterRoots(
                 claims.select(col("cu").as("id_a"), col("cv").as("id_b")))
               .select(col("id").as("comp"), col("root").as("newComp"))

@@ -250,7 +250,18 @@ object Similarity {
     * neighbor_id, cos UNROUNDED — parquet doubles round-trip exactly, and
     * the merge order must survive storage); `vectors/` — the (id, v)
     * primary copy future appends score against; `meta` — (k, blocks).
-    * All-or-nothing via [[graft.core.Artifacts.stageCommit]]. */
+    * All-or-nothing via [[graft.core.Artifacts.stageCommit]].
+    *
+    * FORGET caveat (the one artifact verb this tier deliberately lacks,
+    * unlike IVF/postings/archive): removing a node from others' stored
+    * top-k lists leaves those lists SHORT, and refilling rank k exactly
+    * needs candidates the node-sized artifact never kept — an
+    * information-theoretic limit of top-k state, not an implementation
+    * gap. Honest options: tombstone-and-accept-short-lists (results
+    * never SHOW the deleted node — the `vectors/` anti-join is one line),
+    * over-provision k+m slots and reclaim, or rebuild; a deployment
+    * under right-to-be-forgotten should front this graph with the
+    * rebuild cadence it already needs for drift. */
   def writeKnnGraph(corpus: DataFrame, idCol: String, vecCol: String,
                     dir: String, k: Int, blocks: Int = 8): Unit = {
     val spark = corpus.sparkSession

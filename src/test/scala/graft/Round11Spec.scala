@@ -94,6 +94,30 @@ class Round11Spec extends SparkSpec {
     assert(ok.count() == 40L)
   }
 
+  // -------------------------------- clusterRoots adaptive driver merge
+
+  test("clusterRoots: driver union-find path equals distributed fixpoint") {
+    val rnd = new scala.util.Random(113)
+    (1 to 3).foreach { trial =>
+      val pairs = (1 to 60).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("id_a", "id_b")
+        .localCheckpoint()
+      val driver = ext.Dedup.clusterRoots(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dist = ext.Dedup.clusterRoots(pairs, driverMergeMax = -1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(driver == dist, s"trial $trial: paths must agree")
+      assert(driver.nonEmpty)
+      // min-id root semantics hold on both
+      driver.groupBy(_._2).foreach { case (root, members) =>
+        assert(members.map(_._1).min == root,
+          s"trial $trial: root must be the component minimum")
+      }
+    }
+  }
+
   // -------------------------------------------- postings forget (ret7)
 
   test("postings forget: living view immediate, Lucene df until compact") {
