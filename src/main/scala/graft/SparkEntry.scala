@@ -1985,6 +1985,15 @@ object SparkEntry {
       TextAnalysis.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // t8: per-doc CHARACTER-distribution Shannon entropy (nats/char) —
+    // the below-token-level quality screen (repeated-char spam, padding
+    // runs) next to lm1's corpus-relative surprisal; lm1's exact
+    // per-term DECIMAL(30,6) quantization discipline verbatim
+    // (TextAnalysis.charEntropy scaladoc).
+    "t8_char_entropy" -> ((s, d) =>
+      TextAnalysis.charEntropy(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // lm2: n-gram-LM QUALITY FILTER (CCNet-lineage perplexity-filter
     // family) in exact arithmetic — even docs form the reference LM,
     // odd docs are scored by trigram stupid-backoff coverage; see
@@ -6166,6 +6175,23 @@ object SparkEntry {
            |   AS DECIMAL(30,6))) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
            |  AS surprisal
            |FROM ct, n GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // t8: identical per-character DECIMAL(30,6) quantized contributions
+      // and the identical final round(Σ/N, 6) — the lm1 expression shape
+      // over the doc's own char distribution
+      "t8_char_entropy" ->
+        ("""WITH cf AS (SELECT doc_id, ch, COUNT(*) AS ct
+           |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+           |        FROM documents)
+           |  WHERE len(ch) = 1 GROUP BY 1, 2),
+           | t AS (SELECT doc_id, ch, ct,
+           |   SUM(ct) OVER (PARTITION BY doc_id) AS n FROM cf)
+           |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars,
+           | CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           | round(CAST(SUM(CAST(CAST(ct AS DOUBLE) *
+           |   (ln(CAST(n AS DOUBLE)) - ln(CAST(ct AS DOUBLE)))
+           |   AS DECIMAL(30,6))) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6)
+           |  AS entropy
+           |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       // lm2: identical backoff cascade — exact long counts per class, one
       // final integer-to-double division (IEEE-correct both engines)
       "lm2_backoff_coverage" ->

@@ -500,6 +500,43 @@ object TextAnalysis {
           .as("surprisal"))
   }
 
+  /** Per-document CHARACTER-DISTRIBUTION SHANNON ENTROPY (nats/char) —
+    * the model-free quality signal next to [[unigramSurprisal]]'s
+    * corpus-relative one: H = Σ_c (ct_c∕N)·ln(N∕ct_c) over the doc's OWN
+    * character counts. Low entropy = repeated-character spam, padding
+    * runs, single-token boilerplate; natural prose sits in a stable band
+    * — the classic cheap pre-filter BEFORE tokenizer-level screens (t6's
+    * trigram repetition catches phrase loops; this catches what happens
+    * below the token level).
+    *
+    * Determinism = lm1's exact discipline verbatim: per-character
+    * contributions ct·(ln N − ln ct) quantize to DECIMAL(30,6) and sum
+    * exactly, one final IEEE division behind round(·, 6); the ln
+    * arguments are irrational-log inputs, so the quotient cannot sit ON
+    * a decimal half-boundary — only libm ±1 ulp noise at ~10⁻¹⁰ per-term
+    * exposure, the accepted lm1/x2 class. A single-character document
+    * emits exactly 0 (ln N − ln ct is the same double, bits ≡ 0).
+    *
+    * Scale: one char-explode pass (rows = corpus characters — the bpe1
+    * inflation class, map-side combined into (doc, char) groups ≤
+    * |alphabet| per doc), a doc-keyed window over those small groups,
+    * one final per-doc aggregate. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = graft.core.Par.fanOut(df.select(col(idCol).as("doc_id"),
+        col(textCol).as("text")))
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .where(length(col("ch")) === 1) // split("") may emit a trailing ""
+    val cf = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("ct"))
+    val bits = col("ct").cast("double") *
+      (log(col("n").cast("double")) - log(col("ct").cast("double")))
+    cf.withColumn("n", sum(col("ct")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .groupBy("doc_id")
+      .agg(max(col("n")).cast("long").as("n_chars"),
+        count(lit(1)).cast("long").as("n_distinct_chars"),
+        round(Num.dsum(bits) / max(col("n")).cast("double"), 6).as("entropy"))
+  }
+
   /** Trigram STUPID-BACKOFF COVERAGE scoring — the n-gram-LM quality
     * filter of the CCNet/CC-100 lineage (perplexity-filter family),
     * stated in exact arithmetic: a held-out reference corpus `lm` defines
