@@ -323,19 +323,22 @@ object Curation {
       .where(col("v").isNotNull && col("grp").isNotNull)
     val (og, relG) = globalOrdinalsManaged(base,
       Seq(col("grp"), col("v"), col("id")), numRanges)
-    val gc = og.groupBy("grp").agg(count(lit(1)).as("c"))
-      .orderBy("grp").collect()
     // Loud contract guard (round-10 verdict #2): the per-group offsets are
     // collected to the driver and inlined as map(...) PLAN LITERALS, so
     // both driver state and plan size grow with |groups| — correct only
     // for the documented FEW-GIANT-GROUPS shape. A high-cardinality group
-    // column would kill a 100× run silently-slowly; fail loudly instead.
-    require(gc.length <= maxGroups,
-      s"quantileNormalize: ${gc.length} groups exceeds maxGroups=$maxGroups " +
+    // column would kill a 100× run silently-slowly; fail loudly instead —
+    // and BEFORE the unbounded collect (a limit-probed count, so the
+    // guard itself can never OOM what it guards against).
+    val gcAgg = og.groupBy("grp").agg(count(lit(1)).as("c"))
+    val probed = gcAgg.limit(maxGroups + 1).count()
+    require(probed <= maxGroups,
+      s"quantileNormalize: more than maxGroups=$maxGroups groups " +
         "— this operator inlines |groups|-sized plan literals and is built " +
         "for FEW GIANT groups; for high-cardinality groups use a " +
         "PARTITION BY grp window (percent_rank over Window.partitionBy) " +
         "instead, where each group fits a single reducer")
+    val gc = gcAgg.orderBy("grp").collect()
     var acc = 0L
     val offs = gc.map { r =>
       val o = (r.get(0), acc, r.getLong(1)); acc += r.getLong(1); o

@@ -1216,6 +1216,10 @@ object Dedup {
     val und = pairs
       .select(least(col(aCol).cast("long"), col(bCol).cast("long")).as("x"),
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("y"))
+      // explicit: a null id joins nothing in the distributed fixpoint
+      // (equi-join keys drop nulls), so the driver path must see the
+      // identical filtered relation instead of NPEing on getLong
+      .where(col("x").isNotNull && col("y").isNotNull)
       .distinct()
       .localCheckpoint()
     // ADAPTIVE fast path (round-11, the Borůvka meta-merge device): the

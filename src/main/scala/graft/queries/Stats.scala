@@ -368,17 +368,20 @@ object Stats {
       .where(col("vm").isNotNull)
     val (og, rel) = graft.ext.Curation.globalOrdinalsManaged(base,
       Seq(col("id"), col("vm"), col("rid")))
-    val gc = og.groupBy("id").agg(count(lit(1)).as("c"))
-      .orderBy("id").collect()
     // Loud contract guard (round-10 verdict #2): per-group offsets/counts
     // become driver state and map(...) PLAN LITERALS — the few-giant-groups
-    // contract. High-cardinality keys must fail loudly, not silently-slowly.
-    require(gc.length <= maxGroups,
-      s"winsorizedStats: ${gc.length} groups exceeds maxGroups=$maxGroups " +
+    // contract. High-cardinality keys must fail loudly, not silently-slowly
+    // — and BEFORE the unbounded collect (limit-probed count, so the guard
+    // itself can never OOM what it guards against).
+    val gcAgg = og.groupBy("id").agg(count(lit(1)).as("c"))
+    val probed = gcAgg.limit(maxGroups + 1).count()
+    require(probed <= maxGroups,
+      s"winsorizedStats: more than maxGroups=$maxGroups groups " +
         "— this operator inlines |groups|-sized plan literals and is built " +
         "for FEW GIANT groups; for high-cardinality keys derive the cut " +
         "ranks with a PARTITION BY key window (row_number over " +
         "Window.partitionBy) instead, where each group fits a single reducer")
+    val gc = gcAgg.orderBy("id").collect()
     var acc = 0L
     val offs = gc.map { r => val o = (r.get(0), acc, r.getLong(1)); acc += r.getLong(1); o }
     val offMap = map(offs.flatMap(t => Seq(lit(t._1), lit(t._2))).toIndexedSeq: _*)
