@@ -1813,6 +1813,24 @@ object SparkEntry {
         .orderBy("doc_id", "eval_id")
     }),
 
+    // cc2: per-doc n-gram CONTAINMENT score against the same eval
+    // fixture — the GPT-3-lineage decontamination METRIC (cc1 lists the
+    // colliding pairs; this scores every corpus doc, clean docs
+    // included, for the removal threshold). Truncating micro-quotient,
+    // exact long counts, bounded eval shingle set broadcast
+    // (Dedup.contaminationScore scaladoc).
+    "cc2_containment_score" -> ((s, d) => {
+      val pu = plantUnit(s, d)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val ev = docs.where(col("doc_id") % 20 === 3)
+        .select((col("doc_id") + 5 * pu).as("doc_id"),
+          concat(col("text"), lit(" evaltok")).as("text"))
+        .union(docs.where(col("doc_id") % 50 === 7)
+          .select((col("doc_id") + 6 * pu).as("doc_id"), col("text")))
+      Dedup.contaminationScore(docs, ev, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // sp2: length-weighted deterministic sampling — longer documents kept
     // with proportionally higher probability (the source-mixing shape);
     // fate is a pure function of (doc_id, salt), so the oracle recomputes
@@ -5982,6 +6000,33 @@ object SparkEntry {
            | CAST((SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
            |   - n_tokens) // 512 AS BIGINT) AS chunk_id
            |FROM (SELECT doc_id, len($toksSql) AS n_tokens FROM documents)
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // cc2: identical distinct-trigram sets (string-side; hash-side
+      // cardinality agreement is the cc1/d2 xxhash exposure), hits via
+      // one join against the eval shingle set, truncating micro score
+      "cc2_containment_score" ->
+        (s"""WITH ev AS (
+           |  SELECT text || ' evaltok' AS text FROM documents WHERE doc_id % 20 = 3
+           |  UNION ALL SELECT text FROM documents WHERE doc_id % 50 = 7),
+           | es AS (SELECT DISTINCT s FROM (
+           |  SELECT unnest(CASE WHEN len(toks) >= 3
+           |   THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+           |   ELSE [] END) AS s
+           |  FROM (SELECT $toksSql AS toks FROM ev))),
+           | csh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+           |   THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+           |   ELSE [] END AS sh
+           |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+           | ci AS (SELECT doc_id, unnest(sh) AS s FROM csh),
+           | hits AS (SELECT ci.doc_id, COUNT(*) AS h
+           |  FROM ci JOIN es USING (s) GROUP BY 1)
+           |SELECT c.doc_id, CAST(len(c.sh) AS BIGINT) AS n_shingles,
+           | CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+           | CAST(CASE WHEN len(c.sh) = 0 THEN 0
+           |  ELSE (CAST(COALESCE(h.h, 0) AS BIGINT) * 1000000) // len(c.sh)
+           |  END AS BIGINT) AS containment_micro,
+           | CAST(COALESCE(h.h, 0) > 0 AS INTEGER) AS contaminated
+           |FROM csh c LEFT JOIN hits h USING (doc_id)
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       "cc1_contamination" ->
         (s"""WITH ev AS (

@@ -1149,6 +1149,52 @@ object Dedup {
       .withColumn("kind", when(col("j") === 1.0, lit("exact")).otherwise(lit("near")))
   }
 
+  /** Per-document N-GRAM CONTAINMENT against an eval set — the GPT-3-
+    * lineage decontamination METRIC next to [[contaminationPairs]]'s pair
+    * listing: for every corpus document, the fraction of its DISTINCT
+    * n-gram shingles that appear ANYWHERE in the eval suite ("this doc is
+    * 40% eval n-grams" — the score a removal threshold is set against,
+    * where cc1 answers "which eval doc does it collide with"). Every
+    * corpus document reports (zero-shingle and zero-hit docs included —
+    * a decontamination audit must show clean docs as clean, not omit
+    * them).
+    *
+    * Determinism: counts are exact longs over the shared shingle-hash
+    * kernel, the score a TRUNCATING micro-quotient (no float ratio);
+    * hash-vs-string set cardinality agreement is cc1/d2's accepted
+    * xxhash-collision exposure.
+    *
+    * Scale: the eval suite is bounded by definition (benchmarks, not
+    * corpora) — its distinct shingle set broadcasts; the corpus makes ONE
+    * shingle pass (explode_outer keeps empty docs, map-side combine
+    * collapses the per-doc aggregate) and never shuffles on anything
+    * wider than its own doc key. */
+  def contaminationScore(corpus: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3): DataFrame = {
+    val c = graft.core.Par.fanOut(
+        corpus.select(col(idCol).as("doc_id"),
+          TextAnalysis.tokens(col(textCol)).as("toks")))
+      .select(col("doc_id"), when(size(col("toks")) >= n,
+          shingleHashesFromTokens(col("toks"), n))
+        .otherwise(array().cast("array<long>")).as("shh"))
+    val es = evalSet.where(size(TextAnalysis.tokens(col(textCol))) >= n)
+      .select(explode(shingleHashesFromTokens(
+        TextAnalysis.tokens(col(textCol)), n)).as("s"))
+      .distinct()
+    c.select(col("doc_id"), size(col("shh")).as("total"),
+        explode_outer(col("shh")).as("s"))
+      .join(broadcast(es.withColumn("hit", lit(1))), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(max(col("total")).cast("long").as("n_shingles"),
+        count(col("hit")).cast("long").as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        when(col("n_shingles") === 0, lit(0L)).otherwise(call_function("div",
+          col("n_hits") * lit(1000000L), col("n_shingles")))
+          .as("containment_micro"),
+        (col("n_hits") > 0).cast("int").as("contaminated"))
+  }
+
   /** Connected-component collapse of a near-dup PAIR list into per-doc
     * cluster roots: returns (id, root) for every id appearing in `pairs`,
     * where root is the minimum id reachable through the pair graph — the
