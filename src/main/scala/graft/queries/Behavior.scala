@@ -262,8 +262,19 @@ object Behavior {
       .where(col("tts") < col("cts") &&
         col("tts") >= col("cts") - expr(s"INTERVAL $lookback"))
     val w = Window.partitionBy("conv_id")
+    // Truncating div (Spark) and floor div (DuckDB //) agree ONLY for
+    // non-negative numerators; a refund-shaped negative conversion value
+    // would silently diverge by one micro-unit per affected pair. The
+    // corpus assumption fails LOUDLY instead: per-row guard, no extra
+    // pass (raise_error rides the existing projection).
+    val vGuarded = when(col("vmicro") < 0, raise_error(concat(
+        lit("linearAttribution: negative conversion value vmicro="),
+        col("vmicro").cast("string"),
+        lit(" — truncating (Spark) vs floor (oracle) integer division " +
+          "diverge on negatives; this operator requires value >= 0"))))
+      .otherwise(col("vmicro"))
     j.withColumn("share",
-        call_function("div", col("vmicro"), count(lit(1)).over(w)))
+        call_function("div", vGuarded, count(lit(1)).over(w)))
       .groupBy("touch_id")
       .agg(count(lit(1)).cast("long").as("n_conversions"),
         sum(col("share")).as("attributed_micro"))

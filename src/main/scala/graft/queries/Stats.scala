@@ -374,14 +374,16 @@ object Stats {
     // — and BEFORE the unbounded collect (limit-probed count, so the guard
     // itself can never OOM what it guards against).
     val gcAgg = og.groupBy("id").agg(count(lit(1)).as("c"))
-    val probed = gcAgg.limit(maxGroups + 1).count()
-    require(probed <= maxGroups,
+    // ONE bounded job (TakeOrderedAndProject) replaces the probe count +
+    // full ordered collect: overflow trips the require, a pass holds all
+    // groups in Spark's own sort order — see quantileNormalize's twin.
+    val gc = gcAgg.orderBy("id").limit(maxGroups + 1).collect()
+    require(gc.length <= maxGroups,
       s"winsorizedStats: more than maxGroups=$maxGroups groups " +
         "— this operator inlines |groups|-sized plan literals and is built " +
         "for FEW GIANT groups; for high-cardinality keys derive the cut " +
         "ranks with a PARTITION BY key window (row_number over " +
         "Window.partitionBy) instead, where each group fits a single reducer")
-    val gc = gcAgg.orderBy("id").collect()
     var acc = 0L
     val offs = gc.map { r => val o = (r.get(0), acc, r.getLong(1)); acc += r.getLong(1); o }
     val offMap = map(offs.flatMap(t => Seq(lit(t._1), lit(t._2))).toIndexedSeq: _*)

@@ -424,8 +424,14 @@ object TimeSeries {
     * PAST), zy_{t+|k|} for k < 0 (y's FUTURE).
     *
     * Arithmetic: [[autocorr]]'s exact integer centering (z = n·c − S; the
-    * n² cancels in the ratio), numerator and the two energy sums exact
-    * BIGINTs; the only non-integer step is the final
+    * n² cancels in the ratio). zx/zy are long-safe (≈ n_hours·hourly
+    * count — a horizon-bounded factor times a rate), but their PRODUCTS
+    * and the summed energies are not at 100×: Σzx² ≈ n·(n·c)² crosses
+    * 2^63 near hourly counts of ~5·10⁵ over ~700 hours, so zx/zy widen
+    * to DECIMAL(19,0) before the products — (19,0)×(19,0) → exact
+    * DECIMAL(38,0), summed lossless — mirroring the oracle's automatic
+    * HUGEINT widening instead of silently wrapping. The only non-integer
+    * step is the final
     * num·10⁶ ∕ (√dx·√dy) — BIGINT→double casts and ×,∕,√ are all
     * IEEE-correctly-rounded (the mix1 rule), so both engines compute the
     * identical bits and the sign-split TRUNCATION to micro-units cannot
@@ -446,10 +452,13 @@ object TimeSeries {
         sum(when(yFlag, 1L).otherwise(0L)).as("y"))
     val tot = hourly.agg(count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+    // DECIMAL(19,0) carries any long exactly; the products below are then
+    // DECIMAL(38,0) — exact, like the oracle's HUGEINT (scaladoc)
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
     val z = hourly.crossJoin(broadcast(tot))
       .select(col("hour"),
-        (col("n") * col("x") - col("sx")).as("zx"),
-        (col("n") * col("y") - col("sy")).as("zy"))
+        (col("n") * col("x") - col("sx")).cast(dec19).as("zx"),
+        (col("n") * col("y") - col("sy")).cast(dec19).as("zy"))
     val wo = Window.orderBy("hour")
     def zyName(k: Int) = if (k < 0) s"zy_m${-k}" else s"zy_p$k"
     val lagged = (-lags to lags).foldLeft(z) { (b, k) =>
