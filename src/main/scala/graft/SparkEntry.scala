@@ -2102,6 +2102,31 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // ret8: TIME-TRAVEL read of the stored postings index — the
+    // reproducibility verb (round-11 verdict #3): yesterday's index
+    // (version 0 = the build over the even half) answers UNCHANGED after
+    // today's append landed (version 1 = the odd half), because versions
+    // are immutable committed segment sets and the pinned read derives
+    // df/corpus totals from the pinned relation, never the HEAD
+    // dictionary (Retrieval.bm25TopKFromIndexAsOf scaladoc; folded-
+    // history loud failure is Artifacts.segmentsAsOf's contract,
+    // Round12Spec pins it with the mv3 retention semantics). Oracle:
+    // ret1's from-scratch BM25 over the even half alone — exactly what
+    // the index held yesterday.
+    "ret8_postings_asof" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.core.Scratch.dir("ret8-")
+      ext.Retrieval.writePostingsIndex(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir)
+      ext.Retrieval.appendToPostingsIndex(docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", dir)
+      ext.Retrieval.bm25TopKFromIndexAsOf(s,
+          Seq(0 -> Seq("spark", "join", "table"),
+            1 -> Seq("hash", "merge", "sort"),
+            2 -> Seq("stream", "window", "batch")), dir, asOf = 0L, k = 5)
+        .orderBy("query_id", "rk")
+    }),
+
     // ret5: EXACT PHRASE SEARCH — the positional capability BM25's
     // bag-of-words cannot express: anchor each phrase on its
     // occurrence-rarest term (ties: offset, then term — both engines
@@ -3670,6 +3695,39 @@ object SparkEntry {
         "vec_id", "embedding", dir, dims = 64, m = 4, ksub = 4, iters = 2)
       Similarity.appendToPqIndex(emb.where(col("vec_id") % 4 === 1),
         "vec_id", "embedding", dir)
+      Similarity.pqTopKFromIndex(s, dir,
+          emb.select(col("vec_id"), col("embedding").as("v")),
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, shortlist = 30)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // pq4: PQ INDEX FORGET — the last stored artifact gets its delete
+    // verb (round-11 verdict #1: dedup has del1, postings ret7, IVF
+    // sim9; PQ had build/append/rebuild only). sim9's exact lifecycle
+    // over the codebook tier: a deterministic fifth of the corpus
+    // (vec_id % 5 = 2) is forgotten via O(deleted) vec_id tombstones,
+    // the query tier answers from the LIVING codes view (anti-join), and
+    // a retried forget + the amortized compact both execute inside the
+    // graded unit — the result must be invariant under both
+    // (tombstone-set idempotence and compact view-equality are the
+    // operator's contract; crash ordering spec-pinned in Round12Spec).
+    // Codebooks stay from build time (the quantizer is trained state,
+    // not subject data), so the oracle is pq2's VERBATIM pipeline with
+    // only the candidate code population restricted to survivors.
+    "pq4_index_forget" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = graft.core.Scratch.dir("pq4-")
+      Similarity.writePqIndex(emb, "vec_id", "embedding", dir, dims = 64,
+        m = 4, ksub = 4, iters = 2)
+      val doomed = emb.where(col("vec_id") % 5 === 2).select("vec_id")
+      Similarity.forgetFromPqIndex(doomed, "vec_id", dir)
+      // retried request: tombstones are a set — same living view
+      Similarity.forgetFromPqIndex(doomed, "vec_id", dir)
+      // amortized physical rewrite: view must be unchanged after it
+      Similarity.compactPqIndex(s, dir)
       Similarity.pqTopKFromIndex(s, dir,
           emb.select(col("vec_id"), col("embedding").as("v")),
           emb.where(col("vec_id") < 5), "vec_id", "embedding",
@@ -6281,6 +6339,7 @@ object SparkEntry {
       // ret7: ret1's BM25 verbatim over the forget SURVIVORS — after the
       // compact, df/N/candidates all equal a from-scratch build
       "ret7_postings_forget" -> Ret7OracleSql,
+      "ret8_postings_asof" -> Ret8OracleSql,
       // ret5: identical rarest-term anchor (COALESCE df 0, tie offset
       // then term), candidate-start expansion and positional verify join
       "ret5_phrase_search" ->
@@ -7441,6 +7500,10 @@ object SparkEntry {
       // update-round assignments restricted), full population coded with
       // the frozen result — exactly what build-then-append produces
       "pq3_pq_append" -> pqOracleSql(" WHERE vec_id % 4 <> 1"),
+      // pq4: pq2's verbatim with only the candidate code population
+      // restricted to survivors — training saw the full corpus, the
+      // forgotten fifth just stops being a neighbor
+      "pq4_index_forget" -> pqOracleSql("", " AND k.vec_id % 5 <> 2"),
     )
   }
 
@@ -7607,6 +7670,17 @@ object SparkEntry {
     ret1Bm25Sql.replace(marker, "FROM documents WHERE doc_id % 4 <> 2)")
   }
 
+  /** ret1's oracle over the version-0 population alone (the even half
+    * that built the index) — what a pinned as-of read must answer after
+    * the odd half appended. Same guarded-substitution device as ret7. */
+  private lazy val Ret8OracleSql: String = {
+    val marker = "FROM documents)"
+    require(ret1Bm25Sql.indexOf(marker) >= 0 &&
+      ret1Bm25Sql.indexOf(marker) == ret1Bm25Sql.lastIndexOf(marker),
+      "ret8 oracle derivation out of sync with ret1Bm25Sql")
+    ret1Bm25Sql.replace(marker, "FROM documents WHERE doc_id % 2 = 0)")
+  }
+
   private lazy val ret1Bm25Sql: String =
     (s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
            | n AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS n_toks FROM toks),
@@ -7698,7 +7772,14 @@ object SparkEntry {
       .replace("\n", " ")
   }
 
-  private def pqOracleSql(trainWhere: String): String = {
+  /** pq1's unrolled oracle, parameterized on its two population seams:
+    * `trainWhere` restricts the k-means TRAINING population (pq3's
+    * frozen-codebook append — assignments and seeds come from the
+    * training subset, the full corpus is coded), `candAnd` restricts the
+    * CANDIDATE code population (pq4's forget — the coded corpus loses
+    * the tombstoned ids, training saw everything). */
+  private def pqOracleSql(trainWhere: String,
+                          candAnd: String = ""): String = {
     def subspaceCtes(j: Int): String = {
       val l = j * 16 + 1; val h = (j + 1) * 16
       s"""qv$j AS (SELECT vec_id, i AS dim, CAST(round(x * 1000000) AS BIGINT) AS q
@@ -7724,7 +7805,8 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d2$j)
          |  WHERE rn = 1),
          |p$j AS (SELECT qd.vec_id AS query_id, k.vec_id AS neighbor_id, qd.d
-         | FROM d2$j qd JOIN code$j k ON qd.c = k.code WHERE qd.vec_id < 5)"""
+         | FROM d2$j qd JOIN code$j k ON qd.c = k.code
+         | WHERE qd.vec_id < 5$candAnd)"""
         .stripMargin
     }
     (s"""WITH tr AS (SELECT vec_id FROM embeddings$trainWhere),

@@ -89,6 +89,63 @@ object Artifacts {
     }.sorted
   }
 
+  /** AS-OF version floor of a base+segments artifact: the number of
+    * historical versions compaction has FOLDED into the base (version v
+    * of such an artifact = base + the first v − floor committed
+    * segments; the build is version `floor`, each append adds one).
+    * Missing marker = 0, a never-compacted artifact. */
+  def asOfFloor(spark: org.apache.spark.sql.SparkSession,
+                dir: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/asof_floor")
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Record the as-of floor inside an artifact root — called by compact
+    * jobs on their STAGED root (the marker then publishes atomically with
+    * the fold itself, so no crash point shows folded data under an
+    * unfolded floor or vice versa). */
+  def setAsOfFloor(spark: org.apache.spark.sql.SparkSession,
+                   dir: String, floor: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/asof_floor"), true)
+    try out.write(floor.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** TIME-TRAVEL segment selection — [[graft.streaming.Ingest.asOfSnapshot]]'s
+    * newest-committed-≤-pin rule lifted to the shared layer for
+    * SEGMENTED artifacts (postings, PQ codes): version `asOf` of
+    * `artifactDir` is its base plus the first `asOf − floor` committed
+    * segments, returned here as the segment-path prefix. Versions are
+    * immutable once committed (segments never rewrite), so a pinned read
+    * is reproducible forever — until compaction folds history, after
+    * which reads of folded versions fail LOUDLY below instead of
+    * silently answering with newer data (mv3's retention contract), and
+    * reads of not-yet-written versions fail loudly too. */
+  def segmentsAsOf(spark: org.apache.spark.sql.SparkSession,
+                   artifactDir: String, asOf: Long): Seq[String] = {
+    val floor = asOfFloor(spark, artifactDir)
+    val segs = committedChildren(spark, s"$artifactDir/segments")
+    require(asOf >= floor,
+      s"Artifacts.segmentsAsOf: version $asOf of $artifactDir was folded " +
+        s"away by compaction (floor = $floor) — as-of reads of folded " +
+        "versions fail loudly; lengthen the compaction window if the " +
+        "pipeline needs deeper reproducibility")
+    require(asOf - floor <= segs.size,
+      s"Artifacts.segmentsAsOf: version $asOf of $artifactDir does not " +
+        s"exist yet (head = ${floor + segs.size})")
+    segs.take((asOf - floor).toInt)
+  }
+
   /** Restore `target` from `<target>__old` if a crashed swap left it
     * missing; clear the stale aside otherwise. Runs on BOTH the read and
     * the write path — read-side healing is what makes "retry is harmless"

@@ -98,10 +98,12 @@ object Retrieval {
     require(buckets >= 1)
     val spark = docs.sparkSession
     // a full (re)build supersedes any previously appended segments — clear
-    // them or the read-side union would double-count their documents
-    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
-        spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(s"$dir/segments"), true)
+    // them or the read-side union would double-count their documents; the
+    // as-of floor resets with them (a rebuild starts history at version 0)
+    val rootFs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    rootFs.delete(new org.apache.hadoop.fs.Path(s"$dir/segments"), true)
+    rootFs.delete(new org.apache.hadoop.fs.Path(s"$dir/asof_floor"), false)
     val toks = graft.core.Par.fanOut(docs.select(
       col(idCol).cast("long").as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("toks")))
@@ -257,14 +259,32 @@ object Retrieval {
     val living = postingsLiving(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // A fully-forgotten store has NO valid compacted form: sum(tf) over
+      // the empty living relation is NULL (a later stored read would NPE
+      // on meta), and the postings/terms dirs would hold zero part files
+      // (schema inference fails). Refuse loudly — the caller's move is to
+      // drop the index directory, not compact it. Probe via limit(1) so
+      // the guard never scans more than it must; coalesce(…, 0) below is
+      // belt-and-braces for the same edge.
+      require(living.limit(1).count() > 0,
+        s"compactPostingsIndex: every document in $dir has been " +
+          "forgotten — an empty postings store has no compacted form; " +
+          "drop the index directory instead")
       val buckets = spark.read.parquet(s"$dir/meta").head().getInt(2)
+      // the fold advances the as-of floor past every version the new base
+      // absorbs; written into the STAGED root so the floor publishes
+      // atomically with the fold (Artifacts.segmentsAsOf retention rule)
+      val newFloor = graft.core.Artifacts.asOfFloor(spark, dir) +
+        graft.core.Artifacts.committedChildren(spark, s"$dir/segments").size
       graft.core.Artifacts.swapInto(spark, dir) { tmp =>
         living.write.partitionBy("pb").parquet(s"$tmp/postings")
         living.groupBy("pb", "term").agg(count(lit(1)).as("dft"))
           .write.partitionBy("pb").parquet(s"$tmp/terms")
         living.agg(count_distinct(col("doc_id")).as("n_docs"),
-            sum(col("tf")).as("n_toks"), lit(buckets).as("buckets"))
+            coalesce(sum(col("tf")), lit(0L)).as("n_toks"),
+            lit(buckets).as("buckets"))
           .coalesce(1).write.parquet(s"$tmp/meta")
+        graft.core.Artifacts.setAsOfFloor(spark, tmp, newFloor)
       }
     } finally living.unpersist()
   }
@@ -305,6 +325,16 @@ object Retrieval {
     val dict = spark.read.parquet(s"$dir/terms")
       .where(col("pb").isin(pbs: _*)).join(broadcast(qvocab), "term")
       .select(col("term"), col("dft"))
+    bm25RankStored(post, dict, qmap, nDocs, nToks, k, k1, b)
+  }
+
+  /** The pinned-order BM25 scoring + rank block shared by every
+    * stored-index query path ([[bm25TopKFromIndex]] and the time-travel
+    * [[bm25TopKFromIndexAsOf]] answer through this ONE definition, so
+    * their arithmetic cannot drift — the pqAnswer device). */
+  private def bm25RankStored(post: DataFrame, dict: DataFrame,
+                             qmap: DataFrame, nDocs: Long, nToks: Long,
+                             k: Int, k1: Double, b: Double): DataFrame = {
     val idf = round(log(((lit(nDocs) - col("dft")).cast("double") + lit(0.5)) /
       (col("dft").cast("double") + lit(0.5)) + lit(1.0)), 6)
     val tfd = col("tf").cast("double")
@@ -320,6 +350,61 @@ object Retrieval {
     scored.withColumn("rk", rk).where(col("rk") <= k)
       .select(col("query_id"), col("doc_id"), col("score"),
         col("rk").cast("long").as("rk"))
+  }
+
+  /** The postings relation AS OF version `asOf` (the build is version
+    * `floor` — 0 until a compact — and each committed append adds one):
+    * base + the committed-segment prefix [[graft.core.Artifacts.segmentsAsOf]]
+    * selects, with current tombstones STILL applied — right-to-be-
+    * forgotten outranks reproducibility, so a forgotten document never
+    * resurfaces through time travel (and pre-/post-compact reads of the
+    * same pin therefore agree). Segments are immutable once committed,
+    * so a pinned read is reproducible until compaction folds it away
+    * (which then fails loudly — the mv3 retention contract). */
+  def postingsRelationAsOf(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, asOf: Long): DataFrame = {
+    graft.core.Artifacts.heal(spark, dir)
+    val segs = graft.core.Artifacts.segmentsAsOf(spark, dir, asOf)
+    val base = spark.read.parquet(s"$dir/postings")
+    val pinned = segs.foldLeft(base)((acc, s) =>
+      acc.unionByName(spark.read.schema(base.schema).parquet(s)))
+    Forget.applyTombstones(pinned, "doc_id", s"$dir/tombstones")
+  }
+
+  /** [[bm25TopKFromIndex]] AS OF a pinned index version — the
+    * reproducibility verb a training pipeline needs ("re-run yesterday's
+    * retrieval after today's append landed"): answers from the pinned
+    * segment prefix, with document frequencies and corpus totals derived
+    * from THAT relation (the stored dictionary/meta are HEAD state — a
+    * pinned read that used them would mix today's df into yesterday's
+    * candidates and drift every score; deriving from the pinned postings
+    * is Lucene's "open a reader over a named segment set"). The df
+    * derivation adds no extra scan: every posting of a query term lives
+    * in that term's hash bucket, so the pb-pruned candidate slice already
+    * holds the term's FULL posting list and dft is one count over it;
+    * only the 2-value corpus-totals aggregate reads the unpruned pinned
+    * relation (one columnar pass, collected as 1 driver row). */
+  def bm25TopKFromIndexAsOf(spark: org.apache.spark.sql.SparkSession,
+                            queries: Seq[(Int, Seq[String])], dir: String,
+                            asOf: Long, k: Int = 5, k1: Double = 1.2,
+                            b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    graft.core.Artifacts.heal(spark, s"$dir/meta")
+    val buckets = spark.read.parquet(s"$dir/meta").head().getInt(2)
+    val pinned = postingsRelationAsOf(spark, dir, asOf)
+    val totals = pinned.agg(count_distinct(col("doc_id")),
+      coalesce(sum(col("tf")), lit(0L))).head()
+    val (nDocs, nToks) = (totals.getLong(0), totals.getLong(1))
+    val qvocab = queries.flatMap(_._2).distinct.toDF("term")
+    val qmap = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+      .toDF("query_id", "term")
+    val pbs = qvocab
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).as("pb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val post = pinned
+      .where(col("pb").isin(pbs: _*)).join(broadcast(qvocab), "term")
+    val dict = post.groupBy("term").agg(count(lit(1)).as("dft"))
+    bm25RankStored(post, dict, qmap, nDocs, nToks, k, k1, b)
   }
 
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N retrieval

@@ -705,6 +705,13 @@ object Similarity {
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tomb)) return
     val living = ivfLivingIndex(spark, dir)
+    // Same edge as compactPostingsIndex: compacting a FULLY-forgotten
+    // index would swap in a qindex dir with zero part files, and the next
+    // read dies on schema inference instead of a meaningful message.
+    require(living.limit(1).count() > 0,
+      s"compactIvfIndex: every vector in $dir has been forgotten — an " +
+        "empty index has no compacted form; drop the index directory " +
+        "instead")
     graft.core.Artifacts.swapInto(spark, s"$dir/qindex") { tmp =>
       living.write.partitionBy("list").parquet(tmp)
     }
@@ -1151,18 +1158,91 @@ object Similarity {
     }
   }
 
+  /** FORGET vectors from a STORED PQ index — right-to-be-forgotten for
+    * the codebook tier, completing the artifact verb matrix (dedup has
+    * del1, postings ret7, IVF sim9; PQ had build/append/rebuild only —
+    * round-11 verdict #1). [[graft.ext.Forget]]'s exact discipline over
+    * the [[writePqIndex]] artifact:
+    *  - the request APPENDS vec_id tombstones — O(deleted) rows written,
+    *    never a codes-relation rewrite (codes are flat, not
+    *    list-partitioned, so a plain id tombstone store suffices —
+    *    unlike the IVF tier there is no per-list directory to localize
+    *    into);
+    *  - readers take the living view through [[pqCodesLiving]] (one
+    *    anti-join; tombstones are a SET, so repeated/overlapping forget
+    *    requests are idempotent);
+    *  - [[compactPqIndex]] is the amortized physical rewrite.
+    * Codebooks are NOT retouched: the quantizer is trained state, not
+    * subject data — the sim9 centroid rationale verbatim.
+    *
+    * Caveat (shared by every tombstoned tier): re-appending a forgotten
+    * vec_id requires a [[compactPqIndex]] first, or the stale tombstone
+    * hides the new row — [[appendToPqIndex]]'s anti-join therefore
+    * probes the FULL stored codes, not the living view. */
+  def forgetFromPqIndex(ids: DataFrame, idCol: String, dir: String): Unit =
+    Forget.forget(ids, idCol, s"$dir/tombstones")
+
+  /** The LIVING codes view: base + committed segments minus tombstones —
+    * what every query path scans once deletes exist (a missing tombstone
+    * store means nothing was forgotten — zero added cost). */
+  def pqCodesLiving(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame =
+    Forget.applyTombstones(pqCodesRelation(spark, dir), "vec_id",
+      s"$dir/tombstones")
+
+  /** Amortized physical rewrite of a tombstoned/segmented PQ index: ONE
+    * whole-directory atomic swap ([[graft.core.Artifacts.swapInto]])
+    * publishing codebooks/meta/codes with codes = the LIVING relation —
+    * segments and tombstones simply do not exist in the new root, so no
+    * crash point can double-count a folded segment or lose one (the
+    * compactPostingsIndex discipline verbatim: the staged root reads the
+    * old root, which stays intact until the checked rename; a mid-swap
+    * crash heals on the next read). Codebooks and meta copy through
+    * unchanged — compaction folds DATA, never trained state. */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): Unit = {
+    graft.core.Artifacts.heal(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(dir).getFileSystem(conf)
+    val hasTombs = fs.exists(p(s"$dir/tombstones"))
+    if (!hasTombs &&
+      graft.core.Artifacts.committedChildren(spark, s"$dir/segments").isEmpty)
+      return // nothing to fold
+    val living = pqCodesLiving(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Same edge as compactPostingsIndex: a fully-forgotten store has no
+      // valid compacted form (a codes dir with zero part files dies on
+      // schema inference at the next read). Refuse loudly.
+      require(living.limit(1).count() > 0,
+        s"compactPqIndex: every vector in $dir has been forgotten — an " +
+          "empty index has no compacted form; drop the index directory " +
+          "instead")
+      graft.core.Artifacts.swapInto(spark, dir) { tmp =>
+        spark.read.parquet(s"$dir/codebooks")
+          .coalesce(1).write.parquet(s"$tmp/codebooks")
+        spark.read.parquet(s"$dir/meta")
+          .coalesce(1).write.parquet(s"$tmp/meta")
+        living.write.parquet(s"$tmp/codes")
+      }
+    } finally living.unpersist()
+  }
+
   /** [[pqTopK]] answered from the STORED index ([[writePqIndex]]) — the
     * steady-state query job: the quantizer loads as bounded driver state
     * and rides as literals, candidate scoring scans only the 64×-reduced
-    * codes relation, and the exact re-rank fetches full-precision vectors
-    * from the primary store (`fetch` = (vec_id, v)) for the bounded
-    * |queries|·shortlist rows alone — the corpus is never scanned. */
+    * codes relation — through the LIVING view, so forgotten vectors
+    * leave the shortlist immediately ([[forgetFromPqIndex]]) — and the
+    * exact re-rank fetches full-precision vectors from the primary store
+    * (`fetch` = (vec_id, v)) for the bounded |queries|·shortlist rows
+    * alone — the corpus is never scanned. */
   def pqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                       fetch: DataFrame, queries: DataFrame,
                       idCol: String, vecCol: String, k: Int,
                       shortlist: Int = 30): DataFrame = {
     val (books, sub, scale) = readPqBooks(spark, dir)
-    pqAnswer(books, pqCodesRelation(spark, dir), queries, fetch,
+    pqAnswer(books, pqCodesLiving(spark, dir), queries, fetch,
       idCol, vecCol, k, sub, shortlist, scale)
   }
 
