@@ -32,6 +32,30 @@ object Bench {
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "documents", "embeddings"))
       graft.core.Tables.table(spark, sfDir, t).count()
+    // DRIFT CANARY (round-11 verdict #7): this box slows MONOTONICALLY
+    // within a long session (243.5 → 311.9 s across three runs of
+    // byte-identical code, inflation uniform across unrelated queries),
+    // which taxed every round's regression analysis with inference. The
+    // canary MEASURES it instead: one fixed, table-independent,
+    // CPU+shuffle-shaped probe (hash, aggregate, exchange — the suite's
+    // dominant primitives) timed min-of-3 right after warmup and again
+    // after the last query; canary_end/canary_start is the session's
+    // own drift factor, recorded in the JSON next to the totals.
+    def canary(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // pmod before the sum: xxhash64 spans the full long range and an
+        // 8M-row ANSI sum of it overflows; the bounded residue keeps the
+        // hash compute (the thing being measured) and never wraps
+        spark.range(0, 8000000L, 1, 8)
+          .selectExpr("id % 1024 AS k", "pmod(xxhash64(id), 1000003) AS h")
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum("h"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(math.min(once(), once()), once())
+    }
+    val canaryStart = canary()
     // dev filter: SPARK_GRAFT_BENCH_ONLY=d6_editdist,dd1s_dedup_replay
     // reruns a subset under the identical harness (warmup, noop sink,
     // min-of-N) — for chasing per-query noise without a 25-minute full run
@@ -116,14 +140,17 @@ object Bench {
         name -> math.min(sec, reMeasure(name, sec))
       else name -> sec
     }
+    val canaryEnd = canary()
     val failures = settled.map(_._2).count(_ < 0)
     val total = settled.map(_._2).filter(_ >= 0).sum
+    val canaryJson =
+      f""""canary_start":$canaryStart%.3f,"canary_end":$canaryEnd%.3f"""
     // Full-precision per-query record, committed to the repo so the numbers
     // survive regardless of how much driver stdout is retained.
     val fullQs = settled.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failures":$failures,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failures":$failures,$canaryJson,"sf":"$sfDir"}"""
     // Subset runs (SPARK_GRAFT_BENCH_ONLY) must NOT overwrite the
     // committed full-suite record — a partial record once replaced it and
     // had to be restored from git. Route them to /tmp instead.
@@ -144,7 +171,7 @@ object Bench {
       val qs = kept.sortBy(_._1)
         .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
       val e = if (elided > 0) s""","elided_fast":$elided""" else ""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failures":$failures$e,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failures":$failures$e,$canaryJson,"sf":"$sfDir"}"""
     }
     val budget = 1850 // 2000-char tail minus sbt's success line + slack
     // failed queries (-1) are never elided: partition them out up front and
