@@ -2127,6 +2127,44 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // ret9s: STREAMING maintenance of the stored postings index — the
+    // last untiered union (round-11 verdict #6): batch append exists
+    // (ret4) and streaming ingest exists (inc1s/cur1s), but no graded
+    // query maintained a stored index artifact FROM a stream. The real
+    // engine replays the last corpus quarter in micro-batches through
+    // the K2 foreachBatch sink, each batch folding into the index via
+    // appendToPostingsIndex — whose doc-id anti-join + staged-segment
+    // commit make redelivery a no-op WITHOUT an id fence (append-shaped
+    // store, the del2s class; the MG/CMS counter tiers need the fence,
+    // this provably does not) — and slice 1 RE-DELIVERS every slice-0
+    // document (the at-least-once worst case, full overlap). Graded:
+    // the post-replay artifact answers ret1's from-scratch BM25 over
+    // the FULL corpus — df, totals and candidates all reflecting
+    // build + every streamed batch exactly once.
+    "ret9s_stream_postings" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir0 = graft.core.Scratch.dir("ret9s-")
+      val idx = s"$dir0/idx"
+      ext.Retrieval.writePostingsIndex(docs.where(col("doc_id") % 4 =!= 3),
+        "doc_id", "text", idx)
+      val quarter = docs.where(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), col("text"))
+      val s0 = quarter.where(pmod(col("doc_id"), lit(8)) === 3)
+      val s1 = quarter // slice 0 redelivered in full + the rest
+      graft.streaming.Replay.slicedSourceReplay(s, Seq(s0, s1),
+          "doc_id BIGINT, text STRING", "ret9s-") { (src, dir) =>
+        graft.core.Sinks.foreachBatchSink(src, s"$dir/ckpt") { (b, _) =>
+          ext.Retrieval.appendToPostingsIndex(b, "doc_id", "text", idx)
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      ext.Retrieval.bm25TopKFromIndex(s,
+          Seq(0 -> Seq("spark", "join", "table"),
+            1 -> Seq("hash", "merge", "sort"),
+            2 -> Seq("stream", "window", "batch")), idx, k = 5)
+        .orderBy("query_id", "rk")
+    }),
+
     // ret5: EXACT PHRASE SEARCH — the positional capability BM25's
     // bag-of-words cannot express: anchor each phrase on its
     // occurrence-rarest term (ties: offset, then term — both engines
@@ -3732,6 +3770,32 @@ object SparkEntry {
           emb.select(col("vec_id"), col("embedding").as("v")),
           emb.where(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, shortlist = 30)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // pq5: TIME TRAVEL for the PQ index — ret8's reproducibility verb on
+    // the codebook artifact, completing as-of across every SEGMENTED
+    // tier (matview mv3, postings ret8, PQ this; the IVF tier's appends
+    // land in-place, not as segments, so it deliberately has no as-of —
+    // Similarity.pqTopKFromIndexAsOf scaladoc). pq3's exact fixture with
+    // the read pinned to YESTERDAY: codebooks train over 3/4 and freeze,
+    // the last quarter appends as a committed segment (version 1), and
+    // the pinned version-0 read must answer as if the append never
+    // landed. Codebooks need no pinning — frozen from build to rebuild.
+    // Oracle = pq1 trained AND answered over the version-0 population.
+    "pq5_pq_asof" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = graft.core.Scratch.dir("pq5-")
+      Similarity.writePqIndex(emb.where(col("vec_id") % 4 =!= 1),
+        "vec_id", "embedding", dir, dims = 64, m = 4, ksub = 4, iters = 2)
+      Similarity.appendToPqIndex(emb.where(col("vec_id") % 4 === 1),
+        "vec_id", "embedding", dir)
+      Similarity.pqTopKFromIndexAsOf(s, dir,
+          emb.select(col("vec_id"), col("embedding").as("v")),
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          asOf = 0L, k = 10, shortlist = 30)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rank")
@@ -6340,6 +6404,9 @@ object SparkEntry {
       // compact, df/N/candidates all equal a from-scratch build
       "ret7_postings_forget" -> Ret7OracleSql,
       "ret8_postings_asof" -> Ret8OracleSql,
+      // ret9s: the streamed artifact must answer identically to the
+      // from-scratch index over the full corpus — ret4's exact contract
+      "ret9s_stream_postings" -> ret1Bm25Sql,
       // ret5: identical rarest-term anchor (COALESCE df 0, tie offset
       // then term), candidate-start expansion and positional verify join
       "ret5_phrase_search" ->
@@ -7504,6 +7571,10 @@ object SparkEntry {
       // restricted to survivors — training saw the full corpus, the
       // forgotten fifth just stops being a neighbor
       "pq4_index_forget" -> pqOracleSql("", " AND k.vec_id % 5 <> 2"),
+      // pq5: trained on 3/4 (pq3's restriction) AND answered over that
+      // same population — the version-0 read after the append landed
+      "pq5_pq_asof" -> pqOracleSql(" WHERE vec_id % 4 <> 1",
+        " AND k.vec_id % 4 <> 1"),
     )
   }
 

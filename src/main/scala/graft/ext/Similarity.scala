@@ -1219,12 +1219,18 @@ object Similarity {
         s"compactPqIndex: every vector in $dir has been forgotten — an " +
           "empty index has no compacted form; drop the index directory " +
           "instead")
+      // the fold advances the as-of floor past every version the new
+      // base absorbs — written into the staged root so it publishes
+      // atomically with the fold (Artifacts.segmentsAsOf retention rule)
+      val newFloor = graft.core.Artifacts.asOfFloor(spark, dir) +
+        graft.core.Artifacts.committedChildren(spark, s"$dir/segments").size
       graft.core.Artifacts.swapInto(spark, dir) { tmp =>
         spark.read.parquet(s"$dir/codebooks")
           .coalesce(1).write.parquet(s"$tmp/codebooks")
         spark.read.parquet(s"$dir/meta")
           .coalesce(1).write.parquet(s"$tmp/meta")
         living.write.parquet(s"$tmp/codes")
+        graft.core.Artifacts.setAsOfFloor(spark, tmp, newFloor)
       }
     } finally living.unpersist()
   }
@@ -1243,6 +1249,41 @@ object Similarity {
                       shortlist: Int = 30): DataFrame = {
     val (books, sub, scale) = readPqBooks(spark, dir)
     pqAnswer(books, pqCodesLiving(spark, dir), queries, fetch,
+      idCol, vecCol, k, sub, shortlist, scale)
+  }
+
+  /** The codes relation AS OF version `asOf` (the build is version
+    * `floor`, each committed append segment adds one): base + the
+    * committed-segment prefix [[graft.core.Artifacts.segmentsAsOf]]
+    * selects, with current tombstones STILL applied — the
+    * postingsRelationAsOf contract verbatim (right-to-be-forgotten
+    * outranks reproducibility; folded pins fail loudly). */
+  def pqCodesRelationAsOf(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, asOf: Long): DataFrame = {
+    graft.core.Artifacts.heal(spark, dir)
+    val segs = graft.core.Artifacts.segmentsAsOf(spark, dir, asOf)
+    val base = spark.read.parquet(s"$dir/codes")
+    val pinned = segs.foldLeft(base)((acc, s) =>
+      acc.unionByName(spark.read.schema(base.schema).parquet(s)))
+    Forget.applyTombstones(pinned, "vec_id", s"$dir/tombstones")
+  }
+
+  /** [[pqTopKFromIndex]] AS OF a pinned index version — time travel for
+    * the codebook tier (ret8's reproducibility verb on the PQ artifact):
+    * the candidate population is the pinned codes relation; the
+    * quantizer needs no pinning because codebooks are FROZEN from build
+    * to rebuild (appends never touch them — the FAISS contract pq3
+    * grades) and a rebuild swaps the whole root, resetting version
+    * history to 0 with it. The IVF tier deliberately has NO as-of verb:
+    * its appends land in-place in the list directories (not as
+    * segments), so historical versions are not reconstructable there —
+    * reproducibility-pinned pipelines use the segmented tiers. */
+  def pqTopKFromIndexAsOf(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, fetch: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, asOf: Long, k: Int,
+                          shortlist: Int = 30): DataFrame = {
+    val (books, sub, scale) = readPqBooks(spark, dir)
+    pqAnswer(books, pqCodesRelationAsOf(spark, dir, asOf), queries, fetch,
       idCol, vecCol, k, sub, shortlist, scale)
   }
 

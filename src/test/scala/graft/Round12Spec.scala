@@ -223,6 +223,45 @@ class Round12Spec extends SparkSpec {
     assert(v2 == Set(1L, 2L, 3L, 6L))
   }
 
+  test("pq as-of: pinned versions immutable, compact folds loudly") {
+    val df = pqCorpus()
+    val dir = tmpDir("pq-asof-spec") + "/idx"
+    ext.Similarity.writePqIndex(df.where($"vec_id" < 18), "vec_id",
+      "embedding", dir, dims = 8, m = 2, ksub = 3, iters = 2)
+    ext.Similarity.appendToPqIndex(df.where($"vec_id" >= 18), "vec_id",
+      "embedding", dir)
+    val v0 = ext.Similarity.pqCodesRelationAsOf(spark, dir, 0L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(v0 == (0L until 18L).toSet,
+      "version 0 must not see the later append")
+    val v1 = ext.Similarity.pqCodesRelationAsOf(spark, dir, 1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(v1 == (0L until 24L).toSet)
+    intercept[IllegalArgumentException] {
+      ext.Similarity.pqCodesRelationAsOf(spark, dir, 2L)
+    }
+    // a forget applies to pinned reads too, then compact folds history
+    ext.Similarity.forgetFromPqIndex(
+      df.where($"vec_id" === 3L).select("vec_id"), "vec_id", dir)
+    assert(!ext.Similarity.pqCodesRelationAsOf(spark, dir, 0L)
+      .select("vec_id").collect().map(_.getLong(0)).contains(3L))
+    ext.Similarity.compactPqIndex(spark, dir)
+    assert(graft.core.Artifacts.asOfFloor(spark, dir) == 1L)
+    val e = intercept[IllegalArgumentException] {
+      ext.Similarity.pqCodesRelationAsOf(spark, dir, 0L)
+    }
+    assert(e.getMessage.contains("folded"))
+    assert(ext.Similarity.pqCodesRelationAsOf(spark, dir, 1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet ==
+      (0L until 24L).toSet - 3L)
+    // a REBUILD swaps the whole root: version history resets to 0
+    ext.Similarity.writePqIndex(df, "vec_id", "embedding", dir,
+      dims = 8, m = 2, ksub = 3, iters = 2)
+    assert(graft.core.Artifacts.asOfFloor(spark, dir) == 0L)
+    assert(ext.Similarity.pqCodesRelationAsOf(spark, dir, 0L)
+      .count() == 24L)
+  }
+
   // ------------------------------------------- crossCorr decimal widening
 
   test("crossCorr: products accumulate in DECIMAL(38,0), never LongType") {
