@@ -2003,6 +2003,23 @@ object SparkEntry {
       TextAnalysis.unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // dsir1: DSIR importance weights (Xie et al., NeurIPS 2023) — the
+    // principled data-selection step between scoring (lm1) and sampling
+    // (sp2): every raw-pool doc scored by the log-likelihood ratio of
+    // hashed-unigram bag models, curated target (doc_id % 7 = 0) vs the
+    // raw pool itself. The hashing trick (portable sha-60 buckets, so
+    // the oracle rebuilds the exact collisions) keeps BOTH models
+    // fixed-size at any corpus scale — that is why DSIR runs at 100 TB;
+    // add-one smoothing keeps every ratio finite; lm1's exact per-term
+    // DECIMAL(30,6) quantization + final round(·,6)
+    // (TextAnalysis.dsirWeights scaladoc). Unique key: doc_id.
+    "dsir1_importance_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.dsirWeights(docs.where(col("doc_id") % 7 =!= 0),
+          docs.where(col("doc_id") % 7 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // t8: per-doc CHARACTER-distribution Shannon entropy (nats/char) —
     // the below-token-level quality screen (repeated-char spam, padding
     // runs) next to lm1's corpus-relative surprisal; lm1's exact
@@ -3207,6 +3224,29 @@ object SparkEntry {
     "d2_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")),
+
+    // leak1: TRAIN/TEST SPLIT-LEAKAGE audit — the decontamination check
+    // WITHIN a corpus that cc1/cc2 run against an external eval suite:
+    // every near-dup pair (d2's exact blocked semantics) annotated with
+    // the sides sp1's hash split assigns its members, `leaks` = the pair
+    // straddles train vs held-out — the contamination that silently
+    // inflates held-out metrics. Sides are a PURE function of doc_id
+    // (the sha-60 split projection), so the audit adds ZERO joins to the
+    // pair stream — the right 100 TB shape; all pairs report (an audit
+    // shows clean pairs as clean), leaking ones flagged.
+    "leak1_split_leakage" -> ((s, d) => {
+      def sideOf(c: Column) = {
+        val b = ext.Sampling.hashBucket(c, "graft")
+        when(b < 80, lit("train")).when(b < 90, lit("val"))
+          .otherwise(lit("test"))
+      }
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text")
+        .select(col("id_a"), col("id_b"), col("j"),
+          sideOf(col("id_a")).as("split_a"), sideOf(col("id_b")).as("split_b"))
+        .withColumn("leaks", ((col("split_a") === "train") =!=
+          (col("split_b") === "train")).cast("int"))
+        .orderBy("id_a", "id_b")
+    }),
     "d3_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")),
@@ -3377,6 +3417,28 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rank")),
+
+    // hub1: HUBNESS of the kNN graph (Radovanović et al., JMLR 2010) —
+    // the high-dimensional ANN pathology metric: in-degree of every
+    // vector in knn1's exact k=3 graph. Hubs (in-degree ≥ 2k) dominate
+    // result lists and drag retrieval diversity; anti-hubs (in-degree 0)
+    // are unreachable by any query — BOTH halves must report, so the
+    // corpus LEFT-joins the degree relation (a histogram that omitted
+    // anti-hubs would hide the pathology's other half). Node-keyed
+    // map-side-combined aggregate over the already-graded deterministic
+    // graph; zero new kernels.
+    "hub1_knn_hubness" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val deg = Similarity.knnGraphExact(emb, "vec_id", "embedding", k = 3)
+        .groupBy(col("neighbor_id").as("vec_id"))
+        .agg(count(lit(1)).as("d"))
+      emb.select("vec_id").join(deg, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("d"), lit(0L)).as("in_degree"),
+          (coalesce(col("d"), lit(0L)) >= 6).cast("int").as("is_hub"),
+          col("d").isNull.cast("int").as("is_antihub"))
+        .orderBy("vec_id")
+    }),
 
     // knn2: knn1 maintained INCREMENTALLY from the STORED graph — build
     // over 3/4 of the corpus, append the last quarter: new nodes rank
@@ -3939,6 +4001,62 @@ object SparkEntry {
         .select(col("query_id"), col("n_hits"),
           (col("n_hits") / lit(10.0)).as("recall"))
         .orderBy("query_id")
+    }),
+
+    // mrl1: TRUNCATED-DIMENSION RECALL — the matryoshka-embedding eval
+    // (Kusupati et al. 2022; OpenAI/voyage truncatable embeddings): how
+    // much of the exact top-10 survives when BOTH query and corpus
+    // vectors truncate to the first 16 of 64 dims (a 4× flop/memory
+    // reduction with no reprojection — rp1's learned-mix alternative)?
+    // Composed from the already-graded exact searcher on both sides, so
+    // the overlap count is fully deterministic; rec1's join-count shape,
+    // n_hits/10.0 the single IEEE division.
+    "mrl1_truncation_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val tEmb = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val trunc = Similarity.bruteForceTopK(tEmb,
+          tEmb.where(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
+      exact.join(trunc,
+          col("query_id") === col("tq") && col("neighbor_id") === col("tn"),
+          "left")
+        .groupBy("query_id")
+        .agg(count(col("tn")).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits") / lit(10.0)).as("recall"))
+        .orderBy("query_id")
+    }),
+
+    // sim12: the RECALL-vs-NPROBE CURVE — rec1 measures one point, this
+    // sweeps the knob (the qf1 threshold-sweep shape applied to ANN
+    // tuning): per-query recall@10 of the IVF search at every nprobe in
+    // 1..5 against one shared exact ranking. The exact leg computes ONCE
+    // (localCheckpoint — exchange reuse across five union branches is
+    // fragile, the CLAUDE.md lesson) and each leg is one probe-limited
+    // search; a tuning loop reads the curve's knee, so the whole
+    // artifact must be engine-exact, not just one operating point.
+    "sim12_recall_curve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint()
+      val legs = (1 to 5).map { np =>
+        val approx = Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+            "label", k = 10, nprobe = np)
+          .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+        exact.join(approx,
+            col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+            "left")
+          .groupBy("query_id").agg(count(col("an")).as("n_hits"))
+          .select(lit(np).as("nprobe"), col("query_id"), col("n_hits"),
+            (col("n_hits") / lit(10.0)).as("recall"))
+      }
+      legs.reduce(_.unionByName(_)).orderBy("nprobe", "query_id")
     }),
 
     // sim5: the full train → index → query loop — km1's trained quantizer
@@ -6342,6 +6460,32 @@ object SparkEntry {
            |   AS DECIMAL(30,6))) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
            |  AS surprisal
            |FROM ct, n GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // dsir1: identical hashed-bucket models (the sp1/d4 portable sha-60
+      // hash rebuilds the exact collisions), identical add-one-smoothed
+      // llr expression order, per-term DECIMAL(30,6) quantization, one
+      // final round(·,6) — lm1's discipline over a two-model ratio
+      "dsir1_importance_weights" ->
+        (s"""WITH tt AS (SELECT unnest($toksSql) AS term FROM documents
+           |  WHERE doc_id % 7 = 0),
+           | tb AS (SELECT ('0x' || substring(sha256(term || ':dsir'), 1, 15))::BIGINT % 256 AS b,
+           |   COUNT(*) AS ct_t FROM tt GROUP BY 1),
+           | rt AS (SELECT doc_id, unnest($toksSql) AS term FROM documents
+           |  WHERE doc_id % 7 <> 0),
+           | rc AS (SELECT doc_id,
+           |   ('0x' || substring(sha256(term || ':dsir'), 1, 15))::BIGINT % 256 AS b,
+           |   COUNT(*) AS c FROM rt GROUP BY 1, 2),
+           | sb AS (SELECT b, SUM(c) AS ct_s FROM rc GROUP BY 1),
+           | m AS (SELECT sb.b, COALESCE(tb.ct_t, 0) AS ct_t, sb.ct_s
+           |  FROM sb LEFT JOIN tb ON sb.b = tb.b),
+           | tot AS (SELECT (SELECT SUM(ct_s) FROM sb) AS ns,
+           |   (SELECT COALESCE(SUM(ct_t), 0) FROM tb) AS nt)
+           |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           | round(CAST(SUM(CAST(CAST(c AS DOUBLE) *
+           |   ((ln(CAST(ct_t + 1 AS DOUBLE)) - ln(CAST(ct_s + 1 AS DOUBLE)))
+           |    + (ln(CAST(ns + 256 AS DOUBLE)) - ln(CAST(nt + 256 AS DOUBLE))))
+           |   AS DECIMAL(30,6))) AS DOUBLE), 6) AS dsir_llr
+           |FROM rc JOIN m ON rc.b = m.b, tot
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       // t8: identical per-character DECIMAL(30,6) quantized contributions
       // and the identical final round(Σ/N, 6) — the lm1 expression shape
       // over the doc's own char distribution
@@ -6892,6 +7036,7 @@ object SparkEntry {
            |WHERE levenshtein(a.p_name, b.p_name) <= 2
            |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
       "d2_ngram_jaccard" -> ngramPairsSql,
+      "leak1_split_leakage" -> Leak1OracleSql,
       // LSH banding at (128 hashes, 32 bands of 4): P(miss | J≥0.9) < 1e-30,
       // and all planted near-dups sit at J≥0.9 with the rest <0.3 — so the
       // exact blocked-all-pairs result IS the LSH result here.
@@ -7097,6 +7242,7 @@ object SparkEntry {
            |ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
       // knn1: the same rank/rounding semantics, self all-pairs
       "knn1_knn_graph" -> knn1Sql,
+      "hub1_knn_hubness" -> Hub1OracleSql,
       // knn2: the incrementally-maintained stored graph must equal the
       // from-scratch kNN graph — knn1's oracle verbatim
       "knn2_incremental_knn" -> knn1Sql,
@@ -7372,6 +7518,33 @@ object SparkEntry {
            |FROM exact e LEFT JOIN approx a
            | ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
            |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin.replace("\n", " ")),
+      // mrl1: both rankings exact brute force (rec1's join-count shape),
+      // the truncated leg over embedding[1:16] on BOTH sides
+      "mrl1_truncation_recall" ->
+        ("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+           |exact AS (SELECT query_id, neighbor_id FROM (
+           | SELECT q.query_id, c.vec_id AS neighbor_id,
+           |  row_number() OVER (PARTITION BY q.query_id
+           |   ORDER BY list_dot_product(q.qv, c.v) /
+           |     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+           |    c.vec_id ASC) AS rank
+           | FROM q JOIN e c ON c.vec_id <> q.query_id) t WHERE rank <= 10),
+           |te AS (SELECT vec_id, (embedding[1:16])::DOUBLE[] AS v FROM embeddings),
+           |tq AS (SELECT vec_id AS query_id, v AS qv FROM te WHERE vec_id < 5),
+           |trunc AS (SELECT query_id, neighbor_id FROM (
+           | SELECT tq.query_id, c.vec_id AS neighbor_id,
+           |  row_number() OVER (PARTITION BY tq.query_id
+           |   ORDER BY list_dot_product(tq.qv, c.v) /
+           |     (sqrt(list_dot_product(tq.qv, tq.qv)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+           |    c.vec_id ASC) AS rank
+           | FROM tq JOIN te c ON c.vec_id <> tq.query_id) t WHERE rank <= 10)
+           |SELECT x.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           | count(a.neighbor_id) / 10.0 AS recall
+           |FROM exact x LEFT JOIN trunc a
+           | ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+           |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin.replace("\n", " ")),
+      "sim12_recall_curve" -> Sim12OracleSql,
       // sim5: km1's unrolled integer Lloyd's (c0..c2 train, a3 labels the
       // lists), probes by integer L2² to c2, exact-cosine scoring of the
       // probed lists
@@ -7694,6 +7867,72 @@ object SparkEntry {
        | FROM scored)
        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin.replace("\n", " "))
+
+  /** rec1's oracle with the probe bound swept 1..5 — the shared CTEs
+    * (exact ranking, per-label centroids) state once, one
+    * probes/ascored/approx/leg block per nprobe, generated
+    * programmatically so the per-leg SQL is byte-uniform (the pq/mst
+    * unroll discipline). */
+  private lazy val Sim12OracleSql: String = {
+    def leg(np: Int) =
+      s"""probes$np AS (
+         | SELECT query_id, label FROM (
+         |  SELECT q.query_id, cent.label,
+         |   row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_dot_product(q.qv, cent.cc) /
+         |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cc, cent.cc))) DESC,
+         |     cent.label ASC) AS pr
+         |  FROM q CROSS JOIN cent) t WHERE pr <= $np),
+         |ascored$np AS (
+         | SELECT p.query_id, c.neighbor_id,
+         |  list_dot_product(q.qv, c.cv) /
+         |    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+         | FROM probes$np p JOIN q ON p.query_id = q.query_id
+         |  JOIN c ON c.label = p.label AND c.neighbor_id <> p.query_id),
+         |approx$np AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM ascored$np) t WHERE rank <= 10),
+         |leg$np AS (SELECT $np AS nprobe, e.query_id,
+         |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+         |  count(a.neighbor_id) / 10.0 AS recall
+         | FROM exact e LEFT JOIN approx$np a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         | GROUP BY e.query_id)""".stripMargin
+    (s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+       |scored AS (
+       | SELECT query_id, neighbor_id,
+       |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+       | FROM q JOIN c ON query_id <> neighbor_id),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored) t WHERE rank <= 10),
+       |ex AS (SELECT label, unnest(embedding::DOUBLE[]) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY 1, 2),
+       |cent AS (SELECT label, list(m ORDER BY i) AS cc FROM cm GROUP BY 1),
+       |${(1 to 5).map(leg).mkString(",\n")}
+       |SELECT nprobe, query_id, n_hits, recall FROM (
+       | ${(1 to 5).map(np => s"SELECT * FROM leg$np").mkString(" UNION ALL ")})
+       |ORDER BY nprobe, query_id""".stripMargin.replace("\n", " "))
+  }
+
+  /** knn1's graph grouped to per-node in-degree, every corpus vector
+    * reporting (anti-hubs included via the left join) — guarded
+    * substitution over knn1Sql (the Ret7/Leak1 device). */
+  private lazy val Hub1OracleSql: String = {
+    val marker = " ORDER BY query_id, rank"
+    require(knn1Sql.endsWith(marker),
+      "hub1 oracle derivation out of sync with knn1Sql")
+    (s"""WITH g AS (${knn1Sql.stripSuffix(marker)}),
+       |deg AS (SELECT neighbor_id, COUNT(*) AS d FROM g GROUP BY 1)
+       |SELECT e.vec_id, CAST(COALESCE(deg.d, 0) AS BIGINT) AS in_degree,
+       | CAST(CASE WHEN COALESCE(deg.d, 0) >= 6 THEN 1 ELSE 0 END AS INTEGER) AS is_hub,
+       | CAST(CASE WHEN deg.d IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_antihub
+       |FROM embeddings e LEFT JOIN deg ON e.vec_id = deg.neighbor_id
+       |ORDER BY e.vec_id""".stripMargin.replace("\n", " "))
+  }
 
   private lazy val bpeApplySql: String =
     (s"""WITH t0 AS (SELECT unnest($toksSql) AS word FROM documents),
@@ -8078,6 +8317,26 @@ object SparkEntry {
        |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
        |FROM cand JOIN sh a ON cand.id_a = a.id JOIN sh b ON cand.id_b = b.id
        |WHERE j >= 0.7 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))
+
+  /** d2's pair oracle annotated with sp1's split sides (pure expressions
+    * over the pair ids — no join in sight) and the straddle flag —
+    * guarded substitution so a ngramPairsSql edit can never silently
+    * desynchronize (the Ret7/Sim8 device). */
+  private lazy val Leak1OracleSql: String = {
+    val marker = " ORDER BY id_a, id_b"
+    require(ngramPairsSql.endsWith(marker),
+      "leak1 oracle derivation out of sync with ngramPairsSql")
+    def bucket(c: String) =
+      s"('0x' || substring(sha256($c::VARCHAR || ':graft'), 1, 15))::BIGINT % 100"
+    (s"""WITH p AS (${ngramPairsSql.stripSuffix(marker)})
+       |SELECT id_a, id_b, j,
+       | CASE WHEN ba < 80 THEN 'train' WHEN ba < 90 THEN 'val' ELSE 'test' END AS split_a,
+       | CASE WHEN bb < 80 THEN 'train' WHEN bb < 90 THEN 'val' ELSE 'test' END AS split_b,
+       | CAST(CASE WHEN (ba < 80) <> (bb < 80) THEN 1 ELSE 0 END AS INTEGER) AS leaks
+       |FROM (SELECT id_a, id_b, j,
+       |  ${bucket("id_a")} AS ba, ${bucket("id_b")} AS bb FROM p)
+       |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))
+  }
 
   /** Oracle-side exact-decimal sum of a double expression (see Num.dsum). */
   private def dsum(expr: String): String =

@@ -563,6 +563,68 @@ object TextAnalysis {
     * the unigram set while it fits and sort-merges the trigram set, the
     * correct call at every scale). Everything before the joins is one
     * codegen'd projection. */
+  /** DSIR importance weight — Data Selection via Importance Resampling
+    * (Xie et al., NeurIPS 2023, public method): score every raw-pool
+    * document by the log-likelihood ratio of two HASHED-unigram bag
+    * models, a curated TARGET distribution vs the raw pool itself —
+    * the principled replacement for hand-tuned quality thresholds
+    * ("keep web text that looks like the reference corpus"), the
+    * selection step between scoring (lm1's class) and sampling
+    * (Sampling.sampleByProb takes the weights from here).
+    *
+    * Model: the hashing trick — terms bucket by the PORTABLE sha-60
+    * hash ([[graft.ext.Sampling.hashBucket]], the sp1/d4 family, so the
+    * oracle rebuilds the exact collisions) into `buckets` cells;
+    * add-one smoothing keeps every ratio finite:
+    * llr(b) = [ln(ct_t(b)+1) − ln(ct_s(b)+1)] + [ln(N_s+B) − ln(N_t+B)].
+    * A positive per-doc sum Σ_b c_doc(b)·llr(b) reads "more
+    * target-like than pool-like".
+    *
+    * Determinism = lm1's discipline verbatim: each (doc, bucket)
+    * contribution quantizes to DECIMAL(30,6) and sums exactly (order-
+    * free), ln only on integer-valued doubles behind the quantization,
+    * one final round(·, 6).
+    *
+    * Scale: both models are ≤ `buckets` rows (map-side-combined bucket
+    * aggregates — the hashing trick is WHY DSIR runs at corpus scale:
+    * model size is fixed, never vocabulary-sized), they broadcast
+    * as a bounded relation by construction, and the raw pool makes one
+    * tokenize pass into (doc, bucket) groups. Nothing shuffles wider
+    * than the doc key. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2)
+    val bL = lit(buckets.toLong)
+    def bucketTerms(df: DataFrame, cols: Column*): DataFrame =
+      graft.core.Par.fanOut(df.select((cols :+ tokens(col(textCol)).as("toks")): _*))
+        .select((cols :+ explode_outer(col("toks")).as("term")): _*)
+        .where(col("term").isNotNull)
+        .withColumn("b", Sampling.hashBucket(col("term"), "dsir", buckets))
+    val tCt = bucketTerms(target).groupBy("b").agg(count(lit(1)).as("ct_t"))
+    val rDoc = bucketTerms(raw, col(idCol).as("doc_id"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val sCt = rDoc.groupBy("b").agg(sum(col("c")).as("ct_s"))
+    // model = buckets PRESENT IN THE POOL (a doc can only hit those);
+    // absent-from-target buckets smooth to ct_t = 0. Bounded ≤ `buckets`
+    // rows — broadcast by construction, never SF-scaled.
+    val model = sCt.join(tCt, Seq("b"), "left")
+      .select(col("b"), coalesce(col("ct_t"), lit(0L)).as("ct_t"),
+        col("ct_s"))
+    val totals = sCt.agg(sum(col("ct_s")).as("ns"))
+      .crossJoin(tCt.agg(coalesce(sum(col("ct_t")), lit(0L)).as("nt")))
+    // pinned expression order, mirrored token-for-token by the oracle
+    val llrTerm = col("c").cast("double") *
+      ((log((col("ct_t") + lit(1L)).cast("double")) -
+        log((col("ct_s") + lit(1L)).cast("double"))) +
+       (log((col("ns") + bL).cast("double")) -
+        log((col("nt") + bL).cast("double"))))
+    rDoc.join(broadcast(model), "b")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        round(Num.dsum(llrTerm), 6).as("dsir_llr"))
+  }
+
   def backoffCoverage(lm: DataFrame, scored: DataFrame,
                       idCol: String, textCol: String): DataFrame = {
     def toks(df: DataFrame, extra: Column*) = graft.core.Par.fanOut(
