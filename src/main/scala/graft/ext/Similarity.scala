@@ -592,11 +592,39 @@ object Similarity {
     * for the bounded-row exact re-rank fetch against the primary store. */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     listCol: String, dir: String): Unit = {
+    // a full (re)build supersedes any previously appended segments — clear
+    // them or the read-side union would double-count; the as-of floor
+    // resets with them (a rebuild starts version history at 0). Tombstones
+    // stay (the shared caveat: re-adding a forgotten id needs a compact).
+    val spark = corpus.sparkSession
+    val rootFs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    rootFs.delete(new org.apache.hadoop.fs.Path(s"$dir/segments"), true)
+    rootFs.delete(new org.apache.hadoop.fs.Path(s"$dir/asof_floor"), false)
     listCentroids(corpus, listCol, vecCol)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     quantizeInt8(corpus, idCol, vecCol, carry = Seq(listCol))
       .withColumnRenamed(listCol, "list")
       .write.mode("overwrite").partitionBy("list").parquet(s"$dir/qindex")
+  }
+
+  /** The full stored IVF index relation: the build-time base plus every
+    * COMMITTED append segment ([[appendToIvfIndex]]) — in-flight `__tmp`
+    * stages are invisible ([[graft.core.Artifacts.committedChildren]]).
+    * Every root is a list-partitioned parquet dir, so a `list IN (…)`
+    * probe filter partition-prunes each root identically to the
+    * single-dir layout (the postingsRelation read shape: one read per
+    * root, segments borrow the base schema so an empty retry segment
+    * still reads as zero rows). */
+  def ivfIndexRelation(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    // whole-root heal first: compactIvfIndex swaps the ENTIRE root
+    graft.core.Artifacts.heal(spark, dir)
+    graft.core.Artifacts.heal(spark, s"$dir/qindex")
+    val segs = graft.core.Artifacts.committedChildren(spark, s"$dir/segments")
+    val base = spark.read.parquet(s"$dir/qindex")
+    segs.foldLeft(base)((acc, s) =>
+      acc.unionByName(spark.read.schema(base.schema).parquet(s)))
   }
 
   /** APPEND new vectors to a STORED IVF index ([[writeIvfIndex]]) without
@@ -612,17 +640,37 @@ object Similarity {
     * is handled by periodic re-train, not per-append mutation, so
     * concurrent queries never see a half-updated quantizer). Per-batch
     * cost: one bounded centroid broadcast (|lists| rows), one
-    * per-vector-keyed window over the BATCH, one partitioned append —
+    * per-vector-keyed window over the BATCH, one committed segment —
     * never touches existing index rows. All-zero vectors are
     * ill-defined under cosine (NaN similarity, and NaN sorts FIRST under
     * desc — the vector would land in an ARBITRARY list silently); the
     * guard below fails loudly on them (the Dedup packer's raise_error
-    * discipline) instead of producing a nondeterministic index. */
+    * discipline) instead of producing a nondeterministic index.
+    *
+    * Idempotence under at-least-once retry (the postings/PQ discipline,
+    * extended to this tier for streaming maintenance — sim11s): the
+    * batch anti-joins the stored index's vec_ids first (an
+    * id-column-only columnar probe of the FULL stored relation, not the
+    * living view — a stale tombstone must keep hiding a re-appended id
+    * until compact, the shared caveat), and the segment publishes via
+    * stage + ONE checked rename ([[graft.core.Artifacts.stageCommit]])
+    * so the anti-join only ever sees COMPLETE segments: a retried
+    * append re-codes nothing and a crashed one is invisible and swept.
+    * Segments are list-partitioned like the base, so probe-time
+    * partition pruning applies to every root, and each committed
+    * segment is one immutable index VERSION
+    * ([[ivfIndexRelationAsOf]]). */
   def appendToIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
                        dir: String): Unit = {
     val spark = newVecs.sparkSession
+    graft.core.Artifacts.heal(spark, dir)
+    val nSegs = graft.core.Artifacts
+      .committedChildren(spark, s"$dir/segments", sweepStale = true).size
     val cent = spark.read.parquet(s"$dir/centroids")
-    val v = newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("v0"))
+    val fresh = newVecs
+      .join(ivfIndexRelation(spark, dir).select(col("vec_id").as(idCol)),
+        Seq(idCol), "left_anti")
+    val v = fresh.select(col(idCol).as("vec_id"), col(vecCol).as("v0"))
       .withColumn("vnorm", when(l2norm(col("v0")) > 0, l2norm(col("v0")))
         .otherwise(raise_error(concat(
           lit("graft appendToIvfIndex: zero-norm vector vec_id="),
@@ -638,8 +686,11 @@ object Similarity {
       .withColumn("pr", row_number().over(w))
       .where(col("pr") === 1)
       .select(col("vec_id"), col("v0"), col("list"))
-    quantizeInt8(assigned, "vec_id", "v0", carry = Seq("list"))
-      .write.mode("append").partitionBy("list").parquet(s"$dir/qindex")
+    graft.core.Artifacts.stageCommit(spark,
+        f"$dir/segments/seg_$nSegs%06d_${java.util.UUID.randomUUID}") { tmp =>
+      quantizeInt8(assigned, "vec_id", "v0", carry = Seq("list"))
+        .write.partitionBy("list").parquet(tmp)
+    }
   }
 
   /** FORGET vectors from a STORED IVF index — right-to-be-forgotten for
@@ -665,21 +716,24 @@ object Similarity {
     * or the stale tombstone hides the new row. */
   def forgetFromIvfIndex(ids: DataFrame, idCol: String, dir: String): Unit = {
     val spark = ids.sparkSession
-    graft.core.Artifacts.heal(spark, s"$dir/qindex")
-    spark.read.parquet(s"$dir/qindex").select(col("vec_id"), col("list"))
+    ivfIndexRelation(spark, dir).select(col("vec_id"), col("list"))
       .join(ids.select(col(idCol).cast("long").as("vec_id")).distinct(),
         Seq("vec_id"), "left_semi")
       .write.mode("append").partitionBy("list").parquet(s"$dir/tombstones")
   }
 
-  /** The LIVING index view: qindex minus tombstones — what every query
-    * job should scan after deletes exist. Joining on (vec_id, list) keeps
-    * the probed-list partition filter meaningful on both relations; a
-    * missing tombstone store means nothing was forgotten. */
+  /** The LIVING index view: base + committed segments minus tombstones —
+    * what every query job should scan after deletes exist. Joining on
+    * (vec_id, list) keeps the probed-list partition filter meaningful on
+    * both relations; a missing tombstone store means nothing was
+    * forgotten. */
   def ivfLivingIndex(spark: org.apache.spark.sql.SparkSession,
-                     dir: String): DataFrame = {
-    graft.core.Artifacts.heal(spark, s"$dir/qindex")
-    val q = spark.read.parquet(s"$dir/qindex")
+                     dir: String): DataFrame =
+    minusIvfTombstones(ivfIndexRelation(spark, dir), spark, dir)
+
+  private def minusIvfTombstones(q: DataFrame,
+                                 spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): DataFrame = {
     val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tomb)) q
@@ -691,35 +745,68 @@ object Similarity {
       .select(q.columns.map(col).toIndexedSeq: _*)
   }
 
-  /** Amortized physical rewrite of a tombstoned IVF index: living rows to
-    * a staged copy, ONE atomic swap ([[graft.core.Artifacts.swapInto]]),
-    * tombstones cleared LAST. Crash ordering is safe at every point: a
-    * crash mid-swap heals on the next read; a crash after the swap but
-    * before the tombstone delete leaves tombstones that anti-join
-    * against already-removed rows — a no-op view, and the next compact
-    * clears them (Round11Spec pins both). Offline maintenance, like
-    * [[retrainIvfIndex]]. */
+  /** The index relation AS OF version `asOf` (the build is version
+    * `floor`, each committed append segment adds one): base + the
+    * committed-segment prefix [[graft.core.Artifacts.segmentsAsOf]]
+    * selects, with CURRENT tombstones still applied — the
+    * postings/PQ as-of contract verbatim (right-to-be-forgotten
+    * outranks reproducibility; folded pins fail loudly). Centroids need
+    * no pinning: they are FROZEN from build to rebuild (appends never
+    * touch them — the FAISS contract sim7 grades) and a rebuild swaps
+    * them together with a reset version history. */
+  def ivfIndexRelationAsOf(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, asOf: Long): DataFrame = {
+    graft.core.Artifacts.heal(spark, dir)
+    graft.core.Artifacts.heal(spark, s"$dir/qindex")
+    val segs = graft.core.Artifacts.segmentsAsOf(spark, dir, asOf)
+    val base = spark.read.parquet(s"$dir/qindex")
+    val pinned = segs.foldLeft(base)((acc, s) =>
+      acc.unionByName(spark.read.schema(base.schema).parquet(s)))
+    minusIvfTombstones(pinned, spark, dir)
+  }
+
+  /** Amortized physical rewrite of a tombstoned/segmented IVF index: ONE
+    * whole-root atomic swap ([[graft.core.Artifacts.swapInto]])
+    * publishing centroids + qindex with qindex = the LIVING relation —
+    * segments and tombstones simply do not exist in the new root, so no
+    * crash point can double-count a folded segment or lose one (the
+    * compactPqIndex discipline verbatim: the staged root reads the old
+    * root, which stays intact until the checked rename; a mid-swap crash
+    * heals on the next read; stale tombstones re-planted over removed
+    * rows are a no-op view — Round11Spec pins both). The fold advances
+    * the as-of floor past every version the new base absorbs, written
+    * into the staged root so it publishes atomically with the fold
+    * ([[graft.core.Artifacts.segmentsAsOf]] retention rule). Centroids
+    * copy through unchanged — compaction folds DATA, never trained
+    * state. Offline maintenance, like [[retrainIvfIndex]]. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       dir: String): Unit = {
+    graft.core.Artifacts.heal(spark, dir)
     val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(tomb)) return
+    if (!fs.exists(tomb) &&
+      graft.core.Artifacts.committedChildren(spark, s"$dir/segments").isEmpty)
+      return // nothing to fold
     val living = ivfLivingIndex(spark, dir)
-    // Same edge as compactPostingsIndex: compacting a FULLY-forgotten
-    // index would swap in a qindex dir with zero part files, and the next
-    // read dies on schema inference instead of a meaningful message.
-    require(living.limit(1).count() > 0,
-      s"compactIvfIndex: every vector in $dir has been forgotten — an " +
-        "empty index has no compacted form; drop the index directory " +
-        "instead")
-    graft.core.Artifacts.swapInto(spark, s"$dir/qindex") { tmp =>
-      living.write.partitionBy("list").parquet(tmp)
-    }
-    if (!fs.delete(tomb, true))
-      throw new java.io.IOException(
-        s"compactIvfIndex: compacted but could not clear $tomb — " +
-          "the stale tombstones are harmless (they match nothing) and " +
-          "the next compact retries the delete")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Same edge as compactPostingsIndex: compacting a FULLY-forgotten
+      // index would swap in a qindex dir with zero part files, and the
+      // next read dies on schema inference instead of a meaningful
+      // message.
+      require(living.limit(1).count() > 0,
+        s"compactIvfIndex: every vector in $dir has been forgotten — an " +
+          "empty index has no compacted form; drop the index directory " +
+          "instead")
+      val newFloor = graft.core.Artifacts.asOfFloor(spark, dir) +
+        graft.core.Artifacts.committedChildren(spark, s"$dir/segments").size
+      graft.core.Artifacts.swapInto(spark, dir) { tmp =>
+        spark.read.parquet(s"$dir/centroids")
+          .coalesce(1).write.parquet(s"$tmp/centroids")
+        living.write.partitionBy("list").parquet(s"$tmp/qindex")
+        graft.core.Artifacts.setAsOfFloor(spark, tmp, newFloor)
+      }
+    } finally living.unpersist()
   }
 
   /** QUANTIZER-DRIFT metric over a STORED IVF index ([[writeIvfIndex]]) —
@@ -744,7 +831,9 @@ object Similarity {
   def indexCentroidDrift(spark: org.apache.spark.sql.SparkSession,
                          dir: String): DataFrame = {
     val cent = spark.read.parquet(s"$dir/centroids")
-    val cur = spark.read.parquet(s"$dir/qindex")
+    // the LIVING relation: drift measures the CURRENT population — appends
+    // (committed segments) count, forgotten vectors do not
+    val cur = ivfLivingIndex(spark, dir)
       .select(col("list"), posexplode(transform(col("q"),
         x => when(col("scale") > 0, x.cast("double") / col("scale"))
           .otherwise(lit(0.0)))).as(Seq("i", "x")))
@@ -1274,10 +1363,9 @@ object Similarity {
     * quantizer needs no pinning because codebooks are FROZEN from build
     * to rebuild (appends never touch them — the FAISS contract pq3
     * grades) and a rebuild swaps the whole root, resetting version
-    * history to 0 with it. The IVF tier deliberately has NO as-of verb:
-    * its appends land in-place in the list directories (not as
-    * segments), so historical versions are not reconstructable there —
-    * reproducibility-pinned pipelines use the segmented tiers. */
+    * history to 0 with it. The IVF tier carries the same verb through
+    * [[ivfIndexRelationAsOf]] — every segmented artifact (matview,
+    * postings, PQ, IVF) is time-travelable. */
   def pqTopKFromIndexAsOf(spark: org.apache.spark.sql.SparkSession,
                           dir: String, fetch: DataFrame, queries: DataFrame,
                           idCol: String, vecCol: String, asOf: Long, k: Int,

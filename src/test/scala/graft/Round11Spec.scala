@@ -269,10 +269,12 @@ class Round11Spec extends SparkSpec {
       df.where($"vec_id" < 6).select("vec_id"), "vec_id", dir)
     val before = ext.Similarity.ivfLivingIndex(spark, dir)
       .orderBy("vec_id").collect().map(_.toSeq).toSeq
-    // crash point 1: a stale __tmp from a crashed swap is healed/ignored
+    // crash point 1: a stale __tmp from a crashed whole-root swap is
+    // healed/ignored (compactIvfIndex swaps the ENTIRE root since the
+    // segmented-layout refactor)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/qindex__tmp"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + "__tmp"))
     assert(ext.Similarity.ivfLivingIndex(spark, dir)
       .orderBy("vec_id").collect().map(_.toSeq).toSeq == before)
     ext.Similarity.compactIvfIndex(spark, dir)

@@ -63,7 +63,12 @@ class Round8bSpec extends SparkSpec {
     val before = spark.read.parquet(s"$dir/qindex")
       .select("vec_id").as[Long].collect().toSet
     ext.Similarity.appendToIvfIndex(appended, "vec_id", "embedding", dir)
-    val after = spark.read.parquet(s"$dir/qindex")
+    // appends land as committed SEGMENTS since the round-12 layout — the
+    // base qindex stays untouched and reads go through the relation seam
+    assert(spark.read.parquet(s"$dir/qindex")
+      .select("vec_id").as[Long].collect().toSet == before,
+      "append must not touch existing base rows")
+    val after = ext.Similarity.ivfIndexRelation(spark, dir)
     // exactly once each, existing rows untouched
     assert(after.count() == emb.count())
     assert(after.select("vec_id").distinct().count() == emb.count())
