@@ -1918,6 +1918,53 @@ object SparkEntry {
           topK = 20, minCount = 5L)
         .orderBy(col("pmi_fp").desc, col("bigram").asc)),
 
+    // div1: CORPUS N-GRAM DIVERSITY — per-source distinct-trigram
+    // type/token ratio (distinct-n, Li et al. 2016), the corpus-level
+    // complement of t6's per-doc repetition screens: a source whose
+    // boilerplate repeats across documents scores low here while every
+    // individual doc passes t6. Trigram stream is NON-distinct per doc
+    // (totals must count occurrences), distinct types via one exact
+    // count_distinct (the prof1 Expand shape, group count = sources);
+    // ttr in truncating micro fixed point (positive, floor =
+    // truncation). Tokenize fans out before the trigram projection.
+    "div1_ngram_diversity" -> ((s, d) =>
+      Par.fanOut(Tables.documents(s, d)
+          .select(col("source"), TextAnalysis.tokens(col("text")).as("toks")))
+        .select(col("source"), explode(
+          when(size(col("toks")) >= 3,
+            transform(sequence(lit(1), size(col("toks")) - 2),
+              i => array_join(slice(col("toks"), i, lit(3)), " ")))
+            .otherwise(array().cast("array<string>"))).as("tg"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_3grams"),
+          count_distinct(col("tg")).as("n_distinct"))
+        .select(col("source"), col("n_3grams"), col("n_distinct"),
+          call_function("div", col("n_distinct") * lit(1000000L),
+            col("n_3grams")).as("ttr_micro"))
+        .orderBy("source")),
+
+    // fert1: TOKENIZER FERTILITY — per-language subwords-per-word ratio
+    // (the tokenizer-equity metric multilingual pipelines audit: a
+    // tokenizer trained on English segments other scripts into many more
+    // pieces, inflating their effective sequence length and training
+    // cost). Words = the whitespace tokenizer (t1), subwords = the
+    // BPE-ish regex pre-tokenizer (t5) — both already oracle-pinned;
+    // fertility in truncating micro fixed point. One map-side-combined
+    // aggregate, group count = languages.
+    "fert1_tokenizer_fertility" -> ((s, d) =>
+      Par.fanOut(Tables.documents(s, d).select(col("lang"), col("text")))
+        .select(col("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("nw"),
+          size(TextAnalysis.regexTokens(col("text"))).cast("long").as("ns"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_words"),
+          sum("ns").as("n_subwords"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_subwords"),
+          call_function("div", col("n_subwords") * lit(1000000L),
+            col("n_words")).as("fertility_micro"))
+        .orderBy("lang")),
+
     // bpe1: corpus character-pair frequencies, top 30 — the statistic that
     // seeds BPE tokenizer induction (the first merge is this table's
     // argmax); native per-token pair kernel, one hash-aggregate
@@ -3318,6 +3365,27 @@ object SparkEntry {
     // above cos 0.52 — the component structure is exactly the planted
     // cliques). Oracle rebuilds the exact pair graph all-pairs and walks
     // it with a recursive CTE (the cur2 collapse shape).
+    // wn1: WINNOWING fingerprints (MOSS) → near-dup candidate pairs —
+    // the position-robust LOCAL fingerprinting classic next to the
+    // repo's other near-dup legs (d3 MinHash ~ whole-doc Jaccard, ds1
+    // stride-sampled spans, this: any shared run of ≥ w+k−1 tokens
+    // provably shares a selected fingerprint, and an insertion BEFORE a
+    // shared passage never desynchronizes the selection — the property
+    // stride sampling lacks). ds1's planted-copy fixture (each doc ∪ its
+    // +plantUnit copy with a one-token suffix) guarantees pairs exist
+    // and the oracle replants it exactly; stop-fingerprints (df > 10)
+    // drop like d2's stop-shingles, pairs expand through the packed-long
+    // kernel, output = bounded top-20 by shared-fingerprint weight
+    // (Dedup.winnowingCandidates scaladoc).
+    "wn1_winnowing" -> ((s, d) => {
+      val pu = plantUnit(s, d)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs
+        .union(docs.select((col("doc_id") + pu).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text")))
+      Dedup.winnowingCandidates(planted, "doc_id", "text")
+    }),
+
     "sd1_semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val base = emb.select(col("vec_id"),
@@ -3610,7 +3678,7 @@ object SparkEntry {
       Similarity.appendToIvfIndex(emb.where(col("vec_id") % 4 === 1),
         "vec_id", "embedding", dir)
       Similarity.ivfQuantizedTopKFromIndex(
-          s.read.parquet(s"$dir/centroids"), s.read.parquet(s"$dir/qindex"),
+          s.read.parquet(s"$dir/centroids"), Similarity.ivfIndexRelation(s, dir),
           emb.select(col("vec_id"), col("embedding").as("v")),
           emb.where(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nprobe = 3, shortlist = 30)
@@ -3649,7 +3717,7 @@ object SparkEntry {
         "label", dir)
       require(rebuilt, "sim8: planted shift must trip the drift threshold")
       Similarity.ivfQuantizedTopKFromIndex(
-          s.read.parquet(s"$dir/centroids"), s.read.parquet(s"$dir/qindex"),
+          s.read.parquet(s"$dir/centroids"), Similarity.ivfIndexRelation(s, dir),
           full.select(col("vec_id"), col("embedding").as("v")),
           base.where(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nprobe = 3, shortlist = 30)
@@ -3709,7 +3777,80 @@ object SparkEntry {
       Similarity.writeIvfIndex(emb, "vec_id", "embedding", "label", dir)
       Similarity.ivfQuantizedTopKFromIndex(
           s.read.parquet(s"$dir/centroids"),
-          s.read.parquet(s"$dir/qindex").where(col("vec_id") % 2 === 0),
+          Similarity.ivfIndexRelation(s, dir).where(col("vec_id") % 2 === 0),
+          emb.select(col("vec_id"), col("embedding").as("v")),
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 3, shortlist = 30)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // sim11s: STREAMING maintenance of the stored IVF index — ret9s's
+    // production shape for the VECTOR tier, closing the streaming-
+    // maintenance column of the artifact verb matrix (postings had it,
+    // IVF did not): the engine replays the last corpus quarter in
+    // micro-batches through the K2 foreachBatch sink, each batch folding
+    // into the index via appendToIvfIndex — whose vec_id anti-join +
+    // staged-segment commit (this round's hardening; previously the
+    // append was an in-place multi-file write with a real torn-visibility
+    // window) make redelivery a no-op WITHOUT an id fence (append-shaped
+    // store, the del2s class) — and slice 1 RE-DELIVERS every slice-0
+    // vector (the at-least-once worst case, full overlap). Graded: the
+    // post-replay artifact answers sim7's oracle — centroids frozen from
+    // the 3/4 build, the streamed quarter assigned by the identical
+    // argmax-cosine rule, exactly once.
+    "sim11s_stream_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir0 = graft.core.Scratch.dir("sim11s-")
+      val idx = s"$dir0/idx"
+      Similarity.writeIvfIndex(emb.where(col("vec_id") % 4 =!= 1),
+        "vec_id", "embedding", "label", idx)
+      val quarter = emb.where(col("vec_id") % 4 === 1)
+        .select(col("vec_id"), col("embedding"))
+      val s0 = quarter.where(pmod(col("vec_id"), lit(8)) === 1)
+      val s1 = quarter // slice 0 redelivered in full + the rest
+      graft.streaming.Replay.slicedSourceReplay(s, Seq(s0, s1),
+          "vec_id BIGINT, embedding ARRAY<FLOAT>", "sim11s-") { (src, dir) =>
+        graft.core.Sinks.foreachBatchSink(src, s"$dir/ckpt") { (b, _) =>
+          Similarity.appendToIvfIndex(b, "vec_id", "embedding", idx)
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      Similarity.ivfQuantizedTopKFromIndex(
+          s.read.parquet(s"$idx/centroids"),
+          Similarity.ivfIndexRelation(s, idx),
+          emb.select(col("vec_id"), col("embedding").as("v")),
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 3, shortlist = 30)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // sim13: TIME TRAVEL for the IVF index — the last cell of the as-of
+    // column (matview mv3, postings ret8, PQ pq5, IVF this): appends now
+    // land as committed segments (the postings/PQ layout, list-partitioned
+    // so probe-time partition pruning survives), so version v = base +
+    // the first v − floor committed segments (Artifacts.segmentsAsOf).
+    // The pinned version-0 read after the quarter's append landed must
+    // answer as the 3/4 build did on day one — centroids need no pinning
+    // (frozen from build to rebuild; a rebuild swaps them together with a
+    // reset history), current tombstones still apply (right-to-be-
+    // forgotten outranks reproducibility), and folded pins fail loudly
+    // (the mv3 retention contract — Round12bSpec pins all three). Oracle
+    // = sim4's verbatim with centroids AND candidates restricted to the
+    // version-0 population.
+    "sim13_ivf_asof" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = graft.core.Scratch.dir("sim13-")
+      Similarity.writeIvfIndex(emb.where(col("vec_id") % 4 =!= 1),
+        "vec_id", "embedding", "label", dir)
+      Similarity.appendToIvfIndex(emb.where(col("vec_id") % 4 === 1),
+        "vec_id", "embedding", dir)
+      Similarity.ivfQuantizedTopKFromIndex(
+          s.read.parquet(s"$dir/centroids"),
+          Similarity.ivfIndexRelationAsOf(s, dir, asOf = 0L),
           emb.select(col("vec_id"), col("embedding").as("v")),
           emb.where(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nprobe = 3, shortlist = 30)
@@ -3838,10 +3979,8 @@ object SparkEntry {
     }),
 
     // pq5: TIME TRAVEL for the PQ index — ret8's reproducibility verb on
-    // the codebook artifact, completing as-of across every SEGMENTED
-    // tier (matview mv3, postings ret8, PQ this; the IVF tier's appends
-    // land in-place, not as segments, so it deliberately has no as-of —
-    // Similarity.pqTopKFromIndexAsOf scaladoc). pq3's exact fixture with
+    // the codebook artifact (matview mv3, postings ret8, PQ this, IVF
+    // sim13 — every segmented tier answers as-of). pq3's exact fixture with
     // the read pinned to YESTERDAY: codebooks train over 3/4 and freeze,
     // the last quarter appends as a committed segment (version 1), and
     // the pinned version-0 read must answer as if the append never
@@ -3939,6 +4078,26 @@ object SparkEntry {
           col("n_chars"), col("lang") === "en", threshold = 700L)
         .orderBy("source")),
 
+    // kap1: COHEN'S KAPPA — chance-corrected agreement between two
+    // binary annotators, per source cohort (the statistic a labeling or
+    // LLM-judge pipeline reports before trusting its labels; raw
+    // percent-agreement flatters any skewed label). Annotators here are
+    // two deterministic quality rules over the same documents — a
+    // char-length gate (conf1's fixture threshold) and a token-count
+    // gate — correlated but not identical, so every contingency cell is
+    // populated. po/pe/κ in truncating micro fixed point with κ's sign
+    // split out (Eval.cohensKappa scaladoc); one map-side-combined
+    // aggregate over the tokenize projection, fanned out first (the
+    // compute-bound narrow-stage invariant).
+    "kap1_cohens_kappa" -> ((s, d) =>
+      ext.Eval.cohensKappa(
+          Par.fanOut(Tables.documents(s, d)
+              .select(col("source"), col("n_chars"), col("text")))
+            .select(col("source"), (col("n_chars") >= 700L).as("a"),
+              (size(TextAnalysis.tokens(col("text"))) >= 120).as("b")),
+          Seq("source"), col("a"), col("b"))
+        .orderBy("source")),
+
     // sql1: the PURE-SQL user path end-to-end — the sim1 ranking restated
     // as SQL TEXT over a temp view, with the cosine built from the
     // registered native kernel (graft_dot, the SparkSessionExtensions
@@ -4028,6 +4187,104 @@ object SparkEntry {
         .agg(count(col("tn")).as("n_hits"))
         .select(col("query_id"), col("n_hits"),
           (col("n_hits") / lit(10.0)).as("recall"))
+        .orderBy("query_id")
+    }),
+
+    // out1: EMBEDDING OUTLIER SCREEN — per-label bottom-k by cosine to
+    // the label's own centroid (the data-pruning / mislabel-detection
+    // pass an embedding-curation pipeline runs before training: vectors
+    // far from their cohort's center are noise, mislabels, or novel
+    // modes — all of which a human should see first). The centroid
+    // relation is |labels|-row bounded (explicit broadcast under the
+    // bounded-relation hint policy), the rank window partitions by
+    // label over per-vector cosines, and the output is a bounded
+    // per-label bottom-5 — rank-based, so no rounded-value threshold
+    // boundary exists (the sim1 ranking-determinism class).
+    "out1_embedding_outliers" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val e = emb.select(col("vec_id"), col("label"),
+        Similarity.toDoubleArr(col("embedding")).as("v"))
+      val cent = Similarity.listCentroids(e, "label", "v")
+        .withColumnRenamed("list", "label")
+      val scored = e.join(broadcast(cent), "label")
+        .select(col("label"), col("vec_id"),
+          (Similarity.dot(col("v"), col("centroid")) /
+            (Similarity.l2norm(col("v")) *
+              Similarity.l2norm(col("centroid")))).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+        .orderBy(col("cos").asc, col("vec_id").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select(col("label"), col("rk").cast("long").as("rk"),
+          col("vec_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("label", "rk")
+    }),
+
+    // trip1: CONTRASTIVE TRAINING-TRIPLE MINING — the (anchor, hardest
+    // positive, hardest negative) table a contrastive/embedding trainer
+    // consumes (SimCSE/SBERT batch construction): per query, the
+    // most-similar SAME-label neighbor and neg1's most-similar
+    // OTHER-label neighbor in one row. Both legs are the hardNegatives
+    // expression shape verbatim (bounded query broadcast, label
+    // predicate inside the join condition so candidates prune before the
+    // rank window), so determinism and the 100 TB shape are inherited;
+    // only emitted cosines round.
+    "trip1_training_triples" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 5)
+      val q = broadcast(qs.select(col("vec_id").as("query_id"),
+        col("label").as("qlab"),
+        Similarity.toDoubleArr(col("embedding")).as("qv"),
+        Similarity.l2norm(col("embedding")).as("qn")))
+      val c = Par.fanOut(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nlab"), col("embedding").as("cv0")))
+        .select(col("neighbor_id"), col("nlab"),
+          Similarity.toDoubleArr(col("cv0")).as("cv"),
+          Similarity.l2norm(col("cv0")).as("cn"))
+      val pos = q.join(c, col("query_id") =!= col("neighbor_id")
+          && col("qlab") === col("nlab"))
+        .select(col("query_id"), col("neighbor_id"),
+          (Similarity.dot(col("qv"), col("cv")) /
+            (col("qn") * col("cn"))).as("cos"))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      val p1 = pos.withColumn("rk", row_number().over(wp))
+        .where(col("rk") === 1)
+        .select(col("query_id"), col("neighbor_id").as("pos_id"),
+          round(col("cos"), 4).as("pos_cos"))
+      val n1 = Similarity.hardNegativesTopK(emb, qs, "vec_id", "embedding",
+          "label", 1)
+        .select(col("query_id"), col("neighbor_id").as("neg_id"),
+          col("cos").as("neg_cos"))
+      p1.join(n1, "query_id").orderBy("query_id")
+    }),
+
+    // mrr1: MEAN-RECIPROCAL-RANK — the first-relevant-position metric
+    // completing the ranking-eval family (rec1 grades set overlap, ndcg1
+    // position-discounted gain, this the navigational "where does the ONE
+    // right answer sit"): the TRUE nearest neighbor (exact top-1) looked
+    // up in the IVF top-10; rr = 1/rank as truncating micro fixed point
+    // (ranks positive, so floor = truncation in both engines), absent →
+    // 0 (the miss convention a tuning loop wants punished). Composed
+    // from two already-graded deterministic rankings, so the boundary is
+    // reproducible; the mean is one exact sum away for any consumer.
+    "mrr1_reciprocal_rank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 1)
+        .select(col("query_id"), col("neighbor_id").as("truth_id"))
+      val approx = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", "label",
+          k = 10, nprobe = 3)
+        .select(col("query_id").as("aq"), col("neighbor_id").as("an"),
+          col("rank").cast("long").as("arank"))
+      truth.join(approx,
+          col("query_id") === col("aq") && col("truth_id") === col("an"),
+          "left")
+        .select(col("query_id"), col("truth_id"),
+          col("arank").as("rank_in_ivf"),
+          coalesce(call_function("div", lit(1000000L), col("arank")),
+            lit(0L)).as("rr_micro"))
         .orderBy("query_id")
     }),
 
@@ -6373,6 +6630,30 @@ object SparkEntry {
            | JOIN u ub ON ub.w = split_part(bigram, ' ', 2)
            |ORDER BY pmi_fp DESC, bigram ASC LIMIT 20"""
           .stripMargin.replace("\n", " ")),
+      // div1: the identical NON-distinct trigram stream (t6's slice
+      // construction), exact COUNT(DISTINCT), truncating micro ratio
+      "div1_ngram_diversity" ->
+        (s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_3grams,
+           | CAST(COUNT(DISTINCT tg) AS BIGINT) AS n_distinct,
+           | CAST(COUNT(DISTINCT tg) * 1000000 // COUNT(*) AS BIGINT) AS ttr_micro
+           |FROM (
+           | SELECT source, unnest(CASE WHEN len(toks) >= 3
+           |   THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+           |   ELSE [] END) AS tg
+           | FROM (SELECT source, $toksSql AS toks FROM documents))
+           |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " ")),
+      // fert1: words = t1's whitespace tokens, subwords = t5's regex
+      // pre-tokenizer — both already oracle-pinned; truncating micro ratio
+      "fert1_tokenizer_fertility" ->
+        (s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           | CAST(SUM(nw) AS BIGINT) AS n_words,
+           | CAST(SUM(ns) AS BIGINT) AS n_subwords,
+           | CAST(SUM(ns) * 1000000 // SUM(nw) AS BIGINT) AS fertility_micro
+           |FROM (SELECT lang, len($toksSql) AS nw,
+           |  len(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+           |   x -> length(x) > 0)) AS ns
+           | FROM documents)
+           |GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")),
       // bpe1: per-word adjacent code-point pairs (1-based inclusive slice
       // w[i:i+1] = substr(w, i, 2)), counted corpus-wide
       "bpe1_pair_counts" ->
@@ -7420,6 +7701,32 @@ object SparkEntry {
            | CASE WHEN 2 * tp + fp + fn > 0
            |  THEN 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_micro
            |FROM a ORDER BY source""".stripMargin.replace("\n", " ")),
+      // kap1: identical contingency counts + the identical truncating
+      // integer kappa — the sign splits out so // (floor) only runs on
+      // non-negatives, matching Spark's toward-zero div
+      "kap1_cohens_kappa" ->
+        (s"""WITH r AS (SELECT source, (n_chars >= 700) AS a,
+           |  (len($toksSql) >= 120) AS b FROM documents),
+           |g AS (SELECT source, COUNT(*) AS n,
+           |  SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
+           |  SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00,
+           |  SUM(CASE WHEN a THEN 1 ELSE 0 END) AS a1,
+           |  SUM(CASE WHEN b THEN 1 ELSE 0 END) AS b1
+           | FROM r GROUP BY 1),
+           |k AS (SELECT source, n, n11, n00, a1, b1,
+           |  a1 * b1 + (n - a1) * (n - b1) AS chance,
+           |  (n11 + n00) * n - (a1 * b1 + (n - a1) * (n - b1)) AS num,
+           |  n * n - (a1 * b1 + (n - a1) * (n - b1)) AS den
+           | FROM g)
+           |SELECT source, CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+           | CAST(n00 AS BIGINT) AS n00, CAST(a1 AS BIGINT) AS a1,
+           | CAST(b1 AS BIGINT) AS b1,
+           | CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_micro,
+           | CAST(chance * 1000000 // (n * n) AS BIGINT) AS pe_micro,
+           | CAST(CASE WHEN den = 0 THEN NULL
+           |  WHEN num < 0 THEN -((-num) * 1000000 // den)
+           |  ELSE num * 1000000 // den END AS BIGINT) AS kappa_micro
+           |FROM k ORDER BY source""".stripMargin.replace("\n", " ")),
       "cal1_calibration_bins" ->
         ("""SELECT source, CAST(n_chars // 200 AS BIGINT) AS bin,
            | CAST(n_chars // 200 * 200 AS BIGINT) AS bin_lo,
@@ -7518,6 +7825,114 @@ object SparkEntry {
            |FROM exact e LEFT JOIN approx a
            | ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
            |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin.replace("\n", " ")),
+      // wn1: identical replant, gram hashes via sha256 hex prefixes
+      // (lexicographic min agrees engine-to-engine), identical window
+      // minima / df band / pair counts
+      "wn1_winnowing" ->
+        (s"""WITH pl AS (SELECT doc_id, text FROM documents
+           | UNION ALL SELECT doc_id + $plantUnitSql, text || ' graftdup' FROM documents),
+           |tk AS (SELECT doc_id, $toksSql AS toks FROM pl),
+           |g AS (SELECT doc_id, unnest(hs) AS h, generate_subscripts(hs, 1) AS i FROM (
+           |  SELECT doc_id, [substring(sha256(array_to_string(toks[i:i+4], ' ')), 1, 16)
+           |    for i in range(1, len(toks) - 3)] AS hs
+           |  FROM tk WHERE len(toks) >= 8)),
+           |wm AS (SELECT doc_id, i,
+           |  min(h) OVER (PARTITION BY doc_id ORDER BY i
+           |   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+           |  count(*) OVER (PARTITION BY doc_id) AS ng FROM g),
+           |fp AS (SELECT DISTINCT doc_id, mh FROM wm WHERE i <= ng - 3),
+           |grp AS (SELECT mh, count(*) AS df FROM fp GROUP BY 1),
+           |keep AS (SELECT f.doc_id, f.mh FROM fp f JOIN grp USING (mh)
+           | WHERE df BETWEEN 2 AND 10),
+           |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  count(*) AS n_shared
+           | FROM keep a JOIN keep b ON a.mh = b.mh AND a.doc_id < b.doc_id
+           | GROUP BY 1, 2 HAVING count(*) >= 3)
+           |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           | CAST(n_shared AS BIGINT) AS n_shared
+           |FROM pr ORDER BY n_shared DESC, doc_a, doc_b
+           |LIMIT 20""".stripMargin.replace("\n", " ")),
+      // out1: sim3's centroid construction, per-vector cosine to the OWN
+      // label's centroid, bottom-5 rank window
+      "out1_embedding_outliers" ->
+        ("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |ex AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e),
+           |cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY 1, 2),
+           |cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY 1),
+           |scored AS (SELECT e.label, e.vec_id,
+           |  list_dot_product(e.v, cent.c) /
+           |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.c, cent.c))) AS cos
+           | FROM e JOIN cent USING (label)),
+           |r AS (SELECT label, vec_id, cos,
+           |  row_number() OVER (PARTITION BY label ORDER BY cos ASC, vec_id ASC) AS rk
+           | FROM scored)
+           |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, round(cos, 4) AS cos
+           |FROM r WHERE rk <= 5 ORDER BY label, rk""".stripMargin.replace("\n", " ")),
+      // trip1: both legs sim1's scored shape with the label predicate in
+      // the join, rank-1 each, joined into one triple row
+      "trip1_training_triples" ->
+        ("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, label AS qlab, v AS qv FROM e WHERE vec_id < 5),
+           |ps AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+           |  list_dot_product(q.qv, c.v) /
+           |    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           | FROM q JOIN e c ON c.vec_id <> q.query_id AND c.label = q.qlab),
+           |p1 AS (SELECT query_id, neighbor_id AS pos_id, round(cos, 4) AS pos_cos FROM (
+           |  SELECT query_id, neighbor_id, cos,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |  FROM ps) t WHERE rk = 1),
+           |ns AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+           |  list_dot_product(q.qv, c.v) /
+           |    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           | FROM q JOIN e c ON c.vec_id <> q.query_id AND c.label <> q.qlab),
+           |n1 AS (SELECT query_id, neighbor_id AS neg_id, round(cos, 4) AS neg_cos FROM (
+           |  SELECT query_id, neighbor_id, cos,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |  FROM ns) t WHERE rk = 1)
+           |SELECT p1.query_id, pos_id, pos_cos, neg_id, neg_cos
+           |FROM p1 JOIN n1 USING (query_id)
+           |ORDER BY p1.query_id""".stripMargin.replace("\n", " ")),
+      // mrr1: rec1's two pipelines, exact leg cut at rank 1 (the truth),
+      // IVF leg at rank ≤ 10; rr = 1000000 // rank (positive, floor =
+      // truncation), absent → 0
+      "mrr1_reciprocal_rank" ->
+        ("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+           |c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+           |scored AS (
+           | SELECT query_id, neighbor_id,
+           |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+           | FROM q JOIN c ON query_id <> neighbor_id),
+           |truth AS (SELECT query_id, neighbor_id AS truth_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM scored) t WHERE rank = 1),
+           |ex AS (SELECT label, unnest(embedding::DOUBLE[]) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings),
+           |cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY 1, 2),
+           |cent AS (SELECT label, list(m ORDER BY i) AS cc FROM cm GROUP BY 1),
+           |probes AS (
+           | SELECT query_id, label FROM (
+           |  SELECT q.query_id, cent.label,
+           |   row_number() OVER (PARTITION BY q.query_id
+           |    ORDER BY list_dot_product(q.qv, cent.cc) /
+           |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cc, cent.cc))) DESC,
+           |     cent.label ASC) AS pr
+           |  FROM q CROSS JOIN cent) t WHERE pr <= 3),
+           |ascored AS (
+           | SELECT p.query_id, c.neighbor_id,
+           |  list_dot_product(q.qv, c.cv) /
+           |    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+           | FROM probes p JOIN q ON p.query_id = q.query_id
+           |  JOIN c ON c.label = p.label AND c.neighbor_id <> p.query_id),
+           |approx AS (SELECT query_id, neighbor_id, rank FROM (
+           |  SELECT query_id, neighbor_id,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM ascored) t WHERE rank <= 10)
+           |SELECT t.query_id, t.truth_id,
+           | CAST(a.rank AS BIGINT) AS rank_in_ivf,
+           | CAST(coalesce(1000000 // a.rank, 0) AS BIGINT) AS rr_micro
+           |FROM truth t LEFT JOIN approx a
+           | ON a.query_id = t.query_id AND a.neighbor_id = t.truth_id
+           |ORDER BY t.query_id""".stripMargin.replace("\n", " ")),
       // mrl1: both rankings exact brute force (rec1's join-count shape),
       // the truncated leg over embedding[1:16] on BOTH sides
       "mrl1_truncation_recall" ->
@@ -7664,55 +8079,16 @@ object SparkEntry {
       // sim7: sim4's pipeline with centroids over the INITIAL 3/4 and the
       // appended quarter assigned by the identical argmax-cosine window
       // (row_number over csim DESC, list ASC), lists = union of the two
-      "sim7_index_append" ->
-        ("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-           |init AS (SELECT * FROM e WHERE vec_id % 4 <> 1),
-           |ex AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM init),
-           |cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY 1, 2),
-           |cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY 1),
-           |asg AS (SELECT vec_id, list FROM (
-           | SELECT a.vec_id, cent.label AS list,
-           |  row_number() OVER (PARTITION BY a.vec_id
-           |   ORDER BY list_dot_product(a.v, cent.c) /
-           |     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(cent.c, cent.c))) DESC,
-           |    cent.label ASC) AS pr
-           | FROM e a CROSS JOIN cent WHERE a.vec_id % 4 = 1) t WHERE pr = 1),
-           |idx AS (SELECT vec_id, label AS list FROM init
-           | UNION ALL SELECT vec_id, list FROM asg),
-           |qz AS (SELECT vec_id,
-           |  list_transform(v, x -> round(x * CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END)) AS qv
-           | FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e)),
-           |q AS (SELECT vec_id AS query_id, v AS fqv FROM e WHERE vec_id < 5),
-           |probes AS (
-           | SELECT query_id, label FROM (
-           |  SELECT q.query_id, cent.label,
-           |   row_number() OVER (PARTITION BY q.query_id
-           |    ORDER BY list_dot_product(q.fqv, cent.c) /
-           |      (sqrt(list_dot_product(q.fqv, q.fqv)) * sqrt(list_dot_product(cent.c, cent.c))) DESC,
-           |     cent.label ASC) AS pr
-           |  FROM q CROSS JOIN cent) t WHERE pr <= 3),
-           |shortq AS (
-           | SELECT query_id, neighbor_id FROM (
-           |  SELECT p.query_id, i.vec_id AS neighbor_id,
-           |   row_number() OVER (PARTITION BY p.query_id
-           |    ORDER BY list_dot_product(zq.qv, z2.qv) /
-           |      (sqrt(list_dot_product(zq.qv, zq.qv)) * sqrt(list_dot_product(z2.qv, z2.qv))) DESC,
-           |     i.vec_id ASC) AS sr
-           |  FROM probes p
-           |   JOIN qz zq ON zq.vec_id = p.query_id
-           |   JOIN idx i ON i.list = p.label AND i.vec_id <> p.query_id
-           |   JOIN qz z2 ON z2.vec_id = i.vec_id) t WHERE sr <= 30),
-           |scored AS (
-           | SELECT s.query_id, s.neighbor_id,
-           |  list_dot_product(q.fqv, e3.v) /
-           |    (sqrt(list_dot_product(q.fqv, q.fqv)) * sqrt(list_dot_product(e3.v, e3.v))) AS cos
-           | FROM shortq s JOIN q ON s.query_id = q.query_id
-           |  JOIN e e3 ON e3.vec_id = s.neighbor_id),
-           |ranked AS (SELECT query_id, neighbor_id, cos,
-           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-           | FROM scored)
-           |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
-           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+      "sim7_index_append" -> Sim7OracleSql,
+      // sim11s: sim7's oracle VERBATIM — streaming maintenance through the
+      // foreachBatch sink must land the quarter exactly once (redelivered
+      // slice-0 vectors anti-join away), so the artifact answers as the
+      // batch append does
+      "sim11s_stream_ivf" -> Sim7OracleSql,
+      // sim12: sim4's verbatim with centroids AND candidates restricted to
+      // the version-0 population (the 3/4 build) — the pinned read answers
+      // as the index did before the append landed
+      "sim13_ivf_asof" -> Sim13OracleSql,
       // sim9: sim4's pipeline VERBATIM except the candidate index
       // population excludes the forgotten fifth — centroids and query
       // quantization stay corpus-derived (the quantizer is build-time
@@ -8184,6 +8560,80 @@ object SparkEntry {
        | FROM scored)
        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " "))
+  }
+
+  /** sim7's oracle (shared verbatim by sim11s, the streaming-maintenance
+    * path): sim4's pipeline with centroids over the INITIAL 3/4 and the
+    * appended quarter assigned by the identical argmax-cosine window
+    * (row_number over csim DESC, list ASC), index = union of the two. */
+  private val Sim7OracleSql =
+        """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |init AS (SELECT * FROM e WHERE vec_id % 4 <> 1),
+           |ex AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM init),
+           |cm AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY 1, 2),
+           |cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY 1),
+           |asg AS (SELECT vec_id, list FROM (
+           | SELECT a.vec_id, cent.label AS list,
+           |  row_number() OVER (PARTITION BY a.vec_id
+           |   ORDER BY list_dot_product(a.v, cent.c) /
+           |     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(cent.c, cent.c))) DESC,
+           |    cent.label ASC) AS pr
+           | FROM e a CROSS JOIN cent WHERE a.vec_id % 4 = 1) t WHERE pr = 1),
+           |idx AS (SELECT vec_id, label AS list FROM init
+           | UNION ALL SELECT vec_id, list FROM asg),
+           |qz AS (SELECT vec_id,
+           |  list_transform(v, x -> round(x * CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END)) AS qv
+           | FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e)),
+           |q AS (SELECT vec_id AS query_id, v AS fqv FROM e WHERE vec_id < 5),
+           |probes AS (
+           | SELECT query_id, label FROM (
+           |  SELECT q.query_id, cent.label,
+           |   row_number() OVER (PARTITION BY q.query_id
+           |    ORDER BY list_dot_product(q.fqv, cent.c) /
+           |      (sqrt(list_dot_product(q.fqv, q.fqv)) * sqrt(list_dot_product(cent.c, cent.c))) DESC,
+           |     cent.label ASC) AS pr
+           |  FROM q CROSS JOIN cent) t WHERE pr <= 3),
+           |shortq AS (
+           | SELECT query_id, neighbor_id FROM (
+           |  SELECT p.query_id, i.vec_id AS neighbor_id,
+           |   row_number() OVER (PARTITION BY p.query_id
+           |    ORDER BY list_dot_product(zq.qv, z2.qv) /
+           |      (sqrt(list_dot_product(zq.qv, zq.qv)) * sqrt(list_dot_product(z2.qv, z2.qv))) DESC,
+           |     i.vec_id ASC) AS sr
+           |  FROM probes p
+           |   JOIN qz zq ON zq.vec_id = p.query_id
+           |   JOIN idx i ON i.list = p.label AND i.vec_id <> p.query_id
+           |   JOIN qz z2 ON z2.vec_id = i.vec_id) t WHERE sr <= 30),
+           |scored AS (
+           | SELECT s.query_id, s.neighbor_id,
+           |  list_dot_product(q.fqv, e3.v) /
+           |    (sqrt(list_dot_product(q.fqv, q.fqv)) * sqrt(list_dot_product(e3.v, e3.v))) AS cos
+           | FROM shortq s JOIN q ON s.query_id = q.query_id
+           |  JOIN e e3 ON e3.vec_id = s.neighbor_id),
+           |ranked AS (SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           | FROM scored)
+           |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")
+
+  /** sim4's oracle pinned at IVF version 0 after sim13's append: centroids
+    * AND the candidate index restricted to the version-0 population (the
+    * 3/4 build) — query set and quantization stay corpus-derived; the
+    * Sim9 guarded-substitution device so a Sim4OracleSql edit cannot
+    * silently desynchronize. */
+  private lazy val Sim13OracleSql: String = {
+    val centMarker =
+      "ex AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e)"
+    val candMarker =
+      "JOIN e e2 ON e2.label = p.label AND e2.vec_id <> p.query_id"
+    require(Sim4OracleSql.contains(centMarker) &&
+      Sim4OracleSql.contains(candMarker),
+      "sim13 oracle derivation out of sync with Sim4OracleSql")
+    Sim4OracleSql
+      .replace(centMarker,
+        "ex AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i" +
+          " FROM e WHERE vec_id % 4 <> 1)")
+      .replace(candMarker, candMarker + " AND e2.vec_id % 4 <> 1")
   }
 
   /** sim4's oracle over sim8's post-rebuild population: the `e` relation

@@ -119,6 +119,59 @@ object Eval {
           lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_micro")): _*)
   }
 
+  /** COHEN'S KAPPA — chance-corrected agreement between two binary
+    * annotators (the inter-annotator-agreement statistic every labeling /
+    * LLM-judge pipeline reports before trusting its labels; Cohen 1960).
+    * Per group: the 2×2 contingency counts plus
+    * po = (n11+n00)/n, pe = (a1·b1 + a0·b0)/n²,
+    * κ = (po − pe)/(1 − pe) = (agree·n − chance)/(n² − chance),
+    * all emitted as TRUNCATING micro fixed point — po/pe are
+    * non-negative (floor = truncation), κ can be negative (worse than
+    * chance), so its sign splits out and the division runs on the
+    * absolute value in BOTH engines (the fit1/att1 discipline: Spark
+    * `div` truncates toward zero, DuckDB `//` floors — they agree only
+    * on non-negatives). pe = 1 (a constant annotator pair) → NULL, an
+    * answer, not a division error.
+    *
+    * Exactness bound: every term stays in BIGINT while n ≤ 3·10⁶ per
+    * group (chance ≤ n², ×10⁶ < 2⁶³); a larger group fails LOUDLY via
+    * raise_error instead of wrapping (the crossCorr lesson — but here
+    * the oracle mirrors BIGINT, so a silent DECIMAL widening would
+    * desynchronize the grade).
+    *
+    * Shape at scale: ONE map-side-combined aggregate over the
+    * (group, a, b) projection — no join, no window, group count =
+    * annotation cohorts. */
+  def cohensKappa(df: DataFrame, groupCols: Seq[String],
+                  a: Column, b: Column): DataFrame = {
+    val base = df.select(groupCols.map(col) ++ Seq(
+      a.cast("boolean").as("graft_a"), b.cast("boolean").as("graft_b")): _*)
+    def n(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val agg = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        n(col("graft_a") && col("graft_b")).as("n11"),
+        n(!col("graft_a") && !col("graft_b")).as("n00"),
+        n(col("graft_a")).as("a1"), n(col("graft_b")).as("b1"))
+    val nn = col("n")
+    val chance = col("a1") * col("b1") + (nn - col("a1")) * (nn - col("b1"))
+    val num = (col("n11") + col("n00")) * nn - chance
+    val den = nn * nn - chance
+    def truncMicro(x: Column, d: Column) =
+      when(x < 0, -call_function("div", -x * lit(1000000L), d))
+        .otherwise(call_function("div", x * lit(1000000L), d))
+    agg.select(groupCols.map(col) ++ Seq(
+      when(nn > 3000000L, raise_error(lit("graft cohensKappa: group " +
+        "larger than 3e6 rows — exact BIGINT kappa would overflow; " +
+        "shard the cohort or widen to DECIMAL")).cast("long"))
+        .otherwise(nn).as("n"),
+      col("n11"), col("n00"), col("a1"), col("b1"),
+      call_function("div",
+        (col("n11") + col("n00")) * lit(1000000L), nn).as("po_micro"),
+      call_function("div", chance * lit(1000000L), nn * nn).as("pe_micro"),
+      when(den === 0, lit(null).cast("long"))
+        .otherwise(truncMicro(num, den)).as("kappa_micro")): _*)
+  }
+
   /** The NDCG@k discount weights as INTEGER MICRO-UNITS, computed ONCE on
     * the driver: wm(i) = ⌊10⁶ / log₂(i+1)⌋ for rank i = 1..k. The oracle
     * SQL interpolates these exact integers (both sides consume the SAME
