@@ -1918,6 +1918,78 @@ object SparkEntry {
           topK = 20, minCount = 5L)
         .orderBy(col("pmi_fp").desc, col("bigram").asc)),
 
+    // cov1: VOCABULARY-COVERAGE CURVE — token-occurrence coverage of the
+    // top-V vocabulary at V ∈ {1k, 2k, 4k, 8k} (vb1 audits ONE cut; a
+    // tokenizer-sizing decision reads the curve's knee — the qf1 sweep
+    // shape applied to vocabulary fitting). Token ranks come from the
+    // range-partitioned two-phase global ordinals (never a single-reducer
+    // sort over the vocabulary — the ord1/qn1 discipline), the four
+    // coverage sums ride ONE conditional aggregate over the ranked
+    // frequency table, and coverage is a truncating micro ratio
+    // (positive, floor = truncation). The 4-row result localCheckpoints
+    // so the ordinal cache releases before return (the qq1 contract).
+    "cov1_vocab_coverage_curve" -> ((s, d) => {
+      val cuts = Seq(1000L, 2000L, 4000L, 8000L)
+      val freq = Par.fanOut(Tables.documents(s, d)
+          .select(TextAnalysis.tokens(col("text")).as("toks")))
+        .select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val (ranked, release) = ext.Curation.globalOrdinalsManaged(
+        freq, Seq(col("c").desc, col("w").asc))
+      val agg = ranked.agg(sum(col("c")).as("total"),
+        cuts.map(v => sum(when(col("ordinal") <= v, col("c"))
+          .otherwise(0L)).as(s"c$v")): _*)
+      val out = agg.select(explode(array(cuts.map(v =>
+          struct(lit(v).as("v"), col(s"c$v").as("covered"),
+            col("total").as("total"))): _*)).as("r"))
+        .select(col("r.v").as("v"), col("r.covered").as("covered"),
+          col("r.total").as("total"),
+          call_function("div", col("r.covered") * lit(1000000L),
+            col("r.total")).as("coverage_micro"))
+        .orderBy("v")
+        .localCheckpoint()
+      release()
+      out
+    }),
+
+    // zipf1: ZIPF RANK-FREQUENCY SLOPE — the log-log OLS slope over the
+    // top-100 token ranks (α ≈ 1 for natural language; a corpus whose
+    // slope drifts is template-spam-heavy or vocabulary-collapsed — the
+    // distribution-level screen next to lm1's per-doc surprisal).
+    // ln(rank) is DRIVER-COMPUTED micro literals interpolated into BOTH
+    // engines (the ndcg1 weight trick — ranks are constants, so no
+    // engine evaluates that log); ln(freq) is the lm1 seam (engine ln
+    // behind a DECIMAL(30,6) cast) scaled to exact micro BIGINT; all
+    // four OLS moments are exact BIGINT sums over 100 rows, and slope =
+    // ONE IEEE division of two exact integers (micro scales cancel) —
+    // st1's engine-bit-identical-doubles discipline. Top-100 selection
+    // is TakeOrderedAndProject (per-partition top-K, bounded driver
+    // result), never a full vocabulary sort.
+    "zipf1_rank_frequency" -> ((s, d) => {
+      val K = 100
+      val lnRankMicro: Seq[Long] = (1 to K).map(r =>
+        math.floor(math.log(r.toDouble) * 1e6).toLong)
+      val freq = Par.fanOut(Tables.documents(s, d)
+          .select(TextAnalysis.tokens(col("text")).as("toks")))
+        .select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val top = freq.orderBy(col("c").desc, col("w").asc).limit(K)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("w").asc)
+      val xy = top.select(row_number().over(w).as("r"), col("c"))
+        .select(
+          element_at(array(lnRankMicro.map(lit): _*), col("r")).as("x"),
+          (log(col("c").cast("double")).cast("decimal(30,6)") *
+            lit(1000000L)).cast("long").as("y"))
+      xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("slope"))
+    }),
+
     // div1: CORPUS N-GRAM DIVERSITY — per-source distinct-trigram
     // type/token ratio (distinct-n, Li et al. 2016), the corpus-level
     // complement of t6's per-doc repetition screens: a source whose
@@ -6630,6 +6702,46 @@ object SparkEntry {
            | JOIN u ub ON ub.w = split_part(bigram, ' ', 2)
            |ORDER BY pmi_fp DESC, bigram ASC LIMIT 20"""
           .stripMargin.replace("\n", " ")),
+      // zipf1: identical driver-literal ln(rank) micro table (VALUES),
+      // identical lm1-seam ln(freq) quantization, exact BIGINT moments,
+      // one final IEEE division of identical exact integers
+      "zipf1_rank_frequency" -> {
+        val xs = (1 to 100).map(r =>
+          s"($r, ${math.floor(math.log(r.toDouble) * 1e6).toLong})")
+          .mkString(", ")
+        (s"""WITH tf AS (SELECT w, COUNT(*) AS c FROM (
+           |  SELECT unnest($toksSql) AS w FROM documents) GROUP BY 1),
+           |top AS (SELECT r, c FROM (
+           |  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS r FROM tf)
+           |  WHERE r <= 100),
+           |xr(r, x) AS (VALUES $xs),
+           |xy AS (SELECT CAST(xr.x AS BIGINT) AS x,
+           |  CAST(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(30,6)) * 1000000 AS BIGINT) AS y
+           | FROM top JOIN xr USING (r)),
+           |m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           |  SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM xy)
+           |SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
+           | CAST(sy AS BIGINT) AS sy, CAST(sxy AS BIGINT) AS sxy,
+           | CAST(sxx AS BIGINT) AS sxx,
+           | CAST(n * sxy - sx * sy AS DOUBLE) /
+           |  CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+           |FROM m""".stripMargin.replace("\n", " "))
+      },
+      // cov1: identical (freq DESC, token ASC) ranking, identical
+      // conditional coverage sums, truncating micro ratio
+      "cov1_vocab_coverage_curve" ->
+        (s"""WITH tf AS (SELECT w, COUNT(*) AS c FROM (
+           |  SELECT unnest($toksSql) AS w FROM documents) GROUP BY 1),
+           |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS ordinal FROM tf),
+           |cov AS (SELECT vv.v,
+           |  SUM(CASE WHEN r.ordinal <= vv.v THEN r.c ELSE 0 END) AS covered,
+           |  (SELECT SUM(c) FROM tf) AS total
+           | FROM (SELECT unnest([1000, 2000, 4000, 8000]) AS v) vv
+           |  CROSS JOIN r GROUP BY 1)
+           |SELECT CAST(v AS BIGINT) AS v, CAST(covered AS BIGINT) AS covered,
+           | CAST(total AS BIGINT) AS total,
+           | CAST(covered * 1000000 // total AS BIGINT) AS coverage_micro
+           |FROM cov ORDER BY v""".stripMargin.replace("\n", " ")),
       // div1: the identical NON-distinct trigram stream (t6's slice
       // construction), exact COUNT(DISTINCT), truncating micro ratio
       "div1_ngram_diversity" ->
