@@ -3649,6 +3649,42 @@ object SparkEntry {
           sha2(hex(col("frame")), 256).as("frame_sha")))
         .orderBy("id", "frame_no")),
 
+    // m4: BLOB NEAR-DUP by sampled-frame fingerprints — the perceptual
+    // video/asset dedup shape (YouTube ContentID class: two assets are
+    // near-dups when enough SAMPLED frames hash identically, so a
+    // re-encode that appends a trailer or truncates still matches on the
+    // shared prefix frames). Composes m3's frame sampler with the d2
+    // pair discipline: per-blob DISTINCT frame hashes, stop-hashes
+    // (df > 10) dropped, packed-long pair expansion over small groups,
+    // bounded top-20 by shared-frame weight. A tenth of the corpus is
+    // replanted with a suffix — leading frames stay byte-identical, so
+    // every planted pair provably survives while the tail frames differ
+    // (exactly the robustness exact d1-hashing lacks).
+    "m4_blob_neardup" -> ((s, d) => {
+      val pu = plantUnit(s, d)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs.union(docs.where(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + pu).as("doc_id"),
+          concat(col("text"), lit(" graftblobdup tail tail tail")).as("text")))
+      val fh = Multimodal.sampleFrames(
+          Multimodal.withBlob(planted, "text"), "doc_id", "payload",
+          frameBytes = 64, stride = 2)
+        .select(col("id"), sha2(hex(col("frame")), 256).as("fsha"))
+        .distinct()
+      fh.groupBy("fsha")
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .where(size(col("ids")) >= 2 && size(col("ids")) <= 10)
+        .select(explode(graft.functions.VectorExpressions
+          .pairExpandNative(col("ids"))).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3)
+        .select(call_function("shiftright", col("p"), lit(32)).as("doc_a"),
+          col("p").bitwiseAND(lit(0xffffffffL)).as("doc_b"),
+          col("n_shared"))
+        .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    }),
+
     // xm1: CROSS-MODAL composition — the multimodal feature extractor
     // feeds the similarity tier end-to-end: blob column → size-balanced
     // decode partitions → per-partition (stub-)codec histogram (exact
@@ -8147,6 +8183,29 @@ object SparkEntry {
            |  unnest(range(0, ceil(octet_length(encode(text)) / 64.0)::BIGINT)) AS frame_no
            |  FROM documents) f
            |WHERE frame_no % 2 = 0 ORDER BY id, frame_no""".stripMargin.replace("\n", " ")),
+      // m4: m3's hex-slice frame hashes over the replanted corpus,
+      // DISTINCT per blob, df-banded, identical pair counts
+      "m4_blob_neardup" ->
+        (s"""WITH pl AS (SELECT doc_id, text FROM documents
+           | UNION ALL SELECT doc_id + $plantUnitSql,
+           |  text || ' graftblobdup tail tail tail' FROM documents
+           |  WHERE doc_id % 10 = 7),
+           |f AS (SELECT doc_id AS id,
+           |  sha256(substring(h, frame_no * 128 + 1, 128)) AS fsha
+           | FROM (SELECT doc_id, hex(encode(text)) AS h,
+           |   unnest(range(0, ceil(octet_length(encode(text)) / 64.0)::BIGINT)) AS frame_no
+           |  FROM pl) t WHERE frame_no % 2 = 0),
+           |fd AS (SELECT DISTINCT id, fsha FROM f),
+           |grp AS (SELECT fsha, count(*) AS df FROM fd GROUP BY 1),
+           |keep AS (SELECT fd.id, fd.fsha FROM fd JOIN grp USING (fsha)
+           | WHERE df BETWEEN 2 AND 10),
+           |pr AS (SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS n_shared
+           | FROM keep a JOIN keep b ON a.fsha = b.fsha AND a.id < b.id
+           | GROUP BY 1, 2 HAVING count(*) >= 3)
+           |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           | CAST(n_shared AS BIGINT) AS n_shared
+           |FROM pr ORDER BY n_shared DESC, doc_a, doc_b
+           |LIMIT 20""".stripMargin.replace("\n", " ")),
       // xm1: m2's histogram reconstruction (hex high-nibble counting)
       // composed with sim1's ranking — blob features scored as vectors
       "xm1_blob_ann" ->
