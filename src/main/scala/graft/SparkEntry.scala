@@ -4143,6 +4143,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // al1: ACTIVE-LEARNING UNCERTAINTY SAMPLING — the label-acquisition
+    // queue next to cur5's filter: the SAME trained probe scores every
+    // document, and the 20 closest to the decision boundary (exact
+    // integer |score − τ| in the probe's 2¹⁶ fixed point — ties break on
+    // doc_id) are what a human annotator or LLM judge should label NEXT
+    // to improve the classifier fastest (Lewis & Gale 1994). Whole queue
+    // engine-exact: trained weights ride as literals, the rank is a
+    // bounded TakeOrderedAndProject, no float anywhere.
+    "al1_uncertainty_sampling" -> ((s, d) => {
+      val f = probeFeatures(s, d)
+      val wRow = ext.Fit.linearProbeGd(f,
+          Seq(col("x0"), col("x1"), col("x2"), col("x3")), col("y"),
+          iters = 4)
+        .orderBy(col("iter").desc).limit(1).collect()(0)
+      val w = (0 to 3).map(j => wRow.getAs[Long](s"w$j"))
+      val score = (0 to 3).map(j => col(s"x$j") * lit(w(j))).reduce(_ + _)
+      f.select(col("doc_id"), score.as("score"),
+          abs(score - lit(80L * 65536L)).as("uncertainty"))
+        .orderBy(col("uncertainty").asc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     // auc1: exact ROC-AUC per source — the EVALUATION leg of the
     // train→apply loop (fit1 trains, cur5 filters, this measures how well
     // a score separates a label): Mann–Whitney rank-sum with midrank tie
@@ -7764,56 +7786,20 @@ object SparkEntry {
            |ORDER BY iter""".stripMargin.replace("\n", " ")),
       // cur5: fit1's trajectory through w4, then the score/filter
       // projection against the learned weights
-      "cur5_model_curation" ->
-        (s"""WITH f AS (
-           | SELECT doc_id, CAST(1 AS BIGINT) AS x0,
-           |  CAST(LEAST(len(toks), 100) AS BIGINT) AS x1,
-           |  CAST(LEAST(len(list_distinct(toks)), 100) AS BIGINT) AS x2,
-           |  CAST(LEAST(length(text) // 10, 100) AS BIGINT) AS x3
-           | FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)),
-           |f2 AS (SELECT *, 2 * x1 + 3 * x2 - x3 + 7 AS y FROM f),
-           |w0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,
-           |  CAST(0 AS BIGINT) AS b2, CAST(0 AS BIGINT) AS b3),
-           |r1 AS (SELECT f2.*, x0*b0 + x1*b1 + x2*b2 + x3*b3 - y*65536 AS r FROM f2, w0),
-           |g1 AS (SELECT sum(x0*r) AS s0, sum(x1*r) AS s1, sum(x2*r) AS s2,
-           |  sum(x3*r) AS s3, count(*) AS n FROM r1),
-           |w1 AS (SELECT
-           |  b0 - CASE WHEN s0 < 0 THEN -((-s0) // (n*32768)) ELSE s0 // (n*32768) END AS b0,
-           |  b1 - CASE WHEN s1 < 0 THEN -((-s1) // (n*32768)) ELSE s1 // (n*32768) END AS b1,
-           |  b2 - CASE WHEN s2 < 0 THEN -((-s2) // (n*32768)) ELSE s2 // (n*32768) END AS b2,
-           |  b3 - CASE WHEN s3 < 0 THEN -((-s3) // (n*32768)) ELSE s3 // (n*32768) END AS b3
-           | FROM w0, g1),
-           |r2 AS (SELECT f2.*, x0*b0 + x1*b1 + x2*b2 + x3*b3 - y*65536 AS r FROM f2, w1),
-           |g2 AS (SELECT sum(x0*r) AS s0, sum(x1*r) AS s1, sum(x2*r) AS s2,
-           |  sum(x3*r) AS s3, count(*) AS n FROM r2),
-           |w2 AS (SELECT
-           |  b0 - CASE WHEN s0 < 0 THEN -((-s0) // (n*32768)) ELSE s0 // (n*32768) END AS b0,
-           |  b1 - CASE WHEN s1 < 0 THEN -((-s1) // (n*32768)) ELSE s1 // (n*32768) END AS b1,
-           |  b2 - CASE WHEN s2 < 0 THEN -((-s2) // (n*32768)) ELSE s2 // (n*32768) END AS b2,
-           |  b3 - CASE WHEN s3 < 0 THEN -((-s3) // (n*32768)) ELSE s3 // (n*32768) END AS b3
-           | FROM w1, g2),
-           |r3 AS (SELECT f2.*, x0*b0 + x1*b1 + x2*b2 + x3*b3 - y*65536 AS r FROM f2, w2),
-           |g3 AS (SELECT sum(x0*r) AS s0, sum(x1*r) AS s1, sum(x2*r) AS s2,
-           |  sum(x3*r) AS s3, count(*) AS n FROM r3),
-           |w3 AS (SELECT
-           |  b0 - CASE WHEN s0 < 0 THEN -((-s0) // (n*32768)) ELSE s0 // (n*32768) END AS b0,
-           |  b1 - CASE WHEN s1 < 0 THEN -((-s1) // (n*32768)) ELSE s1 // (n*32768) END AS b1,
-           |  b2 - CASE WHEN s2 < 0 THEN -((-s2) // (n*32768)) ELSE s2 // (n*32768) END AS b2,
-           |  b3 - CASE WHEN s3 < 0 THEN -((-s3) // (n*32768)) ELSE s3 // (n*32768) END AS b3
-           | FROM w2, g3),
-           |r4 AS (SELECT f2.*, x0*b0 + x1*b1 + x2*b2 + x3*b3 - y*65536 AS r FROM f2, w3),
-           |g4 AS (SELECT sum(x0*r) AS s0, sum(x1*r) AS s1, sum(x2*r) AS s2,
-           |  sum(x3*r) AS s3, count(*) AS n FROM r4),
-           |w4 AS (SELECT
-           |  b0 - CASE WHEN s0 < 0 THEN -((-s0) // (n*32768)) ELSE s0 // (n*32768) END AS b0,
-           |  b1 - CASE WHEN s1 < 0 THEN -((-s1) // (n*32768)) ELSE s1 // (n*32768) END AS b1,
-           |  b2 - CASE WHEN s2 < 0 THEN -((-s2) // (n*32768)) ELSE s2 // (n*32768) END AS b2,
-           |  b3 - CASE WHEN s3 < 0 THEN -((-s3) // (n*32768)) ELSE s3 // (n*32768) END AS b3
-           | FROM w3, g4)
-           |SELECT f2.doc_id,
+      "cur5_model_curation" -> (ProbeTrainCtes +
+        """SELECT f2.doc_id,
            | CAST(x0*b0 + x1*b1 + x2*b2 + x3*b3 AS BIGINT) AS score,
            | CAST(x0*b0 + x1*b1 + x2*b2 + x3*b3 >= 80 * 65536 AS INTEGER) AS kept
            |FROM f2, w4 ORDER BY f2.doc_id""".stripMargin.replace("\n", " ")),
+      // al1: the identical trained weights, re-projected to the
+      // uncertainty queue — exact integer |score − τ|, bounded top-20
+      "al1_uncertainty_sampling" -> (ProbeTrainCtes +
+        """SELECT f2.doc_id,
+           | CAST(x0*b0 + x1*b1 + x2*b2 + x3*b3 AS BIGINT) AS score,
+           | CAST(abs(x0*b0 + x1*b1 + x2*b2 + x3*b3 - 80 * 65536) AS BIGINT) AS uncertainty
+           |FROM f2, w4
+           |ORDER BY uncertainty ASC, f2.doc_id ASC LIMIT 20"""
+        .stripMargin.replace("\n", " ")),
       // auc1: the identical rank-sum formula — integers until one final
       // division (DuckDB BIGINT sums widen to HUGEINT, hence the BIGINT
       // casts in the outer projection; x/0 is NULL in both engines)
@@ -8904,6 +8890,60 @@ object SparkEntry {
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** Oracle-side whitespace tokenization matching TextAnalysis.tokens. */
+  /** The fit1/cur5 probe-training oracle PREFIX (feature build + four
+    * unrolled integer-GD rounds ending in the w4 weight relation) —
+    * shared by every oracle that consumes the trained weights (cur5
+    * keep/score, al1 uncertainty queue), so a training edit cannot
+    * desynchronize its consumers. Ends with the closed w4 CTE; the
+    * consumer appends its SELECT. */
+  private lazy val ProbeTrainCtes: String =
+    s"""WITH f AS (
+           | SELECT doc_id, CAST(1 AS BIGINT) AS x0,
+           |  CAST(LEAST(len(toks), 100) AS BIGINT) AS x1,
+           |  CAST(LEAST(len(list_distinct(toks)), 100) AS BIGINT) AS x2,
+           |  CAST(LEAST(length(text) // 10, 100) AS BIGINT) AS x3
+           | FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)),
+           |f2 AS (SELECT *, 2 * x1 + 3 * x2 - x3 + 7 AS y FROM f),
+           |w0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,
+           |  CAST(0 AS BIGINT) AS b2, CAST(0 AS BIGINT) AS b3),
+           |r1 AS (SELECT f2.*, x0*b0 + x1*b1 + x2*b2 + x3*b3 - y*65536 AS r FROM f2, w0),
+           |g1 AS (SELECT sum(x0*r) AS s0, sum(x1*r) AS s1, sum(x2*r) AS s2,
+           |  sum(x3*r) AS s3, count(*) AS n FROM r1),
+           |w1 AS (SELECT
+           |  b0 - CASE WHEN s0 < 0 THEN -((-s0) // (n*32768)) ELSE s0 // (n*32768) END AS b0,
+           |  b1 - CASE WHEN s1 < 0 THEN -((-s1) // (n*32768)) ELSE s1 // (n*32768) END AS b1,
+           |  b2 - CASE WHEN s2 < 0 THEN -((-s2) // (n*32768)) ELSE s2 // (n*32768) END AS b2,
+           |  b3 - CASE WHEN s3 < 0 THEN -((-s3) // (n*32768)) ELSE s3 // (n*32768) END AS b3
+           | FROM w0, g1),
+           |r2 AS (SELECT f2.*, x0*b0 + x1*b1 + x2*b2 + x3*b3 - y*65536 AS r FROM f2, w1),
+           |g2 AS (SELECT sum(x0*r) AS s0, sum(x1*r) AS s1, sum(x2*r) AS s2,
+           |  sum(x3*r) AS s3, count(*) AS n FROM r2),
+           |w2 AS (SELECT
+           |  b0 - CASE WHEN s0 < 0 THEN -((-s0) // (n*32768)) ELSE s0 // (n*32768) END AS b0,
+           |  b1 - CASE WHEN s1 < 0 THEN -((-s1) // (n*32768)) ELSE s1 // (n*32768) END AS b1,
+           |  b2 - CASE WHEN s2 < 0 THEN -((-s2) // (n*32768)) ELSE s2 // (n*32768) END AS b2,
+           |  b3 - CASE WHEN s3 < 0 THEN -((-s3) // (n*32768)) ELSE s3 // (n*32768) END AS b3
+           | FROM w1, g2),
+           |r3 AS (SELECT f2.*, x0*b0 + x1*b1 + x2*b2 + x3*b3 - y*65536 AS r FROM f2, w2),
+           |g3 AS (SELECT sum(x0*r) AS s0, sum(x1*r) AS s1, sum(x2*r) AS s2,
+           |  sum(x3*r) AS s3, count(*) AS n FROM r3),
+           |w3 AS (SELECT
+           |  b0 - CASE WHEN s0 < 0 THEN -((-s0) // (n*32768)) ELSE s0 // (n*32768) END AS b0,
+           |  b1 - CASE WHEN s1 < 0 THEN -((-s1) // (n*32768)) ELSE s1 // (n*32768) END AS b1,
+           |  b2 - CASE WHEN s2 < 0 THEN -((-s2) // (n*32768)) ELSE s2 // (n*32768) END AS b2,
+           |  b3 - CASE WHEN s3 < 0 THEN -((-s3) // (n*32768)) ELSE s3 // (n*32768) END AS b3
+           | FROM w2, g3),
+           |r4 AS (SELECT f2.*, x0*b0 + x1*b1 + x2*b2 + x3*b3 - y*65536 AS r FROM f2, w3),
+           |g4 AS (SELECT sum(x0*r) AS s0, sum(x1*r) AS s1, sum(x2*r) AS s2,
+           |  sum(x3*r) AS s3, count(*) AS n FROM r4),
+           |w4 AS (SELECT
+           |  b0 - CASE WHEN s0 < 0 THEN -((-s0) // (n*32768)) ELSE s0 // (n*32768) END AS b0,
+           |  b1 - CASE WHEN s1 < 0 THEN -((-s1) // (n*32768)) ELSE s1 // (n*32768) END AS b1,
+           |  b2 - CASE WHEN s2 < 0 THEN -((-s2) // (n*32768)) ELSE s2 // (n*32768) END AS b2,
+           |  b3 - CASE WHEN s3 < 0 THEN -((-s3) // (n*32768)) ELSE s3 // (n*32768) END AS b3
+           | FROM w3, g4)"""
+      .stripMargin.replace("\n", " ") + " "
+
   private val toksSql = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
   /** Planted PII suffix for the t7 fixture (one email + one URL; no single
