@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12c pins — property guarantees of the second round-12 operator
+  * wave, beyond their value oracles:
+  *  - winnowing's SELECTION guarantee (Schleimer et al. 2003): any shared
+  *    token run of length ≥ w + k − 1 shares at least one selected
+  *    fingerprint — including when the shared passage sits at a DIFFERENT
+  *    position in each document (the robustness stride sampling lacks).
+  *  - Cohen's kappa closed-form anchors: a hand-built 2×2 with known
+  *    κ = 0.6, perfect agreement → exactly 10⁶ micro, a constant
+  *    annotator pair (pe = 1) → NULL, not a division error.
+  *  - cov1's coverage curve is monotone in V and properly bounded.
+  */
+class Round12cSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("winnowing: a shared run of ≥ w+k−1 tokens shares a fingerprint, " +
+    "position-shifted") {
+    val shared = (5 to 16).map(i => s"a$i").mkString(" ") // 12-token run
+    val docA = ((1 to 4).map(i => s"a$i") ++ (5 to 16).map(i => s"a$i") ++
+      (17 to 20).map(i => s"a$i")).mkString(" ")
+    val docB = (1 to 7).map(i => s"j$i").mkString(" ") + " " + shared
+    val docC = (1 to 12).map(i => s"z$i").mkString(" ") // unrelated
+    val df = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val pairs = ext.Dedup.winnowingCandidates(df, "doc_id", "text",
+        k = 5, w = 4, maxDf = 10, minShared = 1L, topK = 20)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)),
+      "the w+k−1 selection guarantee: shifted shared passage must match")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "an unrelated document must not pair")
+  }
+
+  test("cohensKappa: closed-form anchors, perfect agreement, degenerate pe") {
+    def mk(n11: Int, n00: Int, n10: Int, n01: Int) =
+      (Seq.fill(n11)((true, true)) ++ Seq.fill(n00)((false, false)) ++
+        Seq.fill(n10)((true, false)) ++ Seq.fill(n01)((false, true)))
+        .map { case (a, b) => ("g", a, b) }.toDF("g", "a", "b")
+    // po = 0.8, pe = 0.5 → κ = 0.6 exactly
+    val r1 = ext.Eval.cohensKappa(mk(40, 40, 10, 10), Seq("g"),
+      col("a"), col("b")).head()
+    assert(r1.getAs[Long]("po_micro") == 800000L)
+    assert(r1.getAs[Long]("pe_micro") == 500000L)
+    assert(r1.getAs[Long]("kappa_micro") == 600000L)
+    // perfect agreement with both classes present → κ = 1 exactly
+    val r2 = ext.Eval.cohensKappa(mk(30, 70, 0, 0), Seq("g"),
+      col("a"), col("b")).head()
+    assert(r2.getAs[Long]("kappa_micro") == 1000000L)
+    // constant annotators → pe = 1 → NULL (an answer, not an error)
+    val r3 = ext.Eval.cohensKappa(mk(25, 0, 0, 0), Seq("g"),
+      col("a"), col("b")).head()
+    assert(r3.isNullAt(r3.fieldIndex("kappa_micro")))
+  }
+
+  test("cov1: coverage monotone in V, bounded, covered ≤ total") {
+    val rows = SparkEntry.queries("cov1_vocab_coverage_curve")(spark, sf)
+      .orderBy("v").collect()
+    assert(rows.length == 4)
+    val cov = rows.map(_.getAs[Long]("coverage_micro"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b },
+      "coverage must be monotone nondecreasing in V")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("covered") <= r.getAs[Long]("total"))
+      assert(r.getAs[Long]("coverage_micro") <= 1000000L)
+    }
+  }
+}
