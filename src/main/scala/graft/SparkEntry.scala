@@ -2301,6 +2301,45 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // qm1s: STREAMING DRIFT MONITOR — the streaming × drift cell (kl1
+    // compares sources within one corpus, drift1 watches the embedding
+    // space BETWEEN snapshots; a production ingest needs "did THIS
+    // micro-batch's token mix move away from the reference the filters
+    // were tuned on", per batch, against a STORED baseline). The
+    // baseline is a fixed-size hashed-bucket unigram model (the dsir1
+    // hashing trick — model size never grows with the corpus), each
+    // replayed batch computes its smoothed bucket KL against it through
+    // the K2 foreachBatch sink, and the per-batch metric row lands in a
+    // batch-keyed directory with overwrite — so at-least-once
+    // redelivery REWRITES the same row instead of duplicating the
+    // metric (idempotence by key, the mv1 upsert class; no fence
+    // needed). Oracle recomputes both slices' KL with the identical
+    // bucket hash, smoothing, quantization and expression order.
+    "qm1s_stream_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir0 = graft.core.Scratch.dir("qm1s-")
+      val base = s"$dir0/baseline"
+      val res = s"$dir0/results"
+      TextAnalysis.writeTokenBaseline(
+        docs.where(col("doc_id") % 4 =!= 3), "text", base)
+      val quarter = docs.where(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), col("text"))
+      val s0 = quarter.where(pmod(col("doc_id"), lit(8)) === 3)
+      val s1 = quarter.where(pmod(col("doc_id"), lit(8)) === 7)
+      graft.streaming.Replay.slicedSourceReplay(s, Seq(s0, s1),
+          "doc_id BIGINT, text STRING", "qm1s-") { (src, dir) =>
+        graft.core.Sinks.foreachBatchSink(src, s"$dir/ckpt") { (b, id) =>
+          TextAnalysis.batchDriftKl(b, "text", base)
+            .select(lit(id).as("batch_id"), col("n_tokens"), col("kl"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$res/batch=$id")
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      s.read.parquet(s"$res/batch=0")
+        .unionByName(s.read.parquet(s"$res/batch=1"))
+        .orderBy("batch_id")
+    }),
+
     // ret5: EXACT PHRASE SEARCH — the positional capability BM25's
     // bag-of-words cannot express: anchor each phrase on its
     // occurrence-rarest term (ties: offset, then term — both engines
@@ -7142,6 +7181,42 @@ object SparkEntry {
            |  AS kl
            |FROM ct JOIN ns USING(source), n
            |GROUP BY ct.source ORDER BY ct.source""".stripMargin.replace("\n", " ")),
+      // qm1s: identical sha-60 bucket hash, add-one smoothing over the
+      // full 256-bucket support, per-bucket DECIMAL(30,6) quantization,
+      // one final IEEE division + round(·,6) per batch
+      "qm1s_stream_drift" ->
+        (s"""WITH bl AS (SELECT
+           |  ('0x' || substring(sha256(term || ':qm1'), 1, 15))::BIGINT % 256 AS b,
+           |  COUNT(*) AS cq
+           | FROM (SELECT unnest($toksSql) AS term FROM documents
+           |  WHERE doc_id % 4 <> 3) GROUP BY 1),
+           |nqt AS (SELECT COALESCE(SUM(cq), 0) AS nq FROM bl),
+           |bb AS (SELECT unnest(range(256)) AS b),
+           |sl AS (SELECT 0 AS batch_id, text FROM documents WHERE doc_id % 8 = 3
+           | UNION ALL SELECT 1, text FROM documents WHERE doc_id % 8 = 7),
+           |pc AS (SELECT batch_id,
+           |  ('0x' || substring(sha256(term || ':qm1'), 1, 15))::BIGINT % 256 AS b,
+           |  COUNT(*) AS cp
+           | FROM (SELECT batch_id, unnest($toksSql) AS term FROM sl)
+           | GROUP BY 1, 2),
+           |npt AS (SELECT batch_id, SUM(cp) AS np FROM pc GROUP BY 1),
+           |supp AS (SELECT n.batch_id, bb.b,
+           |  COALESCE(pc.cp, 0) AS cp, COALESCE(bl.cq, 0) AS cq, n.np, nqt.nq
+           | FROM npt n CROSS JOIN bb
+           |  LEFT JOIN pc ON pc.batch_id = n.batch_id AND pc.b = bb.b
+           |  LEFT JOIN bl ON bl.b = bb.b
+           |  CROSS JOIN nqt),
+           |bits AS (SELECT batch_id, np,
+           |  CAST(CAST(cp + 1 AS DOUBLE) *
+           |   (ln(CAST(cp + 1 AS DOUBLE)) - ln(CAST(cq + 1 AS DOUBLE)) +
+           |    ln(CAST(nq + 256 AS DOUBLE)) - ln(CAST(np + 256 AS DOUBLE)))
+           |   AS DECIMAL(30,6)) AS t
+           | FROM supp)
+           |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           | CAST(np AS BIGINT) AS n_tokens,
+           | round(CAST(SUM(t) AS DOUBLE) / CAST(np + 256 AS DOUBLE), 6) AS kl
+           |FROM bits GROUP BY batch_id, np
+           |ORDER BY batch_id""".stripMargin.replace("\n", " ")),
       // inc3: the oracle rebuilds the merged stats from scratch
       "inc3_incremental_stats" ->
         (s"""SELECT term, CAST(COUNT(*) AS BIGINT) AS df,

@@ -721,6 +721,84 @@ object TextAnalysis {
         round(Num.dsum(bits) / sum(col("tf")).cast("double"), 6).as("kl"))
   }
 
+  /** Write the hashed-bucket unigram BASELINE model for the streaming
+    * drift monitor (qm1s): per-bucket token counts + totals, committed
+    * all-or-nothing ([[graft.core.Artifacts.stageCommit]]). The hashing
+    * trick ([[Sampling.hashBucket]], the dsir1 device — portable sha-60,
+    * so the oracle rebuilds the exact collisions) keeps the model at
+    * `buckets` rows at ANY corpus scale; smoothing happens read-side, so
+    * the artifact stores raw exact counts. */
+  def writeTokenBaseline(docs: DataFrame, textCol: String, dir: String,
+                         buckets: Int = 256): Unit = {
+    require(buckets >= 2)
+    val spark = docs.sparkSession
+    val bc = graft.core.Par.fanOut(
+        docs.select(tokens(col(textCol)).as("toks")))
+      .select(explode_outer(col("toks")).as("term"))
+      .where(col("term").isNotNull)
+      .withColumn("b", Sampling.hashBucket(col("term"), "qm1", buckets))
+      .groupBy("b").agg(count(lit(1)).as("cq"))
+    graft.core.Artifacts.stageCommit(spark, dir) { tmp =>
+      bc.coalesce(1).write.parquet(s"$tmp/bucket_counts")
+      bc.agg(coalesce(sum(col("cq")), lit(0L)).as("nq"),
+          lit(buckets).as("buckets"))
+        .coalesce(1).write.parquet(s"$tmp/meta")
+    }
+  }
+
+  /** Per-batch token-distribution DRIFT against a stored baseline
+    * ([[writeTokenBaseline]]) — the streaming × drift cell: kl1 compares
+    * sources within one batch corpus, drift1 watches the embedding
+    * space; a production ingest monitor needs "did THIS batch's token
+    * mix move away from what we trained the filters on", per
+    * micro-batch, against a FIXED reference. Smoothed bucket KL over
+    * the model's full support (every bucket contributes — including
+    * batch-absent ones, whose (0+1)-smoothed mass is not zero):
+    * p(b) = (cp+1)/(np+B), q(b) = (cq+1)/(nq+B),
+    * KL = Σ_b p(b)·ln(p(b)/q(b)). Determinism = kl1's discipline: each
+    * bucket's numerator term quantizes to DECIMAL(30,6) and sums
+    * exactly, ln only on integer-valued doubles, ONE final IEEE
+    * division + round(·,6). Output: 1 row (n_tokens, kl).
+    *
+    * Scale: the batch makes one tokenize pass into ≤ `buckets` groups
+    * (map-side combined); the bucket spine, baseline and batch totals
+    * are all `buckets`-row bounded relations (explicit broadcast under
+    * the bounded-relation policy). */
+  def batchDriftKl(batch: DataFrame, textCol: String,
+                   baselineDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$baselineDir/meta").head()
+    val (nq, buckets) = (meta.getLong(0), meta.getInt(1))
+    val bL = lit(buckets.toLong)
+    val p = graft.core.Par.fanOut(
+        batch.select(tokens(col(textCol)).as("toks")))
+      .select(explode_outer(col("toks")).as("term"))
+      .where(col("term").isNotNull)
+      .withColumn("b", Sampling.hashBucket(col("term"), "qm1", buckets))
+      .groupBy("b").agg(count(lit(1)).as("cp"))
+    val np = p.agg(coalesce(sum(col("cp")), lit(0L)).as("np"))
+    val spine = spark.range(buckets).select(col("id").as("b"))
+    val full = spine
+      .join(broadcast(p), Seq("b"), "left")
+      .join(broadcast(spark.read.parquet(s"$baselineDir/bucket_counts")),
+        Seq("b"), "left")
+      .crossJoin(broadcast(np))
+      .select(
+        coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cq"), lit(0L)).as("cq"), col("np"))
+    // pinned expression order, mirrored token-for-token by the oracle
+    val bits = (col("cp") + lit(1L)).cast("double") *
+      ((log((col("cp") + lit(1L)).cast("double")) -
+        log((col("cq") + lit(1L)).cast("double"))) +
+       (log((lit(nq) + bL).cast("double")) -
+        log((col("np") + bL).cast("double"))))
+    full.groupBy()
+      .agg(max(col("np")).as("n_tokens"), graft.core.Num.dsumDec(bits).as("klq"))
+      .select(col("n_tokens"),
+        round(col("klq").cast("double") /
+          (col("n_tokens") + bL).cast("double"), 6).as("kl"))
+  }
+
   /** Deterministic 64-bit-hex document fingerprint over normalized tokens —
     * the exact-dedup / provenance key. sha2 is identical everywhere, so the
     * fingerprint is portable across engines and runs. */
