@@ -56,6 +56,41 @@ class Round12cSpec extends SparkSpec {
     assert(r3.isNullAt(r3.fieldIndex("kappa_micro")))
   }
 
+  test("batchDriftKl: same-distribution batch scores far below a shifted one") {
+    val baseDocs = (1 to 40).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val dir = tmpDir("qm1-drift") + "/baseline"
+    ext.TextAnalysis.writeTokenBaseline(baseDocs, "text", dir)
+    // identity anchor: a batch with EXACTLY the baseline's distribution
+    // AND size has cp = cq and np = nq bucket-for-bucket, so every
+    // smoothed term cancels — KL is 0.0 exactly, not merely small
+    // (smaller same-distribution batches score ABOVE zero by the
+    // smoothing-scale mismatch alone; the monitor compares batches of
+    // like size against the threshold, or normalizes np)
+    val klSame = ext.TextAnalysis.batchDriftKl(
+      baseDocs, "text", dir).head().getAs[Double]("kl")
+    val shifted = (1 to 10).map(i =>
+      (i.toLong, "omega psi chi phi upsilon tau")).toDF("doc_id", "text")
+    val klShift = ext.TextAnalysis.batchDriftKl(shifted, "text", dir)
+      .head().getAs[Double]("kl")
+    assert(klSame == 0.0, s"identical batch must score exactly 0, got $klSame")
+    assert(klShift > 0.5, s"full vocabulary shift must score high, got $klShift")
+  }
+
+  test("qm1s sink discipline: re-running a batch id rewrites, not duplicates") {
+    val docs = (1 to 20).map(i =>
+      (i.toLong, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val root = tmpDir("qm1-idem")
+    ext.TextAnalysis.writeTokenBaseline(docs, "text", s"$root/baseline")
+    def writeBatch(): Unit =
+      ext.TextAnalysis.batchDriftKl(docs.limit(5), "text", s"$root/baseline")
+        .select(lit(0L).as("batch_id"), col("n_tokens"), col("kl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/results/batch=0")
+    writeBatch(); writeBatch() // at-least-once retry of the same batch id
+    assert(spark.read.parquet(s"$root/results/batch=0").count() == 1L,
+      "batch-keyed overwrite: the retry rewrites the row, never duplicates")
+  }
+
   test("cov1: coverage monotone in V, bounded, covered ≤ total") {
     val rows = SparkEntry.queries("cov1_vocab_coverage_curve")(spark, sf)
       .orderBy("v").collect()
