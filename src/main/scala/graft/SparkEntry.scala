@@ -1974,6 +1974,8 @@ object SparkEntry {
         .select(explode(col("toks")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
       val top = freq.orderBy(col("c").desc, col("w").asc).limit(K)
+      // unpartitioned window over the ALREADY-LIMITED 100-row frame —
+      // the single-reducer warning does not apply to a bounded input
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("c").desc, col("w").asc)
       val xy = top.select(row_number().over(w).as("r"), col("c"))

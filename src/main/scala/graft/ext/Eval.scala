@@ -152,7 +152,13 @@ object Eval {
         n(col("graft_a") && col("graft_b")).as("n11"),
         n(!col("graft_a") && !col("graft_b")).as("n00"),
         n(col("graft_a")).as("a1"), n(col("graft_b")).as("b1"))
-    val nn = col("n")
+    // the guard wraps the n every PRODUCT consumes — not a sibling output
+    // column whose evaluation order relative to the overflowing terms is
+    // unspecified: any expression that could wrap fails loudly first
+    val nn = when(col("n") > 3000000L, raise_error(lit(
+      "graft cohensKappa: group larger than 3e6 rows — exact BIGINT " +
+        "kappa would overflow; shard the cohort or widen to DECIMAL"))
+      .cast("long")).otherwise(col("n"))
     val chance = col("a1") * col("b1") + (nn - col("a1")) * (nn - col("b1"))
     val num = (col("n11") + col("n00")) * nn - chance
     val den = nn * nn - chance
@@ -160,11 +166,7 @@ object Eval {
       when(x < 0, -call_function("div", -x * lit(1000000L), d))
         .otherwise(call_function("div", x * lit(1000000L), d))
     agg.select(groupCols.map(col) ++ Seq(
-      when(nn > 3000000L, raise_error(lit("graft cohensKappa: group " +
-        "larger than 3e6 rows — exact BIGINT kappa would overflow; " +
-        "shard the cohort or widen to DECIMAL")).cast("long"))
-        .otherwise(nn).as("n"),
-      col("n11"), col("n00"), col("a1"), col("b1"),
+      nn.as("n"), col("n11"), col("n00"), col("a1"), col("b1"),
       call_function("div",
         (col("n11") + col("n00")) * lit(1000000L), nn).as("po_micro"),
       call_function("div", chance * lit(1000000L), nn * nn).as("pe_micro"),
