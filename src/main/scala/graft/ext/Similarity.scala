@@ -634,8 +634,8 @@ object Similarity {
     * identical metric, expression shape and tie-break the query tier's
     * probe selection uses, so an appended vector lands exactly in the
     * lists a query for it would probe first), int8-quantized
-    * ([[quantizeInt8]]), and appended to the directory-partitioned
-    * `qindex` — only the affected list directories gain files; centroids
+    * ([[quantizeInt8]]), and published as a list-partitioned COMMITTED
+    * SEGMENT — the base `qindex` never rewrites; centroids
     * are IMMUTABLE after build (the FAISS IVF contract: assignment drift
     * is handled by periodic re-train, not per-append mutation, so
     * concurrent queries never see a half-updated quantizer). Per-batch
