@@ -4299,6 +4299,21 @@ object SparkEntry {
         ORDER BY query_id, rank""")
     }),
 
+    // kc1: GONZALEZ K-CENTER — farthest-first traversal, the 2-approx
+    // for the WORST-CASE-radius objective (coverage: pick k probe
+    // vectors so every vector is near one) completing the clustering
+    // family: km1 minimizes mean distortion, dbscan1 finds density
+    // shapes, this bounds the radius — and it doubles as k-means'
+    // classical deterministic seeding. Integer-exact throughout (the
+    // km1 quantized-grid kernel — no float ranking boundary in seed
+    // selection OR assignment); k bounded TakeOrdered(1) rounds
+    // (Clustering.kcenterGonzalez scaladoc). Oracle unrolls the four
+    // selection rounds and assigns by the identical (d, idx) order.
+    "kc1_kcenter_gonzalez" -> ((s, d) =>
+      graft.ext.Clustering.kcenterGonzalez(Tables.embeddings(s, d),
+          "vec_id", "embedding", k = 4)
+        .orderBy("vec_id")),
+
     // km1: k-means over the embeddings — the coarse-quantizer TRAINING step
     // sim3/sim4 assume as a given `label` column. Exact fixed-point integer
     // Lloyd's (Clustering.kmeansAssign scaladoc): quantize once, persist,
@@ -7967,6 +7982,55 @@ object SparkEntry {
       // updates between them (truncating division as sign-split floor
       // division; DuckDB's // floors, Scala's Long / truncates — they
       // agree on magnitudes)
+      // kc1: identical quantized grid, four unrolled farthest-first
+      // rounds (argmax min-distance, ties to the lower id), assignment
+      // by (d, selection idx) — all integer-exact
+      "kc1_kcenter_gonzalez" ->
+        ("""WITH qv AS (
+           | SELECT vec_id, i AS dim, CAST(round(x * 1000000) AS BIGINT) AS q
+           | FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+           |   generate_subscripts(embedding, 1) AS i FROM embeddings)),
+           |s1 AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 1),
+           |m1 AS (SELECT qv.dim, qv.q FROM qv JOIN s1 USING (vec_id)),
+           |e1 AS (SELECT qv.vec_id, sum((qv.q - m1.q) * (qv.q - m1.q)) AS d
+           | FROM qv JOIN m1 ON qv.dim = m1.dim GROUP BY 1),
+           |s2 AS (SELECT vec_id FROM (SELECT vec_id,
+           |  row_number() OVER (ORDER BY d DESC, vec_id ASC) AS rn FROM e1) t
+           | WHERE rn = 1),
+           |m2 AS (SELECT qv.dim, qv.q FROM qv JOIN s2 USING (vec_id)),
+           |e2 AS (SELECT qv.vec_id, sum((qv.q - m2.q) * (qv.q - m2.q)) AS d
+           | FROM qv JOIN m2 ON qv.dim = m2.dim GROUP BY 1),
+           |dm2 AS (SELECT e1.vec_id, LEAST(e1.d, e2.d) AS d
+           | FROM e1 JOIN e2 USING (vec_id)),
+           |s3 AS (SELECT vec_id FROM (SELECT vec_id,
+           |  row_number() OVER (ORDER BY d DESC, vec_id ASC) AS rn FROM dm2) t
+           | WHERE rn = 1),
+           |m3 AS (SELECT qv.dim, qv.q FROM qv JOIN s3 USING (vec_id)),
+           |e3 AS (SELECT qv.vec_id, sum((qv.q - m3.q) * (qv.q - m3.q)) AS d
+           | FROM qv JOIN m3 ON qv.dim = m3.dim GROUP BY 1),
+           |dm3 AS (SELECT dm2.vec_id, LEAST(dm2.d, e3.d) AS d
+           | FROM dm2 JOIN e3 USING (vec_id)),
+           |s4 AS (SELECT vec_id FROM (SELECT vec_id,
+           |  row_number() OVER (ORDER BY d DESC, vec_id ASC) AS rn FROM dm3) t
+           | WHERE rn = 1),
+           |cents AS (
+           | SELECT 0 AS idx, s1.vec_id AS cvid, qv.dim, qv.q
+           |  FROM s1 JOIN qv ON qv.vec_id = s1.vec_id
+           | UNION ALL SELECT 1, s2.vec_id, qv.dim, qv.q
+           |  FROM s2 JOIN qv ON qv.vec_id = s2.vec_id
+           | UNION ALL SELECT 2, s3.vec_id, qv.dim, qv.q
+           |  FROM s3 JOIN qv ON qv.vec_id = s3.vec_id
+           | UNION ALL SELECT 3, s4.vec_id, qv.dim, qv.q
+           |  FROM s4 JOIN qv ON qv.vec_id = s4.vec_id),
+           |cd AS (SELECT qv.vec_id, c.idx, c.cvid,
+           |  sum((qv.q - c.q) * (qv.q - c.q)) AS d
+           | FROM qv JOIN cents c ON qv.dim = c.dim GROUP BY 1, 2, 3)
+           |SELECT vec_id, CAST(cvid AS BIGINT) AS center_id,
+           | CAST(d AS BIGINT) AS d2
+           |FROM (SELECT vec_id, cvid, d,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, idx ASC) AS rn
+           | FROM cd) t WHERE rn = 1
+           |ORDER BY vec_id""".stripMargin.replace("\n", " ")),
       "km1_kmeans" ->
         ("""WITH qv AS (
            | SELECT vec_id, i AS dim, CAST(round(x * 1000000) AS BIGINT) AS q

@@ -112,6 +112,58 @@ object Clustering {
     } finally q.unpersist(blocking = false)
   }
 
+  /** GONZALEZ K-CENTER — farthest-first traversal (Gonzalez 1985, the
+    * 2-approximation for the k-center objective): minimize the WORST
+    * distance from any vector to its center, the coverage objective
+    * (pick k representatives so every item is near one) next to k-means'
+    * mean distortion (km1) and DBSCAN's density (dbscan1); also the
+    * classical deterministic seeding for k-means itself. Engine-exact
+    * end-to-end: distances are [[centroidDists]]' integer-valued kernel
+    * over the quantized grid (exact in double, cast back to long — the
+    * km1 discipline, so no float ranking boundary exists anywhere), the
+    * first center is the LOWEST id, each round's next center is the
+    * argmax of min-distance-to-selected with ties to the lower id, and
+    * the final assignment ties toward the earlier-selected center.
+    *
+    * Scale shape: k rounds, each ONE bounded TakeOrdered(1) action over
+    * a projection against ≤ k literal centers (driver state = k·dim
+    * longs, the km1 budget); the training cache releases before the
+    * assignment pass, which is a pure projection over the raw corpus
+    * (the kmeansAssign shape). Returns (vec_id, center_id, d2) with d2
+    * the exact integer squared distance in the scale² grid. */
+  def kcenterGonzalez(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, scale: Long = 1000000L): DataFrame = {
+    require(k >= 1)
+    val q = graft.core.Par.fanOut(df.select(
+        col(idCol).cast("long").as("vec_id"),
+        quantize(col(vecCol), scale).as("qv")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val centers = try {
+      val first = q.orderBy("vec_id").limit(1).collect()(0)
+      var cs = Vector((first.getLong(0), first.getSeq[Long](1).toArray))
+      for (_ <- 2 to k) {
+        val dmin = array_min(array(
+          centroidDists(col("qv"), cs.map(_._2)): _*))
+        val next = q.select(col("vec_id"), col("qv"), dmin.as("d"))
+          .orderBy(col("d").desc, col("vec_id").asc).limit(1).collect()(0)
+        cs = cs :+ ((next.getLong(0), next.getSeq[Long](1).toArray))
+      }
+      cs
+    } finally q.unpersist(blocking = false)
+    val base = graft.core.Par.fanOut(df.select(
+      col(idCol).cast("long").as("vec_id"),
+      quantize(col(vecCol), scale).as("qv2")))
+    val ds = array(centroidDists(col("qv2"), centers.map(_._2)): _*)
+    base.select(col("vec_id"), ds.as("ds"))
+      .select(col("vec_id"),
+        (array_position(col("ds"), array_min(col("ds"))) - 1L).as("cidx"),
+        array_min(col("ds")).as("d2"))
+      .select(col("vec_id"),
+        element_at(typedlit(centers.map(_._1)),
+          (col("cidx") + 1L).cast("int")).as("center_id"),
+        col("d2"))
+  }
+
   /** Fit + label: every vector's cluster after `iters` Lloyd rounds.
     * Returns (vec_id, cluster). The final labeling pass is a projection
     * over the raw corpus (one extra scan vs. reusing the training cache —

@@ -91,6 +91,29 @@ class Round12cSpec extends SparkSpec {
       "batch-keyed overwrite: the retry rewrites the row, never duplicates")
   }
 
+  test("kcenterGonzalez: centers self-assign at distance 0, farthest-first") {
+    // three tight groups far apart + k = 3: farthest-first must pick one
+    // vector from each group, and every center row assigns to itself
+    val rows = (0 until 9).map { i =>
+      val base = (i / 3) * 100.0
+      (i.toLong, Array(base + i % 3 * 0.01, base - i % 3 * 0.01))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = ext.Clustering.kcenterGonzalez(df, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val centers = out.map(_._2).distinct.sorted
+    assert(centers.length == 3, "three distinct centers")
+    assert(centers.contains(0L), "the first center is the lowest id")
+    assert(centers.map(_ / 3).toSet.size == 3,
+      "farthest-first picks one center per well-separated group")
+    out.filter(t => centers.contains(t._1)).foreach { case (id, cid, d2) =>
+      assert(cid == id && d2 == 0L, s"center $id must self-assign at 0")
+    }
+    out.foreach { case (id, cid, _) =>
+      assert(id / 3 == cid / 3, "every vector assigns within its group")
+    }
+  }
+
   test("cov1: coverage monotone in V, bounded, covered ≤ total") {
     val rows = SparkEntry.queries("cov1_vocab_coverage_curve")(spark, sf)
       .orderBy("v").collect()
