@@ -2401,6 +2401,19 @@ object SparkEntry {
       TextAnalysis.sourceTokenKl(Tables.documents(s, d), "text", "source")
         .orderBy("source")),
 
+    // js1: per-source JENSEN–SHANNON divergence vs the corpus — kl1's
+    // symmetric, BOUNDED companion (JSD ∈ [0, ln 2], so scores compare
+    // across sources AND corpora; the two metrics disagree exactly when
+    // a source is missing corpus mass, which is why drift dashboards
+    // report both). The Q-side full-vocabulary sum collapses to ONE
+    // closed-form term per source for terms absent from the source
+    // (p = 0 there ⇒ q·ln 2 each), so the whole computation stays on
+    // kl1's (source, term) frame — never |sources| × |vocab|
+    // (TextAnalysis.sourceTokenJsd scaladoc; every ln argument is an
+    // integer-valued double, contributions DECIMAL(30,6)-quantized).
+    "js1_source_jsd" -> ((s, d) =>
+      TextAnalysis.sourceTokenJsd(Tables.documents(s, d), "text", "source")),
+
     // inc3: INCREMENTAL corpus-statistics maintenance — yesterday's
     // archived per-term (df, tf) summary (even docs, standing in for the
     // stored table) merged additively with today's batch (odd docs); the
@@ -7198,6 +7211,36 @@ object SparkEntry {
            |  AS kl
            |FROM ct JOIN ns USING(source), n
            |GROUP BY ct.source ORDER BY ct.source""".stripMargin.replace("\n", " ")),
+      // js1: identical frame, identical integer ln arguments
+      // (p/m = 2aB/(aB+bA), q/m = 2bA/(aB+bA)), identical closed-form
+      // absent-mass block, DECIMAL(30,6) per-term quantization, one
+      // fixed IEEE assembly behind round(·,6)
+      "js1_source_jsd" ->
+        (s"""WITH tf AS (SELECT source, term, COUNT(*) AS a
+           |  FROM (SELECT source, unnest($toksSql) AS term FROM documents)
+           |  GROUP BY 1, 2),
+           |n AS (SELECT SUM(a) AS bb FROM tf),
+           |nsrc AS (SELECT source, SUM(a) AS aa FROM tf GROUP BY 1),
+           |ct AS (SELECT source, term, a,
+           |  SUM(a) OVER (PARTITION BY term) AS b FROM tf),
+           |f AS (SELECT ct.source, ct.a, ct.b, nsrc.aa, n.bb
+           | FROM ct JOIN nsrc USING (source), n),
+           |g AS (SELECT source, MAX(aa) AS na, MAX(bb) AS nb,
+           |  SUM(b) AS present_b,
+           |  SUM(CAST(CAST(a AS DOUBLE) *
+           |   (ln(CAST(2 * a * bb AS DOUBLE)) - ln(CAST(a * bb + b * aa AS DOUBLE)))
+           |   AS DECIMAL(30,6))) AS sp,
+           |  SUM(CAST(CAST(b AS DOUBLE) *
+           |   (ln(CAST(2 * b * aa AS DOUBLE)) - ln(CAST(a * bb + b * aa AS DOUBLE)))
+           |   AS DECIMAL(30,6))) AS sq
+           | FROM f GROUP BY 1)
+           |SELECT source, CAST(na AS BIGINT) AS n_tokens,
+           | round((CAST(sp AS DOUBLE) / CAST(na AS DOUBLE) +
+           |  (CAST(sq AS DOUBLE) + CAST(CAST(CAST(nb - present_b AS DOUBLE) *
+           |    (ln(CAST(2 * nb AS DOUBLE)) - ln(CAST(nb AS DOUBLE)))
+           |    AS DECIMAL(30,6)) AS DOUBLE)) / CAST(nb AS DOUBLE)) * 0.5, 6)
+           |  AS jsd
+           |FROM g ORDER BY source""".stripMargin.replace("\n", " ")),
       // qm1s: identical sha-60 bucket hash, add-one smoothing over the
       // full 256-bucket support, per-bucket DECIMAL(30,6) quantization,
       // one final IEEE division + round(·,6) per batch

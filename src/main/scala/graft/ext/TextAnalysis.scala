@@ -721,6 +721,63 @@ object TextAnalysis {
         round(Num.dsum(bits) / sum(col("tf")).cast("double"), 6).as("kl"))
   }
 
+  /** Per-source JENSEN–SHANNON divergence against the whole-corpus
+    * unigram distribution — [[sourceTokenKl]]'s SYMMETRIC, BOUNDED
+    * companion (JSD ∈ [0, ln 2], so scores compare across sources and
+    * corpora; KL is unbounded and asymmetric — the two metrics disagree
+    * exactly when a source is missing mass the corpus has, which is why
+    * drift dashboards report both). JSD(P‖Q) = ½KL(P‖M) + ½KL(Q‖M) with
+    * M = (P+Q)/2; the Q-side sum nominally runs over the FULL vocabulary
+    * per source, but terms ABSENT from the source have p = 0 there, so
+    * their contribution collapses to the closed form
+    * q·ln(q∕(q∕2)) = q·ln 2 — the whole absent-mass block is
+    * ln 2 · (1 − Σ_{t∈s} q_t), ONE term per source, and the computation
+    * stays on the same (source, term) frame as kl1 (vocabulary-bounded,
+    * never |sources|×|vocab|).
+    *
+    * Exactness: with a = c_st, A = N_s, b = c_t, B = N all exact
+    * integers, p∕m = 2aB∕(aB+bA) and q∕m = 2bA∕(aB+bA) — every ln
+    * argument is an integer-valued double (exact below 2⁵³; at ~10¹³
+    * corpus tokens the products approach the limit — the documented
+    * swap is DECIMAL pre-scaling), per-term contributions quantize to
+    * DECIMAL(30,6) (the lm1 seam), and the assembly is a fixed chain of
+    * IEEE ops behind the final round(·,6). */
+  def sourceTokenJsd(df: DataFrame, textCol: String,
+                     srcCol: String): DataFrame = {
+    val toks = graft.core.Par.fanOut(df.select(col(srcCol).as("source"),
+      tokens(col(textCol)).as("toks")))
+    val tf = toks.select(col("source"), explode_outer(col("toks")).as("term"))
+      .where(col("term").isNotNull)
+      .groupBy("source", "term").agg(count(lit(1)).as("a"))
+    val n = tf.agg(sum(col("a")).as("bb"))
+    val withCt = tf.withColumn("b", sum(col("a"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
+      .crossJoin(broadcast(n))
+    def d(c: Column) = c.cast("double")
+    val denom = col("a") * col("bb") + col("b") * col("aa")
+    // per-term bits, each quantized exactly (order-free sums)
+    val bitsP = d(col("a")) *
+      (log(d(lit(2L) * col("a") * col("bb"))) - log(d(denom)))
+    val bitsQ = d(col("b")) *
+      (log(d(lit(2L) * col("b") * col("aa"))) - log(d(denom)))
+    val perSrc = withCt
+      .join(tf.groupBy(col("source").as("gsrc"))
+        .agg(sum(col("a")).as("aa")), col("source") === col("gsrc"))
+      .groupBy("source")
+      .agg(max(col("aa")).as("na"), max(col("bb")).as("nb"),
+        Num.dsumDec(bitsP).as("sp"), Num.dsumDec(bitsQ).as("sq"),
+        sum(col("b")).as("present_b"))
+    perSrc.select(col("source"), col("na").cast("long").as("n_tokens"),
+        round((
+          col("sp").cast("double") / d(col("na")) +
+          (col("sq").cast("double") +
+            (d(col("nb") - col("present_b")) *
+              (log(d(lit(2L) * col("nb"))) - log(d(col("nb")))))
+              .cast("decimal(30,6)").cast("double")) / d(col("nb"))
+        ) * 0.5, 6).as("jsd"))
+      .orderBy("source")
+  }
+
   /** Write the hashed-bucket unigram BASELINE model for the streaming
     * drift monitor (qm1s): per-bucket token counts + totals, committed
     * all-or-nothing ([[graft.core.Artifacts.stageCommit]]). The hashing

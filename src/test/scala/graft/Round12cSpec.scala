@@ -114,6 +114,25 @@ class Round12cSpec extends SparkSpec {
     }
   }
 
+  test("sourceTokenJsd: zero on identity, bounded by ln 2") {
+    // single source: P = Q term-for-term, every log ratio is ln 1 —
+    // jsd is 0.0 EXACTLY (the absent-mass block is empty too)
+    val one = Seq((1L, "s", "alpha beta gamma"), (2L, "s", "beta gamma delta"))
+      .toDF("doc_id", "source", "text")
+    val j0 = ext.TextAnalysis.sourceTokenJsd(one, "text", "source")
+      .head().getAs[Double]("jsd")
+    assert(j0 == 0.0, s"identity must score exactly 0, got $j0")
+    // two disjoint-vocabulary sources: both bounded by ln 2, both > 0
+    val two = Seq((1L, "s1", "alpha beta gamma alpha"),
+      (2L, "s2", "omega psi chi omega")).toDF("doc_id", "source", "text")
+    val js = ext.TextAnalysis.sourceTokenJsd(two, "text", "source")
+      .collect().map(_.getAs[Double]("jsd"))
+    js.foreach { j =>
+      assert(j > 0.0 && j <= math.log(2.0) + 1e-6,
+        s"JSD must sit in (0, ln 2], got $j")
+    }
+  }
+
   test("cov1: coverage monotone in V, bounded, covered ≤ total") {
     val rows = SparkEntry.queries("cov1_vocab_coverage_curve")(spark, sf)
       .orderBy("v").collect()
