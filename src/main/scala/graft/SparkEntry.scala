@@ -2414,6 +2414,38 @@ object SparkEntry {
     "js1_source_jsd" -> ((s, d) =>
       TextAnalysis.sourceTokenJsd(Tables.documents(s, d), "text", "source")),
 
+    // bal1: CORPUS SOURCE-BALANCE report — the concentration summary a
+    // mixture designer reads before setting mix1's temperature: per-source
+    // token shares reduced to the Herfindahl index and its reciprocal,
+    // the EFFECTIVE NUMBER of sources (the "effective domains" statistic
+    // corpus papers report — 20 sources with one at 90% behaves like
+    // ~1.2). Whole report exact integer fixed point: shares truncate to
+    // micro units, HHI = Σ share² rescaled by one truncating division,
+    // effective count = 10¹² div HHI — no float anywhere, and the
+    // truncation order is pinned so both engines agree bit-for-bit.
+    // ONE map-side-combined aggregate (group count = sources) then a
+    // 1-row reduction.
+    "bal1_source_balance" -> ((s, d) => {
+      val perSrc = Par.fanOut(Tables.documents(s, d)
+          .select(col("source"), col("text")))
+        .select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("nw"))
+        .groupBy("source").agg(sum(col("nw")).as("a"))
+      val tot = perSrc.agg(sum(col("a")).as("n")).select(col("n"))
+      perSrc.crossJoin(broadcast(tot))
+        .select(call_function("div", col("a") * lit(1000000L), col("n"))
+          .as("share_micro"))
+        .agg(count(lit(1)).as("n_sources"),
+          max(col("share_micro")).as("top_share_micro"),
+          sum(col("share_micro") * col("share_micro")).as("s2"))
+        .select(col("n_sources"), col("top_share_micro"),
+          call_function("div", col("s2"), lit(1000000L)).as("hhi_micro"))
+        .select(col("n_sources"), col("top_share_micro"), col("hhi_micro"),
+          when(col("hhi_micro") > 0,
+            call_function("div", lit(1000000000000L), col("hhi_micro")))
+            .as("eff_sources_micro"))
+    }),
+
     // inc3: INCREMENTAL corpus-statistics maintenance — yesterday's
     // archived per-term (df, tf) summary (even docs, standing in for the
     // stored table) merged additively with today's batch (odd docs); the
@@ -7241,6 +7273,24 @@ object SparkEntry {
            |    AS DECIMAL(30,6)) AS DOUBLE)) / CAST(nb AS DOUBLE)) * 0.5, 6)
            |  AS jsd
            |FROM g ORDER BY source""".stripMargin.replace("\n", " ")),
+      // bal1: identical truncated micro shares, identical truncation
+      // order for HHI and the effective count — all non-negative, so
+      // DuckDB // (floor) ≡ Spark div (trunc)
+      "bal1_source_balance" ->
+        (s"""WITH ps AS (SELECT source, SUM(len($toksSql)) AS a
+           | FROM documents GROUP BY 1),
+           |t AS (SELECT SUM(a) AS n FROM ps),
+           |sh AS (SELECT a * 1000000 // n AS share_micro FROM ps, t),
+           |g AS (SELECT COUNT(*) AS n_sources,
+           |  MAX(share_micro) AS top_share_micro,
+           |  SUM(share_micro * share_micro) AS s2 FROM sh)
+           |SELECT CAST(n_sources AS BIGINT) AS n_sources,
+           | CAST(top_share_micro AS BIGINT) AS top_share_micro,
+           | CAST(s2 // 1000000 AS BIGINT) AS hhi_micro,
+           | CAST(CASE WHEN s2 // 1000000 > 0
+           |  THEN 1000000000000 // (s2 // 1000000) END AS BIGINT)
+           |  AS eff_sources_micro
+           |FROM g""".stripMargin.replace("\n", " ")),
       // qm1s: identical sha-60 bucket hash, add-one smoothing over the
       // full 256-bucket support, per-bucket DECIMAL(30,6) quantization,
       // one final IEEE division + round(·,6) per batch
