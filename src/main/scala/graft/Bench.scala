@@ -55,6 +55,13 @@ object Bench {
       }
       math.min(math.min(once(), once()), once())
     }
+    // One full THROWAWAY canary pass before the recorded one: round 12
+    // measured canary_start ≈ 2× canary_end — the start sample was
+    // absorbing residual JIT/page-cache warmup the table touches don't
+    // cover (the canary's own codegen path compiles on its first run),
+    // the OPPOSITE of the monotone drift it exists to measure. The
+    // discarded pass eats that cost so canary_start measures the box.
+    canary()
     val canaryStart = canary()
     // dev filter: SPARK_GRAFT_BENCH_ONLY=d6_editdist,dd1s_dedup_replay
     // reruns a subset under the identical harness (warmup, noop sink,

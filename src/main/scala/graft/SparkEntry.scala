@@ -3687,6 +3687,57 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // knn3: kNN-GRAPH FORGET — the one derived artifact where a deletion
+    // request previously did not propagate (round-12 verdict #1: a
+    // document forgotten via del1/sim9/pq4/ret7 persisted as a stored
+    // NEIGHBOR edge). Two-sided semantics: the forgotten fifth leaves as
+    // source rows AND as neighbors, and since neighbor removal re-opens
+    // rank k, the repair rescores each affected survivor against the
+    // artifact's own vectors copy — so the post-forget graph is EXACTLY
+    // the from-scratch graph over survivors, not a shrunk-k view. The
+    // retried request and the compact both run inside the graded unit
+    // (tombstone-set idempotence and fold view-equality are the
+    // contract; crash ordering spec-pinned in Round13Spec). Oracle =
+    // knn1's verbatim over corpus-minus-deleted.
+    "knn3_graph_forget" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = graft.core.Scratch.dir("knn3-") + "/graph_art"
+      Similarity.writeKnnGraph(emb, "vec_id", "embedding", dir, k = 3)
+      val doomed = emb.where(col("vec_id") % 5 === 2).select("vec_id")
+      Similarity.forgetFromKnnGraph(doomed, "vec_id", dir)
+      // retried request: tombstones are a set, the repair a no-op
+      Similarity.forgetFromKnnGraph(doomed, "vec_id", dir)
+      // fold history + clear tombstones: view must be unchanged
+      Similarity.compactKnnGraph(s, dir)
+      Similarity.knnGraphFromIndex(s, dir)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // knn4: TIME TRAVEL for the kNN graph — the as-of verb on the last
+    // stored tier that lacked it (matview mv3, postings ret8, PQ pq5,
+    // IVF sim13, dedup archive inc7, kNN this): appends rewrite old
+    // nodes' lists, so versions are immutable copy-on-write SNAPSHOTS
+    // (the artifact is output-sized — N·k edges — so a snapshot per
+    // mutation is the mv1 cost class, not a segment prefix). knn2's
+    // exact fixture with the read pinned to YESTERDAY: build over 3/4
+    // (version 0), append the last quarter (version 1), and the pinned
+    // version-0 read must answer as the build did on day one. Oracle =
+    // knn1's verbatim over the 3/4 population.
+    "knn4_graph_asof" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = graft.core.Scratch.dir("knn4-") + "/graph_art"
+      Similarity.writeKnnGraph(emb.where(col("vec_id") % 4 =!= 3),
+        "vec_id", "embedding", dir, k = 3)
+      Similarity.appendToKnnGraph(emb.where(col("vec_id") % 4 === 3),
+        "vec_id", "embedding", dir)
+      Similarity.knnGraphFromIndexAsOf(s, dir, asOf = 0L)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
     // mmr1: MAXIMAL-MARGINAL-RELEVANCE diverse top-k — sim1's ranking
     // with a greedy per-pick diversity penalty (½·rel − ½·max sim to the
     // query's already-selected set); k bounded driver actions of
@@ -7882,6 +7933,13 @@ object SparkEntry {
       // knn2: the incrementally-maintained stored graph must equal the
       // from-scratch kNN graph — knn1's oracle verbatim
       "knn2_incremental_knn" -> knn1Sql,
+      // knn3: knn1's oracle verbatim over corpus-minus-deleted — the
+      // repaired graph must equal the from-scratch graph over survivors
+      // (two-sided eviction + exact rank-k backfill, not a shrunk view)
+      "knn3_graph_forget" -> knnSqlOver(" WHERE vec_id % 5 <> 2"),
+      // knn4: knn1's oracle verbatim over the version-0 population — the
+      // pinned read answers as the 3/4 build did before the append
+      "knn4_graph_asof" -> knnSqlOver(" WHERE vec_id % 4 <> 3"),
       // IVF probe semantics in SQL: per-label centroids (zipped unnest +
       // avg per (label, dim)), top-nprobe lists per query by centroid
       // cosine, brute force inside probed lists, same rank/rounding as sim1
@@ -8618,12 +8676,14 @@ object SparkEntry {
        | CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
        |FROM a ORDER BY l_returnflag""".stripMargin.replace("\n", " "))
 
-  /** From-scratch exact kNN graph (k = 3) — shared by knn1 (inline
-    * build) and knn2 (incrementally-maintained stored graph). */
-  private lazy val knn1Sql: String =
-    ("""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+  /** From-scratch exact kNN graph (k = 3) over an optionally-restricted
+    * population — shared by knn1 (inline build, no restriction), knn2
+    * (incrementally-maintained stored graph, same), knn3 (forget:
+    * survivors only) and knn4 (as-of: the version-0 population). */
+  private def knnSqlOver(where: String): String =
+    (s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-       | FROM embeddings),
+       | FROM embeddings$where),
        |scored AS (
        | SELECT a.id AS query_id, b.id AS neighbor_id,
        |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
@@ -8634,6 +8694,8 @@ object SparkEntry {
        | FROM scored)
        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin.replace("\n", " "))
+
+  private lazy val knn1Sql: String = knnSqlOver("")
 
   /** rec1's oracle with the probe bound swept 1..5 — the shared CTEs
     * (exact ranking, per-label centroids) state once, one

@@ -126,10 +126,24 @@ object Clustering {
     * the final assignment ties toward the earlier-selected center.
     *
     * Scale shape: k rounds, each ONE bounded TakeOrdered(1) action over
-    * a projection against ≤ k literal centers (driver state = k·dim
-    * longs, the km1 budget); the training cache releases before the
+    * the INCREMENTALLY-MAINTAINED running min-distance frame
+    * (vec_id, qv, dmin): round r folds only the ONE center round r−1
+    * selected — `least(dmin, dist-to-new-center)` against the cached
+    * previous frame — so total distance work is O(k·dim·N), not the
+    * O(k²·dim·N) a full recompute against all selected centers pays
+    * every round (round-12 verdict #2: at k in the hundreds on 100 TB
+    * the quadratic term dominates; this is the repo's incremental-
+    * relabel discipline applied to distances). min over a set ≡ a fold
+    * of pairwise mins and every distance is integer-exact, so the
+    * trajectory is unchanged. Each round's frame persists and the
+    * grandparent releases only after the fold materializes (the
+    * eager-round loop the kcore1 profiling picked). Driver state = k·dim
+    * longs, the km1 budget; the training cache releases before the
     * assignment pass, which is a pure projection over the raw corpus
-    * (the kmeansAssign shape). Returns (vec_id, center_id, d2) with d2
+    * (the kmeansAssign shape). k must not exceed the DISTINCT-vector
+    * count: a round whose max min-distance is 0 would silently
+    * re-select an already-chosen point — it fails loudly instead
+    * (round-12 ADVICE). Returns (vec_id, center_id, d2) with d2
     * the exact integer squared distance in the scale² grid. */
   def kcenterGonzalez(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, scale: Long = 1000000L): DataFrame = {
@@ -138,18 +152,38 @@ object Clustering {
         col(idCol).cast("long").as("vec_id"),
         quantize(col(vecCol), scale).as("qv")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var cur: DataFrame = null     // running (vec_id, qv, dmin), persisted
+    var older: DataFrame = null   // cur's parent — releases after cur acts
     val centers = try {
       val first = q.orderBy("vec_id").limit(1).collect()(0)
       var cs = Vector((first.getLong(0), first.getSeq[Long](1).toArray))
+      cur = q.select(col("vec_id"), col("qv"),
+          centroidDists(col("qv"), Seq(cs.head._2)).head.as("dmin"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      older = q
       for (_ <- 2 to k) {
-        val dmin = array_min(array(
-          centroidDists(col("qv"), cs.map(_._2)): _*))
-        val next = q.select(col("vec_id"), col("qv"), dmin.as("d"))
-          .orderBy(col("d").desc, col("vec_id").asc).limit(1).collect()(0)
+        // ONE action: materializes cur (one distance kernel vs the ONE
+        // newest center, read from the cached parent), then TakeOrdered
+        val next = cur.orderBy(col("dmin").desc, col("vec_id").asc)
+          .limit(1).collect()(0)
+        older.unpersist(blocking = false)
+        older = cur
+        require(next.getLong(2) > 0L,
+          s"kcenterGonzalez: max min-distance is 0 after ${cs.size} " +
+            s"centers — k=$k exceeds the distinct-vector count; every " +
+            "further center would duplicate an existing one")
         cs = cs :+ ((next.getLong(0), next.getSeq[Long](1).toArray))
+        cur = older.select(col("vec_id"), col("qv"),
+            least(col("dmin"),
+              centroidDists(col("qv"), Seq(cs.last._2)).head).as("dmin"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
       }
       cs
-    } finally q.unpersist(blocking = false)
+    } finally {
+      q.unpersist(blocking = false)
+      if (cur != null) cur.unpersist(blocking = false)
+      if (older != null) older.unpersist(blocking = false)
+    }
     val base = graft.core.Par.fanOut(df.select(
       col(idCol).cast("long").as("vec_id"),
       quantize(col(vecCol), scale).as("qv2")))

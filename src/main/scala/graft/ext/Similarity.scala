@@ -246,27 +246,31 @@ object Similarity {
   /** BUILD the stored kNN GRAPH — the graph tier's sim6/pq2: semantic
     * dedup, clustering and diversity pipelines consume the same k-nearest
     * relation over and over; at 100 TB the N² build is the expensive
-    * step and must be build-once. Layout: `graph/` — (query_id,
-    * neighbor_id, cos UNROUNDED — parquet doubles round-trip exactly, and
-    * the merge order must survive storage); `vectors/` — the (id, v)
-    * primary copy future appends score against; `meta` — (k, blocks).
-    * All-or-nothing via [[graft.core.Artifacts.stageCommit]].
-    *
-    * FORGET caveat (the one artifact verb this tier deliberately lacks,
-    * unlike IVF/postings/archive): removing a node from others' stored
-    * top-k lists leaves those lists SHORT, and refilling rank k exactly
-    * needs candidates the node-sized artifact never kept — an
-    * information-theoretic limit of top-k state, not an implementation
-    * gap. Honest options: tombstone-and-accept-short-lists (results
-    * never SHOW the deleted node — the `vectors/` anti-join is one line),
-    * over-provision k+m slots and reclaim, or rebuild; a deployment
-    * under right-to-be-forgotten should front this graph with the
-    * rebuild cadence it already needs for drift. */
+    * step and must be build-once. Layout (since round 13, VERSIONED —
+    * the tier's forget/as-of verbs need immutable snapshots, and unlike
+    * the segmented tiers an append REWRITES old nodes' lists, so version
+    * v is a full copy-on-write snapshot, not a segment prefix; the
+    * artifact is output-sized — N·k edges + the vector copy — so a
+    * snapshot per mutation is the mv1 cost class, not a corpus copy):
+    * `versions/v_NNNNNN/` — each holding `graph/` (query_id,
+    * neighbor_id, cos UNROUNDED — parquet doubles round-trip exactly,
+    * and the merge order must survive storage), `vectors/` (the (id, v)
+    * primary copy appends and forget-repairs score against) and `meta`
+    * (k, blocks); `tombstones/` — forgotten ids ([[forgetFromKnnGraph]]).
+    * The build commits version 0 all-or-nothing
+    * ([[graft.core.Artifacts.stageCommit]]); a REBUILD resets version
+    * history to 0 (the writeIvfIndex contract) but keeps tombstones
+    * (re-adding a forgotten id still needs [[compactKnnGraph]] first —
+    * the shared caveat). Single writer per artifact root, like every
+    * versioned/segmented tier. */
   def writeKnnGraph(corpus: DataFrame, idCol: String, vecCol: String,
                     dir: String, k: Int, blocks: Int = 8): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    graft.core.Artifacts.stageCommit(spark, dir) { tmp =>
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/versions"), true)
+    graft.core.Artifacts.stageCommit(spark, f"$dir/versions/v_${0L}%06d") { tmp =>
       knnGraphRaw(corpus, idCol, vecCol, k, blocks)
         .select(col("query_id"), col("neighbor_id"), col("cos"))
         .write.mode("overwrite").parquet(s"$tmp/graph")
@@ -276,6 +280,173 @@ object Similarity {
       Seq((k, blocks)).toDF("k", "blocks").coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/meta")
     }
+  }
+
+  /** Committed version directories of a kNN-graph artifact, oldest
+    * first (zero-padded names sort numerically; in-flight `__tmp` stages
+    * are invisible — the stageCommit read-side contract). */
+  private def knnVersionDirs(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Seq[String] =
+    graft.core.Artifacts.committedChildren(spark, s"$dir/versions")
+
+  private def knnHeadDir(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): String = {
+    val vs = knnVersionDirs(spark, dir)
+    require(vs.nonEmpty, s"no committed kNN graph version under $dir")
+    vs.last
+  }
+
+  private def knnVersionNum(versionDir: String): Long =
+    new org.apache.hadoop.fs.Path(versionDir).getName
+      .stripPrefix("v_").toLong
+
+  /** The tombstoned-id set (one column `id`), or None when nothing was
+    * ever forgotten. Cardinality is bounded by total deletions — AQE
+    * broadcasts it while it fits, never a hint (repo policy). */
+  private def knnTombstones(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
+    else Some(spark.read.parquet(s"$dir/tombstones")
+      .select(col("doc_id").as("id")).distinct())
+  }
+
+  /** Tiled pair scores between a query-node set and a corpus side (both
+    * (id, v) in double space) — [[knnGraphRaw]]'s 2-D block decomposition
+    * with the two sides independent relations (the forget-repair shape:
+    * affected nodes × survivors). No cartesian, no forced broadcast; when
+    * the query side is small AQE converts the tile equi-join to a runtime
+    * broadcast on its own. */
+  private def tiledPairScores(qn: DataFrame, nn: DataFrame,
+                              blocks: Int): DataFrame = {
+    val b = blocks.toLong
+    val tiles = sequence(lit(0L), lit(b - 1L))
+    val q = qn.select(col("id").as("query_id"), col("v").as("qv"),
+      l2norm(col("v")).as("qnrm"),
+      pmod(xxhash64(col("id")), lit(b)).as("qb"), explode(tiles).as("nb"))
+    val n = nn.select(col("id").as("neighbor_id"), col("v").as("nv"),
+      l2norm(col("v")).as("nnrm"),
+      pmod(xxhash64(col("id")), lit(b)).as("nb"), explode(tiles).as("qb"))
+    q.join(n, Seq("qb", "nb"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm"))).as("cos"))
+  }
+
+  private def knnTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+  }
+
+  /** FORGET nodes from the stored kNN graph — right-to-be-forgotten for
+    * the one derived artifact where it previously did not propagate
+    * (round-12 verdict #1: a document forgotten via del1/sim9/pq4/ret7
+    * persisted here as a stored NEIGHBOR edge). TWO-SIDED semantics:
+    * a tombstoned id leaves as a source row AND as a neighbor — and
+    * since neighbor removal re-opens rank k with candidates the
+    * node-sized top-k state never kept, the repair RESCORES each
+    * affected survivor against the artifact's own `vectors/` copy
+    * (exactly the information that makes the backfill possible), so the
+    * post-forget graph is EXACTLY the from-scratch kNN graph over the
+    * survivors — knn3's oracle is knn1's verbatim over corpus-minus-
+    * deleted, not a shrunk-k approximation.
+    *
+    * Crash discipline: the tombstone append is the durable intent
+    * (O(deleted) rows, set semantics — retries and overlapping requests
+    * are idempotent); the repair commits as a NEW immutable version via
+    * stage + one checked rename. Between the two, readers
+    * ([[knnGraphFromIndex]]) anti-join current tombstones on BOTH sides,
+    * so a forgotten id is never SHOWN from the moment the request lands
+    * — lists merely run short until the repair commits (a crashed repair
+    * re-runs on the next forget call; a repair that finds every
+    * tombstone already absent from the head is a no-op and writes no
+    * version, which is what makes a RETRIED request version-idempotent).
+    *
+    * Cost at scale: affected nodes = survivors holding ≥1 tombstoned
+    * neighbor, bounded by the deleted nodes' stored in-degree — under
+    * rare deletions the rescoring is |affected|·|survivors| tile work,
+    * a small fraction of the N² rebuild this verb replaces. */
+  def forgetFromKnnGraph(ids: DataFrame, idCol: String, dir: String): Unit = {
+    val spark = ids.sparkSession
+    Forget.forget(ids, idCol, s"$dir/tombstones")
+    repairKnnGraph(spark, dir)
+  }
+
+  private def repairKnnGraph(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Unit = {
+    val tomb = knnTombstones(spark, dir).getOrElse(return)
+    val head = knnHeadDir(spark, dir)
+    val vectors = spark.read.parquet(s"$head/vectors")
+    if (vectors.join(tomb, Seq("id"), "left_semi").isEmpty) return
+    val meta = spark.read.parquet(s"$head/meta").head()
+    val (k, blocks) = (meta.getAs[Int]("k"), meta.getAs[Int]("blocks"))
+    val survivors = vectors.join(tomb, Seq("id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(survivors.limit(1).count() > 0,
+        s"forgetFromKnnGraph: every node in $dir has been forgotten — an " +
+          "empty graph has no repaired form; drop the artifact instead")
+      val graph = spark.read.parquet(s"$head/graph")
+      val tq = tomb.select(col("id").as("query_id"))
+      // affected survivors: stored top-k contains a tombstoned neighbor —
+      // their whole list recomputes (rank k re-opens); everyone else's
+      // stored rows carry over untouched
+      val affected = graph
+        .join(tomb.select(col("id").as("neighbor_id")),
+          Seq("neighbor_id"), "left_semi")
+        .select(col("query_id")).distinct()
+        .join(tq, Seq("query_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val kept = graph.join(tq, Seq("query_id"), "left_anti")
+        .join(affected, Seq("query_id"), "left_anti")
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+      val av = survivors.join(
+        affected.select(col("query_id").as("id")), Seq("id"), "left_semi")
+      val recomputed = knnTopK(tiledPairScores(av, survivors, blocks), k)
+      try {
+        graft.core.Artifacts.stageCommit(spark,
+            f"$dir/versions/v_${knnVersionNum(head) + 1}%06d") { tmp =>
+          kept.union(recomputed).write.parquet(s"$tmp/graph")
+          survivors.write.parquet(s"$tmp/vectors")
+          import spark.implicits._
+          Seq((k, blocks)).toDF("k", "blocks").coalesce(1)
+            .write.parquet(s"$tmp/meta")
+        }
+      } finally affected.unpersist(blocking = false)
+    } finally survivors.unpersist(blocking = false)
+  }
+
+  /** Fold version history and clear tombstones — the kNN tier's compact:
+    * every version except the head deletes (as-of reads of folded
+    * versions then fail loudly — the mv3 retention contract) and the
+    * tombstone store clears, which is what re-enables appending a
+    * previously forgotten id. Refuses when the head does not yet
+    * reflect every tombstone (a crashed forget) — clearing them then
+    * would resurrect forgotten rows; retry the forget first. Each step
+    * is individually safe under a crash: old-version deletion never
+    * changes the head view, and the head contains no tombstoned rows by
+    * the guard, so the tombstone clear is a view no-op. */
+  def compactKnnGraph(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Unit = {
+    val head = knnHeadDir(spark, dir)
+    knnTombstones(spark, dir).foreach { t =>
+      require(spark.read.parquet(s"$head/vectors")
+          .join(t, Seq("id"), "left_semi").isEmpty,
+        s"compactKnnGraph: $dir has tombstoned ids still present in the " +
+          "head version (a forget did not complete) — re-run " +
+          "forgetFromKnnGraph first")
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    knnVersionDirs(spark, dir).filter(_ != head).foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(v)
+      if (!fs.delete(p, true))
+        throw new java.io.IOException(
+          s"compactKnnGraph: could not remove superseded $v")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
   }
 
   /** INCREMENTAL kNN-graph maintenance under vector APPENDS, provably ≡
@@ -291,16 +462,38 @@ object Similarity {
     * stored corpus (re-inserting an id is an update, not an append —
     * rebuild instead). Pair scores tile exactly like the build (no
     * cartesian, no broadcast of the corpus side); graph, vectors and
-    * meta swap as one unit ([[graft.core.Artifacts.swapInto]]). */
+    * meta publish together as ONE new immutable version
+    * ([[graft.core.Artifacts.stageCommit]] — a crash leaves the previous
+    * version as the head, never a torn trio). Requires a clean forget
+    * state: tombstoned ids still present in the head (a crashed forget)
+    * fail loudly — the append must not propagate rows a pending
+    * deletion request covers — and a BATCH carrying a tombstoned id
+    * fails loudly too (the shared re-add caveat, enforced rather than
+    * silently hiding the row: elsewhere the full-store anti-join makes
+    * a re-append a physical no-op, but the kNN repair physically
+    * removed the rows, so a landed re-append would sit invisible under
+    * the stale tombstone and trip the compact guard — run
+    * [[compactKnnGraph]] first, which clears the tombstone). */
   def appendToKnnGraph(batch: DataFrame, idCol: String, vecCol: String,
                        dir: String): Unit = {
     import org.apache.spark.storage.StorageLevel
     val spark = batch.sparkSession
-    graft.core.Artifacts.heal(spark, dir)
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val (k, blocks) = (meta.getInt(0), meta.getInt(1))
+    val head = knnHeadDir(spark, dir)
+    knnTombstones(spark, dir).foreach { t =>
+      require(spark.read.parquet(s"$head/vectors")
+          .join(t, Seq("id"), "left_semi").isEmpty,
+        s"appendToKnnGraph: $dir has tombstoned ids still present in the " +
+          "head version (a forget did not complete) — re-run " +
+          "forgetFromKnnGraph before appending")
+      require(batch.select(col(idCol).cast("long").as("id"))
+          .join(t, Seq("id"), "left_semi").isEmpty,
+        s"appendToKnnGraph: batch re-adds forgotten id(s) — a stale " +
+          "tombstone would hide them; run compactKnnGraph first")
+    }
+    val meta = spark.read.parquet(s"$head/meta").head()
+    val (k, blocks) = (meta.getAs[Int]("k"), meta.getAs[Int]("blocks"))
     val b = blocks.toLong
-    val oldV = spark.read.parquet(s"$dir/vectors")
+    val oldV = spark.read.parquet(s"$head/vectors")
       .select(col("id"), col("v"), lit(false).as("is_new"))
     val newV = batch.select(col(idCol).cast("long").as("id"),
       toDouble(col(vecCol)).as("v"), lit(true).as("is_new"))
@@ -341,8 +534,9 @@ object Similarity {
       val mirror = pairs.where(!col("n_new"))
         .select(col("neighbor_id").as("query_id"),
           col("query_id").as("neighbor_id"), col("cos"))
-      val updated = topK(spark.read.parquet(s"$dir/graph").union(mirror))
-      graft.core.Artifacts.swapInto(spark, dir) { tmp =>
+      val updated = topK(spark.read.parquet(s"$head/graph").union(mirror))
+      graft.core.Artifacts.stageCommit(spark,
+          f"$dir/versions/v_${knnVersionNum(head) + 1}%06d") { tmp =>
         updated.union(newRows)
           .write.mode("overwrite").parquet(s"$tmp/graph")
         allN.select(col("id"), col("v"))
@@ -357,17 +551,55 @@ object Similarity {
     }
   }
 
-  /** The stored graph, read back in [[knnGraphExact]]'s output contract
-    * (rank ordinals re-derived from the stored UNROUNDED cosines under
-    * the same order; rounding applied here, once). Graph-sized work. */
+  /** The stored graph's HEAD version, read back in [[knnGraphExact]]'s
+    * output contract (rank ordinals re-derived from the stored UNROUNDED
+    * cosines under the same order; rounding applied here, once).
+    * Current tombstones apply on BOTH sides — after a completed forget
+    * the head is already repaired and the anti-joins are view no-ops;
+    * in the crash window between tombstone append and repair commit
+    * they guarantee a forgotten id is never shown (lists may run short
+    * until the forget retries). Graph-sized work. */
   def knnGraphFromIndex(spark: org.apache.spark.sql.SparkSession,
-                        dir: String): DataFrame = {
-    graft.core.Artifacts.heal(spark, dir)
-    val k = spark.read.parquet(s"$dir/meta").head().getInt(0)
+                        dir: String): DataFrame =
+    knnReadVersion(spark, knnHeadDir(spark, dir), dir)
+
+  /** The stored graph AS OF version `asOf` (build = 0, each append or
+    * forget-repair adds one) — time travel for the kNN tier: versions
+    * are immutable snapshots, so a pinned read is reproducible forever,
+    * until [[compactKnnGraph]] folds history (reads of folded versions
+    * fail loudly — the mv3 retention contract). CURRENT tombstones
+    * still apply, two-sided (right-to-be-forgotten outranks
+    * reproducibility): a pinned read taken after a later forget never
+    * shows the forgotten node, with the honest shrunk-list contract —
+    * exact rank-k backfill of a HISTORICAL version would require
+    * rescoring against that version's vectors on every read; the HEAD
+    * view gets the exact repair ([[forgetFromKnnGraph]]), pins get the
+    * anti-join. k and blocks derive from the PINNED version's meta,
+    * never head state. */
+  def knnGraphFromIndexAsOf(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, asOf: Long): DataFrame = {
+    val vd = f"$dir/versions/v_$asOf%06d"
+    val p = new org.apache.hadoop.fs.Path(vd)
+    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"knnGraphFromIndexAsOf: version $asOf of $dir does not exist — " +
+        "either it was never committed or compaction folded it away; " +
+        "lengthen the compaction window if the pipeline needs deeper " +
+        "reproducibility")
+    knnReadVersion(spark, vd, dir)
+  }
+
+  private def knnReadVersion(spark: org.apache.spark.sql.SparkSession,
+                             versionDir: String, dir: String): DataFrame = {
+    val k = spark.read.parquet(s"$versionDir/meta").head().getAs[Int]("k")
+    val g0 = spark.read.parquet(s"$versionDir/graph")
+    val g = knnTombstones(spark, dir).fold(g0) { t =>
+      g0.join(t.select(col("id").as("query_id")), Seq("query_id"), "left_anti")
+        .join(t.select(col("id").as("neighbor_id")),
+          Seq("neighbor_id"), "left_anti")
+    }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    spark.read.parquet(s"$dir/graph")
-      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    g.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 4).as("cos"))
   }
@@ -659,7 +891,17 @@ object Similarity {
     * Segments are list-partitioned like the base, so probe-time
     * partition pruning applies to every root, and each committed
     * segment is one immutable index VERSION
-    * ([[ivfIndexRelationAsOf]]). */
+    * ([[ivfIndexRelationAsOf]]).
+    *
+    * SINGLE WRITER REQUIRED (load-bearing for as-of, not just a
+    * convention): the segment id derives from the committed-segment
+    * COUNT, so two concurrent appenders would both commit a seg_N —
+    * distinct dirs (the UUID suffix keeps them from colliding), but
+    * then [[graft.core.Artifacts.segmentsAsOf]]'s lexicographic prefix
+    * would order version N vs N+1 by random UUID bytes. Serialize
+    * appends per index root (exactly what the foreachBatch maintenance
+    * path — one streaming query per artifact — already guarantees); the
+    * same assumption holds for the postings and PQ segment tiers. */
   def appendToIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
                        dir: String): Unit = {
     val spark = newVecs.sparkSession

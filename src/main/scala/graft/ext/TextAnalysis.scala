@@ -737,11 +737,16 @@ object TextAnalysis {
     *
     * Exactness: with a = c_st, A = N_s, b = c_t, B = N all exact
     * integers, p∕m = 2aB∕(aB+bA) and q∕m = 2bA∕(aB+bA) — every ln
-    * argument is an integer-valued double (exact below 2⁵³; at ~10¹³
-    * corpus tokens the products approach the limit — the documented
-    * swap is DECIMAL pre-scaling), per-term contributions quantize to
-    * DECIMAL(30,6) (the lm1 seam), and the assembly is a fixed chain of
-    * IEEE ops behind the final round(·,6). */
+    * argument is an integer-valued double. The binding bound is the
+    * BIGINT PRODUCTS feeding those logs (aB + bA ≤ 2·N², so N must stay
+    * ≤ 2·10⁹ or the non-ANSI multiply silently wraps — well before the
+    * 2⁵³ double-exactness limit); a larger corpus fails LOUDLY via
+    * raise_error below (the cohensKappa discipline — DuckDB errors on
+    * BIGINT overflow, so a silent Spark wrap would desynchronize the
+    * grade; the documented swap at that scale is DECIMAL pre-scaling).
+    * Per-term contributions quantize to DECIMAL(30,6) (the lm1 seam),
+    * and the assembly is a fixed chain of IEEE ops behind the final
+    * round(·,6). */
   def sourceTokenJsd(df: DataFrame, textCol: String,
                      srcCol: String): DataFrame = {
     val toks = graft.core.Par.fanOut(df.select(col(srcCol).as("source"),
@@ -754,10 +759,18 @@ object TextAnalysis {
         .over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
       .crossJoin(broadcast(n))
     def d(c: Column) = c.cast("double")
-    val denom = col("a") * col("bb") + col("b") * col("aa")
+    // the guard wraps the corpus total every PRODUCT consumes (not a
+    // sibling column with unspecified evaluation order — the cohensKappa
+    // device): aB + bA ≤ 2·N², so N > 2e9 would wrap BIGINT silently in
+    // non-ANSI Spark while DuckDB errors loudly — fail loudly instead
+    val bbG = when(col("bb") > 2000000000L, raise_error(lit(
+      "graft sourceTokenJsd: corpus exceeds 2e9 tokens — exact BIGINT " +
+        "JSD products would overflow; pre-scale to DECIMAL"))
+      .cast("long")).otherwise(col("bb"))
+    val denom = col("a") * bbG + col("b") * col("aa")
     // per-term bits, each quantized exactly (order-free sums)
     val bitsP = d(col("a")) *
-      (log(d(lit(2L) * col("a") * col("bb"))) - log(d(denom)))
+      (log(d(lit(2L) * col("a") * bbG)) - log(d(denom)))
     val bitsQ = d(col("b")) *
       (log(d(lit(2L) * col("b") * col("aa"))) - log(d(denom)))
     val perSrc = withCt
@@ -797,7 +810,12 @@ object TextAnalysis {
       .groupBy("b").agg(count(lit(1)).as("cq"))
     graft.core.Artifacts.stageCommit(spark, dir) { tmp =>
       bc.coalesce(1).write.parquet(s"$tmp/bucket_counts")
-      bc.agg(coalesce(sum(col("cq")), lit(0L)).as("nq"),
+      // the totals derive from the bucket counts JUST WRITTEN, not from
+      // a second full tokenize+hash+aggregate job over the corpus (the
+      // unpersisted bc would re-run end to end — round-12 ADVICE); the
+      // staged file is ≤ `buckets` rows, so the re-read is free
+      spark.read.parquet(s"$tmp/bucket_counts")
+        .agg(coalesce(sum(col("cq")), lit(0L)).as("nq"),
           lit(buckets).as("buckets"))
         .coalesce(1).write.parquet(s"$tmp/meta")
     }
@@ -824,8 +842,11 @@ object TextAnalysis {
   def batchDriftKl(batch: DataFrame, textCol: String,
                    baselineDir: String): DataFrame = {
     val spark = batch.sparkSession
+    // by NAME, not position — a column-order change in the artifact must
+    // fail loudly here, never silently mis-bind nq/buckets (round-12
+    // ADVICE)
     val meta = spark.read.parquet(s"$baselineDir/meta").head()
-    val (nq, buckets) = (meta.getLong(0), meta.getInt(1))
+    val (nq, buckets) = (meta.getAs[Long]("nq"), meta.getAs[Int]("buckets"))
     val bL = lit(buckets.toLong)
     val p = graft.core.Par.fanOut(
         batch.select(tokens(col(textCol)).as("toks")))

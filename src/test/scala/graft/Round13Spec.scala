@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 pins — the kNN-store verb completion + kc1 rework:
+  *  - kNN-graph FORGET (knn3): two-sided eviction (a tombstoned id
+  *    leaves as source rows AND as stored neighbors), exact rank-k
+  *    backfill (post-forget graph ≡ from-scratch over survivors, fuzzed),
+  *    tombstone-set + version idempotence of a retried request, the
+  *    crash window between tombstone append and repair commit never
+  *    SHOWS a forgotten id, compact view-equality + loud refusals
+  *    (incomplete forget, fully-forgotten store).
+  *  - kNN-graph AS-OF (knn4): pinned version-0 read ≡ from-scratch over
+  *    the build population after an append landed; current tombstones
+  *    still apply to pins (right-to-be-forgotten outranks
+  *    reproducibility); folded/never-written pins fail loudly.
+  *  - kcenterGonzalez incremental running-min (round-12 verdict #2):
+  *    trajectory identical to the full per-round recompute (pinned by a
+  *    spec-local reimplementation of the quadratic form), and k beyond
+  *    the distinct-vector count fails loudly instead of silently
+  *    duplicating a center (round-12 ADVICE).
+  */
+class Round13Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def fuzzVecs(n: Int, dim: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0L until n.toLong).map(i =>
+      (i, Array.fill(dim)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  // ------------------------------------------------- knn forget (knn3)
+
+  test("knn forget: repaired graph equals from-scratch over survivors (fuzzed)") {
+    val vecs = fuzzVecs(40, 6, seed = 11)
+    val survivors = vecs.where($"vec_id" % 3 =!= 1)
+    val want = ext.Similarity.knnGraphExact(survivors, "vec_id", "embedding",
+        k = 4)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val dir = tmpDir("knn3-spec") + "/g"
+    ext.Similarity.writeKnnGraph(vecs, "vec_id", "embedding", dir, k = 4)
+    ext.Similarity.forgetFromKnnGraph(
+      vecs.where($"vec_id" % 3 === 1).select("vec_id"), "vec_id", dir)
+    val got = ext.Similarity.knnGraphFromIndex(spark, dir)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "two-sided forget repair must equal the from-scratch survivor graph")
+  }
+
+  test("knn forget: retried request is version- and view-idempotent") {
+    val vecs = fuzzVecs(30, 5, seed = 3)
+    val dir = tmpDir("knn3-idem") + "/g"
+    ext.Similarity.writeKnnGraph(vecs, "vec_id", "embedding", dir, k = 3)
+    val doomed = vecs.where($"vec_id" % 4 === 2).select("vec_id")
+    ext.Similarity.forgetFromKnnGraph(doomed, "vec_id", dir)
+    def versions() = new java.io.File(s"$dir/versions").listFiles()
+      .map(_.getName).filterNot(_.endsWith("__tmp")).sorted.toSeq
+    def view() = ext.Similarity.knnGraphFromIndex(spark, dir)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val (v1, g1) = (versions(), view())
+    assert(v1 == Seq("v_000000", "v_000001"),
+      s"one repair version after the build, got $v1")
+    ext.Similarity.forgetFromKnnGraph(doomed, "vec_id", dir) // retry
+    assert(versions() == v1, "a retried forget must not write a version")
+    assert(view() == g1, "a retried forget must not change the view")
+  }
+
+  test("knn forget: crash window never shows a forgotten id; retry heals exactly") {
+    val vecs = fuzzVecs(30, 5, seed = 5)
+    val dir = tmpDir("knn3-crash") + "/g"
+    ext.Similarity.writeKnnGraph(vecs, "vec_id", "embedding", dir, k = 3)
+    // simulate the crash point: tombstones appended, repair NOT committed
+    ext.Forget.forget(vecs.where($"vec_id" % 4 === 2).select("vec_id"),
+      "vec_id", s"$dir/tombstones")
+    val mid = ext.Similarity.knnGraphFromIndex(spark, dir).collect()
+    val doomed = (0L until 30L).filter(_ % 4 == 2).toSet
+    assert(mid.forall(r => !doomed.contains(r.getLong(0)) &&
+      !doomed.contains(r.getLong(2))),
+      "between tombstone append and repair commit, no forgotten id may " +
+        "appear as a query or a neighbor")
+    // lists may run short in the window, never past k, and ranks stay dense
+    val byQ = mid.groupBy(_.getLong(0))
+    assert(byQ.values.forall(rs => rs.length <= 3 &&
+      rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length).toSeq))
+    // retry completes the repair: exact from-scratch over survivors
+    ext.Similarity.forgetFromKnnGraph(
+      vecs.where($"vec_id" % 4 === 2).select("vec_id"), "vec_id", dir)
+    val want = ext.Similarity.knnGraphExact(vecs.where($"vec_id" % 4 =!= 2),
+        "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val got = ext.Similarity.knnGraphFromIndex(spark, dir)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(got == want, "the retried forget must heal to the exact graph")
+  }
+
+  test("knn compact: view unchanged, history folds, re-append re-enabled") {
+    val vecs = fuzzVecs(28, 5, seed = 7)
+    val dir = tmpDir("knn3-compact") + "/g"
+    ext.Similarity.writeKnnGraph(vecs, "vec_id", "embedding", dir, k = 3)
+    val doomed = vecs.where($"vec_id" % 7 === 3)
+    ext.Similarity.forgetFromKnnGraph(doomed.select("vec_id"), "vec_id", dir)
+    val before = ext.Similarity.knnGraphFromIndex(spark, dir)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    // re-appending a forgotten id BEFORE compact fails loudly (the
+    // shared re-add caveat, enforced — a landed row would sit invisible
+    // under the stale tombstone)
+    assert(intercept[IllegalArgumentException] {
+      ext.Similarity.appendToKnnGraph(doomed.where($"vec_id" === 3L),
+        "vec_id", "embedding", dir)
+    }.getMessage.contains("compactKnnGraph first"))
+    ext.Similarity.compactKnnGraph(spark, dir)
+    val after = ext.Similarity.knnGraphFromIndex(spark, dir)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(after == before, "compact must not change the view")
+    assert(new java.io.File(s"$dir/versions").listFiles()
+      .count(f => !f.getName.endsWith("__tmp")) == 1,
+      "compact keeps only the head version")
+    assert(intercept[IllegalArgumentException] {
+      ext.Similarity.knnGraphFromIndexAsOf(spark, dir, asOf = 0L)
+    }.getMessage.contains("folded"),
+      "as-of reads of folded versions fail loudly")
+    // the compact cleared tombstones: the re-append now lands and answers
+    ext.Similarity.appendToKnnGraph(doomed.where($"vec_id" === 3L),
+      "vec_id", "embedding", dir)
+    val re = ext.Similarity.knnGraphFromIndex(spark, dir)
+    assert(re.where($"query_id" === 3L).count() === 3L,
+      "after compact the re-appended id answers again")
+  }
+
+  test("knn guards: incomplete forget blocks append+compact; empty store refuses") {
+    val vecs = fuzzVecs(20, 4, seed = 9)
+    val dir = tmpDir("knn3-guards") + "/g"
+    ext.Similarity.writeKnnGraph(vecs.where($"vec_id" < 16),
+      "vec_id", "embedding", dir, k = 3)
+    ext.Forget.forget(vecs.where($"vec_id" === 2L).select("vec_id"),
+      "vec_id", s"$dir/tombstones") // crash-simulated incomplete forget
+    assert(intercept[IllegalArgumentException] {
+      ext.Similarity.appendToKnnGraph(vecs.where($"vec_id" >= 16),
+        "vec_id", "embedding", dir)
+    }.getMessage.contains("forget did not complete"))
+    assert(intercept[IllegalArgumentException] {
+      ext.Similarity.compactKnnGraph(spark, dir)
+    }.getMessage.contains("forget did not complete"))
+    // fully-forgotten: repairing away every node refuses loudly
+    assert(intercept[IllegalArgumentException] {
+      ext.Similarity.forgetFromKnnGraph(
+        vecs.where($"vec_id" < 16).select("vec_id"), "vec_id", dir)
+    }.getMessage.contains("empty graph"))
+  }
+
+  // -------------------------------------------------- knn as-of (knn4)
+
+  test("knn as-of: pinned v0 equals the build; current tombstones apply to pins") {
+    val vecs = fuzzVecs(36, 5, seed = 13)
+    val dir = tmpDir("knn4-spec") + "/g"
+    ext.Similarity.writeKnnGraph(vecs.where($"vec_id" % 3 =!= 1),
+      "vec_id", "embedding", dir, k = 3)
+    ext.Similarity.appendToKnnGraph(vecs.where($"vec_id" % 3 === 1),
+      "vec_id", "embedding", dir)
+    val want = ext.Similarity.knnGraphExact(vecs.where($"vec_id" % 3 =!= 1),
+        "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val pinned = ext.Similarity.knnGraphFromIndexAsOf(spark, dir, asOf = 0L)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(pinned == want, "pinned v0 must answer as the build did")
+    // a later forget reaches the pin (two-sided), shrunk-list contract
+    ext.Similarity.forgetFromKnnGraph(
+      vecs.where($"vec_id" === 0L).select("vec_id"), "vec_id", dir)
+    val pinnedAfter = ext.Similarity
+      .knnGraphFromIndexAsOf(spark, dir, asOf = 0L).collect()
+    assert(pinnedAfter.forall(r =>
+      r.getLong(0) != 0L && r.getLong(2) != 0L),
+      "right-to-be-forgotten outranks reproducibility on pinned reads")
+    // never-written pins fail loudly
+    assert(intercept[IllegalArgumentException] {
+      ext.Similarity.knnGraphFromIndexAsOf(spark, dir, asOf = 99L)
+    }.getMessage.contains("does not exist"))
+  }
+
+  // ---------------------------------------- kcenter incremental (kc1)
+
+  test("kcenter: incremental running-min trajectory equals the quadratic recompute") {
+    val vecs = fuzzVecs(50, 6, seed = 17)
+    val got = ext.Clustering.kcenterGonzalez(vecs, "vec_id", "embedding",
+        k = 5)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    // spec-local reimplementation of the ORIGINAL per-round full
+    // recompute, on driver-collected data — the trajectory oracle
+    val data = vecs.collect().map(r => (r.getLong(0),
+      r.getSeq[Double](1).map(x => math.round(x * 1e6)).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cs = Vector(data.minBy(_._1))
+    for (_ <- 2 to 5) {
+      val next = data.map(v => (v, cs.map(c => d2(v._2, c._2)).min))
+        .maxBy { case ((id, _), d) => (d, -id) }._1
+      cs = cs :+ next
+    }
+    val want = data.map { case (id, qv) =>
+      val ds = cs.map(c => d2(qv, c._2))
+      val best = ds.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      Seq(id, cs(best)._1, ds(best))
+    }.toSeq
+    assert(got == want, "incremental dmin must not change the trajectory")
+  }
+
+  test("kcenter: k beyond the distinct-vector count fails loudly") {
+    val dup = (0L until 6L).map(i => (i, Array(1.0 * (i % 2), 2.0)))
+      .toDF("vec_id", "embedding") // only 2 distinct vectors
+    assert(intercept[IllegalArgumentException] {
+      ext.Clustering.kcenterGonzalez(dup, "vec_id", "embedding", k = 3)
+    }.getMessage.contains("distinct-vector count"))
+  }
+}
