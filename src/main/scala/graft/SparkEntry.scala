@@ -2676,6 +2676,50 @@ object SparkEntry {
         .orderBy("tok")
     }),
 
+    // cms3: EPOCH-WINDOWED CMS with physical retirement — the sketch
+    // tier's forget verb (round-12 verdict #6: flat CMS/MG counters are
+    // additive-only, so a takedown could never reach them; deletion
+    // granularity moves to the EPOCH). Three "daily" batches land as
+    // committed per-epoch counter segments (doc_id % 3 as the day); the
+    // middle batch REDELIVERS (segment-name idempotence must swallow
+    // it); epoch 0 then expires — one atomic fold whose new root simply
+    // does not contain the expired mass — and a redelivery of the
+    // folded batch 0 AFTER the expire must no-op off the folded
+    // high-water, not re-add the dropped epoch. Graded: the same top-20
+    // probe estimates as cms1, computed over the RETAINED population
+    // only — the oracle proves the expired epoch's counts are GONE,
+    // which the flat cms2 store can never do.
+    "cms3_windowed_cms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def toks(df: org.apache.spark.sql.DataFrame) =
+        Par.fanOut(df.select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok")))
+          .where(col("tok") =!= "")
+      val dir = graft.core.Scratch.dir("cms3-") + "/sketch"
+      ext.Profile.writeWindowedCms(s, dir)
+      for (e <- 0 to 2)
+        ext.Profile.ingestWindowedCmsBatch(
+          toks(docs.where(col("doc_id") % 3 === e)), col("tok"),
+          col("doc_id") % 3, dir, batchId = e.toLong)
+      // redelivered mid-stream batch: segment-name idempotence
+      ext.Profile.ingestWindowedCmsBatch(
+        toks(docs.where(col("doc_id") % 3 === 1)), col("tok"),
+        col("doc_id") % 3, dir, batchId = 1L)
+      ext.Profile.expireWindowedCms(s, dir, minEpoch = 1L)
+      // redelivery of a FOLDED batch after the expire: high-water no-op
+      ext.Profile.ingestWindowedCmsBatch(
+        toks(docs.where(col("doc_id") % 3 === 0)), col("tok"),
+        col("doc_id") % 3, dir, batchId = 0L)
+      val retained = toks(docs.where(col("doc_id") % 3 =!= 0))
+      val tf = retained.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+      val probes = tf.orderBy(col("true_cnt").desc, col("tok").asc).limit(20)
+      ext.Profile.cmsEstimateWindowed(s, dir, probes, "tok", minEpoch = 1L)
+        .join(probes, col("k") === col("tok"))
+        .select(col("tok"), col("true_cnt"), col("est"),
+          (col("est") - col("true_cnt")).as("overcount"))
+        .orderBy("tok")
+    }),
+
     // inc5: INCREMENTAL heavy hitters from a STORED mergeable summary —
     // the bf2/sim7 lifecycle applied to hh1: the archive's Misra–Gries
     // summary commits once (side-write + checked swap), each ingest
@@ -2940,6 +2984,31 @@ object SparkEntry {
       val batch = docs.union(
         docs.select((col("doc_id") + plantUnit(s, d)).as("doc_id"), col("text")))
       Dedup.dedupIncrementalBloomFromIndex(batch, "doc_id", "text", dir)
+        .orderBy("doc_id")
+    }),
+
+    // inc7: TIME TRAVEL for the dedup archive — the curation-
+    // reproducibility verb on the bf2 artifact (round-12 verdict #5:
+    // every other mutated store answered as-of, but yesterday's dedup
+    // run could not be re-derived after today's append). bf2's exact
+    // fixture with the read pinned to YESTERDAY: fingerprints build over
+    // one quarter (version 0), a maintenance batch appends another as a
+    // committed segment (version 1), and the pinned version-0 dedup must
+    // drop exactly what a day-one run dropped — the appended quarter's
+    // texts provably SURVIVE. The probe still rides the CURRENT bloom
+    // (later OR-merges only set bits — a superset filter adds only false
+    // positives, which the exact anti-join against the PINNED fps
+    // removes), so no per-version filter is stored. Oracle = bf1's with
+    // the archive restricted to the version-0 population.
+    "inc7_dedup_asof" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val dir = graft.core.Scratch.dir("inc7-")
+      Dedup.writeBloomIndex(docs.where(col("doc_id") % 4 === 0), "text", dir)
+      Dedup.appendToBloomIndex(docs.where(col("doc_id") % 4 === 2), "text", dir)
+      val batch = docs.union(
+        docs.select((col("doc_id") + plantUnit(s, d)).as("doc_id"), col("text")))
+      Dedup.dedupIncrementalBloomFromIndexAsOf(batch, "doc_id", "text", dir,
+          asOf = 0L)
         .orderBy("doc_id")
     }),
 
@@ -4242,6 +4311,46 @@ object SparkEntry {
           emb.select(col("vec_id"), col("embedding").as("v")),
           emb.where(col("vec_id") < 5), "vec_id", "embedding",
           asOf = 0L, k = 10, shortlist = 30)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // pq6s: STREAMING maintenance of the stored PQ index — the LAST cell
+    // of the four-segmented-family claim (matview mv1, postings ret9s,
+    // IVF sim11s, PQ this — round-12 verdict #2: the layout supported it
+    // but no graded foreachBatch→PQ row existed, so the CLAUDE.md
+    // uniformity claim outran the grading by one query). sim11s's exact
+    // replay shape over the codebook tier: codebooks train over 3/4 and
+    // freeze, the engine replays the last quarter in micro-batches
+    // through the K2 foreachBatch sink, each batch coding under the
+    // stored books and landing as a committed segment
+    // (appendToPqIndex's vec_id anti-join + staged rename), and slice 1
+    // RE-DELIVERS every slice-0 vector (the at-least-once worst case,
+    // full overlap) — redelivery must be a no-op without an id fence
+    // (append-shaped store). Graded: the post-replay artifact answers
+    // pq3's oracle — the streamed quarter coded exactly once.
+    "pq6s_stream_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir0 = graft.core.Scratch.dir("pq6s-")
+      val idx = s"$dir0/idx"
+      Similarity.writePqIndex(emb.where(col("vec_id") % 4 =!= 1),
+        "vec_id", "embedding", idx, dims = 64, m = 4, ksub = 4, iters = 2)
+      val quarter = emb.where(col("vec_id") % 4 === 1)
+        .select(col("vec_id"), col("embedding"))
+      val s0 = quarter.where(pmod(col("vec_id"), lit(8)) === 1)
+      val s1 = quarter // slice 0 redelivered in full + the rest
+      graft.streaming.Replay.slicedSourceReplay(s, Seq(s0, s1),
+          "vec_id BIGINT, embedding ARRAY<FLOAT>", "pq6s-") { (src, dir) =>
+        graft.core.Sinks.foreachBatchSink(src, s"$dir/ckpt") { (b, _) =>
+          Similarity.appendToPqIndex(b, "vec_id", "embedding", idx)
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      Similarity.pqTopKFromIndex(s, idx,
+          emb.select(col("vec_id"), col("embedding").as("v")),
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, shortlist = 30)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rank")
@@ -6327,34 +6436,16 @@ object SparkEntry {
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       // bf1: bloom prune is result-invariant — the oracle is inc1's exact
       // anti-join verbatim
-      "bf1_bloom_dedup" ->
-        (s"""WITH b AS (
-           |  SELECT doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id + $plantUnitSql AS doc_id, text FROM documents),
-           | bf AS (SELECT min(doc_id) AS doc_id, fp AS content_fp FROM (
-           |  SELECT doc_id, substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
-           |  FROM b) GROUP BY fp),
-           | af AS (SELECT substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
-           |  FROM documents WHERE doc_id % 2 = 0)
-           |SELECT doc_id, content_fp FROM bf
-           |WHERE NOT EXISTS (SELECT 1 FROM af WHERE af.fp = bf.content_fp)
-           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "bf1_bloom_dedup" -> bloomDedupOracle("doc_id % 2 = 0"),
       // bf2: bf1's oracle VERBATIM — build(%4=0) + append(%4=2) covers
       // exactly the doc_id % 2 = 0 archive, and the stored-artifact path
       // must answer identically to the inline build (no false negatives,
       // false positives re-checked exactly)
-      "bf2_stored_bloom" ->
-        (s"""WITH b AS (
-           |  SELECT doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id + $plantUnitSql AS doc_id, text FROM documents),
-           | bf AS (SELECT min(doc_id) AS doc_id, fp AS content_fp FROM (
-           |  SELECT doc_id, substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
-           |  FROM b) GROUP BY fp),
-           | af AS (SELECT substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
-           |  FROM documents WHERE doc_id % 2 = 0)
-           |SELECT doc_id, content_fp FROM bf
-           |WHERE NOT EXISTS (SELECT 1 FROM af WHERE af.fp = bf.content_fp)
-           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "bf2_stored_bloom" -> bloomDedupOracle("doc_id % 2 = 0"),
+      // inc7: bf1's oracle with the archive restricted to the VERSION-0
+      // population (the %4=0 build) — the pinned read dedups as a
+      // day-one run did; the appended quarter's texts survive
+      "inc7_dedup_asof" -> bloomDedupOracle("doc_id % 4 = 0"),
       // pr1: identical integer fixed-point formula, three rounds unrolled;
       // // is floor division ≡ Spark's div on the all-positive ranks;
       // SUM(BIGINT)→HUGEINT so the final projection casts back (ts2
@@ -7540,6 +7631,11 @@ object SparkEntry {
       // cms2: the stored artifact after append + duplicate-batch retry
       // must answer identically — cms1's oracle verbatim
       "cms2_stored_cms" -> cmsSql,
+      // cms3: cms1's replay restricted to the RETAINED epochs (doc_id
+      // % 3 <> 0) — probes, true counts and counters all over the
+      // surviving population; a green row proves the expired epoch's
+      // mass is physically gone and both redeliveries no-opped
+      "cms3_windowed_cms" -> cmsSqlOver(" WHERE doc_id % 3 <> 0"),
       // cms1s: the stream-maintained sketch must answer identically —
       // cms1's oracle verbatim (counter additivity across any batching)
       "cms1s_stream_cms" -> cmsSql,
@@ -8573,6 +8669,11 @@ object SparkEntry {
       // same population — the version-0 read after the append landed
       "pq5_pq_asof" -> pqOracleSql(" WHERE vec_id % 4 <> 1",
         " AND k.vec_id % 4 <> 1"),
+      // pq6s: pq3's oracle VERBATIM — streaming maintenance through the
+      // foreachBatch sink must land the quarter exactly once (the
+      // redelivered slice-0 vectors anti-join away), so the artifact
+      // answers as the batch append does
+      "pq6s_stream_pq" -> pqOracleSql(" WHERE vec_id % 4 <> 1"),
     )
   }
 
@@ -8636,9 +8737,15 @@ object SparkEntry {
   /** Whole-corpus CMS counters + top-20 probe estimates — shared by cms1
     * (in-query merge of halves) and cms2 (stored artifact + idempotent
     * append): both equal the single-corpus sketch by counter additivity. */
-  private lazy val cmsSql: String =
+  private lazy val cmsSql: String = cmsSqlOver("")
+
+  /** The exact CMS replay (portable sha-60 bucket hashing, top-20 probes)
+    * over an optionally-restricted document population — shared by
+    * cms1/cms2/cms1s (full corpus) and cms3 (the retained epochs only:
+    * a green row proves the expired epochs' mass is physically gone). */
+  private def cmsSqlOver(docWhere: String): String =
     (s"""WITH tf AS (SELECT t AS tok, COUNT(*) AS c
-       | FROM (SELECT unnest($toksSql) AS t FROM documents)
+       | FROM (SELECT unnest($toksSql) AS t FROM documents$docWhere)
        | WHERE t <> '' GROUP BY 1),
        |rr AS (SELECT unnest([0, 1, 2]) AS r),
        |ctr AS (SELECT r,
@@ -8696,6 +8803,24 @@ object SparkEntry {
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin.replace("\n", " "))
 
   private lazy val knn1Sql: String = knnSqlOver("")
+
+  /** bf1's plain-anti-join dedup oracle over an archive predicate —
+    * shared by bf1/bf2 (the doc_id % 2 = 0 archive) and inc7 (the
+    * % 4 = 0 version-0 pin): bloom parameters cannot change results
+    * (no false negatives; false positives re-checked exactly), so the
+    * oracle is the SAME exact anti-join in every case. */
+  private def bloomDedupOracle(archWhere: String): String =
+    (s"""WITH b AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + $plantUnitSql AS doc_id, text FROM documents),
+       | bf AS (SELECT min(doc_id) AS doc_id, fp AS content_fp FROM (
+       |  SELECT doc_id, substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
+       |  FROM b) GROUP BY fp),
+       | af AS (SELECT substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
+       |  FROM documents WHERE $archWhere)
+       |SELECT doc_id, content_fp FROM bf
+       |WHERE NOT EXISTS (SELECT 1 FROM af WHERE af.fp = bf.content_fp)
+       |ORDER BY doc_id""".stripMargin.replace("\n", " "))
 
   /** rec1's oracle with the probe bound swept 1..5 — the shared CTEs
     * (exact ranking, per-label centroids) state once, one

@@ -266,6 +266,12 @@ object Dedup {
   def writeBloomIndex(archive: DataFrame, textCol: String, dir: String,
                       numBits: Int = 1 << 23, numHashes: Int = 5): Unit = {
     val spark = archive.sparkSession
+    // a full (re)build supersedes previously appended fp segments and
+    // resets version history to 0 (the writeIvfIndex contract)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/segments"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/asof_floor"), false)
     graft.core.Par.fanOut(archive.select(col(textCol).as("text")))
       .select(TextAnalysis.fingerprint(col("text")).as("content_fp"))
       .where(col("content_fp").isNotNull)
@@ -273,6 +279,31 @@ object Dedup {
     writeBloomArtifact(spark,
       bloomOfFps(spark.read.parquet(s"$dir/fps"), numBits, numHashes),
       numBits, numHashes, dir)
+  }
+
+  /** The full stored FINGERPRINT relation: the build-time base plus every
+    * COMMITTED append segment — the postings/PQ/IVF read shape lifted
+    * over the dedup tier (round-12 verdict #5: the curation-
+    * reproducibility story needs yesterday's archive state re-derivable,
+    * which segment-versioned fps enable — [[fpsRelationAsOf]]). */
+  def fpsRelation(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): DataFrame = {
+    val segs = graft.core.Artifacts.committedChildren(spark, s"$dir/segments")
+    val base = spark.read.parquet(s"$dir/fps")
+    segs.foldLeft(base)((acc, s) =>
+      acc.unionByName(spark.read.schema(base.schema).parquet(s)))
+  }
+
+  /** The fingerprint relation AS OF version `asOf` (build = 0, each
+    * committed append segment adds one): base + the committed-segment
+    * prefix [[graft.core.Artifacts.segmentsAsOf]] selects — folded pins
+    * fail loudly (the shared retention contract). */
+  def fpsRelationAsOf(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, asOf: Long): DataFrame = {
+    val segs = graft.core.Artifacts.segmentsAsOf(spark, dir, asOf)
+    val base = spark.read.parquet(s"$dir/fps")
+    segs.foldLeft(base)((acc, s) =>
+      acc.unionByName(spark.read.schema(base.schema).parquet(s)))
   }
 
   /** MAINTAIN the stored index per ingest batch — the mergeable-sketch
@@ -291,11 +322,24 @@ object Dedup {
     * [[writeBloomArtifact]]'s self-healing contract). A retry is
     * harmless on both artifacts: OR is idempotent and duplicate stored
     * fingerprints only multiply anti-join matches, which the fp-group
-    * aggregate absorbs. */
+    * aggregate absorbs. Since round 13 the fingerprints land as a
+    * COMMITTED SEGMENT (stage + one checked rename) rather than a bare
+    * multi-file append: each segment is one immutable index VERSION
+    * ([[fpsRelationAsOf]] — yesterday's dedup run re-derivable), and a
+    * crashed append is invisible and swept instead of half-visible.
+    * Single writer per artifact root (the appendToIvfIndex note: the
+    * segment id derives from the committed count, so concurrent
+    * appenders would scramble the as-of version order). The bloom is
+    * NOT versioned — deliberately: a later filter is a bitwise SUPERSET
+    * of every earlier one (OR-merge only sets bits), so probing the
+    * CURRENT filter for a PINNED read can only add false positives,
+    * which the exact anti-join against the pinned fps removes. */
   def appendToBloomIndex(batch: DataFrame, textCol: String,
                          dir: String): Unit = {
     val spark = batch.sparkSession
     val (numBits, numHashes, stored) = readBloomArtifact(spark, dir)
+    val nSegs = graft.core.Artifacts
+      .committedChildren(spark, s"$dir/segments", sweepStale = true).size
     val bfp = graft.core.Par.fanOut(batch.select(col(textCol).as("text")))
       .select(TextAnalysis.fingerprint(col("text")).as("content_fp"))
       .where(col("content_fp").isNotNull)
@@ -306,8 +350,32 @@ object Dedup {
       var i = 0
       while (i < merged.length) { merged(i) = (merged(i) | add(i)).toByte; i += 1 }
       writeBloomArtifact(spark, merged, numBits, numHashes, dir)
-      bfp.write.mode("append").parquet(s"$dir/fps")
+      graft.core.Artifacts.stageCommit(spark,
+          f"$dir/segments/seg_$nSegs%06d_${java.util.UUID.randomUUID}") { tmp =>
+        bfp.write.parquet(tmp)
+      }
     } finally bfp.unpersist()
+  }
+
+  /** Amortized fold of the fp segment history into the base — ONE
+    * whole-root atomic swap (the compactIvfIndex discipline: segments do
+    * not exist in the new root, the as-of floor advances atomically with
+    * the fold, the bloom copies through unchanged — compaction folds
+    * DATA, never the filter). As-of reads of folded versions then fail
+    * loudly. */
+  def compactBloomIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Unit = {
+    graft.core.Artifacts.heal(spark, s"$dir/bloom")
+    if (graft.core.Artifacts.committedChildren(spark, s"$dir/segments").isEmpty)
+      return // nothing to fold
+    val newFloor = graft.core.Artifacts.asOfFloor(spark, dir) +
+      graft.core.Artifacts.committedChildren(spark, s"$dir/segments").size
+    graft.core.Artifacts.swapInto(spark, dir) { tmp =>
+      spark.read.parquet(s"$dir/bloom").coalesce(1)
+        .write.parquet(s"$tmp/bloom")
+      fpsRelation(spark, dir).write.parquet(s"$tmp/fps")
+      graft.core.Artifacts.setAsOfFloor(spark, tmp, newFloor)
+    }
   }
 
   /** [[dedupIncrementalBloom]] answered from the STORED artifacts: the
@@ -327,7 +395,32 @@ object Dedup {
         TextAnalysis.fingerprint(col("text")).as("content_fp"))
       .where(col("content_fp").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bloomRoutedDedup(bfp, spark.read.parquet(s"$dir/fps"),
+    bloomRoutedDedup(bfp, fpsRelation(spark, dir),
+      bloomBytes, numHashes)
+  }
+
+  /** [[dedupIncrementalBloomFromIndex]] AS OF a pinned archive version —
+    * time travel for the dedup tier (ret8's reproducibility verb on the
+    * bf2 artifact): the exact check anti-joins the PINNED fingerprint
+    * relation ([[fpsRelationAsOf]] — build = 0, each append adds one),
+    * so the batch dedups against exactly yesterday's archive state. The
+    * probe still uses the CURRENT bloom: later OR-merges only SET bits,
+    * so the current filter is a superset of the pinned one — no false
+    * negative against any pinned version is possible, and the extra
+    * false positives re-check exactly against the pinned fps and
+    * survive. Folded pins fail loudly ([[compactBloomIndex]]). */
+  def dedupIncrementalBloomFromIndexAsOf(batch: DataFrame, idCol: String,
+                                         textCol: String, dir: String,
+                                         asOf: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val (_, numHashes, bloomBytes) = readBloomArtifact(spark, dir)
+    val bfp = graft.core.Par.fanOut(
+        batch.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("content_fp"))
+      .where(col("content_fp").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bloomRoutedDedup(bfp, fpsRelationAsOf(spark, dir, asOf),
       bloomBytes, numHashes)
   }
 

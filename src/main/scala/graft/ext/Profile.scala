@@ -192,7 +192,16 @@ object Profile {
     }
   }
 
-  /** [[cmsEstimate]] answered from the stored artifact. */
+  /** [[cmsEstimate]] answered from the stored artifact.
+    *
+    * FORGET contract (round-12 verdict #6, stated loudly): this flat CMS
+    * — like [[writeHhSummary]]'s MG counters — is ADDITIVE-ONLY. A
+    * per-document takedown CANNOT decrement a sketch: counted mass is
+    * not attributable after aggregation (that is what a sketch is), so
+    * counts over forgotten documents persist here until a REBUILD from
+    * the primary store's living view. Deployments needing deletion to
+    * reach the sketch tier without full rebuilds use the EPOCH-windowed
+    * store ([[writeWindowedCms]]) and retire whole epochs. */
   def cmsEstimateFromSketch(spark: org.apache.spark.sql.SparkSession,
                             dir: String, probes: DataFrame,
                             keyCol: String): DataFrame = {
@@ -200,6 +209,134 @@ object Profile {
     val meta = spark.read.parquet(s"$dir/meta").head()
     cmsEstimate(spark.read.parquet(s"$dir/counters"), probes, keyCol,
       d = meta.getInt(0), w = meta.getInt(1))
+  }
+
+  /** EPOCH-WINDOWED CMS store — the sketch tier's answer to the forget
+    * discipline (round-12 verdict #6): since a sketch cannot decrement
+    * per document, deletion granularity moves to the EPOCH. Every ingest
+    * batch lands as its own COMMITTED counter segment holding per-epoch
+    * counters (epoch, r, b, c); queries sum only the LIVING epochs; and
+    * [[expireWindowedCms]] physically DROPS expired epochs' mass in one
+    * atomic fold — a takedown/TTL at epoch granularity actually removes
+    * the counts, which the flat store can never do. Finer-than-epoch
+    * deletion still requires a rebuild from the primary store — the
+    * honest limit, documented rather than silently violated.
+    *
+    * Layout: `meta/` (d, w, folded_hw); `base/` (epoch, r, b, c) — the
+    * folded history, absent until the first expire; `segments/seg_<id>/`
+    * — one per ingest batch. Idempotence under at-least-once retry: the
+    * segment NAME is the batch id, so a redelivered batch sees its
+    * committed segment and no-ops (stronger than the high-water fence —
+    * out-of-order ids are fine); after an expire folds segments away,
+    * ids ≤ the folded high-water no-op off the meta. Single writer per
+    * root, like every segmented tier. */
+  def writeWindowedCms(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, d: Int = 3, w: Int = 64): Unit = {
+    import spark.implicits._
+    graft.core.Artifacts.stageCommit(spark, dir) { tmp =>
+      Seq((d, w, -1L)).toDF("d", "w", "folded_hw")
+        .coalesce(1).write.parquet(s"$tmp/meta")
+    }
+  }
+
+  /** Per-epoch CMS counters of one batch: (epoch, r, b, c) — the same
+    * hash family as [[countMinSketch]], keyed by the batch's epoch
+    * column, ≤ epochs·d·w rows. */
+  private def epochCms(batch: DataFrame, key: Column, epoch: Column,
+                       d: Int, w: Int): DataFrame = {
+    val cnts = batch.select(epoch.cast("long").as("epoch"),
+        key.cast("string").as("k"))
+      .groupBy("epoch", "k").agg(count(lit(1)).as("cnt"))
+    cnts.select(col("epoch"),
+        explode(array((0 until d).map(lit): _*)).as("r"), col("k"), col("cnt"))
+      .select(col("epoch"), col("r"),
+        cmsBucket(col("k"), col("r"), w).as("b"), col("cnt"))
+      .groupBy("epoch", "r", "b").agg(sum(col("cnt")).as("c"))
+  }
+
+  /** One ingest batch into the windowed store: per-epoch counters commit
+    * as segment `seg_<batchId>` (stage + one checked rename). A batch id
+    * whose segment already exists — or that an expire already folded —
+    * is a NO-OP, which is the whole redelivery contract. */
+  def ingestWindowedCmsBatch(batch: DataFrame, key: Column, epoch: Column,
+                             dir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.core.Artifacts.heal(spark, dir)
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (d, w, hw) = (meta.getAs[Int]("d"), meta.getAs[Int]("w"),
+      meta.getAs[Long]("folded_hw"))
+    if (batchId <= hw) return
+    val seg = f"$dir/segments/seg_$batchId%012d"
+    val p = new org.apache.hadoop.fs.Path(seg)
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return
+    graft.core.Artifacts.stageCommit(spark, seg) { tmp =>
+      epochCms(batch, key, epoch, d, w).coalesce(1).write.parquet(tmp)
+    }
+  }
+
+  /** The living per-epoch counter relation: base + committed segments,
+    * epochs below `minEpoch` excluded (they may also be physically gone
+    * — [[expireWindowedCms]]; the filter makes the answer independent of
+    * whether the expire ran, which is what the spec pins). */
+  def windowedCmsCounters(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, minEpoch: Long): DataFrame = {
+    graft.core.Artifacts.heal(spark, dir)
+    val segs = graft.core.Artifacts.committedChildren(spark, s"$dir/segments")
+    val basePath = new org.apache.hadoop.fs.Path(s"$dir/base")
+    val hasBase = basePath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(basePath)
+    val parts = (if (hasBase) Seq(s"$dir/base") else Nil) ++ segs
+    require(parts.nonEmpty,
+      s"windowedCmsCounters: $dir holds no counters — ingest a batch first")
+    val first = spark.read.parquet(parts.head)
+    parts.tail.foldLeft(first)((acc, s) =>
+        acc.unionByName(spark.read.schema(first.schema).parquet(s)))
+      .where(col("epoch") >= minEpoch)
+      .groupBy("r", "b").agg(sum(col("c")).as("c"))
+  }
+
+  /** [[cmsEstimate]] over the living window. */
+  def cmsEstimateWindowed(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, probes: DataFrame, keyCol: String,
+                          minEpoch: Long): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    cmsEstimate(windowedCmsCounters(spark, dir, minEpoch), probes, keyCol,
+      d = meta.getAs[Int]("d"), w = meta.getAs[Int]("w"))
+  }
+
+  /** RETIRE epochs below `minEpoch` — the sketch tier's forget verb:
+    * one whole-root atomic swap publishes meta + a folded `base/`
+    * holding ONLY the surviving epochs' counters; expired epochs'
+    * segments simply do not exist in the new root, so their counted
+    * mass is physically GONE (not merely filtered). The folded
+    * high-water advances to the largest batch id absorbed, so a
+    * redelivered pre-expire batch stays a no-op. */
+  def expireWindowedCms(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, minEpoch: Long): Unit = {
+    graft.core.Artifacts.heal(spark, dir)
+    val segs = graft.core.Artifacts.committedChildren(spark, s"$dir/segments")
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (d, w, hw) = (meta.getAs[Int]("d"), meta.getAs[Int]("w"),
+      meta.getAs[Long]("folded_hw"))
+    val newHw = (hw +: segs.map(s =>
+      new org.apache.hadoop.fs.Path(s).getName.stripPrefix("seg_").toLong)).max
+    val basePath = new org.apache.hadoop.fs.Path(s"$dir/base")
+    val hasBase = basePath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(basePath)
+    val parts = (if (hasBase) Seq(s"$dir/base") else Nil) ++ segs
+    if (parts.isEmpty) return
+    import spark.implicits._
+    val first = spark.read.parquet(parts.head)
+    val folded = parts.tail.foldLeft(first)((acc, s) =>
+        acc.unionByName(spark.read.schema(first.schema).parquet(s)))
+      .where(col("epoch") >= minEpoch)
+      .groupBy("epoch", "r", "b").agg(sum(col("c")).as("c"))
+    graft.core.Artifacts.swapInto(spark, dir) { tmp =>
+      Seq((d, w, newHw)).toDF("d", "w", "folded_hw")
+        .coalesce(1).write.parquet(s"$tmp/meta")
+      folded.coalesce(1).write.parquet(s"$tmp/base")
+    }
   }
 
   def heavyHitters(df: DataFrame, key: Column, k: Int): DataFrame = {
@@ -295,6 +432,16 @@ object Profile {
     * MG pass under the STORED k, the two counter sets merge-shrink (the
     * mergeable guarantee — total error stays ≤ n_total/(k+1), recall for
     * ≥ n/k preserved), and the artifact swaps atomically with n updated.
+    *
+    * FORGET contract (round-12 verdict #6, stated loudly): MG counters —
+    * like the flat CMS — are ADDITIVE-ONLY; a takedown cannot decrement
+    * a merged summary (subtracted mass is indistinguishable from the
+    * decrements the algorithm itself performs). Counts over forgotten
+    * documents persist here until a REBUILD from the primary store's
+    * living view; deployments needing deletion to reach the sketch tier
+    * without full rebuilds window by epoch (the [[writeWindowedCms]]
+    * pattern applies to MG summaries verbatim: per-epoch summaries,
+    * merge-shrink only the living epochs).
     * The archive key stream is never re-read — per-batch cost is the
     * batch scan plus k-sized driver state. A retry after a crash is
     * harmless: the swap is all-or-nothing, so the artifact holds either

@@ -206,6 +206,39 @@ class Round13Spec extends SparkSpec {
     assert(got == want, "incremental dmin must not change the trajectory")
   }
 
+  // --------------------------------------------- windowed CMS (cms3)
+
+  test("windowed CMS: expire physically drops epoch mass; redeliveries no-op") {
+    val dir = tmpDir("cms3-spec") + "/sk"
+    ext.Profile.writeWindowedCms(spark, dir, d = 3, w = 16)
+    def batch(e: Long) = (1 to 50).map(i => (e, s"k${i % 7}"))
+      .toDF("epoch", "key")
+    for (e <- 0L to 2L)
+      ext.Profile.ingestWindowedCmsBatch(batch(e), $"key", $"epoch", dir, e)
+    def counters(minEpoch: Long) =
+      ext.Profile.windowedCmsCounters(spark, dir, minEpoch)
+        .orderBy("r", "b").collect().map(_.toSeq).toSeq
+    val full = counters(0L)
+    val win12 = counters(1L)
+    assert(full != win12, "the window filter must drop epoch-0 mass")
+    // pre-fold redelivery: segment-name idempotence
+    ext.Profile.ingestWindowedCmsBatch(batch(1L), $"key", $"epoch", dir, 1L)
+    assert(counters(0L) == full, "a redelivered segment must not double-add")
+    // expire epoch 0: the filtered answer is unchanged, the mass is gone
+    ext.Profile.expireWindowedCms(spark, dir, minEpoch = 1L)
+    assert(counters(1L) == win12, "expire must not change the living window")
+    assert(counters(0L) == win12,
+      "after expire the epoch-0 mass is PHYSICALLY gone — widening the " +
+        "window cannot resurrect it")
+    // post-fold redelivery of the folded batch: high-water no-op
+    ext.Profile.ingestWindowedCmsBatch(batch(0L), $"key", $"epoch", dir, 0L)
+    assert(counters(0L) == win12,
+      "a folded batch id redelivered after expire must no-op")
+    // a genuinely new batch still lands
+    ext.Profile.ingestWindowedCmsBatch(batch(3L), $"key", $"epoch", dir, 3L)
+    assert(counters(1L) != win12, "a fresh batch id must land")
+  }
+
   test("kcenter: k beyond the distinct-vector count fails loudly") {
     val dup = (0L until 6L).map(i => (i, Array(1.0 * (i % 2), 2.0)))
       .toDF("vec_id", "embedding") // only 2 distinct vectors
