@@ -2720,6 +2720,41 @@ object SparkEntry {
         .orderBy("tok")
     }),
 
+    // hh2: EPOCH-WINDOWED heavy hitters — cms3's forget discipline on
+    // the MG tier, so the sketch family's epoch-window story is graded
+    // on BOTH counter kinds: three daily batches land per-epoch MG
+    // cells as committed segments (≤ k counters + the epoch's exact
+    // token count per cell), the middle batch REDELIVERS (segment-name
+    // no-op), epoch 0 expires (cells physically dropped, high-water
+    // advanced), batch 0 redelivers AFTER the fold (hw no-op), and the
+    // answer = candidates from the living cells exactly recounted over
+    // the retained corpus against the WINDOW total N_w. Recall for
+    // ≥ N_w/k is provable across cells (Profile.writeWindowedHh
+    // scaladoc); oracle = hh1's HAVING set over the retained docs.
+    "hh2_windowed_hh" -> ((s, d) => {
+      val toks0 = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val dir = graft.core.Scratch.dir("hh2-") + "/hh"
+      ext.Profile.writeWindowedHh(s, dir, k = 200)
+      for (e <- 0 to 2)
+        ext.Profile.ingestWindowedHhBatch(
+          toks0.where(col("doc_id") % 3 === e), col("token"),
+          col("doc_id") % 3, dir, batchId = e.toLong)
+      ext.Profile.ingestWindowedHhBatch(
+        toks0.where(col("doc_id") % 3 === 1), col("token"),
+        col("doc_id") % 3, dir, batchId = 1L) // redelivery: no-op
+      ext.Profile.expireWindowedHh(s, dir, minEpoch = 1L)
+      ext.Profile.ingestWindowedHhBatch(
+        toks0.where(col("doc_id") % 3 === 0), col("token"),
+        col("doc_id") % 3, dir, batchId = 0L) // folded id: no-op
+      ext.Profile.heavyHittersWindowed(
+          toks0.where(col("doc_id") % 3 =!= 0), col("token"), dir,
+          minEpoch = 1L)
+        .select(col("key").as("token"), col("n"))
+        .orderBy("token")
+    }),
+
     // inc5: INCREMENTAL heavy hitters from a STORED mergeable summary —
     // the bf2/sim7 lifecycle applied to hh1: the archive's Misra–Gries
     // summary commits once (side-write + checked swap), each ingest
@@ -3779,6 +3814,39 @@ object SparkEntry {
       // fold history + clear tombstones: view must be unchanged
       Similarity.compactKnnGraph(s, dir)
       Similarity.knnGraphFromIndex(s, dir)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // knn5s: STREAMING maintenance of the stored kNN graph — the K2
+    // foreachBatch shape on the graph tier, completing its verb column
+    // (build knn1/2, append knn2, forget knn3, as-of knn4, stream
+    // this): the engine replays the last corpus quarter in
+    // micro-batches, each folding into the graph via ingestKnnBatch —
+    // the id anti-join against the head version's vector copy makes a
+    // redelivered batch a version-history no-op (slice 1 re-delivers
+    // every slice-0 vector: the at-least-once worst case, full
+    // overlap) — and the post-replay artifact must answer knn1's
+    // from-scratch oracle over the full corpus, exactly once per node.
+    "knn5s_stream_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir0 = graft.core.Scratch.dir("knn5s-")
+      val idx = s"$dir0/graph_art"
+      Similarity.writeKnnGraph(emb.where(col("vec_id") % 4 =!= 3),
+        "vec_id", "embedding", idx, k = 3)
+      val quarter = emb.where(col("vec_id") % 4 === 3)
+        .select(col("vec_id"), col("embedding"))
+      val s0 = quarter.where(pmod(col("vec_id"), lit(8)) === 3)
+      val s1 = quarter // slice 0 redelivered in full + the rest
+      graft.streaming.Replay.slicedSourceReplay(s, Seq(s0, s1),
+          "vec_id BIGINT, embedding ARRAY<FLOAT>", "knn5s-") { (src, dir) =>
+        graft.core.Sinks.foreachBatchSink(src, s"$dir/ckpt") { (b, _) =>
+          Similarity.ingestKnnBatch(b, "vec_id", "embedding", idx)
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      Similarity.knnGraphFromIndex(s, idx)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos"))
         .orderBy("query_id", "rank")
@@ -7621,6 +7689,11 @@ object SparkEntry {
       // hitters over the accumulated corpus — hh1's oracle verbatim
       "inc5_incremental_hh" ->
         hh1Sql,
+      // hh2: hh1's exact HAVING set over the retained epochs (doc_id
+      // % 3 <> 0) — candidates, exact counts and the window total N_w
+      // all over the surviving population; a green row proves the
+      // expired epoch is gone from both the summary and the threshold
+      "hh2_windowed_hh" -> hh1SqlOver(" WHERE doc_id % 3 <> 0"),
       // hh1s: the stream-built summary must answer the identical
       // from-scratch HAVING set — hh1's oracle verbatim
       "hh1s_stream_hh" ->
@@ -8036,6 +8109,10 @@ object SparkEntry {
       // knn4: knn1's oracle verbatim over the version-0 population — the
       // pinned read answers as the 3/4 build did before the append
       "knn4_graph_asof" -> knnSqlOver(" WHERE vec_id % 4 <> 3"),
+      // knn5s: knn1's oracle verbatim — streaming maintenance must land
+      // the quarter exactly once (redelivered vectors anti-join away),
+      // so the artifact answers as the batch append does
+      "knn5s_stream_knn" -> knn1Sql,
       // IVF probe semantics in SQL: per-label centroids (zipped unnest +
       // avg per (label, dim)), top-nprobe lists per query by centroid
       // cosine, brute force inside probed lists, same rank/rounding as sim1
@@ -8690,8 +8767,14 @@ object SparkEntry {
     * re-rank mirror rp1's two phases token for token. */
   /** hh1/inc5/hh1s share one oracle: the incremental and streaming
     * summary paths must equal the from-scratch HAVING set exactly. */
-  private lazy val hh1Sql: String =
-    (s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents),
+  private lazy val hh1Sql: String = hh1SqlOver("")
+
+  /** hh1's exact HAVING set over an optionally-restricted document
+    * population — shared by hh1/inc5/hh1s (full corpus) and hh2 (the
+    * retained epochs only: a green row proves the expired epoch's
+    * summaries and token mass left both the candidates and N_w). */
+  private def hh1SqlOver(docWhere: String): String =
+    (s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents$docWhere),
            |t AS (SELECT COUNT(*) AS n FROM tk)
            |SELECT token, CAST(COUNT(*) AS BIGINT) AS n
            |FROM tk, t GROUP BY token, t.n

@@ -339,6 +339,134 @@ object Profile {
     }
   }
 
+  /** EPOCH-WINDOWED Misra–Gries summary store — [[writeWindowedCms]]'s
+    * pattern on the MG tier, so the sketch family's epoch-forget story
+    * is implemented on BOTH counter kinds, not claimed by analogy.
+    * Every ingest batch lands one COMMITTED segment of per-epoch MG
+    * CELLS (epoch, bid, n, key, cnt): ≤ k counter rows per epoch
+    * touched, plus that epoch's exact token count n. Queries window by
+    * epoch; [[expireWindowedHh]] physically drops expired epochs' cells.
+    *
+    * Recall stays exact for the ≥ N_w/k threshold across any number of
+    * cells: if a key's count were ≤ nₑᵦ/(k+1) in EVERY living cell, its
+    * window total would be ≤ N_w/(k+1) < N_w/k — so a window-heavy key
+    * survives MG in at least one living cell, and the candidate union
+    * (a SUPERSET of the merged-shrunk summary) cannot lose it. The
+    * exact phase counts only the candidate semi-join over the retained
+    * corpus, the hh1/inc5 discipline. Segment-name idempotence + folded
+    * high-water, verbatim from the windowed CMS. */
+  def writeWindowedHh(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, k: Int): Unit = {
+    require(k >= 2)
+    import spark.implicits._
+    graft.core.Artifacts.stageCommit(spark, dir) { tmp =>
+      Seq((k, -1L)).toDF("k", "folded_hw")
+        .coalesce(1).write.parquet(s"$tmp/meta")
+    }
+  }
+
+  /** One ingest batch: per-epoch MG cells commit as segment
+    * `seg_<batchId>`; redelivered or already-folded ids no-op. The
+    * per-epoch summaries run as a bounded driver loop (epochs per batch
+    * are calendar-bounded — a daily ingest touches one or two). */
+  def ingestWindowedHhBatch(batch: DataFrame, key: Column, epoch: Column,
+                            dir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    graft.core.Artifacts.heal(spark, dir)
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (k, hw) = (meta.getAs[Int]("k"), meta.getAs[Long]("folded_hw"))
+    if (batchId <= hw) return
+    val seg = f"$dir/segments/seg_$batchId%012d"
+    val p = new org.apache.hadoop.fs.Path(seg)
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return
+    val keyed = batch.select(epoch.cast("long").as("epoch"),
+        key.cast("string").as("key"))
+      .where(col("key").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val epochs = keyed.select("epoch").distinct()
+        .collect().map(_.getLong(0)).sorted
+      val cells = epochs.flatMap { e =>
+        val keys = keyed.where(col("epoch") === e).select("key")
+        val n = keys.count()
+        mgMergeShrink(mgPartitionCounters(keys, k), k).collect()
+          .map(r => (e, batchId, n, r.getString(0), r.getLong(1)))
+      }
+      graft.core.Artifacts.stageCommit(spark, seg) { tmp =>
+        cells.toSeq.toDF("epoch", "bid", "n", "key", "cnt")
+          .coalesce(1).write.parquet(tmp)
+      }
+    } finally keyed.unpersist()
+  }
+
+  private def windowedHhCells(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, minEpoch: Long): DataFrame = {
+    graft.core.Artifacts.heal(spark, dir)
+    val segs = graft.core.Artifacts.committedChildren(spark, s"$dir/segments")
+    val basePath = new org.apache.hadoop.fs.Path(s"$dir/base")
+    val hasBase = basePath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(basePath)
+    val parts = (if (hasBase) Seq(s"$dir/base") else Nil) ++ segs
+    require(parts.nonEmpty,
+      s"windowedHhCells: $dir holds no summaries — ingest a batch first")
+    val first = spark.read.parquet(parts.head)
+    parts.tail.foldLeft(first)((acc, s) =>
+        acc.unionByName(spark.read.schema(first.schema).parquet(s)))
+      .where(col("epoch") >= minEpoch)
+  }
+
+  /** Heavy hitters of the LIVING WINDOW: candidates = the union of
+    * living cells' counter keys (recall-exact per the class scaladoc),
+    * N_w = the cells' exact per-(epoch, bid) token counts summed, exact
+    * phase = one candidate semi-join over the retained corpus `data`. */
+  def heavyHittersWindowed(data: DataFrame, key: Column, dir: String,
+                           minEpoch: Long): DataFrame = {
+    val spark = data.sparkSession
+    val k = spark.read.parquet(s"$dir/meta").head().getAs[Int]("k")
+    val cells = windowedHhCells(spark, dir, minEpoch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nW = cells.select("epoch", "bid", "n").distinct()
+        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+      val cands = cells.select("key").distinct()
+      data.select(key.cast("string").as("key"))
+        .where(col("key").isNotNull)
+        .join(cands, Seq("key"), "left_semi")
+        .groupBy("key").agg(count(lit(1)).as("n"))
+        .where(col("n") * lit(k.toLong) >= lit(nW))
+        .select(col("key"), col("n").cast("long").as("n"))
+    } finally cells.unpersist(blocking = false)
+  }
+
+  /** RETIRE epochs below `minEpoch` — the MG tier's epoch forget:
+    * surviving cells CONCATENATE into `base/` unchanged (cell identity
+    * — (epoch, bid, n) — must survive the fold so N_w stays derivable),
+    * expired cells simply do not exist in the new root, and the folded
+    * high-water advances so redelivered pre-expire batches no-op. One
+    * whole-root atomic swap, the windowed-CMS discipline verbatim. */
+  def expireWindowedHh(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, minEpoch: Long): Unit = {
+    graft.core.Artifacts.heal(spark, dir)
+    val segs = graft.core.Artifacts.committedChildren(spark, s"$dir/segments")
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (k, hw) = (meta.getAs[Int]("k"), meta.getAs[Long]("folded_hw"))
+    val basePath = new org.apache.hadoop.fs.Path(s"$dir/base")
+    val hasBase = basePath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(basePath)
+    if (segs.isEmpty && !hasBase) return
+    val newHw = (hw +: segs.map(s =>
+      new org.apache.hadoop.fs.Path(s).getName.stripPrefix("seg_").toLong)).max
+    import spark.implicits._
+    val living = windowedHhCells(spark, dir, minEpoch)
+    graft.core.Artifacts.swapInto(spark, dir) { tmp =>
+      Seq((k, newHw)).toDF("k", "folded_hw")
+        .coalesce(1).write.parquet(s"$tmp/meta")
+      living.coalesce(1).write.parquet(s"$tmp/base")
+    }
+  }
+
   def heavyHitters(df: DataFrame, key: Column, k: Int): DataFrame = {
     require(k >= 2)
     val keys = df.select(key.cast("string").as("key"))
@@ -439,9 +567,9 @@ object Profile {
     * decrements the algorithm itself performs). Counts over forgotten
     * documents persist here until a REBUILD from the primary store's
     * living view; deployments needing deletion to reach the sketch tier
-    * without full rebuilds window by epoch (the [[writeWindowedCms]]
-    * pattern applies to MG summaries verbatim: per-epoch summaries,
-    * merge-shrink only the living epochs).
+    * without full rebuilds window by epoch — [[writeWindowedHh]] is
+    * this summary's epoch-windowed counterpart (per-epoch MG cells,
+    * expired epochs physically dropped, recall bound intact).
     * The archive key stream is never re-read — per-batch cost is the
     * batch scan plus k-sized driver state. A retry after a crash is
     * harmless: the swap is all-or-nothing, so the artifact holds either

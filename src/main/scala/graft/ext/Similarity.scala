@@ -551,6 +551,29 @@ object Similarity {
     }
   }
 
+  /** One streaming micro-batch into the stored kNN graph — the K2
+    * foreachBatch entry (ret9s/sim11s/pq6s's shape on the graph tier):
+    * redelivered vectors anti-join away on id against the head
+    * version's vector copy (the id-only columnar probe of the FULL
+    * stored relation — redelivery is assumed content-identical, the
+    * shared tier contract; an id re-insert with DIFFERENT content is an
+    * update and needs a rebuild), and a batch the anti-join empties is
+    * a NO-OP — no version written — so at-least-once redelivery neither
+    * double-inserts nor churns version history. A surviving remainder
+    * appends through [[appendToKnnGraph]], whose duplicate-id guard is
+    * then vacuous by construction (its tombstone guards still apply). */
+  def ingestKnnBatch(batch: DataFrame, idCol: String, vecCol: String,
+                     dir: String): Unit = {
+    val spark = batch.sparkSession
+    val head = knnHeadDir(spark, dir)
+    val fresh = batch.join(
+      spark.read.parquet(s"$head/vectors")
+        .select(col("id").cast("long").as("graft_seen")),
+      batch(idCol).cast("long") === col("graft_seen"), "left_anti")
+    if (fresh.isEmpty) return
+    appendToKnnGraph(fresh, idCol, vecCol, dir)
+  }
+
   /** The stored graph's HEAD version, read back in [[knnGraphExact]]'s
     * output contract (rank ordinals re-derived from the stored UNROUNDED
     * cosines under the same order; rounding applied here, once).

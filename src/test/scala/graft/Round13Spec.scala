@@ -206,6 +206,39 @@ class Round13Spec extends SparkSpec {
     assert(got == want, "incremental dmin must not change the trajectory")
   }
 
+  // ---------------------------------------------- dedup as-of (inc7)
+
+  test("dedup fps store: pinned reads, folded pins fail loudly, compact view-equal") {
+    val docs = (0L until 15L).map(i => (i, s"text body number ${i % 12}"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("inc7-spec") + "/idx"
+    ext.Dedup.writeBloomIndex(docs.where($"doc_id" < 10), "text", dir) // v0
+    ext.Dedup.appendToBloomIndex(docs.where($"doc_id" >= 10), "text", dir) // v1
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // head: every text is archived (ids 0..9 cover texts %12 in 0..9;
+    // 10..14 cover 10, 11, 0, 1, 2) → resubmissions all drop
+    val headKept = kept(ext.Dedup.dedupIncrementalBloomFromIndex(
+      docs, "doc_id", "text", dir))
+    assert(headKept.isEmpty, s"head archive covers all texts: $headKept")
+    // pinned v0: the appended batch's NEW texts (10, 11) must survive
+    val v0Kept = kept(ext.Dedup.dedupIncrementalBloomFromIndexAsOf(
+      docs, "doc_id", "text", dir, asOf = 0L))
+    assert(v0Kept == Set(10L, 11L),
+      s"v0 pin dedups against the day-one archive only: $v0Kept")
+    ext.Dedup.compactBloomIndex(spark, dir)
+    // head view unchanged by the fold
+    assert(kept(ext.Dedup.dedupIncrementalBloomFromIndex(
+      docs, "doc_id", "text", dir)) == headKept)
+    // the folded pin fails loudly; the floor version still answers
+    assert(intercept[IllegalArgumentException] {
+      ext.Dedup.fpsRelationAsOf(spark, dir, 0L).collect()
+    }.getMessage.contains("folded"))
+    assert(kept(ext.Dedup.dedupIncrementalBloomFromIndexAsOf(
+      docs, "doc_id", "text", dir, asOf = 1L)) == headKept,
+      "the floor version reads the folded base")
+  }
+
   // --------------------------------------------- windowed CMS (cms3)
 
   test("windowed CMS: expire physically drops epoch mass; redeliveries no-op") {
@@ -237,6 +270,40 @@ class Round13Spec extends SparkSpec {
     // a genuinely new batch still lands
     ext.Profile.ingestWindowedCmsBatch(batch(3L), $"key", $"epoch", dir, 3L)
     assert(counters(1L) != win12, "a fresh batch id must land")
+  }
+
+  test("windowed MG: window heavy hitters exact under expire + redelivery (fuzzed)") {
+    val rnd = new scala.util.Random(23)
+    // zipf-ish keys so decrements actually fire at k = 5
+    val rows = (0 until 1200).map { i =>
+      val e = i % 4L
+      // one planted ~30% hot key above the n/5 threshold; a 40-key
+      // uniform tail forces real MG decrements at k = 5
+      val key = if (rnd.nextInt(10) < 3) "hot" else s"k${rnd.nextInt(40)}"
+      (e, key)
+    }
+    val df = rows.toDF("epoch", "key")
+    val dir = tmpDir("hh2-spec") + "/hh"
+    ext.Profile.writeWindowedHh(spark, dir, k = 5)
+    for (e <- 0L to 3L)
+      ext.Profile.ingestWindowedHhBatch(df.where($"epoch" === e),
+        $"key", $"epoch", dir, e)
+    ext.Profile.ingestWindowedHhBatch(df.where($"epoch" === 2L),
+      $"key", $"epoch", dir, 2L) // redelivery
+    ext.Profile.expireWindowedHh(spark, dir, minEpoch = 1L)
+    ext.Profile.ingestWindowedHhBatch(df.where($"epoch" === 0L),
+      $"key", $"epoch", dir, 0L) // folded id
+    val retained = df.where($"epoch" >= 1L)
+    val got = ext.Profile.heavyHittersWindowed(retained, $"key", dir,
+        minEpoch = 1L)
+      .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val nW = retained.count()
+    val want = retained.groupBy("key").agg(count(lit(1)).as("n"))
+      .where($"n" * 5 >= nW).orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(want.nonEmpty, "fixture must produce at least one heavy hitter")
+    assert(got == want,
+      "windowed MG must equal the exact HAVING set over the living window")
   }
 
   test("kcenter: k beyond the distinct-vector count fails loudly") {
