@@ -135,9 +135,14 @@ object Clustering {
     * the quadratic term dominates; this is the repo's incremental-
     * relabel discipline applied to distances). min over a set ≡ a fold
     * of pairwise mins and every distance is integer-exact, so the
-    * trajectory is unchanged. Each round's frame persists and the
-    * grandparent releases only after the fold materializes (the
-    * eager-round loop the kcore1 profiling picked). Driver state = k·dim
+    * trajectory is unchanged. Each round's frame materializes through
+    * an EAGER localCheckpoint, not a persist chain: chained
+    * cached-on-cached plans re-canonicalize their whole ancestry on
+    * every cache lookup and the per-round cost DOUBLES (measured:
+    * 0.25 s/round at r≤10 → 5.9 s at r=16 with a persist chain;
+    * flat ~0.25 s with checkpoint truncation — the clusterRoots
+    * localCheckpoint lesson, here at every round because the frame is
+    * the loop's entire state). Driver state = k·dim
     * longs, the km1 budget; the training cache releases before the
     * assignment pass, which is a pure projection over the raw corpus
     * (the kmeansAssign shape). k must not exceed the DISTINCT-vector
@@ -152,38 +157,29 @@ object Clustering {
         col(idCol).cast("long").as("vec_id"),
         quantize(col(vecCol), scale).as("qv")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var cur: DataFrame = null     // running (vec_id, qv, dmin), persisted
-    var older: DataFrame = null   // cur's parent — releases after cur acts
     val centers = try {
       val first = q.orderBy("vec_id").limit(1).collect()(0)
       var cs = Vector((first.getLong(0), first.getSeq[Long](1).toArray))
-      cur = q.select(col("vec_id"), col("qv"),
+      // eager checkpoint: one distance kernel materializes NOW, the
+      // lineage truncates to a LogicalRDD (O(1) plan depth per round)
+      var cur = q.select(col("vec_id"), col("qv"),
           centroidDists(col("qv"), Seq(cs.head._2)).head.as("dmin"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      older = q
+        .localCheckpoint()
       for (_ <- 2 to k) {
-        // ONE action: materializes cur (one distance kernel vs the ONE
-        // newest center, read from the cached parent), then TakeOrdered
         val next = cur.orderBy(col("dmin").desc, col("vec_id").asc)
           .limit(1).collect()(0)
-        older.unpersist(blocking = false)
-        older = cur
         require(next.getLong(2) > 0L,
           s"kcenterGonzalez: max min-distance is 0 after ${cs.size} " +
             s"centers — k=$k exceeds the distinct-vector count; every " +
             "further center would duplicate an existing one")
         cs = cs :+ ((next.getLong(0), next.getSeq[Long](1).toArray))
-        cur = older.select(col("vec_id"), col("qv"),
+        cur = cur.select(col("vec_id"), col("qv"),
             least(col("dmin"),
               centroidDists(col("qv"), Seq(cs.last._2)).head).as("dmin"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint() // superseded round RDDs reclaim via the cleaner
       }
       cs
-    } finally {
-      q.unpersist(blocking = false)
-      if (cur != null) cur.unpersist(blocking = false)
-      if (older != null) older.unpersist(blocking = false)
-    }
+    } finally q.unpersist(blocking = false)
     val base = graft.core.Par.fanOut(df.select(
       col(idCol).cast("long").as("vec_id"),
       quantize(col(vecCol), scale).as("qv2")))
