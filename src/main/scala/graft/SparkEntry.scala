@@ -1306,6 +1306,20 @@ object SparkEntry {
         floor(col("value") * lit(1000000d)).cast("long"))
     }),
 
+    // ben1: BENFORD FIRST-DIGIT audit of line-item amounts — the classic
+    // fabricated/synthetic/unit-corrupted-data screen next to ks1/qq1
+    // (those test two samples against each other; Benford tests ONE
+    // sample against the law naturally-occurring multi-magnitude
+    // quantities follow). First digit = the positive BIGINT cents'
+    // decimal string head (no logarithm near data); expected shares are
+    // driver-computed micro literals interpolated into BOTH engines
+    // (the ndcg1 device); a 9-row spine keeps zero-count digits visible
+    // (Stats.benfordDigits scaladoc; loud 9e12 overflow guard).
+    "ben1_benford_digits" -> ((s, d) =>
+      graft.queries.Stats.benfordDigits(Tables.lineitem(s, d),
+          round(col("l_extendedprice") * 100).cast("long"))
+        .orderBy("digit")),
+
     // qn1: QUANTILE NORMALIZATION of order totals across order-status
     // groups — each row's value replaced by the POOLED distribution's
     // value at the same within-group quantile (integer target ranks,
@@ -5920,6 +5934,30 @@ object SparkEntry {
            | CAST(d.cumb AS BIGINT) AS cum_b, CAST(d.dnum AS BIGINT) AS d_num
            |FROM d, t ORDER BY d.dnum DESC, d.v ASC
            |LIMIT 1""".stripMargin.replace("\n", " ")),
+      // ben1: identical string-head first digit, the SAME driver-computed
+      // expected-share micro literals interpolated into both engines (no
+      // logarithm runs in either graded path), truncating micro share on
+      // non-negatives (// ≡ div), digit spine keeps zero-count rows
+      "ben1_benford_digits" -> {
+        val em = (1 to 9).map(dd =>
+          math.floor(1e6 * math.log10(1.0 + 1.0 / dd)).toLong)
+        (s"""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           |  FROM lineitem WHERE round(l_extendedprice * 100) > 0),
+           |o AS (SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           |  COUNT(*) AS obs FROM v GROUP BY 1),
+           |nt AS (SELECT COALESCE(SUM(obs), 0) AS n FROM o),
+           |e AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+           |  unnest([${em.mkString(",")}]) AS exp_micro),
+           |j AS (SELECT e.digit, COALESCE(o.obs, 0) AS obs, e.exp_micro,
+           |  CASE WHEN nt.n > 0
+           |   THEN (COALESCE(o.obs, 0) * 1000000) // nt.n ELSE 0 END AS sh
+           | FROM e LEFT JOIN o ON e.digit = o.digit, nt)
+           |SELECT digit, CAST(obs AS BIGINT) AS obs,
+           | CAST(sh AS BIGINT) AS share_micro,
+           | CAST(exp_micro AS BIGINT) AS exp_micro,
+           | CAST(sh - exp_micro AS BIGINT) AS dev_micro
+           |FROM j ORDER BY digit""".stripMargin.replace("\n", " "))
+      },
       // qn1: the oracle may state the per-group window directly; the
       // target rank is the identical exact-integer ceil
       "qn1_quantile_normalize" ->

@@ -359,6 +359,56 @@ object Stats {
     * frame and join back group-keyed (AQE broadcasts the |groups|-row
     * side). Null values are excluded up front (the engines disagree on
     * NULL sort position — the equiDepthHistogram lesson). */
+  /** BENFORD FIRST-DIGIT audit of a positive integer measure — the
+    * classic screen for fabricated, synthetic, or unit-corrupted numeric
+    * data (naturally-occurring multi-magnitude quantities put digit d
+    * first with probability log₁₀(1 + 1/d); fraud, copy-paste fill and
+    * generator artifacts flatten or spike the curve). Per digit 1–9:
+    * observed count, the truncated-micro observed share, the expected
+    * micro share, and their signed difference — the report row a
+    * data-quality dashboard thresholds.
+    *
+    * Determinism: the first digit of a positive BIGINT is its decimal
+    * string's first character (no logarithm anywhere near data); the
+    * EXPECTED shares are ⌊10⁶·log₁₀(1+1/d)⌋ computed ONCE on the driver
+    * and interpolated into BOTH engines as literals (the ndcg1 device —
+    * no engine evaluates a log in the graded path); share = truncating
+    * obs·10⁶/n on non-negatives (Spark div ≡ DuckDB //); the deviation
+    * is a plain integer subtraction. A 9-row digit spine LEFT-joins the
+    * counts so absent digits report 0 (an audit that dropped the
+    * zero-count digit would hide the anomaly). obs·10⁶ stays in BIGINT
+    * while n ≤ 9·10¹²; a larger corpus fails LOUDLY (the cohensKappa
+    * discipline).
+    *
+    * Shape at scale: one digit-keyed map-side-combined aggregate (≤ 9
+    * groups at any corpus size) against a 9-row literal spine. */
+  def benfordDigits(df: DataFrame, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expMicro = (1 to 9).map(d =>
+      (d, math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong))
+    val obs = df.select(value.cast("long").as("v"))
+      .where(col("v") > 0L)
+      .select(substring(col("v").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("obs"))
+    val n = obs.agg(coalesce(sum(col("obs")), lit(0L)).as("n"))
+    val nG = when(col("n") > 9000000000000L, raise_error(lit(
+      "graft benfordDigits: corpus exceeds 9e12 rows — exact BIGINT " +
+        "micro shares would overflow; shard the audit"))
+      .cast("long")).otherwise(col("n"))
+    expMicro.toDF("digit", "exp_micro")
+      .join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("digit"),
+        coalesce(col("obs"), lit(0L)).as("obs"),
+        when(nG > 0L, call_function("div",
+            coalesce(col("obs"), lit(0L)) * lit(1000000L), nG))
+          .otherwise(lit(0L)).as("share_micro"),
+        col("exp_micro"))
+      .withColumn("dev_micro", col("share_micro") - col("exp_micro"))
+  }
+
   def winsorizedStats(df: DataFrame, key: Column, id: Column, value: Column,
                       loPct: Int = 5, hiPct: Int = 95,
                       maxGroups: Int = 4096): DataFrame = {
