@@ -357,6 +357,44 @@ object Dedup {
     } finally bfp.unpersist()
   }
 
+  /** One streaming micro-batch into the stored bloom+fps index — the K2
+    * foreachBatch entry for the dedup tier (ret9s/sim11s/pq6s/knn5s's
+    * shape): idempotence is CONTENT-KEYED — the fingerprint IS this
+    * tier's natural key, so the batch's fingerprints anti-join the
+    * stored relation first and a fully-redelivered batch adds NO
+    * segment and NO bits (cleaner than [[appendToBloomIndex]]'s
+    * absorb-duplicates contract, which is result-invariant but would
+    * let redelivery pollute the as-of version history). Crash ordering
+    * is the append's: the merged bloom commits FIRST (extra bits are
+    * only false positives; the reverse order could leave a recorded
+    * fingerprint the filter misses — a false negative), and a crash
+    * between the two re-runs cleanly because the fps anti-join still
+    * sees the fingerprints absent. */
+  def ingestBloomBatch(batch: DataFrame, textCol: String,
+                       dir: String): Unit = {
+    val spark = batch.sparkSession
+    val (numBits, numHashes, stored) = readBloomArtifact(spark, dir)
+    val nSegs = graft.core.Artifacts
+      .committedChildren(spark, s"$dir/segments", sweepStale = true).size
+    val bfp = graft.core.Par.fanOut(batch.select(col(textCol).as("text")))
+      .select(TextAnalysis.fingerprint(col("text")).as("content_fp"))
+      .where(col("content_fp").isNotNull)
+      .join(fpsRelation(spark, dir), Seq("content_fp"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (bfp.isEmpty) return // fully-redelivered batch: artifact untouched
+      val add = bloomOfFps(bfp, numBits, numHashes)
+      val merged = stored.clone()
+      var i = 0
+      while (i < merged.length) { merged(i) = (merged(i) | add(i)).toByte; i += 1 }
+      writeBloomArtifact(spark, merged, numBits, numHashes, dir)
+      graft.core.Artifacts.stageCommit(spark,
+          f"$dir/segments/seg_$nSegs%06d_${java.util.UUID.randomUUID}") { tmp =>
+        bfp.write.parquet(tmp)
+      }
+    } finally bfp.unpersist()
+  }
+
   /** Amortized fold of the fp segment history into the base — ONE
     * whole-root atomic swap (the compactIvfIndex discipline: segments do
     * not exist in the new root, the as-of floor advances atomically with

@@ -239,6 +239,31 @@ class Round13Spec extends SparkSpec {
       "the floor version reads the folded base")
   }
 
+  test("bloom ingest: fully-redelivered batch touches neither artifact") {
+    val docs = (0L until 12L).map(i => (i, s"unique body ${i}"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("bf3s-spec") + "/idx"
+    ext.Dedup.writeBloomIndex(docs.where($"doc_id" < 4), "text", dir)
+    def segs() = new java.io.File(s"$dir/segments").listFiles() match {
+      case null => Seq.empty
+      case fs => fs.map(_.getName).filterNot(_.endsWith("__tmp")).sorted.toSeq
+    }
+    def bloomBytes() = spark.read.parquet(s"$dir/bloom")
+      .head().getAs[Array[Byte]](2).toSeq
+    val batchA = docs.where($"doc_id" >= 4 && $"doc_id" < 8)
+    ext.Dedup.ingestBloomBatch(batchA, "text", dir)
+    val (s1, b1) = (segs(), bloomBytes())
+    assert(s1.size == 1, "first ingest lands one segment")
+    ext.Dedup.ingestBloomBatch(batchA, "text", dir) // full redelivery
+    assert(segs() == s1, "a redelivered batch must not add a segment")
+    assert(bloomBytes() == b1, "a redelivered batch must not set bits")
+    // partial overlap: only the genuinely-new fingerprints land
+    ext.Dedup.ingestBloomBatch(docs.where($"doc_id" >= 6), "text", dir)
+    assert(segs().size == 2, "the overlap batch lands one segment")
+    val stored = ext.Dedup.fpsRelation(spark, dir).count()
+    assert(stored == 12L, s"4 base + 4 + 4 new fps, got $stored")
+  }
+
   // --------------------------------------------- windowed CMS (cms3)
 
   test("windowed CMS: expire physically drops epoch mass; redeliveries no-op") {
