@@ -380,9 +380,14 @@ object Stats {
     * while n ≤ 9·10¹²; a larger corpus fails LOUDLY (the cohensKappa
     * discipline).
     *
-    * Shape at scale: one digit-keyed map-side-combined aggregate (≤ 9
-    * groups at any corpus size) against a 9-row literal spine. */
+    * Shape at scale: ONE corpus scan into a digit-keyed map-side-combined
+    * aggregate (≤ 9 groups at any corpus size) against a 9-row literal
+    * spine; the total derives as a window over the 9-row joined frame —
+    * a separate total aggregate would re-scan the corpus (its exchange
+    * is not reused: the two consumers' subplans diverge — the x2/q20
+    * lesson, applied at authoring time). */
   def benfordDigits(df: DataFrame, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
     val expMicro = (1 to 9).map(d =>
@@ -392,18 +397,22 @@ object Stats {
       .select(substring(col("v").cast("string"), 1, 1).cast("int")
         .as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("obs"))
-    val n = obs.agg(coalesce(sum(col("obs")), lit(0L)).as("n"))
-    val nG = when(col("n") > 9000000000000L, raise_error(lit(
+    // the all-rows window runs on the 9-row joined frame (single
+    // reducer over ≤ 9 rows — not the qn1 giant-group shape)
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val nCol = sum(col("obs")).over(wAll)
+    val nG = when(nCol > 9000000000000L, raise_error(lit(
       "graft benfordDigits: corpus exceeds 9e12 rows — exact BIGINT " +
         "micro shares would overflow; shard the audit"))
-      .cast("long")).otherwise(col("n"))
+      .cast("long")).otherwise(nCol)
     expMicro.toDF("digit", "exp_micro")
       .join(obs, Seq("digit"), "left")
-      .crossJoin(broadcast(n))
-      .select(col("digit"),
-        coalesce(col("obs"), lit(0L)).as("obs"),
+      .select(col("digit"), coalesce(col("obs"), lit(0L)).as("obs"),
+        col("exp_micro"))
+      .select(col("digit"), col("obs"),
         when(nG > 0L, call_function("div",
-            coalesce(col("obs"), lit(0L)) * lit(1000000L), nG))
+            col("obs") * lit(1000000L), nG))
           .otherwise(lit(0L)).as("share_micro"),
         col("exp_micro"))
       .withColumn("dev_micro", col("share_micro") - col("exp_micro"))
