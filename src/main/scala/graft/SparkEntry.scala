@@ -2428,6 +2428,17 @@ object SparkEntry {
     "js1_source_jsd" -> ((s, d) =>
       TextAnalysis.sourceTokenJsd(Tables.documents(s, d), "text", "source")),
 
+    // gini1: GINI COEFFICIENT of the token-frequency distribution — the
+    // vocabulary-inequality statistic next to zipf1 (head exponent) and
+    // bal1 (source-level HHI): whole-distribution concentration in
+    // [0, 1), flagging template/boilerplate corpora whose token mass
+    // sits in a tiny head. Ranks from the two-phase global ordinals
+    // (never a single-reducer vocabulary sort), moments in exact
+    // DECIMAL(38,0), one truncating micro division on non-negatives
+    // (TextAnalysis.tokenGini scaladoc).
+    "gini1_token_gini" -> ((s, d) =>
+      TextAnalysis.tokenGini(Tables.documents(s, d), "text")),
+
     // bal1: CORPUS SOURCE-BALANCE report — the concentration summary a
     // mixture designer reads before setting mix1's temperature: per-source
     // token shares reduced to the Herfindahl index and its reciprocal,
@@ -7558,6 +7569,21 @@ object SparkEntry {
            |    AS DECIMAL(30,6)) AS DOUBLE)) / CAST(nb AS DOUBLE)) * 0.5, 6)
            |  AS jsd
            |FROM g ORDER BY source""".stripMargin.replace("\n", " ")),
+      // gini1: identical ascending (x, term) ranks (the window states
+      // the ordinal contract directly), HUGEINT moments ≡ the engine's
+      // DECIMAL(38,0), one // ≡ div micro quotient on non-negatives,
+      // final casts back to BIGINT (the ts2 gotcha)
+      "gini1_token_gini" ->
+        (s"""WITH tf AS (SELECT t AS term, COUNT(*) AS x
+           | FROM (SELECT unnest($toksSql) AS t FROM documents)
+           | WHERE t IS NOT NULL AND t <> '' GROUP BY 1),
+           |r AS (SELECT x, row_number() OVER (ORDER BY x, term) AS i FROM tf),
+           |a AS (SELECT COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS sx,
+           |  SUM(i::HUGEINT * x) AS six FROM r)
+           |SELECT CAST(n AS BIGINT) AS n_terms, CAST(sx AS BIGINT) AS n_tokens,
+           | CAST(((2 * six - (n + 1) * sx) * 1000000) // (n * sx) AS BIGINT)
+           |  AS gini_micro
+           |FROM a""".stripMargin.replace("\n", " ")),
       // bal1: identical truncated micro shares, identical truncation
       // order for HHI and the effective count — all non-negative, so
       // DuckDB // (floor) ≡ Spark div (trunc)

@@ -951,6 +951,50 @@ object TextAnalysis {
       .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
   }
 
+  /** GINI COEFFICIENT of the token-frequency distribution — the
+    * vocabulary-inequality statistic corpus reports print next to the
+    * Zipf slope (zipf1 fits the power-law EXPONENT over the head; Gini
+    * summarizes the WHOLE distribution's concentration in [0, 1)) and
+    * bal1's source-level HHI (that measures concentration across
+    * SOURCES; this across the vocabulary — a near-1 Gini flags a corpus
+    * whose token mass sits in a tiny vocabulary head, boilerplate or
+    * template spam). G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over
+    * frequencies sorted ASCENDING.
+    *
+    * Exactness: ranks come from the range-partitioned two-phase global
+    * ordinals ([[graft.ext.Curation.globalOrdinals]] — never a
+    * single-reducer vocabulary sort; the (x, term) composite is unique
+    * so ranks are engine-deterministic, and within an equal-x run the
+    * rank permutation cannot change Σ i·xᵢ anyway), the three moments
+    * ride DECIMAL(38,0) (i·x products exceed BIGINT at ~10¹³ corpus
+    * tokens — the crossCorr widening), and the emitted value is ONE
+    * truncating micro division on non-negative integers (ascending
+    * order makes 2Σi·xᵢ ≥ (n+1)Σx by the Chebyshev sum inequality, so
+    * Spark div ≡ DuckDB //). Output: 1 row (n_terms, n_tokens,
+    * gini_micro). */
+  def tokenGini(df: DataFrame, textCol: String): DataFrame = {
+    val tf = graft.core.Par.fanOut(df.select(tokens(col(textCol)).as("toks")))
+      .select(explode_outer(col("toks")).as("term"))
+      .where(col("term").isNotNull && col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("x"))
+    val (ranked, release) = Curation.globalOrdinalsManaged(
+      tf, Seq(col("x"), col("term")))
+    try {
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      ranked.agg(count(lit(1)).as("n"),
+          sum(dec(col("x"))).as("sx"),
+          sum(dec(col("ordinal")) * dec(col("x"))).as("six"))
+        .select(col("n").as("n_terms"), col("sx").cast("long").as("n_tokens"),
+          call_function("div",
+            (dec(lit(2L)) * col("six") - dec(col("n") + 1L) * col("sx")) *
+              dec(lit(1000000L)),
+            dec(col("n")) * col("sx")).as("gini_micro"))
+        // the bounded 1-row result materializes before the ordinal cache
+        // releases (localCheckpoint is eager)
+        .localCheckpoint()
+    } finally release()
+  }
+
   /** Per-term corpus statistics: document frequency (distinct docs
     * containing the term) and total term frequency. The unit the
     * incremental-maintenance path stores per corpus snapshot. */
