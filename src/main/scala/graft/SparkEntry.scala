@@ -2745,6 +2745,40 @@ object SparkEntry {
         .orderBy("tok")
     }),
 
+    // cms4: windowed-CMS TIME TRAVEL — the one segmented family that had
+    // no as-of verb (round-13 verdict #3): the per-epoch counter
+    // segments were already batch-id-named committed prefixes, so the
+    // shared Artifacts.segmentsAsOf rule lifts directly. Three daily
+    // batches land (versions 1..3); the graded read PINS version 2 —
+    // epochs {0,1} — so yesterday's drift report is re-derived bit-
+    // identically AFTER today's (version-3) ingest, which must be
+    // invisible to the pin. Expire advances the floor atomically with
+    // the fold and folded pins fail loudly (Round14Spec pins both).
+    // Oracle: exact counts + sha-bucketed estimates over the version-2
+    // population only.
+    "cms4_windowed_asof" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def toks(df: org.apache.spark.sql.DataFrame) =
+        Par.fanOut(df.select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok")))
+          .where(col("tok") =!= "")
+      val dir = graft.core.Scratch.dir("cms4-") + "/sketch"
+      ext.Profile.writeWindowedCms(s, dir)
+      for (e <- 0 to 2)
+        ext.Profile.ingestWindowedCmsBatch(
+          toks(docs.where(col("doc_id") % 3 === e)), col("tok"),
+          col("doc_id") % 3, dir, batchId = e.toLong)
+      val pinnedPop = toks(docs.where(col("doc_id") % 3 < 2))
+      val tf = pinnedPop.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+      val probes = tf.orderBy(col("true_cnt").desc, col("tok").asc).limit(20)
+      ext.Profile.cmsEstimateWindowedAsOf(s, dir, probes, "tok",
+          minEpoch = 0L, asOf = 2L)
+        .join(probes, col("k") === col("tok"))
+        .select(col("tok"), col("true_cnt"), col("est"),
+          (col("est") - col("true_cnt")).as("overcount"))
+        .orderBy("tok")
+    }),
+
     // hh2: EPOCH-WINDOWED heavy hitters — cms3's forget discipline on
     // the MG tier, so the sketch family's epoch-window story is graded
     // on BOTH counter kinds: three daily batches land per-epoch MG
@@ -2776,6 +2810,29 @@ object SparkEntry {
       ext.Profile.heavyHittersWindowed(
           toks0.where(col("doc_id") % 3 =!= 0), col("token"), dir,
           minEpoch = 1L)
+        .select(col("key").as("token"), col("n"))
+        .orderBy("token")
+    }),
+
+    // hh3: cms4's time travel on the MG tier — both windowed counter
+    // kinds carry the as-of verb, not one by analogy (the hh2/cms3
+    // pairing rule). Three daily batches, pin version 2 (epochs {0,1})
+    // after the version-3 ingest landed; the exact phase recounts the
+    // PINNED corpus slice, so the report equals what it would have said
+    // yesterday. Oracle: hh1's HAVING set over the pinned population.
+    "hh3_windowed_asof" -> ((s, d) => {
+      val toks0 = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val dir = graft.core.Scratch.dir("hh3-") + "/hh"
+      ext.Profile.writeWindowedHh(s, dir, k = 200)
+      for (e <- 0 to 2)
+        ext.Profile.ingestWindowedHhBatch(
+          toks0.where(col("doc_id") % 3 === e), col("token"),
+          col("doc_id") % 3, dir, batchId = e.toLong)
+      ext.Profile.heavyHittersWindowedAsOf(
+          toks0.where(col("doc_id") % 3 < 2), col("token"), dir,
+          minEpoch = 0L, asOf = 2L)
         .select(col("key").as("token"), col("n"))
         .orderBy("token")
     }),
@@ -3008,6 +3065,161 @@ object SparkEntry {
       }
       ext.Forget.applyTombstones(s.read.parquet(arch), "doc_id", tomb)
         .select("doc_id").orderBy("doc_id")
+    }),
+
+    // del3s: STREAMING takedown into a STORED INDEX tier — del2s drove
+    // the takedown stream into the document archive's tombstone store
+    // (a pure set union, redelivery-safe for free); this drives it into
+    // the HARDEST derived artifact (round-13 verdict #1): the kNN
+    // graph's forget WRITES a repair version, so redelivered requests
+    // must be VERSION-idempotent, not merely view-idempotent. That
+    // falls out of the repair's no-op rule — a retried request finds
+    // every tombstone already absent from the head and writes no
+    // version (Similarity.repairKnnGraph; Round14Spec pins the version
+    // count) — while the tombstone append itself stays a set. Slice 1
+    // re-delivers every slice-0 request plus the rest (the
+    // at-least-once worst case, full overlap). Oracle = knn1's
+    // from-scratch build over corpus-minus-all-requested (knn3's
+    // verbatim — the stream-driven forget must land exactly where the
+    // batch verb does).
+    "del3s_stream_index_forget" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir0 = graft.core.Scratch.dir("del3s-")
+      val idx = s"$dir0/graph_art"
+      Similarity.writeKnnGraph(emb, "vec_id", "embedding", idx, k = 3)
+      val reqs = emb.where(col("vec_id") % 5 === 2).select("vec_id")
+      val s0 = reqs.where(pmod(col("vec_id"), lit(10)) === 2)
+      val s1 = reqs // slice 0's requests redelivered in full + the rest
+      graft.streaming.Replay.slicedSourceReplay(s, Seq(s0, s1),
+          "vec_id BIGINT", "del3s-") { (src, dir) =>
+        graft.core.Sinks.foreachBatchSink(src, s"$dir/ckpt") { (b, _) =>
+          Similarity.forgetFromKnnGraph(b, "vec_id", idx)
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      Similarity.knnGraphFromIndex(s, idx)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // pipe1s: ONE COMPOSED ARTIFACT PIPELINE end-to-end (round-13
+    // verdict #7) — the per-tier verb matrices are complete; this row
+    // grades their COMPOSITION, the 100 TB production shape: one
+    // foreachBatch per micro-batch runs ingest → content dedup against
+    // the stored bloom+fps archive → curation screen → postings + IVF +
+    // kNN maintenance, with a takedown firing MID-STREAM (inside batch
+    // 1, while batch 2 is still to come), and the graded answer reads
+    // from all three index artifacts at once. The redelivery worst case
+    // rides along: batch 1 re-delivers every batch-0 document in full
+    // PLUS planted content-duplicates under fresh ids (+1e6) — the one
+    // class only the CONTENT screen can stop (every tier's internal id
+    // anti-join would admit them), so a green row proves the dedup
+    // stage actually gates the index tiers; batch 1 must leave every
+    // artifact's version history untouched (Round14Spec pins the
+    // segment counts). Curation = lang/length screen applied uniformly
+    // at build and stream time; the takedown set lives entirely in the
+    // build population, so no later batch can resurrect it; the batch-2
+    // appends after the takedown exercise every tier's append-after-
+    // forget seam (kNN's loud-guard path included). Oracle: three-leg
+    // UNION — ret1's BM25, sim7's IVF pipeline and knn1's graph, each
+    // derived by guarded substitution over the curated post-takedown
+    // population.
+    "pipe1s_composed_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val rec = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("lang"), col("n_chars"),
+          col("label"), col("embedding"))
+      val curatedP = col("lang") =!= "zh" && col("n_chars") >= 100
+      val dir0 = graft.core.Scratch.dir("pipe1s-")
+      val bloomDir = s"$dir0/dedup"; val postDir = s"$dir0/postings"
+      val ivfDir = s"$dir0/ivf"; val knnDir = s"$dir0/knn"
+      // build tier: the dedup archive seeds with EVERYTHING previously
+      // ingested (pre-curation — re-arrivals must dedup away even if
+      // they failed the screen); the index tiers hold only curated docs
+      val build = rec.where(col("doc_id") % 4 =!= 1)
+      Dedup.writeBloomIndex(build, "text", bloomDir)
+      val curBuild = build.where(curatedP)
+      ext.Retrieval.writePostingsIndex(curBuild, "doc_id", "text", postDir)
+      Similarity.writeIvfIndex(curBuild, "doc_id", "embedding", "label",
+        ivfDir)
+      Similarity.writeKnnGraph(curBuild, "doc_id", "embedding", knnDir,
+        k = 3)
+      val takedown = curBuild.where(col("doc_id") % 7 === 3)
+        .select("doc_id")
+      val q = rec.where(col("doc_id") % 4 === 1)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+          col("embedding"))
+      val s0 = q.where(pmod(col("doc_id"), lit(8)) === 1)
+      val s1 = s0.unionByName(s0.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"),
+        col("n_chars"), col("embedding"))) // full redelivery + content dups
+      val s2 = q.where(pmod(col("doc_id"), lit(8)) === 5)
+      graft.streaming.Replay.slicedSourceReplay(s, Seq(s0, s1, s2),
+          "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT, " +
+            "embedding ARRAY<FLOAT>", "pipe1s-") { (src, dir) =>
+        graft.core.Sinks.foreachBatchSink(src, s"$dir/ckpt") { (b, bid) =>
+          // content screen FIRST, and materialized BEFORE the store
+          // ingests this batch's fingerprints — the admitted set is
+          // lazy over fpsRelation, so evaluating it after the ingest
+          // would see the batch's own fps and admit nothing
+          val fresh = Dedup.dedupIncrementalBloomFromIndex(
+            b, "doc_id", "text", bloomDir).select("doc_id")
+          val adm = b.join(fresh, Seq("doc_id"), "left_semi")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            adm.count() // force: see the pre-ingest store state
+            Dedup.ingestBloomBatch(b, "text", bloomDir)
+            val cur = adm.where(curatedP)
+            // an emptied batch (full redelivery) must write NO segment
+            // and NO version anywhere — the guards keep the postings/
+            // IVF histories clean; ingestKnnBatch no-ops internally
+            if (!cur.isEmpty) {
+              ext.Retrieval.appendToPostingsIndex(cur, "doc_id", "text",
+                postDir)
+              Similarity.appendToIvfIndex(cur, "doc_id", "embedding",
+                ivfDir)
+              Similarity.ingestKnnBatch(cur, "doc_id", "embedding", knnDir)
+            }
+          } finally adm.unpersist(blocking = false)
+          if (bid == 1L) { // takedown MID-STREAM: batch 2 still to come
+            ext.Retrieval.forgetFromPostingsIndex(takedown, "doc_id",
+              postDir)
+            Similarity.forgetFromIvfIndex(takedown, "doc_id", ivfDir)
+            Similarity.forgetFromKnnGraph(takedown, "doc_id", knnDir)
+          }
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      // survivor-exact df for BM25 (the ret7 rule: pre-compact keeps
+      // Lucene's docFreq-includes-deletions semantics)
+      ext.Retrieval.compactPostingsIndex(s, postDir)
+      val bm = ext.Retrieval.bm25TopKFromIndex(s,
+          Seq(0 -> Seq("spark", "join", "table"),
+            1 -> Seq("hash", "merge", "sort"),
+            2 -> Seq("stream", "window", "batch")), postDir, k = 5)
+        .select(lit("bm25").as("tier"),
+          col("query_id").cast("long").as("qid"),
+          col("rk").cast("long").as("rank"), col("doc_id").as("item"),
+          col("score"))
+      val ivfAns = Similarity.ivfQuantizedTopKFromIndex(
+          s.read.parquet(s"$ivfDir/centroids"),
+          Similarity.ivfLivingIndex(s, ivfDir),
+          emb.select(col("vec_id"), col("embedding").as("v")),
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 3, shortlist = 30)
+        .select(lit("ivf").as("tier"),
+          col("query_id").cast("long").as("qid"),
+          col("rank").cast("long").as("rank"),
+          col("neighbor_id").as("item"), col("cos").as("score"))
+      val knnAns = Similarity.knnGraphFromIndex(s, knnDir)
+        .select(lit("knn").as("tier"),
+          col("query_id").cast("long").as("qid"),
+          col("rank").cast("long").as("rank"),
+          col("neighbor_id").as("item"), col("cos").as("score"))
+      bm.unionByName(ivfAns).unionByName(knnAns)
+        .orderBy("tier", "qid", "rank")
     }),
 
     // bf1: inc1's fixture through the BLOOM-pruned archive check — the
@@ -7795,6 +8007,9 @@ object SparkEntry {
       // all over the surviving population; a green row proves the
       // expired epoch is gone from both the summary and the threshold
       "hh2_windowed_hh" -> hh1SqlOver(" WHERE doc_id % 3 <> 0"),
+      // hh3: the pinned version-2 window — hh1's HAVING set over the
+      // epochs-{0,1} population, post-pin ingest invisible
+      "hh3_windowed_asof" -> hh1SqlOver(" WHERE doc_id % 3 < 2"),
       // hh1s: the stream-built summary must answer the identical
       // from-scratch HAVING set — hh1's oracle verbatim
       "hh1s_stream_hh" ->
@@ -7810,6 +8025,10 @@ object SparkEntry {
       // surviving population; a green row proves the expired epoch's
       // mass is physically gone and both redeliveries no-opped
       "cms3_windowed_cms" -> cmsSqlOver(" WHERE doc_id % 3 <> 0"),
+      // cms4: the pinned version-2 window is epochs {0,1} — cms1's
+      // replay over exactly that population; a green row proves the
+      // post-pin ingest is invisible to the pin
+      "cms4_windowed_asof" -> cmsSqlOver(" WHERE doc_id % 3 < 2"),
       // cms1s: the stream-maintained sketch must answer identically —
       // cms1's oracle verbatim (counter additivity across any batching)
       "cms1s_stream_cms" -> cmsSql,
@@ -8207,6 +8426,12 @@ object SparkEntry {
       // repaired graph must equal the from-scratch graph over survivors
       // (two-sided eviction + exact rank-k backfill, not a shrunk view)
       "knn3_graph_forget" -> knnSqlOver(" WHERE vec_id % 5 <> 2"),
+      // del3s: the stream-driven forget must land exactly where the
+      // batch verb does — knn3's oracle verbatim
+      "del3s_stream_index_forget" -> knnSqlOver(" WHERE vec_id % 5 <> 2"),
+      // pipe1s: three-leg union over the curated post-takedown
+      // population — see Pipe1sOracleSql's derivation notes
+      "pipe1s_composed_pipeline" -> Pipe1sOracleSql,
       // knn4: knn1's oracle verbatim over the version-0 population — the
       // pinned read answers as the 3/4 build did before the append
       "knn4_graph_asof" -> knnSqlOver(" WHERE vec_id % 4 <> 3"),
@@ -9377,6 +9602,53 @@ object SparkEntry {
            | FROM scored)
            |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
            |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")
+
+  /** pipe1s's oracle: three independent legs UNION ALL'd under a tier
+    * tag, each derived by GUARDED substitution from the leg's existing
+    * from-scratch oracle (the Sim8/Sim9 device — an edit to a source
+    * oracle cannot silently desynchronize this one):
+    *  - bm25: ret1's pipeline over the curated post-takedown corpus;
+    *  - ivf: sim7's pipeline (centroids over the curated build, the
+    *    curated streamed quarter assigned by the frozen-centroid argmax)
+    *    with candidates restricted to takedown survivors;
+    *  - knn: knn1's from-scratch graph over the final population.
+    * The population algebra: curated = lang <> 'zh' AND n_chars >= 100
+    * (applied at build and stream time alike); takedown = curated build
+    * docs with doc_id % 7 = 3; planted +1e6 content-duplicates never
+    * appear (the dedup screen gates the index tiers — no oracle row
+    * carries a planted id, so an admitted dup fails the compare). */
+  private lazy val Pipe1sOracleSql: String = {
+    val cur = "lang <> 'zh' AND n_chars >= 100"
+    val curIds = s"(SELECT doc_id FROM documents WHERE $cur)"
+    val popPred = s"$cur AND NOT (doc_id % 7 = 3 AND doc_id % 4 <> 1)"
+    val bmMarker = "AS toks FROM documents)"
+    require(ret1Bm25Sql.contains(bmMarker),
+      "pipe1s bm25 derivation out of sync with ret1Bm25Sql")
+    val bm = ret1Bm25Sql.replace(bmMarker,
+      s"AS toks FROM documents WHERE $popPred)")
+    val m1 = "init AS (SELECT * FROM e WHERE vec_id % 4 <> 1)"
+    val m2 = "FROM e a CROSS JOIN cent WHERE a.vec_id % 4 = 1)"
+    val m3 = "JOIN idx i ON i.list = p.label AND i.vec_id <> p.query_id"
+    require(Sim7OracleSql.contains(m1) && Sim7OracleSql.contains(m2) &&
+      Sim7OracleSql.contains(m3),
+      "pipe1s ivf derivation out of sync with Sim7OracleSql")
+    val ivf = Sim7OracleSql
+      .replace(m1, "init AS (SELECT e.* FROM e WHERE e.vec_id % 4 <> 1" +
+        s" AND e.vec_id IN $curIds)")
+      .replace(m2, "FROM e a CROSS JOIN cent WHERE a.vec_id % 4 = 1" +
+        s" AND a.vec_id IN $curIds)")
+      .replace(m3,
+        m3 + " AND NOT (i.vec_id % 7 = 3 AND i.vec_id % 4 <> 1)")
+    val knn = knnSqlOver(
+      s" WHERE vec_id IN (SELECT doc_id FROM documents WHERE $popPred)")
+    s"SELECT 'bm25' AS tier, CAST(query_id AS BIGINT) AS qid, rk AS rank," +
+      s" doc_id AS item, score FROM ($bm)" +
+      s" UNION ALL SELECT 'ivf' AS tier, query_id AS qid, rank," +
+      s" neighbor_id AS item, cos AS score FROM ($ivf)" +
+      s" UNION ALL SELECT 'knn' AS tier, query_id AS qid, rank," +
+      s" neighbor_id AS item, cos AS score FROM ($knn)" +
+      " ORDER BY tier, qid, rank"
+  }
 
   /** sim4's oracle pinned at IVF version 0 after sim13's append: centroids
     * AND the candidate index restricted to the version-0 population (the

@@ -70,6 +70,40 @@ object Artifacts {
           s"left at ${target}__tmp; retry re-stages")
   }
 
+  /** Commit one COUNT-INDEXED append segment (`seg_<index>_<uuid>`) via
+    * [[stageCommit]], then VERIFY the single-writer assumption the index
+    * derivation rests on: segment ids derive from the committed-segment
+    * count, so two concurrent appenders both derive `seg_N` — the UUID
+    * suffix keeps their directories from colliding, but
+    * [[segmentsAsOf]]'s lexicographic prefix would then order version N
+    * vs N+1 by random UUID bytes, silently corrupting every pinned read.
+    * Detection is cheap and loud (round-12 ADVICE, round-13 verdict #6):
+    * after the commit, list committed siblings sharing the index and
+    * throw on a duplicate — the artifact is then known-torn and the
+    * operator removes one twin before further as-of reads, instead of
+    * pins answering with writer-race-ordered data forever. Batch-id-named
+    * segments (the windowed sketch stores) need no such check: their name
+    * IS the idempotence key and [[stageCommit]] already refuses a
+    * duplicate by name. */
+  def commitIndexedSegment(spark: org.apache.spark.sql.SparkSession,
+                           segmentsParent: String, index: Int)
+                          (write: String => Unit): Unit = {
+    stageCommit(spark,
+      f"$segmentsParent/seg_$index%06d_${java.util.UUID.randomUUID}")(write)
+    val twins = committedChildren(spark, segmentsParent)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName)
+      .filter(_.startsWith(f"seg_$index%06d_"))
+    if (twins.size > 1)
+      throw new java.io.IOException(
+        s"Artifacts.commitIndexedSegment: ${twins.size} committed segments " +
+          s"share index $index under $segmentsParent " +
+          s"(${twins.sorted.mkString(", ")}) — concurrent appenders " +
+          "detected; segment ids derive from the committed-segment count, " +
+          "so as-of version ordering is ambiguous from here on. Serialize " +
+          "appends per artifact root (one streaming query per artifact) " +
+          "and remove the duplicate before further reads")
+  }
+
   /** The COMMITTED children of a segment parent dir: every subdirectory
     * except in-flight `__tmp` stages (a crashed [[stageCommit]]'s leftover
     * is invisible here — that is the read-side half of the contract).

@@ -165,7 +165,7 @@ object Clustering {
       var cur = q.select(col("vec_id"), col("qv"),
           centroidDists(col("qv"), Seq(cs.head._2)).head.as("dmin"))
         .localCheckpoint()
-      for (_ <- 2 to k) {
+      for (i <- 2 to k) {
         val next = cur.orderBy(col("dmin").desc, col("vec_id").asc)
           .limit(1).collect()(0)
         require(next.getLong(2) > 0L,
@@ -173,11 +173,24 @@ object Clustering {
             s"centers — k=$k exceeds the distinct-vector count; every " +
             "further center would duplicate an existing one")
         cs = cs :+ ((next.getLong(0), next.getSeq[Long](1).toArray))
-        cur = cur.select(col("vec_id"), col("qv"),
-            least(col("dmin"),
-              centroidDists(col("qv"), Seq(cs.last._2)).head).as("dmin"))
-          .localCheckpoint() // superseded round RDDs reclaim via the cleaner
+        // the last center needs no further dmin frame: round i's frame is
+        // only ever read by round i+1's argmax, so i=k would materialize a
+        // full distance pass nobody consumes
+        if (i < k) {
+          val prev = cur
+          cur = cur.select(col("vec_id"), col("qv"),
+              least(col("dmin"),
+                centroidDists(col("qv"), Seq(cs.last._2)).head).as("dmin"))
+            .localCheckpoint()
+          // release the superseded round's blocks NOW — localCheckpoint
+          // persists outside the cache manager, so relying on the
+          // ContextCleaner lets up to k corpus-sized (vec_id, qv, dmin)
+          // frames sit in executor storage concurrently (round-13 ADVICE);
+          // safe: the new frame is self-contained once eagerly materialized
+          org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(prev)
+        }
       }
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(cur)
       cs
     } finally q.unpersist(blocking = false)
     val base = graft.core.Par.fanOut(df.select(

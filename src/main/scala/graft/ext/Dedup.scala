@@ -266,19 +266,26 @@ object Dedup {
   def writeBloomIndex(archive: DataFrame, textCol: String, dir: String,
                       numBits: Int = 1 << 23, numHashes: Int = 5): Unit = {
     val spark = archive.sparkSession
+    import spark.implicits._
     // a full (re)build supersedes previously appended fp segments and
-    // resets version history to 0 (the writeIvfIndex contract)
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/segments"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/asof_floor"), false)
-    graft.core.Par.fanOut(archive.select(col(textCol).as("text")))
-      .select(TextAnalysis.fingerprint(col("text")).as("content_fp"))
-      .where(col("content_fp").isNotNull)
-      .write.mode("overwrite").parquet(s"$dir/fps")
-    writeBloomArtifact(spark,
-      bloomOfFps(spark.read.parquet(s"$dir/fps"), numBits, numHashes),
-      numBits, numHashes, dir)
+    // resets version history to 0 (the writeIvfIndex contract). The
+    // ENTIRE rebuilt root — fps + bloom, no segments, no floor marker —
+    // stages aside and publishes in ONE checked whole-root swap (the
+    // compactBloomIndex discipline): the former delete-then-overwrite-
+    // then-swap sequence left two torn states reachable mid-crash (old
+    // base fps with its segments already deleted → archived texts
+    // re-admitted; new fps under the old bloom → false negatives until
+    // the filter swap landed) — round-13 ADVICE.
+    graft.core.Artifacts.swapInto(spark, dir) { tmp =>
+      graft.core.Par.fanOut(archive.select(col(textCol).as("text")))
+        .select(TextAnalysis.fingerprint(col("text")).as("content_fp"))
+        .where(col("content_fp").isNotNull)
+        .write.parquet(s"$tmp/fps")
+      val bits = bloomOfFps(spark.read.parquet(s"$tmp/fps"),
+        numBits, numHashes)
+      Seq((numBits, numHashes, bits)).toDF("num_bits", "num_hashes", "bits")
+        .coalesce(1).write.parquet(s"$tmp/bloom")
+    }
   }
 
   /** The full stored FINGERPRINT relation: the build-time base plus every
@@ -350,8 +357,8 @@ object Dedup {
       var i = 0
       while (i < merged.length) { merged(i) = (merged(i) | add(i)).toByte; i += 1 }
       writeBloomArtifact(spark, merged, numBits, numHashes, dir)
-      graft.core.Artifacts.stageCommit(spark,
-          f"$dir/segments/seg_$nSegs%06d_${java.util.UUID.randomUUID}") { tmp =>
+      graft.core.Artifacts.commitIndexedSegment(spark,
+          s"$dir/segments", nSegs) { tmp =>
         bfp.write.parquet(tmp)
       }
     } finally bfp.unpersist()
@@ -388,8 +395,8 @@ object Dedup {
       var i = 0
       while (i < merged.length) { merged(i) = (merged(i) | add(i)).toByte; i += 1 }
       writeBloomArtifact(spark, merged, numBits, numHashes, dir)
-      graft.core.Artifacts.stageCommit(spark,
-          f"$dir/segments/seg_$nSegs%06d_${java.util.UUID.randomUUID}") { tmp =>
+      graft.core.Artifacts.commitIndexedSegment(spark,
+          s"$dir/segments", nSegs) { tmp =>
         bfp.write.parquet(tmp)
       }
     } finally bfp.unpersist()

@@ -275,6 +275,25 @@ object Profile {
     }
   }
 
+  /** base (if the artifact was ever folded) + the given segment list,
+    * unioned under the first part's schema — the shared read shape of
+    * both windowed sketch stores (head reads pass every committed
+    * segment; as-of reads pass [[graft.core.Artifacts.segmentsAsOf]]'s
+    * committed prefix). */
+  private def windowedUnion(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, segs: Seq[String],
+                            what: String): DataFrame = {
+    val basePath = new org.apache.hadoop.fs.Path(s"$dir/base")
+    val hasBase = basePath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(basePath)
+    val parts = (if (hasBase) Seq(s"$dir/base") else Nil) ++ segs
+    require(parts.nonEmpty,
+      s"$what: $dir holds no summaries — ingest a batch first")
+    val first = spark.read.parquet(parts.head)
+    parts.tail.foldLeft(first)((acc, s) =>
+      acc.unionByName(spark.read.schema(first.schema).parquet(s)))
+  }
+
   /** The living per-epoch counter relation: base + committed segments,
     * epochs below `minEpoch` excluded (they may also be physically gone
     * — [[expireWindowedCms]]; the filter makes the answer independent of
@@ -282,16 +301,30 @@ object Profile {
   def windowedCmsCounters(spark: org.apache.spark.sql.SparkSession,
                           dir: String, minEpoch: Long): DataFrame = {
     graft.core.Artifacts.heal(spark, dir)
-    val segs = graft.core.Artifacts.committedChildren(spark, s"$dir/segments")
-    val basePath = new org.apache.hadoop.fs.Path(s"$dir/base")
-    val hasBase = basePath.getFileSystem(
-      spark.sparkContext.hadoopConfiguration).exists(basePath)
-    val parts = (if (hasBase) Seq(s"$dir/base") else Nil) ++ segs
-    require(parts.nonEmpty,
-      s"windowedCmsCounters: $dir holds no counters — ingest a batch first")
-    val first = spark.read.parquet(parts.head)
-    parts.tail.foldLeft(first)((acc, s) =>
-        acc.unionByName(spark.read.schema(first.schema).parquet(s)))
+    windowedUnion(spark, dir,
+        graft.core.Artifacts.committedChildren(spark, s"$dir/segments"),
+        "windowedCmsCounters")
+      .where(col("epoch") >= minEpoch)
+      .groupBy("r", "b").agg(sum(col("c")).as("c"))
+  }
+
+  /** The counter relation AS OF version `asOf` (build = 0, each
+    * effective ingest adds one) — time travel for the windowed sketch
+    * tier (round-13 verdict #3: the segments were already batch-id-named
+    * committed prefixes; this lifts the shared
+    * [[graft.core.Artifacts.segmentsAsOf]] rule over them so yesterday's
+    * drift report is re-derivable after today's ingest). Pins of
+    * versions an expire folded fail LOUDLY (the floor advances with the
+    * fold); a pin taken after an expire sees the folded base, whose
+    * sub-`minEpoch` mass is physically gone — right-to-be-forgotten at
+    * epoch granularity outranks reproducibility, the knn4 rule. */
+  def windowedCmsCountersAsOf(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, minEpoch: Long,
+                              asOf: Long): DataFrame = {
+    graft.core.Artifacts.heal(spark, dir)
+    windowedUnion(spark, dir,
+        graft.core.Artifacts.segmentsAsOf(spark, dir, asOf),
+        "windowedCmsCountersAsOf")
       .where(col("epoch") >= minEpoch)
       .groupBy("r", "b").agg(sum(col("c")).as("c"))
   }
@@ -303,6 +336,18 @@ object Profile {
     val meta = spark.read.parquet(s"$dir/meta").head()
     cmsEstimate(windowedCmsCounters(spark, dir, minEpoch), probes, keyCol,
       d = meta.getAs[Int]("d"), w = meta.getAs[Int]("w"))
+  }
+
+  /** [[cmsEstimate]] over a PINNED version's window — d and w derive
+    * from meta, which is immutable for the store's lifetime (built
+    * once; expire rewrites only the high-water), so the pinned read
+    * needs no per-version meta copy. */
+  def cmsEstimateWindowedAsOf(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, probes: DataFrame, keyCol: String,
+                              minEpoch: Long, asOf: Long): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    cmsEstimate(windowedCmsCountersAsOf(spark, dir, minEpoch, asOf),
+      probes, keyCol, d = meta.getAs[Int]("d"), w = meta.getAs[Int]("w"))
   }
 
   /** RETIRE epochs below `minEpoch` — the sketch tier's forget verb:
@@ -332,10 +377,16 @@ object Profile {
         acc.unionByName(spark.read.schema(first.schema).parquet(s)))
       .where(col("epoch") >= minEpoch)
       .groupBy("epoch", "r", "b").agg(sum(col("c")).as("c"))
+    // the as-of floor advances by the number of segments folded, inside
+    // the same swap (the compactBloomIndex discipline): pinned reads of
+    // folded versions then fail loudly instead of answering with
+    // post-expire data (round-13 verdict #3)
+    val newFloor = graft.core.Artifacts.asOfFloor(spark, dir) + segs.size
     graft.core.Artifacts.swapInto(spark, dir) { tmp =>
       Seq((d, w, newHw)).toDF("d", "w", "folded_hw")
         .coalesce(1).write.parquet(s"$tmp/meta")
       folded.coalesce(1).write.parquet(s"$tmp/base")
+      graft.core.Artifacts.setAsOfFloor(spark, tmp, newFloor)
     }
   }
 
@@ -404,16 +455,19 @@ object Profile {
   private def windowedHhCells(spark: org.apache.spark.sql.SparkSession,
                               dir: String, minEpoch: Long): DataFrame = {
     graft.core.Artifacts.heal(spark, dir)
-    val segs = graft.core.Artifacts.committedChildren(spark, s"$dir/segments")
-    val basePath = new org.apache.hadoop.fs.Path(s"$dir/base")
-    val hasBase = basePath.getFileSystem(
-      spark.sparkContext.hadoopConfiguration).exists(basePath)
-    val parts = (if (hasBase) Seq(s"$dir/base") else Nil) ++ segs
-    require(parts.nonEmpty,
-      s"windowedHhCells: $dir holds no summaries — ingest a batch first")
-    val first = spark.read.parquet(parts.head)
-    parts.tail.foldLeft(first)((acc, s) =>
-        acc.unionByName(spark.read.schema(first.schema).parquet(s)))
+    windowedUnion(spark, dir,
+        graft.core.Artifacts.committedChildren(spark, s"$dir/segments"),
+        "windowedHhCells")
+      .where(col("epoch") >= minEpoch)
+  }
+
+  private def windowedHhCellsAsOf(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, minEpoch: Long,
+                                  asOf: Long): DataFrame = {
+    graft.core.Artifacts.heal(spark, dir)
+    windowedUnion(spark, dir,
+        graft.core.Artifacts.segmentsAsOf(spark, dir, asOf),
+        "windowedHhCellsAsOf")
       .where(col("epoch") >= minEpoch)
   }
 
@@ -422,15 +476,38 @@ object Profile {
     * N_w = the cells' exact per-(epoch, bid) token counts summed, exact
     * phase = one candidate semi-join over the retained corpus `data`. */
   def heavyHittersWindowed(data: DataFrame, key: Column, dir: String,
-                           minEpoch: Long): DataFrame = {
+                           minEpoch: Long): DataFrame =
+    hhOverCells(data, key,
+      data.sparkSession.read.parquet(s"$dir/meta").head().getAs[Int]("k"),
+      windowedHhCells(data.sparkSession, dir, minEpoch))
+
+  /** [[heavyHittersWindowed]] AS OF a pinned version — yesterday's
+    * heavy-hitter report re-derivable after today's ingest (the
+    * windowed-CMS as-of contract; `data` must be the corresponding
+    * pinned corpus slice for the exact phase to match). Folded pins
+    * fail loudly; a post-expire pin sees the folded base. */
+  def heavyHittersWindowedAsOf(data: DataFrame, key: Column, dir: String,
+                               minEpoch: Long, asOf: Long): DataFrame =
+    hhOverCells(data, key,
+      data.sparkSession.read.parquet(s"$dir/meta").head().getAs[Int]("k"),
+      windowedHhCellsAsOf(data.sparkSession, dir, minEpoch, asOf))
+
+  private def hhOverCells(data: DataFrame, key: Column, k: Int,
+                          cellsIn: DataFrame): DataFrame = {
     val spark = data.sparkSession
-    val k = spark.read.parquet(s"$dir/meta").head().getAs[Int]("k")
-    val cells = windowedHhCells(spark, dir, minEpoch)
+    val cells = cellsIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nW = cells.select("epoch", "bid", "n").distinct()
         .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+      // materialized to a LocalRelation BEFORE the finally unpersists
+      // cells — the returned plan otherwise re-reads every segment when
+      // the caller acts on it, making the persist buy nothing (round-13
+      // ADVICE). Bounded driver state: ≤ k keys per (epoch, bid) cell by
+      // the MG counter budget, the hh1 collect class.
+      import spark.implicits._
       val cands = cells.select("key").distinct()
+        .as[String].collect().toSeq.toDF("key")
       data.select(key.cast("string").as("key"))
         .where(col("key").isNotNull)
         .join(cands, Seq("key"), "left_semi")
@@ -460,10 +537,13 @@ object Profile {
       new org.apache.hadoop.fs.Path(s).getName.stripPrefix("seg_").toLong)).max
     import spark.implicits._
     val living = windowedHhCells(spark, dir, minEpoch)
+    // floor advances with the fold, atomically — the windowed-CMS rule
+    val newFloor = graft.core.Artifacts.asOfFloor(spark, dir) + segs.size
     graft.core.Artifacts.swapInto(spark, dir) { tmp =>
       Seq((k, newHw)).toDF("k", "folded_hw")
         .coalesce(1).write.parquet(s"$tmp/meta")
       living.coalesce(1).write.parquet(s"$tmp/base")
+      graft.core.Artifacts.setAsOfFloor(spark, tmp, newFloor)
     }
   }
 

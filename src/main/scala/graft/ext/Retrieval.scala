@@ -199,8 +199,8 @@ object Retrieval {
       .where(col("term").isNotNull)
       .groupBy("doc_id", "len_d", "term").agg(count(lit(1)).as("tf"))
       .withColumn("pb", pmod(xxhash64(col("term")), lit(buckets.toLong)))
-    graft.core.Artifacts.stageCommit(spark,
-        f"$dir/segments/seg_$nSegs%06d_${java.util.UUID.randomUUID}") { tmp =>
+    graft.core.Artifacts.commitIndexedSegment(spark,
+        s"$dir/segments", nSegs) { tmp =>
       posted.write.partitionBy("pb").parquet(tmp)
     }
     val post = postingsRelation(spark, dir)

@@ -566,12 +566,18 @@ object Similarity {
                      dir: String): Unit = {
     val spark = batch.sparkSession
     val head = knnHeadDir(spark, dir)
+    // persisted: the anti-join (a full head-vectors scan) is otherwise
+    // re-evaluated by the isEmpty probe, the append's tombstone guard,
+    // and the appended relation's materialization (round-13 ADVICE)
     val fresh = batch.join(
       spark.read.parquet(s"$head/vectors")
         .select(col("id").cast("long").as("graft_seen")),
       batch(idCol).cast("long") === col("graft_seen"), "left_anti")
-    if (fresh.isEmpty) return
-    appendToKnnGraph(fresh, idCol, vecCol, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (fresh.isEmpty) return
+      appendToKnnGraph(fresh, idCol, vecCol, dir)
+    } finally fresh.unpersist(blocking = false)
   }
 
   /** The stored graph's HEAD version, read back in [[knnGraphExact]]'s
@@ -924,7 +930,10 @@ object Similarity {
     * would order version N vs N+1 by random UUID bytes. Serialize
     * appends per index root (exactly what the foreachBatch maintenance
     * path — one streaming query per artifact — already guarantees); the
-    * same assumption holds for the postings and PQ segment tiers. */
+    * same assumption holds for the postings and PQ segment tiers, and
+    * since round 14 every count-indexed commit VERIFIES it after the
+    * fact ([[graft.core.Artifacts.commitIndexedSegment]] — a detected
+    * same-index twin fails loudly instead of corrupting pins). */
   def appendToIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
                        dir: String): Unit = {
     val spark = newVecs.sparkSession
@@ -951,8 +960,8 @@ object Similarity {
       .withColumn("pr", row_number().over(w))
       .where(col("pr") === 1)
       .select(col("vec_id"), col("v0"), col("list"))
-    graft.core.Artifacts.stageCommit(spark,
-        f"$dir/segments/seg_$nSegs%06d_${java.util.UUID.randomUUID}") { tmp =>
+    graft.core.Artifacts.commitIndexedSegment(spark,
+        s"$dir/segments", nSegs) { tmp =>
       quantizeInt8(assigned, "vec_id", "v0", carry = Seq("list"))
         .write.partitionBy("list").parquet(tmp)
     }
@@ -1507,8 +1516,8 @@ object Similarity {
       .join(pqCodesRelation(spark, dir).select(col("vec_id").as(idCol)),
         Seq(idCol), "left_anti")
     val coded = encodePq(fresh, idCol, vecCol, books, sub, scale)
-    graft.core.Artifacts.stageCommit(spark,
-        f"$dir/segments/seg_$nSegs%06d_${java.util.UUID.randomUUID}") { tmp =>
+    graft.core.Artifacts.commitIndexedSegment(spark,
+        s"$dir/segments", nSegs) { tmp =>
       coded.write.parquet(tmp)
     }
   }
