@@ -55,13 +55,28 @@ object Bench {
       }
       math.min(math.min(once(), once()), once())
     }
-    // One full THROWAWAY canary pass before the recorded one: round 12
-    // measured canary_start ≈ 2× canary_end — the start sample was
-    // absorbing residual JIT/page-cache warmup the table touches don't
-    // cover (the canary's own codegen path compiles on its first run),
-    // the OPPOSITE of the monotone drift it exists to measure. The
-    // discarded pass eats that cost so canary_start measures the box.
-    canary()
+    // The canary's own curve was MEASURED on an idle JVM (ProfileCanary,
+    // round 14 — the round-13 verdict's reproduce-on-idle-box test):
+    // min-of-3 falls 0.235 → 0.162 → 0.141 → a ~0.11–0.13 plateau over
+    // the first ~80 s / ~15 executions with NOTHING else running. The
+    // box warms UP within a session — deep JIT of the whole Spark stack,
+    // the OPPOSITE direction of the documented cross-session slowdown —
+    // so no fixed number of throwaway passes makes canary_start equal
+    // canary_end (three rounds of inverted ratios, round-13 verdict #2).
+    // Two consequences, both applied here: (1) throwaway passes repeat
+    // until two consecutive readings agree within 15% (≤ 6 passes), so
+    // canary_start measures the near-plateau box, not residual warmup;
+    // (2) canary_END is the steady-state reference — read per-query
+    // deltas against END-to-END ratios across rounds, and expect a
+    // structural early-session tax on the alphabetically-first queries
+    // that no drift correction can remove.
+    var warmPrev = canary()
+    var warmCur = canary()
+    var warmPasses = 2
+    while (warmPasses < 6 &&
+           math.abs(warmCur - warmPrev) > 0.15 * math.min(warmCur, warmPrev)) {
+      warmPrev = warmCur; warmCur = canary(); warmPasses += 1
+    }
     val canaryStart = canary()
     // dev filter: SPARK_GRAFT_BENCH_ONLY=d6_editdist,dd1s_dedup_replay
     // reruns a subset under the identical harness (warmup, noop sink,
