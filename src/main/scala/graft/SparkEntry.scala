@@ -2837,6 +2837,31 @@ object SparkEntry {
         .orderBy("token")
     }),
 
+    // mov1: HEAVY MOVERS between two epochs of the windowed MG store —
+    // the day-over-day drift question the per-window report cannot
+    // answer ("which tokens CHANGED most", the signal a curation
+    // pipeline retunes its filters on): |c1 − c0| ≥ max(N0, N1)/k with
+    // exact counts. Recall is PROVABLE from the stored cells alone
+    // (a mover's larger count is ≥ max/k ≥ its epoch's N/k, so it is
+    // window-heavy there and survives an MG cell —
+    // Profile.heavyMoversWindowed scaladoc); the exact phase counts
+    // only the candidate semi-join, integer threshold, no division.
+    "mov1_heavy_movers" -> ((s, d) => {
+      val toks0 = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val dir = graft.core.Scratch.dir("mov1-") + "/hh"
+      ext.Profile.writeWindowedHh(s, dir, k = 200)
+      for (e <- 0 to 1)
+        ext.Profile.ingestWindowedHhBatch(
+          toks0.where(col("doc_id") % 2 === e), col("token"),
+          col("doc_id") % 2, dir, batchId = e.toLong)
+      ext.Profile.heavyMoversWindowed(toks0, col("token"),
+          col("doc_id") % 2, dir, 0L, 1L)
+        .select(col("key").as("token"), col("c0"), col("c1"), col("delta"))
+        .orderBy("token")
+    }),
+
     // inc5: INCREMENTAL heavy hitters from a STORED mergeable summary —
     // the bf2/sim7 lifecycle applied to hh1: the archive's Misra–Gries
     // summary commits once (side-write + checked swap), each ingest
@@ -3825,6 +3850,68 @@ object SparkEntry {
           (col("split_b") === "train")).cast("int"))
         .orderBy("id_a", "id_b")
     }),
+
+    // leak2: CLUSTER-SAFE SPLIT ASSIGNMENT — leak1's audit turned into
+    // the FIX (the Dolma/RedPajama curation rule): near-dup CLUSTERS
+    // (components over d2's exact blocked pairs) are the split unit, so
+    // no near-dup pair can ever straddle train/eval — every member
+    // inherits its cluster ROOT's hash bucket, and singletons are their
+    // own root (root = doc_id), making the assignment a pure function
+    // of the root id. 100 TB shape: the pair graph is the blocked d2
+    // stream (never all-pairs), components run over the sparse pair
+    // set only (pair-volume-sized, the ccmp1 kernel with the bounded
+    // driver-union-find switch), and the final label join broadcasts
+    // the cluster-sized root map. Oracle: d2's pair SQL + the recursive
+    // min-id closure + leak1's sha-bucket split, all by guarded
+    // substitution.
+    "leak2_cluster_safe_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      val comps = Graph.connectedComponents(pairs, "id_a", "id_b")
+      val roots = docs.select(col("doc_id"))
+        .join(comps.select(col("node").as("doc_id"), col("component")),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("root"))
+      ext.Sampling.withSplit(roots, col("root"), "graft")
+        .select(col("doc_id"), col("root"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // srcsim1: SOURCE-PAIR VOCABULARY JACCARD — the corpus-composition
+    // matrix (which sources are redundant, which add coverage — the
+    // mixing-weight input mix1 consumes): exact distinct-token-set
+    // Jaccard for every source pair. Scale shape: DISTINCT (source,
+    // token) first — vocabulary-sized, never corpus-sized — then the
+    // token self-join's candidate volume is ≤ C(|sources|,2) per token
+    // (each token appears at most once per source after the distinct),
+    // so the pair stream is vocabulary-bounded. The quotient lands as
+    // truncating micro fixed point (the cc2 rule — no float division
+    // in a graded cell).
+    "srcsim1_source_jaccard" -> ((s, d) => {
+      val st = Par.fanOut(Tables.documents(s, d).select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok")))
+        .where(col("tok") =!= "").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = st.as("a")
+        .join(st.as("b"), col("a.tok") === col("b.tok") &&
+          col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("source").as("src_a"), col("n").as("na")),
+          Seq("src_a"))
+        .join(sizes.select(col("source").as("src_b"), col("n").as("nb")),
+          Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("inter"),
+          (col("na") + col("nb") - col("inter")).as("uni"))
+        .withColumn("j_micro",
+          expr("CAST((inter * 1000000L) DIV uni AS BIGINT)"))
+        .orderBy("src_a", "src_b")
+    }),
+
     "d3_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text")
         .orderBy("id_a", "id_b")),
@@ -8010,6 +8097,21 @@ object SparkEntry {
       // hh3: the pinned version-2 window — hh1's HAVING set over the
       // epochs-{0,1} population, post-pin ingest invisible
       "hh3_windowed_asof" -> hh1SqlOver(" WHERE doc_id % 3 < 2"),
+      // mov1: exact epoch-over-epoch deltas above the integer threshold
+      // — a green row proves the MG candidate union caught every mover
+      "mov1_heavy_movers" ->
+        (s"""WITH tk AS (SELECT doc_id % 2 AS e, unnest($toksSql) AS token
+           |  FROM documents),
+           |n AS (SELECT MAX(ne) AS mx FROM
+           |  (SELECT e, COUNT(*) AS ne FROM tk GROUP BY e)),
+           |c AS (SELECT token,
+           |  COUNT(*) FILTER (WHERE e = 0) AS c0,
+           |  COUNT(*) FILTER (WHERE e = 1) AS c1
+           | FROM tk GROUP BY token)
+           |SELECT token, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+           | CAST(c1 - c0 AS BIGINT) AS delta
+           |FROM c, n WHERE abs(c1 - c0) * 200 >= n.mx
+           |ORDER BY token""".stripMargin.replace("\n", " ")),
       // hh1s: the stream-built summary must answer the identical
       // from-scratch HAVING set — hh1's oracle verbatim
       "hh1s_stream_hh" ->
@@ -8213,6 +8315,10 @@ object SparkEntry {
            |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
       "d2_ngram_jaccard" -> ngramPairsSql,
       "leak1_split_leakage" -> Leak1OracleSql,
+      // leak2: d2 pairs -> recursive closure -> root-bucketed split
+      "leak2_cluster_safe_split" -> Leak2OracleSql,
+      // srcsim1: exact vocabulary Jaccard per source pair
+      "srcsim1_source_jaccard" -> SrcSim1OracleSql,
       // LSH banding at (128 hashes, 32 bands of 4): P(miss | J≥0.9) < 1e-30,
       // and all planted near-dups sit at J≥0.9 with the rest <0.3 — so the
       // exact blocked-all-pairs result IS the LSH result here.
@@ -9875,6 +9981,50 @@ object SparkEntry {
        |  ${bucket("id_a")} AS ba, ${bucket("id_b")} AS bb FROM p)
        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))
   }
+
+  /** leak2's oracle: d2's pair SQL (guarded substitution) feeding the
+    * ccmp1 recursive min-id closure, singleton docs defaulting to
+    * themselves, split = leak1's sha bucket of the cluster ROOT. */
+  private lazy val Leak2OracleSql: String = {
+    val marker = " ORDER BY id_a, id_b"
+    require(ngramPairsSql.endsWith(marker),
+      "leak2 oracle derivation out of sync with ngramPairsSql")
+    val bucket =
+      "('0x' || substring(sha256(root::VARCHAR || ':graft'), 1, 15))::BIGINT % 100"
+    (s"""WITH RECURSIVE pp AS (${ngramPairsSql.stripSuffix(marker)}),
+       |e AS (SELECT id_a AS x, id_b AS y FROM pp
+       | UNION SELECT id_b, id_a FROM pp),
+       |r AS (SELECT x AS node, y AS reach FROM e
+       | UNION SELECT r.node, e.y FROM r JOIN e ON e.x = r.reach),
+       |c AS (SELECT node, LEAST(node, MIN(reach)) AS root
+       | FROM r GROUP BY node),
+       |a AS (SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS root
+       | FROM documents d LEFT JOIN c ON c.node = d.doc_id)
+       |SELECT doc_id, CAST(root AS BIGINT) AS root,
+       | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |  ELSE 'test' END AS split
+       |FROM (SELECT doc_id, root, $bucket AS b FROM a)
+       |ORDER BY doc_id""".stripMargin.replace("\n", " "))
+  }
+
+  /** srcsim1's oracle: distinct (source, token) sets, pairwise exact
+    * intersection/union counts, truncating micro Jaccard (DuckDB's `//`
+    * floors like Spark's DIV on non-negative longs). */
+  private lazy val SrcSim1OracleSql: String =
+    (s"""WITH st AS (SELECT DISTINCT source, t AS tok
+       | FROM (SELECT source, unnest($toksSql) AS t FROM documents)
+       | WHERE t <> ''),
+       |sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY 1),
+       |iv AS (SELECT a.source AS src_a, b.source AS src_b,
+       |  COUNT(*) AS inter
+       | FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+       | GROUP BY 1, 2)
+       |SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+       | CAST(sa.n + sb.n - inter AS BIGINT) AS uni,
+       | CAST((inter * 1000000) // (sa.n + sb.n - inter) AS BIGINT) AS j_micro
+       |FROM iv JOIN sz sa ON sa.source = iv.src_a
+       | JOIN sz sb ON sb.source = iv.src_b
+       |ORDER BY src_a, src_b""".stripMargin.replace("\n", " "))
 
   /** Oracle-side exact-decimal sum of a double expression (see Num.dsum). */
   private def dsum(expr: String): String =

@@ -517,6 +517,51 @@ object Profile {
     } finally cells.unpersist(blocking = false)
   }
 
+  /** HEAVY MOVERS between two epochs of the windowed MG store — the
+    * drift question the per-window report cannot answer ("which tokens
+    * CHANGED the most day-over-day", the monitoring input a curation
+    * pipeline retunes its filters on): every key whose count delta
+    * satisfies |c(e1) − c(e0)| ≥ max(N(e0), N(e1)) / k, with c exact.
+    *
+    * Recall is EXACT from the stored cells alone: WLOG c1 > c0, then
+    * c1 ≥ c1 − c0 ≥ max(N0, N1)/k ≥ N1/k, so the key is window-heavy in
+    * epoch 1 and the per-epoch cell-union argument (class scaladoc)
+    * guarantees it survives at least one epoch-1 MG cell — the mover is
+    * always in the candidate union. The exact phase counts only the
+    * candidate semi-join over `data` restricted to the two epochs (the
+    * hh1 cost class); per-epoch totals come from the cells' exact
+    * (epoch, bid, n) rows, so the threshold needs no corpus scan; the
+    * comparison is all-integer (|delta|·k ≥ max — no division). */
+  def heavyMoversWindowed(data: DataFrame, key: Column, epoch: Column,
+                          dir: String, e0: Long, e1: Long): DataFrame = {
+    val spark = data.sparkSession
+    val k = spark.read.parquet(s"$dir/meta").head().getAs[Int]("k")
+    val cells = windowedHhCells(spark, dir, minEpoch = math.min(e0, e1))
+      .where(col("epoch").isin(e0, e1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ns = cells.select("epoch", "bid", "n").distinct()
+        .groupBy("epoch").agg(sum(col("n")).as("ne")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val mx = math.max(ns.getOrElse(e0, 0L), ns.getOrElse(e1, 0L))
+      // driver-materialized candidates — the heavyHittersWindowed rule
+      import spark.implicits._
+      val cands = cells.select("key").distinct()
+        .as[String].collect().toSeq.toDF("key")
+      data.select(epoch.cast("long").as("e"), key.cast("string").as("key"))
+        .where(col("key").isNotNull && col("e").isin(e0, e1))
+        .join(cands, Seq("key"), "left_semi")
+        .groupBy("key").agg(
+          sum(when(col("e") === e0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("e") === e1, 1L).otherwise(0L)).as("c1"))
+        .withColumn("delta", col("c1") - col("c0"))
+        .where(abs(col("delta")) * lit(k.toLong) >= lit(mx))
+        .select(col("key"), col("c0").cast("long").as("c0"),
+          col("c1").cast("long").as("c1"),
+          col("delta").cast("long").as("delta"))
+    } finally cells.unpersist(blocking = false)
+  }
+
   /** RETIRE epochs below `minEpoch` — the MG tier's epoch forget:
     * surviving cells CONCATENATE into `base/` unchanged (cell identity
     * — (epoch, bid, n) — must survive the fold so N_w stays derivable),

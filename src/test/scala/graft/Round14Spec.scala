@@ -190,6 +190,47 @@ class Round14Spec extends SparkSpec {
         "from the materialized candidate set, not the deleted store")
   }
 
+  // ------------------------------------ mov1 recall across split cells
+
+  test("heavyMoversWindowed: equals brute-force movers with epochs split across batches (fuzzed)") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 3000).map { i =>
+      val e = rnd.nextInt(2).toLong
+      // the skew FLIPS between epochs (epoch 0 concentrates on low key
+      // ids, epoch 1 on high) so real movers exist above the N/k bar
+      val hot = (math.pow(rnd.nextDouble(), 3.0) * 50).toInt
+      val key = s"k${if (e == 0L) hot else 49 - hot}"
+      (i.toLong, e, key)
+    }
+    val df = rows.toDF("idx", "e", "key0")
+    val dir = tmpDir("mov-fuzz") + "/hh"
+    val k = 10
+    ext.Profile.writeWindowedHh(spark, dir, k)
+    // each epoch's mass lands SPLIT across three batches — the recall
+    // argument must hold across cells, not just whole-epoch summaries
+    for (b <- 0 until 3)
+      ext.Profile.ingestWindowedHhBatch(
+        df.where($"idx" % 3 === b), $"key0", $"e", dir, b.toLong)
+    val got = ext.Profile
+      .heavyMoversWindowed(df, $"key0", $"e", dir, 0L, 1L)
+      .orderBy("key").collect().map(_.toSeq).toSeq
+    val byKey = rows.groupBy(_._3).map { case (key, rs) =>
+      val c0 = rs.count(_._2 == 0L).toLong
+      val c1 = rs.count(_._2 == 1L).toLong
+      (key, c0, c1)
+    }
+    val n0 = rows.count(_._2 == 0L).toLong
+    val n1 = rows.count(_._2 == 1L).toLong
+    val mx = math.max(n0, n1)
+    val want = byKey.toSeq
+      .filter { case (_, c0, c1) => math.abs(c1 - c0) * k >= mx }
+      .sortBy(_._1)
+      .map { case (key, c0, c1) => Seq(key, c0, c1, c1 - c0) }
+    assert(got == want,
+      "sketch-candidate movers must equal the brute-force mover set")
+    assert(want.nonEmpty, "fixture must actually produce movers")
+  }
+
   // ------------------------------------ pipe1s composition seams
 
   test("composed pipeline: redelivered batch with planted dups touches no artifact; append-after-forget stays exact") {
