@@ -1845,6 +1845,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // cc3: cc1's decontamination from a STORED eval index — the
+    // production shape: the eval SUITE is fixed while ingest batches
+    // stream past it, so its tokenize+shingle pass lands in a built-once
+    // artifact and probes never re-read eval text. Wave 1 (the near
+    // matches) builds the index, wave 2 (the verbatim slice) APPENDS as
+    // a committed count-indexed segment (the commitIndexedSegment
+    // single-writer guard's sixth tier), the wave-2 retry anti-joins to
+    // a no-op and writes no segment — and the probe must equal cc1's
+    // inline scan over the combined suite exactly (same postings, same
+    // scoring core, shared by construction).
+    "cc3_stored_decontamination" -> ((s, d) => {
+      val pu = plantUnit(s, d)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val ev0 = docs.where(col("doc_id") % 20 === 3)
+        .select((col("doc_id") + 5 * pu).as("doc_id"),
+          concat(col("text"), lit(" evaltok")).as("text"))
+      val ev1 = docs.where(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + 6 * pu).as("doc_id"), col("text"))
+      val dir = graft.core.Scratch.dir("cc3-") + "/evalidx"
+      Dedup.writeContaminationIndex(ev0, "doc_id", "text", dir)
+      Dedup.appendToContaminationIndex(ev1, "doc_id", "text", dir)
+      Dedup.appendToContaminationIndex(ev1, "doc_id", "text", dir) // retry
+      Dedup.contaminationPairsFromIndex(docs, "doc_id", "text", dir)
+        .orderBy("doc_id", "eval_id")
+    }),
+
     // sp2: length-weighted deterministic sampling — longer documents kept
     // with proportionally higher probability (the source-mixing shape);
     // fate is a pure function of (doc_id, salt), so the oracle recomputes
@@ -7351,32 +7377,11 @@ object SparkEntry {
            | CAST(COALESCE(h.h, 0) > 0 AS INTEGER) AS contaminated
            |FROM csh c LEFT JOIN hits h USING (doc_id)
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
-      "cc1_contamination" ->
-        (s"""WITH ev AS (
-           |  SELECT doc_id + 5*$plantUnitSql AS eval_id, text || ' evaltok' AS text
-           |  FROM documents WHERE doc_id % 20 = 3
-           |  UNION ALL SELECT doc_id + 6*$plantUnitSql AS eval_id, text
-           |  FROM documents WHERE doc_id % 50 = 7),
-           | csh AS (SELECT doc_id,
-           |  CASE WHEN len(toks) >= 3
-           |   THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
-           |   ELSE [] END AS sh
-           |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
-           | esh AS (SELECT eval_id,
-           |  CASE WHEN len(toks) >= 3
-           |   THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
-           |   ELSE [] END AS sh
-           |  FROM (SELECT eval_id, $toksSql AS toks FROM ev)),
-           | cinv AS (SELECT doc_id, unnest(sh) AS s FROM csh),
-           | einv AS (SELECT eval_id, unnest(sh) AS s FROM esh),
-           | cand AS (SELECT DISTINCT doc_id, eval_id FROM cinv JOIN einv USING (s)),
-           | jj AS (SELECT doc_id, eval_id,
-           |  len(list_intersect(a.sh, b.sh))::DOUBLE /
-           |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
-           |  FROM cand JOIN csh a USING (doc_id) JOIN esh b USING (eval_id))
-           |SELECT doc_id, eval_id, j,
-           | CASE WHEN j = 1.0 THEN 'exact' ELSE 'near' END AS kind
-           |FROM jj WHERE j >= 0.7 ORDER BY doc_id, eval_id""".stripMargin.replace("\n", " ")),
+      "cc1_contamination" -> Cc1OracleSql,
+      // cc3: the stored-index path over the SAME eval population (wave 1
+      // built, wave 2 appended, wave 2 re-appended as a no-op) must be
+      // byte-identical to the inline scan — cc1's oracle verbatim
+      "cc3_stored_decontamination" -> Cc1OracleSql,
 
       "sp2_weighted_sample" ->
         (s"""SELECT doc_id, n_tokens FROM (
@@ -9981,6 +9986,36 @@ object SparkEntry {
        |  ${bucket("id_a")} AS ba, ${bucket("id_b")} AS bb FROM p)
        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))
   }
+
+  /** cc1's from-scratch decontamination oracle — shared verbatim by cc3
+    * (the stored-index path over the identical eval population: wave 1
+    * built, wave 2 appended, wave 2 re-appended as an anti-join no-op). */
+  private lazy val Cc1OracleSql: String =
+    (s"""WITH ev AS (
+       |  SELECT doc_id + 5*$plantUnitSql AS eval_id, text || ' evaltok' AS text
+       |  FROM documents WHERE doc_id % 20 = 3
+       |  UNION ALL SELECT doc_id + 6*$plantUnitSql AS eval_id, text
+       |  FROM documents WHERE doc_id % 50 = 7),
+       | csh AS (SELECT doc_id,
+       |  CASE WHEN len(toks) >= 3
+       |   THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+       |   ELSE [] END AS sh
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       | esh AS (SELECT eval_id,
+       |  CASE WHEN len(toks) >= 3
+       |   THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+       |   ELSE [] END AS sh
+       |  FROM (SELECT eval_id, $toksSql AS toks FROM ev)),
+       | cinv AS (SELECT doc_id, unnest(sh) AS s FROM csh),
+       | einv AS (SELECT eval_id, unnest(sh) AS s FROM esh),
+       | cand AS (SELECT DISTINCT doc_id, eval_id FROM cinv JOIN einv USING (s)),
+       | jj AS (SELECT doc_id, eval_id,
+       |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+       |  FROM cand JOIN csh a USING (doc_id) JOIN esh b USING (eval_id))
+       |SELECT doc_id, eval_id, j,
+       | CASE WHEN j = 1.0 THEN 'exact' ELSE 'near' END AS kind
+       |FROM jj WHERE j >= 0.7 ORDER BY doc_id, eval_id""".stripMargin.replace("\n", " "))
 
   /** leak2's oracle: d2's pair SQL (guarded substitution) feeding the
     * ccmp1 recursive min-id closure, singleton docs defaulting to

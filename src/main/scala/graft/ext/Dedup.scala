@@ -1315,27 +1315,43 @@ object Dedup {
 
   def contaminationPairs(corpus: DataFrame, evalSet: DataFrame,
                          idCol: String, textCol: String,
-                         n: Int = 3, minJaccard: Double = 0.7): DataFrame = {
+                         n: Int = 3, minJaccard: Double = 0.7): DataFrame =
+    contaminationAgainstPostings(corpus,
+      evalPostings(evalSet, idCol, textCol, n), idCol, textCol, n,
+      minJaccard)
+
+  /** The eval suite's exploded shingle POSTINGS (eval_id, sz_e, s) — each
+    * posting CARRIES its side's set size (8 bytes, collapsed by the
+    * map-side combine before any shuffle) so the Jaccard denominator
+    * needs no size-lookup joins. Shared by the inline pair finder and the
+    * stored index build/append. */
+  private def evalPostings(evalSet: DataFrame, idCol: String,
+                           textCol: String, n: Int): DataFrame =
+    evalSet.where(size(TextAnalysis.tokens(col(textCol))) >= n)
+      .select(col(idCol).as("eval_id"),
+        shingleHashesFromTokens(TextAnalysis.tokens(col(textCol)), n).as("eshh"))
+      .select(col("eval_id"), size(col("eshh")).as("sz_e"),
+        explode(col("eshh")).as("s"))
+
+  /** The shared scoring core: one corpus shingle pass joined against a
+    * (bounded, broadcast) eval posting relation.
+    * explode_outer + isnotnull: see ngramJaccardPairs — a plain explode
+    * would push an inferred size(shh)>0 re-hash into the corpus scan.
+    * The corpus truly has ONE consumer, and no inferred-constraint
+    * divergence can split its exchange (a size-lookup rejoin picked up
+    * join-key/null constraints that made the corpus subplans differ and
+    * re-scan). */
+  private def contaminationAgainstPostings(corpus: DataFrame, ep: DataFrame,
+                                           idCol: String, textCol: String,
+                                           n: Int,
+                                           minJaccard: Double): DataFrame = {
     val c = graft.core.Par.fanOut(
       corpus.where(size(TextAnalysis.tokens(col(textCol))) >= n)
         .select(col(idCol).as("doc_id"),
           shingleHashesFromTokens(TextAnalysis.tokens(col(textCol)), n).as("shh")))
-    val e = evalSet.where(size(TextAnalysis.tokens(col(textCol))) >= n)
-      .select(col(idCol).as("eval_id"),
-        shingleHashesFromTokens(TextAnalysis.tokens(col(textCol)), n).as("eshh"))
-    // explode_outer + isnotnull: see ngramJaccardPairs — a plain explode
-    // would push an inferred size(shh)>0 re-hash into the corpus scan.
-    // Each posting CARRIES its side's set size (8 bytes, collapsed by the
-    // map-side combine before any shuffle), so the Jaccard denominator
-    // needs no size-lookup joins — the corpus truly has ONE consumer, and
-    // no inferred-constraint divergence can split its exchange (a
-    // size-lookup rejoin picked up join-key/null constraints that made the
-    // corpus subplans differ and re-scan).
     val cp = c.select(col("doc_id"), size(col("shh")).as("sz_c"),
         explode_outer(col("shh")).as("s"))
       .where(col("s").isNotNull)
-    val ep = e.select(col("eval_id"), size(col("eshh")).as("sz_e"),
-      explode(col("eshh")).as("s"))
     cp.join(broadcast(ep), "s")
       .groupBy("doc_id", "eval_id")
       .agg(count(lit(1)).as("c"), max(col("sz_c")).as("sz_c"),
@@ -1345,6 +1361,70 @@ object Dedup {
       .where(col("j") >= minJaccard)
       .withColumn("kind", when(col("j") === 1.0, lit("exact")).otherwise(lit("near")))
   }
+
+  /** STORED eval-suite decontamination index — cc1's production shape:
+    * the eval SUITE is fixed while ingest batches stream past it, so its
+    * tokenize+shingle pass belongs in a built-once artifact, not in every
+    * probe. Layout: `dir/postings` (the build's (eval_id, sz_e, s)
+    * posting rows) + `dir/segments/seg_N` (appended eval WAVES — new
+    * benchmark tasks arriving later — via the count-indexed
+    * [[graft.core.Artifacts.commitIndexedSegment]], single-writer
+    * verified); appends anti-join stored eval_ids so a redelivered wave
+    * is a no-op and writes no segment. Probes broadcast the full stored
+    * relation — eval suites are benchmarks, bounded by definition, the
+    * cc1 broadcast contract unchanged. */
+  def writeContaminationIndex(evalSet: DataFrame, idCol: String,
+                              textCol: String, dir: String,
+                              n: Int = 3): Unit =
+    graft.core.Artifacts.stageCommit(evalSet.sparkSession, dir) { tmp =>
+      evalPostings(evalSet, idCol, textCol, n).write.parquet(s"$tmp/postings")
+    }
+
+  /** Base + committed eval-wave segments. */
+  def contaminationIndexRelation(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): DataFrame = {
+    graft.core.Artifacts.heal(spark, dir)
+    val segs = graft.core.Artifacts.committedChildren(spark, s"$dir/segments")
+    val base = spark.read.parquet(s"$dir/postings")
+    segs.foldLeft(base)((acc, sgt) =>
+      acc.unionByName(spark.read.schema(base.schema).parquet(sgt)))
+  }
+
+  /** Append a new eval WAVE (anti-joined on eval_id — retries and
+    * overlapping waves no-op and write no segment). */
+  def appendToContaminationIndex(newEval: DataFrame, idCol: String,
+                                 textCol: String, dir: String,
+                                 n: Int = 3): Unit = {
+    val spark = newEval.sparkSession
+    graft.core.Artifacts.heal(spark, dir)
+    val nSegs = graft.core.Artifacts
+      .committedChildren(spark, s"$dir/segments", sweepStale = true).size
+    val fresh = newEval.join(
+      contaminationIndexRelation(spark, dir)
+        .select(col("eval_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    val posts = evalPostings(fresh, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (posts.isEmpty) return
+      graft.core.Artifacts.commitIndexedSegment(spark,
+          s"$dir/segments", nSegs) { tmp =>
+        posts.write.parquet(tmp)
+      }
+    } finally posts.unpersist(blocking = false)
+  }
+
+  /** [[contaminationPairs]] answered from the STORED index — the eval
+    * suite is never re-tokenized; identical results to the inline path
+    * over the same eval population by construction (same postings, same
+    * scoring core). */
+  def contaminationPairsFromIndex(corpus: DataFrame, idCol: String,
+                                  textCol: String, dir: String,
+                                  n: Int = 3,
+                                  minJaccard: Double = 0.7): DataFrame =
+    contaminationAgainstPostings(corpus,
+      contaminationIndexRelation(corpus.sparkSession, dir), idCol, textCol,
+      n, minJaccard)
 
   /** Per-document N-GRAM CONTAINMENT against an eval set — the GPT-3-
     * lineage decontamination METRIC next to [[contaminationPairs]]'s pair

@@ -73,7 +73,12 @@ object DumpPlans {
       // third wave: the WindowGroupLimit top-k NDCG and the stored-
       // moments finish (mst3/cms1s return trivial artifact reads — the
       // interesting work is multi-job and lives in their scaladocs)
-      "ndcg1_ranking_ndcg", "inc6_incremental_bivariate")
+      "ndcg1_ranking_ndcg", "inc6_incremental_bivariate",
+      // round-14: the vocabulary-bounded source self-join and the
+      // cluster-safe split's pair→components→broadcast-label shape
+      // (pipe1s/del3s/cms4/hh3 are multi-job artifact lifecycles — their
+      // returned frames are artifact reads, the mst3 convention)
+      "srcsim1_source_jaccard", "leak2_cluster_safe_split")
     val sections = new StringBuilder
     val inventory = new StringBuilder
     inventory.append("\n## Plan inventory — all graded queries (finalized plans, sf0.001)\n\n")

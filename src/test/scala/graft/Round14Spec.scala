@@ -190,6 +190,33 @@ class Round14Spec extends SparkSpec {
         "from the materialized candidate set, not the deleted store")
   }
 
+  // ------------------------------------ cc3 stored eval index
+
+  test("contamination index: re-appended wave writes no segment; stored equals inline") {
+    val docs = (0L until 30L).map(i =>
+        (i, s"alpha beta gamma delta token$i epsilon zeta"))
+      .toDF("doc_id", "text")
+    val ev0 = docs.where($"doc_id" < 5)
+      .select(($"doc_id" + 100L).as("doc_id"), $"text")
+    val ev1 = docs.where($"doc_id" >= 5 && $"doc_id" < 8)
+      .select(($"doc_id" + 200L).as("doc_id"), $"text")
+    val dir = tmpDir("cc3-spec") + "/idx"
+    ext.Dedup.writeContaminationIndex(ev0, "doc_id", "text", dir)
+    ext.Dedup.appendToContaminationIndex(ev1, "doc_id", "text", dir)
+    ext.Dedup.appendToContaminationIndex(ev1, "doc_id", "text", dir) // retry
+    assert(graft.core.Artifacts
+      .committedChildren(spark, s"$dir/segments").size == 1,
+      "a fully-redelivered eval wave must write no segment")
+    val want = ext.Dedup
+      .contaminationPairs(docs, ev0.unionByName(ev1), "doc_id", "text")
+      .orderBy("doc_id", "eval_id").collect().map(_.toSeq).toSeq
+    val got = ext.Dedup
+      .contaminationPairsFromIndex(docs, "doc_id", "text", dir)
+      .orderBy("doc_id", "eval_id").collect().map(_.toSeq).toSeq
+    assert(got == want, "stored-index probe must equal the inline scan")
+    assert(got.nonEmpty, "fixture must produce contaminated pairs")
+  }
+
   // ------------------------------------ mov1 recall across split cells
 
   test("heavyMoversWindowed: equals brute-force movers with epochs split across batches (fuzzed)") {
