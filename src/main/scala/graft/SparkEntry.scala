@@ -3905,6 +3905,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // dsz1: NEAR-DUP CLUSTER SIZE HISTOGRAM — the dedup IMPACT report a
+    // curation run publishes before collapsing ("how much of the corpus
+    // is clusters of 2? is there a mega-cluster?" — mega-clusters are
+    // template/boilerplate families that deserve a rule, not pairwise
+    // dedup): cluster sizes over leak2's components (singletons
+    // included as size-1 clusters — a histogram that omitted them would
+    // overstate duplication), reduced to (csize, n_clusters, n_docs).
+    // Same 100 TB shape as leak2: components over the blocked pair
+    // stream only, two label-sized aggregates after.
+    "dsz1_dup_cluster_histogram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      val comps = Graph.connectedComponents(pairs, "id_a", "id_b")
+      val roots = docs.select(col("doc_id"))
+        .join(comps.select(col("node").as("doc_id"), col("component")),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("root"))
+      roots.groupBy("root").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+        .select(col("csize"), col("n_clusters"),
+          (col("csize") * col("n_clusters")).as("n_docs"))
+        .orderBy("csize")
+    }),
+
     // srcsim1: SOURCE-PAIR VOCABULARY JACCARD — the corpus-composition
     // matrix (which sources are redundant, which add coverage — the
     // mixing-weight input mix1 consumes): exact distinct-token-set
@@ -8322,6 +8348,8 @@ object SparkEntry {
       "leak1_split_leakage" -> Leak1OracleSql,
       // leak2: d2 pairs -> recursive closure -> root-bucketed split
       "leak2_cluster_safe_split" -> Leak2OracleSql,
+      // dsz1: the identical closure reduced to the size histogram
+      "dsz1_dup_cluster_histogram" -> Dsz1OracleSql,
       // srcsim1: exact vocabulary Jaccard per source pair
       "srcsim1_source_jaccard" -> SrcSim1OracleSql,
       // LSH banding at (128 hashes, 32 bands of 4): P(miss | J≥0.9) < 1e-30,
@@ -10040,6 +10068,29 @@ object SparkEntry {
        |  ELSE 'test' END AS split
        |FROM (SELECT doc_id, root, $bucket AS b FROM a)
        |ORDER BY doc_id""".stripMargin.replace("\n", " "))
+  }
+
+  /** dsz1's oracle: leak2's recursive closure (same guarded derivation
+    * from d2's pair SQL) reduced to the cluster-size histogram,
+    * singletons defaulting to themselves. */
+  private lazy val Dsz1OracleSql: String = {
+    val marker = " ORDER BY id_a, id_b"
+    require(ngramPairsSql.endsWith(marker),
+      "dsz1 oracle derivation out of sync with ngramPairsSql")
+    (s"""WITH RECURSIVE pp AS (${ngramPairsSql.stripSuffix(marker)}),
+       |e AS (SELECT id_a AS x, id_b AS y FROM pp
+       | UNION SELECT id_b, id_a FROM pp),
+       |r AS (SELECT x AS node, y AS reach FROM e
+       | UNION SELECT r.node, e.y FROM r JOIN e ON e.x = r.reach),
+       |c AS (SELECT node, LEAST(node, MIN(reach)) AS root
+       | FROM r GROUP BY node),
+       |a AS (SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS root
+       | FROM documents d LEFT JOIN c ON c.node = d.doc_id),
+       |sz AS (SELECT root, COUNT(*) AS csize FROM a GROUP BY root)
+       |SELECT CAST(csize AS BIGINT) AS csize,
+       | CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       | CAST(csize * COUNT(*) AS BIGINT) AS n_docs
+       |FROM sz GROUP BY csize ORDER BY csize""".stripMargin.replace("\n", " "))
   }
 
   /** srcsim1's oracle: distinct (source, token) sets, pairwise exact
