@@ -3221,7 +3221,6 @@ object SparkEntry {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             adm.count() // force: see the pre-ingest store state
-            Dedup.ingestBloomBatch(b, "text", bloomDir)
             val cur = adm.where(curatedP)
             // an emptied batch (full redelivery) must write NO segment
             // and NO version anywhere — the guards keep the postings/
@@ -3233,6 +3232,17 @@ object SparkEntry {
                 ivfDir)
               Similarity.ingestKnnBatch(cur, "doc_id", "embedding", knnDir)
             }
+            // the fps/bloom ingest commits LAST — the cross-tier crash-
+            // ordering constraint this composition surfaces (exactly
+            // what the per-tier specs cannot): committed fps are the
+            // dedup screen's memory, so if they landed BEFORE the index
+            // appends, a crash in between would make the redelivered
+            // batch anti-join to empty and the batch would be LOST from
+            // the index tiers forever. Ingested last, every crash point
+            // heals: redelivery re-admits the batch (fps absent) and
+            // each index tier's own id anti-join no-ops whatever
+            // already landed (Round14Spec pins the heal).
+            Dedup.ingestBloomBatch(b, "text", bloomDir)
           } finally adm.unpersist(blocking = false)
           if (bid == 1L) { // takedown MID-STREAM: batch 2 still to come
             ext.Retrieval.forgetFromPostingsIndex(takedown, "doc_id",

@@ -283,12 +283,13 @@ class Round14Spec extends SparkSpec {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         adm.count() // the pipe1s rule: see the PRE-ingest store state
-        ext.Dedup.ingestBloomBatch(b, "text", bl)
         if (!adm.isEmpty) {
           ext.Retrieval.appendToPostingsIndex(adm, "doc_id", "text", po)
           ext.Similarity.appendToIvfIndex(adm, "doc_id", "embedding", iv)
           ext.Similarity.ingestKnnBatch(adm, "doc_id", "embedding", kn)
         }
+        // fps commit LAST — the pipe1s crash-ordering rule
+        ext.Dedup.ingestBloomBatch(b, "text", bl)
       } finally adm.unpersist(blocking = false)
     }
     def counts() = (
@@ -329,6 +330,62 @@ class Round14Spec extends SparkSpec {
     assert(got == want,
       "build → stream appends → mid-stream takedown → more appends must " +
         "compose to the from-scratch graph over the final population")
+  }
+
+  test("composed pipeline: crash between tier appends heals on redelivery; fps-first ordering would lose the batch") {
+    val rnd = new scala.util.Random(41)
+    val rec = (0L until 16L).map(i =>
+        (i, s"crashy document body text $i",
+          Array.fill(4)(rnd.nextDouble() * 2 - 1)))
+      .toDF("doc_id", "text", "embedding")
+      .withColumn("label", (col("doc_id") % 2).cast("int"))
+    def mk(root: String) = {
+      val dirs = (s"$root/bloom", s"$root/post", s"$root/ivf", s"$root/knn")
+      val build = rec.where($"doc_id" < 8)
+      ext.Dedup.writeBloomIndex(build, "text", dirs._1)
+      ext.Retrieval.writePostingsIndex(build, "doc_id", "text", dirs._2)
+      ext.Similarity.writeIvfIndex(build, "doc_id", "embedding", "label",
+        dirs._3)
+      ext.Similarity.writeKnnGraph(build, "doc_id", "embedding", dirs._4,
+        k = 3)
+      dirs
+    }
+    def ingest(b: org.apache.spark.sql.DataFrame,
+               dirs: (String, String, String, String)): Unit = {
+      val adm = b.join(
+        ext.Dedup.dedupIncrementalBloomFromIndex(b, "doc_id", "text",
+          dirs._1).select("doc_id"), Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        adm.count()
+        if (!adm.isEmpty) {
+          ext.Retrieval.appendToPostingsIndex(adm, "doc_id", "text", dirs._2)
+          ext.Similarity.appendToIvfIndex(adm, "doc_id", "embedding", dirs._3)
+          ext.Similarity.ingestKnnBatch(adm, "doc_id", "embedding", dirs._4)
+        }
+        ext.Dedup.ingestBloomBatch(b, "text", dirs._1) // fps LAST
+      } finally adm.unpersist(blocking = false)
+    }
+    val b0 = rec.where($"doc_id" >= 8)
+    // CRASHED attempt: postings landed, then the executor died — no IVF,
+    // no kNN, and crucially no fps commit
+    val crashed = mk(tmpDir("pipe-crash") + "/a")
+    ext.Retrieval.appendToPostingsIndex(b0, "doc_id", "text", crashed._2)
+    // at-least-once redelivery through the normal composed body
+    ingest(b0, crashed)
+    // an uncrashed twin processed the same batch exactly once
+    val clean = mk(tmpDir("pipe-crash") + "/b")
+    ingest(b0, clean)
+    def views(d: (String, String, String, String)) = (
+      ext.Retrieval.postingsLiving(spark, d._2)
+        .orderBy("doc_id", "term").collect().map(_.toSeq).toSeq,
+      ext.Similarity.ivfLivingIndex(spark, d._3)
+        .orderBy("vec_id").collect().map(_.toSeq).toSeq,
+      ext.Similarity.knnGraphFromIndex(spark, d._4)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq)
+    assert(views(crashed) == views(clean),
+      "crash-then-redeliver must converge to the uncrashed state on " +
+        "every tier (postings no-ops its landed docs, IVF/kNN land)")
   }
 
   test("kcenterGonzalez: no persisted blocks survive the call") {
