@@ -543,7 +543,16 @@ object Profile {
       val ns = cells.select("epoch", "bid", "n").distinct()
         .groupBy("epoch").agg(sum(col("n")).as("ne")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val mx = math.max(ns.getOrElse(e0, 0L), ns.getOrElse(e1, 0L))
+      // loud on a missing epoch: no living cells means never ingested or
+      // already expired — either way the recall argument has no summary
+      // to stand on, and silently treating it as zero would report every
+      // surviving-epoch heavy hitter as a "mover"
+      val missing = Seq(e0, e1).filterNot(ns.contains)
+      require(missing.isEmpty,
+        s"heavyMoversWindowed: epoch(s) ${missing.mkString(", ")} have no " +
+          s"living cells in $dir — never ingested or already expired; " +
+          "movers against a missing epoch are unanswerable")
+      val mx = math.max(ns(e0), ns(e1))
       // driver-materialized candidates — the heavyHittersWindowed rule
       import spark.implicits._
       val cands = cells.select("key").distinct()

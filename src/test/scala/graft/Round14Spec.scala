@@ -256,6 +256,12 @@ class Round14Spec extends SparkSpec {
     assert(got == want,
       "sketch-candidate movers must equal the brute-force mover set")
     assert(want.nonEmpty, "fixture must actually produce movers")
+    // a missing/expired epoch fails loudly instead of reporting every
+    // surviving-epoch heavy hitter as a "mover" against zero
+    val e = intercept[IllegalArgumentException] {
+      ext.Profile.heavyMoversWindowed(df, $"key0", $"e", dir, 0L, 7L)
+    }
+    assert(e.getMessage.contains("no living cells"))
   }
 
   // ------------------------------------ pipe1s composition seams
