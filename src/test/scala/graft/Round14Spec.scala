@@ -394,6 +394,88 @@ class Round14Spec extends SparkSpec {
         "every tier (postings no-ops its landed docs, IVF/kNN land)")
   }
 
+  test("composed pipeline: pinned reads align across tiers at the same version") {
+    // the property the per-tier no-op guards buy in COMPOSITION: a
+    // redelivered batch writes no segment/version on ANY tier, so batch
+    // N maps to version N in lockstep everywhere and a pinned composed
+    // answer is consistent across artifacts. MAIN processes b0, a full
+    // b0 redelivery, a takedown and b2; TWIN stops after b0 + takedown.
+    // Pinned at version 1 (build + b0), every tier's answer must be
+    // identical on both — any leak of b2/later versions into a pin, or
+    // any version skew from the redelivery, breaks the equality. (kNN
+    // pins keep the documented shrunk-list contract after a forget, so
+    // the anchor is twin equality, not from-scratch exactness.)
+    val rnd = new scala.util.Random(53)
+    val rec = (0L until 20L).map(i =>
+        (i, s"aligned document body text token$i tail",
+          Array.fill(4)(rnd.nextDouble() * 2 - 1)))
+      .toDF("doc_id", "text", "embedding")
+      .withColumn("label", (col("doc_id") % 2).cast("int"))
+    def mk(root: String) = {
+      val dirs = (s"$root/bloom", s"$root/post", s"$root/ivf", s"$root/knn")
+      val build = rec.where($"doc_id" < 10)
+      ext.Dedup.writeBloomIndex(build, "text", dirs._1)
+      ext.Retrieval.writePostingsIndex(build, "doc_id", "text", dirs._2)
+      ext.Similarity.writeIvfIndex(build, "doc_id", "embedding", "label",
+        dirs._3)
+      ext.Similarity.writeKnnGraph(build, "doc_id", "embedding", dirs._4,
+        k = 3)
+      dirs
+    }
+    def ingest(b: org.apache.spark.sql.DataFrame,
+               dirs: (String, String, String, String)): Unit = {
+      val adm = b.join(
+        ext.Dedup.dedupIncrementalBloomFromIndex(b, "doc_id", "text",
+          dirs._1).select("doc_id"), Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        adm.count()
+        if (!adm.isEmpty) {
+          ext.Retrieval.appendToPostingsIndex(adm, "doc_id", "text", dirs._2)
+          ext.Similarity.appendToIvfIndex(adm, "doc_id", "embedding", dirs._3)
+          ext.Similarity.ingestKnnBatch(adm, "doc_id", "embedding", dirs._4)
+        }
+        ext.Dedup.ingestBloomBatch(b, "text", dirs._1) // fps LAST
+      } finally adm.unpersist(blocking = false)
+    }
+    def takedown(dirs: (String, String, String, String)): Unit = {
+      val doomed = rec.where($"doc_id" === 3).select("doc_id")
+      ext.Retrieval.forgetFromPostingsIndex(doomed, "doc_id", dirs._2)
+      ext.Similarity.forgetFromIvfIndex(doomed, "doc_id", dirs._3)
+      ext.Similarity.forgetFromKnnGraph(doomed, "doc_id", dirs._4)
+    }
+    val b0 = rec.where($"doc_id" >= 10 && $"doc_id" < 15)
+    val b2 = rec.where($"doc_id" >= 15)
+    val main = mk(tmpDir("pipe-pin") + "/main")
+    ingest(b0, main); ingest(b0, main) // full redelivery: no version skew
+    takedown(main); ingest(b2, main)
+    val twin = mk(tmpDir("pipe-pin") + "/twin")
+    ingest(b0, twin); takedown(twin)
+    val queries = Seq(0 -> Seq("document", "text"), 1 -> Seq("aligned", "tail"))
+    def bm(d: (String, String, String, String)) =
+      ext.Retrieval.bm25TopKFromIndexAsOf(spark, queries, d._2,
+          asOf = 1L, k = 5)
+        .orderBy("query_id", "rk").collect().map(_.toSeq).toSeq
+    def ivf(d: (String, String, String, String)) =
+      ext.Similarity.ivfQuantizedTopKFromIndex(
+          spark.read.parquet(s"${d._3}/centroids"),
+          ext.Similarity.ivfIndexRelationAsOf(spark, d._3, 1L),
+          rec.select($"doc_id".as("vec_id"), $"embedding".as("v")),
+          rec.where($"doc_id" < 2), "doc_id", "embedding",
+          k = 3, nprobe = 2, shortlist = 10)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    def knn(d: (String, String, String, String)) =
+      ext.Similarity.knnGraphFromIndexAsOf(spark, d._4, 1L)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(bm(main) == bm(twin),
+      "postings pin leaked post-pin state or skewed versions")
+    assert(ivf(main) == ivf(twin),
+      "IVF pin leaked post-pin state or skewed versions")
+    assert(knn(main) == knn(twin),
+      "kNN pin leaked post-pin state or skewed versions")
+    assert(knn(main).nonEmpty && ivf(main).nonEmpty && bm(main).nonEmpty)
+  }
+
   test("kcenterGonzalez: no persisted blocks survive the call") {
     val vecs = fuzzVecs(30, 4, seed = 7)
     val before = spark.sparkContext.getPersistentRDDs.keySet
