@@ -62,14 +62,16 @@ class Round14Spec extends SparkSpec {
     val docs = (0L until 40L).map(i => (i, s"document body number $i"))
       .toDF("doc_id", "text")
     val dir = tmpDir("bloom-rebuild") + "/idx"
-    ext.Dedup.writeBloomIndex(docs.where($"doc_id" < 10), "text", dir)
+    ext.Dedup.writeBloomIndex(docs.where($"doc_id" < 10), "text", dir,
+      numBits = 1 << 15)
     ext.Dedup.appendToBloomIndex(
       docs.where($"doc_id" >= 10 && $"doc_id" < 20), "text", dir)
     assert(graft.core.Artifacts
       .committedChildren(spark, s"$dir/segments").nonEmpty)
     // full rebuild over a DIFFERENT population: supersedes the appended
     // segments and resets version history, all in one whole-root swap
-    ext.Dedup.writeBloomIndex(docs.where($"doc_id" < 30), "text", dir)
+    ext.Dedup.writeBloomIndex(docs.where($"doc_id" < 30), "text", dir,
+      numBits = 1 << 15)
     assert(graft.core.Artifacts
       .committedChildren(spark, s"$dir/segments").isEmpty,
       "a rebuild supersedes previously appended segments")
@@ -277,7 +279,7 @@ class Round14Spec extends SparkSpec {
     val (bl, po, iv, kn) =
       (s"$root/bloom", s"$root/post", s"$root/ivf", s"$root/knn")
     val build = rec.where($"doc_id" < 10)
-    ext.Dedup.writeBloomIndex(build, "text", bl)
+    ext.Dedup.writeBloomIndex(build, "text", bl, numBits = 1 << 15)
     ext.Retrieval.writePostingsIndex(build, "doc_id", "text", po)
     ext.Similarity.writeIvfIndex(build, "doc_id", "embedding", "label", iv)
     ext.Similarity.writeKnnGraph(build, "doc_id", "embedding", kn, k = 3)
@@ -348,7 +350,8 @@ class Round14Spec extends SparkSpec {
     def mk(root: String) = {
       val dirs = (s"$root/bloom", s"$root/post", s"$root/ivf", s"$root/knn")
       val build = rec.where($"doc_id" < 8)
-      ext.Dedup.writeBloomIndex(build, "text", dirs._1)
+      ext.Dedup.writeBloomIndex(build, "text", dirs._1,
+        numBits = 1 << 15)
       ext.Retrieval.writePostingsIndex(build, "doc_id", "text", dirs._2)
       ext.Similarity.writeIvfIndex(build, "doc_id", "embedding", "label",
         dirs._3)
@@ -414,7 +417,8 @@ class Round14Spec extends SparkSpec {
     def mk(root: String) = {
       val dirs = (s"$root/bloom", s"$root/post", s"$root/ivf", s"$root/knn")
       val build = rec.where($"doc_id" < 10)
-      ext.Dedup.writeBloomIndex(build, "text", dirs._1)
+      ext.Dedup.writeBloomIndex(build, "text", dirs._1,
+        numBits = 1 << 15)
       ext.Retrieval.writePostingsIndex(build, "doc_id", "text", dirs._2)
       ext.Similarity.writeIvfIndex(build, "doc_id", "embedding", "label",
         dirs._3)
