@@ -3202,6 +3202,25 @@ object SparkEntry {
       val q = rec.where(col("doc_id") % 4 === 1)
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
           col("embedding"))
+      // corpus-contract guard (round-14 ADVICE): the oracle's population
+      // is purely id/lang/length-predicated, while the engine's content
+      // screen drops any streamed doc whose text exactly matches an
+      // archived doc — the two agree ONLY while the genuine streamed
+      // texts are content-disjoint from the build's (the planted +1e6
+      // dups are the deliberate exception: screened by the engine AND
+      // excluded from the oracle by id predicate). A regenerated corpus
+      // with cross-population exact-content duplicates must fail HERE
+      // with a message, not as a hash diff (the boruvkaForestBudgeted
+      // convention). One bounded count over fingerprint halves.
+      val crossDups = q
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .join(build.select(TextAnalysis.fingerprint(col("text")).as("fp")),
+          Seq("fp"), "left_semi").count()
+      require(crossDups == 0L,
+        s"pipe1s: $crossDups streamed doc(s) share exact content with the " +
+          "build population — the content screen would drop them but the " +
+          "id-predicated oracle would keep them; regenerate the fixture " +
+          "predicates so the stream and build texts are content-disjoint")
       val s0 = q.where(pmod(col("doc_id"), lit(8)) === 1)
       val s1 = s0.unionByName(s0.select(
         (col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"),
@@ -3962,7 +3981,13 @@ object SparkEntry {
           col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
         .agg(count(lit(1)).as("inter"))
-      inter
+      // eager-materialize the ≤ C(|sources|,2)-row result so the
+      // vocabulary-sized distinct cache can release NOW — Verify has no
+      // per-query clearCache, so a lingering persist would occupy
+      // executor storage for every remaining graded query (round-14
+      // ADVICE); the explicit orderBy after the checkpoint keeps the
+      // graded ordering deterministic
+      val out = inter
         .join(sizes.select(col("source").as("src_a"), col("n").as("na")),
           Seq("src_a"))
         .join(sizes.select(col("source").as("src_b"), col("n").as("nb")),
@@ -3971,7 +3996,9 @@ object SparkEntry {
           (col("na") + col("nb") - col("inter")).as("uni"))
         .withColumn("j_micro",
           expr("CAST((inter * 1000000L) DIV uni AS BIGINT)"))
-        .orderBy("src_a", "src_b")
+        .localCheckpoint()
+      st.unpersist(blocking = false)
+      out.orderBy("src_a", "src_b")
     }),
 
     "d3_minhash_lsh" -> ((s, d) =>

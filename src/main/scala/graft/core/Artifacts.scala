@@ -169,6 +169,26 @@ object Artifacts {
                    artifactDir: String, asOf: Long): Seq[String] = {
     val floor = asOfFloor(spark, artifactDir)
     val segs = committedChildren(spark, s"$artifactDir/segments")
+    // Read-side half of the single-writer guard (round-14 ADVICE):
+    // commitIndexedSegment's twin check throws only in the SECOND
+    // committer's JVM — which may be a dead streaming query whose error
+    // nobody reads — so a pinned read of a torn artifact must also fail
+    // loudly here rather than order version N vs N+1 by random UUID
+    // bytes. Applies only to count-indexed `seg_NNNNNN_<uuid>` names;
+    // batch-id-named segments (windowed sketch stores) are unique by
+    // name, stageCommit already refuses their duplicates.
+    val dupIdx = segs
+      .map(p => new org.apache.hadoop.fs.Path(p).getName)
+      .flatMap { n =>
+        val m = "^(seg_\\d{6})_".r.findFirstMatchIn(n); m.map(_.group(1))
+      }
+      .groupBy(identity).collect { case (idx, twins) if twins.size > 1 => idx }
+    require(dupIdx.isEmpty,
+      s"Artifacts.segmentsAsOf: $artifactDir has multiple committed " +
+        s"segments sharing index ${dupIdx.toSeq.sorted.mkString(", ")} — " +
+        "the artifact was torn by concurrent appenders and version " +
+        "ordering past that index is ambiguous; remove the duplicate " +
+        "segment(s) before pinned reads")
     require(asOf >= floor,
       s"Artifacts.segmentsAsOf: version $asOf of $artifactDir was folded " +
         s"away by compaction (floor = $floor) — as-of reads of folded " +

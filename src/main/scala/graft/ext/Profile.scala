@@ -257,7 +257,13 @@ object Profile {
   /** One ingest batch into the windowed store: per-epoch counters commit
     * as segment `seg_<batchId>` (stage + one checked rename). A batch id
     * whose segment already exists — or that an expire already folded —
-    * is a NO-OP, which is the whole redelivery contract. */
+    * is a NO-OP, which is the whole redelivery contract. A NEW id BELOW
+    * the newest committed segment is REJECTED loudly (round-14 ADVICE):
+    * this store answers as-of, and versions are the batch-id-sorted
+    * segment prefix — a late-arriving lower id would insert itself
+    * BEFORE existing segments and retroactively renumber every pin
+    * (version 1 silently changes meaning). Out-of-order tolerance and
+    * as-of stability are mutually exclusive; this store chooses as-of. */
   def ingestWindowedCmsBatch(batch: DataFrame, key: Column, epoch: Column,
                              dir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -270,9 +276,28 @@ object Profile {
     val p = new org.apache.hadoop.fs.Path(seg)
     if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       return
+    requireMonotoneBatchId(spark, dir, batchId)
     graft.core.Artifacts.stageCommit(spark, seg) { tmp =>
       epochCms(batch, key, epoch, d, w).coalesce(1).write.parquet(tmp)
     }
+  }
+
+  /** The monotone-id fence both windowed sketch stores share: a fresh
+    * (non-redelivered, non-folded) batch id must exceed every committed
+    * segment id, or as-of pins over the batch-id-sorted prefix silently
+    * change meaning. Throws with the offending ids. */
+  private def requireMonotoneBatchId(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String, batchId: Long): Unit = {
+    val ids = graft.core.Artifacts.committedChildren(spark, s"$dir/segments")
+      .map(s => new org.apache.hadoop.fs.Path(s).getName
+        .stripPrefix("seg_").toLong)
+    if (ids.nonEmpty && batchId < ids.max)
+      throw new IllegalArgumentException(
+        s"windowed sketch store $dir: batch id $batchId arrives below the " +
+          s"newest committed segment (${ids.max}) — this store serves " +
+          "as-of reads over the batch-id-sorted segment prefix, so an " +
+          "out-of-order insert would retroactively renumber every pinned " +
+          "version. Replay the source in order or rebuild the store")
   }
 
   /** base (if the artifact was ever folded) + the given segment list,
@@ -417,9 +442,12 @@ object Profile {
   }
 
   /** One ingest batch: per-epoch MG cells commit as segment
-    * `seg_<batchId>`; redelivered or already-folded ids no-op. The
-    * per-epoch summaries run as a bounded driver loop (epochs per batch
-    * are calendar-bounded — a daily ingest touches one or two). */
+    * `seg_<batchId>`; redelivered or already-folded ids no-op; a FRESH
+    * id below the newest committed segment throws (the
+    * [[ingestWindowedCmsBatch]] monotone fence — this store answers
+    * as-of too, hh3). The per-epoch summaries run as a bounded driver
+    * loop (epochs per batch are calendar-bounded — a daily ingest
+    * touches one or two). */
   def ingestWindowedHhBatch(batch: DataFrame, key: Column, epoch: Column,
                             dir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -432,6 +460,7 @@ object Profile {
     val p = new org.apache.hadoop.fs.Path(seg)
     if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       return
+    requireMonotoneBatchId(spark, dir, batchId)
     val keyed = batch.select(epoch.cast("long").as("epoch"),
         key.cast("string").as("key"))
       .where(col("key").isNotNull)

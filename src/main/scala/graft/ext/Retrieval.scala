@@ -151,9 +151,15 @@ object Retrieval {
     * corpus totals must reflect the whole store or every score drifts —
     * BM25's df/N coupling is why Lucene merges segments rather than
     * patching counts; the read-back rebuild is the columnar equivalent,
-    * and at extreme scale the documented swap is an incremental
-    * dictionary merge; a periodic [[writePostingsIndex]] rebuild is the
-    * segment compaction).
+    * and at extreme scale the documented swap is an incremental merge
+    * FROM COMMITTED SEGMENTS — recompute the dictionary from the old
+    * segments' terms plus the new segment's, which a retry can always
+    * re-derive from what actually committed. That is NOT the same as
+    * `meta += batch` arithmetic, which the perf note below forbids:
+    * a merge from committed state stays retry-recomputable; in-place
+    * arithmetic against the possibly-stale previous meta is not. A
+    * periodic [[writePostingsIndex]] rebuild is the segment
+    * compaction.
     *
     * Idempotence under at-least-once retry: the batch anti-joins the
     * stored postings' doc ids first (an id-column-only columnar probe —

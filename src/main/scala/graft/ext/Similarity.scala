@@ -476,22 +476,83 @@ object Similarity {
     * [[compactKnnGraph]] first, which clears the tombstone). */
   def appendToKnnGraph(batch: DataFrame, idCol: String, vecCol: String,
                        dir: String): Unit = {
-    import org.apache.spark.storage.StorageLevel
     val spark = batch.sparkSession
     val head = knnHeadDir(spark, dir)
-    knnTombstones(spark, dir).foreach { t =>
-      require(spark.read.parquet(s"$head/vectors")
-          .join(t, Seq("id"), "left_semi").isEmpty,
-        s"appendToKnnGraph: $dir has tombstoned ids still present in the " +
-          "head version (a forget did not complete) — re-run " +
-          "forgetFromKnnGraph before appending")
-      require(batch.select(col(idCol).cast("long").as("id"))
-          .join(t, Seq("id"), "left_semi").isEmpty,
-        s"appendToKnnGraph: batch re-adds forgotten id(s) — a stale " +
-          "tombstone would hide them; run compactKnnGraph first")
-    }
-    val meta = spark.read.parquet(s"$head/meta").head()
-    val (k, blocks) = (meta.getAs[Int]("k"), meta.getAs[Int]("blocks"))
+    val st = knnBatchStats(spark,
+      batch.select(col(idCol).cast("long").as("id")), head, dir)
+    requireKnnGuards(st, dir)
+    // fail LOUDLY on id collision instead of silently producing a graph
+    // with duplicate nodes (the boruvka-claiming lesson: an undocumented
+    // precondition nothing enforces WILL eventually be violated) — the
+    // count rides the shared stats job, not its own aggregate.
+    require(st.nCollide == 0L && st.dupFresh == 0L,
+      s"appendToKnnGraph: ${st.nCollide + st.dupFresh} batch id(s) " +
+        "already exist in the stored corpus or repeat within the batch " +
+        "— an id re-insert is an update, not an append; rebuild")
+    knnAppendImpl(batch, idCol, vecCol, dir, head, st.k, st.blocks)
+  }
+
+  /** Every per-batch guard question of the kNN ingest/append path,
+    * answered by ONE bounded job (round-14 verdict #3 — the old path
+    * asked them as ~5 separate tiny jobs, each paying ~1 s fixed job
+    * overhead per micro-batch: the isEmpty probe, two tombstone-guard
+    * semi-joins, the duplicate-id count and the 1-row meta head() read).
+    * A labeled id union (batch ∪ head-vectors ∪ tombstones) groups by id
+    * once, a global aggregate counts each guard class, and a crossJoin
+    * with the 1-row meta returns (k, blocks) in the same collect. Costs
+    * exactly the id scans the old guards each paid separately — once. */
+  private case class KnnBatchStats(nFresh: Long, dupFresh: Long,
+    nCollide: Long, nPending: Long, nBatchTomb: Long, k: Int, blocks: Int)
+
+  private def knnBatchStats(spark: org.apache.spark.sql.SparkSession,
+                            batchIds: DataFrame, head: String,
+                            dir: String): KnnBatchStats = {
+    val bb = batchIds.select(col("id"),
+      lit(1L).as("b"), lit(0).as("h"), lit(0).as("t"))
+    val hh = spark.read.parquet(s"$head/vectors").select(col("id"),
+      lit(0L).as("b"), lit(1).as("h"), lit(0).as("t"))
+    val labeled = knnTombstones(spark, dir)
+      .map(_.select(col("id"), lit(0L).as("b"), lit(0).as("h"),
+        lit(1).as("t")))
+      .foldLeft(bb.unionByName(hh))(_ unionByName _)
+    val r = labeled.groupBy("id")
+      .agg(sum("b").as("nb"), max("h").as("ih"), max("t").as("it"))
+      .agg(
+        count(when(col("nb") > 0 && col("ih") === 0, 1)).as("n_fresh"),
+        count(when(col("nb") > 1 && col("ih") === 0, 1)).as("dup_fresh"),
+        count(when(col("nb") > 0 && col("ih") === 1, 1)).as("n_collide"),
+        count(when(col("it") === 1 && col("ih") === 1, 1)).as("n_pending"),
+        count(when(col("it") === 1 && col("nb") > 0, 1)).as("n_batch_tomb"))
+      .crossJoin(spark.read.parquet(s"$head/meta").select("k", "blocks"))
+      .head()
+    KnnBatchStats(r.getAs[Long]("n_fresh"), r.getAs[Long]("dup_fresh"),
+      r.getAs[Long]("n_collide"), r.getAs[Long]("n_pending"),
+      r.getAs[Long]("n_batch_tomb"), r.getAs[Int]("k"),
+      r.getAs[Int]("blocks"))
+  }
+
+  /** The two tombstone guards both entries share (messages pinned by
+    * specs): a crashed forget must complete before any append, and a
+    * batch carrying a forgotten id must compact first. */
+  private def requireKnnGuards(st: KnnBatchStats, dir: String): Unit = {
+    require(st.nPending == 0L,
+      s"appendToKnnGraph: $dir has tombstoned ids still present in the " +
+        "head version (a forget did not complete) — re-run " +
+        "forgetFromKnnGraph before appending")
+    require(st.nBatchTomb == 0L,
+      s"appendToKnnGraph: batch re-adds forgotten id(s) — a stale " +
+        "tombstone would hide them; run compactKnnGraph first")
+  }
+
+  /** The scoring + version-commit body shared by [[appendToKnnGraph]]
+    * and [[ingestKnnBatch]] — callers have already run the guard stats
+    * job; from here the only jobs are the three version writes (graph —
+    * which also materializes both persists — vectors, meta). */
+  private def knnAppendImpl(batch: DataFrame, idCol: String, vecCol: String,
+                            dir: String, head: String, k: Int,
+                            blocks: Int): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = batch.sparkSession
     val b = blocks.toLong
     val oldV = spark.read.parquet(s"$head/vectors")
       .select(col("id"), col("v"), lit(false).as("is_new"))
@@ -500,15 +561,6 @@ object Similarity {
     val allN = graft.core.Par.fanOut(oldV.union(newV)
         .select(col("id"), col("v"), col("is_new"), l2norm(col("v")).as("nrm")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // fail LOUDLY on id collision instead of silently producing a graph
-    // with duplicate nodes (the boruvka-claiming lesson: an undocumented
-    // precondition nothing enforces WILL eventually be violated). One
-    // aggregate over the cached node-sized relation — cheap next to the
-    // |B|·|C∪B| scoring it guards.
-    val dup = allN.groupBy("id").count().where(col("count") > 1).count()
-    require(dup == 0L,
-      s"appendToKnnGraph: $dup batch id(s) already exist in the stored " +
-        "corpus — an id re-insert is an update, not an append; rebuild")
     val pairs = {
       val tiles = sequence(lit(0L), lit(b - 1L))
       val q = allN.where(col("is_new"))
@@ -560,24 +612,32 @@ object Similarity {
     * update and needs a rebuild), and a batch the anti-join empties is
     * a NO-OP — no version written — so at-least-once redelivery neither
     * double-inserts nor churns version history. A surviving remainder
-    * appends through [[appendToKnnGraph]], whose duplicate-id guard is
-    * then vacuous by construction (its tombstone guards still apply). */
+    * appends through [[knnAppendImpl]]; every guard (pending tombstones,
+    * re-added forgotten ids, intra-batch duplicate ids) plus the
+    * emptiness probe and the meta read ride ONE shared stats job
+    * ([[knnBatchStats]] — round-14 verdict #3: the old path paid ~7
+    * tiny jobs × ~1 s fixed overhead per micro-batch; now it is the
+    * stats job plus the three version writes, ≤ 4 jobs per batch). */
   def ingestKnnBatch(batch: DataFrame, idCol: String, vecCol: String,
                      dir: String): Unit = {
     val spark = batch.sparkSession
     val head = knnHeadDir(spark, dir)
-    // persisted: the anti-join (a full head-vectors scan) is otherwise
-    // re-evaluated by the isEmpty probe, the append's tombstone guard,
-    // and the appended relation's materialization (round-13 ADVICE)
+    val st = knnBatchStats(spark,
+      batch.select(col(idCol).cast("long").as("id")), head, dir)
+    // a fully-redelivered batch no-ops BEFORE the guards — the old
+    // two-step path never guard-checked an emptied remainder, and a
+    // redelivery landing inside a forget's crash window must stay a
+    // harmless no-op, not a new failure mode
+    if (st.nFresh == 0L) return
+    requireKnnGuards(st, dir)
+    require(st.dupFresh == 0L,
+      s"appendToKnnGraph: ${st.dupFresh} batch id(s) repeat within the " +
+        "batch — an id re-insert is an update, not an append; rebuild")
     val fresh = batch.join(
       spark.read.parquet(s"$head/vectors")
         .select(col("id").cast("long").as("graft_seen")),
       batch(idCol).cast("long") === col("graft_seen"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (fresh.isEmpty) return
-      appendToKnnGraph(fresh, idCol, vecCol, dir)
-    } finally fresh.unpersist(blocking = false)
+    knnAppendImpl(fresh, idCol, vecCol, dir, head, st.k, st.blocks)
   }
 
   /** The stored graph's HEAD version, read back in [[knnGraphExact]]'s
