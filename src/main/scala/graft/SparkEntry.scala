@@ -2888,6 +2888,34 @@ object SparkEntry {
         .orderBy("token")
     }),
 
+    // mov2: mov1's drift report AS OF a pinned version — the movers ×
+    // time-travel interaction on the windowed MG store (round-14
+    // verdict #5). Batches and epochs are INDEPENDENT axes here
+    // (batch = doc_id % 4, epoch = doc_id % 2), so the two POST-PIN
+    // ingests add mass to the very epochs the movers compare — a green
+    // row proves the pinned cell prefix fed both the candidate union
+    // and the integer thresholds, where the head would answer with
+    // twice the mass. `data` is the matching pinned corpus slice (the
+    // hh3 contract); the expire-boundary edge (movers against an
+    // expired epoch fail loudly, folded pins fail loudly) is pinned by
+    // Round15Spec — exceptions are not oracle-gradeable.
+    "mov2_movers_asof" -> ((s, d) => {
+      val toks0 = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val dir = graft.core.Scratch.dir("mov2-") + "/hh"
+      ext.Profile.writeWindowedHh(s, dir, k = 200)
+      for (b <- 0 to 3)
+        ext.Profile.ingestWindowedHhBatch(
+          toks0.where(col("doc_id") % 4 === b), col("token"),
+          col("doc_id") % 2, dir, batchId = b.toLong)
+      ext.Profile.heavyMoversWindowedAsOf(
+          toks0.where(col("doc_id") % 4 < 2), col("token"),
+          col("doc_id") % 2, dir, 0L, 1L, asOf = 2L)
+        .select(col("key").as("token"), col("c0"), col("c1"), col("delta"))
+        .orderBy("token")
+    }),
+
     // inc5: INCREMENTAL heavy hitters from a STORED mergeable summary —
     // the bf2/sim7 lifecycle applied to hh1: the archive's Misra–Gries
     // summary commits once (side-write + checked swap), each ingest
@@ -8170,6 +8198,23 @@ object SparkEntry {
       "mov1_heavy_movers" ->
         (s"""WITH tk AS (SELECT doc_id % 2 AS e, unnest($toksSql) AS token
            |  FROM documents),
+           |n AS (SELECT MAX(ne) AS mx FROM
+           |  (SELECT e, COUNT(*) AS ne FROM tk GROUP BY e)),
+           |c AS (SELECT token,
+           |  COUNT(*) FILTER (WHERE e = 0) AS c0,
+           |  COUNT(*) FILTER (WHERE e = 1) AS c1
+           | FROM tk GROUP BY token)
+           |SELECT token, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+           | CAST(c1 - c0 AS BIGINT) AS delta
+           |FROM c, n WHERE abs(c1 - c0) * 200 >= n.mx
+           |ORDER BY token""".stripMargin.replace("\n", " ")),
+      // mov2: mov1's exact integer-threshold deltas over the PINNED
+      // population (batches 0,1 = doc_id % 4 < 2; epochs = doc_id % 2)
+      // — the post-pin ingests doubled every epoch's mass, so a green
+      // row proves candidates AND thresholds derive from the pin
+      "mov2_movers_asof" ->
+        (s"""WITH tk AS (SELECT doc_id % 2 AS e, unnest($toksSql) AS token
+           |  FROM documents WHERE doc_id % 4 < 2),
            |n AS (SELECT MAX(ne) AS mx FROM
            |  (SELECT e, COUNT(*) AS ne FROM tk GROUP BY e)),
            |c AS (SELECT token,

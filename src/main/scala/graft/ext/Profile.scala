@@ -562,10 +562,37 @@ object Profile {
     * (epoch, bid, n) rows, so the threshold needs no corpus scan; the
     * comparison is all-integer (|delta|·k ≥ max — no division). */
   def heavyMoversWindowed(data: DataFrame, key: Column, epoch: Column,
-                          dir: String, e0: Long, e1: Long): DataFrame = {
+                          dir: String, e0: Long, e1: Long): DataFrame =
+    moversOverCells(data, key, epoch,
+      data.sparkSession.read.parquet(s"$dir/meta").head().getAs[Int]("k"),
+      windowedHhCells(data.sparkSession, dir, minEpoch = math.min(e0, e1)),
+      e0, e1, dir)
+
+  /** [[heavyMoversWindowed]] AS OF a pinned version — yesterday's drift
+    * report re-derivable after today's ingest (round-14 verdict #5: the
+    * movers/as-of interaction row). Meaningful exactly when later
+    * batches add mass to the SAME epochs (batches and epochs are
+    * independent axes here): the pinned cell prefix then differs from
+    * the head's for e0/e1 themselves, and `data` must be the matching
+    * pinned corpus slice (the hh3 contract). Recall argument unchanged —
+    * it quantifies over the LIVING CELLS OF THE PINNED PREFIX, which is
+    * exactly what a pre-ingest run saw. Folded pins fail loudly
+    * (segmentsAsOf's floor contract); an epoch with no cells in the
+    * pinned prefix fails loudly like the head path (a mover against a
+    * missing epoch is unanswerable). */
+  def heavyMoversWindowedAsOf(data: DataFrame, key: Column, epoch: Column,
+                              dir: String, e0: Long, e1: Long,
+                              asOf: Long): DataFrame =
+    moversOverCells(data, key, epoch,
+      data.sparkSession.read.parquet(s"$dir/meta").head().getAs[Int]("k"),
+      windowedHhCellsAsOf(data.sparkSession, dir,
+        minEpoch = math.min(e0, e1), asOf), e0, e1, dir)
+
+  private def moversOverCells(data: DataFrame, key: Column, epoch: Column,
+                              k: Int, cellsIn: DataFrame, e0: Long,
+                              e1: Long, dir: String): DataFrame = {
     val spark = data.sparkSession
-    val k = spark.read.parquet(s"$dir/meta").head().getAs[Int]("k")
-    val cells = windowedHhCells(spark, dir, minEpoch = math.min(e0, e1))
+    val cells = cellsIn
       .where(col("epoch").isin(e0, e1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -6,15 +6,17 @@ import org.apache.spark.sql.functions._
 /** Stage-level timing of pipe1s_composed_pipeline at sf0.1 — the bench
   * records ~43 s for the graded unit; this main splits one run into
   * build / per-batch / takedown / compact / answer-leg costs (two rounds
-  * in one JVM — round 1 is the warm attribution). Measured round-14
-  * (warm): builds 5.6 s (bloom 0.9, postings 2.1, ivf 1.0, knn 1.6);
-  * effective batches b0/b2 ≈ 14/20 s each dominated by kNN ingest
-  * (7.0/10.2 — ~7 small jobs per append: idempotence probe, guards, dup
-  * check, tile join + two windows, three artifact writes, each ~1 s of
-  * fixed job overhead on tiny data) and postings append (3.4/4.3 —
+  * in one JVM — round 1 is the warm attribution). Measured round-15
+  * (warm, after the knnBatchStats consolidation): builds 6.3 s (bloom
+  * 1.0, postings 2.2, ivf 1.2, knn 2.0); effective batches b0/b2
+  * ≈ 14/18 s each dominated by kNN ingest (6.2/6.7, down from round-14's
+  * 7.0/10.2 — the guard probes, emptiness check, duplicate count and
+  * meta read now ride ONE stats job, measured 4 actions/batch where
+  * round 14 paid ~7; the remainder is the tile join + two windows +
+  * three version writes, real work) and postings append (3.6/4.3 —
   * whole-store dictionary rebuild, the ret4 contract); redelivered b1
-  * ≈ 3.1 s (probe + no-op); takedown 3.3 (knn repair 2.6); compact 2.5;
-  * legs 3.7. VERDICT: the total is the SUM of the five per-tier graded
+  * ≈ 3.8 s (probe + stats no-op); takedown 4.0 (knn repair 3.2);
+  * compact 2.1; legs 2.5. VERDICT: the total is the SUM of the five per-tier graded
   * cost classes × 3 batches (knn5s ≈ 5 s covers build + 2 kNN ingests
   * alone; ret9s 6.7 the postings side; sim11s 4.5 the IVF side; bf3s
   * 4.7 the bloom side; knn3/del3s 4–7 the takedown) — fixed per-job
@@ -86,8 +88,24 @@ object ProfilePipe {
             Retrieval.appendToPostingsIndex(cur, "doc_id", "text", postDir))
           t(s"$tag: ivf append")(
             Similarity.appendToIvfIndex(cur, "doc_id", "embedding", ivfDir))
-          t(s"$tag: knn ingest")(
+          val acts = new java.util.concurrent.atomic.AtomicInteger(0)
+          val al = new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(f: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                ns: Long): Unit = acts.incrementAndGet()
+            override def onFailure(f: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                e: Exception): Unit = ()
+          }
+          spark.listenerManager.register(al)
+          try t(s"$tag: knn ingest")(
             Similarity.ingestKnnBatch(cur, "doc_id", "embedding", knnDir))
+          finally {
+            Thread.sleep(500) // listener delivery is async
+            spark.listenerManager.unregister(al)
+            println(s"[pipe-prof] $tag: knn ingest actions = ${acts.get()}" +
+              " (budget: stats probe + 3 version writes = 4)")
+          }
         }
       } finally adm.unpersist(blocking = false)
     }

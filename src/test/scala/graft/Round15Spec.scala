@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 pins — the round-14 directive + ADVICE set:
+  *  - segmentsAsOf twin guard (ADVICE): a torn count-indexed artifact
+  *    fails loudly at READ time too — commitIndexedSegment's own check
+  *    only throws in the second committer's JVM, which may be a dead
+  *    streaming query whose error nobody sees.
+  *  - monotone batch ids on the windowed sketch stores (ADVICE): both
+  *    stores answer as-of, and versions are the batch-id-sorted segment
+  *    prefix — a late-arriving LOWER id would retroactively renumber
+  *    every pin. Fresh out-of-order ids throw; redelivered and folded
+  *    ids still no-op (the redelivery contract is untouched).
+  *  - movers × lifecycle edges (verdict #5): movers across an expire
+  *    boundary fail loudly (never fabricate zeros), pinned movers equal
+  *    the pre-ingest report, folded pins fail loudly.
+  *  - kNN ingest action budget (verdict #3): the guard probes, the
+  *    emptiness check and the meta read ride ONE stats job — a fresh
+  *    micro-batch executes ≤ 4 actions, a fully-redelivered one exactly
+  *    the stats probe and writes no version.
+  */
+class Round15Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def fuzzVecs(n: Int, dim: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0L until n.toLong).map(i =>
+      (i, Array.fill(dim)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  // ------------------------------------ segmentsAsOf read-side twin guard
+
+  test("segmentsAsOf: a torn count-indexed artifact fails loudly at read time") {
+    val root = tmpDir("torn-asof") + "/art"
+    def write(tmp: String): Unit = Seq(1L).toDF("id").write.parquet(tmp)
+    graft.core.Artifacts.commitIndexedSegment(spark, s"$root/segments", 0)(write)
+    // the second committer's own check throws — but in ITS JVM; the torn
+    // pair of committed seg_000000_* twins stays on disk
+    intercept[java.io.IOException] {
+      graft.core.Artifacts.commitIndexedSegment(spark, s"$root/segments", 0)(write)
+    }
+    val e = intercept[IllegalArgumentException] {
+      graft.core.Artifacts.segmentsAsOf(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("torn by concurrent appenders"))
+    // batch-id-named segments (no seg_NNNNNN_uuid prefix pattern) are
+    // exempt: their name IS the idempotence key
+    val root2 = tmpDir("named-asof") + "/art"
+    graft.core.Artifacts.stageCommit(spark, s"$root2/segments/seg_000000000005")(write)
+    assert(graft.core.Artifacts.segmentsAsOf(spark, root2, 1L).size == 1)
+  }
+
+  // ------------------------------------ windowed stores: monotone ids
+
+  test("windowed CMS: fresh out-of-order id throws; redelivery and folded ids no-op") {
+    val dir = tmpDir("cms-mono") + "/sk"
+    ext.Profile.writeWindowedCms(spark, dir, d = 2, w = 16)
+    def batch(e: Long, ks: Seq[String]) = ks.map(k => (e, k)).toDF("epoch", "k0")
+    ext.Profile.ingestWindowedCmsBatch(batch(0, Seq("a", "b")), $"k0", $"epoch", dir, 5L)
+    val e = intercept[IllegalArgumentException] {
+      ext.Profile.ingestWindowedCmsBatch(batch(0, Seq("c")), $"k0", $"epoch", dir, 3L)
+    }
+    assert(e.getMessage.contains("below the newest committed segment"))
+    // redelivery of the SAME id stays a silent no-op
+    ext.Profile.ingestWindowedCmsBatch(batch(0, Seq("zzz")), $"k0", $"epoch", dir, 5L)
+    assert(graft.core.Artifacts
+      .committedChildren(spark, s"$dir/segments").size == 1)
+    // after an expire folds the segment, a pre-fold id no-ops off the
+    // high-water BEFORE the monotone fence can object
+    ext.Profile.expireWindowedCms(spark, dir, minEpoch = 0L)
+    ext.Profile.ingestWindowedCmsBatch(batch(0, Seq("w")), $"k0", $"epoch", dir, 4L)
+    assert(graft.core.Artifacts
+      .committedChildren(spark, s"$dir/segments").isEmpty)
+  }
+
+  test("windowed HH: fresh out-of-order id throws; redelivery still no-ops") {
+    val dir = tmpDir("hh-mono") + "/hh"
+    ext.Profile.writeWindowedHh(spark, dir, k = 3)
+    def batch(e: Long, ks: Seq[String]) = ks.map(k => (e, k)).toDF("epoch", "key0")
+    ext.Profile.ingestWindowedHhBatch(batch(0, Seq("x", "x")), $"key0", $"epoch", dir, 2L)
+    val e = intercept[IllegalArgumentException] {
+      ext.Profile.ingestWindowedHhBatch(batch(0, Seq("y")), $"key0", $"epoch", dir, 1L)
+    }
+    assert(e.getMessage.contains("below the newest committed segment"))
+    ext.Profile.ingestWindowedHhBatch(batch(0, Seq("zzz")), $"key0", $"epoch", dir, 2L)
+    assert(graft.core.Artifacts
+      .committedChildren(spark, s"$dir/segments").size == 1)
+  }
+
+  // ------------------------------------ movers × lifecycle (verdict #5)
+
+  test("heavyMovers: pinned report equals pre-ingest; expired epoch and folded pin fail loudly") {
+    val dir = tmpDir("mov-edges") + "/hh"
+    ext.Profile.writeWindowedHh(spark, dir, k = 3)
+    def batch(rows: Seq[(Long, String)]) = rows.toDF("epoch", "key0")
+    val b0 = Seq.fill(5)((0L, "x")) :+ ((0L, "y"))
+    val b1 = Seq.fill(4)((1L, "y")) :+ ((1L, "x"))
+    ext.Profile.ingestWindowedHhBatch(batch(b0), $"key0", $"epoch", dir, 0L)
+    ext.Profile.ingestWindowedHhBatch(batch(b1), $"key0", $"epoch", dir, 1L)
+    val data01 = batch(b0 ++ b1)
+    val before = ext.Profile.heavyMoversWindowed(data01, $"key0", $"epoch",
+        dir, 0L, 1L)
+      .orderBy("key").collect().map(_.toSeq).toSeq
+    assert(before.nonEmpty, "fixture must produce movers")
+    // a later batch adds mass to BOTH epochs the movers compare — the
+    // axis independence that makes the pin meaningful (mov2's shape)
+    ext.Profile.ingestWindowedHhBatch(
+      batch(Seq.fill(4)((0L, "z")) ++ Seq.fill(4)((1L, "x"))),
+      $"key0", $"epoch", dir, 2L)
+    val pinned = ext.Profile.heavyMoversWindowedAsOf(data01, $"key0",
+        $"epoch", dir, 0L, 1L, asOf = 2L)
+      .orderBy("key").collect().map(_.toSeq).toSeq
+    assert(pinned == before,
+      "pinned movers must equal what the store said before the ingest")
+    // expire epoch 0: movers across the boundary are unanswerable — loud
+    ext.Profile.expireWindowedHh(spark, dir, minEpoch = 1L)
+    val gone = intercept[IllegalArgumentException] {
+      ext.Profile.heavyMoversWindowed(data01, $"key0", $"epoch", dir, 0L, 1L)
+        .collect()
+    }
+    assert(gone.getMessage.contains("no living cells"))
+    // and the pre-expire pin was folded away — loud, not silently head
+    val folded = intercept[IllegalArgumentException] {
+      ext.Profile.heavyMoversWindowedAsOf(data01, $"key0", $"epoch", dir,
+        0L, 1L, asOf = 2L).collect()
+    }
+    assert(folded.getMessage.contains("folded"))
+  }
+
+  // ------------------------------------ kNN ingest action budget
+
+  test("ingestKnnBatch: fresh batch ≤ 4 actions; redelivery = 1 probe, no version") {
+    val vecs = fuzzVecs(30, 4, seed = 21)
+    val dir = tmpDir("knn-jobs") + "/g"
+    ext.Similarity.writeKnnGraph(vecs.where($"vec_id" < 20),
+      "vec_id", "embedding", dir, k = 3)
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = actions.incrementAndGet()
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    // listener delivery is async — poll until the count is quiet
+    def drained(): Int = {
+      val deadline = System.currentTimeMillis + 20000
+      var last = actions.get(); var lastChange = System.currentTimeMillis
+      while (System.currentTimeMillis < deadline &&
+             System.currentTimeMillis - lastChange < 800) {
+        Thread.sleep(100)
+        val cur = actions.get()
+        if (cur != last) { last = cur; lastChange = System.currentTimeMillis }
+      }
+      last
+    }
+    spark.listenerManager.register(listener)
+    try {
+      ext.Similarity.ingestKnnBatch(vecs.where($"vec_id" >= 20),
+        "vec_id", "embedding", dir)
+      val freshActions = drained()
+      assert(freshActions <= 4,
+        s"fresh kNN ingest ran $freshActions actions — the budget is the " +
+          "stats job plus the three version writes (round-14 verdict #3)")
+      val versionsAfter = new java.io.File(s"$dir/versions").listFiles()
+        .count(f => !f.getName.endsWith("__tmp"))
+      actions.set(0)
+      // full redelivery: exactly the stats probe, no new version
+      ext.Similarity.ingestKnnBatch(vecs.where($"vec_id" >= 20),
+        "vec_id", "embedding", dir)
+      val redelActions = drained()
+      assert(redelActions <= 1,
+        s"redelivered kNN ingest ran $redelActions actions — it must " +
+          "no-op off the single stats probe")
+      assert(new java.io.File(s"$dir/versions").listFiles()
+        .count(f => !f.getName.endsWith("__tmp")) == versionsAfter,
+        "a redelivered batch must not write a version")
+    } finally spark.listenerManager.unregister(listener)
+    // and the consolidated path answers identically to from-scratch
+    val got = ext.Similarity.knnGraphFromIndex(spark, dir)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val want = ext.Similarity.knnGraphExact(vecs, "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(got == want, "consolidated ingest must still equal from-scratch")
+  }
+}
