@@ -1871,6 +1871,95 @@ object SparkEntry {
         .orderBy("doc_id", "eval_id")
     }),
 
+    // cc4: TIME TRAVEL for the stored eval suite — "which docs did
+    // yesterday's decontamination flag" re-derivable after today's eval
+    // wave lands (the inc7/ret8 contract on the decon tier; without it
+    // a curation decision made against suite-v0 cannot be audited once
+    // v1 exists). cc3's fixture with the probe pinned at version 0:
+    // wave 1 builds, wave 2 appends as a committed segment, and the
+    // pinned probe must flag exactly what a wave-1-only run flagged —
+    // the appended wave's collisions provably absent. Oracle: cc1's
+    // pair SQL with the wave-2 branch emptied (ccPairsSql seam).
+    "cc4_decon_asof" -> ((s, d) => {
+      val pu = plantUnit(s, d)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val ev0 = docs.where(col("doc_id") % 20 === 3)
+        .select((col("doc_id") + 5 * pu).as("doc_id"),
+          concat(col("text"), lit(" evaltok")).as("text"))
+      val ev1 = docs.where(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + 6 * pu).as("doc_id"), col("text"))
+      val dir = graft.core.Scratch.dir("cc4-") + "/evalidx"
+      Dedup.writeContaminationIndex(ev0, "doc_id", "text", dir)
+      Dedup.appendToContaminationIndex(ev1, "doc_id", "text", dir)
+      Dedup.contaminationPairsFromIndexAsOf(docs, "doc_id", "text", dir,
+          asOf = 0L)
+        .orderBy("doc_id", "eval_id")
+    }),
+
+    // cc5: RETIRE eval tasks from the stored suite — benchmarks rotate
+    // (deprecated tasks, superseded versions, takedowns), and a retired
+    // task must stop flagging corpus docs WITHOUT a suite rebuild. Half
+    // of wave 2 retires via O(retired) eval_id tombstones, the forget
+    // retries (tombstones are a set), the compact folds the store
+    // physically, and the probe must equal a from-scratch run over the
+    // surviving suite — exercised across BOTH the tombstone-view path
+    // (pre-compact) and the folded path (the pq4 discipline: the graded
+    // answer runs post-compact, so view-equality is part of the gate).
+    "cc5_decon_forget" -> ((s, d) => {
+      val pu = plantUnit(s, d)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val ev0 = docs.where(col("doc_id") % 20 === 3)
+        .select((col("doc_id") + 5 * pu).as("doc_id"),
+          concat(col("text"), lit(" evaltok")).as("text"))
+      val ev1 = docs.where(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + 6 * pu).as("doc_id"), col("text"))
+      val dir = graft.core.Scratch.dir("cc5-") + "/evalidx"
+      Dedup.writeContaminationIndex(ev0, "doc_id", "text", dir)
+      Dedup.appendToContaminationIndex(ev1, "doc_id", "text", dir)
+      val retired = docs.where(col("doc_id") % 100 === 7)
+        .select((col("doc_id") + 6 * pu).as("eval_id"))
+      Dedup.forgetFromContaminationIndex(retired, "eval_id", dir)
+      Dedup.forgetFromContaminationIndex(retired, "eval_id", dir) // retry
+      Dedup.compactContaminationIndex(s, dir)
+      Dedup.contaminationPairsFromIndex(docs, "doc_id", "text", dir)
+        .orderBy("doc_id", "eval_id")
+    }),
+
+    // cc6s: STREAMING eval-wave ingest — new benchmark tasks arrive as
+    // a stream (the ret9s/bf3s shape on the decon tier): wave 1 builds
+    // the suite, wave 2 replays in micro-batches through the K2
+    // foreachBatch sink, slice 1 RE-DELIVERS every slice-0 task in full
+    // (the at-least-once worst case) — the eval_id anti-join must
+    // no-op it without writing a segment. Graded: the stream-built
+    // suite answers cc1's from-scratch oracle verbatim (every task
+    // indexed exactly once).
+    "cc6s_stream_eval_waves" -> ((s, d) => {
+      val pu = plantUnit(s, d)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val ev0 = docs.where(col("doc_id") % 20 === 3)
+        .select((col("doc_id") + 5 * pu).as("doc_id"),
+          concat(col("text"), lit(" evaltok")).as("text"))
+      val ev1 = docs.where(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + 6 * pu).as("doc_id"), col("text"))
+      val dir0 = graft.core.Scratch.dir("cc6s-")
+      val idx = s"$dir0/evalidx"
+      Dedup.writeContaminationIndex(ev0, "doc_id", "text", idx)
+      // slice 0 = the wave's even-source half; slice 1 = the FULL wave
+      // (slice 0 redelivered + the rest)
+      val sliceA = docs.where(col("doc_id") % 50 === 7 &&
+          col("doc_id") % 100 === 7)
+        .select((col("doc_id") + 6 * pu).as("doc_id"), col("text"))
+      graft.streaming.Replay.slicedSourceReplay(s, Seq(sliceA, ev1),
+          "doc_id BIGINT, text STRING", "cc6s-") { (src, dir) =>
+        graft.core.Sinks.foreachBatchSink(src, s"$dir/ckpt") { (b, _) =>
+          Dedup.appendToContaminationIndex(b, "doc_id", "text", idx)
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      Dedup.contaminationPairsFromIndex(docs, "doc_id", "text", idx)
+        .orderBy("doc_id", "eval_id")
+    }),
+
     // sp2: length-weighted deterministic sampling — longer documents kept
     // with proportionally higher probability (the source-mixing shape);
     // fate is a pure function of (doc_id, salt), so the oracle recomputes
@@ -2153,6 +2242,27 @@ object SparkEntry {
       TextAnalysis.writeBpeVocab(docs, "text", dir, rounds = 2)
       TextAnalysis.extendBpeVocab(s, dir, extraRounds = 1)
       TextAnalysis.bpeSegmentCountsFromVocab(s, dir, docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // bpe6: TIME TRAVEL for the tokenizer artifact — the one stored
+    // tier without a reproducibility verb (matview/postings/PQ/IVF/
+    // dedup/kNN/windowed sketches/eval suite all answer as-of): token
+    // budgets, packing lengths and per-doc training cost are priced in
+    // TOKENIZER units, so auditing last week's run means replaying
+    // last week's vocabulary. Structurally free here: the merge list
+    // is round-ordered and append-only under extension, so version v
+    // IS the first v merge rows — bpe5's fixture (2 trained + 1
+    // extended) pinned at version 2 must segment exactly as the
+    // 2-round tokenizer did, the extension invisible. Oracle: bpe3's
+    // unrolled apply at 2 rounds (bpeApplySqlRounds seam).
+    "bpe6_vocab_asof" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.core.Scratch.dir("bpe6-") + "/vocab_art"
+      TextAnalysis.writeBpeVocab(docs, "text", dir, rounds = 2)
+      TextAnalysis.extendBpeVocab(s, dir, extraRounds = 1)
+      TextAnalysis.bpeSegmentCountsFromVocabAsOf(s, dir, docs, "doc_id",
+          "text", asOf = 2)
         .orderBy("doc_id")
     }),
 
@@ -3239,11 +3349,13 @@ object SparkEntry {
       // excluded from the oracle by id predicate). A regenerated corpus
       // with cross-population exact-content duplicates must fail HERE
       // with a message, not as a hash diff (the boruvkaForestBudgeted
-      // convention). One bounded count over fingerprint halves.
+      // convention). The build side is NOT re-fingerprinted — the bloom
+      // archive just stored exactly those fps, and no stream has run
+      // yet, so the stored relation IS the build's fingerprint set.
       val crossDups = q
-        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
-        .join(build.select(TextAnalysis.fingerprint(col("text")).as("fp")),
-          Seq("fp"), "left_semi").count()
+        .select(TextAnalysis.fingerprint(col("text")).as("content_fp"))
+        .join(Dedup.fpsRelation(s, bloomDir), Seq("content_fp"),
+          "left_semi").count()
       require(crossDups == 0L,
         s"pipe1s: $crossDups streamed doc(s) share exact content with the " +
           "build population — the content screen would drop them but the " +
@@ -3327,6 +3439,172 @@ object SparkEntry {
           col("rank").cast("long").as("rank"),
           col("neighbor_id").as("item"), col("cos").as("score"))
       bm.unionByName(ivfAns).unionByName(knnAns)
+        .orderBy("tier", "qid", "rank")
+    }),
+
+    // pipe2s: pipe1s + the STREAMING DECONTAMINATION GATE + the PQ tier
+    // (round-14 verdict #1 and #2) — the full production ingest order:
+    // content screen → decontaminate → curate → index, per micro-batch.
+    // The eval suite is a STORED artifact (cc3's contamination postings,
+    // built once — eval suites are fixed while batches stream past);
+    // every admitted batch probes it and QUARANTINES colliding docs
+    // BEFORE any index append, so contaminated documents never reach an
+    // artifact version (the pipe1s composition admitted them — the gap
+    // this row closes). The build population is decontaminated by the
+    // same probe, so clean ≡ "survives the cc1 predicate" uniformly.
+    // The PQ tier joins the composition as the fourth index family:
+    // codebooks train over the clean curated build and FREEZE, batches
+    // append codes under the stored books (vec-id anti-join idempotence),
+    // the mid-stream takedown forgets from all FOUR tiers, and the
+    // answer adds a pq leg. Redelivery worst case unchanged from pipe1s
+    // (slice 1 = full slice-0 redelivery + planted +1e6 content dups);
+    // fps/bloom still commit LAST (the crash-ordering invariant).
+    // Oracle: four-leg UNION, each leg derived by guarded substitution
+    // with the cc1 containment predicate folded into the population.
+    "pipe2s_decontaminated_pipeline" -> ((s, d) => {
+      val pu = plantUnit(s, d)
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val rec = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("lang"), col("n_chars"),
+          col("label"), col("embedding"))
+      val curatedP = col("lang") =!= "zh" && col("n_chars") >= 100
+      val dir0 = graft.core.Scratch.dir("pipe2s-")
+      val evalDir = s"$dir0/evalidx"; val bloomDir = s"$dir0/dedup"
+      val postDir = s"$dir0/postings"; val ivfDir = s"$dir0/ivf"
+      val pqDir = s"$dir0/pq"; val knnDir = s"$dir0/knn"
+      // the eval suite: cc1's planted fixture, stored once
+      val dt = docs.select("doc_id", "text")
+      val ev = dt.where(col("doc_id") % 20 === 3)
+        .select((col("doc_id") + 5 * pu).as("doc_id"),
+          concat(col("text"), lit(" evaltok")).as("text"))
+        .union(dt.where(col("doc_id") % 50 === 7)
+          .select((col("doc_id") + 6 * pu).as("doc_id"), col("text")))
+      Dedup.writeContaminationIndex(ev, "doc_id", "text", evalDir)
+      // dedup archive seeds with EVERYTHING previously ingested
+      // (pre-screen, the pipe1s rule); index tiers hold only clean
+      // curated docs
+      val build = rec.where(col("doc_id") % 4 =!= 1)
+      Dedup.writeBloomIndex(build, "text", bloomDir)
+      // probe order: curate FIRST, decontaminate the survivors — the
+      // two screens commute (both row filters), so the population is
+      // identical and the shingle probe pays only for curated docs
+      val curB = build.where(curatedP)
+      val curBuild = curB.join(
+        Dedup.contaminationPairsFromIndex(curB, "doc_id", "text", evalDir)
+          .select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      ext.Retrieval.writePostingsIndex(curBuild, "doc_id", "text", postDir)
+      Similarity.writeIvfIndex(curBuild, "doc_id", "embedding", "label",
+        ivfDir)
+      Similarity.writePqIndex(curBuild, "doc_id", "embedding", pqDir,
+        dims = 64, m = 4, ksub = 4, iters = 2)
+      Similarity.writeKnnGraph(curBuild, "doc_id", "embedding", knnDir,
+        k = 3)
+      val takedown = curBuild.where(col("doc_id") % 7 === 3)
+        .select("doc_id")
+      val q = rec.where(col("doc_id") % 4 === 1)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+          col("embedding"))
+      // the pipe1s corpus-contract guard: genuine streamed texts must be
+      // content-disjoint from the build's or the id-predicated oracle
+      // diverges from the content screen — fail with a message, not a
+      // hash diff; the stored fps relation IS the build's fingerprint
+      // set (pre-stream), so the build is not re-fingerprinted
+      val crossDups = q
+        .select(TextAnalysis.fingerprint(col("text")).as("content_fp"))
+        .join(Dedup.fpsRelation(s, bloomDir), Seq("content_fp"),
+          "left_semi").count()
+      require(crossDups == 0L,
+        s"pipe2s: $crossDups streamed doc(s) share exact content with the " +
+          "build population — regenerate the fixture predicates")
+      val s0 = q.where(pmod(col("doc_id"), lit(8)) === 1)
+      val s1 = s0.unionByName(s0.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"),
+        col("n_chars"), col("embedding"))) // full redelivery + content dups
+      val s2 = q.where(pmod(col("doc_id"), lit(8)) === 5)
+      graft.streaming.Replay.slicedSourceReplay(s, Seq(s0, s1, s2),
+          "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT, " +
+            "embedding ARRAY<FLOAT>", "pipe2s-") { (src, dir) =>
+        graft.core.Sinks.foreachBatchSink(src, s"$dir/ckpt") { (b, bid) =>
+          // content screen FIRST (materialized before the fps ingest —
+          // the pipe1s pre-ingest rule), then the decontamination gate:
+          // admitted docs probe the STORED eval index and colliding ones
+          // quarantine before any index tier sees the batch
+          val fresh = Dedup.dedupIncrementalBloomFromIndex(
+            b, "doc_id", "text", bloomDir).select("doc_id")
+          val adm0 = b.join(fresh, Seq("doc_id"), "left_semi")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // curate first, probe the survivors (commuting filters —
+            // the build-side rule)
+            val admCur = adm0.where(curatedP)
+            val contaminated = Dedup.contaminationPairsFromIndex(
+              admCur, "doc_id", "text", evalDir).select("doc_id").distinct()
+            val cur = admCur.join(contaminated, Seq("doc_id"), "left_anti")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              // ONE action freezes both caches: the content fate against
+              // the PRE-INGEST store and the quarantine fate (the eval
+              // index is immutable mid-stream, but the four index
+              // consumers below must not re-run the probe)
+              val nCur = cur.count()
+              if (nCur > 0) {
+                ext.Retrieval.appendToPostingsIndex(cur, "doc_id", "text",
+                  postDir)
+                Similarity.appendToIvfIndex(cur, "doc_id", "embedding",
+                  ivfDir)
+                Similarity.appendToPqIndex(cur, "doc_id", "embedding",
+                  pqDir)
+                Similarity.ingestKnnBatch(cur, "doc_id", "embedding",
+                  knnDir)
+              }
+              // fps/bloom commit LAST — the pipe1s crash-ordering rule
+              Dedup.ingestBloomBatch(b, "text", bloomDir)
+            } finally cur.unpersist(blocking = false)
+          } finally adm0.unpersist(blocking = false)
+          if (bid == 1L) { // takedown MID-STREAM, all four tiers
+            ext.Retrieval.forgetFromPostingsIndex(takedown, "doc_id",
+              postDir)
+            Similarity.forgetFromIvfIndex(takedown, "doc_id", ivfDir)
+            Similarity.forgetFromPqIndex(takedown, "doc_id", pqDir)
+            Similarity.forgetFromKnnGraph(takedown, "doc_id", knnDir)
+          }
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      ext.Retrieval.compactPostingsIndex(s, postDir)
+      val bm = ext.Retrieval.bm25TopKFromIndex(s,
+          Seq(0 -> Seq("spark", "join", "table"),
+            1 -> Seq("hash", "merge", "sort"),
+            2 -> Seq("stream", "window", "batch")), postDir, k = 5)
+        .select(lit("bm25").as("tier"),
+          col("query_id").cast("long").as("qid"),
+          col("rk").cast("long").as("rank"), col("doc_id").as("item"),
+          col("score"))
+      val ivfAns = Similarity.ivfQuantizedTopKFromIndex(
+          s.read.parquet(s"$ivfDir/centroids"),
+          Similarity.ivfLivingIndex(s, ivfDir),
+          emb.select(col("vec_id"), col("embedding").as("v")),
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 3, shortlist = 30)
+        .select(lit("ivf").as("tier"),
+          col("query_id").cast("long").as("qid"),
+          col("rank").cast("long").as("rank"),
+          col("neighbor_id").as("item"), col("cos").as("score"))
+      val pqAns = Similarity.pqTopKFromIndex(s, pqDir,
+          emb.select(col("vec_id"), col("embedding").as("v")),
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, shortlist = 30)
+        .select(lit("pq").as("tier"),
+          col("query_id").cast("long").as("qid"),
+          col("rank").cast("long").as("rank"),
+          col("neighbor_id").as("item"), col("cos").as("score"))
+      val knnAns = Similarity.knnGraphFromIndex(s, knnDir)
+        .select(lit("knn").as("tier"),
+          col("query_id").cast("long").as("qid"),
+          col("rank").cast("long").as("rank"),
+          col("neighbor_id").as("item"), col("cos").as("score"))
+      bm.unionByName(ivfAns).unionByName(pqAns).unionByName(knnAns)
         .orderBy("tier", "qid", "rank")
     }),
 
@@ -7473,6 +7751,18 @@ object SparkEntry {
       // built, wave 2 appended, wave 2 re-appended as a no-op) must be
       // byte-identical to the inline scan — cc1's oracle verbatim
       "cc3_stored_decontamination" -> Cc1OracleSql,
+      // cc4: the pinned version-0 suite is wave 1 alone — cc1's pair SQL
+      // with the wave-2 branch emptied; a green row proves the appended
+      // wave is invisible to the pin
+      "cc4_decon_asof" -> ccPairsSql("FALSE"),
+      // cc5: the surviving suite after retiring wave 2's %100=7 half —
+      // retired tasks flag nothing, across both the tombstone view and
+      // the post-compact fold
+      "cc5_decon_forget" ->
+        ccPairsSql("doc_id % 50 = 7 AND doc_id % 100 <> 7"),
+      // cc6s: the stream-built suite (full-overlap redelivery no-opped)
+      // must equal the from-scratch run — cc1's oracle verbatim
+      "cc6s_stream_eval_waves" -> Cc1OracleSql,
 
       "sp2_weighted_sample" ->
         (s"""SELECT doc_id, n_tokens FROM (
@@ -7688,6 +7978,10 @@ object SparkEntry {
       "bpe3_apply" -> bpeApplySql,
       "bpe4_stored_vocab" -> bpeApplySql,
       "bpe5_vocab_extend" -> bpeApplySql,
+      // bpe6: the pinned version-2 tokenizer — bpe3's unrolled apply at
+      // exactly 2 rounds (same generator, no drift possible); a green
+      // row proves the extension round is invisible to the pin
+      "bpe6_vocab_asof" -> bpeApplySqlRounds(2),
       // lm1: identical per-term double formula, per-term decimal
       // quantization, one rounded division at the end
       "lm1_surprisal" ->
@@ -8653,6 +8947,11 @@ object SparkEntry {
       // pipe1s: three-leg union over the curated post-takedown
       // population — see Pipe1sOracleSql's derivation notes
       "pipe1s_composed_pipeline" -> Pipe1sOracleSql,
+      // pipe2s: four legs, every population carrying the cc1 containment
+      // predicate — a green row proves the per-batch quarantine kept
+      // contaminated docs out of all four artifacts (and the planted
+      // dups out, as in pipe1s)
+      "pipe2s_decontaminated_pipeline" -> Pipe2sOracleSql,
       // knn4: knn1's oracle verbatim over the version-0 population — the
       // pinned read answers as the 3/4 build did before the append
       "knn4_graph_asof" -> knnSqlOver(" WHERE vec_id % 4 <> 3"),
@@ -9518,40 +9817,45 @@ object SparkEntry {
        |ORDER BY e.vec_id""".stripMargin.replace("\n", " "))
   }
 
-  private lazy val bpeApplySql: String =
+  /** bpe3's unrolled apply oracle, parameterized by the ROUND COUNT —
+    * generated programmatically so every round's SQL is byte-uniform
+    * (the mst2OracleSql discipline): train CTEs p_r/m_r/v_r chain off
+    * the spaced-symbol vocabulary, the apply chain s_r replays the
+    * merges in order over the distinct-word set, and cnt reads the
+    * round-`rounds` state. bpe3/bpe4/bpe5 grade at 3 rounds; bpe6's
+    * pinned version-2 read grades at 2 — the same generator, so the
+    * as-of oracle can never drift from the apply oracle. */
+  private def bpeApplySqlRounds(rounds: Int): String = {
+    require(rounds >= 1)
+    val train = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS f FROM
+         | (SELECT string_split(trim(sym), ' ') AS l, freq,
+         |   unnest(generate_series(1, len(string_split(trim(sym), ' ')) - 1)) AS i
+         |  FROM v${r - 1}) GROUP BY 1, 2),
+         |m$r AS (SELECT a, b, f FROM p$r ORDER BY f DESC, a, b LIMIT 1),
+         |v$r AS (SELECT replace(sym, ' '||a||' '||b||' ', ' '||a||b||' ') AS sym,
+         |  freq FROM v${r - 1}, m$r)""".stripMargin
+    }.mkString(",\n")
+    val apply = (1 to rounds).map { r =>
+      s"s$r AS (SELECT w, replace(sym, ' '||m$r.a||' '||m$r.b||' ', " +
+        s"' '||m$r.a||m$r.b||' ') AS sym FROM s${r - 1}, m$r)"
+    }.mkString(",\n")
     (s"""WITH t0 AS (SELECT unnest($toksSql) AS word FROM documents),
        |v0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym,
        |  COUNT(*) AS freq FROM t0 WHERE word <> '' GROUP BY 1),
-       |p1 AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS f FROM
-       | (SELECT string_split(trim(sym), ' ') AS l, freq,
-       |   unnest(generate_series(1, len(string_split(trim(sym), ' ')) - 1)) AS i
-       |  FROM v0) GROUP BY 1, 2),
-       |m1 AS (SELECT a, b, f FROM p1 ORDER BY f DESC, a, b LIMIT 1),
-       |v1 AS (SELECT replace(sym, ' '||a||' '||b||' ', ' '||a||b||' ') AS sym,
-       |  freq FROM v0, m1),
-       |p2 AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS f FROM
-       | (SELECT string_split(trim(sym), ' ') AS l, freq,
-       |   unnest(generate_series(1, len(string_split(trim(sym), ' ')) - 1)) AS i
-       |  FROM v1) GROUP BY 1, 2),
-       |m2 AS (SELECT a, b, f FROM p2 ORDER BY f DESC, a, b LIMIT 1),
-       |v2 AS (SELECT replace(sym, ' '||a||' '||b||' ', ' '||a||b||' ') AS sym,
-       |  freq FROM v1, m2),
-       |p3 AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS f FROM
-       | (SELECT string_split(trim(sym), ' ') AS l, freq,
-       |   unnest(generate_series(1, len(string_split(trim(sym), ' ')) - 1)) AS i
-       |  FROM v2) GROUP BY 1, 2),
-       |m3 AS (SELECT a, b, f FROM p3 ORDER BY f DESC, a, b LIMIT 1),
+       |$train,
        |wx AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
        |vw AS (SELECT DISTINCT w FROM wx WHERE w <> ''),
        |s0 AS (SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym FROM vw),
-       |s1 AS (SELECT w, replace(sym, ' '||m1.a||' '||m1.b||' ', ' '||m1.a||m1.b||' ') AS sym FROM s0, m1),
-       |s2 AS (SELECT w, replace(sym, ' '||m2.a||' '||m2.b||' ', ' '||m2.a||m2.b||' ') AS sym FROM s1, m2),
-       |s3 AS (SELECT w, replace(sym, ' '||m3.a||' '||m3.b||' ', ' '||m3.a||m3.b||' ') AS sym FROM s2, m3),
-       |cnt AS (SELECT w, len(string_split(trim(sym), ' ')) AS n_sub FROM s3)
+       |$apply,
+       |cnt AS (SELECT w, len(string_split(trim(sym), ' ')) AS n_sub FROM s$rounds)
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
        | CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
        |FROM wx JOIN cnt USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "))
+  }
+
+  private lazy val bpeApplySql: String = bpeApplySqlRounds(3)
 
   /** ret1's oracle with the corpus restricted to the forget SURVIVORS
     * (doc_id % 4 ≠ 2) — guarded substitution so a ret1Bm25Sql edit can
@@ -9871,6 +10175,60 @@ object SparkEntry {
       " ORDER BY tier, qid, rank"
   }
 
+  /** pipe2s's oracle: pipe1s's guarded-substitution legs with the cc1
+    * CONTAINMENT predicate folded into every population, plus the pq
+    * leg (pqOracleSql's two seams). `contaminated` = the DISTINCT
+    * doc_ids of Cc1OracleSql's pair set — guarded reuse, so an edit to
+    * the cc1 oracle flows here; the engine probes the build at build
+    * time and every admitted batch in-stream against the same stored
+    * eval postings, so the predicate applies population-wide. The
+    * population algebra: clean = curated ∧ ¬contaminated; index
+    * population = clean minus the takedown (clean build docs with
+    * doc_id % 7 = 3); planted +1e6 dups never appear (the content
+    * screen, as in pipe1s). */
+  private lazy val Pipe2sOracleSql: String = {
+    val ccMarker = " ORDER BY doc_id, eval_id"
+    require(Cc1OracleSql.endsWith(ccMarker),
+      "pipe2s contamination derivation out of sync with Cc1OracleSql")
+    val ccNotIn = "doc_id NOT IN (SELECT DISTINCT doc_id FROM (" +
+      Cc1OracleSql.stripSuffix(ccMarker) + "))"
+    val cur = "lang <> 'zh' AND n_chars >= 100"
+    val cleanIds = s"(SELECT doc_id FROM documents WHERE $cur AND $ccNotIn)"
+    val popPred =
+      s"$cur AND $ccNotIn AND NOT (doc_id % 7 = 3 AND doc_id % 4 <> 1)"
+    val popIds = s"(SELECT doc_id FROM documents WHERE $popPred)"
+    val bmMarker = "AS toks FROM documents)"
+    require(ret1Bm25Sql.contains(bmMarker),
+      "pipe2s bm25 derivation out of sync with ret1Bm25Sql")
+    val bm = ret1Bm25Sql.replace(bmMarker,
+      s"AS toks FROM documents WHERE $popPred)")
+    val m1 = "init AS (SELECT * FROM e WHERE vec_id % 4 <> 1)"
+    val m2 = "FROM e a CROSS JOIN cent WHERE a.vec_id % 4 = 1)"
+    val m3 = "JOIN idx i ON i.list = p.label AND i.vec_id <> p.query_id"
+    require(Sim7OracleSql.contains(m1) && Sim7OracleSql.contains(m2) &&
+      Sim7OracleSql.contains(m3),
+      "pipe2s ivf derivation out of sync with Sim7OracleSql")
+    val ivf = Sim7OracleSql
+      .replace(m1, "init AS (SELECT e.* FROM e WHERE e.vec_id % 4 <> 1" +
+        s" AND e.vec_id IN $cleanIds)")
+      .replace(m2, "FROM e a CROSS JOIN cent WHERE a.vec_id % 4 = 1" +
+        s" AND a.vec_id IN $cleanIds)")
+      .replace(m3,
+        m3 + " AND NOT (i.vec_id % 7 = 3 AND i.vec_id % 4 <> 1)")
+    val pq = pqOracleSql(s" WHERE vec_id % 4 <> 1 AND vec_id IN $cleanIds",
+      s" AND k.vec_id IN $popIds")
+    val knn = knnSqlOver(s" WHERE vec_id IN $popIds")
+    s"SELECT 'bm25' AS tier, CAST(query_id AS BIGINT) AS qid, rk AS rank," +
+      s" doc_id AS item, score FROM ($bm)" +
+      s" UNION ALL SELECT 'ivf' AS tier, query_id AS qid, rank," +
+      s" neighbor_id AS item, cos AS score FROM ($ivf)" +
+      s" UNION ALL SELECT 'pq' AS tier, query_id AS qid, rank," +
+      s" neighbor_id AS item, cos AS score FROM ($pq)" +
+      s" UNION ALL SELECT 'knn' AS tier, query_id AS qid, rank," +
+      s" neighbor_id AS item, cos AS score FROM ($knn)" +
+      " ORDER BY tier, qid, rank"
+  }
+
   /** sim4's oracle pinned at IVF version 0 after sim13's append: centroids
     * AND the candidate index restricted to the version-0 population (the
     * 3/4 build) — query set and quantization stay corpus-derived; the
@@ -10099,13 +10457,19 @@ object SparkEntry {
 
   /** cc1's from-scratch decontamination oracle — shared verbatim by cc3
     * (the stored-index path over the identical eval population: wave 1
-    * built, wave 2 appended, wave 2 re-appended as an anti-join no-op). */
-  private lazy val Cc1OracleSql: String =
+    * built, wave 2 appended, wave 2 re-appended as an anti-join no-op)
+    * and cc6s (the stream-built suite must converge to the same
+    * population). [[ccPairsSql]] parameterizes the WAVE-2 predicate so
+    * the as-of (cc4) and retire (cc5) verbs derive their oracles from
+    * the same body instead of a drift-prone copy. */
+  private lazy val Cc1OracleSql: String = ccPairsSql("doc_id % 50 = 7")
+
+  private def ccPairsSql(wave2Where: String): String =
     (s"""WITH ev AS (
        |  SELECT doc_id + 5*$plantUnitSql AS eval_id, text || ' evaltok' AS text
        |  FROM documents WHERE doc_id % 20 = 3
        |  UNION ALL SELECT doc_id + 6*$plantUnitSql AS eval_id, text
-       |  FROM documents WHERE doc_id % 50 = 7),
+       |  FROM documents WHERE $wave2Where),
        | csh AS (SELECT doc_id,
        |  CASE WHEN len(toks) >= 3
        |   THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])

@@ -1417,14 +1417,79 @@ object Dedup {
   /** [[contaminationPairs]] answered from the STORED index — the eval
     * suite is never re-tokenized; identical results to the inline path
     * over the same eval population by construction (same postings, same
-    * scoring core). */
+    * scoring core). Probes read the LIVING suite: retired eval waves
+    * ([[forgetFromContaminationIndex]]) no longer flag documents. */
   def contaminationPairsFromIndex(corpus: DataFrame, idCol: String,
                                   textCol: String, dir: String,
                                   n: Int = 3,
                                   minJaccard: Double = 0.7): DataFrame =
     contaminationAgainstPostings(corpus,
-      contaminationIndexRelation(corpus.sparkSession, dir), idCol, textCol,
+      contaminationIndexLiving(corpus.sparkSession, dir), idCol, textCol,
       n, minJaccard)
+
+  /** The living eval postings: base + committed segments minus retired
+    * eval_ids — a missing tombstone store adds zero cost (the
+    * pqCodesLiving shape on the decon tier). */
+  def contaminationIndexLiving(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): DataFrame =
+    Forget.applyTombstones(contaminationIndexRelation(spark, dir),
+      "eval_id", s"$dir/tombstones")
+
+  /** RETIRE eval documents from the stored suite — benchmarks rotate
+    * (deprecated tasks, superseded versions, licensing takedowns), and a
+    * retired task must stop flagging corpus docs without a suite
+    * rebuild. O(retired) eval_id tombstones ([[graft.ext.Forget]]'s
+    * set-idempotent store); probes anti-join through
+    * [[contaminationIndexLiving]]; [[compactContaminationIndex]] is the
+    * amortized physical rewrite. The shared re-add caveat applies:
+    * re-appending a retired eval_id needs a compact first (the append's
+    * anti-join probes the FULL stored suite so a landed re-add would sit
+    * invisible under the stale tombstone — the appendToPqIndex rule). */
+  def forgetFromContaminationIndex(ids: DataFrame, idCol: String,
+                                   dir: String): Unit =
+    Forget.forget(ids, idCol, s"$dir/tombstones")
+
+  /** Amortized physical rewrite of a tombstoned/segmented eval suite:
+    * ONE whole-root atomic swap publishing postings = the LIVING
+    * relation — segments and tombstones do not exist in the new root.
+    * The as-of floor advances by the segments folded, atomically with
+    * the fold (the expireWindowedCms discipline), so pinned reads of
+    * folded versions fail loudly instead of answering post-compact. */
+  def compactContaminationIndex(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): Unit = {
+    graft.core.Artifacts.heal(spark, dir)
+    val segs = graft.core.Artifacts.committedChildren(spark, s"$dir/segments")
+    val living = contaminationIndexLiving(spark, dir)
+    val newFloor = graft.core.Artifacts.asOfFloor(spark, dir) + segs.size
+    graft.core.Artifacts.swapInto(spark, dir) { tmp =>
+      living.write.parquet(s"$tmp/postings")
+      graft.core.Artifacts.setAsOfFloor(spark, tmp, newFloor)
+    }
+  }
+
+  /** The eval suite AS OF version `asOf` (build = 0, each appended wave
+    * adds one) — reproducibility for the decon tier: "which docs did
+    * yesterday's decontamination flag" must be re-derivable after
+    * today's eval wave lands (the inc7/ret8 contract). Base + the
+    * pinned committed-segment prefix via
+    * [[graft.core.Artifacts.segmentsAsOf]] (folded pins fail loudly);
+    * CURRENT tombstones still apply — a retired eval task stops
+    * flagging even under a pin, the knn4 rule: takedown outranks
+    * reproducibility. */
+  def contaminationPairsFromIndexAsOf(corpus: DataFrame, idCol: String,
+                                      textCol: String, dir: String,
+                                      asOf: Long, n: Int = 3,
+                                      minJaccard: Double = 0.7): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.core.Artifacts.heal(spark, dir)
+    val segs = graft.core.Artifacts.segmentsAsOf(spark, dir, asOf)
+    val base = spark.read.parquet(s"$dir/postings")
+    val pinned = segs.foldLeft(base)((acc, sgt) =>
+      acc.unionByName(spark.read.schema(base.schema).parquet(sgt)))
+    contaminationAgainstPostings(corpus,
+      Forget.applyTombstones(pinned, "eval_id", s"$dir/tombstones"),
+      idCol, textCol, n, minJaccard)
+  }
 
   /** Per-document N-GRAM CONTAINMENT against an eval set — the GPT-3-
     * lineage decontamination METRIC next to [[contaminationPairs]]'s pair

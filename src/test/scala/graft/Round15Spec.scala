@@ -186,4 +186,170 @@ class Round15Spec extends SparkSpec {
       .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     assert(got == want, "consolidated ingest must still equal from-scratch")
   }
+
+  // ------------------------------------ pipe2s composition seams
+
+  private def pipeDocs(seed: Int, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0L until n.toLong).map(i =>
+        (i, s"unique document text body number$i tail",
+          Array.fill(4)(rnd.nextDouble() * 2 - 1)))
+      .toDF("doc_id", "text", "embedding")
+      .withColumn("label", (col("doc_id") % 2).cast("int"))
+  }
+
+  /** The pipe2s foreachBatch body: content screen → decontamination
+    * gate → four index appends → fps LAST. Shared by both pins. */
+  private def deconIngest(b: org.apache.spark.sql.DataFrame,
+                          ed: String, bl: String, po: String, iv: String,
+                          pq: String, kn: String): Unit = {
+    val adm0 = b.join(
+      ext.Dedup.dedupIncrementalBloomFromIndex(b, "doc_id", "text", bl)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cont = ext.Dedup.contaminationPairsFromIndex(adm0, "doc_id",
+        "text", ed).select("doc_id").distinct()
+      val adm = adm0.join(cont, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        adm.count()
+        if (!adm.isEmpty) {
+          ext.Retrieval.appendToPostingsIndex(adm, "doc_id", "text", po)
+          ext.Similarity.appendToIvfIndex(adm, "doc_id", "embedding", iv)
+          ext.Similarity.appendToPqIndex(adm, "doc_id", "embedding", pq)
+          ext.Similarity.ingestKnnBatch(adm, "doc_id", "embedding", kn)
+        }
+        ext.Dedup.ingestBloomBatch(b, "text", bl) // fps LAST
+      } finally adm.unpersist(blocking = false)
+    } finally adm0.unpersist(blocking = false)
+  }
+
+  private def mkPipe(root: String, rec: org.apache.spark.sql.DataFrame,
+                     evalDocs: org.apache.spark.sql.DataFrame)
+      : (String, String, String, String, String, String) = {
+    val dirs = (s"$root/eval", s"$root/bloom", s"$root/post", s"$root/ivf",
+      s"$root/pq", s"$root/knn")
+    ext.Dedup.writeContaminationIndex(evalDocs, "doc_id", "text", dirs._1)
+    val build = rec.where($"doc_id" < 10)
+    ext.Dedup.writeBloomIndex(build, "text", dirs._2, numBits = 1 << 15)
+    val clean = build.join(
+      ext.Dedup.contaminationPairsFromIndex(build, "doc_id", "text", dirs._1)
+        .select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    ext.Retrieval.writePostingsIndex(clean, "doc_id", "text", dirs._3)
+    ext.Similarity.writeIvfIndex(clean, "doc_id", "embedding", "label",
+      dirs._4)
+    ext.Similarity.writePqIndex(clean, "doc_id", "embedding", dirs._5,
+      dims = 4, m = 2, ksub = 2, iters = 2)
+    ext.Similarity.writeKnnGraph(clean, "doc_id", "embedding", dirs._6,
+      k = 3)
+    dirs
+  }
+
+  test("decon pipeline: quarantined docs reach NO artifact version; redelivery writes nothing; PQ composes") {
+    val rec = pipeDocs(seed = 61, n = 20)
+    // eval suite contaminates build doc 3 and streamed docs 12, 17
+    // (verbatim copies — shingle J = 1 vs the source, 0.5 vs the rest of
+    // this fixture's shared-prefix texts, below the 0.7 bar)
+    val ev = rec.where($"doc_id".isin(3L, 12L, 17L))
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    val dirs = mkPipe(tmpDir("pipe2-seam"), rec, ev)
+    val (ed, bl, po, iv, pq, kn) = dirs
+    // build quarantine: doc 3 is in the bloom archive but no index tier
+    assert(ext.Retrieval.postingsLiving(spark, po)
+      .where($"doc_id" === 3L).isEmpty, "contaminated build doc in postings")
+    assert(ext.Similarity.pqCodesLiving(spark, pq)
+      .where($"vec_id" === 3L).isEmpty, "contaminated build doc in PQ")
+    val b0 = rec.where($"doc_id" >= 10 && $"doc_id" < 15) // 12 contaminated
+    deconIngest(b0, ed, bl, po, iv, pq, kn)
+    def counts() = (
+      graft.core.Artifacts.committedChildren(spark, s"$bl/segments").size,
+      graft.core.Artifacts.committedChildren(spark, s"$po/segments").size,
+      graft.core.Artifacts.committedChildren(spark, s"$iv/segments").size,
+      graft.core.Artifacts.committedChildren(spark, s"$pq/segments").size,
+      new java.io.File(s"$kn/versions").listFiles()
+        .count(f => !f.getName.endsWith("__tmp")))
+    val c1 = counts()
+    // the quarantined doc is in NO tier — and because the gate ran
+    // BEFORE the appends, no version ever contained it
+    assert(ext.Retrieval.postingsLiving(spark, po)
+      .where($"doc_id" === 12L).isEmpty, "quarantined doc in postings")
+    assert(ext.Similarity.ivfLivingIndex(spark, iv)
+      .where($"vec_id" === 12L).isEmpty, "quarantined doc in IVF")
+    assert(ext.Similarity.pqCodesRelation(spark, pq)
+      .where($"vec_id" === 12L).isEmpty, "quarantined doc in PQ codes")
+    assert(ext.Similarity.knnGraphFromIndex(spark, kn)
+      .where($"query_id" === 12L).isEmpty, "quarantined doc in kNN graph")
+    // full redelivery + planted content dups + the quarantined doc again:
+    // no tier writes a segment or version (content screen stops the dups
+    // and the redelivered docs; the gate re-quarantines 12 BEFORE its
+    // appends could even see it)
+    deconIngest(b0.unionByName(b0.select(($"doc_id" + 100L).as("doc_id"),
+      $"text", $"embedding", $"label")), ed, bl, po, iv, pq, kn)
+    assert(counts() == c1,
+      "redelivery + planted dups must write no segment/version anywhere")
+    // takedown mid-stream, then b2 (contains contaminated 17) appends
+    // after the forget on every tier including PQ
+    val doomed = rec.where($"doc_id" === 5L).select("doc_id")
+    ext.Retrieval.forgetFromPostingsIndex(doomed, "doc_id", po)
+    ext.Similarity.forgetFromIvfIndex(doomed, "doc_id", iv)
+    ext.Similarity.forgetFromPqIndex(doomed, "doc_id", pq)
+    ext.Similarity.forgetFromKnnGraph(doomed, "doc_id", kn)
+    deconIngest(rec.where($"doc_id" >= 15), ed, bl, po, iv, pq, kn)
+    assert(ext.Similarity.pqCodesLiving(spark, pq)
+      .where($"vec_id".isin(5L, 17L)).isEmpty,
+      "takedown or quarantine leaked into the PQ living view")
+    // final population composes exactly on the graph tier
+    val pop = rec.where(!$"doc_id".isin(3L, 5L, 12L, 17L))
+    val want = ext.Similarity.knnGraphExact(pop, "doc_id", "embedding",
+        k = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val got = ext.Similarity.knnGraphFromIndex(spark, kn)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "decon build → gated appends → takedown → more gated appends must " +
+        "compose to the from-scratch graph over the clean population")
+  }
+
+  test("decon pipeline: pinned reads align across tiers INCLUDING PQ (twin equality)") {
+    // Round14Spec's pin-alignment property extended to the PQ tier: MAIN
+    // processes b0, a full redelivery, a takedown and b2; TWIN stops
+    // after b0 + takedown. Pinned at version 1 (build + b0), PQ and kNN
+    // answers must match — any version skew from the redelivery or any
+    // post-pin leak breaks the equality.
+    val rec = pipeDocs(seed = 67, n = 20)
+    val ev = rec.where($"doc_id" === 12L)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    def run(root: String, full: Boolean) = {
+      val dirs = mkPipe(root, rec, ev)
+      val (ed, bl, po, iv, pq, kn) = dirs
+      val b0 = rec.where($"doc_id" >= 10 && $"doc_id" < 15)
+      deconIngest(b0, ed, bl, po, iv, pq, kn)
+      if (full) deconIngest(b0, ed, bl, po, iv, pq, kn) // redelivery
+      val doomed = rec.where($"doc_id" === 5L).select("doc_id")
+      ext.Retrieval.forgetFromPostingsIndex(doomed, "doc_id", po)
+      ext.Similarity.forgetFromIvfIndex(doomed, "doc_id", iv)
+      ext.Similarity.forgetFromPqIndex(doomed, "doc_id", pq)
+      ext.Similarity.forgetFromKnnGraph(doomed, "doc_id", kn)
+      if (full) deconIngest(rec.where($"doc_id" >= 15), ed, bl, po, iv,
+        pq, kn)
+      dirs
+    }
+    val main = run(tmpDir("pipe2-pin") + "/main", full = true)
+    val twin = run(tmpDir("pipe2-pin") + "/twin", full = false)
+    def pqPin(d: (String, String, String, String, String, String)) =
+      ext.Similarity.pqTopKFromIndexAsOf(spark, d._5,
+          rec.select($"doc_id".as("vec_id"), $"embedding".as("v")),
+          rec.where($"doc_id" < 2), "doc_id", "embedding",
+          asOf = 1L, k = 3, shortlist = 10)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    def knnPin(d: (String, String, String, String, String, String)) =
+      ext.Similarity.knnGraphFromIndexAsOf(spark, d._6, 1L)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(pqPin(main) == pqPin(twin),
+      "PQ pin leaked post-pin state or skewed versions")
+    assert(knnPin(main) == knnPin(twin),
+      "kNN pin leaked post-pin state or skewed versions")
+    assert(pqPin(main).nonEmpty && knnPin(main).nonEmpty)
+  }
 }
