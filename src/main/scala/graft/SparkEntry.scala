@@ -4266,6 +4266,50 @@ object SparkEntry {
         .orderBy("csize")
     }),
 
+    // exp1: the TRAINING-EXPORT composition — the batch half of the
+    // production pipeline (pipe1s/pipe2s grade the index side; this
+    // grades the emit-training-shards side): curation screen → exact
+    // dedup (keep min id per content fingerprint, d1's rule) →
+    // CLUSTER-SAFE split (leak2's near-dup closure assigns every doc
+    // its cluster root's sha bucket — computed over the FULL corpus
+    // DELIBERATELY, so a document's split fate is stable under
+    // curation re-tuning; flipping train/test membership by changing a
+    // length threshold is the reproducibility twin of the leakage
+    // bug) → train split only → pack1's greedy concat-and-cut packing
+    // into 8 shards. Scale shape: each leg is its separately-graded
+    // operator (the pair stream blocked, the closure label-sized, the
+    // screens row-local, the packing one window) — composition adds
+    // joins, never new shuffle classes. Oracle: leak2's closure by
+    // guarded substitution + d1's fingerprint + pack1's running-total
+    // window, chained.
+    "exp1_training_export" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      val comps = Graph.connectedComponents(pairs, "id_a", "id_b")
+      val roots = docs.select(col("doc_id"))
+        .join(comps.select(col("node").as("doc_id"), col("component")),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("root"))
+      val split = ext.Sampling.withSplit(roots, col("root"), "graft")
+        .select(col("doc_id"), col("split"))
+      val curated = docs
+        .where(col("lang") =!= "zh" && col("n_chars") >= 100)
+      val keep = curated
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("content_fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val pop = curated.join(keep, Seq("doc_id"), "left_semi")
+        .join(split, Seq("doc_id"))
+        .where(col("split") === "train")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      ext.Sampling.packSequences(pop, col("doc_id"), col("n_tokens"),
+          ctxLen = 512, shards = 8)
+        .orderBy("doc_id")
+    }),
+
     // srcsim1: SOURCE-PAIR VOCABULARY JACCARD — the corpus-composition
     // matrix (which sources are redundant, which add coverage — the
     // mixing-weight input mix1 consumes): exact distinct-token-set
@@ -8726,6 +8770,9 @@ object SparkEntry {
       "leak2_cluster_safe_split" -> Leak2OracleSql,
       // dsz1: the identical closure reduced to the size histogram
       "dsz1_dup_cluster_histogram" -> Dsz1OracleSql,
+      // exp1: screen → fingerprint dedup → cluster-safe train split →
+      // greedy packing, every leg its already-graded oracle chained
+      "exp1_training_export" -> Exp1OracleSql,
       // srcsim1: exact vocabulary Jaccard per source pair
       "srcsim1_source_jaccard" -> SrcSim1OracleSql,
       // LSH banding at (128 hashes, 32 bands of 4): P(miss | J≥0.9) < 1e-30,
@@ -10514,6 +10561,28 @@ object SparkEntry {
        |  ELSE 'test' END AS split
        |FROM (SELECT doc_id, root, $bucket AS b FROM a)
        |ORDER BY doc_id""".stripMargin.replace("\n", " "))
+  }
+
+  /** exp1's oracle: leak2's closure (guarded substitution — the split
+    * column IS leak2's) gating a curated, fingerprint-deduped population
+    * into pack1's running-total packing window. The closure rides as a
+    * derived table so its WITH RECURSIVE stays self-contained. */
+  private lazy val Exp1OracleSql: String = {
+    val marker = " ORDER BY doc_id"
+    require(Leak2OracleSql.endsWith(marker),
+      "exp1 oracle derivation out of sync with Leak2OracleSql")
+    val lk = Leak2OracleSql.stripSuffix(marker)
+    (s"""WITH cur AS (SELECT doc_id, len($toksSql) AS n_tokens,
+       |  substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fp
+       | FROM documents WHERE lang <> 'zh' AND n_chars >= 100),
+       |keep AS (SELECT MIN(doc_id) AS doc_id FROM cur GROUP BY fp),
+       |lk AS (SELECT doc_id FROM ($lk) WHERE split = 'train'),
+       |pop AS (SELECT c.doc_id, c.n_tokens FROM cur c
+       | JOIN keep USING (doc_id) JOIN lk USING (doc_id))
+       |SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+       | CAST((SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+       |   - n_tokens) // 512 AS BIGINT) AS chunk_id
+       |FROM pop ORDER BY doc_id""".stripMargin.replace("\n", " "))
   }
 
   /** dsz1's oracle: leak2's recursive closure (same guarded derivation

@@ -352,4 +352,73 @@ class Round15Spec extends SparkSpec {
       "kNN pin leaked post-pin state or skewed versions")
     assert(pqPin(main).nonEmpty && knnPin(main).nonEmpty)
   }
+
+  // ------------------------------------ decon tier: retire/compact/as-of
+
+  test("contamination index: retire+compact preserve the living view; folded pin fails; re-add needs compact") {
+    val docs = (0L until 12L)
+      .map(i => (i, s"eval fixture document body number$i end"))
+      .toDF("doc_id", "text")
+    val ev0 = docs.where($"doc_id" < 3)
+      .select(($"doc_id" + 100L).as("doc_id"), $"text")
+    val ev1 = docs.where($"doc_id" >= 3 && $"doc_id" < 5)
+      .select(($"doc_id" + 100L).as("doc_id"), $"text")
+    val dir = tmpDir("cc5-spec") + "/evalidx"
+    ext.Dedup.writeContaminationIndex(ev0, "doc_id", "text", dir)
+    ext.Dedup.appendToContaminationIndex(ev1, "doc_id", "text", dir)
+    // retire eval task 103 (the copy of doc 3)
+    ext.Dedup.forgetFromContaminationIndex(
+      ev1.where($"doc_id" === 103L).select($"doc_id".as("eval_id")),
+      "eval_id", dir)
+    def probe() = ext.Dedup
+      .contaminationPairsFromIndex(docs, "doc_id", "text", dir)
+      .orderBy("doc_id", "eval_id").collect().map(_.toSeq).toSeq
+    val before = probe()
+    assert(!before.exists(_(1) == 103L), "retired task still flags")
+    assert(before.exists(_(1) == 104L), "living wave-2 task must flag")
+    ext.Dedup.compactContaminationIndex(spark, dir)
+    assert(probe() == before,
+      "compact must preserve the living view exactly")
+    assert(graft.core.Artifacts.asOfFloor(spark, dir) == 1L,
+      "compact must advance the floor by the segments folded")
+    intercept[IllegalArgumentException] {
+      ext.Dedup.contaminationPairsFromIndexAsOf(docs, "doc_id", "text",
+        dir, asOf = 0L).collect()
+    }
+    // the compact cleared the tombstone: re-appending the retired task
+    // lands (the shared re-add-needs-compact caveat, positive side)
+    ext.Dedup.appendToContaminationIndex(
+      ev1.where($"doc_id" === 103L), "doc_id", "text", dir)
+    assert(probe().exists(_(1) == 103L),
+      "post-compact re-append of a retired task must land and flag")
+  }
+
+  // ------------------------------------ bpe as-of edges
+
+  test("bpe as-of: pin equals the shorter tokenizer; beyond-head pin fails loudly") {
+    val docs = (0L until 30L)
+      .map(i => (i, s"alpha beta gamma delta w$i alpha beta"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("bpe6-spec") + "/vocab"
+    ext.TextAnalysis.writeBpeVocab(docs, "text", dir, rounds = 2)
+    val want2 = ext.TextAnalysis
+      .bpeSegmentCountsFromVocab(spark, dir, docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    ext.TextAnalysis.extendBpeVocab(spark, dir, extraRounds = 1)
+    val pinned = ext.TextAnalysis
+      .bpeSegmentCountsFromVocabAsOf(spark, dir, docs, "doc_id", "text",
+        asOf = 2)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(pinned == want2,
+      "the pinned version-2 tokenizer must segment as the 2-round build did")
+    val head = ext.TextAnalysis
+      .bpeSegmentCountsFromVocab(spark, dir, docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(head != pinned,
+      "fixture must make the extension round visible at head")
+    intercept[IllegalArgumentException] {
+      ext.TextAnalysis.bpeSegmentCountsFromVocabAsOf(spark, dir, docs,
+        "doc_id", "text", asOf = 4)
+    }
+  }
 }
