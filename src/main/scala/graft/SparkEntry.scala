@@ -5252,6 +5252,58 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // fit2: cur5 answered from a STORED MODEL artifact — the model
+    // registry the train→apply loop needs at scale (training passes
+    // are corpus-sized and run once; scoring jobs read k weights,
+    // never the corpus). The full integer trajectory persists, so the
+    // artifact doubles as its own version history (the bpe6 rule).
+    // Stored ≡ inline is the gate: cur5's oracle verbatim.
+    "fit2_stored_probe" -> ((s, d) => {
+      val f = probeFeatures(s, d)
+      val fx = Seq(col("x0"), col("x1"), col("x2"), col("x3"))
+      val dir = graft.core.Scratch.dir("fit2-") + "/model"
+      ext.Fit.writeProbeModel(f, fx, col("y"), iters = 4, dir)
+      ext.Fit.scoreFromProbeModel(f, col("doc_id"), fx, dir,
+          tauScaled = 80L * 65536L)
+        .orderBy("doc_id")
+    }),
+
+    // fit3: CONTINUE training from the stored state — 2 iterations
+    // train and store, 2 more extend from the artifact's last weights
+    // (full-batch GD is Markovian in the weight vector, so resuming
+    // replays the continuous trajectory bit for bit — the bpe5
+    // extend≡retrain contract on the model tier), and the extended
+    // artifact must score exactly as 4-iteration training would:
+    // cur5's oracle verbatim.
+    "fit3_probe_extend" -> ((s, d) => {
+      val f = probeFeatures(s, d)
+      val fx = Seq(col("x0"), col("x1"), col("x2"), col("x3"))
+      val dir = graft.core.Scratch.dir("fit3-") + "/model"
+      ext.Fit.writeProbeModel(f, fx, col("y"), iters = 2, dir)
+      ext.Fit.extendProbeModel(s, dir, f, fx, col("y"), extraIters = 2)
+      ext.Fit.scoreFromProbeModel(f, col("doc_id"), fx, dir,
+          tauScaled = 80L * 65536L)
+        .orderBy("doc_id")
+    }),
+
+    // fit4: TIME TRAVEL for the model artifact — "score with last
+    // week's model" after a re-train, the audit verb of a model
+    // registry: fit3's fixture scored AS OF iteration 2 after the
+    // extension landed. Versions are the trajectory rows themselves
+    // (no per-version copy — the tokenizer-tier rule), pins beyond
+    // the trained head fail loudly (Round15Spec). Oracle: the shared
+    // trajectory CTEs with the projection anchored at w2.
+    "fit4_probe_asof" -> ((s, d) => {
+      val f = probeFeatures(s, d)
+      val fx = Seq(col("x0"), col("x1"), col("x2"), col("x3"))
+      val dir = graft.core.Scratch.dir("fit4-") + "/model"
+      ext.Fit.writeProbeModel(f, fx, col("y"), iters = 2, dir)
+      ext.Fit.extendProbeModel(s, dir, f, fx, col("y"), extraIters = 2)
+      ext.Fit.scoreFromProbeModel(f, col("doc_id"), fx, dir,
+          tauScaled = 80L * 65536L, asOf = 2L)
+        .orderBy("doc_id")
+    }),
+
     // al1: ACTIVE-LEARNING UNCERTAINTY SAMPLING — the label-acquisition
     // queue next to cur5's filter: the SAME trained probe scores every
     // document, and the 20 closest to the decision boundary (exact
@@ -9095,11 +9147,19 @@ object SparkEntry {
            |ORDER BY iter""".stripMargin.replace("\n", " ")),
       // cur5: fit1's trajectory through w4, then the score/filter
       // projection against the learned weights
-      "cur5_model_curation" -> (ProbeTrainCtes +
-        """SELECT f2.doc_id,
-           | CAST(x0*b0 + x1*b1 + x2*b2 + x3*b3 AS BIGINT) AS score,
-           | CAST(x0*b0 + x1*b1 + x2*b2 + x3*b3 >= 80 * 65536 AS INTEGER) AS kept
-           |FROM f2, w4 ORDER BY f2.doc_id""".stripMargin.replace("\n", " ")),
+      "cur5_model_curation" -> (ProbeTrainCtes + ProbeScoreProjSql),
+      // fit2: the stored model must score identically to the inline
+      // train+score — cur5's oracle verbatim
+      "fit2_stored_probe" -> (ProbeTrainCtes + ProbeScoreProjSql),
+      // fit3: extend-from-stored-state ≡ continuous training (GD is
+      // Markovian in the weights) — cur5's oracle verbatim, the
+      // strongest extend≡retrain contract (the bpe5 device)
+      "fit3_probe_extend" -> (ProbeTrainCtes + ProbeScoreProjSql),
+      // fit4: the PINNED iteration-2 weights score the corpus — the
+      // same trajectory CTEs, projection anchored at w2 by guarded
+      // substitution; a green row proves the extension iterations are
+      // invisible to the pin
+      "fit4_probe_asof" -> (ProbeTrainCtes + ProbeScoreProjW2Sql),
       // al1: the identical trained weights, re-projected to the
       // uncertainty queue — exact integer |score − τ|, bounded top-20
       "al1_uncertainty_sampling" -> (ProbeTrainCtes +
@@ -10446,6 +10506,26 @@ object SparkEntry {
            |  b3 - CASE WHEN s3 < 0 THEN -((-s3) // (n*32768)) ELSE s3 // (n*32768) END AS b3
            | FROM w3, g4)"""
       .stripMargin.replace("\n", " ") + " "
+
+  /** The cur5 score/filter projection over the trained head weights —
+    * shared verbatim by fit2 (stored ≡ inline) and fit3 (extend ≡
+    * continuous). */
+  private lazy val ProbeScoreProjSql: String =
+    """SELECT f2.doc_id,
+       | CAST(x0*b0 + x1*b1 + x2*b2 + x3*b3 AS BIGINT) AS score,
+       | CAST(x0*b0 + x1*b1 + x2*b2 + x3*b3 >= 80 * 65536 AS INTEGER) AS kept
+       |FROM f2, w4 ORDER BY f2.doc_id""".stripMargin.replace("\n", " ")
+
+  /** fit4's pinned projection: the identical score/filter anchored at
+    * the ITERATION-2 weights — guarded substitution on the shared
+    * trajectory CTEs, so a ProbeTrainCtes edit cannot silently
+    * desynchronize the pin. */
+  private lazy val ProbeScoreProjW2Sql: String = {
+    require(ProbeTrainCtes.contains("w2 AS") &&
+      ProbeScoreProjSql.contains("FROM f2, w4"),
+      "fit4 oracle derivation out of sync with ProbeTrainCtes")
+    ProbeScoreProjSql.replace("FROM f2, w4", "FROM f2, w2")
+  }
 
   private val toksSql = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 

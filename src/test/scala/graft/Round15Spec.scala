@@ -421,4 +421,35 @@ class Round15Spec extends SparkSpec {
         "doc_id", "text", asOf = 4)
     }
   }
+
+  // ------------------------------------ probe-model registry edges
+
+  test("probe model: extend ≡ continuous trajectory row-for-row; pin edges fail loudly") {
+    val rnd = new scala.util.Random(73)
+    val f = (0L until 200L).map { i =>
+      val x1 = rnd.nextInt(50).toLong; val x2 = rnd.nextInt(50).toLong
+      val x3 = rnd.nextInt(50).toLong
+      (i, 1L, x1, x2, x3, 2 * x1 + 3 * x2 - x3 + 7)
+    }.toDF("doc_id", "x0", "x1", "x2", "x3", "y")
+    val fx = Seq(col("x0"), col("x1"), col("x2"), col("x3"))
+    val continuous = ext.Fit.linearProbeGd(f, fx, col("y"), iters = 4)
+      .orderBy("iter").collect().map(_.toSeq).toSeq
+    val dir = tmpDir("fit-reg") + "/model"
+    ext.Fit.writeProbeModel(f, fx, col("y"), iters = 2, dir)
+    ext.Fit.extendProbeModel(spark, dir, f, fx, col("y"), extraIters = 2)
+    val stored = spark.read.parquet(s"$dir/weights")
+      .orderBy("iter").collect().map(_.toSeq).toSeq
+    assert(stored == continuous,
+      "extend-from-stored-state must replay the continuous trajectory " +
+        "bit for bit (GD is Markovian in the weights)")
+    assert(ext.Fit.probeWeightsAsOf(spark, dir) ==
+      ext.Fit.probeWeightsAsOf(spark, dir, asOf = 4L),
+      "head read must equal the explicit head pin")
+    intercept[IllegalArgumentException] {
+      ext.Fit.probeWeightsAsOf(spark, dir, asOf = 9L)
+    }
+    intercept[IllegalArgumentException] {
+      ext.Fit.probeWeightsAsOf(spark, dir, asOf = 0L)
+    }
+  }
 }
