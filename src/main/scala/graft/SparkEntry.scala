@@ -1542,6 +1542,72 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // mv4: merge1's CDC semantics applied INCREMENTALLY through the
+    // STREAMING versioned matview — the delete verb the matview tier
+    // was missing (mv1 upserts aggregate re-emissions; a CDC source
+    // ships row images AND deletions, and the synced keyed view must
+    // apply both): the base table lands as version 0, the change
+    // stream replays through the K2 foreachBatch sink with
+    // applyCdcMatviewBatch folding each batch newest-wins and writing
+    // only the affected buckets (deletes physically absent from the
+    // new version — no tombstones, the copy-on-write rewrite pays the
+    // copy anyway), and slice 1 RE-DELIVERS every slice-0 change with
+    // the seq-2 wave (the at-least-once worst case — a redelivered
+    // DELETE must stay a no-op and a redelivered UPSERT must not
+    // resurrect anything; within-batch the newest seq wins, so the
+    // %20=7 delete-then-reinsert lands as the reinsert). The final
+    // snapshot must equal the BATCH CDC fold — merge1's oracle
+    // verbatim.
+    "mv4_matview_cdc" -> ((s, d) => {
+      val base = customer(s, d)
+      def img(rows: org.apache.spark.sql.DataFrame, seq: Long, op: String,
+              bal: Column => Column = identity[Column],
+              name: Column => Column = identity[Column],
+              seg: Column => Column = identity[Column],
+              key: Column => Column = identity[Column]) =
+        rows.select(key(col("c_custkey")).as("c_custkey"),
+          name(col("c_name")).as("c_name"), col("c_nationkey"),
+          bal(col("c_acctbal")).as("c_acctbal"),
+          seg(col("c_mktsegment")).as("c_mktsegment"),
+          lit(seq).as("seq"), lit(op).as("op"))
+      val wave1 = img(base.where(col("c_custkey") % 10 === 3), 1L, "U",
+          bal = _ + 100.0)
+        .unionByName(img(base.where(col("c_custkey") % 10 === 7), 1L, "D"))
+        .unionByName(img(base.where(col("c_custkey") % 10 === 1), 1L, "I",
+          bal = _ => lit(0.0), name = n => concat(lit("new_"), n),
+          seg = _ => lit("NEW"), key = _ + 1000000L))
+      val wave2 = img(base.where(col("c_custkey") % 20 === 3), 2L, "U",
+          bal = _ + 500.0)
+        .unionByName(img(base.where(col("c_custkey") % 20 === 7), 2L, "I",
+          bal = _ => lit(0.0), seg = _ => lit("REBORN")))
+      val root = graft.core.Scratch.dir("mv4-") + "/snap"
+      graft.streaming.Ingest.upsertMatviewBatch(
+        base.select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment"),
+        Seq("c_custkey"), root, id = 0L)
+      // c_nationkey is INT (int32) in the source parquet — the replay
+      // schema must declare it identically or the stream-written
+      // versions diverge from the base v=0's file schema and the
+      // newest-per-bucket union read fails on the physical-type
+      // mismatch (caught by DumpPlans at sf0.001, where some buckets'
+      // newest version was still the base)
+      graft.streaming.Replay.slicedSourceReplay(s,
+          Seq(wave1, wave1.unionByName(wave2)),
+          "c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+            "c_acctbal DOUBLE, c_mktsegment STRING, seq BIGINT, op STRING",
+          "mv4-") { (src, dir) =>
+        graft.core.Sinks.foreachBatchSink(src, s"$dir/ckpt") { (b, bid) =>
+          graft.streaming.Ingest.applyCdcMatviewBatch(b, Seq("c_custkey"),
+            "seq", "op", root, id = bid + 1)
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      graft.streaming.Ingest.latestSnapshot(s, root)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
     // dq1: declarative data-quality constraint report over orders with
     // violations planted IN PLACE (t7 convention — no re-keying, so each
     // constraint provably fires and clean rows prove no false positives):
@@ -7035,32 +7101,11 @@ object SparkEntry {
            | n_transitions / CAST(sum(n_transitions)
            |   OVER (PARTITION BY from_type) AS BIGINT) AS p
            |FROM ag ORDER BY from_type, to_type""".stripMargin.replace("\n", " ")),
-      "merge1_cdc_apply" ->
-        ("""WITH base AS (
-           | SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer),
-           |changes AS (
-           | SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
-           |  c_mktsegment, 1 AS seq, 'U' AS op FROM base WHERE c_custkey % 10 = 3
-           | UNION ALL SELECT c_custkey, c_name, c_nationkey, c_acctbal,
-           |  c_mktsegment, 1, 'D' FROM base WHERE c_custkey % 10 = 7
-           | UNION ALL SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey,
-           |  0.0, 'NEW', 1, 'I' FROM base WHERE c_custkey % 10 = 1
-           | UNION ALL SELECT c_custkey, c_name, c_nationkey, c_acctbal + 500.0,
-           |  c_mktsegment, 2, 'U' FROM base WHERE c_custkey % 20 = 3
-           | UNION ALL SELECT c_custkey, c_name, c_nationkey, 0.0,
-           |  'REBORN', 2, 'I' FROM base WHERE c_custkey % 20 = 7),
-           |latest AS (
-           | SELECT * FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
-           |  FROM changes) WHERE rn = 1)
-           |SELECT COALESCE(b.c_custkey, l.c_custkey) AS c_custkey,
-           | CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE b.c_name END AS c_name,
-           | CASE WHEN l.op IS NOT NULL THEN l.c_nationkey ELSE b.c_nationkey END AS c_nationkey,
-           | CASE WHEN l.op IS NOT NULL THEN l.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
-           | CASE WHEN l.op IS NOT NULL THEN l.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
-           |FROM base b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
-           |WHERE l.op IS NULL OR l.op <> 'D'
-           |ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
+      "merge1_cdc_apply" -> Merge1OracleSql,
+      // mv4: the stream-maintained CDC matview (redelivered wave-1 +
+      // wave-2 in one batch, newest-wins) must equal the one-shot batch
+      // fold — merge1's oracle verbatim
+      "mv4_matview_cdc" -> Merge1OracleSql,
       "dq1_constraint_checks" ->
         ("""WITH planted AS (
            | SELECT CASE WHEN o_orderkey % 1000 = 4 THEN NULL ELSE o_orderkey END AS o_orderkey,
@@ -10506,6 +10551,36 @@ object SparkEntry {
            |  b3 - CASE WHEN s3 < 0 THEN -((-s3) // (n*32768)) ELSE s3 // (n*32768) END AS b3
            | FROM w3, g4)"""
       .stripMargin.replace("\n", " ") + " "
+
+  /** merge1's batch CDC fold — shared verbatim by mv4 (the
+    * stream-maintained CDC matview must converge to the one-shot batch
+    * application). */
+  private lazy val Merge1OracleSql: String =
+    ("""WITH base AS (
+       | SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer),
+       |changes AS (
+       | SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+       |  c_mktsegment, 1 AS seq, 'U' AS op FROM base WHERE c_custkey % 10 = 3
+       | UNION ALL SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+       |  c_mktsegment, 1, 'D' FROM base WHERE c_custkey % 10 = 7
+       | UNION ALL SELECT c_custkey + 1000000, 'new_' || c_name, c_nationkey,
+       |  0.0, 'NEW', 1, 'I' FROM base WHERE c_custkey % 10 = 1
+       | UNION ALL SELECT c_custkey, c_name, c_nationkey, c_acctbal + 500.0,
+       |  c_mktsegment, 2, 'U' FROM base WHERE c_custkey % 20 = 3
+       | UNION ALL SELECT c_custkey, c_name, c_nationkey, 0.0,
+       |  'REBORN', 2, 'I' FROM base WHERE c_custkey % 20 = 7),
+       |latest AS (
+       | SELECT * FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+       |  FROM changes) WHERE rn = 1)
+       |SELECT COALESCE(b.c_custkey, l.c_custkey) AS c_custkey,
+       | CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE b.c_name END AS c_name,
+       | CASE WHEN l.op IS NOT NULL THEN l.c_nationkey ELSE b.c_nationkey END AS c_nationkey,
+       | CASE WHEN l.op IS NOT NULL THEN l.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+       | CASE WHEN l.op IS NOT NULL THEN l.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
+       |FROM base b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+       |WHERE l.op IS NULL OR l.op <> 'D'
+       |ORDER BY c_custkey""".stripMargin.replace("\n", " "))
 
   /** The cur5 score/filter projection over the trained head weights —
     * shared verbatim by fit2 (stored ≡ inline) and fit3 (extend ≡

@@ -375,6 +375,59 @@ object Ingest {
     committedVersions(snapRoot).filter(_ < beforeVersion).reverse
       .find(v => new java.io.File(s"$snapRoot/v=$v/pk=$pk").isDirectory)
 
+  /** CDC-COMPLETE matview maintenance — [[upsertMatviewBatch]] grown the
+    * DELETE verb (the cell mv1's update-mode upserts cannot express: an
+    * aggregate stream only ever re-emits totals, but a CDC source ships
+    * row images AND deletions, and a synced keyed view must apply both):
+    * one batch of keyed row images with `opCol` ∈ {'I','U' — upsert the
+    * full image, 'D' — delete by key} first folds NEWEST-WINS per key on
+    * `seqCol` ([[graft.ext.Cdc.applyChanges]]' batch-side contract, so a
+    * batch carrying several ops for one key applies only the latest),
+    * then the versioned copy-on-write upsert applies both verbs: an
+    * affected bucket's new state = its prior rows minus EVERY batch key,
+    * plus the surviving upsert images. Deletes are physically absent
+    * from the new version — no tombstone store: the bucket rewrite
+    * already pays the copy, so deletion rides free, and readers/as-of
+    * pins need no anti-join ([[latestSnapshot]]/[[asOfSnapshot]] work
+    * unchanged). The snapshot stores the DATA columns only (seq/op are
+    * transport, not state). Retry contract identical to
+    * [[upsertMatviewBatch]]: reconstruction reads committed versions
+    * < `id` only and the `v=$id` write is an idempotent overwrite, so a
+    * redelivered batch — including one whose deletes already applied —
+    * rebuilds the same bucket state. */
+  def applyCdcMatviewBatch(b: DataFrame, keys: Seq[String], seqCol: String,
+                           opCol: String, snapRoot: String, id: Long,
+                           buckets: Int = 16): Unit = {
+    require(!b.columns.contains("v") && !b.columns.contains("pk"),
+      "matview columns `v` and `pk` are reserved by the snapshot layout")
+    val s = b.sparkSession
+    val dataCols = b.columns.filterNot(c => c == seqCol || c == opCol).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    val batch = b.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+      .withColumn("pk",
+        pmod(xxhash64(keys.map(col): _*), lit(buckets)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val affected = batch.select("pk").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val prevPaths = affected.flatMap(pk =>
+        newestBucketVersion(snapRoot, pk, beforeVersion = id)
+          .map(v => s"$snapRoot/v=$v/pk=$pk"))
+      val ups = batch.where(col(opCol) =!= "D")
+        .select((dataCols :+ "pk").map(col): _*)
+      val prev =
+        if (prevPaths.isEmpty) ups.limit(0)
+        else s.read.option("basePath", snapRoot).parquet(prevPaths: _*)
+          .select((dataCols :+ "pk").map(col): _*)
+      prev.join(batch.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(ups)
+        .write.mode("overwrite").partitionBy("pk")
+        .parquet(s"$snapRoot/v=$id")
+    } finally batch.unpersist()
+  }
+
   /** COMPLETE-mode sink: every batch re-emits the ENTIRE aggregate result,
     * so the sink overwrites the whole snapshot (no keyed upsert needed —
     * the mode itself guarantees the emission is the full table). Complete

@@ -452,4 +452,38 @@ class Round15Spec extends SparkSpec {
       ext.Fit.probeWeightsAsOf(spark, dir, asOf = 0L)
     }
   }
+
+  // ------------------------------------ CDC matview delete verb (mv4)
+
+  test("CDC matview: delete physically absent; retry idempotent; pre-delete pin answers") {
+    val base = (0L until 10L).map(i => (i, s"val$i")).toDF("k", "v0")
+    val root = tmpDir("mv4-spec") + "/snap"
+    graft.streaming.Ingest.upsertMatviewBatch(base, Seq("k"), root, id = 0L)
+    val cdc = Seq((3L, "ignored", 1L, "D"), (5L, "updated", 1L, "U"))
+      .toDF("k", "v0", "seq", "op")
+    graft.streaming.Ingest.applyCdcMatviewBatch(cdc, Seq("k"), "seq", "op",
+      root, id = 1L)
+    def view() = graft.streaming.Ingest.latestSnapshot(spark, root)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val after = view()
+    assert(!after.exists(_.head == 3L), "deleted key still visible")
+    assert(after.find(_.head == 5L).get(1) == "updated")
+    assert(after.size == 9)
+    // the pre-delete pin still answers with the deleted key — versions
+    // are immutable snapshots (the mv3 contract, now spanning deletes)
+    val pinned = graft.streaming.Ingest.asOfSnapshot(spark, root, asOf = 0L)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(pinned.exists(_.head == 3L) && pinned.size == 10,
+      "the version-0 pin must still show the later-deleted key")
+    // retry of the SAME batch id: idempotent overwrite, view unchanged
+    graft.streaming.Ingest.applyCdcMatviewBatch(cdc, Seq("k"), "seq", "op",
+      root, id = 1L)
+    assert(view() == after, "a retried CDC batch must rebuild the same state")
+    // compaction folds history view-invariantly; the folded pin fails
+    graft.streaming.Ingest.compactMatview(spark, root)
+    assert(view() == after, "compact must not change the living view")
+    intercept[IllegalArgumentException] {
+      graft.streaming.Ingest.asOfSnapshot(spark, root, asOf = 0L).collect()
+    }
+  }
 }
