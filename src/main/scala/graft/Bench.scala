@@ -171,8 +171,13 @@ object Bench {
     // survive regardless of how much driver stdout is retained.
     val fullQs = settled.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // "n" = settled.size, printed explicitly: queries come from a Map so
+    // duplicate names are impossible, and the count lets anyone reconcile
+    // a truncated stdout tail (listed + elided_fast must equal n) without
+    // re-deriving it — the round-15 stdout tail appeared to say 316 vs
+    // the authoritative record's 314, unresolvable after the fact.
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failures":$failures,$canaryJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${settled.size},"queries":$fullQs,"failures":$failures,$canaryJson,"sf":"$sfDir"}"""
     // Subset runs (SPARK_GRAFT_BENCH_ONLY) must NOT overwrite the
     // committed full-suite record — a partial record once replaced it and
     // had to be restored from git. Route them to /tmp instead.
@@ -193,7 +198,7 @@ object Bench {
       val qs = kept.sortBy(_._1)
         .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
       val e = if (elided > 0) s""","elided_fast":$elided""" else ""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failures":$failures$e,$canaryJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${settled.size},"queries":$qs,"failures":$failures$e,$canaryJson,"sf":"$sfDir"}"""
     }
     val budget = 1850 // 2000-char tail minus sbt's success line + slack
     // failed queries (-1) are never elided: partition them out up front and

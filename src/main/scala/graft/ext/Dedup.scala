@@ -1462,7 +1462,10 @@ object Dedup {
     val living = contaminationIndexLiving(spark, dir)
     val newFloor = graft.core.Artifacts.asOfFloor(spark, dir) + segs.size
     graft.core.Artifacts.swapInto(spark, dir) { tmp =>
-      living.write.parquet(s"$tmp/postings")
+      // eval suites are benchmark-sized: one file, the windowed-store
+      // convention — a 32-task spray of tiny files costs every future
+      // probe a 32-file listing for kilobytes of postings
+      living.coalesce(1).write.parquet(s"$tmp/postings")
       graft.core.Artifacts.setAsOfFloor(spark, tmp, newFloor)
     }
   }

@@ -274,30 +274,87 @@ object Profile {
     if (batchId <= hw) return
     val seg = f"$dir/segments/seg_$batchId%012d"
     val p = new org.apache.hadoop.fs.Path(seg)
-    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+      advanceSegHw(spark, dir, batchId) // heal a crashed advance
       return
+    }
     requireMonotoneBatchId(spark, dir, batchId)
     graft.core.Artifacts.stageCommit(spark, seg) { tmp =>
       epochCms(batch, key, epoch, d, w).coalesce(1).write.parquet(tmp)
     }
+    advanceSegHw(spark, dir, batchId)
   }
 
   /** The monotone-id fence both windowed sketch stores share: a fresh
     * (non-redelivered, non-folded) batch id must exceed every committed
     * segment id, or as-of pins over the batch-id-sorted prefix silently
-    * change meaning. Throws with the offending ids. */
+    * change meaning. Throws with the offending ids. The bound comes from
+    * the STORED high-water ([[storedSegHw]] — round-15 ADVICE: a
+    * per-batch listing of the segment dir is O(#segments) every
+    * micro-batch, quadratic over a stream's life between expires; the
+    * marker read is one O(1) root listing). */
   private def requireMonotoneBatchId(spark: org.apache.spark.sql.SparkSession,
                                      dir: String, batchId: Long): Unit = {
-    val ids = graft.core.Artifacts.committedChildren(spark, s"$dir/segments")
-      .map(s => new org.apache.hadoop.fs.Path(s).getName
-        .stripPrefix("seg_").toLong)
-    if (ids.nonEmpty && batchId < ids.max)
+    val hw = storedSegHw(spark, dir)
+    if (batchId < hw)
       throw new IllegalArgumentException(
         s"windowed sketch store $dir: batch id $batchId arrives below the " +
-          s"newest committed segment (${ids.max}) — this store serves " +
+          s"newest committed segment ($hw) — this store serves " +
           "as-of reads over the batch-id-sorted segment prefix, so an " +
           "out-of-order insert would retroactively renumber every pinned " +
           "version. Replay the source in order or rebuild the store")
+  }
+
+  /** Max committed segment id, from the root-level `seg_hw_<id>` marker
+    * file whose NAME carries the value: advancing = create the higher
+    * name, then sweep lower ones — each step an atomic FS op, so a crash
+    * leaves the old marker, both (max wins, the next advance sweeps), or
+    * the new one, never a torn value (a content-bearing file would
+    * truncate-then-write). Staleness is bounded to ONE crashed batch
+    * under the stores' single-writer contract: a crash between segment
+    * commit and advance leaves the marker one id low, and the
+    * redelivery of that same batch — guaranteed, its streaming offset
+    * never committed — heals it on the segment-exists path before any
+    * fresh id reaches the fence. Stores predating the marker fall back
+    * to one segment listing and self-migrate on the next advance;
+    * expire carries the marker through its whole-root swap explicitly
+    * (the asof_floor discipline). */
+  private def storedSegHw(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Long = {
+    val markers = segHwMarkers(spark, dir)
+    if (markers.nonEmpty) markers.max
+    else graft.core.Artifacts.committedChildren(spark, s"$dir/segments")
+      .map(s => new org.apache.hadoop.fs.Path(s).getName
+        .stripPrefix("seg_").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  private def segHwMarkers(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Seq[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("seg_hw_"))
+      .map(_.stripPrefix("seg_hw_").toLong)
+  }
+
+  /** Advance the stored high-water to `id` (no-op when already ≥). On a
+    * STAGED root (expire's swap tmp) there are no markers yet and this
+    * just creates the carried-forward one. */
+  private def advanceSegHw(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, id: Long): Unit = {
+    if (id < 0) return // nothing committed yet — no marker to carry
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val existing = segHwMarkers(spark, dir)
+    if (existing.forall(_ < id))
+      fs.create(new org.apache.hadoop.fs.Path(s"$dir/seg_hw_$id"), true)
+        .close()
+    existing.filter(_ < id).foreach(m =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/seg_hw_$m"), false))
   }
 
   /** base (if the artifact was ever folded) + the given segment list,
@@ -407,11 +464,13 @@ object Profile {
     // folded versions then fail loudly instead of answering with
     // post-expire data (round-13 verdict #3)
     val newFloor = graft.core.Artifacts.asOfFloor(spark, dir) + segs.size
+    val segHw = math.max(newHw, storedSegHw(spark, dir))
     graft.core.Artifacts.swapInto(spark, dir) { tmp =>
       Seq((d, w, newHw)).toDF("d", "w", "folded_hw")
         .coalesce(1).write.parquet(s"$tmp/meta")
       folded.coalesce(1).write.parquet(s"$tmp/base")
       graft.core.Artifacts.setAsOfFloor(spark, tmp, newFloor)
+      advanceSegHw(spark, tmp, segHw) // the swap publishes it atomically
     }
   }
 
@@ -458,8 +517,10 @@ object Profile {
     if (batchId <= hw) return
     val seg = f"$dir/segments/seg_$batchId%012d"
     val p = new org.apache.hadoop.fs.Path(seg)
-    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+      advanceSegHw(spark, dir, batchId) // heal a crashed advance
       return
+    }
     requireMonotoneBatchId(spark, dir, batchId)
     val keyed = batch.select(epoch.cast("long").as("epoch"),
         key.cast("string").as("key"))
@@ -478,6 +539,7 @@ object Profile {
         cells.toSeq.toDF("epoch", "bid", "n", "key", "cnt")
           .coalesce(1).write.parquet(tmp)
       }
+      advanceSegHw(spark, dir, batchId)
     } finally keyed.unpersist()
   }
 
@@ -649,11 +711,13 @@ object Profile {
     val living = windowedHhCells(spark, dir, minEpoch)
     // floor advances with the fold, atomically — the windowed-CMS rule
     val newFloor = graft.core.Artifacts.asOfFloor(spark, dir) + segs.size
+    val segHw = math.max(newHw, storedSegHw(spark, dir))
     graft.core.Artifacts.swapInto(spark, dir) { tmp =>
       Seq((k, newHw)).toDF("k", "folded_hw")
         .coalesce(1).write.parquet(s"$tmp/meta")
       living.coalesce(1).write.parquet(s"$tmp/base")
       graft.core.Artifacts.setAsOfFloor(spark, tmp, newFloor)
+      advanceSegHw(spark, tmp, segHw) // the swap publishes it atomically
     }
   }
 

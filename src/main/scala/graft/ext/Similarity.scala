@@ -500,7 +500,19 @@ object Similarity {
     * A labeled id union (batch ∪ head-vectors ∪ tombstones) groups by id
     * once, a global aggregate counts each guard class, and a crossJoin
     * with the 1-row meta returns (k, blocks) in the same collect. Costs
-    * exactly the id scans the old guards each paid separately — once. */
+    * exactly the id scans the old guards each paid separately — once.
+    *
+    * Measured dead end (round 16), do NOT revisit: replacing this
+    * labeled-union groupBy with broadcast-probe left joins over the head
+    * scan (so head ids never cross an exchange — the round-15 ADVICE
+    * suggestion) measured ×1.8 WORSE on knn2 (2.76 → 5.06 s at sf0.1):
+    * when the batch side is a filtered parquet scan its size estimate is
+    * large, Catalyst plans sort-merge with BOTH sides exchanged + sorted,
+    * and AQE's late BHJ conversion still pays the probe-side map stage.
+    * knn5s was IDENTICAL under both shapes (same-session A/B 8.01 vs
+    * 7.56 s) — its round-15 flagged ×1.2 was box variance, not this
+    * aggregate. The head-id shuffle stays bounded by the node-sized
+    * artifact contract. */
   private case class KnnBatchStats(nFresh: Long, dupFresh: Long,
     nCollide: Long, nPending: Long, nBatchTomb: Long, k: Int, blocks: Int)
 

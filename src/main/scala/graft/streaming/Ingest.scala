@@ -251,8 +251,7 @@ object Ingest {
       val affected = batch.select("pk").distinct()
         .collect().map(_.getInt(0)).sorted
       val prevPaths = affected.flatMap(pk =>
-        newestBucketVersion(snapRoot, pk, beforeVersion = id)
-          .map(v => s"$snapRoot/v=$v/pk=$pk"))
+        newestBucketPath(snapRoot, pk, beforeVersion = id))
       val prev =
         if (prevPaths.isEmpty) batch.limit(0)
         else s.read.option("basePath", snapRoot).parquet(prevPaths: _*)
@@ -334,8 +333,14 @@ object Ingest {
         .getOrElse(Array.empty)
         .filter(d => d.isDirectory && d.getName.startsWith("pk="))
         .map(_.getName.stripPrefix("pk=").toInt)).distinct.sorted
-    val paths = buckets.map(pk =>
-      s"$snapRoot/v=${newestBucketVersion(snapRoot, pk).get}/pk=$pk")
+    // empty-marker buckets drop out here: compaction folds a deleted
+    // bucket into physical absence (no marker needed in the single
+    // surviving version — nothing older remains to resurrect from)
+    val paths = buckets.flatMap(pk => newestBucketPath(snapRoot, pk))
+    require(paths.nonEmpty,
+      s"compactMatview: every bucket under $snapRoot is deleted — an " +
+        "empty view has no compacted form (same refusal as the fully-" +
+        "forgotten stores); drop the snapshot root instead")
     val aside = p(s"$snapRoot/compact_old_v=$vmax")
     // materializes the full state BEFORE any dir is touched (the write is
     // the action; `pk` rides along as a partition column from basePath)
@@ -369,11 +374,28 @@ object Ingest {
       .map(_.getName.stripPrefix("v=").toLong).sorted.toSeq
 
   /** Newest committed version < `beforeVersion` holding bucket `pk`
-    * (Long.MaxValue = no bound). Driver-side dir probes only. */
+    * (Long.MaxValue = no bound). A version "holds" a bucket either with a
+    * real `pk=N` partition dir or with an `_empty_pk=N` marker file —
+    * [[applyCdcMatviewBatch]] writes the marker when a CDC batch deletes a
+    * bucket's every row (partitionBy omits empty partitions, and without
+    * the marker the reader would fall back to the older version and
+    * resurrect the deleted rows). Driver-side dir probes only. */
   private def newestBucketVersion(snapRoot: String, pk: Int,
                                   beforeVersion: Long = Long.MaxValue): Option[Long] =
     committedVersions(snapRoot).filter(_ < beforeVersion).reverse
-      .find(v => new java.io.File(s"$snapRoot/v=$v/pk=$pk").isDirectory)
+      .find(v => new java.io.File(s"$snapRoot/v=$v/pk=$pk").isDirectory ||
+        new java.io.File(s"$snapRoot/v=$v/_empty_pk=$pk").isFile)
+
+  /** Readable path of bucket `pk`'s newest state < `beforeVersion`, or
+    * None when the bucket has no rows there — either no version holds it,
+    * or the newest holding version emptied it (`_empty_pk` marker:
+    * "bucket present, zero rows" — the path list simply omits it). */
+  private def newestBucketPath(snapRoot: String, pk: Int,
+                               beforeVersion: Long = Long.MaxValue): Option[String] =
+    newestBucketVersion(snapRoot, pk, beforeVersion).collect {
+      case v if new java.io.File(s"$snapRoot/v=$v/pk=$pk").isDirectory =>
+        s"$snapRoot/v=$v/pk=$pk"
+    }
 
   /** CDC-COMPLETE matview maintenance — [[upsertMatviewBatch]] grown the
     * DELETE verb (the cell mv1's update-mode upserts cannot express: an
@@ -389,10 +411,26 @@ object Ingest {
     * from the new version — no tombstone store: the bucket rewrite
     * already pays the copy, so deletion rides free, and readers/as-of
     * pins need no anti-join ([[latestSnapshot]]/[[asOfSnapshot]] work
-    * unchanged). The snapshot stores the DATA columns only (seq/op are
-    * transport, not state). Retry contract identical to
-    * [[upsertMatviewBatch]]: reconstruction reads committed versions
-    * < `id` only and the `v=$id` write is an idempotent overwrite, so a
+    * unchanged). A batch whose deletes empty a bucket leaves the new
+    * version with NO `pk=N` partition dir (partitionBy omits empty
+    * partitions) — that bucket gets an `_empty_pk=N` marker file instead,
+    * which [[newestBucketVersion]] treats as "bucket present, zero rows";
+    * without it readers would fall back to the older version and every
+    * deleted row in the bucket would silently resurrect. So the version
+    * commits ATOMICALLY with its markers, the write is staged in a side
+    * dir (`cdc_tmp_v=$id`, outside the `v=` namespace) and swapped in
+    * with one checked rename — the shared side-write + checked-swap
+    * artifact discipline. The snapshot stores the DATA columns only
+    * (seq/op are transport, not state). The newest-wins fold breaks
+    * equal-`seqCol` ties by `opCol` ascending ('D' < 'I' < 'U': the
+    * delete wins) — deterministic, so a redelivered batch carrying an
+    * equal-seq D/U pair for one key rebuilds the SAME bucket state;
+    * callers should still assign unique (key, seq) per batch. Retry
+    * contract identical to [[upsertMatviewBatch]]: reconstruction reads
+    * committed versions < `id` only and the swap is an idempotent
+    * overwrite (a pre-existing `v=$id` is dropped just before the
+    * rename; a crash between the two re-runs on redelivery — the
+    * streaming checkpoint for this batch cannot have committed), so a
     * redelivered batch — including one whose deletes already applied —
     * rebuilds the same bucket state. */
   def applyCdcMatviewBatch(b: DataFrame, keys: Seq[String], seqCol: String,
@@ -403,7 +441,8 @@ object Ingest {
     val s = b.sparkSession
     val dataCols = b.columns.filterNot(c => c == seqCol || c == opCol).toSeq
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol).asc)
     val batch = b.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
       .withColumn("pk",
@@ -413,18 +452,32 @@ object Ingest {
       val affected = batch.select("pk").distinct()
         .collect().map(_.getInt(0)).sorted
       val prevPaths = affected.flatMap(pk =>
-        newestBucketVersion(snapRoot, pk, beforeVersion = id)
-          .map(v => s"$snapRoot/v=$v/pk=$pk"))
+        newestBucketPath(snapRoot, pk, beforeVersion = id))
       val ups = batch.where(col(opCol) =!= "D")
         .select((dataCols :+ "pk").map(col): _*)
       val prev =
         if (prevPaths.isEmpty) ups.limit(0)
         else s.read.option("basePath", snapRoot).parquet(prevPaths: _*)
           .select((dataCols :+ "pk").map(col): _*)
+      val tmp = s"$snapRoot/cdc_tmp_v=$id"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+      def p(x: String) = new org.apache.hadoop.fs.Path(x)
       prev.join(batch.select(keys.map(col): _*), keys, "left_anti")
         .unionByName(ups)
         .write.mode("overwrite").partitionBy("pk")
-        .parquet(s"$snapRoot/v=$id")
+        .parquet(tmp)
+      affected.foreach { pk =>
+        if (!new java.io.File(s"$tmp/pk=$pk").isDirectory)
+          fs.create(p(s"$tmp/_empty_pk=$pk"), true).close()
+      }
+      if (fs.exists(p(s"$snapRoot/v=$id")) &&
+          !fs.delete(p(s"$snapRoot/v=$id"), true))
+        throw new java.io.IOException(
+          s"applyCdcMatviewBatch: could not drop prior v=$id for overwrite")
+      if (!fs.rename(p(tmp), p(s"$snapRoot/v=$id")))
+        throw new java.io.IOException(
+          s"applyCdcMatviewBatch: could not commit $tmp into v=$id")
     } finally batch.unpersist()
   }
 
@@ -474,10 +527,26 @@ object Ingest {
     if (buckets.isEmpty) // unpartitioned (complete-mode) layout
       return spark.read.parquet(s"$snapRoot/v=${versions.max}")
     val paths = buckets.flatMap(pk =>
-      newestBucketVersion(snapRoot, pk, beforeVersion = asOf + 1)
-        .map(v => s"$snapRoot/v=$v/pk=$pk"))
+      newestBucketPath(snapRoot, pk, beforeVersion = asOf + 1))
+    if (paths.isEmpty) // every bucket deleted as of the pin: zero rows
+      return emptyView(spark, snapRoot)
     spark.read.option("basePath", snapRoot).parquet(paths: _*)
       .drop("v", "pk")
+  }
+
+  /** Zero-row view with the snapshot's schema — the read when every
+    * bucket's newest state is an `_empty_pk` marker (CDC deletes emptied
+    * the whole view). Schema comes from any real bucket dir in history
+    * (one must exist — buckets were enumerated from `pk=` dirs). */
+  private def emptyView(spark: org.apache.spark.sql.SparkSession,
+                        snapRoot: String): DataFrame = {
+    val any = committedVersions(snapRoot).reverse.iterator.flatMap(v =>
+      Option(new java.io.File(s"$snapRoot/v=$v").listFiles())
+        .getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("pk="))
+        .map(_.getPath)).next()
+    spark.read.option("basePath", snapRoot).parquet(any)
+      .drop("v", "pk").limit(0)
   }
 
   def latestSnapshot(spark: org.apache.spark.sql.SparkSession,
@@ -491,8 +560,9 @@ object Ingest {
         .map(d => d.getName.stripPrefix("pk=").toInt)).distinct
     if (buckets.isEmpty) // unpartitioned (complete-mode) layout
       return spark.read.parquet(s"$snapRoot/v=${versions.max}")
-    val paths = buckets.map(pk =>
-      s"$snapRoot/v=${newestBucketVersion(snapRoot, pk).get}/pk=$pk")
+    val paths = buckets.flatMap(pk => newestBucketPath(snapRoot, pk))
+    if (paths.isEmpty) // every bucket deleted: zero rows, schema kept
+      return emptyView(spark, snapRoot)
     spark.read.option("basePath", snapRoot).parquet(paths: _*)
       .drop("v", "pk")
   }

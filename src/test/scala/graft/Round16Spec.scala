@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-16 pins — the round-15 ADVICE set on the CDC matview:
+  *  - (high) a CDC batch whose deletes EMPTY a bucket must not let the
+  *    reader fall back to the older version and resurrect the deleted
+  *    rows: the emptied bucket is committed as an `_empty_pk=N` marker
+  *    ("bucket present, zero rows"), atomically with the version via the
+  *    staged-swap write. Pinned with buckets=1 so the delete provably
+  *    removes the bucket's last row (the Round15Spec fixture passed by
+  *    bucket-sharing luck — ADVICE low #3).
+  *  - (low) equal-seq ties in the newest-wins fold resolve
+  *    deterministically by op ascending ('D' < 'I' < 'U' — delete wins),
+  *    so a redelivered tie-carrying batch rebuilds the same state.
+  *  - compaction over a history containing CDC deletes: folded state
+  *    keeps deleted keys physically absent (empty-marker buckets drop
+  *    out), stays view-invariant, and a fully-deleted view refuses to
+  *    compact loudly (an empty store has no compacted form).
+  */
+class Round16Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def view(root: String) =
+    graft.streaming.Ingest.latestSnapshot(spark, root)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+
+  private def pin(root: String, v: Long) =
+    graft.streaming.Ingest.asOfSnapshot(spark, root, asOf = v)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+
+  // ---------------------------- CDC matview: emptied-bucket no-resurrect
+
+  test("CDC matview: deleting a bucket's last row does not resurrect it") {
+    val root = tmpDir("mv-empty") + "/snap"
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v0")
+    graft.streaming.Ingest.upsertMatviewBatch(base, Seq("k"), root,
+      id = 0L, buckets = 1)
+    graft.streaming.Ingest.applyCdcMatviewBatch(
+      Seq((1L, "x", 1L, "D")).toDF("k", "v0", "seq", "op"),
+      Seq("k"), "seq", "op", root, id = 1L, buckets = 1)
+    assert(view(root) == Seq(Seq(2L, "b")))
+    // delete the bucket's LAST row — the version has no pk=0 dir, only
+    // the _empty_pk marker; without it the reader falls back to v=1
+    graft.streaming.Ingest.applyCdcMatviewBatch(
+      Seq((2L, "x", 1L, "D")).toDF("k", "v0", "seq", "op"),
+      Seq("k"), "seq", "op", root, id = 2L, buckets = 1)
+    assert(view(root).isEmpty,
+      "emptied bucket resurrected its deleted rows from the older version")
+    // redelivery of the emptying batch: idempotent, still empty
+    graft.streaming.Ingest.applyCdcMatviewBatch(
+      Seq((2L, "x", 1L, "D")).toDF("k", "v0", "seq", "op"),
+      Seq("k"), "seq", "op", root, id = 2L, buckets = 1)
+    assert(view(root).isEmpty)
+    // pins: every pre-delete version still answers immutably
+    assert(pin(root, 0L) == Seq(Seq(1L, "a"), Seq(2L, "b")))
+    assert(pin(root, 1L) == Seq(Seq(2L, "b")))
+    assert(pin(root, 2L).isEmpty, "the as-of read of the emptied version")
+    // a fully-deleted view has no compacted form — refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Ingest.compactMatview(spark, root)
+    }
+    assert(e.getMessage.contains("no compacted form"))
+    // re-adding into the emptied bucket starts from zero rows, not from
+    // the pre-delete state
+    graft.streaming.Ingest.applyCdcMatviewBatch(
+      Seq((1L, "back", 1L, "I")).toDF("k", "v0", "seq", "op"),
+      Seq("k"), "seq", "op", root, id = 3L, buckets = 1)
+    assert(view(root) == Seq(Seq(1L, "back")))
+  }
+
+  // ---------------------------- equal-seq tie: deterministic delete-wins
+
+  test("CDC matview: equal-seq D/U tie resolves to the delete, retry-stable") {
+    val root = tmpDir("mv-tie") + "/snap"
+    graft.streaming.Ingest.upsertMatviewBatch(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v0"), Seq("k"), root,
+      id = 0L, buckets = 1)
+    val tie = Seq((1L, "updated", 5L, "U"), (1L, "x", 5L, "D"))
+      .toDF("k", "v0", "seq", "op")
+    graft.streaming.Ingest.applyCdcMatviewBatch(tie, Seq("k"), "seq", "op",
+      root, id = 1L, buckets = 1)
+    val after = view(root)
+    assert(after == Seq(Seq(2L, "b")),
+      "an equal-seq D/U pair must resolve to the delete (op ascending)")
+    graft.streaming.Ingest.applyCdcMatviewBatch(tie, Seq("k"), "seq", "op",
+      root, id = 1L, buckets = 1)
+    assert(view(root) == after, "tie resolution must be retry-stable")
+  }
+
+  // ---------------------------- compaction folds deletes into absence
+
+  test("CDC matview: compaction keeps deleted keys absent, folded pins fail") {
+    val root = tmpDir("mv-cdc-compact") + "/snap"
+    val base = (0L until 8L).map(i => (i, s"val$i")).toDF("k", "v0")
+    graft.streaming.Ingest.upsertMatviewBatch(base, Seq("k"), root,
+      id = 0L, buckets = 2)
+    graft.streaming.Ingest.applyCdcMatviewBatch(
+      Seq((3L, "x", 1L, "D"), (5L, "up5", 1L, "U"))
+        .toDF("k", "v0", "seq", "op"),
+      Seq("k"), "seq", "op", root, id = 1L, buckets = 2)
+    graft.streaming.Ingest.applyCdcMatviewBatch(
+      Seq((0L, "x", 2L, "D"), (6L, "up6", 2L, "U"))
+        .toDF("k", "v0", "seq", "op"),
+      Seq("k"), "seq", "op", root, id = 2L, buckets = 2)
+    val before = view(root)
+    assert(!before.exists(r => r.head == 3L || r.head == 0L))
+    assert(before.size == 6)
+    graft.streaming.Ingest.compactMatview(spark, root)
+    assert(view(root) == before,
+      "compaction over CDC-delete history must be view-invariant")
+    assert(!view(root).exists(r => r.head == 3L || r.head == 0L),
+      "folded state must keep deleted keys physically absent")
+    intercept[IllegalArgumentException] {
+      graft.streaming.Ingest.asOfSnapshot(spark, root, asOf = 1L).collect()
+    }
+  }
+}
