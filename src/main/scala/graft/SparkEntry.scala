@@ -1608,6 +1608,72 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // mv5: COMPACTION over a version history that CONTAINS CDC DELETES —
+    // round-15 verdict #3 (mv2 compacts upsert-only history and predates
+    // mv4's delete verb): mv4's exact stream runs, then compactMatview
+    // folds the three versions into one, and the GRADED answer reads the
+    // FOLDED view (the pq4/cc5 discipline — view-equality with the
+    // from-scratch CDC fold is part of the gate, so a compaction that
+    // resurrected a deleted key or dropped a surviving one hash-fails).
+    // Deleted keys stay physically absent in the folded version — with
+    // history gone there is nothing older to resurrect from, which is
+    // exactly why empty-marker buckets fold into plain absence
+    // (Ingest.compactMatview; Round16Spec pins the emptied-bucket and
+    // folded-pin-fails edges fixtures cannot reach at customer scale).
+    // Oracle: merge1's batch CDC fold, verbatim — compact must be
+    // view-invariant.
+    "mv5_matview_cdc_compact" -> ((s, d) => {
+      val base = customer(s, d)
+      def img(rows: org.apache.spark.sql.DataFrame, seq: Long, op: String,
+              bal: Column => Column = identity[Column],
+              name: Column => Column = identity[Column],
+              seg: Column => Column = identity[Column],
+              key: Column => Column = identity[Column]) =
+        rows.select(key(col("c_custkey")).as("c_custkey"),
+          name(col("c_name")).as("c_name"), col("c_nationkey"),
+          bal(col("c_acctbal")).as("c_acctbal"),
+          seg(col("c_mktsegment")).as("c_mktsegment"),
+          lit(seq).as("seq"), lit(op).as("op"))
+      val wave1 = img(base.where(col("c_custkey") % 10 === 3), 1L, "U",
+          bal = _ + 100.0)
+        .unionByName(img(base.where(col("c_custkey") % 10 === 7), 1L, "D"))
+        .unionByName(img(base.where(col("c_custkey") % 10 === 1), 1L, "I",
+          bal = _ => lit(0.0), name = n => concat(lit("new_"), n),
+          seg = _ => lit("NEW"), key = _ + 1000000L))
+      val wave2 = img(base.where(col("c_custkey") % 20 === 3), 2L, "U",
+          bal = _ + 500.0)
+        .unionByName(img(base.where(col("c_custkey") % 20 === 7), 2L, "I",
+          bal = _ => lit(0.0), seg = _ => lit("REBORN")))
+      val root = graft.core.Scratch.dir("mv5-") + "/snap"
+      graft.streaming.Ingest.upsertMatviewBatch(
+        base.select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment"),
+        Seq("c_custkey"), root, id = 0L)
+      graft.streaming.Replay.slicedSourceReplay(s,
+          Seq(wave1, wave1.unionByName(wave2)),
+          "c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+            "c_acctbal DOUBLE, c_mktsegment STRING, seq BIGINT, op STRING",
+          "mv5-") { (src, dir) =>
+        graft.core.Sinks.foreachBatchSink(src, s"$dir/ckpt") { (b, bid) =>
+          graft.streaming.Ingest.applyCdcMatviewBatch(b, Seq("c_custkey"),
+            "seq", "op", root, id = bid + 1)
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      // fixture-drift guard: the compact must actually fold a
+      // delete-carrying HISTORY, not a single version
+      val nVersions = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty)
+        .count(f => f.isDirectory && f.getName.startsWith("v="))
+      require(nVersions >= 3,
+        s"mv5: expected >= 3 committed versions pre-compact, got $nVersions")
+      graft.streaming.Ingest.compactMatview(s, root)
+      graft.streaming.Ingest.latestSnapshot(s, root)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
     // dq1: declarative data-quality constraint report over orders with
     // violations planted IN PLACE (t7 convention — no re-keying, so each
     // constraint provably fires and clean rows prove no false positives):
@@ -3672,6 +3738,84 @@ object SparkEntry {
           col("neighbor_id").as("item"), col("cos").as("score"))
       bm.unionByName(ivfAns).unionByName(pqAns).unionByName(knnAns)
         .orderBy("tier", "qid", "rank")
+    }),
+
+    // pipe3s: the decontamination gate against a ROTATING eval suite —
+    // round-15 verdict #1, the last untested composition ordering.
+    // pipe2s froze the suite before the stream; production benchmarks
+    // rotate WHILE ingest runs: an eval WAVE (cc6s's ingest verb) lands
+    // between micro-batches and a RETIRE (cc5's verb) fires later, and
+    // the gate must tighten/loosen PER BATCH with no retroactive effect
+    // in either direction — batch 0 admits docs the extended suite
+    // would have quarantined (admitted is admitted: the index tiers are
+    // append-only and nothing re-probes them), batch 1 quarantines
+    // against the extended suite, batch 2 re-admits the retired wave's
+    // colliders. The suite mutations run INSIDE foreachBatch after the
+    // batch's own appends (the pipe2s takedown placement), so each
+    // batch provably probes the suite-as-of-batch: the living view at
+    // its own ingest time. Graded output = the final postings
+    // population (doc_id, stored doc length) — every admit/quarantine/
+    // readmit fate is one row present or absent; the oracle derives
+    // per-batch contamination by guarded substitution over the
+    // ccPairsSql seam (suite-v0 = wave-2 branch emptied, cc4's device;
+    // extended = cc1's pair set) keyed on the batch-residue classes.
+    // Content screen and multi-tier breadth stay pipe2s's axes — this
+    // row isolates the gate-vs-mutation ordering.
+    "pipe3s_rotating_eval_pipeline" -> ((s, d) => {
+      val pu = plantUnit(s, d)
+      val docs = Tables.documents(s, d)
+      val dt = docs.select("doc_id", "text")
+      val curatedP = col("lang") =!= "zh" && col("n_chars") >= 100
+      val dir0 = graft.core.Scratch.dir("pipe3s-")
+      val evalDir = s"$dir0/evalidx"; val postDir = s"$dir0/postings"
+      val ev0 = dt.where(col("doc_id") % 20 === 3)
+        .select((col("doc_id") + 5 * pu).as("doc_id"),
+          concat(col("text"), lit(" evaltok")).as("text"))
+      val ev1 = dt.where(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + 6 * pu).as("doc_id"), col("text"))
+      Dedup.writeContaminationIndex(ev0, "doc_id", "text", evalDir)
+      // build population: the %4=3 quarter, curated, gated against the
+      // suite live at build time (v0) — the pipe2s build discipline
+      val curB = docs.where(col("doc_id") % 4 === 3 && curatedP)
+        .select("doc_id", "text")
+      val curBuild = curB.join(
+        Dedup.contaminationPairsFromIndex(curB, "doc_id", "text", evalDir)
+          .select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      ext.Retrieval.writePostingsIndex(curBuild, "doc_id", "text", postDir)
+      val retired = ev1.select(col("doc_id").as("eval_id"))
+      // streamed quarter %4=1 split by mod-12 residue into three batches
+      val q = docs.where(col("doc_id") % 4 === 1)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val slices = Seq(1, 5, 9).map(r =>
+        q.where(pmod(col("doc_id"), lit(12)) === r))
+      graft.streaming.Replay.slicedSourceReplay(s, slices,
+          "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT",
+          "pipe3s-") { (src, dir) =>
+        graft.core.Sinks.foreachBatchSink(src, s"$dir/ckpt") { (b, bid) =>
+          val admCur = b.where(curatedP)
+          val contaminated = Dedup.contaminationPairsFromIndex(
+            admCur, "doc_id", "text", evalDir).select("doc_id").distinct()
+          val cur = admCur.join(contaminated, Seq("doc_id"), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (cur.count() > 0)
+              ext.Retrieval.appendToPostingsIndex(cur, "doc_id", "text",
+                postDir)
+          } finally cur.unpersist(blocking = false)
+          // suite rotation BETWEEN batches: the wave lands after batch
+          // 0's appends, the retire after batch 1's — so batch N+1 is
+          // the first to probe the mutated suite
+          if (bid == 0L)
+            Dedup.appendToContaminationIndex(ev1, "doc_id", "text", evalDir)
+          if (bid == 1L)
+            Dedup.forgetFromContaminationIndex(retired, "eval_id", evalDir)
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      ext.Retrieval.postingsLiving(s, postDir)
+        .select(col("doc_id"), col("len_d").cast("long").as("doc_len"))
+        .distinct()
+        .orderBy("doc_id")
     }),
 
     // bf1: inc1's fixture through the BLOOM-pruned archive check — the
@@ -7106,6 +7250,7 @@ object SparkEntry {
       // wave-2 in one batch, newest-wins) must equal the one-shot batch
       // fold — merge1's oracle verbatim
       "mv4_matview_cdc" -> Merge1OracleSql,
+      "mv5_matview_cdc_compact" -> Merge1OracleSql,
       "dq1_constraint_checks" ->
         ("""WITH planted AS (
            | SELECT CASE WHEN o_orderkey % 1000 = 4 THEN NULL ELSE o_orderkey END AS o_orderkey,
@@ -9096,6 +9241,7 @@ object SparkEntry {
       // contaminated docs out of all four artifacts (and the planted
       // dups out, as in pipe1s)
       "pipe2s_decontaminated_pipeline" -> Pipe2sOracleSql,
+      "pipe3s_rotating_eval_pipeline" -> Pipe3sOracleSql,
       // knn4: knn1's oracle verbatim over the version-0 population — the
       // pinned read answers as the 3/4 build did before the append
       "knn4_graph_asof" -> knnSqlOver(" WHERE vec_id % 4 <> 3"),
@@ -10379,6 +10525,37 @@ object SparkEntry {
       s" UNION ALL SELECT 'knn' AS tier, query_id AS qid, rank," +
       s" neighbor_id AS item, cos AS score FROM ($knn)" +
       " ORDER BY tier, qid, rank"
+  }
+
+  /** pipe3s's oracle: the final postings population under the ROTATING
+    * suite, derived by guarded substitution over the [[ccPairsSql]]
+    * seam — contamination-as-of-batch is a PREDICATE PER RESIDUE CLASS:
+    * the build (%4=3) and batches 0/2 (%12=1/9) gate against suite v0
+    * (wave-2 branch emptied, cc4's oracle device — batch 2 because the
+    * retire restored the wave-0-only living suite), batch 1 (%12=5)
+    * against the extended suite (cc1's pair set). A wave-1 collider in
+    * batch 0's residue class therefore APPEARS in the output (admitted
+    * before the wave — the no-retroactive-quarantine edge) while the
+    * same collision in batch 1's class is absent, and batch 2's class
+    * re-admits. Doc length = len(toks), the stored len_d. */
+  private lazy val Pipe3sOracleSql: String = {
+    val ccMarker = " ORDER BY doc_id, eval_id"
+    val w0 = ccPairsSql("FALSE")
+    require(Cc1OracleSql.endsWith(ccMarker) && w0.endsWith(ccMarker),
+      "pipe3s contamination derivation out of sync with ccPairsSql")
+    val c0 = "(SELECT DISTINCT doc_id FROM (" +
+      w0.stripSuffix(ccMarker) + "))"
+    val c01 = "(SELECT DISTINCT doc_id FROM (" +
+      Cc1OracleSql.stripSuffix(ccMarker) + "))"
+    val cur = "lang <> 'zh' AND n_chars >= 100"
+    (s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS doc_len
+       |FROM documents
+       |WHERE $cur AND (
+       |   (doc_id % 4 = 3 AND doc_id NOT IN $c0)
+       |OR (doc_id % 12 = 1 AND doc_id NOT IN $c0)
+       |OR (doc_id % 12 = 5 AND doc_id NOT IN $c01)
+       |OR (doc_id % 12 = 9 AND doc_id NOT IN $c0))
+       |ORDER BY doc_id""".stripMargin.replace("\n", " "))
   }
 
   /** sim4's oracle pinned at IVF version 0 after sim13's append: centroids

@@ -88,6 +88,51 @@ class Round16Spec extends SparkSpec {
     assert(view(root) == after, "tie resolution must be retry-stable")
   }
 
+  // ---------------------------- rotating eval suite: gate-vs-mutation
+
+  test("decon gate vs suite rotation: no retroactive quarantine, tighten, re-admit") {
+    val dir0 = tmpDir("rot-gate")
+    val evalDir = s"$dir0/evalidx"; val postDir = s"$dir0/postings"
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val t2 = "one two three four five six seven"
+    val t3 = "red green blue yellow purple orange"
+    def gate(b: org.apache.spark.sql.DataFrame) =
+      b.join(ext.Dedup.contaminationPairsFromIndex(b, "doc_id", "text",
+        evalDir).select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    def stored() = ext.Retrieval.postingsLiving(spark, postDir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    ext.Dedup.writeContaminationIndex(
+      Seq((100L, t3)).toDF("doc_id", "text"), "doc_id", "text", evalDir)
+    ext.Retrieval.writePostingsIndex(
+      Seq((0L, "base corpus document tokens here")).toDF("doc_id", "text"),
+      "doc_id", "text", postDir)
+    // batch A probes suite v0: doc 1 (a FUTURE wave-1 collider) admits,
+    // doc 3 (a wave-0 collider) quarantines
+    ext.Retrieval.appendToPostingsIndex(
+      gate(Seq((1L, t1), (3L, t3)).toDF("doc_id", "text")),
+      "doc_id", "text", postDir)
+    assert(stored() == Set(0L, 1L))
+    // the wave lands; batch B must quarantine doc 2 against it, and doc
+    // 1 — admitted before the wave — must STAY (admitted is admitted:
+    // append-only tiers, nothing re-probes)
+    ext.Dedup.appendToContaminationIndex(
+      Seq((200L, t1), (201L, t2)).toDF("doc_id", "text"),
+      "doc_id", "text", evalDir)
+    ext.Retrieval.appendToPostingsIndex(
+      gate(Seq((2L, t2)).toDF("doc_id", "text")), "doc_id", "text", postDir)
+    assert(stored() == Set(0L, 1L),
+      "batch B must quarantine against the extended suite; batch A's " +
+        "admit must not be retroactively revoked")
+    // the retire lands; batch C re-admits doc 4 (same content class as
+    // the quarantined doc 2) against the loosened living suite
+    ext.Dedup.forgetFromContaminationIndex(
+      Seq(201L).toDF("eval_id"), "eval_id", evalDir)
+    ext.Retrieval.appendToPostingsIndex(
+      gate(Seq((4L, t2)).toDF("doc_id", "text")), "doc_id", "text", postDir)
+    assert(stored() == Set(0L, 1L, 4L),
+      "a post-retire batch must re-admit the retired wave's colliders")
+  }
+
   // ---------------------------- compaction folds deletes into absence
 
   test("CDC matview: compaction keeps deleted keys absent, folded pins fail") {
