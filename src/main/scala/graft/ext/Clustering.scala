@@ -112,6 +112,66 @@ object Clustering {
     } finally q.unpersist(blocking = false)
   }
 
+  /** Fit `m` independent per-subspace codebooks (the PQ training step) in
+    * LOCKSTEP — bit-identical to `m` separate [[kmeansFit]] calls over
+    * `slice(vec, j·sub+1, sub)` (Round16Spec pins the equality), but ONE
+    * corpus persist and ONE driver action per Lloyd round for all
+    * subspaces together instead of `m` of each (r16, guide §1.2: the
+    * m·iters bounded-collect jobs and m fan-out exchanges of the
+    * separate fits were the dominant cost of every PQ build at bench
+    * scale; the arithmetic is unchanged — element-wise quantization
+    * commutes with slicing, seeds are the same k lowest-id vectors, and
+    * the per-(subspace, cluster, dim) integer sums are the same numbers
+    * the per-subspace aggregates produced). Driver state per round is
+    * m·k·sub = k·dims longs — the km1 bounded-collect budget. */
+  def kmeansFitSubspaces(df: DataFrame, idCol: String, vecCol: String,
+                         m: Int, sub: Int, k: Int, iters: Int,
+                         scale: Long = 1000000L): Seq[Seq[Array[Long]]] = {
+    require(m >= 1 && k >= 1 && iters >= 1,
+      "m, k and iters must be positive")
+    val q = graft.core.Par.fanOut(df.select(col(idCol).as("vec_id"),
+        quantize(col(vecCol), scale).as("qv")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedRows = q.orderBy("vec_id").limit(k).collect()
+      require(seedRows.length == k,
+        s"need at least $k vectors to seed $k clusters")
+      var books: IndexedSeq[IndexedSeq[Array[Long]]] = (0 until m).map { j =>
+        seedRows.map(_.getSeq[Long](1).slice(j * sub, (j + 1) * sub).toArray)
+          .toIndexedSeq
+      }
+      for (_ <- 1 until iters) {
+        val structs = (0 until m).map { j =>
+          val sv = slice(col("qv"), j * sub + 1, sub)
+          val dists = array(centroidDists(sv, books(j)): _*)
+          struct(lit(j).as("j"),
+            (array_position(dists, array_min(dists)) - 1L).as("cluster"),
+            sv.as("sv"))
+        }
+        // one hash aggregate keyed (subspace, cluster, dim): partial
+        // aggregation reduces each partition to m·k·sub rows before the
+        // shuffle — O(k·dims) driver rows, independent of corpus size
+        val sums = q.select(explode(array(structs: _*)).as("e"))
+          .select(col("e.j").as("j"), col("e.cluster").as("cluster"),
+            posexplode(col("e.sv")).as(Seq("dim", "x")))
+          .groupBy("j", "cluster", "dim")
+          .agg(sum("x").as("s"), count(lit(1)).as("n"))
+          .collect()
+        books = (0 until m).map { j =>
+          val byCluster = sums.filter(_.getAs[Int]("j") == j)
+            .groupBy(_.getAs[Long]("cluster"))
+          (0 until k).map { ci =>
+            byCluster.get(ci.toLong).fold(books(j)(ci)) { rows =>
+              rows.sortBy(_.getAs[Int]("dim"))
+                .map(r => r.getAs[Long]("s") / r.getAs[Long]("n")).toArray
+            }
+          }
+        }
+      }
+      books.map(_.toSeq)
+    } finally q.unpersist(blocking = false)
+  }
+
   /** GONZALEZ K-CENTER — farthest-first traversal (Gonzalez 1985, the
     * 2-approximation for the k-center objective): minimize the WORST
     * distance from any vector to its center, the coverage objective

@@ -119,6 +119,35 @@ object Retrieval {
     post.agg(count_distinct(col("doc_id")).as("n_docs"),
         sum(col("tf")).as("n_toks"), lit(buckets).as("buckets"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // immutable BASE summaries (r16): the dictionary/meta values of the
+    // base alone, snapshotted once at build so every future append can
+    // derive the merged head dictionary from base summary + committed
+    // segments WITHOUT re-scanning the base postings (the scaladoc's own
+    // extreme-scale merge-from-committed-segments path, now the actual
+    // implementation — see appendToPostingsIndex). Driver-side dir copy
+    // of vocabulary-sized data; no extra Spark job.
+    snapshotBaseSummaries(spark, dir, dir)
+  }
+
+  /** Copy `<from>/terms` → `<to>/base_terms` and `<from>/meta` →
+    * `<to>/base_meta`: the IMMUTABLE per-base dictionary/totals snapshot
+    * the incremental append merge folds segments onto. Written at build
+    * and (inside the staged root, so it publishes atomically) at compact
+    * — the base never changes between those two events, which is what
+    * makes the snapshot immutable. */
+  private def snapshotBaseSummaries(spark: org.apache.spark.sql.SparkSession,
+                                    from: String, to: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(to).getFileSystem(conf)
+    for ((src, dst) <- Seq((s"$from/terms", s"$to/base_terms"),
+                           (s"$from/meta", s"$to/base_meta"))) {
+      fs.delete(p(dst), true)
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, p(src), fs, p(dst),
+          false, conf))
+        throw new java.io.IOException(
+          s"Retrieval.snapshotBaseSummaries: could not copy $src to $dst")
+    }
   }
 
   /** The full stored postings relation: the build-time base plus every
@@ -147,19 +176,29 @@ object Retrieval {
     * counterpart for the lexical index: new documents tokenize ONCE and
     * their postings land as a NEW pb-partitioned SEGMENT under the
     * artifact's STORED bucket count; the term dictionary and meta then
-    * REBUILD from the post-append store and swap in atomically (df and
+    * derive from the post-append store and swap in atomically (df and
     * corpus totals must reflect the whole store or every score drifts —
     * BM25's df/N coupling is why Lucene merges segments rather than
-    * patching counts; the read-back rebuild is the columnar equivalent,
-    * and at extreme scale the documented swap is an incremental merge
-    * FROM COMMITTED SEGMENTS — recompute the dictionary from the old
-    * segments' terms plus the new segment's, which a retry can always
-    * re-derive from what actually committed. That is NOT the same as
-    * `meta += batch` arithmetic, which the perf note below forbids:
-    * a merge from committed state stays retry-recomputable; in-place
-    * arithmetic against the possibly-stale previous meta is not. A
-    * periodic [[writePostingsIndex]] rebuild is the segment
-    * compaction.
+    * patching counts). Since round 16 that derivation IS the documented
+    * extreme-scale incremental merge FROM COMMITTED STATE: the build
+    * snapshots immutable base summaries (`base_terms` = the base's
+    * per-term document counts, `base_meta` = its corpus totals — see
+    * [[snapshotBaseSummaries]]), and each append re-aggregates only the
+    * COMMITTED SEGMENTS (batch-sized) and folds them onto the base
+    * summary — dft, n_docs and n_toks are all ADDITIVE across the
+    * base/segment partition because the doc-id anti-join keeps segments
+    * disjoint on documents, so the merged dictionary is value-identical
+    * to a full-store rebuild (Round16Spec pins it) while never
+    * re-scanning the base postings. That is NOT `meta += batch`
+    * arithmetic, which remains forbidden: the merge re-derives from what
+    * actually COMMITTED, so a retry after any crash recomputes the same
+    * head state; in-place arithmetic against a possibly-stale previous
+    * meta would not. A periodic [[writePostingsIndex]] rebuild (or
+    * [[compactPostingsIndex]], which refreshes the base summaries inside
+    * its staged root) is the segment compaction that keeps the
+    * segment-side re-aggregation bounded. A store missing the base
+    * summaries (never produced by this code; defensive only) falls back
+    * to the full-store rebuild — same values, base-scan cost.
     *
     * Idempotence under at-least-once retry: the batch anti-joins the
     * stored postings' doc ids first (an id-column-only columnar probe —
@@ -171,19 +210,8 @@ object Retrieval {
     * PARTIALLY visible, and the retry's doc-id anti-join would then skip
     * it forever (round-9 ADVICE); the staged segment closes it. A crash
     * between segment commit and the dictionary swap leaves an
-    * un-dictionaried segment that the retry's rebuild repairs — the
-    * dictionary/meta always derive from whatever segments committed.
-    *
-    * Perf note (round-11 re-measure, directive #2): the hardened path
-    * costs ~0.5 s more than round-9's direct append at sf0.1 (ret4
-    * 3.54 → ~4.1 s) — the doc-id anti-join probe, the staged-segment
-    * rename, and the per-root union reads of the terms/meta rebuild.
-    * That rebuild CANNOT become incremental arithmetic (meta += batch)
-    * without losing the crash-repair property above: a retry after a
-    * crash between segment commit and the meta swap would add zero and
-    * leave meta stale forever, while the rebuild-from-store recomputes
-    * whatever actually committed. The delta is the price of the
-    * correctness contract, accepted and documented. */
+    * un-dictionaried segment that the retry's merge repairs — the
+    * dictionary/meta always derive from whatever segments committed. */
   def appendToPostingsIndex(batch: DataFrame, idCol: String, textCol: String,
                             dir: String): Unit = {
     val spark = batch.sparkSession
@@ -209,17 +237,92 @@ object Retrieval {
         s"$dir/segments", nSegs) { tmp =>
       posted.write.partitionBy("pb").parquet(tmp)
     }
-    val post = postingsRelation(spark, dir)
-    graft.core.Artifacts.swapInto(spark, s"$dir/terms") { tmp =>
-      post.groupBy("pb", "term").agg(count(lit(1)).as("dft"))
-        .write.partitionBy("pb").parquet(tmp)
+    rebuildHeadSummaries(spark, dir, buckets)
+  }
+
+  /** Derive and atomically swap in the head `terms`/`meta` from committed
+    * state: base summaries + a re-aggregation of the committed segments
+    * (value-identical to a full-store rebuild by doc-disjoint
+    * additivity — the appendToPostingsIndex scaladoc). Fallback for a
+    * store without base summaries: the pre-r16 full-store rebuild. */
+  private def rebuildHeadSummaries(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, buckets: Int): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(dir).getFileSystem(conf)
+    if (!fs.exists(p(s"$dir/base_terms")) || !fs.exists(p(s"$dir/base_meta"))) {
+      // defensive legacy path: full-store rebuild (same values)
+      val post = postingsRelation(spark, dir)
+      graft.core.Artifacts.swapInto(spark, s"$dir/terms") { tmp =>
+        post.groupBy("pb", "term").agg(count(lit(1)).as("dft"))
+          .write.partitionBy("pb").parquet(tmp)
+      }
+      graft.core.Artifacts.swapInto(spark, s"$dir/meta") { tmp =>
+        post.agg(count_distinct(col("doc_id")).as("n_docs"),
+            sum(col("tf")).as("n_toks"), lit(buckets).as("buckets"))
+          .coalesce(1).write.parquet(tmp)
+      }
+      return
     }
-    graft.core.Artifacts.swapInto(spark, s"$dir/meta") { tmp =>
-      post.agg(count_distinct(col("doc_id")).as("n_docs"),
-          sum(col("tf")).as("n_toks"), lit(buckets).as("buckets"))
-        .coalesce(1).write.parquet(tmp)
+    val segs = graft.core.Artifacts.committedChildren(spark, s"$dir/segments")
+    val baseTerms = spark.read.parquet(s"$dir/base_terms")
+      .select(col("pb"), col("term"), col("dft"))
+    val baseMeta = spark.read.parquet(s"$dir/base_meta")
+    val segPost = segs.map(sp =>
+        spark.read.schema(segmentSchema).parquet(sp)
+          .select(col("pb"), col("term"), col("doc_id"), col("tf")))
+      .reduceOption(_ unionByName _)
+    segPost match {
+      case None =>
+        // no committed segments: head summaries ARE the base summaries
+        graft.core.Artifacts.swapInto(spark, s"$dir/terms") { tmp =>
+          baseTerms.write.partitionBy("pb").parquet(tmp)
+        }
+        graft.core.Artifacts.swapInto(spark, s"$dir/meta") { tmp =>
+          baseMeta.coalesce(1).write.parquet(tmp)
+        }
+      case Some(sp) =>
+        val sp1 = sp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val segTerms = sp1.groupBy("pb", "term")
+            .agg(count(lit(1)).cast("long").as("dft"))
+          graft.core.Artifacts.swapInto(spark, s"$dir/terms") { tmp =>
+            baseTerms.unionByName(segTerms)
+              .groupBy("pb", "term").agg(sum("dft").as("dft"))
+              .write.partitionBy("pb").parquet(tmp)
+          }
+          val segTotals = sp1.agg(
+            count_distinct(col("doc_id")).as("seg_docs"),
+            coalesce(sum(col("tf")), lit(0L)).as("seg_toks"))
+          graft.core.Artifacts.swapInto(spark, s"$dir/meta") { tmp =>
+            baseMeta.crossJoin(segTotals)
+              .select((col("n_docs") + col("seg_docs")).as("n_docs"),
+                (col("n_toks") + col("seg_toks")).as("n_toks"),
+                col("buckets"))
+              .coalesce(1).write.parquet(tmp)
+          }
+        } finally sp1.unpersist(blocking = false)
     }
   }
+
+  /** The postings row schema as read back from any committed root —
+    * pinned so EMPTY segments (a fully-landed batch's retry commits one)
+    * read as zero rows instead of failing schema inference, without
+    * touching the base's footers. `pb` reads as INT here because
+    * directory-partition values are inferred integers on every existing
+    * read path; pinning the same type keeps segment reads union-
+    * compatible with the base. */
+  private val segmentSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("len_d",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("tf",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("pb",
+      org.apache.spark.sql.types.IntegerType)))
 
   /** FORGET documents from the stored postings index — right-to-be-
     * forgotten for the lexical tier, completing the forget verb across
@@ -290,6 +393,10 @@ object Retrieval {
             coalesce(sum(col("tf")), lit(0L)).as("n_toks"),
             lit(buckets).as("buckets"))
           .coalesce(1).write.parquet(s"$tmp/meta")
+        // the fold makes the living relation the new BASE — refresh the
+        // immutable base summaries inside the staged root so they publish
+        // atomically with it (the append merge derives from them)
+        snapshotBaseSummaries(spark, tmp, tmp)
         graft.core.Artifacts.setAsOfFloor(spark, tmp, newFloor)
       }
     } finally living.unpersist()
@@ -398,9 +505,37 @@ object Retrieval {
     graft.core.Artifacts.heal(spark, s"$dir/meta")
     val buckets = spark.read.parquet(s"$dir/meta").head().getInt(2)
     val pinned = postingsRelationAsOf(spark, dir, asOf)
-    val totals = pinned.agg(count_distinct(col("doc_id")),
-      coalesce(sum(col("tf")), lit(0L))).head()
-    val (nDocs, nToks) = (totals.getLong(0), totals.getLong(1))
+    // Pinned corpus totals. Fast path (r16): when nothing was ever
+    // forgotten, totals are additive across the doc-disjoint base +
+    // pinned-segment-prefix partition — 1-row base summary + an
+    // aggregate of the (batch-sized) pinned segments replaces the full
+    // pinned-relation columnar pass. Tombstones break the additivity
+    // shortcut (the pinned relation excludes them and the summaries do
+    // not), so any tombstone store falls back to the exact full
+    // aggregate — value-identical either way.
+    val conf = spark.sparkContext.hadoopConfiguration
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = hp(dir).getFileSystem(conf)
+    val (nDocs, nToks) =
+      if (!fs.exists(hp(s"$dir/tombstones")) &&
+          fs.exists(hp(s"$dir/base_meta"))) {
+        val bm = spark.read.parquet(s"$dir/base_meta").head()
+        val segs = graft.core.Artifacts.segmentsAsOf(spark, dir, asOf)
+        if (segs.isEmpty) (bm.getLong(0), bm.getLong(1))
+        else {
+          val sp = segs.map(p =>
+              spark.read.schema(segmentSchema).parquet(p)
+                .select(col("doc_id"), col("tf")))
+            .reduce(_ unionByName _)
+          val t = sp.agg(count_distinct(col("doc_id")),
+            coalesce(sum(col("tf")), lit(0L))).head()
+          (bm.getLong(0) + t.getLong(0), bm.getLong(1) + t.getLong(1))
+        }
+      } else {
+        val totals = pinned.agg(count_distinct(col("doc_id")),
+          coalesce(sum(col("tf")), lit(0L))).head()
+        (totals.getLong(0), totals.getLong(1))
+      }
     val qvocab = queries.flatMap(_._2).distinct.toDF("term")
     val qmap = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
       .toDF("query_id", "term")

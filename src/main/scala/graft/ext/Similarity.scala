@@ -300,6 +300,25 @@ object Similarity {
     new org.apache.hadoop.fs.Path(versionDir).getName
       .stripPrefix("v_").toLong
 
+  /** Copy the head version's 1-row meta dir into a staged version,
+    * driver-side (r16, guide §1.2 per-task → job count at the tiny-batch
+    * limit): (k, blocks) FREEZE at build — every append/repair re-emits
+    * the identical row, and paying a Spark job (`coalesce(1).write`) per
+    * micro-batch for bytes that already exist on disk was one of the 4
+    * fixed actions of the kNN ingest. The copy is byte-identical input,
+    * so pinned readers (`knnGraphFromIndexAsOf` derives k/blocks from
+    * the PINNED version's meta) see exactly what the job wrote. */
+  private def copyKnnMeta(spark: org.apache.spark.sql.SparkSession,
+                          head: String, tmp: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(tmp).getFileSystem(conf)
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, p(s"$head/meta"), fs,
+        p(s"$tmp/meta"), false, conf))
+      throw new java.io.IOException(
+        s"copyKnnMeta: could not copy $head/meta into $tmp")
+  }
+
   /** The tombstoned-id set (one column `id`), or None when nothing was
     * ever forgotten. Cardinality is bounded by total deletions — AQE
     * broadcasts it while it fits, never a hint (repo policy). */
@@ -379,13 +398,25 @@ object Similarity {
     val tomb = knnTombstones(spark, dir).getOrElse(return)
     val head = knnHeadDir(spark, dir)
     val vectors = spark.read.parquet(s"$head/vectors")
-    if (vectors.join(tomb, Seq("id"), "left_semi").isEmpty) return
-    val meta = spark.read.parquet(s"$head/meta").head()
-    val (k, blocks) = (meta.getAs[Int]("k"), meta.getAs[Int]("blocks"))
+    // ONE labeled-union job answers every pre-repair probe (r16, the
+    // knnBatchStats device on the repair path — previously the pending
+    // semi-join isEmpty, the 1-row meta head() and the survivors
+    // limit(1).count() each paid their own ~fixed-overhead job per
+    // repair): pending count, survivor count and (k, blocks) in one
+    // bounded aggregate.
+    val pr = vectors.select(col("id"), lit(1).as("h"), lit(0).as("t"))
+      .unionByName(tomb.select(col("id"), lit(0).as("h"), lit(1).as("t")))
+      .groupBy("id").agg(max("h").as("ih"), max("t").as("it"))
+      .agg(count(when(col("ih") === 1 && col("it") === 1, 1)).as("n_pending"),
+        count(when(col("ih") === 1 && col("it") === 0, 1)).as("n_surv"))
+      .crossJoin(spark.read.parquet(s"$head/meta").select("k", "blocks"))
+      .head()
+    if (pr.getAs[Long]("n_pending") == 0L) return
+    val (k, blocks) = (pr.getAs[Int]("k"), pr.getAs[Int]("blocks"))
     val survivors = vectors.join(tomb, Seq("id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      require(survivors.limit(1).count() > 0,
+      require(pr.getAs[Long]("n_surv") > 0,
         s"forgetFromKnnGraph: every node in $dir has been forgotten — an " +
           "empty graph has no repaired form; drop the artifact instead")
       val graph = spark.read.parquet(s"$head/graph")
@@ -410,9 +441,7 @@ object Similarity {
             f"$dir/versions/v_${knnVersionNum(head) + 1}%06d") { tmp =>
           kept.union(recomputed).write.parquet(s"$tmp/graph")
           survivors.write.parquet(s"$tmp/vectors")
-          import spark.implicits._
-          Seq((k, blocks)).toDF("k", "blocks").coalesce(1)
-            .write.parquet(s"$tmp/meta")
+          copyKnnMeta(spark, head, tmp) // k/blocks immutable; no job
         }
       } finally affected.unpersist(blocking = false)
     } finally survivors.unpersist(blocking = false)
@@ -558,8 +587,9 @@ object Similarity {
 
   /** The scoring + version-commit body shared by [[appendToKnnGraph]]
     * and [[ingestKnnBatch]] — callers have already run the guard stats
-    * job; from here the only jobs are the three version writes (graph —
-    * which also materializes both persists — vectors, meta). */
+    * job; from here the only jobs are the two version writes (graph —
+    * which also materializes both persists — and vectors; meta is a
+    * driver-side copy since r16, [[copyKnnMeta]]). */
   private def knnAppendImpl(batch: DataFrame, idCol: String, vecCol: String,
                             dir: String, head: String, k: Int,
                             blocks: Int): Unit = {
@@ -595,6 +625,20 @@ object Similarity {
         .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
         .select(col("query_id"), col("neighbor_id"), col("cos"))
       val newRows = topK(pairs.select("query_id", "neighbor_id", "cos"))
+      // Measured non-win (round 16), re-measure before revisiting:
+      // pre-filtering the mirrored pairs against the stored k-th cosine
+      // per query (an aggregate over the head graph + a left join +
+      // `cos >= kth` keep, tie-exact by construction — guide §2.3
+      // "filter before the exchange") showed NO improvement in
+      // same-session subset A/B at sf0.1 (knn2 4.50–4.94 s with the
+      // prune vs 4.56 s without, in identical subset context; the
+      // apparent ±1 s swings were early-session JIT tax on the
+      // alphabetically-first subset rows, not code). Mechanism: the
+      // row_number ≤ k filter already compiles to a partial
+      // WindowGroupLimit BEFORE the window exchange, so the shuffle is
+      // bounded at ≤ k rows per (query, map partition) either way; the
+      // prune can only save map-side sort input, and at the artifact's
+      // documented node-sized scale that is not the bottleneck.
       val mirror = pairs.where(!col("n_new"))
         .select(col("neighbor_id").as("query_id"),
           col("query_id").as("neighbor_id"), col("cos"))
@@ -605,9 +649,7 @@ object Similarity {
           .write.mode("overwrite").parquet(s"$tmp/graph")
         allN.select(col("id"), col("v"))
           .write.mode("overwrite").parquet(s"$tmp/vectors")
-        import spark.implicits._
-        Seq((k, blocks)).toDF("k", "blocks")
-          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+        copyKnnMeta(spark, head, tmp) // k/blocks immutable; no job
       }
     } finally {
       pairs.unpersist(blocking = false)
@@ -629,7 +671,8 @@ object Similarity {
     * emptiness probe and the meta read ride ONE shared stats job
     * ([[knnBatchStats]] — round-14 verdict #3: the old path paid ~7
     * tiny jobs × ~1 s fixed overhead per micro-batch; now it is the
-    * stats job plus the three version writes, ≤ 4 jobs per batch). */
+    * stats job plus the graph and vectors version writes, ≤ 3 jobs per
+    * batch — meta copies driver-side, [[copyKnnMeta]]). */
   def ingestKnnBatch(batch: DataFrame, idCol: String, vecCol: String,
                      dir: String): Unit = {
     val spark = batch.sparkSession
@@ -1426,11 +1469,12 @@ object Similarity {
              scale: Long = 1000000L): DataFrame = {
     require(m >= 1 && dims % m == 0, "dims must split evenly into m subspaces")
     val sub = dims / m
-    val books: Seq[Seq[Array[Long]]] = (0 until m).map { j =>
-      Clustering.kmeansFit(
-        corpus.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("__sv")),
-        idCol, "__sv", ksub, iters, scale)
-    }
+    // r16: all m subspace codebooks train LOCKSTEP in one persisted pass —
+    // bit-identical trajectories to the per-subspace fits (the grouped
+    // fit's scaladoc + Round16Spec), m× fewer jobs and corpus scans
+    val books: Seq[Seq[Array[Long]]] =
+      Clustering.kmeansFitSubspaces(corpus, idCol, vecCol, m, sub, ksub,
+        iters, scale)
     pqAnswer(books, encodePq(corpus, idCol, vecCol, books, sub, scale),
       queries, corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
       idCol, vecCol, k, sub, shortlist, scale)
@@ -1516,11 +1560,11 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val sub = dims / m
-    val books: Seq[Seq[Array[Long]]] = (0 until m).map { j =>
-      Clustering.kmeansFit(
-        corpus.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("__sv")),
-        idCol, "__sv", ksub, iters, scale)
-    }
+    // r16: lockstep grouped training (see pqTopK) — same codebooks,
+    // one persisted pass and one action per Lloyd round for all m
+    val books: Seq[Seq[Array[Long]]] =
+      Clustering.kmeansFitSubspaces(corpus, idCol, vecCol, m, sub, ksub,
+        iters, scale)
     graft.core.Artifacts.swapInto(spark, dir) { tmp =>
       books.zipWithIndex.flatMap { case (b, j) =>
           b.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) } }

@@ -160,4 +160,97 @@ class Round16Spec extends SparkSpec {
       graft.streaming.Ingest.asOfSnapshot(spark, root, asOf = 1L).collect()
     }
   }
+
+  // ------------- r16 perf: postings dictionary merge ≡ full rebuild
+
+  test("postings append: segment-merged terms/meta equal a full-store rebuild") {
+    val dir = tmpDir("post-merge") + "/idx"
+    val base = Seq((0L, "spark join table spark"), (1L, "hash merge sort"),
+      (2L, "stream window batch")).toDF("doc_id", "text")
+    ext.Retrieval.writePostingsIndex(base, "doc_id", "text", dir, buckets = 4)
+    ext.Retrieval.appendToPostingsIndex(
+      Seq((3L, "spark stream stream"), (4L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    // full-overlap redelivery: anti-joins to empty, commits an empty
+    // segment, and the merge must still produce the same head summaries
+    ext.Retrieval.appendToPostingsIndex(
+      Seq((3L, "spark stream stream")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    ext.Retrieval.appendToPostingsIndex(
+      Seq((5L, "sort batch table")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val living = ext.Retrieval.postingsLiving(spark, dir)
+    val wantTerms = living.groupBy("pb", "term")
+      .agg(count(lit(1)).as("dft"))
+      .orderBy("pb", "term").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val gotTerms = spark.read.parquet(s"$dir/terms")
+      .orderBy("pb", "term").collect()
+      .map(r => (r.getAs[Int]("pb"), r.getAs[String]("term"),
+        r.getAs[Long]("dft"))).toSeq
+    assert(gotTerms == wantTerms,
+      "merged dictionary must equal the full-store derivation")
+    val wantMeta = living.agg(count_distinct(col("doc_id")),
+      sum(col("tf"))).head()
+    val gotMeta = spark.read.parquet(s"$dir/meta").head()
+    assert(gotMeta.getLong(0) == wantMeta.getLong(0) &&
+      gotMeta.getLong(1) == wantMeta.getLong(1) && gotMeta.getInt(2) == 4,
+      "merged meta must equal the full-store totals")
+    // and the graded query shape agrees with the inline scorer end-to-end
+    val all = base.union(Seq((3L, "spark stream stream"), (4L, ""),
+      (5L, "sort batch table")).toDF("doc_id", "text"))
+    val qs = Seq(0 -> Seq("spark", "table"), 1 -> Seq("stream"))
+    val stored = ext.Retrieval.bm25TopKFromIndex(spark, qs, dir, k = 3)
+      .orderBy("query_id", "rk").collect().map(_.toSeq).toSeq
+    val inline = ext.Retrieval.bm25TopK(all, "doc_id", "text", qs, k = 3)
+      .orderBy("query_id", "rk").collect().map(_.toSeq).toSeq
+    assert(stored == inline)
+  }
+
+  // ------------- r16 perf: kNN mirror threshold prune is tie-exact
+
+  test("knn append: mirror threshold prune keeps equal-cosine ties") {
+    // identical vectors make EVERY cosine 1.0, so every mirrored pair
+    // lands exactly ON the stored k-th threshold: the prune must keep
+    // cos == kth (neighbor-id ASC decides), or the appended low ids
+    // could never displace stored high ids and the graph would silently
+    // diverge from from-scratch
+    val vecs = (10L until 18L).map(i => (i, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val batch = (0L until 3L).map(i => (i, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val dir = tmpDir("knn-tie") + "/g"
+    ext.Similarity.writeKnnGraph(vecs, "vec_id", "embedding", dir, k = 3)
+    ext.Similarity.appendToKnnGraph(batch, "vec_id", "embedding", dir)
+    val want = ext.Similarity.knnGraphExact(vecs.union(batch), "vec_id",
+        "embedding", k = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val got = ext.Similarity.knnGraphFromIndex(spark, dir)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "append with threshold prune must equal from-scratch under full ties")
+  }
+
+  // ------------- r16 perf: lockstep subspace k-means ≡ per-subspace fits
+
+  test("kmeansFitSubspaces: bit-identical to m separate per-slice kmeansFit") {
+    val rnd = new scala.util.Random(7)
+    val dims = 8; val m = 4; val sub = dims / m
+    val vecs = (0L until 30L).map(i =>
+      (i, Seq.fill(dims)(rnd.nextDouble() * 2 - 1))).toDF("id", "v")
+    val grouped = ext.Clustering.kmeansFitSubspaces(vecs, "id", "v",
+      m, sub, k = 3, iters = 3)
+    val separate = (0 until m).map { j =>
+      ext.Clustering.kmeansFit(
+        vecs.select(col("id"), slice(col("v"), j * sub + 1, sub).as("sv")),
+        "id", "sv", k = 3, iters = 3)
+    }
+    assert(grouped.size == m)
+    for (j <- 0 until m) {
+      assert(grouped(j).size == separate(j).size)
+      for (c <- grouped(j).indices)
+        assert(grouped(j)(c).toSeq == separate(j)(c).toSeq,
+          s"subspace $j cluster $c centroid diverged")
+    }
+  }
 }
