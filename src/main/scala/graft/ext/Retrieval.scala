@@ -221,23 +221,31 @@ object Retrieval {
     // next segment id (names only order listings; results never see them)
     val nSegs = graft.core.Artifacts
       .committedChildren(spark, s"$dir/segments", sweepStale = true).size
-    val buckets = spark.read.parquet(s"$dir/meta").head().getInt(2)
     val fresh = batch.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("__text"))
       .join(postingsRelation(spark, dir).select("doc_id").distinct(),
         Seq("doc_id"), "left_anti")
+    // the stored bucket count rides the segment-write job as a broadcast
+    // 1-row scalar (r16 — previously a separate meta.head() action per
+    // append; explicit broadcast is the 1-row-scalar case the repo's
+    // broadcast policy allows). The summary merge below reads buckets
+    // from base_meta, so no driver-side copy is needed at all.
+    val bucketsCol = broadcast(
+      spark.read.parquet(s"$dir/meta").select(col("buckets")))
     val posted = graft.core.Par.fanOut(fresh.select(col("doc_id"),
         TextAnalysis.tokens(col("__text")).as("toks")))
       .select(col("doc_id"), size(col("toks")).as("len_d"),
         explode_outer(col("toks")).as("term"))
       .where(col("term").isNotNull)
       .groupBy("doc_id", "len_d", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("pb", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .crossJoin(bucketsCol)
+      .withColumn("pb", pmod(xxhash64(col("term")), col("buckets").cast("long")))
+      .drop("buckets")
     graft.core.Artifacts.commitIndexedSegment(spark,
         s"$dir/segments", nSegs) { tmp =>
       posted.write.partitionBy("pb").parquet(tmp)
     }
-    rebuildHeadSummaries(spark, dir, buckets)
+    rebuildHeadSummaries(spark, dir)
   }
 
   /** Derive and atomically swap in the head `terms`/`meta` from committed
@@ -246,12 +254,13 @@ object Retrieval {
     * additivity — the appendToPostingsIndex scaladoc). Fallback for a
     * store without base summaries: the pre-r16 full-store rebuild. */
   private def rebuildHeadSummaries(spark: org.apache.spark.sql.SparkSession,
-                                   dir: String, buckets: Int): Unit = {
+                                   dir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = p(dir).getFileSystem(conf)
     if (!fs.exists(p(s"$dir/base_terms")) || !fs.exists(p(s"$dir/base_meta"))) {
       // defensive legacy path: full-store rebuild (same values)
+      val buckets = spark.read.parquet(s"$dir/meta").head().getInt(2)
       val post = postingsRelation(spark, dir)
       graft.core.Artifacts.swapInto(spark, s"$dir/terms") { tmp =>
         post.groupBy("pb", "term").agg(count(lit(1)).as("dft"))
@@ -372,14 +381,19 @@ object Retrieval {
       // the empty living relation is NULL (a later stored read would NPE
       // on meta), and the postings/terms dirs would hold zero part files
       // (schema inference fails). Refuse loudly — the caller's move is to
-      // drop the index directory, not compact it. Probe via limit(1) so
-      // the guard never scans more than it must; coalesce(…, 0) below is
-      // belt-and-braces for the same edge.
-      require(living.limit(1).count() > 0,
+      // drop the index directory, not compact it. The emptiness probe and
+      // the 1-row meta read ride ONE job (r16, the knnBatchStats device —
+      // previously two actions; the full count also fully materializes
+      // the persist the three rewrite jobs below reuse, which a limit(1)
+      // probe did not).
+      val pr = living.agg(count(lit(1)).as("n_live"))
+        .crossJoin(spark.read.parquet(s"$dir/meta").select("buckets"))
+        .head()
+      require(pr.getAs[Long]("n_live") > 0,
         s"compactPostingsIndex: every document in $dir has been " +
           "forgotten — an empty postings store has no compacted form; " +
           "drop the index directory instead")
-      val buckets = spark.read.parquet(s"$dir/meta").head().getInt(2)
+      val buckets = pr.getAs[Int]("buckets")
       // the fold advances the as-of floor past every version the new base
       // absorbs; written into the STAGED root so the floor publishes
       // atomically with the fold (Artifacts.segmentsAsOf retention rule)
