@@ -3511,12 +3511,17 @@ object SparkEntry {
           val adm = b.join(fresh, Seq("doc_id"), "left_semi")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            adm.count() // force: see the pre-ingest store state
+            // ONE action freezes the cache against the PRE-INGEST store
+            // state AND answers the curated-emptiness gate (r17 — was a
+            // bare count() plus a separate cur.isEmpty, two fixed-
+            // overhead jobs per micro-batch; the pipe2s one-count shape)
+            val nCur = adm.agg(count(when(curatedP, lit(1))))
+              .head().getLong(0)
             val cur = adm.where(curatedP)
             // an emptied batch (full redelivery) must write NO segment
             // and NO version anywhere — the guards keep the postings/
             // IVF histories clean; ingestKnnBatch no-ops internally
-            if (!cur.isEmpty) {
+            if (nCur > 0) {
               ext.Retrieval.appendToPostingsIndex(cur, "doc_id", "text",
                 postDir)
               Similarity.appendToIvfIndex(cur, "doc_id", "embedding",

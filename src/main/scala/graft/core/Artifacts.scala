@@ -104,6 +104,25 @@ object Artifacts {
           "and remove the duplicate before further reads")
   }
 
+  /** Byte-identical driver-side copy of a committed artifact subdir into
+    * a staged sibling/root (r17, the kNN meta-copy device shared):
+    * PASS-THROUGH state a compact republishes UNCHANGED — trained
+    * quantizers, codebooks, 1-row metas, bloom filters — must not pay a
+    * Spark read→coalesce→write job per fold; the copy is the same bytes
+    * and publishes atomically with the surrounding stage/swap. Only for
+    * bounded, immutable-between-folds state (never data relations, whose
+    * compaction exists to REWRITE them). */
+  def copyDir(spark: org.apache.spark.sql.SparkSession,
+              from: String, to: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(to).getFileSystem(conf)
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, p(from), fs, p(to),
+        false, conf))
+      throw new java.io.IOException(
+        s"Artifacts.copyDir: could not copy $from to $to")
+  }
+
   /** The COMMITTED children of a segment parent dir: every subdirectory
     * except in-flight `__tmp` stages (a crashed [[stageCommit]]'s leftover
     * is invisible here — that is the read-side half of the contract).

@@ -381,6 +381,17 @@ object Curation {
     * forces a recompute of the repartition, nothing worse. */
   def globalOrdinalsManaged(df: DataFrame, sortCols: Seq[Column],
                             numRanges: Int = 64): (DataFrame, () => Unit) = {
+    val (ranked, _, release) = globalOrdinalsCounted(df, sortCols, numRanges)
+    (ranked, release)
+  }
+
+  /** [[globalOrdinalsManaged]] plus the TOTAL row count that the internal
+    * bounded collect already holds — callers that need n (NTILE bucket
+    * arithmetic in rfm1, quantile target ranks) read it here instead of
+    * paying a second count action over the cache (guide §1.2 job count). */
+  def globalOrdinalsCounted(df: DataFrame, sortCols: Seq[Column],
+                            numRanges: Int = 64)
+      : (DataFrame, Long, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     require(sortCols.nonEmpty && numRanges >= 1)
     val parted = df.repartitionByRange(numRanges, sortCols: _*)
@@ -399,6 +410,6 @@ object Curation {
       .withColumn("ordinal",
         element_at(offMap, col("graft_pid")) + row_number().over(w))
       .drop("graft_pid")
-    (ranked, () => { parted.unpersist(); () })
+    (ranked, acc, () => { parted.unpersist(); () })
   }
 }

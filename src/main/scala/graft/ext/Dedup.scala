@@ -376,9 +376,16 @@ object Dedup {
     * only false positives; the reverse order could leave a recorded
     * fingerprint the filter misses — a false negative), and a crash
     * between the two re-runs cleanly because the fps anti-join still
-    * sees the fingerprints absent. */
+    * sees the fingerprints absent. The emptiness probe RIDES the filter
+    * aggregate (r17, guide §1.2 job count at the tiny-batch limit: the
+    * old separate `isEmpty` cost its own ~fixed-overhead job per batch):
+    * one job returns (count, OR-merged bits), and both artifact writes
+    * gate on count > 0 driver-side — a fully-redelivered batch pays one
+    * no-op aggregate and still writes NOTHING, the contract that makes
+    * redelivery invisible in version history. */
   def ingestBloomBatch(batch: DataFrame, textCol: String,
                        dir: String): Unit = {
+    import graft.functions.Bloom
     val spark = batch.sparkSession
     val (numBits, numHashes, stored) = readBloomArtifact(spark, dir)
     val nSegs = graft.core.Artifacts
@@ -389,8 +396,12 @@ object Dedup {
       .join(fpsRelation(spark, dir), Seq("content_fp"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (bfp.isEmpty) return // fully-redelivered batch: artifact untouched
-      val add = bloomOfFps(bfp, numBits, numHashes)
+      val r = bfp.agg(count(lit(1)).as("n"),
+        Bloom.bloomAgg(numBits, numHashes)(
+          xxhash64(col("content_fp"))).as("bf")).head()
+      if (r.getAs[Long]("n") == 0L)
+        return // fully-redelivered batch: artifact untouched
+      val add = r.getAs[Array[Byte]]("bf")
       val merged = stored.clone()
       var i = 0
       while (i < merged.length) { merged(i) = (merged(i) | add(i)).toByte; i += 1 }
@@ -416,8 +427,9 @@ object Dedup {
     val newFloor = graft.core.Artifacts.asOfFloor(spark, dir) +
       graft.core.Artifacts.committedChildren(spark, s"$dir/segments").size
     graft.core.Artifacts.swapInto(spark, dir) { tmp =>
-      spark.read.parquet(s"$dir/bloom").coalesce(1)
-        .write.parquet(s"$tmp/bloom")
+      // the filter passes through unchanged — driver byte copy, not a
+      // Spark job (r17, Artifacts.copyDir; compaction folds DATA only)
+      graft.core.Artifacts.copyDir(spark, s"$dir/bloom", s"$tmp/bloom")
       fpsRelation(spark, dir).write.parquet(s"$tmp/fps")
       graft.core.Artifacts.setAsOfFloor(spark, tmp, newFloor)
     }

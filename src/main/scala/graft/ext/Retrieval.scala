@@ -113,12 +113,21 @@ object Retrieval {
       .groupBy("doc_id", "len_d", "term").agg(count(lit(1)).as("tf"))
       .withColumn("pb", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$dir/postings")
+    // terms + meta derive from ONE read-back scan (r17, guide §2.4
+    // remove passes): the projection is the union of what both
+    // aggregates need (len_d stays columnar-pruned away), the terms
+    // write materializes the persist and the meta aggregate reads it —
+    // previously each aggregate paid its own base-postings scan.
     val post = spark.read.parquet(s"$dir/postings")
-    post.groupBy("pb", "term").agg(count(lit(1)).as("dft"))
-      .write.mode("overwrite").partitionBy("pb").parquet(s"$dir/terms")
-    post.agg(count_distinct(col("doc_id")).as("n_docs"),
-        sum(col("tf")).as("n_toks"), lit(buckets).as("buckets"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      .select(col("pb"), col("term"), col("doc_id"), col("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      post.groupBy("pb", "term").agg(count(lit(1)).as("dft"))
+        .write.mode("overwrite").partitionBy("pb").parquet(s"$dir/terms")
+      post.agg(count_distinct(col("doc_id")).as("n_docs"),
+          sum(col("tf")).as("n_toks"), lit(buckets).as("buckets"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    } finally post.unpersist(blocking = false)
     // immutable BASE summaries (r16): the dictionary/meta values of the
     // base alone, snapshotted once at build so every future append can
     // derive the merged head dictionary from base summary + committed
@@ -134,7 +143,13 @@ object Retrieval {
     * the incremental append merge folds segments onto. Written at build
     * and (inside the staged root, so it publishes atomically) at compact
     * — the base never changes between those two events, which is what
-    * makes the snapshot immutable. */
+    * makes the snapshot immutable. Each copy lands at a `__tmp` sibling
+    * and renames into place (r17, the round-16 ADVICE finding: a crash
+    * mid-copy on the BUILD path used to leave a partial snapshot —
+    * complete with the _SUCCESS marker, which local-FS listing copies
+    * first — that the merge paths' fs.exists guards would treat as
+    * complete and silently under-count from; the compact path was
+    * already safe inside its staged root). */
   private def snapshotBaseSummaries(spark: org.apache.spark.sql.SparkSession,
                                     from: String, to: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -142,11 +157,16 @@ object Retrieval {
     val fs = p(to).getFileSystem(conf)
     for ((src, dst) <- Seq((s"$from/terms", s"$to/base_terms"),
                            (s"$from/meta", s"$to/base_meta"))) {
-      fs.delete(p(dst), true)
-      if (!org.apache.hadoop.fs.FileUtil.copy(fs, p(src), fs, p(dst),
+      val stage = p(dst + "__tmp")
+      fs.delete(stage, true)
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, p(src), fs, stage,
           false, conf))
         throw new java.io.IOException(
-          s"Retrieval.snapshotBaseSummaries: could not copy $src to $dst")
+          s"Retrieval.snapshotBaseSummaries: could not copy $src to $stage")
+      fs.delete(p(dst), true)
+      if (!fs.rename(stage, p(dst)))
+        throw new java.io.IOException(
+          s"Retrieval.snapshotBaseSummaries: could not publish $dst")
     }
   }
 
@@ -277,10 +297,7 @@ object Retrieval {
     val baseTerms = spark.read.parquet(s"$dir/base_terms")
       .select(col("pb"), col("term"), col("dft"))
     val baseMeta = spark.read.parquet(s"$dir/base_meta")
-    val segPost = segs.map(sp =>
-        spark.read.schema(segmentSchema).parquet(sp)
-          .select(col("pb"), col("term"), col("doc_id"), col("tf")))
-      .reduceOption(_ unionByName _)
+    val segPost = segmentPostings(spark, segs)
     segPost match {
       case None =>
         // no committed segments: head summaries ARE the base summaries
@@ -300,9 +317,7 @@ object Retrieval {
               .groupBy("pb", "term").agg(sum("dft").as("dft"))
               .write.partitionBy("pb").parquet(tmp)
           }
-          val segTotals = sp1.agg(
-            count_distinct(col("doc_id")).as("seg_docs"),
-            coalesce(sum(col("tf")), lit(0L)).as("seg_toks"))
+          val segTotals = segmentTotals(sp1)
           graft.core.Artifacts.swapInto(spark, s"$dir/meta") { tmp =>
             baseMeta.crossJoin(segTotals)
               .select((col("n_docs") + col("seg_docs")).as("n_docs"),
@@ -313,6 +328,26 @@ object Retrieval {
         } finally sp1.unpersist(blocking = false)
     }
   }
+
+  /** The union of a committed-segment path list under the pinned
+    * [[segmentSchema]] (None when no segments committed) — the ONE
+    * definition of "postings rows of these segments" shared by the
+    * append merge ([[rebuildHeadSummaries]]) and the as-of totals fast
+    * path ([[bm25TopKFromIndexAsOf]]), so the segment layout can never
+    * drift between the two additivity consumers (round-16 ADVICE). */
+  private def segmentPostings(spark: org.apache.spark.sql.SparkSession,
+                              segPaths: Seq[String]): Option[DataFrame] =
+    segPaths.map(sp =>
+        spark.read.schema(segmentSchema).parquet(sp)
+          .select(col("pb"), col("term"), col("doc_id"), col("tf")))
+      .reduceOption(_ unionByName _)
+
+  /** The additive corpus totals of a postings-row frame — 1 row
+    * (seg_docs, seg_toks); `coalesce` keeps the empty frame a 0, not a
+    * NULL that would poison the fold. */
+  private def segmentTotals(post: DataFrame): DataFrame =
+    post.agg(count_distinct(col("doc_id")).as("seg_docs"),
+      coalesce(sum(col("tf")), lit(0L)).as("seg_toks"))
 
   /** The postings row schema as read back from any committed root —
     * pinned so EMPTY segments (a fully-landed batch's retry commits one)
@@ -535,15 +570,11 @@ object Retrieval {
           fs.exists(hp(s"$dir/base_meta"))) {
         val bm = spark.read.parquet(s"$dir/base_meta").head()
         val segs = graft.core.Artifacts.segmentsAsOf(spark, dir, asOf)
-        if (segs.isEmpty) (bm.getLong(0), bm.getLong(1))
-        else {
-          val sp = segs.map(p =>
-              spark.read.schema(segmentSchema).parquet(p)
-                .select(col("doc_id"), col("tf")))
-            .reduce(_ unionByName _)
-          val t = sp.agg(count_distinct(col("doc_id")),
-            coalesce(sum(col("tf")), lit(0L))).head()
-          (bm.getLong(0) + t.getLong(0), bm.getLong(1) + t.getLong(1))
+        segmentPostings(spark, segs) match {
+          case None => (bm.getLong(0), bm.getLong(1))
+          case Some(sp) =>
+            val t = segmentTotals(sp).head()
+            (bm.getLong(0) + t.getLong(0), bm.getLong(1) + t.getLong(1))
         }
       } else {
         val totals = pinned.agg(count_distinct(col("doc_id")),

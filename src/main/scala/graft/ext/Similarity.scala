@@ -252,12 +252,17 @@ object Similarity {
     * v is a full copy-on-write snapshot, not a segment prefix; the
     * artifact is output-sized — N·k edges + the vector copy — so a
     * snapshot per mutation is the mv1 cost class, not a corpus copy):
-    * `versions/v_NNNNNN/` — each holding `graph/` (query_id,
+    * `versions/v_NNNNNN/data/` — ONE relation partitioned by `kind`
+    * (since r17, guide §1.2 job count at the tiny-batch limit: the old
+    * graph/ + vectors/ + meta trio cost one write action EACH per
+    * version; the union commits in a single action and `kind` is a
+    * PARTITION column, so per-kind reads directory-prune to exactly the
+    * bytes the old split dirs held). kind='g' rows carry (query_id,
     * neighbor_id, cos UNROUNDED — parquet doubles round-trip exactly,
-    * and the merge order must survive storage), `vectors/` (the (id, v)
-    * primary copy appends and forget-repairs score against) and `meta`
-    * (k, blocks); `tombstones/` — forgotten ids ([[forgetFromKnnGraph]]).
-    * The build commits version 0 all-or-nothing
+    * and the merge order must survive storage), kind='v' the (id, v)
+    * primary copy appends and forget-repairs score against, kind='m'
+    * the 1-row (k, blocks) meta; `tombstones/` — forgotten ids
+    * ([[forgetFromKnnGraph]]). The build commits version 0 all-or-nothing
     * ([[graft.core.Artifacts.stageCommit]]); a REBUILD resets version
     * history to 0 (the writeIvfIndex contract) but keeps tombstones
     * (re-adding a forgotten id still needs [[compactKnnGraph]] first —
@@ -266,21 +271,73 @@ object Similarity {
   def writeKnnGraph(corpus: DataFrame, idCol: String, vecCol: String,
                     dir: String, k: Int, blocks: Int = 8): Unit = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/versions"), true)
     graft.core.Artifacts.stageCommit(spark, f"$dir/versions/v_${0L}%06d") { tmp =>
-      knnGraphRaw(corpus, idCol, vecCol, k, blocks)
-        .select(col("query_id"), col("neighbor_id"), col("cos"))
-        .write.mode("overwrite").parquet(s"$tmp/graph")
-      corpus.select(col(idCol).cast("long").as("id"),
-          toDouble(col(vecCol)).as("v"))
-        .write.mode("overwrite").parquet(s"$tmp/vectors")
-      Seq((k, blocks)).toDF("k", "blocks").coalesce(1)
-        .write.mode("overwrite").parquet(s"$tmp/meta")
+      writeKnnVersionData(tmp,
+        knnGraphRaw(corpus, idCol, vecCol, k, blocks)
+          .select(col("query_id"), col("neighbor_id"), col("cos")),
+        corpus.select(col(idCol).cast("long").as("id"),
+          toDouble(col(vecCol)).as("v")),
+        k, blocks)
     }
   }
+
+  /** Stage one version's combined `data/` relation in ONE write action
+    * (the r17 consolidation — see the [[writeKnnGraph]] layout note).
+    * Union-with-nulls keeps the full column set in EVERY file, so a
+    * version whose graph side is empty (its `kind=g` directory then
+    * simply does not exist) still reads back with the right schema from
+    * the vector/meta files — and the vector side is never empty (the
+    * empty-store guards on build/repair). The meta row re-emits k and
+    * blocks verbatim each version: they freeze at build (the old
+    * driver-side meta-copy contract), and one literal row rides the
+    * same job for free. */
+  private def writeKnnVersionData(tmp: String, graph: DataFrame,
+                                  vectors: DataFrame, k: Int,
+                                  blocks: Int): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val nullL = lit(null).cast("long")
+    val nullD = lit(null).cast("double")
+    val nullV = lit(null).cast("array<double>")
+    val nullI = lit(null).cast("int")
+    val g = graph.select(lit("g").as("kind"), col("query_id"),
+      col("neighbor_id"), col("cos"), nullL.as("id"), nullV.as("v"),
+      nullI.as("k"), nullI.as("blocks"))
+    val v = vectors.select(lit("v").as("kind"), nullL.as("query_id"),
+      nullL.as("neighbor_id"), nullD.as("cos"), col("id"), col("v"),
+      nullI.as("k"), nullI.as("blocks"))
+    val m = Seq((k, blocks)).toDF("k", "blocks")
+      .select(lit("m").as("kind"), nullL.as("query_id"),
+        nullL.as("neighbor_id"), nullD.as("cos"), nullL.as("id"),
+        nullV.as("v"), col("k"), col("blocks"))
+    g.unionByName(v).unionByName(m)
+      .write.mode("overwrite").partitionBy("kind").parquet(s"$tmp/data")
+  }
+
+  private def readKnnData(spark: org.apache.spark.sql.SparkSession,
+                          versionDir: String): DataFrame =
+    spark.read.parquet(s"$versionDir/data")
+
+  /** The pinned version's graph rows — (query_id, neighbor_id, cos). */
+  private def readKnnGraphRows(spark: org.apache.spark.sql.SparkSession,
+                               versionDir: String): DataFrame =
+    readKnnData(spark, versionDir).where(col("kind") === "g")
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+
+  /** The pinned version's (id, v) vector copy. */
+  private def readKnnVectors(spark: org.apache.spark.sql.SparkSession,
+                             versionDir: String): DataFrame =
+    readKnnData(spark, versionDir).where(col("kind") === "v")
+      .select(col("id"), col("v"))
+
+  /** The pinned version's 1-row (k, blocks) meta. */
+  private def readKnnMeta(spark: org.apache.spark.sql.SparkSession,
+                          versionDir: String): DataFrame =
+    readKnnData(spark, versionDir).where(col("kind") === "m")
+      .select(col("k"), col("blocks"))
 
   /** Committed version directories of a kNN-graph artifact, oldest
     * first (zero-padded names sort numerically; in-flight `__tmp` stages
@@ -299,25 +356,6 @@ object Similarity {
   private def knnVersionNum(versionDir: String): Long =
     new org.apache.hadoop.fs.Path(versionDir).getName
       .stripPrefix("v_").toLong
-
-  /** Copy the head version's 1-row meta dir into a staged version,
-    * driver-side (r16, guide §1.2 per-task → job count at the tiny-batch
-    * limit): (k, blocks) FREEZE at build — every append/repair re-emits
-    * the identical row, and paying a Spark job (`coalesce(1).write`) per
-    * micro-batch for bytes that already exist on disk was one of the 4
-    * fixed actions of the kNN ingest. The copy is byte-identical input,
-    * so pinned readers (`knnGraphFromIndexAsOf` derives k/blocks from
-    * the PINNED version's meta) see exactly what the job wrote. */
-  private def copyKnnMeta(spark: org.apache.spark.sql.SparkSession,
-                          head: String, tmp: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val fs = p(tmp).getFileSystem(conf)
-    if (!org.apache.hadoop.fs.FileUtil.copy(fs, p(s"$head/meta"), fs,
-        p(s"$tmp/meta"), false, conf))
-      throw new java.io.IOException(
-        s"copyKnnMeta: could not copy $head/meta into $tmp")
-  }
 
   /** The tombstoned-id set (one column `id`), or None when nothing was
     * ever forgotten. Cardinality is bounded by total deletions — AQE
@@ -397,7 +435,7 @@ object Similarity {
                              dir: String): Unit = {
     val tomb = knnTombstones(spark, dir).getOrElse(return)
     val head = knnHeadDir(spark, dir)
-    val vectors = spark.read.parquet(s"$head/vectors")
+    val vectors = readKnnVectors(spark, head)
     // ONE labeled-union job answers every pre-repair probe (r16, the
     // knnBatchStats device on the repair path — previously the pending
     // semi-join isEmpty, the 1-row meta head() and the survivors
@@ -409,7 +447,7 @@ object Similarity {
       .groupBy("id").agg(max("h").as("ih"), max("t").as("it"))
       .agg(count(when(col("ih") === 1 && col("it") === 1, 1)).as("n_pending"),
         count(when(col("ih") === 1 && col("it") === 0, 1)).as("n_surv"))
-      .crossJoin(spark.read.parquet(s"$head/meta").select("k", "blocks"))
+      .crossJoin(readKnnMeta(spark, head))
       .head()
     if (pr.getAs[Long]("n_pending") == 0L) return
     val (k, blocks) = (pr.getAs[Int]("k"), pr.getAs[Int]("blocks"))
@@ -419,7 +457,7 @@ object Similarity {
       require(pr.getAs[Long]("n_surv") > 0,
         s"forgetFromKnnGraph: every node in $dir has been forgotten — an " +
           "empty graph has no repaired form; drop the artifact instead")
-      val graph = spark.read.parquet(s"$head/graph")
+      val graph = readKnnGraphRows(spark, head)
       val tq = tomb.select(col("id").as("query_id"))
       // affected survivors: stored top-k contains a tombstoned neighbor —
       // their whole list recomputes (rank k re-opens); everyone else's
@@ -439,9 +477,9 @@ object Similarity {
       try {
         graft.core.Artifacts.stageCommit(spark,
             f"$dir/versions/v_${knnVersionNum(head) + 1}%06d") { tmp =>
-          kept.union(recomputed).write.parquet(s"$tmp/graph")
-          survivors.write.parquet(s"$tmp/vectors")
-          copyKnnMeta(spark, head, tmp) // k/blocks immutable; no job
+          // graph + vector copy + re-emitted immutable meta: ONE action
+          writeKnnVersionData(tmp, kept.union(recomputed), survivors,
+            k, blocks)
         }
       } finally affected.unpersist(blocking = false)
     } finally survivors.unpersist(blocking = false)
@@ -461,7 +499,7 @@ object Similarity {
                       dir: String): Unit = {
     val head = knnHeadDir(spark, dir)
     knnTombstones(spark, dir).foreach { t =>
-      require(spark.read.parquet(s"$head/vectors")
+      require(readKnnVectors(spark, head)
           .join(t, Seq("id"), "left_semi").isEmpty,
         s"compactKnnGraph: $dir has tombstoned ids still present in the " +
           "head version (a forget did not complete) — re-run " +
@@ -550,7 +588,7 @@ object Similarity {
                             dir: String): KnnBatchStats = {
     val bb = batchIds.select(col("id"),
       lit(1L).as("b"), lit(0).as("h"), lit(0).as("t"))
-    val hh = spark.read.parquet(s"$head/vectors").select(col("id"),
+    val hh = readKnnVectors(spark, head).select(col("id"),
       lit(0L).as("b"), lit(1).as("h"), lit(0).as("t"))
     val labeled = knnTombstones(spark, dir)
       .map(_.select(col("id"), lit(0L).as("b"), lit(0).as("h"),
@@ -564,7 +602,7 @@ object Similarity {
         count(when(col("nb") > 0 && col("ih") === 1, 1)).as("n_collide"),
         count(when(col("it") === 1 && col("ih") === 1, 1)).as("n_pending"),
         count(when(col("it") === 1 && col("nb") > 0, 1)).as("n_batch_tomb"))
-      .crossJoin(spark.read.parquet(s"$head/meta").select("k", "blocks"))
+      .crossJoin(readKnnMeta(spark, head))
       .head()
     KnnBatchStats(r.getAs[Long]("n_fresh"), r.getAs[Long]("dup_fresh"),
       r.getAs[Long]("n_collide"), r.getAs[Long]("n_pending"),
@@ -587,16 +625,17 @@ object Similarity {
 
   /** The scoring + version-commit body shared by [[appendToKnnGraph]]
     * and [[ingestKnnBatch]] — callers have already run the guard stats
-    * job; from here the only jobs are the two version writes (graph —
-    * which also materializes both persists — and vectors; meta is a
-    * driver-side copy since r16, [[copyKnnMeta]]). */
+    * job; from here the only job is the ONE combined version write
+    * (graph + vector copy + re-emitted meta ride one `data/` relation
+    * since r17, [[writeKnnVersionData]] — it also materializes both
+    * persists). */
   private def knnAppendImpl(batch: DataFrame, idCol: String, vecCol: String,
                             dir: String, head: String, k: Int,
                             blocks: Int): Unit = {
     import org.apache.spark.storage.StorageLevel
     val spark = batch.sparkSession
     val b = blocks.toLong
-    val oldV = spark.read.parquet(s"$head/vectors")
+    val oldV = readKnnVectors(spark, head)
       .select(col("id"), col("v"), lit(false).as("is_new"))
     val newV = batch.select(col(idCol).cast("long").as("id"),
       toDouble(col(vecCol)).as("v"), lit(true).as("is_new"))
@@ -642,14 +681,12 @@ object Similarity {
       val mirror = pairs.where(!col("n_new"))
         .select(col("neighbor_id").as("query_id"),
           col("query_id").as("neighbor_id"), col("cos"))
-      val updated = topK(spark.read.parquet(s"$head/graph").union(mirror))
+      val updated = topK(readKnnGraphRows(spark, head).union(mirror))
       graft.core.Artifacts.stageCommit(spark,
           f"$dir/versions/v_${knnVersionNum(head) + 1}%06d") { tmp =>
-        updated.union(newRows)
-          .write.mode("overwrite").parquet(s"$tmp/graph")
-        allN.select(col("id"), col("v"))
-          .write.mode("overwrite").parquet(s"$tmp/vectors")
-        copyKnnMeta(spark, head, tmp) // k/blocks immutable; no job
+        // graph + vector copy + re-emitted immutable meta: ONE action
+        writeKnnVersionData(tmp, updated.union(newRows),
+          allN.select(col("id"), col("v")), k, blocks)
       }
     } finally {
       pairs.unpersist(blocking = false)
@@ -671,8 +708,8 @@ object Similarity {
     * emptiness probe and the meta read ride ONE shared stats job
     * ([[knnBatchStats]] — round-14 verdict #3: the old path paid ~7
     * tiny jobs × ~1 s fixed overhead per micro-batch; now it is the
-    * stats job plus the graph and vectors version writes, ≤ 3 jobs per
-    * batch — meta copies driver-side, [[copyKnnMeta]]). */
+    * stats job plus ONE combined version write, ≤ 2 jobs per batch
+    * ([[writeKnnVersionData]], r17). */
   def ingestKnnBatch(batch: DataFrame, idCol: String, vecCol: String,
                      dir: String): Unit = {
     val spark = batch.sparkSession
@@ -689,7 +726,7 @@ object Similarity {
       s"appendToKnnGraph: ${st.dupFresh} batch id(s) repeat within the " +
         "batch — an id re-insert is an update, not an append; rebuild")
     val fresh = batch.join(
-      spark.read.parquet(s"$head/vectors")
+      readKnnVectors(spark, head)
         .select(col("id").cast("long").as("graft_seen")),
       batch(idCol).cast("long") === col("graft_seen"), "left_anti")
     knnAppendImpl(fresh, idCol, vecCol, dir, head, st.k, st.blocks)
@@ -734,8 +771,8 @@ object Similarity {
 
   private def knnReadVersion(spark: org.apache.spark.sql.SparkSession,
                              versionDir: String, dir: String): DataFrame = {
-    val k = spark.read.parquet(s"$versionDir/meta").head().getAs[Int]("k")
-    val g0 = spark.read.parquet(s"$versionDir/graph")
+    val k = readKnnMeta(spark, versionDir).head().getAs[Int]("k")
+    val g0 = readKnnGraphRows(spark, versionDir)
     val g = knnTombstones(spark, dir).fold(g0) { t =>
       g0.join(t.select(col("id").as("query_id")), Seq("query_id"), "left_anti")
         .join(t.select(col("id").as("neighbor_id")),
@@ -1192,8 +1229,10 @@ object Similarity {
     val newFloor = graft.core.Artifacts.asOfFloor(spark, dir) +
       graft.core.Artifacts.committedChildren(spark, s"$dir/segments").size
     graft.core.Artifacts.swapInto(spark, dir) { tmp =>
-      spark.read.parquet(s"$dir/centroids")
-        .coalesce(1).write.parquet(s"$tmp/centroids")
+      // centroids are FROZEN trained state — pass through as a driver
+      // byte copy, not a Spark job (r17, Artifacts.copyDir)
+      graft.core.Artifacts.copyDir(spark, s"$dir/centroids",
+        s"$tmp/centroids")
       living.write.partitionBy("list").parquet(s"$tmp/qindex")
       graft.core.Artifacts.setAsOfFloor(spark, tmp, newFloor)
     }
@@ -1705,10 +1744,11 @@ object Similarity {
       val newFloor = graft.core.Artifacts.asOfFloor(spark, dir) +
         graft.core.Artifacts.committedChildren(spark, s"$dir/segments").size
       graft.core.Artifacts.swapInto(spark, dir) { tmp =>
-        spark.read.parquet(s"$dir/codebooks")
-          .coalesce(1).write.parquet(s"$tmp/codebooks")
-        spark.read.parquet(s"$dir/meta")
-          .coalesce(1).write.parquet(s"$tmp/meta")
+        // codebooks/meta are FROZEN trained state — pass through as
+        // driver byte copies, not Spark jobs (r17, Artifacts.copyDir)
+        graft.core.Artifacts.copyDir(spark, s"$dir/codebooks",
+          s"$tmp/codebooks")
+        graft.core.Artifacts.copyDir(spark, s"$dir/meta", s"$tmp/meta")
         living.write.parquet(s"$tmp/codes")
         graft.core.Artifacts.setAsOfFloor(spark, tmp, newFloor)
       }

@@ -188,26 +188,85 @@ object Behavior {
     * engine-identical (both engines implement standard NTILE: the first
     * n mod b buckets take one extra row).
     *
-    * Shape at scale: the fact table collapses to ONE |customers|-row
-    * aggregate first; the three NTILE windows are intentionally GLOBAL
-    * (bud1's classed-bucket precedent) but run over that aggregate, never
-    * the facts — three sorts of |customers| rows in one task. At customer
-    * counts where a single-task sort hurts, the ord1 two-phase ranking
-    * (range repartition + literal offsets) computes the same ranks
-    * distributed, then scores are rank·buckets/n integer arithmetic —
-    * the documented swap; the scores contract is unchanged. */
+    * Shape at scale (r17 — the round-16 verdict's documented swap,
+    * implemented): the fact table collapses to ONE |customers|-row
+    * aggregate first, but the three NTILE scores are NOT three global
+    * windows (each would sort |customers| rows in ONE task — the last
+    * SF-scaled single-reducer point in the engine). Instead the three
+    * metrics EXPLODE above the one aggregate (the fact scan runs once; a
+    * union would re-plan the aggregate subtree per branch) into
+    * (metric, key-slots, cust) rows — each metric's key rides its OWN
+    * native-typed slot, null outside its metric, so no common-type cast
+    * can merge ties the oracle's native ordering keeps distinct — and ONE
+    * [[graft.ext.Curation.globalOrdinalsCounted]] pass (range repartition
+    * + bounded per-partition counts + local window, the ord1 device)
+    * ranks all 3n rows; metric boundaries sit at exact multiples of n
+    * because metric is the primary sort key. Scores are then standard
+    * NTILE from rank in EXACT integer arithmetic — the first n mod b
+    * buckets take ⌈n/b⌉ rows, the rest ⌊n/b⌋, precisely both engines'
+    * NTILE — and one hash aggregate pivots the three scores back to a
+    * customer row. The bounded result localCheckpoints so the internal
+    * range cache releases before return (the qq1 contract). */
   def rfmScores(orders: DataFrame, custCol: Column, tsCol: Column,
                 amountCol: Column, buckets: Int = 5): DataFrame = {
+    val (res, release) = rfmScoresLazy(orders, custCol, tsCol, amountCol,
+      buckets)
+    // bounded (|customers|-row) result checkpoints so the internal range
+    // cache releases before return — the qq1 contract
+    val out = res.localCheckpoint()
+    release()
+    out
+  }
+
+  /** The [[rfmScores]] pipeline BEFORE materialization — the lazy scored
+    * frame plus the internal-cache release handle. Package-private so
+    * plan evidence (DumpR17Plans) can explain the REAL distributed shape
+    * (a localCheckpoint scan hides it); production callers use
+    * [[rfmScores]], which materializes and releases. */
+  private[graft] def rfmScoresLazy(orders: DataFrame, custCol: Column,
+                                   tsCol: Column, amountCol: Column,
+                                   buckets: Int): (DataFrame, () => Unit) = {
     require(buckets >= 2)
     val per = orders.groupBy(custCol.as("cust"))
       .agg(max(tsCol).as("last_ts"), count(lit(1)).as("freq"),
         graft.core.Num.dsum(amountCol).as("monetary"))
-    def score(order: Column*) = ntile(buckets).over(Window.orderBy(order: _*))
-    per.select(col("cust"),
-        score(col("last_ts").desc, col("cust")).as("r"),
-        score(col("freq").desc, col("cust")).as("f"),
-        score(col("monetary").desc, col("cust")).as("m"))
+    // a typed NULL of c's own type, for the other two metrics' slots
+    def slotNull(c: Column) = when(lit(false), c)
+    val expanded = per.select(col("cust"), explode(array(
+        struct(lit(1).as("metric"), col("last_ts").as("k1"),
+          slotNull(col("freq")).as("k2"),
+          slotNull(col("monetary")).as("k3")),
+        struct(lit(2).as("metric"), slotNull(col("last_ts")).as("k1"),
+          col("freq").as("k2"), slotNull(col("monetary")).as("k3")),
+        struct(lit(3).as("metric"), slotNull(col("last_ts")).as("k1"),
+          slotNull(col("freq")).as("k2"), col("monetary").as("k3"))))
+        .as("e"))
+      .select(col("cust"), col("e.metric").as("metric"),
+        col("e.k1").as("k1"), col("e.k2").as("k2"), col("e.k3").as("k3"))
+    val (ranked, total, release) = graft.ext.Curation.globalOrdinalsCounted(
+      expanded, Seq(col("metric"), col("k1").desc, col("k2").desc,
+        col("k3").desc, col("cust")))
+    val n = total / 3
+    val q = n / buckets
+    val rem = n % buckets
+    // standard NTILE from the 1-based within-metric rank r: the first
+    // `rem` buckets hold q+1 rows, the rest q — exact longs, no floats
+    val r = col("ordinal") - (col("metric") - 1).cast("long") * lit(n)
+    val bucket =
+      when(lit(q) === 0L, r) // n < buckets: one row per bucket
+        .when(r <= lit((q + 1L) * rem),
+          call_function("div", r + lit(q), lit(q + 1L)))
+        .otherwise(lit(rem) + call_function("div",
+          r - lit((q + 1L) * rem) + lit(math.max(q, 1L) - 1L),
+          lit(math.max(q, 1L))))
+    val res = ranked
+      .select(col("cust"), col("metric"), bucket.cast("int").as("s"))
+      .groupBy("cust").agg(
+        max(when(col("metric") === 1, col("s"))).as("r"),
+        max(when(col("metric") === 2, col("s"))).as("f"),
+        max(when(col("metric") === 3, col("s"))).as("m"))
       .withColumn("seg", col("r") * 100 + col("f") * 10 + col("m"))
+    (res, release)
   }
 
   /** Two-variant A/B CONVERSION LIFT with the pooled two-proportion

@@ -131,7 +131,7 @@ class Round15Spec extends SparkSpec {
 
   // ------------------------------------ kNN ingest action budget
 
-  test("ingestKnnBatch: fresh batch ≤ 4 actions; redelivery = 1 probe, no version") {
+  test("ingestKnnBatch: fresh batch ≤ 2 actions; redelivery = 1 probe, no version") {
     val vecs = fuzzVecs(30, 4, seed = 21)
     val dir = tmpDir("knn-jobs") + "/g"
     ext.Similarity.writeKnnGraph(vecs.where($"vec_id" < 20),
@@ -162,9 +162,10 @@ class Round15Spec extends SparkSpec {
       ext.Similarity.ingestKnnBatch(vecs.where($"vec_id" >= 20),
         "vec_id", "embedding", dir)
       val freshActions = drained()
-      assert(freshActions <= 4,
+      assert(freshActions <= 2,
         s"fresh kNN ingest ran $freshActions actions — the budget is the " +
-          "stats job plus the three version writes (round-14 verdict #3)")
+          "stats job plus ONE combined version write (r17: graph + " +
+          "vector copy + meta ride one kind-partitioned data relation)")
       val versionsAfter = new java.io.File(s"$dir/versions").listFiles()
         .count(f => !f.getName.endsWith("__tmp"))
       actions.set(0)

@@ -207,14 +207,20 @@ class Round16Spec extends SparkSpec {
     assert(stored == inline)
   }
 
-  // ------------- r16 perf: kNN mirror threshold prune is tie-exact
+  // ------------- r16: kNN append stays exact under full cosine ties
+  // (pins append ≡ from-scratch when every mirrored pair lands exactly ON
+  // the stored k-th threshold — neighbor-id ASC must decide. Historical
+  // note: this fixture was written for a mirror-threshold PRUNE that was
+  // ultimately REJECTED as a measured non-win (Similarity.scala records
+  // it: row_number ≤ k already compiles to a partial WindowGroupLimit);
+  // the tie-exactness pin is load-bearing for the shipped merge path
+  // regardless.)
 
-  test("knn append: mirror threshold prune keeps equal-cosine ties") {
+  test("knn append: equal-cosine ties merge identically to from-scratch") {
     // identical vectors make EVERY cosine 1.0, so every mirrored pair
-    // lands exactly ON the stored k-th threshold: the prune must keep
-    // cos == kth (neighbor-id ASC decides), or the appended low ids
-    // could never displace stored high ids and the graph would silently
-    // diverge from from-scratch
+    // ties with the stored rows: the merged top-k must let appended low
+    // ids displace stored high ids (neighbor ASC), or the graph would
+    // silently diverge from from-scratch
     val vecs = (10L until 18L).map(i => (i, Seq(1.0, 0.0)))
       .toDF("vec_id", "embedding")
     val batch = (0L until 3L).map(i => (i, Seq(1.0, 0.0)))
@@ -228,7 +234,7 @@ class Round16Spec extends SparkSpec {
     val got = ext.Similarity.knnGraphFromIndex(spark, dir)
       .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     assert(got == want,
-      "append with threshold prune must equal from-scratch under full ties")
+      "append must equal from-scratch under full cosine ties")
   }
 
   // ------------- r16 perf: lockstep subspace k-means ≡ per-subspace fits
