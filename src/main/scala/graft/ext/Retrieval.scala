@@ -82,11 +82,17 @@ object Retrieval {
     * segment layout, re-expressed columnar). The artifact:
     * `postings/pb=…` — (term, doc_id, len_d, tf) directory-partitioned
     * by a term-hash bucket so a query's terms prune to their buckets;
-    * `terms/pb=…` — (term, dft) the term dictionary with document
-    * frequency PRECOMPUTED at build (queries never run the df window);
-    * `meta` — one row (n_docs, n_toks, buckets), the bucket count stored
-    * WITH the artifact so the query side can never hash with mismatched
-    * parameters (the bf2 discipline).
+    * `terms/pb=…` — (term, dft) the BASE term dictionary with document
+    * frequency PRECOMPUTED at build; `meta` — one row (n_docs, n_toks,
+    * buckets) of BASE corpus totals, the bucket count stored WITH the
+    * artifact so the query side can never hash with mismatched
+    * parameters (the bf2 discipline). Since r17 `terms`/`meta` describe
+    * the BASE alone and are IMMUTABLE between build and compact —
+    * appends never rewrite them; the HEAD dictionary/totals derive at
+    * READ time by folding the committed segments onto them
+    * ([[headTermDict]]/[[headTotals]], Lucene's open-a-reader-over-a-
+    * segment-set design — per-append write amplification of the
+    * vocabulary-sized dictionary drops to zero).
     *
     * Build shape: ONE corpus tokenize pass writes the postings; the term
     * dictionary and corpus totals derive from the WRITTEN postings
@@ -128,45 +134,47 @@ object Retrieval {
           sum(col("tf")).as("n_toks"), lit(buckets).as("buckets"))
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     } finally post.unpersist(blocking = false)
-    // immutable BASE summaries (r16): the dictionary/meta values of the
-    // base alone, snapshotted once at build so every future append can
-    // derive the merged head dictionary from base summary + committed
-    // segments WITHOUT re-scanning the base postings (the scaladoc's own
-    // extreme-scale merge-from-committed-segments path, now the actual
-    // implementation — see appendToPostingsIndex). Driver-side dir copy
-    // of vocabulary-sized data; no extra Spark job.
-    snapshotBaseSummaries(spark, dir, dir)
   }
 
-  /** Copy `<from>/terms` → `<to>/base_terms` and `<from>/meta` →
-    * `<to>/base_meta`: the IMMUTABLE per-base dictionary/totals snapshot
-    * the incremental append merge folds segments onto. Written at build
-    * and (inside the staged root, so it publishes atomically) at compact
-    * — the base never changes between those two events, which is what
-    * makes the snapshot immutable. Each copy lands at a `__tmp` sibling
-    * and renames into place (r17, the round-16 ADVICE finding: a crash
-    * mid-copy on the BUILD path used to leave a partial snapshot —
-    * complete with the _SUCCESS marker, which local-FS listing copies
-    * first — that the merge paths' fs.exists guards would treat as
-    * complete and silently under-count from; the compact path was
-    * already safe inside its staged root). */
-  private def snapshotBaseSummaries(spark: org.apache.spark.sql.SparkSession,
-                                    from: String, to: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val fs = p(to).getFileSystem(conf)
-    for ((src, dst) <- Seq((s"$from/terms", s"$to/base_terms"),
-                           (s"$from/meta", s"$to/base_meta"))) {
-      val stage = p(dst + "__tmp")
-      fs.delete(stage, true)
-      if (!org.apache.hadoop.fs.FileUtil.copy(fs, p(src), fs, stage,
-          false, conf))
-        throw new java.io.IOException(
-          s"Retrieval.snapshotBaseSummaries: could not copy $src to $stage")
-      fs.delete(p(dst), true)
-      if (!fs.rename(stage, p(dst)))
-        throw new java.io.IOException(
-          s"Retrieval.snapshotBaseSummaries: could not publish $dst")
+  /** The HEAD term dictionary (pb, term, dft): the immutable base
+    * dictionary + a re-aggregation of the committed segments' postings,
+    * folded additively — dft is additive across the base/segment
+    * partition because the append-time doc-id anti-join keeps segments
+    * doc-disjoint, so this equals a full-store rebuild (Round16Spec pins
+    * it) while never re-scanning the base postings. `pb` stays a
+    * grouping key so a caller's bucket filter pushes below the fold into
+    * every root's partition pruning. */
+  private[graft] def headTermDict(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/terms")
+      .select(col("pb"), col("term"), col("dft"))
+    segmentPostings(spark,
+        graft.core.Artifacts.committedChildren(spark, s"$dir/segments")) match {
+      case None => base
+      case Some(sp) => base.unionByName(
+          sp.groupBy("pb", "term").agg(count(lit(1)).cast("long").as("dft")))
+        .groupBy("pb", "term").agg(sum("dft").as("dft"))
+    }
+  }
+
+  /** The HEAD corpus totals (n_docs, n_toks, buckets) in ONE bounded
+    * action: base meta + the committed segments' additive totals
+    * ([[segmentTotals]]). Like the stored meta it replaces, this is HEAD
+    * state INCLUSIVE of tombstoned documents until compact — Lucene's
+    * docFreq-includes-deletions semantics (the ret7 two-phase grade). */
+  private[graft] def headTotals(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): (Long, Long, Int) = {
+    val meta = spark.read.parquet(s"$dir/meta")
+    segmentPostings(spark,
+        graft.core.Artifacts.committedChildren(spark, s"$dir/segments")) match {
+      case None =>
+        val m = meta.head(); (m.getLong(0), m.getLong(1), m.getInt(2))
+      case Some(sp) =>
+        val r = meta.crossJoin(segmentTotals(sp))
+          .select((col("n_docs") + col("seg_docs")).as("n_docs"),
+            (col("n_toks") + col("seg_toks")).as("n_toks"), col("buckets"))
+          .head()
+        (r.getLong(0), r.getLong(1), r.getInt(2))
     }
   }
 
@@ -195,48 +203,39 @@ object Retrieval {
   /** MAINTAIN the stored postings index per ingest batch — the sim7
     * counterpart for the lexical index: new documents tokenize ONCE and
     * their postings land as a NEW pb-partitioned SEGMENT under the
-    * artifact's STORED bucket count; the term dictionary and meta then
-    * derive from the post-append store and swap in atomically (df and
-    * corpus totals must reflect the whole store or every score drifts —
-    * BM25's df/N coupling is why Lucene merges segments rather than
-    * patching counts). Since round 16 that derivation IS the documented
-    * extreme-scale incremental merge FROM COMMITTED STATE: the build
-    * snapshots immutable base summaries (`base_terms` = the base's
-    * per-term document counts, `base_meta` = its corpus totals — see
-    * [[snapshotBaseSummaries]]), and each append re-aggregates only the
-    * COMMITTED SEGMENTS (batch-sized) and folds them onto the base
-    * summary — dft, n_docs and n_toks are all ADDITIVE across the
-    * base/segment partition because the doc-id anti-join keeps segments
-    * disjoint on documents, so the merged dictionary is value-identical
-    * to a full-store rebuild (Round16Spec pins it) while never
-    * re-scanning the base postings. That is NOT `meta += batch`
-    * arithmetic, which remains forbidden: the merge re-derives from what
-    * actually COMMITTED, so a retry after any crash recomputes the same
-    * head state; in-place arithmetic against a possibly-stale previous
-    * meta would not. A periodic [[writePostingsIndex]] rebuild (or
-    * [[compactPostingsIndex]], which refreshes the base summaries inside
-    * its staged root) is the segment compaction that keeps the
-    * segment-side re-aggregation bounded. A store missing the base
-    * summaries (never produced by this code; defensive only) falls back
-    * to the full-store rebuild — same values, base-scan cost.
+    * artifact's STORED bucket count. Nothing else writes (r17): the HEAD
+    * dictionary and corpus totals derive at READ time by folding the
+    * committed segments onto the immutable base summaries
+    * ([[headTermDict]]/[[headTotals]] — dft, n_docs and n_toks are all
+    * ADDITIVE across the base/segment partition because the doc-id
+    * anti-join keeps segments doc-disjoint, so the derivation is
+    * value-identical to a full-store rebuild, Round16Spec pins it).
+    * Until r16 each append re-derived and swapped the whole stored
+    * dictionary (O(vocabulary) write amplification per batch); r16 made
+    * the derivation O(segments); r17 moves it to the read side — the
+    * Lucene design exactly (a reader opens a named segment set and
+    * merges dictionaries on the fly; appends only add segments). A
+    * periodic [[compactPostingsIndex]] folds segments into a new base,
+    * which is what keeps the read-side segment fold bounded. That is
+    * NOT `meta += batch` arithmetic, which remains forbidden: every
+    * read re-derives from what actually COMMITTED, so no crash can ever
+    * leave a stale head state anywhere — there is no stored head state.
     *
     * Idempotence under at-least-once retry: the batch anti-joins the
     * stored postings' doc ids first (an id-column-only columnar probe —
     * the inc2s discipline), and the segment publishes via stage +
     * ONE checked rename ([[graft.core.Artifacts.stageCommit]]) so it is
     * all-or-nothing: the anti-join only ever sees COMPLETE segments. The
-    * previous in-place multi-file append had a real corruption window —
+    * old in-place multi-file append had a real corruption window —
     * a crash during the job commit could leave a document's postings
     * PARTIALLY visible, and the retry's doc-id anti-join would then skip
-    * it forever (round-9 ADVICE); the staged segment closes it. A crash
-    * between segment commit and the dictionary swap leaves an
-    * un-dictionaried segment that the retry's merge repairs — the
-    * dictionary/meta always derive from whatever segments committed. */
+    * it forever (round-9 ADVICE); the staged segment closes it. The
+    * r16-era crash window between segment commit and the dictionary
+    * swap is GONE — there is no dictionary swap. */
   def appendToPostingsIndex(batch: DataFrame, idCol: String, textCol: String,
                             dir: String): Unit = {
     val spark = batch.sparkSession
     graft.core.Artifacts.heal(spark, dir)
-    graft.core.Artifacts.heal(spark, s"$dir/meta"); graft.core.Artifacts.heal(spark, s"$dir/terms")
     // sweep any crashed stage while counting committed segments for the
     // next segment id (names only order listings; results never see them)
     val nSegs = graft.core.Artifacts
@@ -248,8 +247,7 @@ object Retrieval {
     // the stored bucket count rides the segment-write job as a broadcast
     // 1-row scalar (r16 — previously a separate meta.head() action per
     // append; explicit broadcast is the 1-row-scalar case the repo's
-    // broadcast policy allows). The summary merge below reads buckets
-    // from base_meta, so no driver-side copy is needed at all.
+    // broadcast policy allows).
     val bucketsCol = broadcast(
       spark.read.parquet(s"$dir/meta").select(col("buckets")))
     val posted = graft.core.Par.fanOut(fresh.select(col("doc_id"),
@@ -264,68 +262,6 @@ object Retrieval {
     graft.core.Artifacts.commitIndexedSegment(spark,
         s"$dir/segments", nSegs) { tmp =>
       posted.write.partitionBy("pb").parquet(tmp)
-    }
-    rebuildHeadSummaries(spark, dir)
-  }
-
-  /** Derive and atomically swap in the head `terms`/`meta` from committed
-    * state: base summaries + a re-aggregation of the committed segments
-    * (value-identical to a full-store rebuild by doc-disjoint
-    * additivity — the appendToPostingsIndex scaladoc). Fallback for a
-    * store without base summaries: the pre-r16 full-store rebuild. */
-  private def rebuildHeadSummaries(spark: org.apache.spark.sql.SparkSession,
-                                   dir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val fs = p(dir).getFileSystem(conf)
-    if (!fs.exists(p(s"$dir/base_terms")) || !fs.exists(p(s"$dir/base_meta"))) {
-      // defensive legacy path: full-store rebuild (same values)
-      val buckets = spark.read.parquet(s"$dir/meta").head().getInt(2)
-      val post = postingsRelation(spark, dir)
-      graft.core.Artifacts.swapInto(spark, s"$dir/terms") { tmp =>
-        post.groupBy("pb", "term").agg(count(lit(1)).as("dft"))
-          .write.partitionBy("pb").parquet(tmp)
-      }
-      graft.core.Artifacts.swapInto(spark, s"$dir/meta") { tmp =>
-        post.agg(count_distinct(col("doc_id")).as("n_docs"),
-            sum(col("tf")).as("n_toks"), lit(buckets).as("buckets"))
-          .coalesce(1).write.parquet(tmp)
-      }
-      return
-    }
-    val segs = graft.core.Artifacts.committedChildren(spark, s"$dir/segments")
-    val baseTerms = spark.read.parquet(s"$dir/base_terms")
-      .select(col("pb"), col("term"), col("dft"))
-    val baseMeta = spark.read.parquet(s"$dir/base_meta")
-    val segPost = segmentPostings(spark, segs)
-    segPost match {
-      case None =>
-        // no committed segments: head summaries ARE the base summaries
-        graft.core.Artifacts.swapInto(spark, s"$dir/terms") { tmp =>
-          baseTerms.write.partitionBy("pb").parquet(tmp)
-        }
-        graft.core.Artifacts.swapInto(spark, s"$dir/meta") { tmp =>
-          baseMeta.coalesce(1).write.parquet(tmp)
-        }
-      case Some(sp) =>
-        val sp1 = sp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val segTerms = sp1.groupBy("pb", "term")
-            .agg(count(lit(1)).cast("long").as("dft"))
-          graft.core.Artifacts.swapInto(spark, s"$dir/terms") { tmp =>
-            baseTerms.unionByName(segTerms)
-              .groupBy("pb", "term").agg(sum("dft").as("dft"))
-              .write.partitionBy("pb").parquet(tmp)
-          }
-          val segTotals = segmentTotals(sp1)
-          graft.core.Artifacts.swapInto(spark, s"$dir/meta") { tmp =>
-            baseMeta.crossJoin(segTotals)
-              .select((col("n_docs") + col("seg_docs")).as("n_docs"),
-                (col("n_toks") + col("seg_toks")).as("n_toks"),
-                col("buckets"))
-              .coalesce(1).write.parquet(tmp)
-          }
-        } finally sp1.unpersist(blocking = false)
     }
   }
 
@@ -442,10 +378,9 @@ object Retrieval {
             coalesce(sum(col("tf")), lit(0L)).as("n_toks"),
             lit(buckets).as("buckets"))
           .coalesce(1).write.parquet(s"$tmp/meta")
-        // the fold makes the living relation the new BASE — refresh the
-        // immutable base summaries inside the staged root so they publish
-        // atomically with it (the append merge derives from them)
-        snapshotBaseSummaries(spark, tmp, tmp)
+        // the staged terms/meta ARE the new base summaries (r17 — the
+        // read-side fold derives head state from them + any future
+        // segments; no separate snapshot exists)
         graft.core.Artifacts.setAsOfFloor(spark, tmp, newFloor)
       }
     } finally living.unpersist()
@@ -456,21 +391,20 @@ object Retrieval {
     * and the bucket ids — bounded by |query terms| — push into both the
     * postings and term-dictionary scans as partition IN-filters, so only
     * the touched slivers of the index are READ (the sim6 probed-list
-    * discipline; spec-pinned). Document frequencies come from the stored
-    * dictionary — no window over the candidate slice — and corpus totals
-    * ride as literals from the 1-row meta. Identical results to the
-    * inline [[bm25TopK]] for any corpus and query set: same postings,
-    * same df values, same pinned-order scoring arithmetic. */
+    * discipline; spec-pinned). Document frequencies come from the HEAD
+    * dictionary ([[headTermDict]] — the base dictionary + the committed
+    * segments folded at read time, never a window over the candidate
+    * slice) and corpus totals ride as literals from ONE bounded
+    * [[headTotals]] action. Identical results to the inline [[bm25TopK]]
+    * for any corpus and query set: same postings, same df values, same
+    * pinned-order scoring arithmetic. */
   def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
                         queries: Seq[(Int, Seq[String])], dir: String,
                         k: Int = 5, k1: Double = 1.2,
                         b: Double = 0.75): DataFrame = {
     import spark.implicits._
     graft.core.Artifacts.heal(spark, dir)
-    graft.core.Artifacts.heal(spark, s"$dir/meta"); graft.core.Artifacts.heal(spark, s"$dir/terms")
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val (nDocs, nToks, buckets) =
-      (meta.getLong(0), meta.getLong(1), meta.getInt(2))
+    val (nDocs, nToks, buckets) = headTotals(spark, dir)
     val qvocab = queries.flatMap(_._2).distinct.toDF("term")
     val qmap = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
       .toDF("query_id", "term")
@@ -480,11 +414,13 @@ object Retrieval {
       .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).as("pb"))
       .distinct().collect().map(_.getLong(0)).toSeq
     // LIVING view: tombstoned documents leave the candidate set at once;
-    // df/meta stay stored until compact (the Lucene pre-merge semantics —
-    // forgetFromPostingsIndex scaladoc, Round11Spec pins both phases)
+    // df/meta stay head-state until compact (the Lucene pre-merge
+    // semantics — forgetFromPostingsIndex scaladoc, Round11Spec pins
+    // both phases). The pb filter pushes below the head-dict fold into
+    // every root's partition pruning.
     val post = postingsLiving(spark, dir)
       .where(col("pb").isin(pbs: _*)).join(broadcast(qvocab), "term")
-    val dict = spark.read.parquet(s"$dir/terms")
+    val dict = headTermDict(spark, dir)
       .where(col("pb").isin(pbs: _*)).join(broadcast(qvocab), "term")
       .select(col("term"), col("dft"))
     bm25RankStored(post, dict, qmap, nDocs, nToks, k, k1, b)
@@ -551,35 +487,39 @@ object Retrieval {
                             asOf: Long, k: Int = 5, k1: Double = 1.2,
                             b: Double = 0.75): DataFrame = {
     import spark.implicits._
-    graft.core.Artifacts.heal(spark, s"$dir/meta")
-    val buckets = spark.read.parquet(s"$dir/meta").head().getInt(2)
     val pinned = postingsRelationAsOf(spark, dir, asOf)
     // Pinned corpus totals. Fast path (r16): when nothing was ever
     // forgotten, totals are additive across the doc-disjoint base +
-    // pinned-segment-prefix partition — 1-row base summary + an
+    // pinned-segment-prefix partition — the 1-row base meta + an
     // aggregate of the (batch-sized) pinned segments replaces the full
-    // pinned-relation columnar pass. Tombstones break the additivity
-    // shortcut (the pinned relation excludes them and the summaries do
-    // not), so any tombstone store falls back to the exact full
-    // aggregate — value-identical either way.
+    // pinned-relation columnar pass, and buckets ride the SAME bounded
+    // action (r17 — previously a separate meta.head()). Tombstones break
+    // the additivity shortcut (the pinned relation excludes them and the
+    // summaries do not), so any tombstone store falls back to the exact
+    // full aggregate — value-identical either way.
     val conf = spark.sparkContext.hadoopConfiguration
     def hp(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = hp(dir).getFileSystem(conf)
-    val (nDocs, nToks) =
-      if (!fs.exists(hp(s"$dir/tombstones")) &&
-          fs.exists(hp(s"$dir/base_meta"))) {
-        val bm = spark.read.parquet(s"$dir/base_meta").head()
+    val meta = spark.read.parquet(s"$dir/meta")
+    val (nDocs, nToks, buckets) =
+      if (!fs.exists(hp(s"$dir/tombstones"))) {
         val segs = graft.core.Artifacts.segmentsAsOf(spark, dir, asOf)
         segmentPostings(spark, segs) match {
-          case None => (bm.getLong(0), bm.getLong(1))
+          case None =>
+            val m = meta.head(); (m.getLong(0), m.getLong(1), m.getInt(2))
           case Some(sp) =>
-            val t = segmentTotals(sp).head()
-            (bm.getLong(0) + t.getLong(0), bm.getLong(1) + t.getLong(1))
+            val r = meta.crossJoin(segmentTotals(sp))
+              .select((col("n_docs") + col("seg_docs")).as("n_docs"),
+                (col("n_toks") + col("seg_toks")).as("n_toks"),
+                col("buckets"))
+              .head()
+            (r.getLong(0), r.getLong(1), r.getInt(2))
         }
       } else {
         val totals = pinned.agg(count_distinct(col("doc_id")),
-          coalesce(sum(col("tf")), lit(0L))).head()
-        (totals.getLong(0), totals.getLong(1))
+            coalesce(sum(col("tf")), lit(0L)))
+          .crossJoin(meta.select(col("buckets"))).head()
+        (totals.getLong(0), totals.getLong(1), totals.getInt(2))
       }
     val qvocab = queries.flatMap(_._2).distinct.toDF("term")
     val qmap = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }

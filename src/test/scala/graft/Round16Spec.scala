@@ -161,9 +161,12 @@ class Round16Spec extends SparkSpec {
     }
   }
 
-  // ------------- r16 perf: postings dictionary merge ≡ full rebuild
+  // ------------- r16/r17 perf: postings head derivation ≡ full rebuild
+  // (r16 merged base summaries + segments into stored head state per
+  // append; r17 moved the same additive fold to READ time — the pin is
+  // the additivity itself, unchanged)
 
-  test("postings append: segment-merged terms/meta equal a full-store rebuild") {
+  test("postings append: read-side head terms/meta equal a full-store rebuild") {
     val dir = tmpDir("post-merge") + "/idx"
     val base = Seq((0L, "spark join table spark"), (1L, "hash merge sort"),
       (2L, "stream window batch")).toDF("doc_id", "text")
@@ -184,18 +187,18 @@ class Round16Spec extends SparkSpec {
       .agg(count(lit(1)).as("dft"))
       .orderBy("pb", "term").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
-    val gotTerms = spark.read.parquet(s"$dir/terms")
+    val gotTerms = ext.Retrieval.headTermDict(spark, dir)
       .orderBy("pb", "term").collect()
       .map(r => (r.getAs[Int]("pb"), r.getAs[String]("term"),
         r.getAs[Long]("dft"))).toSeq
     assert(gotTerms == wantTerms,
-      "merged dictionary must equal the full-store derivation")
+      "derived head dictionary must equal the full-store derivation")
     val wantMeta = living.agg(count_distinct(col("doc_id")),
       sum(col("tf"))).head()
-    val gotMeta = spark.read.parquet(s"$dir/meta").head()
-    assert(gotMeta.getLong(0) == wantMeta.getLong(0) &&
-      gotMeta.getLong(1) == wantMeta.getLong(1) && gotMeta.getInt(2) == 4,
-      "merged meta must equal the full-store totals")
+    val gotMeta = ext.Retrieval.headTotals(spark, dir)
+    assert(gotMeta._1 == wantMeta.getLong(0) &&
+      gotMeta._2 == wantMeta.getLong(1) && gotMeta._3 == 4,
+      "derived head totals must equal the full-store totals")
     // and the graded query shape agrees with the inline scorer end-to-end
     val all = base.union(Seq((3L, "spark stream stream"), (4L, ""),
       (5L, "sort batch table")).toDF("doc_id", "text"))

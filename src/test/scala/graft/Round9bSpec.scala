@@ -316,7 +316,7 @@ class Round9bSpec extends SparkSpec {
       s"must read fewer buckets than the artifact holds: $read of $nBuckets")
   }
 
-  test("postings append: equals from-scratch, retries no-op, swap heals") {
+  test("postings append: equals from-scratch, retries no-op, head derives") {
     val docs = Seq(
       (1L, "spark join table scan"), (2L, "hash join merge sort"),
       (3L, "stream window batch join"), (4L, "table table table spark"),
@@ -336,14 +336,13 @@ class Round9bSpec extends SparkSpec {
     // at-least-once redelivery: the anti-join makes the re-append a no-op
     ext.Retrieval.appendToPostingsIndex(batch, "doc_id", "text", dir)
     assert(answer() == want, "re-appending a landed batch must change nothing")
-    assert(spark.read.parquet(s"$dir/meta").head().getLong(0) == 6L)
-    // crash window on the dictionary swap: live copy aside, next read heals
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/terms"),
-      new org.apache.hadoop.fs.Path(s"$dir/terms__old")))
-    assert(answer() == want, "read-side healing restores the dictionary")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/terms__old")))
+    // the stored terms/meta are the immutable BASE summaries (r17 — the
+    // head state derives at read time); base totals stay the build's 3
+    // docs while the derived head totals see all 6
+    assert(spark.read.parquet(s"$dir/meta").head().getLong(0) == 3L,
+      "base meta must stay immutable under appends")
+    assert(ext.Retrieval.headTotals(spark, dir)._1 == 6L,
+      "head totals must fold the committed segments onto the base")
   }
 
   // ------------------------------------------------------------- pii1
