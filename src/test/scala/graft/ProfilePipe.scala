@@ -80,10 +80,12 @@ object ProfilePipe {
       val adm = b.join(fresh, Seq("doc_id"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        t(s"$tag: adm materialize")(adm.count())
-        t(s"$tag: bloom ingest")(Dedup.ingestBloomBatch(b, "text", bloomDir))
+        // production shape (r17): ONE aggregate freezes the cache AND
+        // answers the curated-emptiness gate; bloom ingest commits LAST
+        val nCur = t(s"$tag: adm+gate agg")(
+          adm.agg(count(when(curatedP, lit(1)))).head().getLong(0))
         val cur = adm.where(curatedP)
-        if (!t(s"$tag: isEmpty")(cur.isEmpty)) {
+        if (nCur > 0) {
           t(s"$tag: postings append")(
             Retrieval.appendToPostingsIndex(cur, "doc_id", "text", postDir))
           t(s"$tag: ivf append")(
@@ -104,9 +106,10 @@ object ProfilePipe {
             Thread.sleep(500) // listener delivery is async
             spark.listenerManager.unregister(al)
             println(s"[pipe-prof] $tag: knn ingest actions = ${acts.get()}" +
-              " (budget: stats probe + 3 version writes = 4)")
+              " (budget: stats probe + 1 combined version write = 2)")
           }
         }
+        t(s"$tag: bloom ingest")(Dedup.ingestBloomBatch(b, "text", bloomDir))
       } finally adm.unpersist(blocking = false)
     }
     batch("b0", s0)
