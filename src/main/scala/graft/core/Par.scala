@@ -26,6 +26,36 @@ object Par {
   def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Run a handful of INDEPENDENT driver actions concurrently so their
+    * jobs overlap (guide §2.6: Spark's scheduler happily runs several
+    * jobs at once — actions are only sequential because driver code
+    * calls them sequentially, and with FIFO scheduling later jobs
+    * back-fill executors freed by the current job's tail). At the
+    * tiny-batch limit the win is per-action fixed overhead: three small
+    * appends cost ~max instead of ~sum.
+    *
+    * Caller contract: the actions must be truly independent — disjoint
+    * output paths, no read of a path another action writes, and any
+    * SHARED cached frame already materialized (a cache race is safe —
+    * block-level locking — but re-computes defeat the point). The first
+    * failure rethrows its cause after all actions settle. */
+  def concurrently(actions: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      actions.size)
+    try {
+      val futs = actions.map { a =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = a()
+        })
+      }
+      try futs.foreach(_.get())
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause
+      }
+    } finally pool.shutdown()
+  }
+
   /** Materialize a compute-heavy projection behind a round-robin exchange
     * BEFORE a global sort. `orderBy` plans a range-sampling job that
     * re-executes its child plan; with no shuffle boundary below the sort,

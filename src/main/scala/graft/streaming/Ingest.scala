@@ -153,18 +153,28 @@ object Ingest {
           minJaccard = minJaccard), Seq("doc_id"), "left_anti")
         .persist(mem)
       try {
-        // archive first: this action materializes `kept`, so the artifact
-        // appends below reuse the cached survivors instead of re-deriving
-        // the drop set against stores that are being appended to
-        kept.join(store(archiveDir, kept).select("doc_id"),
-            Seq("doc_id"), "left_anti")
-          .write.mode("append").parquet(archiveDir)
-        bsh.join(kept.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-          .join(sigs.select("id"), Seq("id"), "left_anti")
-          .write.mode("append").parquet(sigDir)
-        bidx.join(kept.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-          .join(idx.select("id"), Seq("id"), "left_anti")
-          .write.mode("append").parquet(idxDir)
+        // freeze the survivors + the drop set against the PRE-append
+        // stores with one count, then run the three appends
+        // CONCURRENTLY (r17, guide §2.6 — each anti-joins its OWN
+        // store on a disjoint path, and crash ordering is healed
+        // per-store by the retry contract above, so the only true
+        // ordering constraint is "derive the drop set before any store
+        // grows", which the count enforces; at micro-batch scale the
+        // three appends cost ~max instead of ~sum of their fixed
+        // overheads)
+        kept.count()
+        graft.core.Par.concurrently(
+          () => kept.join(store(archiveDir, kept).select("doc_id"),
+              Seq("doc_id"), "left_anti")
+            .write.mode("append").parquet(archiveDir),
+          () => bsh.join(kept.select(col("doc_id").as("id")),
+              Seq("id"), "left_semi")
+            .join(sigs.select("id"), Seq("id"), "left_anti")
+            .write.mode("append").parquet(sigDir),
+          () => bidx.join(kept.select(col("doc_id").as("id")),
+              Seq("id"), "left_semi")
+            .join(idx.select("id"), Seq("id"), "left_anti")
+            .write.mode("append").parquet(idxDir))
       } finally {
         kept.unpersist()
         bidx.unpersist()
