@@ -3460,13 +3460,19 @@ object SparkEntry {
       // ingested (pre-curation — re-arrivals must dedup away even if
       // they failed the screen); the index tiers hold only curated docs
       val build = rec.where(col("doc_id") % 4 =!= 1)
-      Dedup.writeBloomIndex(build, "text", bloomDir)
       val curBuild = build.where(curatedP)
-      ext.Retrieval.writePostingsIndex(curBuild, "doc_id", "text", postDir)
-      Similarity.writeIvfIndex(curBuild, "doc_id", "embedding", "label",
-        ivfDir)
-      Similarity.writeKnnGraph(curBuild, "doc_id", "embedding", knnDir,
-        k = 3)
+      // the four builds write disjoint artifact roots from the same
+      // immutable source — overlap them (r17, guide §2.6); the bloom
+      // build completes before the cross-dups guard below reads the
+      // fps relation because concurrently() joins all four
+      graft.core.Par.concurrently(
+        () => Dedup.writeBloomIndex(build, "text", bloomDir),
+        () => ext.Retrieval.writePostingsIndex(curBuild, "doc_id", "text",
+          postDir),
+        () => Similarity.writeIvfIndex(curBuild, "doc_id", "embedding",
+          "label", ivfDir),
+        () => Similarity.writeKnnGraph(curBuild, "doc_id", "embedding",
+          knnDir, k = 3))
       val takedown = curBuild.where(col("doc_id") % 7 === 3)
         .select("doc_id")
       val q = rec.where(col("doc_id") % 4 === 1)
@@ -3520,13 +3526,21 @@ object SparkEntry {
             val cur = adm.where(curatedP)
             // an emptied batch (full redelivery) must write NO segment
             // and NO version anywhere — the guards keep the postings/
-            // IVF histories clean; ingestKnnBatch no-ops internally
+            // IVF histories clean; ingestKnnBatch no-ops internally.
+            // The three tier appends are INDEPENDENT (disjoint stores,
+            // each reading only its own artifact + the frozen `cur`
+            // cache) and any landed subset heals on redelivery via each
+            // tier's own id anti-join (Round14Spec pins it), so they run
+            // CONCURRENTLY (r17, guide §2.6 — per-batch wall ≈ max of
+            // the tiers instead of their sum)
             if (nCur > 0) {
-              ext.Retrieval.appendToPostingsIndex(cur, "doc_id", "text",
-                postDir)
-              Similarity.appendToIvfIndex(cur, "doc_id", "embedding",
-                ivfDir)
-              Similarity.ingestKnnBatch(cur, "doc_id", "embedding", knnDir)
+              graft.core.Par.concurrently(
+                () => ext.Retrieval.appendToPostingsIndex(cur, "doc_id",
+                  "text", postDir),
+                () => Similarity.appendToIvfIndex(cur, "doc_id",
+                  "embedding", ivfDir),
+                () => Similarity.ingestKnnBatch(cur, "doc_id",
+                  "embedding", knnDir))
             }
             // the fps/bloom ingest commits LAST — the cross-tier crash-
             // ordering constraint this composition surfaces (exactly
@@ -3541,10 +3555,15 @@ object SparkEntry {
             Dedup.ingestBloomBatch(b, "text", bloomDir)
           } finally adm.unpersist(blocking = false)
           if (bid == 1L) { // takedown MID-STREAM: batch 2 still to come
-            ext.Retrieval.forgetFromPostingsIndex(takedown, "doc_id",
-              postDir)
-            Similarity.forgetFromIvfIndex(takedown, "doc_id", ivfDir)
-            Similarity.forgetFromKnnGraph(takedown, "doc_id", knnDir)
+            // per-tier forgets are independent (own tombstone store +
+            // own repair inputs) — overlap like the appends
+            graft.core.Par.concurrently(
+              () => ext.Retrieval.forgetFromPostingsIndex(takedown,
+                "doc_id", postDir),
+              () => Similarity.forgetFromIvfIndex(takedown, "doc_id",
+                ivfDir),
+              () => Similarity.forgetFromKnnGraph(takedown, "doc_id",
+                knnDir))
           }
         }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -3622,21 +3641,26 @@ object SparkEntry {
       // (pre-screen, the pipe1s rule); index tiers hold only clean
       // curated docs
       val build = rec.where(col("doc_id") % 4 =!= 1)
-      Dedup.writeBloomIndex(build, "text", bloomDir)
       // probe order: curate FIRST, decontaminate the survivors — the
       // two screens commute (both row filters), so the population is
-      // identical and the shingle probe pays only for curated docs
+      // identical and the shingle probe pays only for curated docs.
+      // The eval index is already committed above, so the five builds
+      // below are independent (disjoint roots; curBuild's decon probe
+      // reads the committed evalDir) and overlap (r17, guide §2.6)
       val curB = build.where(curatedP)
       val curBuild = curB.join(
         Dedup.contaminationPairsFromIndex(curB, "doc_id", "text", evalDir)
           .select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-      ext.Retrieval.writePostingsIndex(curBuild, "doc_id", "text", postDir)
-      Similarity.writeIvfIndex(curBuild, "doc_id", "embedding", "label",
-        ivfDir)
-      Similarity.writePqIndex(curBuild, "doc_id", "embedding", pqDir,
-        dims = 64, m = 4, ksub = 4, iters = 2)
-      Similarity.writeKnnGraph(curBuild, "doc_id", "embedding", knnDir,
-        k = 3)
+      graft.core.Par.concurrently(
+        () => Dedup.writeBloomIndex(build, "text", bloomDir),
+        () => ext.Retrieval.writePostingsIndex(curBuild, "doc_id", "text",
+          postDir),
+        () => Similarity.writeIvfIndex(curBuild, "doc_id", "embedding",
+          "label", ivfDir),
+        () => Similarity.writePqIndex(curBuild, "doc_id", "embedding",
+          pqDir, dims = 64, m = 4, ksub = 4, iters = 2),
+        () => Similarity.writeKnnGraph(curBuild, "doc_id", "embedding",
+          knnDir, k = 3))
       val takedown = curBuild.where(col("doc_id") % 7 === 3)
         .select("doc_id")
       val q = rec.where(col("doc_id") % 4 === 1)
@@ -3685,26 +3709,36 @@ object SparkEntry {
               // index is immutable mid-stream, but the four index
               // consumers below must not re-run the probe)
               val nCur = cur.count()
+              // the four tier appends are independent (disjoint stores,
+              // each reading only its own artifact + the frozen caches)
+              // and any landed subset heals on redelivery — run them
+              // CONCURRENTLY (r17, the pipe1s note; guide §2.6)
               if (nCur > 0) {
-                ext.Retrieval.appendToPostingsIndex(cur, "doc_id", "text",
-                  postDir)
-                Similarity.appendToIvfIndex(cur, "doc_id", "embedding",
-                  ivfDir)
-                Similarity.appendToPqIndex(cur, "doc_id", "embedding",
-                  pqDir)
-                Similarity.ingestKnnBatch(cur, "doc_id", "embedding",
-                  knnDir)
+                graft.core.Par.concurrently(
+                  () => ext.Retrieval.appendToPostingsIndex(cur, "doc_id",
+                    "text", postDir),
+                  () => Similarity.appendToIvfIndex(cur, "doc_id",
+                    "embedding", ivfDir),
+                  () => Similarity.appendToPqIndex(cur, "doc_id",
+                    "embedding", pqDir),
+                  () => Similarity.ingestKnnBatch(cur, "doc_id",
+                    "embedding", knnDir))
               }
               // fps/bloom commit LAST — the pipe1s crash-ordering rule
               Dedup.ingestBloomBatch(b, "text", bloomDir)
             } finally cur.unpersist(blocking = false)
           } finally adm0.unpersist(blocking = false)
           if (bid == 1L) { // takedown MID-STREAM, all four tiers
-            ext.Retrieval.forgetFromPostingsIndex(takedown, "doc_id",
-              postDir)
-            Similarity.forgetFromIvfIndex(takedown, "doc_id", ivfDir)
-            Similarity.forgetFromPqIndex(takedown, "doc_id", pqDir)
-            Similarity.forgetFromKnnGraph(takedown, "doc_id", knnDir)
+            // independent per-tier forgets — overlap like the appends
+            graft.core.Par.concurrently(
+              () => ext.Retrieval.forgetFromPostingsIndex(takedown,
+                "doc_id", postDir),
+              () => Similarity.forgetFromIvfIndex(takedown, "doc_id",
+                ivfDir),
+              () => Similarity.forgetFromPqIndex(takedown, "doc_id",
+                pqDir),
+              () => Similarity.forgetFromKnnGraph(takedown, "doc_id",
+                knnDir))
           }
         }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
